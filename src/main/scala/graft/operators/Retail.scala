@@ -1,0 +1,399 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryModule, Tables}
+
+/** Q2 / Bonus capability family: cleaning filters, two-level aggregation,
+  * count-distinct, argmax-per-group, ranking / lag / first-last windows,
+  * order-size categorization, inner-vs-left join.
+  *
+  * Reference semantics: q2_ecommerce_analysis.py:38-275 and bonus.py:29-143
+  * re-expressed over the TPC-H-ish testdata (FIXTURES.md §3 domain mapping:
+  * CustomerID→o_custkey, InvoiceNo→o_orderkey, StockCode→l_partkey,
+  * Quantity*UnitPrice→l_extendedprice*(1-l_discount),
+  * InvoiceTimestamp→o_orderdate).
+  *
+  * Scale notes (100 TB design intent):
+  *   - lineitem⋈orders is an equi-join on the orderkey; at scale both sides
+  *     shuffle-partition on that key (sort-merge), and AQE can downgrade to
+  *     broadcast when the filtered orders side is small. No collect(), no
+  *     driver-side loops anywhere.
+  *   - the two-level rollup reuses the first aggregation's clustering: the
+  *     (custkey, orderkey) → custkey re-aggregation is a narrow shuffle of
+  *     pre-combined partials, not of raw lines.
+  *   - argmax-per-group is a bounded window (row_number, rank 1) — state per
+  *     key is O(1); no per-group materialization.
+  */
+object Retail extends QueryModule {
+
+  /** Exact money arithmetic. Inputs carry ≤2 decimals, so DECIMAL makes every
+    * SUM order-independent — required for DuckDB hash parity, and safe at any
+    * scale (Spark decimals stay in whole-stage codegen). Cast to double only
+    * in the final projection.
+    */
+  def lineAmount: Column =
+    col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(12, 2)) - col("l_discount").cast(DecimalType(12, 2)))
+
+  private val amountSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+  /** Cleaned order lines: the reference's filter chain (q2:49-61) mapped onto
+    * lineitem — positive quantity/price, non-null key, NOT LIKE exclusion.
+    * Filters sit directly on the scan so Catalyst pushes them into parquet.
+    */
+  private def cleanedLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0 &&
+        col("l_orderkey").isNotNull && !col("l_returnflag").like("R%"))
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+  }
+
+  private val cleanedLinesSql =
+    s"""FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity > 0 AND l_extendedprice > 0
+          AND l_orderkey IS NOT NULL AND l_returnflag NOT LIKE 'R%'"""
+
+  /** Flagship (SURVEY §7.2 slice 0): per-customer order summary with favorite
+    * part. Exercises S-scan, P1-P4, A1-A3, A6 (argmax via row_number), W1, J1,
+    * O1 in one plan. Reference: q2:89-143.
+    */
+  def customerSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = cleanedLines(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("l_partkey"),
+        lineAmount.as("amount"))
+    val orderValues = lines
+      .groupBy("o_custkey", "o_orderkey")
+      .agg(sum("amount").as("order_value"))
+    val custAgg = orderValues
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("num_orders"),
+        sum("order_value").cast("double").as("total_spent"))
+      .withColumn("avg_order_value", col("total_spent") / col("num_orders"))
+    val perProduct = lines
+      .groupBy("o_custkey", "l_partkey")
+      .agg(countDistinct("o_orderkey").as("order_frequency"),
+        sum("amount").as("product_spent"))
+    // Reference used rank()+first() (q2:126-138) which is nondeterministic
+    // under ties; row_number with a full tie-break keeps it oracle-checkable.
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("order_frequency").desc, col("product_spent").desc, col("l_partkey").asc)
+    val topProduct = perProduct
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("l_partkey").as("top_product"))
+    custAgg.join(topProduct, Seq("o_custkey"), "left")
+      .select("o_custkey", "num_orders", "total_spent", "avg_order_value", "top_product")
+      .orderBy("o_custkey")
+  }
+
+  private val customerSummarySql =
+    s"""WITH lines AS (
+          SELECT o_custkey, o_orderkey, l_partkey, $amountSql AS amount
+          $cleanedLinesSql
+        ), order_values AS (
+          SELECT o_custkey, o_orderkey, SUM(amount) AS order_value
+          FROM lines GROUP BY 1, 2
+        ), cust AS (
+          SELECT o_custkey, COUNT(*) AS num_orders,
+                 CAST(SUM(order_value) AS DOUBLE) AS total_spent
+          FROM order_values GROUP BY 1
+        ), per_product AS (
+          SELECT o_custkey, l_partkey,
+                 COUNT(DISTINCT o_orderkey) AS order_frequency,
+                 SUM(amount) AS product_spent
+          FROM lines GROUP BY 1, 2
+        ), top AS (
+          SELECT o_custkey, l_partkey AS top_product FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY order_frequency DESC, product_spent DESC, l_partkey) AS rn
+            FROM per_product) WHERE rn = 1
+        )
+        SELECT c.o_custkey, c.num_orders, c.total_spent,
+               c.total_spent / c.num_orders AS avg_order_value, t.top_product
+        FROM cust c LEFT JOIN top t USING (o_custkey)
+        ORDER BY c.o_custkey"""
+
+  /** Cleaning chain as its own checkable operator (P1-P5): filters, derived
+    * amount, safe timestamp parse round-trip (try_to_timestamp ↔ try_strptime).
+    * Reference: q2:49-61.
+    */
+  def cleaning(spark: SparkSession, sfDir: String): DataFrame =
+    cleanedLines(spark, sfDir)
+      .withColumn("ship_ts_str", date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("ship_ts", expr("try_to_timestamp(ship_ts_str, 'yyyy-MM-dd HH:mm:ss')"))
+      .filter(col("ship_ts").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("o_custkey"), lineAmount.cast("double").as("amount"),
+        date_format(col("ship_ts"), "yyyy-MM-dd HH:mm:ss").as("ship_ts"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val cleaningSql =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, o_custkey,
+               CAST($amountSql AS DOUBLE) AS amount,
+               strftime(try_strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
+                        '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ship_ts
+        $cleanedLinesSql
+          AND try_strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
+              '%Y-%m-%d %H:%M:%S') IS NOT NULL
+        ORDER BY l_orderkey, l_linenumber"""
+
+  /** Part B windows (W2, W3, P7): per-customer order sequence — rank by time,
+    * lag + datediff to previous order. Reference: q2:191-205. Runs on the
+    * orders table directly (one row per order already); tie-break on
+    * o_orderkey makes lag deterministic under equal dates.
+    */
+  def orderWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey").isNotNull)
+      .withColumn("order_number", row_number().over(w))
+      .withColumn("prev_order_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("days_between_orders", datediff(col("o_orderdate"), col("prev_order_date")))
+      .drop("prev_order_date")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("order_number"), col("days_between_orders"))
+      .orderBy("o_custkey", "order_number")
+  }
+
+  private val orderWindowsSql =
+    """SELECT o_custkey, o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+              CAST(row_number() OVER w AS INT) AS order_number,
+              CAST(datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS INT)
+                AS days_between_orders
+       FROM orders WHERE o_custkey IS NOT NULL
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_custkey, order_number"""
+
+  /** W4: first / last product ever bought per customer, via first/last over an
+    * unbounded frame (reference q2:170-181). (orderkey, linenumber) is NOT
+    * unique in this data, so l_partkey — the emitted value — is the final
+    * tie-break: any rows still tied emit the same value.
+    */
+  def firstLastProduct(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cleanedLines(spark, sfDir)
+      .withColumn("first_product", first(col("l_partkey")).over(w))
+      .withColumn("last_product", last(col("l_partkey")).over(w))
+      .select("o_custkey", "first_product", "last_product")
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  private val firstLastProductSql =
+    s"""SELECT DISTINCT o_custkey,
+               first_value(l_partkey) OVER w AS first_product,
+               last_value(l_partkey) OVER w AS last_product
+        $cleanedLinesSql
+        WINDOW w AS (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey, l_linenumber, l_partkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey"""
+
+  /** A11 + A12: one-row summary — single- vs multi-order customers, average
+    * orders per customer, average days between consecutive orders.
+    * Reference: q2:241-257. avg computed as CAST(SUM AS DOUBLE)/COUNT in both
+    * engines so the division is bit-identical.
+    */
+  def summaryStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val perOrder = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey").isNotNull)
+      .withColumn("order_number", row_number().over(w))
+      .withColumn("days_between",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+    val perCust = perOrder.groupBy("o_custkey")
+      .agg(max("order_number").as("n_orders"))
+    val custStats = perCust.agg(
+      count(lit(1)).as("n_customers"),
+      sum(when(col("n_orders") === 1, 1L).otherwise(0L)).as("single_order_customers"),
+      sum(when(col("n_orders") > 1, 1L).otherwise(0L)).as("multi_order_customers"),
+      sum("n_orders").as("n_orders_total"))
+    val gapStats = perOrder.filter(col("days_between").isNotNull)
+      .agg(sum(col("days_between").cast("long")).as("gap_sum"),
+        count(col("days_between")).as("gap_n"))
+    custStats.crossJoin(gapStats)
+      .select(
+        col("n_customers"), col("single_order_customers"), col("multi_order_customers"),
+        (col("n_orders_total").cast("double") / col("n_customers")).as("avg_orders_per_customer"),
+        (col("gap_sum").cast("double") / col("gap_n")).as("avg_days_between_orders"))
+  }
+
+  private val summaryStatsSql =
+    """WITH seq AS (
+         SELECT o_custkey,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS order_number,
+                datediff('day', lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey), o_orderdate) AS days_between
+         FROM orders WHERE o_custkey IS NOT NULL
+       ), per_cust AS (
+         SELECT o_custkey, MAX(order_number) AS n_orders FROM seq GROUP BY 1
+       ), cust_stats AS (
+         SELECT COUNT(*) AS n_customers,
+                CAST(SUM(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS single_order_customers,
+                CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS multi_order_customers,
+                SUM(n_orders) AS n_orders_total
+         FROM per_cust
+       ), gap_stats AS (
+         SELECT SUM(CAST(days_between AS BIGINT)) AS gap_sum,
+                COUNT(days_between) AS gap_n
+         FROM seq WHERE days_between IS NOT NULL
+       )
+       SELECT n_customers, single_order_customers, multi_order_customers,
+              CAST(n_orders_total AS DOUBLE) / n_customers AS avg_orders_per_customer,
+              CAST(gap_sum AS DOUBLE) / gap_n AS avg_days_between_orders
+       FROM cust_stats CROSS JOIN gap_stats"""
+
+  /** U1 (native form): order-size categorization as a when/otherwise chain —
+    * stays in whole-stage codegen, unlike the reference's Python UDF
+    * (bonus.py:51-61). Thresholds rescaled to this data's order-value range.
+    * Orders with no surviving lines hit the null→Unknown branch via the left
+    * join, mirroring the reference's None handling.
+    */
+  def categorize(orderValue: Column): Column =
+    when(orderValue.isNull, "Unknown")
+      .when(orderValue < 50000, "Small")
+      .when(orderValue <= 200000, "Medium")
+      .otherwise("Large")
+
+  private def orderSizes(spark: SparkSession, sfDir: String, cat: Column => Column): DataFrame = {
+    val orderValues = cleanedLines(spark, sfDir)
+      .groupBy("o_orderkey").agg(sum(lineAmount).cast("double").as("order_value"))
+    Tables.orders(spark, sfDir).select("o_orderkey")
+      .join(orderValues, Seq("o_orderkey"), "left")
+      .withColumn("order_size", cat(col("order_value")))
+      .orderBy("o_orderkey")
+  }
+
+  def orderSizeNative(spark: SparkSession, sfDir: String): DataFrame =
+    orderSizes(spark, sfDir, categorize)
+
+  /** U1 (UDF form): identical semantics through a registered Scala UDF, to
+    * prove the UDF surface (bonus.py:51-61 mechanism). Null handled before the
+    * UDF; primitive-double body stays cheap. Same oracle as the native form.
+    */
+  def orderSizeUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val categorizeUdf = udf((v: Double) =>
+      if (v < 50000) "Small" else if (v <= 200000) "Medium" else "Large")
+    orderSizes(spark, sfDir,
+      v => when(v.isNull, "Unknown").otherwise(categorizeUdf(v)))
+  }
+
+  private val orderSizeSql =
+    s"""WITH order_values AS (
+          SELECT o_orderkey AS ok, CAST(SUM($amountSql) AS DOUBLE) AS order_value
+          $cleanedLinesSql
+          GROUP BY 1
+        )
+        SELECT o.o_orderkey, v.order_value,
+               CASE WHEN v.order_value IS NULL THEN 'Unknown'
+                    WHEN v.order_value < 50000 THEN 'Small'
+                    WHEN v.order_value <= 200000 THEN 'Medium'
+                    ELSE 'Large' END AS order_size
+        FROM orders o LEFT JOIN order_values v ON o.o_orderkey = v.ok
+        ORDER BY o.o_orderkey"""
+
+  /** J2/J3: inner vs left join against a "frequent customers" dim — the
+    * bonus.py:103-139 segment demo. The dim side is tiny after filtering, so
+    * Spark broadcasts it (AQE / size estimate); the left variant keeps every
+    * customer with a null segment, the inner variant keeps only frequent ones.
+    */
+  private def frequent(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(countDistinct("o_orderkey").as("num_orders"))
+      .filter(col("num_orders") >= 12)
+      .withColumn("segment", lit("frequent"))
+
+  def joinInnerFrequent(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+      .join(broadcast(frequent(spark, sfDir)),
+        col("c_custkey") === col("o_custkey"), "inner")
+      .select("c_custkey", "c_name", "num_orders", "segment")
+      .orderBy("c_custkey")
+
+  def joinLeftFrequent(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+      .join(broadcast(frequent(spark, sfDir)),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select("c_custkey", "c_name", "num_orders", "segment")
+      .orderBy("c_custkey")
+
+  private def joinFrequentSql(joinType: String) =
+    s"""WITH freq AS (
+          SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS num_orders,
+                 'frequent' AS segment
+          FROM orders GROUP BY 1 HAVING COUNT(DISTINCT o_orderkey) >= 12
+        )
+        SELECT c_custkey, c_name, num_orders, segment
+        FROM customer $joinType JOIN freq ON c_custkey = o_custkey
+        ORDER BY c_custkey"""
+
+  /** Semi / anti joins (SURVEY §2.3 note): customers with / without a pending
+    * ('P') order. The status filter keeps the anti side non-empty and shows a
+    * pushed-down predicate feeding a semi-join build side.
+    */
+  private def pendingOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "P")
+
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(pendingOrders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(pendingOrders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_customer_summary" -> (customerSummary _),
+    "q2_cleaning" -> (cleaning _),
+    "q2_order_windows" -> (orderWindows _),
+    "q2_first_last_product" -> (firstLastProduct _),
+    "q2_summary_stats" -> (summaryStats _),
+    "bonus_order_size_native" -> (orderSizeNative _),
+    "bonus_order_size_udf" -> (orderSizeUdf _),
+    "bonus_join_inner" -> (joinInnerFrequent _),
+    "bonus_join_left" -> (joinLeftFrequent _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q2_customer_summary" -> customerSummarySql,
+    "q2_cleaning" -> cleaningSql,
+    "q2_order_windows" -> orderWindowsSql,
+    "q2_first_last_product" -> firstLastProductSql,
+    "q2_summary_stats" -> summaryStatsSql,
+    "bonus_order_size_native" -> orderSizeSql,
+    "bonus_order_size_udf" -> orderSizeSql,
+    "bonus_join_inner" -> joinFrequentSql("INNER"),
+    "bonus_join_left" -> joinFrequentSql("LEFT"),
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+  )
+}
