@@ -12,6 +12,10 @@ object SparkEntry {
   /** All query modules. Order only affects registry listing, not semantics. */
   def modules: Seq[QueryModule] = Seq(
     operators.Retail,
+    operators.TextStats,
+    operators.Nested,
+    operators.Sources,
+    operators.Events,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

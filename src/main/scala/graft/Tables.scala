@@ -19,7 +19,19 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
-  def events(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by default
+    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (runtime SQL conf) and
+    * rebuild a microsecond TimestampType column — truncation matches DuckDB's
+    * own ns→µs cast, so oracle comparisons agree.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    import org.apache.spark.sql.functions._
+    // integral `div`, not `/`: double division would lose sub-µs precision
+    // on 2024-epoch nanosecond longs (~1.7e18 > 2^53)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

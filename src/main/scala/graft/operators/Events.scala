@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryModule, Tables}
+
+/** Q4 capability family, batch twins (SURVEY §2.9, §7.2 step 5).
+  *
+  * The streaming pipelines themselves live in graft.streaming.SensorStreams —
+  * the SAME transformation functions are applied here to the batch events
+  * table, which is how the DuckDB oracle can check streaming semantics
+  * (per-key global agg A5/T1, tumbling window T3, sliding window T4): a
+  * Structured Streaming query over a finite input must converge to its batch
+  * twin's result. ScalaTest drives the real readStream/writeStream path with
+  * MemoryStream and asserts it equals these.
+  *
+  * Scale: windowed aggregation state is bounded by (keys × open windows) under
+  * the watermark; the unwatermarked per-key aggregate (the reference's
+  * deliberate Part A, q4 cell 0:51-59) is bounded by key cardinality.
+  * events.value carries ≤2 decimals → DECIMAL sums for oracle parity.
+  */
+object Events extends QueryModule {
+
+  /** T1: event-time extraction — parse/guard the timestamp (q4 cell 0:44-48). */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", col("ts"))
+      .filter(col("event_time").isNotNull)
+
+  /** A5/T1: per-key unbounded aggregate — avg/count/min/max of value by
+    * event_type (q4 cell 0:51-59; sensor_id→event_type).
+    */
+  def perKeyStats(df: DataFrame): DataFrame =
+    withEventTime(df)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).as("value_sum"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+      .withColumn("avg_value", col("value_sum").cast("double") / col("n_events"))
+      .withColumn("value_sum", col("value_sum").cast("double"))
+
+  def perKeyStatsQ(spark: SparkSession, sfDir: String): DataFrame =
+    perKeyStats(Tables.events(spark, sfDir))
+      .select("event_type", "n_events", "value_sum", "avg_value", "min_value", "max_value")
+      .orderBy("event_type")
+
+  private val perKeyStatsSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+              MIN(value) AS min_value, MAX(value) AS max_value
+       FROM events WHERE ts IS NOT NULL
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** T3: tumbling 5-minute window, global avg + count (q4 cell 0:74-87).
+    * Window bounds emitted as formatted UTC strings (oracle parity).
+    */
+  def tumbling(df: DataFrame): DataFrame =
+    withEventTime(df)
+      .groupBy(window(col("event_time"), "5 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).as("value_sum"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("n_events"),
+        (col("value_sum").cast("double") / col("n_events")).as("avg_value"))
+
+  def tumblingQ(spark: SparkSession, sfDir: String): DataFrame =
+    tumbling(Tables.events(spark, sfDir)).orderBy("window_start")
+
+  private val tumblingSql =
+    """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+                AS window_start,
+              strftime(time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes',
+                       '%Y-%m-%d %H:%M:%S') AS window_end,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+       FROM events WHERE ts IS NOT NULL
+       GROUP BY 1, 2 ORDER BY 1"""
+
+  /** T4: sliding window (10 min length, 5 min slide) per key — max + count
+    * (q4 cell 0:100-114). Each event lands in exactly two windows; the oracle
+    * enumerates both starts per event.
+    */
+  def sliding(df: DataFrame): DataFrame =
+    withEventTime(df)
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("max_value"))
+
+  def slidingQ(spark: SparkSession, sfDir: String): DataFrame =
+    sliding(Tables.events(spark, sfDir)).orderBy("window_start", "event_type")
+
+  private val slidingSql =
+    """WITH e AS (
+         SELECT event_type, value,
+                unnest([time_bucket(INTERVAL '5 minutes', ts),
+                        time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+                  AS window_start
+         FROM events WHERE ts IS NOT NULL)
+       SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, COUNT(*) AS n_events, MAX(value) AS max_value
+       FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** JSON scalar surface (SURVEY §2.8): extract props.k per event, aggregate
+    * per event_type. get_json_object ↔ json_extract_string.
+    */
+  def propsExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+        min("k").as("k_min"), max("k").as("k_max"))
+      .orderBy("event_type")
+
+  private val propsExtractSql =
+    """SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(k) AS BIGINT) AS k_sum,
+              MIN(k) AS k_min, MAX(k) AS k_max
+       FROM (SELECT event_type,
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             FROM events)
+       WHERE k IS NOT NULL
+       GROUP BY event_type ORDER BY event_type"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_per_key_stats" -> (perKeyStatsQ _),
+    "t3_tumbling_window" -> (tumblingQ _),
+    "t4_sliding_window" -> (slidingQ _),
+    "events_props_json" -> (propsExtract _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "t1_per_key_stats" -> perKeyStatsSql,
+    "t3_tumbling_window" -> tumblingSql,
+    "t4_sliding_window" -> slidingSql,
+    "events_props_json" -> propsExtractSql,
+  )
+}

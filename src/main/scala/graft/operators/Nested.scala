@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryModule, Tables}
+
+/** Q3 capability family: nested array-of-struct documents — explode, struct
+  * field access, per-product aggregation, dynamic pivot.
+  *
+  * The reference reads JSON-lines orders with a `products:
+  * array<struct<name, price, product_id, quantity>>` column
+  * (q3_json_processing.py:25-45). Here the nested shape is *built* from the
+  * relational tables (collect_list(struct(...)) per order), then flattened
+  * back with explode + GetStructField — a faithful round-trip of the same
+  * operator surface. The DuckDB oracle states the flattened equivalent
+  * directly, which is exactly what the nested pipeline must reduce to.
+  *
+  * Scale: collect_list per order is bounded by order size (≤ a few lines), not
+  * data volume — safe state. The pivot uses an explicit value list
+  * (o_orderpriority's closed domain) so no eager distinct job runs
+  * (SURVEY.md §4 pivot-lowering note).
+  */
+object Nested extends QueryModule {
+
+  /** Orders with a nested products array — the Q3 document shape. */
+  def ordersNested(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_name")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(collect_list(struct(
+        col("l_partkey").as("product_id"),
+        col("p_name").as("name"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").as("quantity"))).as("products"))
+  }
+
+  /** P6 + A4: explode the products array, project struct fields, aggregate
+    * per product (q3:36-63): total quantity, revenue, distinct orders.
+    * Revenue in DECIMAL for order-independent sums.
+    */
+  def productStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val exploded = ordersNested(spark, sfDir)
+      .select(col("l_orderkey"), explode(col("products")).as("product"))
+      .select(
+        col("l_orderkey"),
+        col("product.product_id").as("product_id"),
+        col("product.name").as("product_name"),
+        col("product.price").cast(DecimalType(12, 2)).as("price"),
+        col("product.quantity").as("quantity"))
+    exploded
+      .groupBy("product_id", "product_name")
+      .agg(
+        sum(col("quantity").cast("long")).as("total_quantity"),
+        sum(col("price") * col("quantity").cast(DecimalType(10, 0)))
+          .cast("double").as("total_revenue"),
+        countDistinct("l_orderkey").as("num_orders"))
+      .orderBy("product_id")
+  }
+
+  private val productStatsSql =
+    """SELECT l_partkey AS product_id, p_name AS product_name,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_quantity,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(10,0))) AS DOUBLE)
+                AS total_revenue,
+              COUNT(DISTINCT l_orderkey) AS num_orders
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY 1, 2 ORDER BY 1"""
+
+  /** A7 + P8 + P10: pivot per customer over o_orderpriority (closed domain →
+    * explicit value list, no discovery job), null→0 fill, dynamic row-wise
+    * total across the pivot columns (q3:76-90).
+    */
+  def customerPriorityPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val safeNames = Map(
+      "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
+      "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low")
+    val pivoted = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .pivot("o_orderpriority", priorities)
+      .count()
+      .na.fill(0L)
+    val renamed = priorities.foldLeft(pivoted) { (df, v) =>
+      df.withColumnRenamed(v, safeNames(v))
+    }
+    // P10: row-wise total discovered from the column list, as one Column tree.
+    val pivotCols = priorities.map(v => col(safeNames(v)))
+    renamed
+      .withColumn("total_orders", pivotCols.reduce(_ + _))
+      .orderBy("o_custkey")
+  }
+
+  private val customerPriorityPivotSql =
+    """SELECT o_custkey,
+              CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+              CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+              CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+              CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+              CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low,
+              CAST(COUNT(*) AS BIGINT) AS total_orders
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_product_stats" -> (productStats _),
+    "q3_customer_pivot" -> (customerPriorityPivot _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q3_product_stats" -> productStatsSql,
+    "q3_customer_pivot" -> customerPriorityPivotSql,
+  )
+}

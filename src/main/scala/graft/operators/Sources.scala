@@ -1,0 +1,122 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Source/sink + set-op surface (SURVEY §2.1, §2.7).
+  *
+  * The reference's batch inputs are CSV-with-inferSchema (S1, q2:38-43),
+  * JSON-lines-with-inferSchema (S2, q3:25-29) and raw text (S4,
+  * q1_mapper.py:43-46); its sink is a coalesce(1) header CSV (K1, q2:271-275).
+  * Each round-trip query below writes the driver parquet through that format
+  * and reads it back, so the oracle (plain SQL over the original table)
+  * checks format fidelity end-to-end: header handling, type inference, null
+  * encoding, line framing.
+  *
+  * Scale note: coalesce(1) is a presentation-layer choice (single report
+  * file); data-scale sinks keep natural partitioning — these round-trips are
+  * deliberately on the small dimension tables.
+  */
+object Sources extends QueryModule {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** S1 + K1: customer → header CSV (coalesce(1), overwrite) → read back with
+    * inferSchema. Doubles survive CSV via Spark's round-trippable default
+    * formatting; c_acctbal has ≤2 decimals anyway.
+    */
+  def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_csv")
+    Tables.customer(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").option("header", true).csv(dir)
+    spark.read.option("header", true).option("inferSchema", true).csv(dir)
+      .select(col("c_custkey").cast("long"), col("c_name"),
+        col("c_nationkey").cast("int"), col("c_acctbal").cast("double"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** S2: nation → JSON-lines (multiLine=false) → read back with inference. */
+  def jsonRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_json")
+    Tables.nation(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").json(dir)
+    spark.read.option("multiLine", false).json(dir)
+      .select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+      .orderBy("n_nationkey")
+  }
+
+  /** S4: documents.text → raw text files → Dataset[String] → tokenize-count.
+    * Proves the text-line source feeding the Q1 pipeline. Documents contain no
+    * newlines, so one line per doc and the oracle is the direct equivalent.
+    */
+  def textSourceWordCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_text")
+    Tables.documents(spark, sfDir).select("text")
+      .coalesce(1).write.mode("overwrite").text(dir)
+    import spark.implicits._
+    val lines = spark.read.textFile(dir)
+    lines
+      .select(explode(expr("regexp_extract_all(lower(value), '[a-z]+', 0)")).as("word"))
+      .filter(!col("word").isin(TextStats.stopWords: _*))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+  }
+
+  private val textSourceWordCountSql =
+    """WITH tok AS (
+         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         FROM documents)
+       SELECT word, COUNT(*) AS n FROM tok
+       WHERE word NOT IN ('the', 'is', 'an', 'a', 'are')
+       GROUP BY word ORDER BY n DESC, word LIMIT 50"""
+
+  /** §2.7 set operators over compatible projections. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val fulfilled = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+    val union = fulfilled.union(open).distinct()
+      .withColumn("set_op", lit("union"))
+    val intersect = fulfilled.intersect(open)
+      .withColumn("set_op", lit("intersect"))
+    val except = fulfilled.except(open)
+      .withColumn("set_op", lit("except"))
+    union.union(intersect).union(except)
+      .orderBy("set_op", "o_custkey")
+  }
+
+  private val setOpsSql =
+    """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+            o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+       SELECT o_custkey, 'union' AS set_op FROM (SELECT * FROM f UNION SELECT * FROM o)
+       UNION ALL
+       SELECT o_custkey, 'intersect' AS set_op FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+       UNION ALL
+       SELECT o_custkey, 'except' AS set_op FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+       ORDER BY set_op, o_custkey"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_csv_roundtrip" -> (csvRoundTrip _),
+    "s2_json_roundtrip" -> (jsonRoundTrip _),
+    "s4_text_wordcount" -> (textSourceWordCount _),
+    "setops_union_intersect_except" -> (setOps _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "s1_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    "s2_json_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "s4_text_wordcount" -> textSourceWordCountSql,
+    "setops_union_intersect_except" -> setOpsSql,
+  )
+}
