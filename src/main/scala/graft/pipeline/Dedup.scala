@@ -1,0 +1,282 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (content fingerprint), n-gram Jaccard (blocked), MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Everything is declarative DataFrame API over built-in + higher-order
+  * functions — no UDFs, no collect — so plans distribute and Catalyst prunes.
+  *
+  * Cross-engine determinism: token hashes are the first 60 bits of md5 (both
+  * engines agree), MinHash permutations are pure 64-bit integer affine maps
+  * mod the Mersenne prime 2^31-1, SimHash is integer bit math — every
+  * operator's output is exactly reproducible in the DuckDB oracle.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup: one hash-shuffle on the fingerprint; state per group O(1).
+  *   - Jaccard: pair enumeration is blocked (here by (lang, source)); at scale
+  *     the blocking key is what bounds the quadratic term.
+  *   - MinHash+LSH: signatures are per-row (map-only); candidate generation is
+  *     an equi-join on (band, band_key) — the quadratic step happens only
+  *     inside colliding buckets, which is the whole point of LSH; verification
+  *     re-joins token sets for exact Jaccard on candidates only.
+  *   - SimHash: per-row 64-bit signature; candidates via 4×16-bit chunk
+  *     pigeonhole (guaranteed recall for hamming ≤ 3), verified by popcount.
+  *   - embedding near-dup: blocked by label (swap for an LSH/IVF bucket id at
+  *     scale — see Similarity.ivfAssign); dot products are per-pair
+  *     column expressions, never driver-side.
+  */
+object Dedup extends QueryModule {
+
+  // ---- shared cross-engine text primitives ----
+
+  /** Raw token sequence: lowercase [a-z]+ runs (matches TextStats tokenizer,
+    * stop words kept — dedup wants full content).
+    */
+  val rawTokens = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+  val rawTokensDuck = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  /** Distinct token set (order-normalized). */
+  val tokenSet = s"array_sort(array_distinct($rawTokens))"
+  val tokenSetDuck = s"list_sort(list_distinct($rawTokensDuck))"
+
+  /** 60-bit token hash both engines compute identically: first 15 hex chars
+    * of md5. Spark `conv` base-16→10 then cast; DuckDB hex-literal cast.
+    */
+  def hash60(expr: String): String =
+    s"CAST(conv(substring(md5($expr), 1, 15), 16, 10) AS BIGINT)"
+  def hash60Duck(expr: String): String =
+    s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Distinct token hashes per document. */
+  val tokenHashes = s"transform($tokenSet, w -> ${hash60("w")})"
+  val tokenHashesDuck = s"list_transform($tokenSetDuck, w -> ${hash60Duck("w")})"
+
+  // ---- MinHash parameters (SURVEY-independent extension surface) ----
+  // 96 permutations = 8 bands x 12 rows: tuned for this corpus's s-curve
+  // (median pair Jaccard 0.63 -> ~3% candidate rate; J=0.9 -> 93% recall).
+  val NumPerms = 96
+  val Bands = 8
+  val RowsPerBand = 12
+  private val M = 2147483647L // Mersenne prime 2^31-1
+
+  /** MinHash signature: sig[k] = min over tokens of ((37k+11)(h mod M) + 101k+7) mod M.
+    * Affine-mod permutations in 64-bit integer math — products stay < 2^43.
+    */
+  val minhashSig =
+    s"""transform(sequence(0, ${NumPerms - 1}), k ->
+          array_min(transform($tokenHashes, h ->
+            ((37 * CAST(k AS BIGINT) + 11) * (h % $M) + 101 * CAST(k AS BIGINT) + 7) % $M)))"""
+  val minhashSigDuck =
+    s"""list_transform(range(0, $NumPerms), k ->
+          list_min(list_transform($tokenHashesDuck, h ->
+            ((37 * k + 11) * (h % $M) + 101 * k + 7) % $M)))"""
+
+  /** SimHash: per bit j, majority vote of token-hash bits (+1/-1). */
+  val simhash =
+    s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) -> acc +
+          CASE WHEN aggregate($tokenHashes, 0, (a, h) ->
+                 a + CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END) > 0
+               THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""
+  val simhashDuck =
+    s"""list_sum(list_transform(range(0, 64), j ->
+          CASE WHEN list_sum(list_transform($tokenHashesDuck, h ->
+                 CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))"""
+
+  // ---- queries ----
+
+  /** Exact dedup on a normalized content fingerprint (sorted distinct token
+    * set → md5). One shuffle on the fingerprint; min(doc_id) is the canonical
+    * survivor. Raw-byte exact dedup is the same plan with md5(text).
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("fingerprint")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"md5(array_join($tokenSet, ' '))").as("fingerprint"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  private val exactDedupSql =
+    s"""WITH f AS (
+          SELECT doc_id, md5(array_to_string($tokenSetDuck, ' ')) AS fingerprint
+          FROM documents)
+        SELECT doc_id, fingerprint,
+               MIN(doc_id) OVER w AS canonical_id,
+               COUNT(*) OVER w AS group_size,
+               doc_id <> MIN(doc_id) OVER w AS is_duplicate
+        FROM f WINDOW w AS (PARTITION BY fingerprint)
+        ORDER BY doc_id"""
+
+  /** N-gram (n=1 token-set) Jaccard near-dup pairs within (lang, source)
+    * blocks, τ=0.9. Set algebra on sorted arrays — integer sizes, exact
+    * ratio. The blocking key bounds the quadratic pair term at scale.
+    */
+  def jaccardDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), expr(tokenSet).as("g"))
+    val a = docs.select(col("doc_id").as("ia"), col("lang"), col("source"), col("g").as("ga"))
+    val b = docs.select(col("doc_id").as("ib"), col("lang"), col("source"), col("g").as("gb"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("jaccard") >= 0.9)
+      .select("ia", "ib", "lang", "source", "jaccard")
+      .orderBy("ia", "ib")
+  }
+
+  private val jaccardDedupSql =
+    s"""WITH d AS (
+          SELECT doc_id, lang, source, $tokenSetDuck AS g FROM documents)
+        SELECT a.doc_id AS ia, b.doc_id AS ib, a.lang, a.source,
+               CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(list_distinct(a.g || b.g)) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / len(list_distinct(a.g || b.g)) >= 0.9
+        ORDER BY ia, ib"""
+
+  /** MinHash + LSH near-dup pairs, corpus-wide, τ=0.9: signature (map-only) →
+    * band explode → bucket equi-join for candidates → exact-Jaccard
+    * verification on candidates only.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(tokenSet).as("g"), expr(minhashSig).as("sig"))
+    val bands = docs.select(col("doc_id"),
+        posexplode(expr(s"""transform(sequence(0, ${Bands - 1}), b ->
+          array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '-'))"""))
+          .as(Seq("band", "band_key")))
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct()
+    val ga = docs.select(col("doc_id").as("ia"), col("g").as("ga"))
+    val gb = docs.select(col("doc_id").as("ib"), col("g").as("gb"))
+    candidates.join(ga, "ia").join(gb, "ib")
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("jaccard") >= 0.9)
+      .select("ia", "ib", "jaccard")
+      .orderBy("ia", "ib")
+  }
+
+  private val minhashLshSql =
+    s"""WITH d AS (
+          SELECT doc_id, $tokenSetDuck AS g, $minhashSigDuck AS sig FROM documents
+        ), bands AS (
+          SELECT doc_id, b AS band,
+                 array_to_string(sig[b * $RowsPerBand + 1 : (b + 1) * $RowsPerBand], '-')
+                   AS band_key
+          FROM d, (SELECT unnest(range(0, $Bands)) AS b)
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        )
+        SELECT c.ia, c.ib,
+               CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(list_distinct(a.g || b.g)) AS jaccard
+        FROM cand c JOIN d a ON c.ia = a.doc_id JOIN d b ON c.ib = b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / len(list_distinct(a.g || b.g)) >= 0.9
+        ORDER BY c.ia, c.ib"""
+
+  /** SimHash near-dup pairs (hamming ≤ 3): per-row 64-bit signature, 4×16-bit
+    * chunk pigeonhole blocking (any pair within hamming 3 shares ≥1 exact
+    * chunk), popcount verification.
+    */
+  def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(simhash).as("sh"))
+    val chunks = docs.select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(sh, c * 16) % 65536)"))
+        .as(Seq("chunk_id", "chunk")))
+    val candidates = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .distinct()
+    candidates
+      .withColumn("hamming", expr("bit_count(sha ^ shb)"))
+      .filter(col("hamming") <= 3)
+      .select("ia", "ib", "hamming")
+      .orderBy("ia", "ib")
+  }
+
+  private val simhashDedupSql =
+    s"""WITH d AS (
+          SELECT doc_id, $simhashDuck AS sh FROM documents
+        ), chunks AS (
+          SELECT doc_id, sh, c AS chunk_id, (sh >> (c * 16)) % 65536 AS chunk
+          FROM d, (SELECT unnest(range(0, 4)) AS c)
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib, x.sh AS sha, y.sh AS shb
+          FROM chunks x JOIN chunks y
+            ON x.chunk_id = y.chunk_id AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+        )
+        SELECT ia, ib, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+        ORDER BY ia, ib"""
+
+  /** Embedding-cosine near-dup pairs within label blocks (τ=0.4 on this
+    * corpus; swap the block key for an LSH/IVF bucket at scale). Dot product
+    * is a strict left fold in double — bit-identical across engines.
+    */
+  def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", expr(Similarity.norm("v")))
+    val a = e.select(col("vec_id").as("ia"), col("label"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cosine", expr(s"${Similarity.dot("va", "vb")} / (na * nb)"))
+      .filter(col("cosine") >= 0.4)
+      .select("ia", "ib", "label", "cosine")
+      .orderBy("ia", "ib")
+  }
+
+  private val embeddingDedupSql =
+    s"""WITH e AS (
+          SELECT vec_id, label, embedding AS v, ${Similarity.normDuck("embedding")} AS nrm
+          FROM embeddings)
+        SELECT a.vec_id AS ia, b.vec_id AS ib, a.label,
+               ${Similarity.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${Similarity.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
+        ORDER BY ia, ib"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exactDedup _),
+    "dedup_ngram_jaccard" -> (jaccardDedup _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhashDedup _),
+    "dedup_embedding" -> (embeddingDedup _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "dedup_exact" -> exactDedupSql,
+    "dedup_ngram_jaccard" -> jaccardDedupSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashDedupSql,
+    "dedup_embedding" -> embeddingDedupSql,
+  )
+}
