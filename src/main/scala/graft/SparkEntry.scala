@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Nested,
     operators.Sources,
     operators.Events,
+    pipeline.Dedup,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

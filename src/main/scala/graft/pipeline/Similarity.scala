@@ -1,0 +1,94 @@
+package graft.pipeline
+
+/** Vector-similarity primitives shared by the dedup and similarity-search
+  * queries: dot product / L2 norm over `array<float>` embedding columns, and a
+  * random-hyperplane LSH bucket assigner (the "coarse quantizer" an IVF index
+  * would use).
+  *
+  * Everything is expressed as SQL expression *strings* in two dialects (Spark
+  * and DuckDB) so each query and its oracle compute bit-identical doubles:
+  *
+  *   - both dot products are STRICT LEFT FOLDS with a 0.0 init — Spark
+  *     `aggregate(zip_with(...))`, DuckDB `list_reduce(list_prepend(0.0,
+  *     list_transform(list_zip(...))))` — so the floating-point addition order
+  *     is identical and the result is reproducible to the last ulp;
+  *   - hyperplane components are double literals rendered once from a
+  *     deterministic integer recurrence and embedded in BOTH dialects, so the
+  *     bucket ids agree exactly.
+  *
+  * Scale design (100 TB): dot/norm are per-row, map-only expressions that stay
+  * inside a single projection — no shuffle, no UDF process boundary.
+  * `ivfAssign` turns the quadratic all-pairs similarity problem into an
+  * equi-join on a bucket id: vectors are assigned map-side, the join shuffles
+  * on `bucket`, and the pair enumeration happens only inside buckets (the LSH
+  * guarantee is that near vectors collide with high probability). Reference
+  * context: the reference engine has no vector ops — this is the extension
+  * surface SURVEY.md §7.2 step 6 plans for the `embeddings` table.
+  */
+object Similarity {
+
+  // ---- dot / norm, Spark dialect ----
+
+  /** Strict left-fold dot product of two array<float|double> columns. */
+  def dot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"""
+
+  /** L2 norm = sqrt(dot(v, v)). */
+  def norm(v: String): String = s"sqrt(${dot(v, v)})"
+
+  // ---- dot / norm, DuckDB dialect (bit-identical fold order) ----
+
+  def dotDuck(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+          (acc, p) -> acc + p)"""
+
+  def normDuck(v: String): String = s"sqrt(${dotDuck(v, v)})"
+
+  // ---- random-hyperplane LSH bucket (IVF-style coarse assignment) ----
+
+  /** Embedding dimensionality of the testdata `embeddings.embedding` column. */
+  val Dim = 64
+
+  /** Number of hyperplanes → 2^NumPlanes buckets. 8 planes = 256 buckets:
+    * at ~1M vectors/bucket-shard scale the within-bucket pair term is bounded
+    * by corpus/256 per plane-sign pattern; raise NumPlanes with corpus size.
+    */
+  val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]: Knuth
+    * multiplicative hash of the (plane, dim) index, folded to 1/1000 steps.
+    * Rendered to shortest round-trip decimal, so both engines parse the exact
+    * same double.
+    */
+  def planeComponent(p: Int, d: Int): Double = {
+    val h = ((p.toLong * Dim + d) * 2654435761L) % 4294967296L
+    ((h % 2001L) - 1000L) / 1000.0
+  }
+
+  private def planeVals(p: Int): Seq[String] =
+    (0 until Dim).map(d => planeComponent(p, d).toString)
+
+  /** Spark literal `array(...)` for plane p (D suffix forces DoubleType). */
+  private def planeSpark(p: Int): String =
+    planeVals(p).map(_ + "D").mkString("array(", ", ", ")")
+
+  /** DuckDB literal `[...]::DOUBLE[]` for plane p. */
+  private def planeDuck(p: Int): String =
+    planeVals(p).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Bucket id 0..2^NumPlanes-1 for a vector column: bit p is the sign of the
+    * dot product with hyperplane p. Map-only; identical in both engines
+    * because the fold order and plane literals are identical.
+    */
+  def ivfAssign(v: String): String =
+    (0 until NumPlanes).map { p =>
+      s"CASE WHEN ${dot(v, planeSpark(p))} > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  def ivfAssignDuck(v: String): String =
+    (0 until NumPlanes).map { p =>
+      s"CASE WHEN ${dotDuck(v, planeDuck(p))} > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+}
