@@ -68,27 +68,64 @@ object Dedup extends QueryModule {
 
   /** MinHash signature: sig[k] = min over tokens of ((37k+11)(h mod M) + 101k+7) mod M.
     * Affine-mod permutations in 64-bit integer math — products stay < 2^43.
+    *
+    * Spark side computes this as explode → 96 codegen'd `min` aggregate
+    * columns (see `minhashSigs`), not as nested higher-order functions: the
+    * HOF form is interpreted per-lambda-call (96 × tokens evals/doc) and was
+    * ~25× slower. The DuckDB oracle keeps the declarative form — the two are
+    * the same integer math over the same distinct-token set.
     */
-  val minhashSig =
-    s"""transform(sequence(0, ${NumPerms - 1}), k ->
-          array_min(transform($tokenHashes, h ->
-            ((37 * CAST(k AS BIGINT) + 11) * (h % $M) + 101 * CAST(k AS BIGINT) + 7) % $M)))"""
   val minhashSigDuck =
     s"""list_transform(range(0, $NumPerms), k ->
           list_min(list_transform($tokenHashesDuck, h ->
             ((37 * k + 11) * (h % $M) + 101 * k + 7) % $M)))"""
 
-  /** SimHash: per bit j, majority vote of token-hash bits (+1/-1). */
-  val simhash =
-    s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) -> acc +
-          CASE WHEN aggregate($tokenHashes, 0, (a, h) ->
-                 a + CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END) > 0
-               THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""
+  /** SimHash: per bit j, majority vote of token-hash bits (+1/-1). Spark side
+    * uses the equivalent formulation `2 * ones(j) > tokens` over exploded
+    * rows (64 codegen'd `sum` aggregates, see `simhashSigs`) — a +1/-1 sum
+    * being positive is exactly the ones-count exceeding half the tokens.
+    */
   val simhashDuck =
     s"""list_sum(list_transform(range(0, 64), j ->
           CASE WHEN list_sum(list_transform($tokenHashesDuck, h ->
                  CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))"""
+
+  // ---- codegen-friendly signature plans ----
+
+  /** (doc_id, g): distinct sorted token set per document. Callers that use it
+    * more than once in a self-join cache it so the md5 tokenization runs once.
+    */
+  private def docTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), expr(tokenSet).as("g"))
+
+  /** Exploded (doc_id, h) rows, h the 60-bit token hash. Everything downstream
+    * of this is plain codegen'd projection + hash aggregation — no
+    * interpreted lambdas in the per-token hot path.
+    */
+  private def tokenHashRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(col("g")).as("w"))
+      .select(col("doc_id"), expr(hash60("w")).as("h"))
+
+  /** (doc_id, sig array<bigint>[96]) via 96 min-aggregate columns. */
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until NumPerms).map { k =>
+      min(expr(s"(${37L * k + 11} * (h % $M) + ${101L * k + 7}) % $M")).as(s"s$k")
+    }
+    tokenHashRows(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(k => col(s"s$k")): _*).as("sig"))
+  }
+
+  /** (doc_id, sh): 64-bit SimHash via 64 sum-aggregate columns + majority. */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val aggCols = count(lit(1)).as("cnt") +:
+      (0 until 64).map(j => sum(expr(s"shiftright(h, $j) % 2")).as(s"b$j"))
+    tokenHashRows(docs).groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") * 2 > col("cnt"), lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("sh"))
+  }
 
   // ---- queries ----
 
@@ -154,12 +191,12 @@ object Dedup extends QueryModule {
     * verification on candidates only.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), expr(tokenSet).as("g"), expr(minhashSig).as("sig"))
-    val bands = docs.select(col("doc_id"),
+    val docs = docTokens(spark, sfDir).cache()
+    val bands = minhashSigs(docs).select(col("doc_id"),
         posexplode(expr(s"""transform(sequence(0, ${Bands - 1}), b ->
           array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '-'))"""))
           .as(Seq("band", "band_key")))
+      .cache() // self-joined below; without this Spark recomputes the signature agg for both sides
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -202,12 +239,12 @@ object Dedup extends QueryModule {
     * chunk), popcount verification.
     */
   def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), expr(simhash).as("sh"))
+    val docs = simhashSigs(docTokens(spark, sfDir))
     val chunks = docs.select(col("doc_id"), col("sh"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(sh, c * 16) % 65536)"))
         .as(Seq("chunk_id", "chunk")))
+      .cache() // self-joined below; avoids recomputing the 64-column signature agg twice
     val candidates = chunks.as("x").join(chunks.as("y"),
         col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
