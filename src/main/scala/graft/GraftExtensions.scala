@@ -1,0 +1,17 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session extension installing graft's native SQL functions, wired with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the public
+  * extension point, so any Spark deployment (cluster or local) picks the
+  * functions up without touching internal session state.
+  *
+  * Functions: `vec_dot(array<float|double>, array<float|double>) -> double`
+  * (codegen'd strict-left-fold dot product; see [[functions.VectorDot]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(functions.VectorDot.description)
+  }
+}

@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Sources,
     operators.Events,
     pipeline.Dedup,
+    pipeline.SimilaritySearch,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

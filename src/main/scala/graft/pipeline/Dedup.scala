@@ -28,9 +28,9 @@ import graft.{QueryModule, Tables}
   *     re-joins token sets for exact Jaccard on candidates only.
   *   - SimHash: per-row 64-bit signature; candidates via 4×16-bit chunk
   *     pigeonhole (guaranteed recall for hamming ≤ 3), verified by popcount.
-  *   - embedding near-dup: blocked by label (swap for an LSH/IVF bucket id at
-  *     scale — see Similarity.ivfAssign); dot products are per-pair
-  *     column expressions, never driver-side.
+  *   - embedding near-dup: blocked by the Similarity.ivfAssign LSH bucket
+  *     (map-only assignment, equi-join on bucket); dot products are per-pair
+  *     codegen'd vec_dot expressions, never driver-side.
   */
 object Dedup extends QueryModule {
 
@@ -273,31 +273,37 @@ object Dedup extends QueryModule {
         FROM cand WHERE bit_count(xor(sha, shb)) <= 3
         ORDER BY ia, ib"""
 
-  /** Embedding-cosine near-dup pairs within label blocks (τ=0.4 on this
-    * corpus; swap the block key for an LSH/IVF bucket at scale). Dot product
-    * is a strict left fold in double — bit-identical across engines.
+  /** Embedding-cosine near-dup pairs (τ=0.4) blocked by the random-hyperplane
+    * LSH bucket from [[Similarity.ivfAssign]] — the scale-safe shape: bucket
+    * assignment is map-only, the pair join shuffles on `bucket`, and the
+    * quadratic term is bounded by corpus/2^NumPlanes per bucket instead of
+    * all-pairs. Recall is probabilistic (LSH candidates only); the oracle
+    * mirrors the same bucket math exactly. Dot products are strict left folds
+    * in double — bit-identical across engines.
     */
   def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), col("embedding").as("v"))
-      .withColumn("nrm", expr(Similarity.norm("v")))
-    val a = e.select(col("vec_id").as("ia"), col("label"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("ib"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .withColumn("bucket", expr(Similarity.ivfAssign("v")))
+    val a = e.select(col("vec_id").as("ia"), col("bucket"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("bucket"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
       .filter(col("ia") < col("ib"))
-      .withColumn("cosine", expr(s"${Similarity.dot("va", "vb")} / (na * nb)"))
+      .withColumn("cosine", expr("vec_dot(va, vb)") / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.4)
-      .select("ia", "ib", "label", "cosine")
+      .select("ia", "ib", "bucket", "cosine")
       .orderBy("ia", "ib")
   }
 
   private val embeddingDedupSql =
     s"""WITH e AS (
-          SELECT vec_id, label, embedding AS v, ${Similarity.normDuck("embedding")} AS nrm
+          SELECT vec_id, embedding AS v, ${Similarity.normDuck("embedding")} AS nrm,
+                 ${Similarity.ivfAssignDuck("embedding")} AS bucket
           FROM embeddings)
-        SELECT a.vec_id AS ia, b.vec_id AS ib, a.label,
+        SELECT a.vec_id AS ia, b.vec_id AS ib, a.bucket,
                ${Similarity.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ${Similarity.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
         ORDER BY ia, ib"""
 

@@ -81,10 +81,14 @@ object Similarity {
   /** Bucket id 0..2^NumPlanes-1 for a vector column: bit p is the sign of the
     * dot product with hyperplane p. Map-only; identical in both engines
     * because the fold order and plane literals are identical.
+    *
+    * Uses the codegen'd `vec_dot` (installed by `graft.GraftExtensions`)
+    * rather than the interpreted HOF fold — same math, ~8×64 fewer lambda
+    * evaluations per row.
     */
   def ivfAssign(v: String): String =
     (0 until NumPlanes).map { p =>
-      s"CASE WHEN ${dot(v, planeSpark(p))} > 0 THEN ${1 << p} ELSE 0 END"
+      s"CASE WHEN vec_dot($v, ${planeSpark(p)}) > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   def ivfAssignDuck(v: String): String =

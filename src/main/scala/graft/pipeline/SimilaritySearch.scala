@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`vec_id bigint, embedding array<float>[64], label int`).
+  *
+  * Two variants of "top-k cosine neighbors for each query vector":
+  *
+  *   - `similarity_topk_brute`: exact brute force — the small query set is
+  *     broadcast, candidate scoring is a map-side projection over the corpus
+  *     (one `vec_dot` per (query, vector) pair inside WholeStageCodegen), and
+  *     only the ranking shuffles. CORRECTNESS baseline; at 100 TB the
+  *     per-query candidate stream is the full corpus, so this is the oracle
+  *     you run on a sample, not the production path.
+  *   - `similarity_topk_lsh`: the scale path — vectors are bucketed map-side
+  *     by [[Similarity.ivfAssign]] (random-hyperplane LSH, the coarse
+  *     quantizer of an IVF index), and scoring joins only same-bucket
+  *     candidates: corpus/2^NumPlanes expected candidates per query instead
+  *     of the full corpus. Recall is probabilistic (near vectors collide with
+  *     high probability); the oracle mirrors the same bucket assignment so
+  *     the result is still deterministic and hash-checkable.
+  *
+  * Ranking determinism: cosine doubles are bit-identical across engines
+  * (strict-left-fold dot product, see [[graft.functions.VectorDot]] /
+  * [[Similarity.dotDuck]]); ties broken by neighbor id.
+  *
+  * Requires `vec_dot`, installed by `graft.GraftExtensions`
+  * (`spark.sql.extensions`).
+  */
+object SimilaritySearch extends QueryModule {
+
+  /** Top-k per query. */
+  val K = 10
+
+  /** Query set: the first `NumQueries` vector ids — deterministic, and small
+    * enough that broadcasting the query side is the right plan at any scale.
+    */
+  val NumQueries = 20
+
+  /** (vec_id, v, nrm): corpus with precomputed L2 norms, map-only. */
+  private def vectors(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+
+  private def rankTopK(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("qid", "rnk")
+
+  def bruteTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vectors(spark, sfDir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    rankTopK(
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cosine", expr("vec_dot(qv, v)") / (col("qn") * col("nrm"))))
+  }
+
+  private val bruteSql =
+    s"""WITH e AS (
+          SELECT vec_id, embedding AS v,
+                 ${Similarity.normDuck("embedding")} AS nrm
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < $NumQueries
+        ), p AS (
+          SELECT qid, vec_id, ${Similarity.dotDuck("qv", "v")} / (qn * nrm) AS cosine
+          FROM q CROSS JOIN e WHERE vec_id <> qid
+        ), r AS (
+          SELECT qid, vec_id, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+          FROM p
+        )
+        SELECT qid, rnk, vec_id AS neighbor_id, cosine
+        FROM r WHERE rnk <= $K ORDER BY qid, rnk"""
+
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vectors(spark, sfDir)
+      .withColumn("bucket", expr(Similarity.ivfAssign("v")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    rankTopK(
+      e.join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine", expr("vec_dot(qv, v)") / (col("qn") * col("nrm"))))
+  }
+
+  private val lshSql =
+    s"""WITH e AS (
+          SELECT vec_id, v, nrm, ${Similarity.ivfAssignDuck("v")} AS bucket
+          FROM (SELECT vec_id, embedding AS v,
+                       ${Similarity.normDuck("embedding")} AS nrm
+                FROM embeddings)
+        ), q AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qbucket
+          FROM e WHERE vec_id < $NumQueries
+        ), p AS (
+          SELECT qid, vec_id, ${Similarity.dotDuck("qv", "v")} / (qn * nrm) AS cosine
+          FROM q JOIN e ON e.bucket = q.qbucket AND e.vec_id <> q.qid
+        ), r AS (
+          SELECT qid, vec_id, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+          FROM p
+        )
+        SELECT qid, rnk, vec_id AS neighbor_id, cosine
+        FROM r WHERE rnk <= $K ORDER BY qid, rnk"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "similarity_topk_brute" -> (bruteTopK _),
+    "similarity_topk_lsh" -> (lshTopK _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "similarity_topk_brute" -> bruteSql,
+    "similarity_topk_lsh" -> lshSql,
+  )
+}
