@@ -57,9 +57,14 @@ object Events extends QueryModule {
 
   /** T3: tumbling 5-minute window, global avg + count (q4 cell 0:74-87).
     * Window bounds emitted as formatted UTC strings (oracle parity).
+    * `tumblingAgg` takes a frame that already has `event_time` so the
+    * streaming path can insert `withWatermark` between extraction and
+    * aggregation (graft.streaming.SensorStreams).
     */
-  def tumbling(df: DataFrame): DataFrame =
-    withEventTime(df)
+  def tumbling(df: DataFrame): DataFrame = tumblingAgg(withEventTime(df))
+
+  def tumblingAgg(df: DataFrame): DataFrame =
+    df
       .groupBy(window(col("event_time"), "5 minutes").as("w"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -87,8 +92,10 @@ object Events extends QueryModule {
     * (q4 cell 0:100-114). Each event lands in exactly two windows; the oracle
     * enumerates both starts per event.
     */
-  def sliding(df: DataFrame): DataFrame =
-    withEventTime(df)
+  def sliding(df: DataFrame): DataFrame = slidingAgg(withEventTime(df))
+
+  def slidingAgg(df: DataFrame): DataFrame =
+    df
       .groupBy(window(col("event_time"), "10 minutes", "5 minutes").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Events
+
+/** Structured Streaming pipelines — the reference's Q4 surface
+  * (q4_streaming.ipynb), re-expressed over the `events` stream shape.
+  *
+  * Reference mapping (SURVEY.md §2.9):
+  *   - S3  streaming file source with DECLARED schema (cell 0:32-42) —
+  *     [[fileSource]]; file streams refuse inference by design.
+  *   - T1  event-time extraction `to_timestamp` + null guard (cell 0:44-48) —
+  *     [[parsed]] + `Events.withEventTime`.
+  *   - A5  per-key global agg, deliberately UNWATERMARKED (cell 0:51-59;
+  *     unbounded keyed state, bounded by key cardinality) — [[perKeyStats]].
+  *   - T2  `withWatermark("event_time", "2 minutes")` (cell 0:71) —
+  *     [[tumbling]] / [[sliding]].
+  *   - T3  tumbling 5-minute window (cell 0:74-87) — [[tumbling]].
+  *   - T4  sliding 10/5-minute window per key (cell 0:100-114) — [[sliding]].
+  *   - K2/T5/T6  console sink, update output mode, 10 s processing-time
+  *     trigger (cell 0:61-68, 89-96, 116-123) — [[startConsole]].
+  *   - T7  late-data handling: rows older than the watermark are dropped,
+  *     finalized windows are not re-emitted (tested in SensorStreamsSpec).
+  *   - T8/K4  three concurrent queries + lifecycle stop via
+  *     `spark.streams.active` (cell 0:125, cell 2) — [[startAll]]/[[stopAll]].
+  *
+  * The aggregation bodies are THE SAME functions the batch twins run
+  * (`Events.perKeyStats/tumblingAgg/slidingAgg`), which is what makes the
+  * streaming semantics oracle-checkable: a streaming query over a finite
+  * input must converge to its batch twin, and the batch twin is
+  * DuckDB-verified (t1/t3/t4 rows in CORRECTNESS).
+  *
+  * Scale: state per query is bounded — (keys) for Part A, (open windows ×
+  * keys) under the watermark for Part B/C; the file source lists only new
+  * files per trigger; no per-record driver work anywhere.
+  */
+object SensorStreams {
+
+  /** Declared schema for the JSON file stream — the `events` table shape with
+    * `ts` as an ISO-8601 string (promoted to event time in [[parsed]]), the
+    * reference's only declared schema (q4 cell 0:32-36).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", StringType, nullable = false),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** S3: streaming file source over a watched directory of JSON-lines files. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(dir)
+
+  /** T1: promote the string timestamp to a TimestampType `ts` column; rows
+    * that fail to parse become null and are dropped by `Events.withEventTime`.
+    */
+  def parsed(stream: DataFrame): DataFrame =
+    stream.withColumn("ts", to_timestamp(col("ts")))
+
+  /** Part A (A5/T1): per-key running stats, unwatermarked — state grows with
+    * key cardinality only (the reference keeps this one unbounded on purpose;
+    * q4 cell 0:51 has no withWatermark).
+    */
+  def perKeyStats(stream: DataFrame): DataFrame =
+    Events.perKeyStats(stream)
+
+  /** Part B (T2+T3): watermarked tumbling 5-minute global aggregate. */
+  def tumbling(stream: DataFrame): DataFrame =
+    Events.tumblingAgg(
+      Events.withEventTime(stream).withWatermark("event_time", "2 minutes"))
+
+  /** Part C (T2+T4): watermarked sliding 10/5-minute per-key aggregate. */
+  def sliding(stream: DataFrame): DataFrame =
+    Events.slidingAgg(
+      Events.withEventTime(stream).withWatermark("event_time", "2 minutes"))
+
+  /** K2/T5/T6: console sink, update mode, processing-time trigger (10 s in
+    * the reference; configurable so tests don't wall-clock-wait).
+    */
+  def startConsole(df: DataFrame, name: String,
+                   triggerInterval: String = "10 seconds"): StreamingQuery =
+    df.writeStream
+      .queryName(name)
+      .outputMode("update")
+      .format("console")
+      .option("truncate", value = false)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+
+  /** Memory-table sink twin of [[startConsole]] — same update mode + trigger,
+    * but queryable (`SELECT * FROM <name>`); used by tests and the demo.
+    */
+  def startMemory(df: DataFrame, name: String, outputMode: String = "update",
+                  triggerInterval: String = "10 seconds"): StreamingQuery =
+    df.writeStream
+      .queryName(name)
+      .outputMode(outputMode)
+      .format("memory")
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+
+  /** T8: the reference's three concurrent queries over ONE source directory
+    * (q4 cell 0:61-123): per-key stats, tumbling, sliding.
+    */
+  def startAll(spark: SparkSession, dir: String,
+               triggerInterval: String = "10 seconds"): Seq[StreamingQuery] = {
+    val src = parsed(fileSource(spark, dir))
+    Seq(
+      startMemory(perKeyStats(src), "sensor_per_key", "update", triggerInterval),
+      startMemory(tumbling(src), "sensor_tumbling", "update", triggerInterval),
+      startMemory(sliding(src), "sensor_sliding", "update", triggerInterval))
+  }
+
+  /** K4: enumerate + stop every active query (q4 cell 2). */
+  def stopAll(spark: SparkSession): Unit =
+    spark.streams.active.foreach(_.stop())
+}

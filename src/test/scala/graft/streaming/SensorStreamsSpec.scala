@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.operators.Events
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** Streaming semantics against the batch twins (SURVEY §5.3): a Structured
+  * Streaming query over a finite MemoryStream input must converge to the
+  * same result as the DuckDB-verified batch functions, and a watermarked
+  * query must drop rows older than the watermark (T2/T7) without re-emitting
+  * finalized windows.
+  *
+  * Convergence runs in complete mode on on-time data only (complete mode
+  * retains all state, so watermark-dropping is not part of its contract);
+  * late-row semantics are asserted separately in update mode, where the
+  * reference runs (T5).
+  */
+class SensorStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit private def sqlCtx: SQLContext = spark.sqlContext
+
+  private def ev(id: Long, at: String, typ: String, value: Double): Ev =
+    Ev(id, Timestamp.from(Instant.parse(at)), id % 7, typ, value, "{}")
+
+  private val batch1 = Seq(
+    ev(1, "2024-01-01T00:00:30Z", "click", 1.25),
+    ev(2, "2024-01-01T00:01:10Z", "click", 2.50),
+    ev(3, "2024-01-01T00:06:00Z", "view", 10.00),
+    ev(4, "2024-01-01T00:20:00Z", "click", 4.75))
+  private val late = ev(5, "2024-01-01T00:01:00Z", "view", 99.00) // < watermark (00:18) in batch 2
+  private val onTime2 = ev(6, "2024-01-01T00:21:00Z", "view", 6.00)
+
+  /** Feed two micro-batches through `transform` into a memory sink. */
+  private def runStream(transform: DataFrame => DataFrame, mode: String,
+                        name: String, second: Seq[Ev]): Unit = {
+    val src = MemoryStream[Ev]
+    val q = transform(src.toDF).writeStream
+      .queryName(name).outputMode(mode).format("memory").start()
+    try {
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      src.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
+  test("per-key stats stream (A5, unwatermarked) converges to the batch twin") {
+    runStream(SensorStreams.perKeyStats, "complete", "conv_per_key", Seq(late, onTime2))
+    val streamed = spark.table("conv_per_key").orderBy("event_type").collect().toSeq
+    // unwatermarked: every row aggregates, late or not — exactly the batch twin
+    val batch = Events.perKeyStats((batch1 :+ late :+ onTime2).toDF)
+      .orderBy("event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("tumbling window stream (T3) converges to the batch twin") {
+    runStream(SensorStreams.tumbling, "complete", "conv_tumbling", Seq(onTime2))
+    val streamed = spark.table("conv_tumbling").orderBy("window_start").collect().toSeq
+    val batch = Events.tumbling((batch1 :+ onTime2).toDF)
+      .orderBy("window_start").collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("sliding window stream (T4) converges to the batch twin") {
+    runStream(SensorStreams.sliding, "complete", "conv_sliding", Seq(onTime2))
+    val streamed = spark.table("conv_sliding").orderBy("window_start", "event_type").collect().toSeq
+    val batch = Events.sliding((batch1 :+ onTime2).toDF)
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("watermark drops late rows in update mode without re-emitting their window (T2/T7)") {
+    runStream(SensorStreams.tumbling, "update", "late_update", Seq(late, onTime2))
+    val rows = spark.table("late_update").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    // batch1 emitted [00:00, 00:05) with 2 events; the late event 5 (00:01,
+    // 18 min older than the 00:20 max) must NOT bump it to 3
+    assert(rows.contains(("2024-01-01 00:00:00", 2L)))
+    assert(!rows.contains(("2024-01-01 00:00:00", 3L)))
+    // the on-time event 6 lands in [00:20, 00:25) alongside event 4
+    assert(rows.contains(("2024-01-01 00:20:00", 2L)))
+  }
+
+  test("query lifecycle: active registry empties after stopAll (K4)") {
+    val src = MemoryStream[Ev]
+    SensorStreams.startMemory(SensorStreams.perKeyStats(src.toDF), "lifecycle_q",
+      triggerInterval = "1 second")
+    assert(spark.streams.active.nonEmpty)
+    SensorStreams.stopAll(spark)
+    assert(spark.streams.active.isEmpty)
+  }
+}
