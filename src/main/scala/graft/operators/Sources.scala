@@ -17,23 +17,26 @@ import graft.{QueryModule, Tables}
   * checks format fidelity end-to-end: header handling, type inference, null
   * encoding, line framing.
   *
-  * Scale note: coalesce(1) is a presentation-layer choice (single report
-  * file); data-scale sinks keep natural partitioning — these round-trips are
-  * deliberately on the small dimension tables.
+  * Scale note: the fact-scale round-trips (customer CSV, documents text)
+  * write PARTITIONED; coalesce(1) is a presentation-layer choice reserved
+  * for the fixed-25-row nation table (K1's single-report-file semantics).
   */
 object Sources extends QueryModule {
 
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  /** S1 + K1: customer → header CSV (coalesce(1), overwrite) → read back with
-    * inferSchema. Doubles survive CSV via Spark's round-trippable default
-    * formatting; c_acctbal has ≤2 decimals anyway.
+  /** S1 + K1: customer → header CSV (overwrite) → read back with inferSchema.
+    * Written PARTITIONED (customer is fact-scale at 100×; a coalesce(1) here
+    * would funnel the table through one task — the single-file presentation
+    * sink is exercised on the fixed-size nation table instead). Doubles
+    * survive CSV via Spark's round-trippable default formatting; c_acctbal
+    * has ≤2 decimals anyway.
     */
   def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tmpDir("graft_csv")
     Tables.customer(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").option("header", true).csv(dir)
+      .write.mode("overwrite").option("header", true).csv(dir)
     spark.read.option("header", true).option("inferSchema", true).csv(dir)
       .select(col("c_custkey").cast("long"), col("c_name"),
         col("c_nationkey").cast("int"), col("c_acctbal").cast("double"),
@@ -59,7 +62,7 @@ object Sources extends QueryModule {
   def textSourceWordCount(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tmpDir("graft_text")
     Tables.documents(spark, sfDir).select("text")
-      .coalesce(1).write.mode("overwrite").text(dir)
+      .write.mode("overwrite").text(dir) // partitioned: documents is fact-scale
     import spark.implicits._
     val lines = spark.read.textFile(dir)
     lines

@@ -20,8 +20,8 @@ import graft.{QueryModule, Tables}
   *
   * Scale design (100 TB):
   *   - exact dedup: one hash-shuffle on the fingerprint; state per group O(1).
-  *   - Jaccard: pair enumeration is blocked (here by (lang, source)); at scale
-  *     the blocking key is what bounds the quadratic term.
+  *   - n-gram Jaccard: 3-token shingles, candidates from the same MinHash
+  *     band machinery as the unigram path — never an all-pairs join.
   *   - MinHash+LSH: signatures are per-row (map-only); candidate generation is
   *     an equi-join on (band, band_key) — the quadratic step happens only
   *     inside colliding buckets, which is the whole point of LSH; verification
@@ -56,7 +56,19 @@ object Dedup extends QueryModule {
 
   /** Distinct token hashes per document. */
   val tokenHashes = s"transform($tokenSet, w -> ${hash60("w")})"
-  val tokenHashesDuck = s"list_transform($tokenSetDuck, w -> ${hash60Duck("w")})"
+  def tokenHashesDuckOf(arr: String): String = s"list_transform($arr, w -> ${hash60Duck("w")})"
+  val tokenHashesDuck: String = tokenHashesDuckOf(tokenSetDuck)
+
+  /** Distinct 3-token shingles over the ordered token stream `t` (n-gram
+    * granularity for near-dup: catches local edits that unigram sets miss).
+    */
+  val ShingleN = 3
+  val shinglesOfT =
+    s"""array_distinct(transform(sequence(0, size(t) - $ShingleN), i ->
+          concat_ws(' ', element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))"""
+  val shinglesOfTDuck =
+    s"""list_distinct(list_transform(range(0, len(t) - ${ShingleN - 1}), i ->
+          t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))"""
 
   // ---- MinHash parameters (SURVEY-independent extension surface) ----
   // 96 permutations = 8 bands x 12 rows: tuned for this corpus's s-curve
@@ -75,10 +87,11 @@ object Dedup extends QueryModule {
     * ~25× slower. The DuckDB oracle keeps the declarative form — the two are
     * the same integer math over the same distinct-token set.
     */
-  val minhashSigDuck =
+  def minhashSigDuckOf(hashes: String): String =
     s"""list_transform(range(0, $NumPerms), k ->
-          list_min(list_transform($tokenHashesDuck, h ->
+          list_min(list_transform($hashes, h ->
             ((37 * k + 11) * (h % $M) + 101 * k + 7) % $M)))"""
+  val minhashSigDuck: String = minhashSigDuckOf(tokenHashesDuck)
 
   /** SimHash: per bit j, majority vote of token-hash bits (+1/-1). Spark side
     * uses the equivalent formulation `2 * ones(j) > tokens` over exploded
@@ -155,43 +168,14 @@ object Dedup extends QueryModule {
         FROM f WINDOW w AS (PARTITION BY fingerprint)
         ORDER BY doc_id"""
 
-  /** N-gram (n=1 token-set) Jaccard near-dup pairs within (lang, source)
-    * blocks, τ=0.9. Set algebra on sorted arrays — integer sizes, exact
-    * ratio. The blocking key bounds the quadratic pair term at scale.
+  /** Shared LSH near-dup pipeline over any (doc_id, g: array<string>) set
+    * universe: MinHash signatures (codegen'd agg) → band explode → bucket
+    * equi-join for candidates → exact-Jaccard verification on candidates
+    * only, τ=`threshold`. The quadratic step happens only inside colliding
+    * band buckets — the LSH guarantee — so the plan survives corpus growth;
+    * no all-pairs join keyed on low-cardinality metadata anywhere.
     */
-  def jaccardDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("source"), expr(tokenSet).as("g"))
-    val a = docs.select(col("doc_id").as("ia"), col("lang"), col("source"), col("g").as("ga"))
-    val b = docs.select(col("doc_id").as("ib"), col("lang"), col("source"), col("g").as("gb"))
-    a.join(b, Seq("lang", "source"))
-      .filter(col("ia") < col("ib"))
-      .withColumn("jaccard",
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))))
-      .filter(col("jaccard") >= 0.9)
-      .select("ia", "ib", "lang", "source", "jaccard")
-      .orderBy("ia", "ib")
-  }
-
-  private val jaccardDedupSql =
-    s"""WITH d AS (
-          SELECT doc_id, lang, source, $tokenSetDuck AS g FROM documents)
-        SELECT a.doc_id AS ia, b.doc_id AS ib, a.lang, a.source,
-               CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                 / len(list_distinct(a.g || b.g)) AS jaccard
-        FROM d a JOIN d b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                / len(list_distinct(a.g || b.g)) >= 0.9
-        ORDER BY ia, ib"""
-
-  /** MinHash + LSH near-dup pairs, corpus-wide, τ=0.9: signature (map-only) →
-    * band explode → bucket equi-join for candidates → exact-Jaccard
-    * verification on candidates only.
-    */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = docTokens(spark, sfDir).cache()
+  private def lshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val bands = minhashSigs(docs).select(col("doc_id"),
         posexplode(expr(s"""transform(sequence(0, ${Bands - 1}), b ->
           array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '-'))"""))
@@ -208,19 +192,20 @@ object Dedup extends QueryModule {
       .withColumn("jaccard",
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))))
-      .filter(col("jaccard") >= 0.9)
+      .filter(col("jaccard") >= threshold)
       .select("ia", "ib", "jaccard")
       .orderBy("ia", "ib")
   }
 
-  private val minhashLshSql =
-    s"""WITH d AS (
-          SELECT doc_id, $tokenSetDuck AS g, $minhashSigDuck AS sig FROM documents
+  /** DuckDB twin of [[lshPairs]]: `docCte` must define `d(doc_id, g)`. */
+  private def lshPairsSql(docCte: String, threshold: Double): String =
+    s"""WITH $docCte, s AS (
+          SELECT doc_id, g, ${minhashSigDuckOf(tokenHashesDuckOf("g"))} AS sig FROM d
         ), bands AS (
           SELECT doc_id, b AS band,
                  array_to_string(sig[b * $RowsPerBand + 1 : (b + 1) * $RowsPerBand], '-')
                    AS band_key
-          FROM d, (SELECT unnest(range(0, $Bands)) AS b)
+          FROM s, (SELECT unnest(range(0, $Bands)) AS b)
         ), cand AS (
           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
           FROM bands x JOIN bands y
@@ -231,8 +216,39 @@ object Dedup extends QueryModule {
                  / len(list_distinct(a.g || b.g)) AS jaccard
         FROM cand c JOIN d a ON c.ia = a.doc_id JOIN d b ON c.ib = b.doc_id
         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                / len(list_distinct(a.g || b.g)) >= 0.9
+                / len(list_distinct(a.g || b.g)) >= $threshold
         ORDER BY c.ia, c.ib"""
+
+  /** N-gram (3-token shingle) Jaccard near-dup pairs, τ=0.9, LSH-blocked.
+    * Shingle granularity catches local edits that unigram sets miss; the
+    * candidate generation is the same MinHash band machinery as
+    * `dedup_minhash_lsh` (run over the shingle universe), NOT an all-pairs
+    * join — metadata blocking (the previous shape) is quadratic within block
+    * and does not survive corpus growth.
+    */
+  def jaccardDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(rawTokens).as("t"))
+      .filter(size(col("t")) >= ShingleN)
+      .select(col("doc_id"), expr(shinglesOfT).as("g"))
+      .cache()
+    lshPairs(docs, 0.9)
+  }
+
+  private val jaccardDedupSql = lshPairsSql(
+    s"""t AS (SELECT doc_id, $rawTokensDuck AS t FROM documents),
+        d AS (SELECT doc_id, $shinglesOfTDuck AS g FROM t WHERE len(t) >= $ShingleN)""",
+    0.9)
+
+  /** MinHash + LSH near-dup pairs over unigram token sets, corpus-wide,
+    * τ=0.9: signature (map-only) → band explode → bucket equi-join for
+    * candidates → exact-Jaccard verification on candidates only.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    lshPairs(docTokens(spark, sfDir).cache(), 0.9)
+
+  private val minhashLshSql =
+    lshPairsSql(s"d AS (SELECT doc_id, $tokenSetDuck AS g FROM documents)", 0.9)
 
   /** SimHash near-dup pairs (hamming ≤ 3): per-row 64-bit signature, 4×16-bit
     * chunk pigeonhole blocking (any pair within hamming 3 shares ≥1 exact
@@ -273,39 +289,55 @@ object Dedup extends QueryModule {
         FROM cand WHERE bit_count(xor(sha, shb)) <= 3
         ORDER BY ia, ib"""
 
-  /** Embedding-cosine near-dup pairs (τ=0.4) blocked by the random-hyperplane
-    * LSH bucket from [[Similarity.ivfAssign]] — the scale-safe shape: bucket
-    * assignment is map-only, the pair join shuffles on `bucket`, and the
-    * quadratic term is bounded by corpus/2^NumPlanes per bucket instead of
-    * all-pairs. Recall is probabilistic (LSH candidates only); the oracle
-    * mirrors the same bucket math exactly. Dot products are strict left folds
-    * in double — bit-identical across engines.
+  /** Embedding-cosine near-dup pairs (τ=0.4) with candidates from multi-table
+    * random-hyperplane LSH ([[Similarity.lshTableBuckets]]) — the scale-safe
+    * shape: bucket assignment is map-only, the pair join shuffles on
+    * (table, bucket), and the quadratic term is bounded by
+    * corpus/2^TableBits per table instead of all-pairs; OR-ing the tables
+    * recovers recall (same banding trick as MinHash-LSH). The oracle mirrors
+    * the same bucket math exactly; dot products are strict left folds in
+    * double — bit-identical across engines.
     */
   def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
-      .withColumn("bucket", expr(Similarity.ivfAssign("v")))
-    val a = e.select(col("vec_id").as("ia"), col("bucket"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("ib"), col("bucket"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("ia") < col("ib"))
+      .withColumn("buckets", expr(Similarity.lshTableBuckets("v")))
+      .cache() // table explode below is self-joined; vectors re-joined for scoring
+    val tables = e.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("t", "bucket")))
+    val cand = tables.as("x").join(tables.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na")), "ia")
+      .join(e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), "ib")
       .withColumn("cosine", expr("vec_dot(va, vb)") / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.4)
-      .select("ia", "ib", "bucket", "cosine")
+      .select("ia", "ib", "cosine")
       .orderBy("ia", "ib")
   }
 
   private val embeddingDedupSql =
     s"""WITH e AS (
           SELECT vec_id, embedding AS v, ${Similarity.normDuck("embedding")} AS nrm,
-                 ${Similarity.ivfAssignDuck("embedding")} AS bucket
-          FROM embeddings)
-        SELECT a.vec_id AS ia, b.vec_id AS ib, a.bucket,
+                 ${Similarity.lshTableBucketsDuck("embedding")} AS buckets
+          FROM embeddings
+        ), tb AS (
+          SELECT vec_id, i AS t, buckets[i + 1] AS bucket
+          FROM e, (SELECT unnest(range(0, ${Similarity.NumTables})) AS i)
+        ), cand AS (
+          SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+          FROM tb x JOIN tb y
+            ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+        )
+        SELECT c.ia, c.ib,
                ${Similarity.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
-        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        FROM cand c JOIN e a ON c.ia = a.vec_id JOIN e b ON c.ib = b.vec_id
         WHERE ${Similarity.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
-        ORDER BY ia, ib"""
+        ORDER BY c.ia, c.ib"""
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),

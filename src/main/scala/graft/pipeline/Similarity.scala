@@ -95,4 +95,37 @@ object Similarity {
     (0 until NumPlanes).map { p =>
       s"CASE WHEN ${dotDuck(v, planeDuck(p))} > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  // ---- multi-table LSH (OR-amplification) ----
+
+  /** Planes per table (k): each table has 2^TableBits buckets. */
+  val TableBits = 4
+
+  /** Number of tables (L): a pair is a candidate if its buckets match in ANY
+    * table. Single-table sign-LSH recall decays as p^k (p = 1 - θ/π per
+    * plane); OR-ing L independent tables lifts it to 1-(1-p^k)^L — the same
+    * banding trick as MinHash-LSH. k/L trade candidate volume vs recall;
+    * raise k (more, smaller buckets) as the corpus grows, raise L to recover
+    * recall. Uses the first L·k of the shared hyperplanes.
+    */
+  val NumTables = 2
+
+  private def tableBucket(v: String, t: Int,
+                          dotFn: (String, String) => String,
+                          planeFn: Int => String): String =
+    (0 until TableBits).map { i =>
+      s"CASE WHEN ${dotFn(v, planeFn(t * TableBits + i))} > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** array<int>[NumTables] of per-table bucket ids (Spark; needs `vec_dot`). */
+  def lshTableBuckets(v: String): String =
+    (0 until NumTables)
+      .map(t => tableBucket(v, t, (a, b) => s"vec_dot($a, $b)", planeSpark))
+      .mkString("array(", ", ", ")")
+
+  /** DuckDB twin of [[lshTableBuckets]] — identical planes and fold order. */
+  def lshTableBucketsDuck(v: String): String =
+    (0 until NumTables)
+      .map(t => tableBucket(v, t, dotDuck, planeDuck))
+      .mkString("[", ", ", "]")
 }

@@ -17,13 +17,14 @@ import graft.{QueryModule, Tables}
   *     only the ranking shuffles. CORRECTNESS baseline; at 100 TB the
   *     per-query candidate stream is the full corpus, so this is the oracle
   *     you run on a sample, not the production path.
-  *   - `similarity_topk_lsh`: the scale path — vectors are bucketed map-side
-  *     by [[Similarity.ivfAssign]] (random-hyperplane LSH, the coarse
-  *     quantizer of an IVF index), and scoring joins only same-bucket
-  *     candidates: corpus/2^NumPlanes expected candidates per query instead
-  *     of the full corpus. Recall is probabilistic (near vectors collide with
-  *     high probability); the oracle mirrors the same bucket assignment so
-  *     the result is still deterministic and hash-checkable.
+  *   - `similarity_topk_lsh`: the scale path — vectors get
+  *     [[Similarity.NumTables]] random-hyperplane bucket ids map-side
+  *     ([[Similarity.lshTableBuckets]]), and scoring joins only candidates
+  *     sharing a bucket in ANY table (OR-amplified LSH): corpus/2^TableBits
+  *     expected candidates per (query, table) instead of the full corpus.
+  *     Recall is probabilistic (near vectors collide with high probability);
+  *     the oracle mirrors the same bucket math so the result is still
+  *     deterministic and hash-checkable.
   *
   * Ranking determinism: cosine doubles are bit-identical across engines
   * (strict-left-fold dot product, see [[graft.functions.VectorDot]] /
@@ -85,28 +86,44 @@ object SimilaritySearch extends QueryModule {
 
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vectors(spark, sfDir)
-      .withColumn("bucket", expr(Similarity.ivfAssign("v")))
+      .withColumn("buckets", expr(Similarity.lshTableBuckets("v")))
+      .cache() // reused as corpus tables, query side, and scoring side
+    val tables = e.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("t", "bucket")))
     val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket").as("qbucket"))
-    rankTopK(
-      e.join(broadcast(q),
-          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-        .withColumn("cosine", expr("vec_dot(qv, v)") / (col("qn") * col("nrm"))))
+    val qTables = q.select(col("vec_id").as("qid"),
+      posexplode(col("buckets")).as(Seq("t", "bucket")))
+    val cand = qTables.join(tables, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val scored = cand
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))), "qid")
+      .withColumn("cosine", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+    rankTopK(scored)
   }
 
   private val lshSql =
     s"""WITH e AS (
-          SELECT vec_id, v, nrm, ${Similarity.ivfAssignDuck("v")} AS bucket
+          SELECT vec_id, v, nrm, ${Similarity.lshTableBucketsDuck("v")} AS buckets
           FROM (SELECT vec_id, embedding AS v,
                        ${Similarity.normDuck("embedding")} AS nrm
                 FROM embeddings)
+        ), tb AS (
+          SELECT vec_id, i AS t, buckets[i + 1] AS bucket
+          FROM e, (SELECT unnest(range(0, ${Similarity.NumTables})) AS i)
         ), q AS (
-          SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qbucket
-          FROM e WHERE vec_id < $NumQueries
+          SELECT vec_id AS qid, qv, qn FROM
+            (SELECT vec_id, v AS qv, nrm AS qn FROM e) WHERE vec_id < $NumQueries
+        ), cand AS (
+          SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vec_id
+          FROM tb x JOIN tb y ON x.t = y.t AND x.bucket = y.bucket
+            AND y.vec_id <> x.vec_id
+          WHERE x.vec_id < $NumQueries
         ), p AS (
-          SELECT qid, vec_id, ${Similarity.dotDuck("qv", "v")} / (qn * nrm) AS cosine
-          FROM q JOIN e ON e.bucket = q.qbucket AND e.vec_id <> q.qid
+          SELECT c.qid, c.vec_id,
+                 ${Similarity.dotDuck("q.qv", "e.v")} / (q.qn * e.nrm) AS cosine
+          FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN q ON c.qid = q.qid
         ), r AS (
           SELECT qid, vec_id, cosine,
                  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
