@@ -63,7 +63,7 @@ object Retail extends QueryModule {
     * part. Exercises S-scan, P1-P4, A1-A3, A6 (argmax via row_number), W1, J1,
     * O1 in one plan. Reference: q2:89-143.
     */
-  def customerSummary(spark: SparkSession, sfDir: String): DataFrame = {
+  private def summaryInputs(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val lines = cleanedLines(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("l_partkey"),
         lineAmount.as("amount"))
@@ -79,6 +79,16 @@ object Retail extends QueryModule {
       .groupBy("o_custkey", "l_partkey")
       .agg(countDistinct("o_orderkey").as("order_frequency"),
         sum("amount").as("product_spent"))
+    (custAgg, perProduct)
+  }
+
+  private def summaryFrom(custAgg: DataFrame, topProduct: DataFrame): DataFrame =
+    custAgg.join(topProduct, Seq("o_custkey"), "left")
+      .select("o_custkey", "num_orders", "total_spent", "avg_order_value", "top_product")
+      .orderBy("o_custkey")
+
+  def customerSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val (custAgg, perProduct) = summaryInputs(spark, sfDir)
     // Reference used rank()+first() (q2:126-138) which is nondeterministic
     // under ties; row_number with a full tie-break keeps it oracle-checkable.
     val w = Window.partitionBy("o_custkey")
@@ -87,9 +97,23 @@ object Retail extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("l_partkey").as("top_product"))
-    custAgg.join(topProduct, Seq("o_custkey"), "left")
-      .select("o_custkey", "num_orders", "total_spent", "avg_order_value", "top_product")
-      .orderBy("o_custkey")
+    summaryFrom(custAgg, topProduct)
+  }
+
+  /** U2: same query, top product via the typed `Aggregator` UDAF
+    * ([[graft.functions.ArgMaxProduct]]) instead of a window — a running
+    * champion in a hash aggregation (map-side combine, no per-group sort),
+    * the cheaper argmax plan at scale. Shares `customerSummarySql` as oracle:
+    * both forms must produce identical rows.
+    */
+  def customerSummaryUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    val (custAgg, perProduct) = summaryInputs(spark, sfDir)
+    val argMax = udaf(graft.functions.ArgMaxProduct)
+    val topProduct = perProduct
+      .groupBy("o_custkey")
+      .agg(argMax(col("l_partkey"), col("order_frequency"), col("product_spent"))
+        .as("top_product"))
+    summaryFrom(custAgg, topProduct)
   }
 
   private val customerSummarySql =
@@ -306,9 +330,12 @@ object Retail extends QueryModule {
         ORDER BY o.o_orderkey"""
 
   /** J2/J3: inner vs left join against a "frequent customers" dim — the
-    * bonus.py:103-139 segment demo. The dim side is tiny after filtering, so
-    * Spark broadcasts it (AQE / size estimate); the left variant keeps every
-    * customer with a null segment, the inner variant keeps only frequent ones.
+    * bonus.py:103-139 segment demo. No broadcast hint: the "frequent" side's
+    * size is data-dependent (a constant fraction of all customers qualifies),
+    * so forcing a broadcast would OOM at scale — AQE downgrades to broadcast
+    * at runtime when the aggregated side actually is small. The left variant
+    * keeps every customer with a null segment, the inner variant only
+    * frequent ones.
     */
   private def frequent(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
@@ -318,14 +345,14 @@ object Retail extends QueryModule {
 
   def joinInnerFrequent(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
-      .join(broadcast(frequent(spark, sfDir)),
+      .join(frequent(spark, sfDir),
         col("c_custkey") === col("o_custkey"), "inner")
       .select("c_custkey", "c_name", "num_orders", "segment")
       .orderBy("c_custkey")
 
   def joinLeftFrequent(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
-      .join(broadcast(frequent(spark, sfDir)),
+      .join(frequent(spark, sfDir),
         col("c_custkey") === col("o_custkey"), "left")
       .select("c_custkey", "c_name", "num_orders", "segment")
       .orderBy("c_custkey")
@@ -339,6 +366,30 @@ object Retail extends QueryModule {
         SELECT c_custkey, c_name, num_orders, segment
         FROM customer $joinType JOIN freq ON c_custkey = o_custkey
         ORDER BY c_custkey"""
+
+  /** W1/W2 fidelity: `rank()` (and `dense_rank`) themselves, not the
+    * row_number stand-in — the reference keeps rank so simultaneous orders
+    * tie (q2:191-196). Output is deterministic even with ties because the
+    * rank VALUE is a function of the order date alone and rows are keyed by
+    * o_orderkey.
+    */
+  def orderRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("order_rank", rank().over(w))
+      .withColumn("order_dense_rank", dense_rank().over(w))
+      .drop("o_orderdate")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val orderRankSql =
+    """SELECT o_custkey, o_orderkey,
+              RANK() OVER w AS order_rank,
+              DENSE_RANK() OVER w AS order_dense_rank
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+       ORDER BY o_custkey, o_orderkey"""
 
   /** Semi / anti joins (SURVEY §2.3 note): customers with / without a pending
     * ('P') order. The status filter keeps the anti side non-empty and shows a
@@ -363,6 +414,8 @@ object Retail extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_customer_summary" -> (customerSummary _),
+    "q2_customer_summary_udaf" -> (customerSummaryUdaf _),
+    "q2_order_rank" -> (orderRank _),
     "q2_cleaning" -> (cleaning _),
     "q2_order_windows" -> (orderWindows _),
     "q2_first_last_product" -> (firstLastProduct _),
@@ -377,6 +430,8 @@ object Retail extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "q2_customer_summary" -> customerSummarySql,
+    "q2_customer_summary_udaf" -> customerSummarySql,
+    "q2_order_rank" -> orderRankSql,
     "q2_cleaning" -> cleaningSql,
     "q2_order_windows" -> orderWindowsSql,
     "q2_first_last_product" -> firstLastProductSql,
