@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Events,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
+    pipeline.Multimodal,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

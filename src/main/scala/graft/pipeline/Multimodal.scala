@@ -1,0 +1,219 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Multimodal-column surface for a training-data pipeline: media as OPAQUE
+  * `binary` payloads plus a TYPED metadata struct, with decode /
+  * frame-sample / feature-extract operators (builder brief).
+  *
+  * No image/audio codecs exist in this environment, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB ([[StubDecoder]]) — what is real, and
+  * what these queries prove, is the Spark-side plumbing a production decoder
+  * drops into: the binary+struct schema, map-only slicing/fingerprinting of
+  * payload bytes, generator-based frame sampling, per-row feature vectors
+  * feeding the codegen'd `vec_dot`, and the batched `mapPartitions` decode
+  * contract (the Scala analogue of `mapInPandas`: iterator of batches, one
+  * decoder context per batch, never per-row setup).
+  *
+  * The `media` view derives deterministically from `documents` (payload =
+  * UTF-8 bytes of `text`, metadata from `n_chars`/`doc_id`), so every
+  * operator is DuckDB-checkable. Byte slicing goes through `hex(payload)` in
+  * BOTH engines — the one binary-slicing dialect they share.
+  *
+  * Scale: all three queries are map-only over the payload column (no
+  * shuffle before the final aggregation/sort); frame sampling explodes a
+  * bounded index sequence, not the payload; nothing collects to the driver.
+  */
+object Multimodal extends QueryModule {
+
+  /** Bytes per synthetic "frame" (video frame / audio window). */
+  val FrameBytes = 256
+
+  /** Keep every SampleEvery-th frame. */
+  val SampleEvery = 4
+
+  /** Fake-decoded feature dimensionality. */
+  val FeatureDim = 8
+
+  /** media(doc_id, media_type, payload: binary, meta: struct) — the opaque
+    * column + typed metadata shape (brief). Deterministic derivation from
+    * `documents`.
+    */
+  def media(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (lit(16) + col("n_chars") % 64).cast("int").as("width"),
+        (lit(16) + (col("n_chars") * 7) % 64).cast("int").as("height"),
+        (lit(1) + col("doc_id") % 3).cast("int").as("channels"),
+        (lit(8000) + lit(100) * (col("doc_id") % 5)).cast("int").as("sample_rate")
+      ).as("meta"))
+
+  private val mediaSql =
+    """SELECT doc_id,
+              ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+              encode(text) AS payload,
+              CAST(16 + n_chars % 64 AS INT) AS width,
+              CAST(16 + (n_chars * 7) % 64 AS INT) AS height,
+              CAST(1 + doc_id % 3 AS INT) AS channels,
+              CAST(8000 + 100 * (doc_id % 5) AS INT) AS sample_rate
+       FROM documents"""
+
+  /** Per-type metadata stats: struct-field access over the typed metadata +
+    * payload byte length — the "catalog scan" a media pipeline runs before
+    * touching payloads.
+    */
+  def metadataStats(spark: SparkSession, sfDir: String): DataFrame =
+    media(spark, sfDir)
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes"),
+        avg(col("meta.width")).as("avg_width"),
+        max(col("meta.height")).as("max_height"),
+        min(col("meta.sample_rate")).as("min_sample_rate"))
+      .orderBy("media_type")
+
+  private val metadataStatsSql =
+    s"""SELECT media_type, COUNT(*) AS n,
+               CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+               AVG(width) AS avg_width,
+               MAX(height) AS max_height,
+               MIN(sample_rate) AS min_sample_rate
+        FROM ($mediaSql) GROUP BY media_type ORDER BY media_type"""
+
+  /** Frame sampling on video payloads: every [[SampleEvery]]-th
+    * [[FrameBytes]]-byte frame, fingerprinted by the md5 of its first 16
+    * bytes. The generator explodes a bounded INDEX sequence (size
+    * payload/FrameBytes), never the payload itself.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val hexChars = FrameBytes * 2
+    media(spark, sfDir)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), hex(col("payload")).as("h"))
+      .withColumn("nframes", expr(s"(length(h) + ${hexChars - 1}) div $hexChars"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, nframes - 1, $SampleEvery)")).as("frame_no"),
+        col("h"))
+      .withColumn("frame_md5",
+        md5(expr(s"substring(h, frame_no * $hexChars + 1, 32)")))
+      .select("doc_id", "frame_no", "frame_md5")
+      .orderBy("doc_id", "frame_no")
+  }
+
+  private val frameSampleSql = {
+    val hexChars = FrameBytes * 2
+    s"""WITH v AS (
+          SELECT doc_id, hex(payload) AS h FROM ($mediaSql)
+          WHERE media_type = 'video'
+        ), f AS (
+          SELECT doc_id, h,
+                 unnest(range(0, (length(h) + ${hexChars - 1}) // $hexChars, $SampleEvery))
+                   AS frame_no
+          FROM v
+        )
+        SELECT doc_id, frame_no,
+               md5(substring(h, frame_no * $hexChars + 1, 32)) AS frame_md5
+        FROM f ORDER BY doc_id, frame_no"""
+  }
+
+  /** STUB feature extraction, declarative form: [[FeatureDim]] bytes sampled
+    * at a stride of len/FeatureDim, scaled to [0,1] — a deterministic fake
+    * of "decode + embed", with the real part being the plumbing: per-row
+    * double vectors flowing into the codegen'd `vec_dot` for the norm.
+    */
+  def featureExtract(spark: SparkSession, sfDir: String): DataFrame =
+    media(spark, sfDir)
+      .select(col("doc_id"), col("media_type"), hex(col("payload")).as("h"),
+        expr(s"length(payload) div $FeatureDim").as("stride"))
+      .withColumn("feature", expr(
+        s"""transform(sequence(0, ${FeatureDim - 1}, 1), i ->
+              CAST(conv(substring(h, i * stride * 2 + 1, 2), 16, 10) AS DOUBLE) / 255.0)"""))
+      .withColumn("feature_norm", expr("sqrt(vec_dot(feature, feature))"))
+      .select("doc_id", "media_type", "feature_norm")
+      .orderBy("doc_id")
+
+  private val featureExtractSql =
+    s"""WITH m AS (
+          SELECT doc_id, media_type, hex(payload) AS h,
+                 octet_length(payload) // $FeatureDim AS stride
+          FROM ($mediaSql)
+        ), f AS (
+          SELECT doc_id, media_type,
+                 list_transform(range(0, $FeatureDim), i ->
+                   CAST(CAST('0x' || substring(h, i * stride * 2 + 1, 2) AS INT) AS DOUBLE) / 255.0)
+                   AS feature
+          FROM m
+        )
+        SELECT doc_id, media_type,
+               sqrt(${Similarity.dotDuck("feature", "feature")}) AS feature_norm
+        FROM f ORDER BY doc_id"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata_stats" -> (metadataStats _),
+    "mm_frame_sample" -> (frameSample _),
+    "mm_feature_extract" -> (featureExtract _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "mm_metadata_stats" -> metadataStatsSql,
+    "mm_frame_sample" -> frameSampleSql,
+    "mm_feature_extract" -> featureExtractSql,
+  )
+}
+
+/** One media row for the typed batched-decode path. */
+case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+/** Fake-decoded feature row. */
+case class MediaFeature(doc_id: Long, feature: Array[Float])
+
+/** The batched decode surface — the Scala analogue of `mapInPandas`: the
+  * ONLY `mapPartitions` in this engine (deliberately; SURVEY §7.3 preference
+  * order puts it last), because a native codec call is genuine per-batch
+  * imperative work no Catalyst expression can express.
+  *
+  * Batch contract: partitions are processed in fixed-size batches, one
+  * decoder CONTEXT per batch (real codecs amortize init/buffers per batch,
+  * never per row), output streamed — no partition-sized materialization.
+  */
+object BatchedDecode {
+
+  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg-class
+    * codecs (unavailable in this environment). Replace `decode` with the
+    * real codec call; everything around it (batching, schema, streaming
+    * iterators) is production plumbing.
+    */
+  final class StubDecoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val dim = Multimodal.FeatureDim
+      val out = new Array[Float](dim)
+      if (payload.nonEmpty) {
+        val chunk = math.max(1, payload.length / dim)
+        var i = 0
+        while (i < payload.length) {
+          out(math.min(i / chunk, dim - 1)) += (payload(i) & 0xff) / 255.0f
+          i += 1
+        }
+      }
+      out
+    }
+  }
+
+  def decodeFeatures(mediaDs: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeature] = {
+    import mediaDs.sparkSession.implicits._
+    mediaDs.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val decoder = new StubDecoder // per-batch context, amortized init
+        batch.iterator.map(r => MediaFeature(r.doc_id, decoder.decode(r.payload)))
+      }
+    }
+  }
+}
