@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/scheduler startup otherwise lands on
+    // whichever query happens to run first
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

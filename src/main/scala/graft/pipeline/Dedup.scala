@@ -106,19 +106,23 @@ object Dedup extends QueryModule {
 
   // ---- codegen-friendly signature plans ----
 
-  /** (doc_id, g): distinct sorted token set per document. Callers that use it
-    * more than once in a self-join cache it so the md5 tokenization runs once.
+  /** (doc_id, g): sorted distinct 60-bit TOKEN-HASH set per document. The
+    * LSH pipeline works on the hash universe, not the strings: Jaccard over
+    * the hashed sets equals Jaccard over the token sets (both engines hash
+    * identically), and the verification-stage intersections become integer
+    * array work instead of string comparisons. Callers that self-join cache
+    * this so the md5 tokenization runs once.
     */
   private def docTokens(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(col("doc_id"), expr(tokenSet).as("g"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(s"array_sort(transform($tokenSet, w -> ${hash60("w")}))").as("g"))
 
-  /** Exploded (doc_id, h) rows, h the 60-bit token hash. Everything downstream
-    * of this is plain codegen'd projection + hash aggregation — no
-    * interpreted lambdas in the per-token hot path.
+  /** Exploded (doc_id, h) hash rows. Everything downstream of this is plain
+    * codegen'd projection + hash aggregation — no interpreted lambdas in the
+    * per-token hot path.
     */
   private def tokenHashRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(col("g")).as("w"))
-      .select(col("doc_id"), expr(hash60("w")).as("h"))
+    docs.select(col("doc_id"), explode(col("g")).as("h"))
 
   /** (doc_id, sig array<bigint>[96]) via 96 min-aggregate columns. */
   private def minhashSigs(docs: DataFrame): DataFrame = {
@@ -197,10 +201,12 @@ object Dedup extends QueryModule {
       .orderBy("ia", "ib")
   }
 
-  /** DuckDB twin of [[lshPairs]]: `docCte` must define `d(doc_id, g)`. */
+  /** DuckDB twin of [[lshPairs]]: `docCte` must define `d(doc_id, g)` with
+    * `g` the sorted 60-bit hash list.
+    */
   private def lshPairsSql(docCte: String, threshold: Double): String =
     s"""WITH $docCte, s AS (
-          SELECT doc_id, g, ${minhashSigDuckOf(tokenHashesDuckOf("g"))} AS sig FROM d
+          SELECT doc_id, g, ${minhashSigDuckOf("g")} AS sig FROM d
         ), bands AS (
           SELECT doc_id, b AS band,
                  array_to_string(sig[b * $RowsPerBand + 1 : (b + 1) * $RowsPerBand], '-')
@@ -230,14 +236,16 @@ object Dedup extends QueryModule {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), expr(rawTokens).as("t"))
       .filter(size(col("t")) >= ShingleN)
-      .select(col("doc_id"), expr(shinglesOfT).as("g"))
+      .select(col("doc_id"),
+        expr(s"array_sort(transform($shinglesOfT, w -> ${hash60("w")}))").as("g"))
       .cache()
     lshPairs(docs, 0.9)
   }
 
   private val jaccardDedupSql = lshPairsSql(
     s"""t AS (SELECT doc_id, $rawTokensDuck AS t FROM documents),
-        d AS (SELECT doc_id, $shinglesOfTDuck AS g FROM t WHERE len(t) >= $ShingleN)""",
+        d AS (SELECT doc_id, list_sort(${tokenHashesDuckOf(shinglesOfTDuck)}) AS g
+              FROM t WHERE len(t) >= $ShingleN)""",
     0.9)
 
   /** MinHash + LSH near-dup pairs over unigram token sets, corpus-wide,
@@ -248,7 +256,7 @@ object Dedup extends QueryModule {
     lshPairs(docTokens(spark, sfDir).cache(), 0.9)
 
   private val minhashLshSql =
-    lshPairsSql(s"d AS (SELECT doc_id, $tokenSetDuck AS g FROM documents)", 0.9)
+    lshPairsSql(s"d AS (SELECT doc_id, list_sort($tokenHashesDuck) AS g FROM documents)", 0.9)
 
   /** SimHash near-dup pairs (hamming ≤ 3): per-row 64-bit signature, 4×16-bit
     * chunk pigeonhole blocking (any pair within hamming 3 shares ≥1 exact
