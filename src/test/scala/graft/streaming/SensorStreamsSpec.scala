@@ -89,6 +89,29 @@ class SensorStreamsSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 00:20:00", 2L)))
   }
 
+  test("declared-schema file source feeds three concurrent queries (S3/T8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_test")
+    Seq(batch1, Seq(onTime2)).zipWithIndex.foreach { case (evs, i) =>
+      val json = evs.map(e =>
+        s"""{"event_id":${e.event_id},"ts":"${e.ts.toInstant}","user_id":${e.user_id},""" +
+          s""""event_type":"${e.event_type}","value":${e.value},"props":"{}"}""").mkString("\n")
+      java.nio.file.Files.writeString(dir.resolve(s"f$i.json"), json)
+    }
+    val queries = SensorStreams.startAll(spark, dir.toString, triggerInterval = "1 second")
+    try {
+      assert(queries.length === 3 && spark.streams.active.length >= 3)
+      queries.foreach(_.processAllAvailable())
+      val streamed = spark.sql(
+        "SELECT event_type, max(n_events) AS n FROM sensor_per_key GROUP BY 1 ORDER BY 1")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val batch = Events.perKeyStats((batch1 :+ onTime2).toDF)
+        .orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(streamed === batch)
+    } finally SensorStreams.stopAll(spark)
+    assert(spark.streams.active.isEmpty)
+  }
+
   test("query lifecycle: active registry empties after stopAll (K4)") {
     val src = MemoryStream[Ev]
     SensorStreams.startMemory(SensorStreams.perKeyStats(src.toDF), "lifecycle_q",
