@@ -377,8 +377,9 @@ object Retail extends QueryModule {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
     Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      .withColumn("order_rank", rank().over(w))
-      .withColumn("order_dense_rank", dense_rank().over(w))
+      // cast: DuckDB rank/dense_rank are BIGINT; match the schema exactly
+      .withColumn("order_rank", rank().over(w).cast("long"))
+      .withColumn("order_dense_rank", dense_rank().over(w).cast("long"))
       .drop("o_orderdate")
       .orderBy("o_custkey", "o_orderkey")
   }

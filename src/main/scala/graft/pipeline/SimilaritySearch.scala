@@ -52,7 +52,8 @@ object SimilaritySearch extends QueryModule {
   private def rankTopK(scored: DataFrame): DataFrame =
     scored
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))))
+        Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id")))
+        .cast("long")) // DuckDB row_number is BIGINT; match the schema exactly
       .filter(col("rnk") <= K)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy("qid", "rnk")
