@@ -11,18 +11,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = Sessions.local("8")
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (name <- names) {
-      println(s"###PLAN $name")
-      SparkEntry.queries(name)(spark, sf).explain("formatted")
-      spark.catalog.clearCache()
+      SparkEntry.queries.get(name) match {
+        case Some(q) =>
+          println(s"###PLAN $name")
+          q(spark, sf).explain("formatted")
+          spark.catalog.clearCache()
+        case None =>
+          println(s"###UNKNOWN $name — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one place the engine's local session configuration lives: UTC, graft
+  * extensions (vec_dot), nanos-parquet handling, no UI, shuffle fan-out =
+  * cores. Every main and the test fixture build through here so a new
+  * session-level conf cannot drift across entry points.
+  */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // events.ts is TIMESTAMP(NANOS) parquet; declared at construction so no
+      // loader has to flip session state mid-flight (Tables.events re-asserts
+      // it for foreign sessions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -35,6 +35,11 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     case _ => None
   }
 
+  // fixed once the expression is resolved; avoids re-matching per row in the
+  // interpreted path
+  @transient private lazy val leftType: DataType = elemType(left).get
+  @transient private lazy val rightType: DataType = elemType(right).get
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -50,7 +55,7 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val (ta, tb) = (elemType(left).get, elemType(right).get)
+    val (ta, tb) = (leftType, rightType)
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
@@ -65,7 +70,7 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (ta, tb) = (elemType(left).get, elemType(right).get)
+      val (ta, tb) = (leftType, rightType)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
@@ -88,6 +93,10 @@ object VectorDot {
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-    (children: Seq[Expression]) => VectorDot(children(0), children(1))
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"vec_dot expects exactly 2 arguments (array<float|double>), got ${children.length}")
+      VectorDot(children.head, children(1))
+    }
   )
 }

@@ -172,7 +172,7 @@ object Dedup extends QueryModule {
         FROM f WINDOW w AS (PARTITION BY fingerprint)
         ORDER BY doc_id"""
 
-  /** Shared LSH near-dup pipeline over any (doc_id, g: array<string>) set
+  /** Shared LSH near-dup pipeline over any (doc_id, g: array<bigint>) hash
     * universe: MinHash signatures (codegen'd agg) → band explode → bucket
     * equi-join for candidates → exact-Jaccard verification on candidates
     * only, τ=`threshold`. The quadratic step happens only inside colliding
@@ -285,6 +285,8 @@ object Dedup extends QueryModule {
   private val simhashDedupSql =
     s"""WITH d AS (
           SELECT doc_id, $simhashDuck AS sh FROM documents
+          WHERE len($rawTokensDuck) > 0 -- token-less docs have no signature
+                                        -- (Spark side drops them at explode)
         ), chunks AS (
           SELECT doc_id, sh, c AS chunk_id, (sh >> (c * 16)) % 65536 AS chunk
           FROM d, (SELECT unnest(range(0, 4)) AS c)

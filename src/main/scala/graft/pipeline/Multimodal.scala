@@ -96,7 +96,9 @@ object Multimodal extends QueryModule {
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
     val hexChars = FrameBytes * 2
     media(spark, sfDir)
-      .filter(col("media_type") === "video")
+      // empty payloads have no frames; also keeps sequence() bounds legal
+      // (sequence(0,-1,step) throws) and matches the oracle's WHERE
+      .filter(col("media_type") === "video" && length(col("payload")) > 0)
       .select(col("doc_id"), hex(col("payload")).as("h"))
       .withColumn("nframes", expr(s"(length(h) + ${hexChars - 1}) div $hexChars"))
       .select(col("doc_id"),
@@ -112,7 +114,7 @@ object Multimodal extends QueryModule {
     val hexChars = FrameBytes * 2
     s"""WITH v AS (
           SELECT doc_id, hex(payload) AS h FROM ($mediaSql)
-          WHERE media_type = 'video'
+          WHERE media_type = 'video' AND octet_length(payload) > 0
         ), f AS (
           SELECT doc_id, h,
                  unnest(range(0, (length(h) + ${hexChars - 1}) // $hexChars, $SampleEvery))
@@ -131,6 +133,9 @@ object Multimodal extends QueryModule {
     */
   def featureExtract(spark: SparkSession, sfDir: String): DataFrame =
     media(spark, sfDir)
+      // an empty payload has no bytes to sample: Spark's conv('') is NULL but
+      // DuckDB's CAST('0x') errors — exclude on both sides
+      .filter(length(col("payload")) >= FeatureDim)
       .select(col("doc_id"), col("media_type"), hex(col("payload")).as("h"),
         expr(s"length(payload) div $FeatureDim").as("stride"))
       .withColumn("feature", expr(
@@ -144,7 +149,7 @@ object Multimodal extends QueryModule {
     s"""WITH m AS (
           SELECT doc_id, media_type, hex(payload) AS h,
                  octet_length(payload) // $FeatureDim AS stride
-          FROM ($mediaSql)
+          FROM ($mediaSql) WHERE octet_length(payload) >= $FeatureDim
         ), f AS (
           SELECT doc_id, media_type,
                  list_transform(range(0, $FeatureDim), i ->

@@ -7,17 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * small shuffle fan-out. One session per JVM (sbt forks one test JVM).
   */
 object SparkSpec {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val session: SparkSession = Sessions.local("4")
 }
 
 trait SparkSpec extends AnyFunSuite {
