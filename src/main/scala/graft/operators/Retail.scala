@@ -200,6 +200,10 @@ object Retail extends QueryModule {
     * unbounded frame (reference q2:170-181). (orderkey, linenumber) is NOT
     * unique in this data, so l_partkey — the emitted value — is the final
     * tie-break: any rows still tied emit the same value.
+    *
+    * Deliberately the WINDOW form — it is the W4 surface proof. A production
+    * query wanting only the result would use min_by/max_by aggregates over
+    * the same keys and skip the per-partition sort entirely.
     */
   def firstLastProduct(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

@@ -261,6 +261,11 @@ object Dedup extends QueryModule {
   /** SimHash near-dup pairs (hamming ≤ 3): per-row 64-bit signature, 4×16-bit
     * chunk pigeonhole blocking (any pair within hamming 3 shares ≥1 exact
     * chunk), popcount verification.
+    *
+    * Scale bound: 65,536 buckets per chunk position caps the blocking at
+    * ~corpus/65k pairs-per-bucket quadratic growth — adequate to hundreds of
+    * millions of docs. Beyond that, split each chunk again (two-level
+    * pigeonhole: match on chunk, refine on half-chunk) before the popcount.
     */
   def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = simhashSigs(docTokens(spark, sfDir))
