@@ -19,6 +19,7 @@ object SparkEntry {
     pipeline.Dedup,
     pipeline.SimilaritySearch,
     pipeline.Multimodal,
+    pipeline.TextAnalysis,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

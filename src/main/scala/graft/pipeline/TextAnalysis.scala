@@ -1,0 +1,184 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Text-analysis operators for a training-data pipeline (builder brief):
+  * language identification (marker-word heuristic), quality scoring
+  * (length / alpha / stopword features), token counting (whitespace and a
+  * BPE-ish regex segmentation), and document fingerprinting (min-hash over
+  * strided character shingles — the winnowing-style content fingerprint).
+  *
+  * All four are map-only per document until the final sort — explode +
+  * codegen'd aggregation, no UDFs, no collect — and every double is either
+  * a ratio of exact integers or a fixed-order small expression, so the
+  * DuckDB oracle matches bit-for-bit.
+  *
+  * Scale: per-doc state is bounded by the marker-profile size (lang-id),
+  * O(1) feature counters (quality/tokens), and one running min
+  * (fingerprint); nothing grows with corpus size.
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Marker-word profiles; prediction tie-break = profile order (CASE arm
+    * order, mirrored exactly in the oracle).
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "en" -> Seq("the", "and", "a", "is", "of"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  /** Language-ID: tokenize, score each language by marker-word hits, argmax
+    * with CASE-arm tie-break. Emits the prediction next to the labeled lang.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy("doc_id", "lang")
+      .agg(Profiles.map { case (l, ws) =>
+        sum(when(col("w").isin(ws: _*), 1).otherwise(0)).as(s"s_$l")
+      }.head, Profiles.tail.map { case (l, ws) =>
+        sum(when(col("w").isin(ws: _*), 1).otherwise(0)).as(s"s_$l")
+      }: _*)
+    val others = (l: String) => Profiles.map(_._1).filter(_ != l).map(o => col(s"s_$o"))
+    val pred = Profiles.map(_._1).foldRight(lit("und")) { (l, rest) =>
+      when(col(s"s_$l") >= greatest(others(l): _*), l).otherwise(rest)
+    }
+    scored
+      .withColumn("lang_pred", pred)
+      .withColumn("is_match", col("lang_pred") === col("lang"))
+      .select("doc_id", "lang", "lang_pred", "is_match")
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql = {
+    val scores = Profiles.map { case (l, ws) =>
+      s"SUM(CASE WHEN w IN (${inList(ws)}) THEN 1 ELSE 0 END) AS s_$l"
+    }.mkString(", ")
+    val pred = Profiles.map(_._1).foldRight("'und'") { (l, rest) =>
+      val others = Profiles.map(_._1).filter(_ != l).map(o => s"s_$o").mkString(", ")
+      s"CASE WHEN s_$l >= greatest($others) THEN '$l' ELSE $rest END"
+    }
+    s"""WITH tok AS (
+          SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents
+        ), s AS (
+          SELECT doc_id, lang, $scores FROM tok GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, $pred AS lang_pred, ($pred) = lang AS is_match
+        FROM s ORDER BY doc_id"""
+  }
+
+  /** Token counting: whitespace segmentation vs a BPE-ish regex (letter runs,
+    * digit runs, single punctuation marks) vs raw chars.
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      expr(raw"size(regexp_extract_all(text, '\\S+', 0))").cast("long").as("ws_tokens"),
+      expr(raw"size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))")
+        .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val tokenCountsSql =
+    raw"""SELECT doc_id,
+               length(text) AS n_chars_measured,
+               len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+        FROM documents ORDER BY doc_id"""
+
+  /** Quality scoring: alpha ratio, stopword ratio, length saturation — the
+    * standard cheap pre-training filters. The composite is a fixed-order
+    * small double expression, identical in both engines.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      expr("length(regexp_replace(text, '[^a-zA-Z]', ''))").as("alpha_chars"),
+      expr(raw"size(regexp_extract_all(text, '\\S+', 0))").cast("long").as("n_tokens"),
+      expr(s"""size(filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+                 w -> w IN (${inList(graft.operators.TextStats.stopWords)})))""").as("stop_tokens"))
+      .filter(col("n_tokens") > 0 && length(col("text")) > 0)
+      .withColumn("alpha_ratio",
+        col("alpha_chars").cast("double") / col("n_chars_measured"))
+      .withColumn("stop_ratio",
+        col("stop_tokens").cast("double") / col("n_tokens"))
+      .withColumn("quality_score", expr(
+        "0.5D * alpha_ratio + 0.3D * (1.0D - stop_ratio) + 0.2D * least(1.0D, CAST(n_tokens AS DOUBLE) / 100.0D)"))
+      .select("doc_id", "n_chars_measured", "n_tokens", "alpha_ratio", "stop_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  private val qualityScoreSql =
+    raw"""WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars_measured,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+                 len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                 len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                     w -> w IN (${inList(graft.operators.TextStats.stopWords)}))) AS stop_tokens
+          FROM documents
+        ), r AS (
+          SELECT doc_id, n_chars_measured, n_tokens,
+                 CAST(alpha_chars AS DOUBLE) / n_chars_measured AS alpha_ratio,
+                 CAST(stop_tokens AS DOUBLE) / n_tokens AS stop_ratio
+          FROM f WHERE n_tokens > 0 AND n_chars_measured > 0
+        )
+        SELECT doc_id, n_chars_measured, n_tokens, alpha_ratio, stop_ratio,
+               0.5 * alpha_ratio + 0.3 * (1.0 - stop_ratio)
+                 + 0.2 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality_score
+        FROM r ORDER BY doc_id"""
+
+  /** Shingle window length (chars) and stride for the fingerprint. */
+  val ShingleChars = 8
+  val Stride = 4
+
+  /** Document fingerprint: 60-bit hashes of strided 8-char shingles, keep
+    * the min (winnowing-style content fingerprint — robust to local edits
+    * outside the minimal shingle). One explode + codegen'd min aggregate.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= ShingleChars)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(text) - ${ShingleChars - 1}, $Stride)")).as("pos"),
+        col("text"))
+      .select(col("doc_id"),
+        expr(Dedup.hash60(s"substring(text, pos, $ShingleChars)")).as("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), min("h").as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    s"""WITH w AS (
+          SELECT doc_id,
+                 unnest(range(1, length(text) - ${ShingleChars - 2}, $Stride)) AS pos,
+                 text
+          FROM documents WHERE length(text) >= $ShingleChars
+        )
+        SELECT doc_id, COUNT(*) AS n_windows,
+               MIN(${Dedup.hash60Duck(s"substring(text, pos, $ShingleChars)")}) AS fingerprint
+        FROM w GROUP BY doc_id ORDER BY doc_id"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id" -> (langId _),
+    "text_token_counts" -> (tokenCounts _),
+    "text_quality_score" -> (qualityScore _),
+    "text_fingerprint" -> (fingerprint _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "text_lang_id" -> langIdSql,
+    "text_token_counts" -> tokenCountsSql,
+    "text_quality_score" -> qualityScoreSql,
+    "text_fingerprint" -> fingerprintSql,
+  )
+}
