@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic tests: the dedup operators must actually FIND planted
+  * duplicates. (The DuckDB oracle proves Spark↔oracle parity; these prove
+  * the operators detect what they claim to detect.)
+  */
+class DedupSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fixture corpus written as documents.parquet in a temp sfDir:
+    * 1,2 = exact duplicates; 3 = near-dup of 1 (one word changed);
+    * 4 = unrelated.
+    */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_dedup_fixture").toString
+    // 50 DISTINCT alphabetic words (the tokenizer is [a-z]+ — digits would
+    // collapse wordN to one token)
+    def words(prefix: String) = (0 until 50)
+      .map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val base = words("w").mkString(" ")
+    val near = base.replace("waz", "changed")
+    val other = words("q").mkString(" ")
+    Seq(
+      (1L, base, "en", "src0"),
+      (2L, base, "en", "src0"),
+      (3L, near, "en", "src1"),
+      (4L, other, "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups the identical pair and keeps min doc_id canonical") {
+    val rows = Dedup.exactDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    // (doc_id, canonical_id, group_size, is_duplicate)
+    assert(rows.contains((1L, 1L, 2L, false)))
+    assert(rows.contains((2L, 1L, 2L, true)))
+    assert(rows.contains((3L, 3L, 1L, false))) // near-dup is NOT exact-dup
+  }
+
+  test("MinHash-LSH finds the exact pair at jaccard 1.0 and the near-dup above 0.9") {
+    val pairs = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0))
+    // one word of 50 changed → |∩|=49, |∪|=51 → 49/51 ≈ 0.9608
+    assert(pairs.get((1L, 3L)).exists(j => j > 0.9 && j < 1.0))
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("shingle-Jaccard and SimHash agree on the exact pair; unrelated doc stays out") {
+    val shingle = Dedup.jaccardDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shingle.contains((1L, 2L)))
+    assert(!shingle.exists { case (a, b) => a == 4L || b == 4L })
+    val simhash = Dedup.simhashDedup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(simhash.get((1L, 2L)).contains(0)) // identical → hamming 0
+    assert(!simhash.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("planted identical embeddings are each other's top brute-force neighbor") {
+    val d = Files.createTempDirectory("graft_sim_fixture").toString
+    val v0 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v1 = v0.clone() // exact clone of v0
+    val others = (2 to 30).map(k => Array.tabulate(64)(i => math.cos(i * k + 7).toFloat))
+    (Seq((0L, v0, 0), (1L, v1, 0)) ++ others.zipWithIndex.map { case (v, i) => (i + 2L, v, 1) })
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val top = SimilaritySearch.bruteTopK(spark, d)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(top(0L)._1 === 1L && top(0L)._2 > 0.999999)
+    assert(top(1L)._1 === 0L && top(1L)._2 > 0.999999)
+  }
+}
