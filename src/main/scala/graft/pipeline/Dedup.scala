@@ -185,6 +185,8 @@ object Dedup extends QueryModule {
           array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '-'))"""))
           .as(Seq("band", "band_key")))
       .cache() // self-joined below; without this Spark recomputes the signature agg for both sides
+    bands.count() // materialize eagerly: both self-join sides racing to fill the
+                  // cache otherwise compute every partition twice
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -274,6 +276,7 @@ object Dedup extends QueryModule {
         "transform(sequence(0, 3), c -> shiftright(sh, c * 16) % 65536)"))
         .as(Seq("chunk_id", "chunk")))
       .cache() // self-joined below; avoids recomputing the 64-column signature agg twice
+    chunks.count() // eager materialization (see lshPairs note)
     val candidates = chunks.as("x").join(chunks.as("y"),
         col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -319,6 +322,7 @@ object Dedup extends QueryModule {
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
       .withColumn("buckets", expr(Similarity.lshTableBuckets("v")))
       .cache() // table explode below is self-joined; vectors re-joined for scoring
+    e.count() // eager materialization (see lshPairs note)
     val tables = e.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("t", "bucket")))
     val cand = tables.as("x").join(tables.as("y"),

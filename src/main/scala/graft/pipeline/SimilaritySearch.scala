@@ -89,6 +89,8 @@ object SimilaritySearch extends QueryModule {
     val e = vectors(spark, sfDir)
       .withColumn("buckets", expr(Similarity.lshTableBuckets("v")))
       .cache() // reused as corpus tables, query side, and scoring side
+    e.count() // eager materialization: concurrent first readers would
+              // otherwise compute every partition once per consumer
     val tables = e.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("t", "bucket")))
     val q = e.filter(col("vec_id") < NumQueries)
