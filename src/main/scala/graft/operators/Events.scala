@@ -117,6 +117,51 @@ object Events extends QueryModule {
               event_type, COUNT(*) AS n_events, MAX(value) AS max_value
        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Session windows (extension beyond the reference's fixed windows): per
+    * user, events merge into a session while consecutive gaps stay under 12
+    * hours; the session ends 12 hours after its last event (Spark
+    * `session_window` semantics: per-event windows [ts, ts+gap) merged while
+    * overlapping, i.e. new session iff gap ≥ 12h — the oracle's
+    * gap-and-island formulation mirrors that exactly). The streaming twin
+    * with explicit custom state lives in
+    * `graft.streaming.SensorStreams.sessionize` (flatMapGroupsWithState).
+    */
+  val SessionGap = "12 hours"
+
+  def sessionizeAgg(df: DataFrame): DataFrame =
+    df
+      .groupBy(col("user_id"), session_window(col("event_time"), SessionGap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+
+  def sessionizeQ(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeAgg(withEventTime(Tables.events(spark, sfDir)))
+      .orderBy("user_id", "session_start")
+
+  private val sessionizeSql =
+    """WITH g AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '12 hours'
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events WHERE ts IS NOT NULL
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), s AS (
+         SELECT user_id, ts,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM g
+       )
+       SELECT user_id,
+              strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(MAX(ts) + INTERVAL '12 hours', '%Y-%m-%d %H:%M:%S') AS session_end,
+              COUNT(*) AS n_events
+       FROM s GROUP BY user_id, session_id
+       ORDER BY user_id, session_start"""
+
   /** JSON scalar surface (SURVEY §2.8): extract props.k per event, aggregate
     * per event_type. get_json_object ↔ json_extract_string.
     */
@@ -143,6 +188,7 @@ object Events extends QueryModule {
     "t1_per_key_stats" -> (perKeyStatsQ _),
     "t3_tumbling_window" -> (tumblingQ _),
     "t4_sliding_window" -> (slidingQ _),
+    "events_sessionize" -> (sessionizeQ _),
     "events_props_json" -> (propsExtract _),
   )
 
@@ -150,6 +196,7 @@ object Events extends QueryModule {
     "t1_per_key_stats" -> perKeyStatsSql,
     "t3_tumbling_window" -> tumblingSql,
     "t4_sliding_window" -> slidingSql,
+    "events_sessionize" -> sessionizeSql,
     "events_props_json" -> propsExtractSql,
   )
 }

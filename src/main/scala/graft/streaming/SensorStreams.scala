@@ -1,11 +1,27 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.operators.Events
+
+/** Running per-user session (custom state for [[SensorStreams.sessionize]]). */
+case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+/** A closed session, matching the batch `events_sessionize` row shape. */
+case class Session(user_id: Long, session_start: String, session_end: String, n_events: Long)
+
+object Session {
+  private val fmtr = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+
+  /** Close a session: end = last event + gap (session_window semantics). */
+  def close(user: Long, s: SessionState, gapMs: Long): Session =
+    Session(user, fmtr.format(java.time.Instant.ofEpochMilli(s.startMs)),
+      fmtr.format(java.time.Instant.ofEpochMilli(s.lastMs + gapMs)), s.n)
+}
 
 /** Structured Streaming pipelines — the reference's Q4 surface
   * (q4_streaming.ipynb), re-expressed over the `events` stream shape.
@@ -78,6 +94,59 @@ object SensorStreams {
   def sliding(stream: DataFrame): DataFrame =
     Events.slidingAgg(
       Events.withEventTime(stream).withWatermark("event_time", "2 minutes"))
+
+  /** Custom-state surface: per-user sessionization with
+    * `flatMapGroupsWithState` — the explicit-state twin of the batch
+    * `session_window` query (`Events.sessionizeAgg`, oracle row
+    * `events_sessionize`). A session closes when a new event arrives ≥ gap
+    * after the last one, or when the event-time watermark passes
+    * last + gap (timeout); closed sessions are emitted in append mode with
+    * the same (start, last + gap) bounds as `session_window`.
+    *
+    * State per key is O(1) (start, last, count) and watermark timeouts
+    * guarantee eviction — bounded state at any key cardinality.
+    */
+  val SessionGapMs: Long = 12 * 3600 * 1000L
+
+  def sessionize(stream: DataFrame): Dataset[Session] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapMs = SessionGapMs // local copy: the closure must not capture `this`
+
+    Events.withEventTime(stream)
+      .withWatermark("event_time", "2 minutes")
+      .select(col("user_id"), col("event_time"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(Session.close(user, _, gapMs)).iterator
+            state.remove()
+            out
+          } else {
+            val closed = Seq.newBuilder[Session]
+            var st = state.getOption
+            events.map(_._2.getTime).toSeq.sorted.foreach { t =>
+              st match {
+                case None =>
+                  st = Some(SessionState(t, t, 1))
+                case Some(s) if t - s.lastMs >= gapMs =>
+                  closed += Session.close(user, s, gapMs)
+                  st = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  st = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** K2/T5/T6: console sink, update mode, processing-time trigger (10 s in
     * the reference; configurable so tests don't wall-clock-wait).

@@ -112,6 +112,50 @@ class SensorStreamsSpec extends SparkSpec {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions by gap and by timeout") {
+    val src = MemoryStream[Ev]
+    val q = SensorStreams.sessionize(src.toDF).writeStream
+      .queryName("sessions").outputMode("append").format("memory").start()
+    try {
+      // b1: user 1 two events 60s apart, user 2 one event
+      src.addData(
+        ev(1, "2024-01-01T00:00:00Z", "click", 1.0).copy(user_id = 1),
+        ev(2, "2024-01-01T00:01:00Z", "click", 1.0).copy(user_id = 1),
+        ev(3, "2024-01-01T00:00:00Z", "view", 1.0).copy(user_id = 2))
+      q.processAllAvailable()
+      // b2: user 1 returns 13h later (> 12h gap → closes session A on arrival);
+      // user 99 pushes the watermark to ~30h
+      src.addData(
+        ev(4, "2024-01-01T13:00:00Z", "click", 1.0).copy(user_id = 1),
+        ev(5, "2024-01-02T06:00:00Z", "view", 1.0).copy(user_id = 99))
+      q.processAllAvailable()
+      // b3: user 99 again 30h later — closes its first session by gap, and the
+      // ~30h watermark from b2 times out user 1's and user 2's open sessions
+      src.addData(ev(6, "2024-01-03T12:00:00Z", "view", 1.0).copy(user_id = 99))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      val expected = Set(
+        (1L, "2024-01-01 00:00:00", "2024-01-01 12:01:00", 2L), // closed by gap in b2
+        (1L, "2024-01-01 13:00:00", "2024-01-02 01:00:00", 1L), // closed by timeout in b3
+        (2L, "2024-01-01 00:00:00", "2024-01-01 12:00:00", 1L), // closed by timeout in b3
+        (99L, "2024-01-02 06:00:00", "2024-01-02 18:00:00", 1L)) // closed by gap in b3
+      assert(sessions === expected)
+      // every closed session matches a row of the batch session_window twin
+      val batchRows = Events.sessionizeAgg(
+          Events.withEventTime(Seq(
+            ev(1, "2024-01-01T00:00:00Z", "click", 1.0).copy(user_id = 1),
+            ev(2, "2024-01-01T00:01:00Z", "click", 1.0).copy(user_id = 1),
+            ev(3, "2024-01-01T00:00:00Z", "view", 1.0).copy(user_id = 2),
+            ev(4, "2024-01-01T13:00:00Z", "click", 1.0).copy(user_id = 1),
+            ev(5, "2024-01-02T06:00:00Z", "view", 1.0).copy(user_id = 99),
+            ev(6, "2024-01-03T12:00:00Z", "view", 1.0).copy(user_id = 99)).toDF))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(sessions.subsetOf(batchRows))
+    } finally q.stop()
+  }
+
   test("query lifecycle: active registry empties after stopAll (K4)") {
     val src = MemoryStream[Ev]
     SensorStreams.startMemory(SensorStreams.perKeyStats(src.toDF), "lifecycle_q",
