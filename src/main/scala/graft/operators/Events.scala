@@ -162,6 +162,48 @@ object Events extends QueryModule {
        FROM s GROUP BY user_id, session_id
        ORDER BY user_id, session_start"""
 
+  /** Distinct-user cardinality per event type, exact AND via the KMV sketch
+    * ([[graft.functions.KmvSketch]]) — the bounded-state path a 100 TB
+    * pipeline uses where exact countDistinct's shuffle is too wide. KMV is
+    * deterministic (min-K of a set), so the DuckDB oracle reproduces the
+    * estimate bit-for-bit from the same hashes and k-th order statistic.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val kmv = udaf(graft.functions.KmvSketch)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        expr(graft.pipeline.Dedup.hash60("CAST(user_id AS STRING)")).as("h"))
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"),
+        kmv(col("h")).as("kmv_estimate"))
+      .orderBy("event_type")
+  }
+
+  private val kmvDistinctSql = {
+    val k = graft.functions.KmvSketch.K
+    s"""WITH h AS (
+          SELECT DISTINCT event_type,
+                 ${graft.pipeline.Dedup.hash60Duck("CAST(user_id AS VARCHAR)")} AS h
+          FROM events
+        ), r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h
+        ), a AS (
+          SELECT event_type, COUNT(*) AS nd,
+                 MAX(CASE WHEN rn = $k THEN h END) AS kth
+          FROM r GROUP BY event_type
+        ), x AS (
+          SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY event_type
+        )
+        SELECT x.event_type, x.exact_users,
+               CASE WHEN a.nd < $k THEN CAST(a.nd AS DOUBLE)
+                    ELSE ${k - 1}.0 * 1152921504606846976.0 / kth END AS kmv_estimate
+        FROM x JOIN a USING (event_type)
+        ORDER BY event_type"""
+  }
+
   /** JSON scalar surface (SURVEY §2.8): extract props.k per event, aggregate
     * per event_type. get_json_object ↔ json_extract_string.
     */
@@ -189,6 +231,7 @@ object Events extends QueryModule {
     "t3_tumbling_window" -> (tumblingQ _),
     "t4_sliding_window" -> (slidingQ _),
     "events_sessionize" -> (sessionizeQ _),
+    "events_kmv_distinct" -> (kmvDistinct _),
     "events_props_json" -> (propsExtract _),
   )
 
@@ -197,6 +240,7 @@ object Events extends QueryModule {
     "t3_tumbling_window" -> tumblingSql,
     "t4_sliding_window" -> slidingSql,
     "events_sessionize" -> sessionizeSql,
+    "events_kmv_distinct" -> kmvDistinctSql,
     "events_props_json" -> propsExtractSql,
   )
 }

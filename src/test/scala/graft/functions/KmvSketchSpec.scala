@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KMV sketch invariants: exact below K, merge-order independence (the
+  * property that makes it oracle-checkable), and estimator sanity above K.
+  */
+class KmvSketchSpec extends AnyFunSuite {
+
+  private def sketchOf(hashes: Seq[Long]): KmvBuf =
+    hashes.foldLeft(KmvSketch.zero)(KmvSketch.reduce)
+
+  test("exact counting below K, duplicates ignored") {
+    val s = sketchOf(Seq(5L, 3L, 5L, 9L, 3L))
+    assert(KmvSketch.finish(s) === 3.0)
+  }
+
+  test("merge order cannot change the sketch (set semantics)") {
+    val hs = (1 to 500).map(i => (i.toLong * 2654435761L) % (1L << 60))
+    val (a, b) = hs.splitAt(200)
+    val ab = KmvSketch.merge(sketchOf(a), sketchOf(b))
+    val ba = KmvSketch.merge(sketchOf(b), sketchOf(a))
+    val whole = sketchOf(scala.util.Random.shuffle(hs))
+    assert(ab === ba)
+    assert(ab === whole)
+    assert(ab.hashes.length === KmvSketch.K)
+  }
+
+  test("estimator lands near the true cardinality above K") {
+    val n = 10000
+    val hs = (1 to n).map(i => (i.toLong * 6364136223846793005L) % (1L << 60))
+      .map(h => if (h < 0) h + (1L << 60) else h)
+    val est = KmvSketch.finish(sketchOf(hs))
+    assert(est > n * 0.6 && est < n * 1.4) // K=64 → ~13% rse; 40% is >3 sigma
+  }
+}
