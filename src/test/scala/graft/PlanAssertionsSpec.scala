@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: PLANS.md's audit claims, executable. If a
+  * refactor drops a pushed filter, un-prunes a scan, or loses the top-k
+  * window pushdown, these fail — not just the bench.
+  */
+class PlanAssertionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("flagship: cleaning filters reach the parquet scan (pushdown)") {
+    val p = planOf("q2_customer_summary")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("StringStartsWith(l_returnflag,R)"))
+  }
+
+  test("flagship: lineitem scan is column-pruned") {
+    val p = planOf("q2_customer_summary")
+    // no lineitem scan should read more than the 6 needed columns of 16
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    assert(reads.forall(_.split(",").length <= 6), reads.mkString("\n"))
+  }
+
+  test("similarity brute top-k uses two-phase WindowGroupLimit, broadcast query side") {
+    val p = planOf("similarity_topk_brute")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("no registered query collects to the driver in its plan") {
+    // CollectLimit appears only for show()-style paths; registered queries
+    // must sort/aggregate distributively
+    SparkEntry.queries.keys.foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("CollectLimit"), s"$name collects to driver")
+      spark.catalog.clearCache()
+    }
+  }
+}
