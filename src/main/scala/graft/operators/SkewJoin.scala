@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys (builder brief: "salting for skew, AQE
+  * for runtime re-plan").
+  *
+  * AQE's skew-join handles most cases by splitting oversized partitions at
+  * runtime; salting is the static fallback when one key is so hot that even
+  * a split partition's build side overflows, or when AQE is unavailable
+  * (e.g. inside a streaming micro-batch join). Mechanics: every fact row
+  * gets a DETERMINISTIC salt in [0, factor) derived by hashing the whole
+  * row's distinguishing column, and the dim side is exploded `factor` times
+  * so every (key, salt) pair finds its match — the hot key's rows spread
+  * over `factor` reducers instead of one.
+  *
+  * Result equality with the plain join is exact (proved in SkewJoinSpec):
+  * salting only refines the partitioning key, never the match condition.
+  */
+object SkewJoin {
+
+  /** Equi-join `facts ⋈ dims` on `key`, spreading each fact key over
+    * `factor` partitions. `saltSource` must be a fact-side column (any type)
+    * whose hash spreads rows — a line number, an id, a timestamp.
+    */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
+                 saltSource: Column, factor: Int): DataFrame = {
+    val salted = facts.withColumn("__salt", pmod(hash(saltSource), lit(factor)))
+    val exploded = dims.withColumn("__salt",
+      explode(expr(s"sequence(0, ${factor - 1})")))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+}

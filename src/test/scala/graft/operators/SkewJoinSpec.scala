@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals the plain join on a skewed fixture and spreads the hot key") {
+    // 9000 of 10000 rows share one key — the classic hot-key shape
+    val facts = (1 to 10000).map { i =>
+      val k = if (i <= 9000) 1L else (i % 50).toLong + 2
+      (i.toLong, k, i * 1.5)
+    }.toDF("row_id", "k", "v")
+    val dims = (1L to 60L).map(k => (k, s"dim$k")).toDF("k", "label")
+
+    val plain = facts.join(dims, Seq("k"))
+      .select("row_id", "k", "v", "label")
+      .orderBy("row_id").collect().toSeq
+    val salted = SkewJoin.saltedJoin(facts, dims, "k", col("row_id"), factor = 8)
+      .select("row_id", "k", "v", "label")
+      .orderBy("row_id").collect().toSeq
+    assert(salted === plain)
+    assert(plain.length === 10000 - facts.filter(!col("k").isin((1L to 60L): _*)).count())
+
+    // the hot key's rows really do land in several salt buckets
+    val spread = facts.withColumn("__salt", pmod(hash(col("row_id")), lit(8)))
+      .filter(col("k") === 1).select("__salt").distinct().count()
+    assert(spread === 8)
+  }
+}
