@@ -148,6 +148,17 @@ object SensorStreams {
       }
   }
 
+  /** Streaming exact dedup — the unbounded twin of the batch `dedup_exact`
+    * operator: duplicate `event_id`s are dropped across micro-batches, with
+    * the watermark bounding the dedup state (ids older than watermark −
+    * delay are evicted; a duplicate arriving later than that is not
+    * detected — the standard watermark trade).
+    */
+  def dedupedEvents(stream: DataFrame): DataFrame =
+    Events.withEventTime(stream)
+      .withWatermark("event_time", "2 minutes")
+      .dropDuplicates("event_id", "event_time")
+
   /** K2/T5/T6: console sink, update mode, processing-time trigger (10 s in
     * the reference; configurable so tests don't wall-clock-wait).
     */

@@ -156,6 +156,22 @@ class SensorStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeated event_ids across micro-batches") {
+    val src = MemoryStream[Ev]
+    val q = SensorStreams.dedupedEvents(src.toDF)
+      .select("event_id").writeStream
+      .queryName("deduped").outputMode("append").format("memory").start()
+    try {
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      src.addData(batch1.head, batch1(1), onTime2) // two repeats + one new
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L, 4L, 6L))
+      assert(ids.distinct.length === ids.length)
+    } finally q.stop()
+  }
+
   test("query lifecycle: active registry empties after stopAll (K4)") {
     val src = MemoryStream[Ev]
     SensorStreams.startMemory(SensorStreams.perKeyStats(src.toDF), "lifecycle_q",
