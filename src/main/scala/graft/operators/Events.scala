@@ -126,7 +126,8 @@ object Events extends QueryModule {
     * with explicit custom state lives in
     * `graft.streaming.SensorStreams.sessionize` (flatMapGroupsWithState).
     */
-  val SessionGap = "12 hours"
+  val SessionGapMs: Long = 12 * 3600 * 1000L
+  val SessionGap = s"${SessionGapMs / 3600000} hours" // single source of truth with the streaming twin
 
   def sessionizeAgg(df: DataFrame): DataFrame =
     df

@@ -26,6 +26,8 @@ object SkewJoin {
     */
   def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
                  saltSource: Column, factor: Int): DataFrame = {
+    require(factor >= 1,
+      s"salt factor must be >= 1, got $factor (0 divides by zero under ANSI, negatives silently empty the join)")
     val salted = facts.withColumn("__salt", pmod(hash(saltSource), lit(factor)))
     val exploded = dims.withColumn("__salt",
       explode(expr(s"sequence(0, ${factor - 1})")))

@@ -48,8 +48,10 @@ object TextAnalysis extends QueryModule {
         sum(when(col("w").isin(ws: _*), 1).otherwise(0)).as(s"s_$l")
       }: _*)
     val others = (l: String) => Profiles.map(_._1).filter(_ != l).map(o => col(s"s_$o"))
+    // the s_l > 0 guard makes the 'und' fallback reachable: a document with
+    // zero marker hits anywhere is unidentified, not first-profile
     val pred = Profiles.map(_._1).foldRight(lit("und")) { (l, rest) =>
-      when(col(s"s_$l") >= greatest(others(l): _*), l).otherwise(rest)
+      when(col(s"s_$l") > 0 && col(s"s_$l") >= greatest(others(l): _*), l).otherwise(rest)
     }
     scored
       .withColumn("lang_pred", pred)
@@ -64,7 +66,7 @@ object TextAnalysis extends QueryModule {
     }.mkString(", ")
     val pred = Profiles.map(_._1).foldRight("'und'") { (l, rest) =>
       val others = Profiles.map(_._1).filter(_ != l).map(o => s"s_$o").mkString(", ")
-      s"CASE WHEN s_$l >= greatest($others) THEN '$l' ELSE $rest END"
+      s"CASE WHEN s_$l > 0 AND s_$l >= greatest($others) THEN '$l' ELSE $rest END"
     }
     s"""WITH tok AS (
           SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w

@@ -106,7 +106,7 @@ object SensorStreams {
     * State per key is O(1) (start, last, count) and watermark timeouts
     * guarantee eviction — bounded state at any key cardinality.
     */
-  val SessionGapMs: Long = 12 * 3600 * 1000L
+  val SessionGapMs: Long = Events.SessionGapMs // same constant as the batch twin
 
   def sessionize(stream: DataFrame): Dataset[Session] = {
     val spark = stream.sparkSession
@@ -136,7 +136,10 @@ object SensorStreams {
                   closed += Session.close(user, s, gapMs)
                   st = Some(SessionState(t, t, 1))
                 case Some(s) =>
-                  st = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                  // min on start too: an out-of-order (but above-watermark)
+                  // event can extend the session backwards, exactly as
+                  // session_window would have merged it
+                  st = Some(SessionState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
               }
             }
             st.foreach { s =>
@@ -149,15 +152,16 @@ object SensorStreams {
   }
 
   /** Streaming exact dedup — the unbounded twin of the batch `dedup_exact`
-    * operator: duplicate `event_id`s are dropped across micro-batches, with
-    * the watermark bounding the dedup state (ids older than watermark −
-    * delay are evicted; a duplicate arriving later than that is not
-    * detected — the standard watermark trade).
+    * operator: duplicate `event_id`s are dropped across micro-batches ON THE
+    * ID ALONE (`dropDuplicatesWithinWatermark`, so a producer retry with a
+    * jittered timestamp still dedups), with the watermark bounding the state
+    * (an id older than the delay is evicted; a duplicate arriving later than
+    * that is not detected — the standard watermark trade).
     */
   def dedupedEvents(stream: DataFrame): DataFrame =
     Events.withEventTime(stream)
       .withWatermark("event_time", "2 minutes")
-      .dropDuplicates("event_id", "event_time")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** K2/T5/T6: console sink, update mode, processing-time trigger (10 s in
     * the reference; configurable so tests don't wall-clock-wait).

@@ -164,7 +164,11 @@ class SensorStreamsSpec extends SparkSpec {
     try {
       src.addData(batch1: _*)
       q.processAllAvailable()
-      src.addData(batch1.head, batch1(1), onTime2) // two repeats + one new
+      // replay event 4 ABOVE the 00:18 watermark — its drop must come from
+      // dedup state, not the late-data filter — plus a jittered-timestamp
+      // retry of it, plus one genuinely new event
+      src.addData(batch1(3), batch1(3).copy(ts = Timestamp.from(
+        Instant.parse("2024-01-01T00:20:30Z"))), onTime2)
       q.processAllAvailable()
       val ids = spark.table("deduped").collect().map(_.getLong(0)).toSeq
       assert(ids.sorted === Seq(1L, 2L, 3L, 4L, 6L))
