@@ -41,8 +41,16 @@ object Nested extends QueryModule {
     * per product (q3:36-63): total quantity, revenue, distinct orders.
     * Revenue in DECIMAL for order-independent sums.
     */
-  def productStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val exploded = ordersNested(spark, sfDir)
+  def productStats(spark: SparkSession, sfDir: String): DataFrame =
+    productStatsFrom(ordersNested(spark, sfDir))
+
+  /** The post-nesting half of [[productStats]], reused by the JSON-lines
+    * round-trip: the aggregation is insensitive to product order inside the
+    * array, which is what keeps the round-trip deterministic even though
+    * `collect_list` order is not.
+    */
+  def productStatsFrom(nested: DataFrame): DataFrame = {
+    val exploded = nested
       .select(col("l_orderkey"), explode(col("products")).as("product"))
       .select(
         col("l_orderkey"),
@@ -58,6 +66,19 @@ object Nested extends QueryModule {
           .cast("double").as("total_revenue"),
         countDistinct("l_orderkey").as("num_orders"))
       .orderBy("product_id")
+  }
+
+  /** S2 at Q3 fidelity: the reference infers a NESTED array-of-struct schema
+    * from JSON-lines (q3_json_processing.py:25-29 + printed schema). Write
+    * the nested orders as JSON-lines, read them back with inference (no
+    * schema declared), and run the same aggregation — the oracle is
+    * identical to q3_product_stats, so the round-trip proves nested
+    * inference end-to-end.
+    */
+  def nestedJsonRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nested_json").toString
+    ordersNested(spark, sfDir).write.mode("overwrite").json(dir)
+    productStatsFrom(spark.read.option("multiLine", false).json(dir))
   }
 
   private val productStatsSql =
@@ -107,10 +128,12 @@ object Nested extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_product_stats" -> (productStats _),
     "q3_customer_pivot" -> (customerPriorityPivot _),
+    "s2_nested_json_roundtrip" -> (nestedJsonRoundTrip _),
   )
 
   override def oracle: Map[String, String] = Map(
     "q3_product_stats" -> productStatsSql,
     "q3_customer_pivot" -> customerPriorityPivotSql,
+    "s2_nested_json_roundtrip" -> productStatsSql, // same result through the JSON round-trip
   )
 }
