@@ -371,29 +371,41 @@ object Retail extends QueryModule {
         FROM customer $joinType JOIN freq ON c_custkey = o_custkey
         ORDER BY c_custkey"""
 
-  /** W1/W2 fidelity: `rank()` (and `dense_rank`) themselves, not the
-    * row_number stand-in — the reference keeps rank so simultaneous orders
-    * tie (q2:191-196). Output is deterministic even with ties because the
-    * rank VALUE is a function of the order date alone and rows are keyed by
-    * o_orderkey.
+  /** W1/W2 fidelity + full ranking-family breadth: `rank`/`dense_rank`/
+    * `percent_rank`/`cume_dist` over the DATE ordering (value-based, so ties
+    * — which the reference deliberately keeps, q2:191-196 — stay
+    * deterministic), and the row-position functions `ntile`/`lead` over a
+    * TOTAL order (date, orderkey) — row-based functions are only
+    * deterministic under a total order. percent_rank/cume_dist are exact
+    * small-integer ratios, identical in both engines.
     */
   def orderRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    val byDate = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    val total = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      // cast: DuckDB rank/dense_rank are BIGINT; match the schema exactly
-      .withColumn("order_rank", rank().over(w).cast("long"))
-      .withColumn("order_dense_rank", dense_rank().over(w).cast("long"))
+      // cast: DuckDB rank/dense_rank/ntile are BIGINT; match the schema exactly
+      .withColumn("order_rank", rank().over(byDate).cast("long"))
+      .withColumn("order_dense_rank", dense_rank().over(byDate).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(byDate))
+      .withColumn("cume", cume_dist().over(byDate))
+      .withColumn("quartile", ntile(4).over(total).cast("long"))
+      .withColumn("next_order", lead("o_orderkey", 1).over(total))
       .drop("o_orderdate")
       .orderBy("o_custkey", "o_orderkey")
   }
 
   private val orderRankSql =
     """SELECT o_custkey, o_orderkey,
-              RANK() OVER w AS order_rank,
-              DENSE_RANK() OVER w AS order_dense_rank
+              RANK() OVER wd AS order_rank,
+              DENSE_RANK() OVER wd AS order_dense_rank,
+              PERCENT_RANK() OVER wd AS pct_rank,
+              CUME_DIST() OVER wd AS cume,
+              NTILE(4) OVER wt AS quartile,
+              LEAD(o_orderkey, 1) OVER wt AS next_order
        FROM orders
-       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+       WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+              wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
        ORDER BY o_custkey, o_orderkey"""
 
   /** Semi / anti joins (SURVEY §2.3 note): customers with / without a pending
