@@ -371,6 +371,33 @@ object Retail extends QueryModule {
         FROM customer $joinType JOIN freq ON c_custkey = o_custkey
         ORDER BY c_custkey"""
 
+  /** Rollup subtotals (beyond the reference: SURVEY §2.4 notes it uses no
+    * grouping sets — exposed here since the engine gets them free from
+    * Catalyst): revenue by (returnflag, linestatus) with per-flag and grand
+    * totals, `grouping_id` disambiguating subtotal rows. Ordering pins
+    * NULLS FIRST explicitly — Spark's ASC default — because DuckDB defaults
+    * to NULLS LAST.
+    */
+  def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_lines"),
+        sum(lineAmount).cast("double").as("revenue"))
+      .select("l_returnflag", "l_linestatus", "gid", "n_lines", "revenue")
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val rollupRevenueSql =
+    s"""SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_lines,
+               CAST(SUM($amountSql) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
   /** W1/W2 fidelity + full ranking-family breadth: `rank`/`dense_rank`/
     * `percent_rank`/`cume_dist` over the DATE ordering (value-based, so ties
     * — which the reference deliberately keeps, q2:191-196 — stay
@@ -433,6 +460,7 @@ object Retail extends QueryModule {
     "q2_customer_summary" -> (customerSummary _),
     "q2_customer_summary_udaf" -> (customerSummaryUdaf _),
     "q2_order_rank" -> (orderRank _),
+    "q2_rollup_revenue" -> (rollupRevenue _),
     "q2_cleaning" -> (cleaning _),
     "q2_order_windows" -> (orderWindows _),
     "q2_first_last_product" -> (firstLastProduct _),
@@ -449,6 +477,7 @@ object Retail extends QueryModule {
     "q2_customer_summary" -> customerSummarySql,
     "q2_customer_summary_udaf" -> customerSummarySql,
     "q2_order_rank" -> orderRankSql,
+    "q2_rollup_revenue" -> rollupRevenueSql,
     "q2_cleaning" -> cleaningSql,
     "q2_order_windows" -> orderWindowsSql,
     "q2_first_last_product" -> firstLastProductSql,
