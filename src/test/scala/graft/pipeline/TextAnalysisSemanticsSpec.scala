@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic tests on crafted documents — the oracle proves Spark↔DuckDB
+  * parity but is structurally blind to "both engines compute the wrong
+  * thing" (that is how the unreachable-'und' bug survived one round of
+  * parity checks).
+  */
+class TextAnalysisSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_text_fixture").toString
+    Seq(
+      (1L, "der hund und die katze ist das haus der garten", "de", "src0"),
+      (2L, "the cat and the dog is a friend of the house", "en", "src0"),
+      (3L, "xyzzy plugh quux corge grault waldo fred thud", "zz", "src0"), // zero marker hits
+      (4L, "le chat et la maison les arbres des fleurs", "fr", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("language ID picks the marker-dominant language; zero hits → 'und'") {
+    val pred = TextAnalysis.langId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(pred === Map(1L -> "de", 2L -> "en", 3L -> "und", 4L -> "fr"))
+  }
+
+  test("token counts are exact on a known string") {
+    val r = TextAnalysis.tokenCounts(spark, dir)
+      .filter(col("doc_id") === 2).collect().head
+    // "the cat and the dog is a friend of the house": 11 ws tokens, all alpha
+    assert(r.getLong(2) === 11L) // ws_tokens
+    assert(r.getLong(3) === 11L) // bpe_tokens (no digits/punct)
+  }
+
+  test("quality score rewards alpha-heavy low-stopword text and stays in [0,1]") {
+    val rows = TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(rows.values.forall(s => s >= 0.0 && s <= 1.0))
+    // doc 3 has zero stopwords; doc 2 is stopword-heavy ("the" x3, "a", "is", "of")
+    assert(rows(3L) > rows(2L))
+  }
+
+  test("fingerprint is identical for identical text and differs under edits") {
+    val fps = TextAnalysis.fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fps.size === 4)
+    assert(fps.values.toSet.size === 4) // all distinct texts → distinct fingerprints
+  }
+}
