@@ -10,17 +10,27 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must surface as an error in the JSON, never as a
+      // fast-looking time
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
-      // queries may cache intermediates (LSH self-joins); drop them so later
-      // timings are independent of earlier queries
+      // queries may cache intermediates; drop them so later timings are
+      // independent of earlier queries
       spark.catalog.clearCache()
-      name -> dt
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(300)) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,8 +22,11 @@ import org.apache.spark.sql.types._
   * `list_reduce(list_prepend(0.0, ...))`, so results are bit-identical to the
   * DuckDB oracle. float→double widening is exact; IEEE ops are deterministic.
   *
-  * Null semantics: null if either array is null; null elements contribute as
-  * 0.0 (embeddings contain no nulls; this just keeps eval total).
+  * Null semantics — exactly the HOF/oracle forms': null if either array is
+  * null, if the lengths differ (zip_with/list_zip pad the short side with
+  * NULL and the fold propagates it), or if any element is null. A truncated
+  * or malformed embedding therefore surfaces as NULL instead of a
+  * plausible-but-wrong partial dot product.
   */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -45,27 +48,32 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     else TypeCheckResult.TypeCheckFailure(
       s"vec_dot requires array<float|double> arguments, got ${left.dataType} / ${right.dataType}")
 
-  private def get(a: ArrayData, t: DataType, i: Int): Double =
-    if (a.isNullAt(i)) 0.0
-    else t match {
-      case FloatType => a.getFloat(i).toDouble
-      case _ => a.getDouble(i)
-    }
+  override def nullable: Boolean = true
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (ta, tb) = (leftType, rightType)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += get(a, ta, i) * get(b, tb, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += get(a, ta, i) * get(b, tb, i)
+      i += 1
+    }
     s
   }
 
   private def genGet(v: String, t: DataType, i: String): String = t match {
-    case FloatType => s"($v.isNullAt($i) ? 0.0 : (double) $v.getFloat($i))"
-    case _ => s"($v.isNullAt($i) ? 0.0 : $v.getDouble($i))"
+    case FloatType => s"((double) $v.getFloat($i))"
+    case _ => s"$v.getDouble($i)"
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -75,12 +83,17 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${genGet(a, ta, i)} * ${genGet(b, tb, i)};
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ${genGet(a, ta, i)} * ${genGet(b, tb, i)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

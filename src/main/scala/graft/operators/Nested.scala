@@ -76,7 +76,8 @@ object Nested extends QueryModule {
     * inference end-to-end.
     */
   def nestedJsonRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_nested_json").toString
+    // scratch-rooted: executors must see the round-trip files on a cluster
+    val dir = graft.Scratch.dir("graft_nested_json")
     ordersNested(spark, sfDir).write.mode("overwrite").json(dir)
     productStatsFrom(spark.read.option("multiLine", false).json(dir))
   }

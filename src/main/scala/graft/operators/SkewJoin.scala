@@ -28,6 +28,10 @@ object SkewJoin {
                  saltSource: Column, factor: Int): DataFrame = {
     require(factor >= 1,
       s"salt factor must be >= 1, got $factor (0 divides by zero under ANSI, negatives silently empty the join)")
+    // withColumn would silently OVERWRITE a caller's __salt column and then
+    // drop it from the output — fail loudly instead of corrupting data
+    require(!facts.columns.contains("__salt") && !dims.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it on the input first")
     val salted = facts.withColumn("__salt", pmod(hash(saltSource), lit(factor)))
     val exploded = dims.withColumn("__salt",
       explode(expr(s"sequence(0, ${factor - 1})")))

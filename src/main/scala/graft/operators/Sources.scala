@@ -1,11 +1,9 @@
 package graft.operators
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{QueryModule, Tables}
+import graft.{QueryModule, Scratch, Tables}
 
 /** Source/sink + set-op surface (SURVEY §2.1, §2.7).
   *
@@ -23,8 +21,9 @@ import graft.{QueryModule, Tables}
   */
 object Sources extends QueryModule {
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  // Scratch-rooted (SPARK_GRAFT_SCRATCH): on a cluster the round-trip files
+  // must live on a filesystem executors can see, not the driver's /tmp.
+  private def tmpDir(prefix: String): String = Scratch.dir(prefix)
 
   /** S1 + K1: customer → header CSV (overwrite) → read back with inferSchema.
     * Written PARTITIONED (customer is fact-scale at 100×; a coalesce(1) here

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryModule, Tables}
+import graft.{QueryModule, Scratch, Tables}
 
 /** Deduplication operators for large-scale training-data pipelines: exact
   * (content fingerprint), n-gram Jaccard (blocked), MinHash+LSH, SimHash, and
@@ -110,8 +110,8 @@ object Dedup extends QueryModule {
     * LSH pipeline works on the hash universe, not the strings: Jaccard over
     * the hashed sets equals Jaccard over the token sets (both engines hash
     * identically), and the verification-stage intersections become integer
-    * array work instead of string comparisons. Callers that self-join cache
-    * this so the md5 tokenization runs once.
+    * array work instead of string comparisons. `lshPairs` materializes this
+    * to scratch parquet so the md5 tokenization runs once.
     */
   private def docTokens(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -179,14 +179,22 @@ object Dedup extends QueryModule {
     * band buckets — the LSH guarantee — so the plan survives corpus growth;
     * no all-pairs join keyed on low-cardinality metadata anywhere.
     */
-  private def lshPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val bands = minhashSigs(docs).select(col("doc_id"),
+  private def lshPairs(docsIn: DataFrame, threshold: Double): DataFrame = {
+    // Tokenization (md5 per token) is the expensive map phase and is consumed
+    // three times (signature agg + both verification sides); the signature agg
+    // is consumed twice (band self-join). Materialize each ONCE to scratch
+    // parquet — both self-join sides then scan the same immutable files, with
+    // no block-manager pinning and no eager cache+count race (see Scratch).
+    val docs = Scratch.materialize(docsIn, "graft_lsh_docs")
+    // band_key: the 12 band rows joined then folded to a 60-bit BIGINT via the
+    // shared hash60 — an 8-byte shuffle key instead of a ~60-char string (the
+    // candidate shuffle is the widest one in the query; same hash both engines)
+    val bands = Scratch.materialize(
+      minhashSigs(docs).select(col("doc_id"),
         posexplode(expr(s"""transform(sequence(0, ${Bands - 1}), b ->
-          array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '-'))"""))
-          .as(Seq("band", "band_key")))
-      .cache() // self-joined below; without this Spark recomputes the signature agg for both sides
-    bands.count() // materialize eagerly: both self-join sides racing to fill the
-                  // cache otherwise compute every partition twice
+          ${hash60(s"array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '-')")})"""))
+          .as(Seq("band", "band_key"))),
+      "graft_lsh_bands")
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -211,7 +219,7 @@ object Dedup extends QueryModule {
           SELECT doc_id, g, ${minhashSigDuckOf("g")} AS sig FROM d
         ), bands AS (
           SELECT doc_id, b AS band,
-                 array_to_string(sig[b * $RowsPerBand + 1 : (b + 1) * $RowsPerBand], '-')
+                 ${hash60Duck(s"array_to_string(sig[b * $RowsPerBand + 1 : (b + 1) * $RowsPerBand], '-')")}
                    AS band_key
           FROM s, (SELECT unnest(range(0, $Bands)) AS b)
         ), cand AS (
@@ -240,8 +248,7 @@ object Dedup extends QueryModule {
       .filter(size(col("t")) >= ShingleN)
       .select(col("doc_id"),
         expr(s"array_sort(transform($shinglesOfT, w -> ${hash60("w")}))").as("g"))
-      .cache()
-    lshPairs(docs, 0.9)
+    lshPairs(docs, 0.9) // materializes internally; no cache needed
   }
 
   private val jaccardDedupSql = lshPairsSql(
@@ -255,7 +262,7 @@ object Dedup extends QueryModule {
     * candidates → exact-Jaccard verification on candidates only.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    lshPairs(docTokens(spark, sfDir).cache(), 0.9)
+    lshPairs(docTokens(spark, sfDir), 0.9)
 
   private val minhashLshSql =
     lshPairsSql(s"d AS (SELECT doc_id, list_sort($tokenHashesDuck) AS g FROM documents)", 0.9)
@@ -271,12 +278,14 @@ object Dedup extends QueryModule {
     */
   def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = simhashSigs(docTokens(spark, sfDir))
-    val chunks = docs.select(col("doc_id"), col("sh"),
-      posexplode(expr(
-        "transform(sequence(0, 3), c -> shiftright(sh, c * 16) % 65536)"))
-        .as(Seq("chunk_id", "chunk")))
-      .cache() // self-joined below; avoids recomputing the 64-column signature agg twice
-    chunks.count() // eager materialization (see lshPairs note)
+    // self-joined below; scratch materialization computes the 64-column
+    // signature agg exactly once (see Scratch.materialize)
+    val chunks = Scratch.materialize(
+      docs.select(col("doc_id"), col("sh"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(sh, c * 16) % 65536)"))
+          .as(Seq("chunk_id", "chunk"))),
+      "graft_simhash_chunks")
     val candidates = chunks.as("x").join(chunks.as("y"),
         col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -317,12 +326,14 @@ object Dedup extends QueryModule {
     * double — bit-identical across engines.
     */
   def embeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
-      .withColumn("buckets", expr(Similarity.lshTableBuckets("v")))
-      .cache() // table explode below is self-joined; vectors re-joined for scoring
-    e.count() // eager materialization (see lshPairs note)
+    // bucket table is self-joined and vectors re-joined for scoring; scratch
+    // materialization computes norms + buckets exactly once (see Scratch)
+    val e = Scratch.materialize(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+        .withColumn("buckets", expr(Similarity.lshTableBuckets("v"))),
+      "graft_embdedup")
     val tables = e.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("t", "bucket")))
     val cand = tables.as("x").join(tables.as("y"),
@@ -357,6 +368,103 @@ object Dedup extends QueryModule {
         FROM cand c JOIN e a ON c.ia = a.vec_id JOIN e b ON c.ib = b.vec_id
         WHERE ${Similarity.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
         ORDER BY c.ia, c.ib"""
+
+  // ---- near-dup group resolution (pairs → connected components) ----
+
+  /** Connected components over an undirected pair set `(ia, ib)` via
+    * iterative min-label propagation with pointer jumping: each round a
+    * node's label becomes the min of its own label, its neighbors' labels,
+    * AND its label's label (the pointer-jumping term turns O(diameter)
+    * convergence into ~O(log diameter) — near-dup graphs are dense clusters
+    * with tiny diameter, but the log bound also covers planted chains).
+    *
+    * Each round is two equi-joins + one min-aggregate on the label table,
+    * materialized to scratch parquet so lineage stays flat (no
+    * exponentially-growing plan) and memory stays unpinned. Convergence is
+    * checked exactly (any label strictly decreased?) and asserted within
+    * `maxIters` — the fixpoint, not an iteration budget, defines the result.
+    *
+    * Returns (id, lbl): every node that appears in a pair, labeled by the
+    * min doc_id of its component.
+    */
+  def components(pairsIn: DataFrame, maxIters: Int = 30): DataFrame = {
+    val pa = pairsIn.columns(0)
+    val pb = pairsIn.columns(1)
+    val edges = Scratch.materialize(
+      pairsIn.select(col(pa).as("a"), col(pb).as("b"))
+        .union(pairsIn.select(col(pb).as("a"), col(pa).as("b")))
+        .distinct(),
+      "graft_cc_edges")
+    var labels = Scratch.materialize(
+      edges.select(col("a").as("id")).distinct().withColumn("lbl", col("id")),
+      "graft_cc_labels")
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbr = edges.join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("lbl"))
+      val jump = labels.as("l1").join(labels.as("l2"), col("l1.lbl") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.lbl").as("lbl"))
+      val next = Scratch.materialize(
+        labels.union(nbr).union(jump).groupBy("id").agg(min("lbl").as("lbl")),
+        "graft_cc_labels")
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") < col("o.lbl")).limit(1).count()
+      converged = changed == 0L
+      labels = next
+      it += 1
+    }
+    require(converged, s"connected components did not converge within $maxIters rounds")
+    labels
+  }
+
+  /** `dedup_components`: the end-to-end corpus dedup the pair queries feed —
+    * connected components over the UNION of the MinHash-LSH and SimHash
+    * near-dup pairs, resolved to one canonical survivor (min doc_id) per
+    * component, emitted for EVERY document in the `dedup_exact` row shape:
+    * (doc_id, canonical_id, group_size, is_duplicate). Dropping
+    * `is_duplicate` rows is the actual dedup a training pipeline runs.
+    */
+  def componentsDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select("ia", "ib")
+      .union(simhashDedup(spark, sfDir).select("ia", "ib"))
+    val labels = components(pairs)
+      .select(col("id").as("doc_id"), col("lbl"))
+    val w = Window.partitionBy("canonical_id")
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("canonical_id", coalesce(col("lbl"), col("doc_id")))
+      .drop("lbl")
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: recursive-CTE transitive closure over the same pair union;
+    * a node's canonical id is the least node it can reach (or itself).
+    */
+  private val componentsDedupSql =
+    s"""WITH RECURSIVE pairs AS (
+          SELECT ia, ib FROM ($minhashLshSql)
+          UNION
+          SELECT ia, ib FROM ($simhashDedupSql)
+        ), edges AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION
+          SELECT ib, ia FROM pairs
+        ), reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), lbl AS (
+          SELECT a AS doc_id, LEAST(MIN(b), a) AS canon FROM reach GROUP BY a
+        )
+        SELECT d.doc_id,
+               COALESCE(l.canon, d.doc_id) AS canonical_id,
+               COUNT(*) OVER (PARTITION BY COALESCE(l.canon, d.doc_id)) AS group_size,
+               d.doc_id <> COALESCE(l.canon, d.doc_id) AS is_duplicate
+        FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+        ORDER BY d.doc_id"""
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),

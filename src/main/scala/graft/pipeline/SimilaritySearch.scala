@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryModule, Tables}
+import graft.{QueryModule, Scratch, Tables}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`vec_id bigint, embedding array<float>[64], label int`).
@@ -86,11 +86,12 @@ object SimilaritySearch extends QueryModule {
         FROM r WHERE rnk <= $K ORDER BY qid, rnk"""
 
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vectors(spark, sfDir)
-      .withColumn("buckets", expr(Similarity.lshTableBuckets("v")))
-      .cache() // reused as corpus tables, query side, and scoring side
-    e.count() // eager materialization: concurrent first readers would
-              // otherwise compute every partition once per consumer
+    // reused as corpus tables, query side, and scoring side; scratch
+    // materialization computes norms + buckets exactly once, with no
+    // block-manager pinning (see graft.Scratch.materialize)
+    val e = Scratch.materialize(
+      vectors(spark, sfDir).withColumn("buckets", expr(Similarity.lshTableBuckets("v"))),
+      "graft_simlsh")
     val tables = e.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("t", "bucket")))
     val q = e.filter(col("vec_id") < NumQueries)

@@ -45,6 +45,30 @@ class VectorDotSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("vec_dot is NULL on length mismatch and null elements, like the HOF/oracle fold") {
+    // zip_with pads the short side with NULL and the fold propagates it; a
+    // malformed embedding must surface as NULL, not a partial dot product
+    val cases = Seq(
+      ("vec_dot(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D))",
+        Similarity.dot("array(1.0D, 2.0D)", "array(1.0D, 2.0D, 3.0D)")),
+      ("vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))",
+        Similarity.dot("array(1.0D, CAST(NULL AS DOUBLE))", "array(1.0D, 2.0D)")))
+    cases.foreach { case (native, hof) =>
+      val r = spark.range(1).select(expr(native).as("n"), expr(hof).as("h")).head()
+      assert(r.isNullAt(0), s"native should be null: $native")
+      assert(r.isNullAt(1), s"HOF twin should be null: $hof")
+    }
+    // and the interpreted eval path agrees with codegen
+    val key = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.get(key, "FALLBACK")
+    try {
+      spark.conf.set(key, "NO_CODEGEN")
+      cases.foreach { case (native, _) =>
+        assert(spark.range(1).select(expr(native)).head().isNullAt(0))
+      }
+    } finally spark.conf.set(key, old)
+  }
+
   test("vec_dot handles double-array literals (hyperplanes) and nulls") {
     val r = vecs.select(
       expr("vec_dot(a, array(1.0D, 2.0D, 3.0D))").as("mixed"),
