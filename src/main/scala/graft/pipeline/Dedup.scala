@@ -472,6 +472,7 @@ object Dedup extends QueryModule {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashDedup _),
     "dedup_embedding" -> (embeddingDedup _),
+    "dedup_components" -> (componentsDedup _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -480,5 +481,6 @@ object Dedup extends QueryModule {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashDedupSql,
     "dedup_embedding" -> embeddingDedupSql,
+    "dedup_components" -> componentsDedupSql,
   )
 }

@@ -15,7 +15,9 @@ class DedupSemanticsSpec extends SparkSpec {
 
   /** Fixture corpus written as documents.parquet in a temp sfDir:
     * 1,2 = exact duplicates; 3 = near-dup of 1 (one word changed);
-    * 4 = unrelated.
+    * 4 = unrelated; 10,11,12 = a planted CHAIN (10≈11 and 11≈12 at
+    * Jaccard 48/52 ≈ 0.923 ≥ 0.9, but 10 vs 12 differ in 4 words →
+    * 46/54 ≈ 0.852 < 0.9, so no direct pair survives verification).
     */
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft_dedup_fixture").toString
@@ -26,11 +28,17 @@ class DedupSemanticsSpec extends SparkSpec {
     val base = words("w").mkString(" ")
     val near = base.replace("waz", "changed")
     val other = words("q").mkString(" ")
+    val chainA = words("c").mkString(" ")
+    val chainB = chainA.replace("caa", "alpha").replace("cab", "beta")
+    val chainC = chainB.replace("cac", "gamma").replace("cad", "delta")
     Seq(
       (1L, base, "en", "src0"),
       (2L, base, "en", "src0"),
       (3L, near, "en", "src1"),
-      (4L, other, "en", "src1"))
+      (4L, other, "en", "src1"),
+      (10L, chainA, "en", "src2"),
+      (11L, chainB, "en", "src2"),
+      (12L, chainC, "en", "src2"))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
@@ -64,6 +72,33 @@ class DedupSemanticsSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(simhash.get((1L, 2L)).contains(0)) // identical → hamming 0
     assert(!simhash.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("components resolves a transitive chain to one canonical id (pure pair input)") {
+    // (1,2),(2,3) chain + isolated pair (10,11): labels must propagate
+    // transitively even though (1,3) is not an edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ia", "ib")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup_components folds the planted chain A≈B≈C into one canonical group") {
+    // the chain links exist, but no direct 10–12 pair does (0.852 < 0.9)
+    val minhash = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(minhash.contains((10L, 11L)) && minhash.contains((11L, 12L)))
+    assert(!minhash.contains((10L, 12L)))
+    val rows = Dedup.componentsDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // transitive closure: 12 resolves to 10 despite no direct pair
+    assert(rows.contains((10L, 10L, 3L, false)))
+    assert(rows.contains((11L, 10L, 3L, true)))
+    assert(rows.contains((12L, 10L, 3L, true)))
+    // the exact-dup pair resolves too; near-dup 3 joins via minhash (1≈3)
+    assert(rows.contains((2L, 1L, 3L, true)))
+    // untouched docs are their own singleton groups
+    assert(rows.contains((4L, 4L, 1L, false)))
   }
 
   test("planted identical embeddings are each other's top brute-force neighbor") {
