@@ -98,34 +98,49 @@ object Similarity {
 
   // ---- multi-table LSH (OR-amplification) ----
 
-  /** Planes per table (k): each table has 2^TableBits buckets. */
+  /** DEFAULT planes per table (k): each table has 2^k buckets.
+    *
+    * SCALING RULE — these defaults are FIXTURE-SCALE (500–60k vectors).
+    * Expected candidates per query ≈ L · corpus / 2^k, so size k to the
+    * corpus: k ≈ log2(corpus / target_bucket_size) with target bucket size
+    * ~1–10k vectors (k = 16–20 ⇒ 65k–1M buckets at 10⁸–10⁹ vectors), then
+    * raise L (4–8) until measured recall@k is back over target. The
+    * `similarity_lsh_recall` query IS that measurement — recall@10 of the
+    * LSH path against the brute-force path — runnable at any (k, L) via the
+    * parameters below; the shipped defaults measure ≥ 0.9 on the fixture.
+    * Beyond sign-LSH, the same pipeline shape takes an IVF coarse quantizer:
+    * swap bucket = sign-pattern for bucket = argmin-centroid, keeping the
+    * map-only assignment + bucket equi-join.
+    */
   val TableBits = 4
 
-  /** Number of tables (L): a pair is a candidate if its buckets match in ANY
-    * table. Single-table sign-LSH recall decays as p^k (p = 1 - θ/π per
-    * plane); OR-ing L independent tables lifts it to 1-(1-p^k)^L — the same
-    * banding trick as MinHash-LSH. k/L trade candidate volume vs recall;
-    * raise k (more, smaller buckets) as the corpus grows, raise L to recover
-    * recall. Uses the first L·k of the shared hyperplanes.
+  /** DEFAULT number of tables (L): a pair is a candidate if its buckets
+    * match in ANY table. Single-table sign-LSH recall decays as p^k
+    * (p = 1 - θ/π per plane); OR-ing L independent tables lifts it to
+    * 1-(1-p^k)^L — the same banding trick as MinHash-LSH. k/L trade
+    * candidate volume vs recall; see the scaling rule on [[TableBits]].
+    * Uses the first L·k of the shared hyperplanes.
     */
   val NumTables = 2
 
-  private def tableBucket(v: String, t: Int,
+  private def tableBucket(v: String, t: Int, k: Int,
                           dotFn: (String, String) => String,
                           planeFn: Int => String): String =
-    (0 until TableBits).map { i =>
-      s"CASE WHEN ${dotFn(v, planeFn(t * TableBits + i))} > 0 THEN ${1 << i} ELSE 0 END"
+    (0 until k).map { i =>
+      s"CASE WHEN ${dotFn(v, planeFn(t * k + i))} > 0 THEN ${1 << i} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
-  /** array<int>[NumTables] of per-table bucket ids (Spark; needs `vec_dot`). */
-  def lshTableBuckets(v: String): String =
-    (0 until NumTables)
-      .map(t => tableBucket(v, t, (a, b) => s"vec_dot($a, $b)", planeSpark))
+  /** array<int>[l] of per-table bucket ids (Spark; needs `vec_dot`).
+    * `k`/`l` are per-query knobs — see the scaling rule on [[TableBits]].
+    */
+  def lshTableBuckets(v: String, k: Int = TableBits, l: Int = NumTables): String =
+    (0 until l)
+      .map(t => tableBucket(v, t, k, (a, b) => s"vec_dot($a, $b)", planeSpark))
       .mkString("array(", ", ", ")")
 
   /** DuckDB twin of [[lshTableBuckets]] — identical planes and fold order. */
-  def lshTableBucketsDuck(v: String): String =
-    (0 until NumTables)
-      .map(t => tableBucket(v, t, dotDuck, planeDuck))
+  def lshTableBucketsDuck(v: String, k: Int = TableBits, l: Int = NumTables): String =
+    (0 until l)
+      .map(t => tableBucket(v, t, k, dotDuck, planeDuck))
       .mkString("[", ", ", "]")
 }

@@ -43,6 +43,19 @@ object SimilaritySearch extends QueryModule {
     */
   val NumQueries = 20
 
+  /** LSH knobs for the SEARCH path, tuned on the fixture by the
+    * `similarity_lsh_recall` query (must stay ≥ 0.9): the synthetic
+    * embeddings are near-uniform (top-10 cosines ≈ 0.26–0.37 ⇒ per-plane
+    * collision p ≈ 0.6), so recall needs few bits and many tables here —
+    * est. 1-(1-p^2)^8 ≈ 0.97. Production embeddings cluster (p ≈ 0.8–0.9
+    * for true neighbors), which is what lets k rise to 16–20 at 10⁸+ vectors
+    * per the [[Similarity.TableBits]] scaling rule; re-measure recall with
+    * this same query after any retune. The dedup path keeps the sharper
+    * (k=4, L=2) defaults — its production targets are cosine ≥ 0.9 dups.
+    */
+  val SearchTableBits = 2
+  val SearchNumTables = 8
+
   /** (vec_id, v, nrm): corpus with precomputed L2 norms, map-only. */
   private def vectors(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -85,12 +98,18 @@ object SimilaritySearch extends QueryModule {
         SELECT qid, rnk, vec_id AS neighbor_id, cosine
         FROM r WHERE rnk <= $K ORDER BY qid, rnk"""
 
-  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  /** `tableBits`/`numTables` are the per-query LSH knobs (defaults are the
+    * fixture-scale constants; scaling rule on [[Similarity.TableBits]]).
+    */
+  def lshTopK(spark: SparkSession, sfDir: String,
+              tableBits: Int = SearchTableBits,
+              numTables: Int = SearchNumTables): DataFrame = {
     // reused as corpus tables, query side, and scoring side; scratch
     // materialization computes norms + buckets exactly once, with no
     // block-manager pinning (see graft.Scratch.materialize)
     val e = Scratch.materialize(
-      vectors(spark, sfDir).withColumn("buckets", expr(Similarity.lshTableBuckets("v"))),
+      vectors(spark, sfDir)
+        .withColumn("buckets", expr(Similarity.lshTableBuckets("v", tableBits, numTables))),
       "graft_simlsh")
     val tables = e.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("t", "bucket")))
@@ -109,13 +128,14 @@ object SimilaritySearch extends QueryModule {
 
   private val lshSql =
     s"""WITH e AS (
-          SELECT vec_id, v, nrm, ${Similarity.lshTableBucketsDuck("v")} AS buckets
+          SELECT vec_id, v, nrm,
+                 ${Similarity.lshTableBucketsDuck("v", SearchTableBits, SearchNumTables)} AS buckets
           FROM (SELECT vec_id, embedding AS v,
                        ${Similarity.normDuck("embedding")} AS nrm
                 FROM embeddings)
         ), tb AS (
           SELECT vec_id, i AS t, buckets[i + 1] AS bucket
-          FROM e, (SELECT unnest(range(0, ${Similarity.NumTables})) AS i)
+          FROM e, (SELECT unnest(range(0, $SearchNumTables)) AS i)
         ), q AS (
           SELECT vec_id AS qid, qv, qn FROM
             (SELECT vec_id, v AS qv, nrm AS qn FROM e) WHERE vec_id < $NumQueries
@@ -136,13 +156,45 @@ object SimilaritySearch extends QueryModule {
         SELECT qid, rnk, vec_id AS neighbor_id, cosine
         FROM r WHERE rnk <= $K ORDER BY qid, rnk"""
 
+  /** `similarity_lsh_recall`: recall@K of the LSH path against the exact
+    * brute-force path — the measurement the [[Similarity.TableBits]] scaling
+    * rule calls for. Both paths are deterministic in both engines, so the
+    * recall ratio itself is oracle-checkable: (true top-k rows) left-joined
+    * to (LSH top-k rows), hit fraction in one distributed aggregate. The
+    * shipped defaults must keep this ≥ 0.9 on the fixture; re-run at chosen
+    * (k, L) after any corpus-scale retune.
+    */
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = bruteTopK(spark, sfDir).select("qid", "neighbor_id")
+    val lsh = lshTopK(spark, sfDir).select("qid", "neighbor_id")
+      .withColumn("hit", lit(1L))
+    brute.join(lsh, Seq("qid", "neighbor_id"), "left")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall_at_k"))
+  }
+
+  private val lshRecallSql =
+    s"""WITH brute AS (SELECT qid, neighbor_id FROM ($bruteSql)),
+             lsh AS (SELECT qid, neighbor_id FROM ($lshSql))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN l.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN l.qid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS recall_at_k
+        FROM brute b LEFT JOIN lsh l
+          ON b.qid = l.qid AND b.neighbor_id = l.neighbor_id"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk_brute" -> (bruteTopK _),
-    "similarity_topk_lsh" -> (lshTopK _),
+    "similarity_topk_lsh" -> ((s, d) => lshTopK(s, d)),
+    "similarity_lsh_recall" -> (lshRecall _),
   )
 
   override def oracle: Map[String, String] = Map(
     "similarity_topk_brute" -> bruteSql,
     "similarity_topk_lsh" -> lshSql,
+    "similarity_lsh_recall" -> lshRecallSql,
   )
 }
