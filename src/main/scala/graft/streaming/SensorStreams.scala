@@ -165,39 +165,58 @@ object SensorStreams {
 
   /** K2/T5/T6: console sink, update mode, processing-time trigger (10 s in
     * the reference; configurable so tests don't wall-clock-wait).
+    *
+    * `checkpointDir`: pass a durable location in production — the engine then
+    * persists source offsets + operator state per micro-batch, and a restart
+    * from the same directory resumes exactly where the previous run stopped
+    * (proved by the recovery test in SensorStreamsSpec). The reference runs
+    * checkpoint-free fire-and-forget; we keep that as the default for parity
+    * but the production path is one argument away.
     */
   def startConsole(df: DataFrame, name: String,
-                   triggerInterval: String = "10 seconds"): StreamingQuery =
-    df.writeStream
+                   triggerInterval: String = "10 seconds",
+                   checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = df.writeStream
       .queryName(name)
       .outputMode("update")
       .format("console")
       .option("truncate", value = false)
       .trigger(Trigger.ProcessingTime(triggerInterval))
-      .start()
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 
   /** Memory-table sink twin of [[startConsole]] — same update mode + trigger,
     * but queryable (`SELECT * FROM <name>`); used by tests and the demo.
+    * Same `checkpointDir` contract as [[startConsole]].
     */
   def startMemory(df: DataFrame, name: String, outputMode: String = "update",
-                  triggerInterval: String = "10 seconds"): StreamingQuery =
-    df.writeStream
+                  triggerInterval: String = "10 seconds",
+                  checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = df.writeStream
       .queryName(name)
       .outputMode(outputMode)
       .format("memory")
       .trigger(Trigger.ProcessingTime(triggerInterval))
-      .start()
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 
   /** T8: the reference's three concurrent queries over ONE source directory
-    * (q4 cell 0:61-123): per-key stats, tumbling, sliding.
+    * (q4 cell 0:61-123): per-key stats, tumbling, sliding. With
+    * `checkpointRoot`, each query checkpoints under `<root>/<name>`
+    * (concurrent queries must never share a checkpoint directory).
     */
   def startAll(spark: SparkSession, dir: String,
-               triggerInterval: String = "10 seconds"): Seq[StreamingQuery] = {
+               triggerInterval: String = "10 seconds",
+               checkpointRoot: Option[String] = None): Seq[StreamingQuery] = {
     val src = parsed(fileSource(spark, dir))
+    def ckpt(name: String): Option[String] = checkpointRoot.map(r => s"$r/$name")
     Seq(
-      startMemory(perKeyStats(src), "sensor_per_key", "update", triggerInterval),
-      startMemory(tumbling(src), "sensor_tumbling", "update", triggerInterval),
-      startMemory(sliding(src), "sensor_sliding", "update", triggerInterval))
+      startMemory(perKeyStats(src), "sensor_per_key", "update", triggerInterval,
+        ckpt("sensor_per_key")),
+      startMemory(tumbling(src), "sensor_tumbling", "update", triggerInterval,
+        ckpt("sensor_tumbling")),
+      startMemory(sliding(src), "sensor_sliding", "update", triggerInterval,
+        ckpt("sensor_sliding")))
   }
 
   /** K4: enumerate + stop every active query (q4 cell 2). */

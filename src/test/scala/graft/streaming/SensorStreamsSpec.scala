@@ -91,12 +91,7 @@ class SensorStreamsSpec extends SparkSpec {
 
   test("declared-schema file source feeds three concurrent queries (S3/T8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_test")
-    Seq(batch1, Seq(onTime2)).zipWithIndex.foreach { case (evs, i) =>
-      val json = evs.map(e =>
-        s"""{"event_id":${e.event_id},"ts":"${e.ts.toInstant}","user_id":${e.user_id},""" +
-          s""""event_type":"${e.event_type}","value":${e.value},"props":"{}"}""").mkString("\n")
-      java.nio.file.Files.writeString(dir.resolve(s"f$i.json"), json)
-    }
+    writeJson(dir, Seq(batch1, Seq(onTime2)))
     val queries = SensorStreams.startAll(spark, dir.toString, triggerInterval = "1 second")
     try {
       assert(queries.length === 3 && spark.streams.active.length >= 3)
@@ -110,6 +105,54 @@ class SensorStreamsSpec extends SparkSpec {
       assert(streamed === batch)
     } finally SensorStreams.stopAll(spark)
     assert(spark.streams.active.isEmpty)
+  }
+
+  /** One JSON-lines file per element of `batches`, named from `from`. */
+  private def writeJson(dir: java.nio.file.Path, batches: Seq[Seq[Ev]], from: Int = 0): Unit =
+    batches.zipWithIndex.foreach { case (evs, i) =>
+      val json = evs.map(e =>
+        s"""{"event_id":${e.event_id},"ts":"${e.ts.toInstant}","user_id":${e.user_id},""" +
+          s""""event_type":"${e.event_type}","value":${e.value},"props":"{}"}""").mkString("\n")
+      java.nio.file.Files.writeString(dir.resolve(s"f${from + i}.json"), json)
+    }
+
+  test("checkpointed stream restarts with state AND source offsets intact (recovery)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_recov_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_recov_ckpt").toString
+    def perKey = SensorStreams.perKeyStats(
+      SensorStreams.parsed(SensorStreams.fileSource(spark, dir.toString)))
+
+    writeJson(dir, Seq(batch1))
+    val q1 = SensorStreams.startMemory(perKey, "recov_run1", "complete",
+      "1 second", Some(ckpt))
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    // second file arrives while the query is DOWN
+    writeJson(dir, Seq(Seq(onTime2)), from = 1)
+    val q2 = SensorStreams.startMemory(perKey, "recov_run2", "complete",
+      "1 second", Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.table("recov_run2").orderBy("event_type").collect().toSeq
+      val batch = Events.perKeyStats((batch1 :+ onTime2).toDF)
+        .orderBy("event_type").collect().toSeq
+      // equality proves BOTH directions of recovery: batch1's contribution is
+      // present (state restored from the checkpoint) and not double-counted
+      // (f0's offset was committed, so the restarted run read only f1)
+      assert(streamed === batch)
+    } finally q2.stop()
+  }
+
+  test("console sink runs a micro-batch in update mode (K2)") {
+    val src = MemoryStream[Ev]
+    val q = SensorStreams.startConsole(SensorStreams.perKeyStats(src.toDF),
+      "console_q", "1 second")
+    try {
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.numInputRows).sum === batch1.length.toLong)
+      assert(q.lastProgress.sink.description.toLowerCase.contains("console"))
+    } finally q.stop()
   }
 
   test("flatMapGroupsWithState sessionization closes sessions by gap and by timeout") {
