@@ -172,6 +172,18 @@ object Dedup extends QueryModule {
         FROM f WINDOW w AS (PARTITION BY fingerprint)
         ORDER BY doc_id"""
 
+  /** (doc_id, band, band_key): `Bands` rows per doc from a (doc_id, sig)
+    * frame. band_key is the 12 band rows joined then folded to a 60-bit
+    * BIGINT via the shared hash60 — an 8-byte shuffle key instead of a
+    * ~60-char string (the candidate shuffle is the widest one in the LSH
+    * queries; same hash on the oracle side).
+    */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(expr(s"""transform(sequence(0, ${Bands - 1}), b ->
+        ${hash60(s"array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '-')")})"""))
+        .as(Seq("band", "band_key")))
+
   /** Shared LSH near-dup pipeline over any (doc_id, g: array<bigint>) hash
     * universe: MinHash signatures (codegen'd agg) → band explode → bucket
     * equi-join for candidates → exact-Jaccard verification on candidates
@@ -186,15 +198,7 @@ object Dedup extends QueryModule {
     // parquet — both self-join sides then scan the same immutable files, with
     // no block-manager pinning and no eager cache+count race (see Scratch).
     val docs = Scratch.materialize(docsIn, "graft_lsh_docs")
-    // band_key: the 12 band rows joined then folded to a 60-bit BIGINT via the
-    // shared hash60 — an 8-byte shuffle key instead of a ~60-char string (the
-    // candidate shuffle is the widest one in the query; same hash both engines)
-    val bands = Scratch.materialize(
-      minhashSigs(docs).select(col("doc_id"),
-        posexplode(expr(s"""transform(sequence(0, ${Bands - 1}), b ->
-          ${hash60(s"array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '-')")})"""))
-          .as(Seq("band", "band_key"))),
-      "graft_lsh_bands")
+    val bands = Scratch.materialize(bandsOf(minhashSigs(docs)), "graft_lsh_bands")
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -369,6 +373,69 @@ object Dedup extends QueryModule {
         WHERE ${Similarity.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
         ORDER BY c.ia, c.ib"""
 
+  // ---- incremental dedup against a persisted band index ----
+
+  /** `dedup_incremental`: dedup NEW documents against an already-indexed
+    * corpus WITHOUT re-shuffling the corpus — the steady-state shape of a
+    * production ingest pipeline, where the corpus index is built once and
+    * each arriving batch only probes it.
+    *
+    * Split (fixture stand-in for "existing corpus" vs "today's batch"):
+    * corpus = doc_id % 10 != 0, new = doc_id % 10 == 0. The corpus band
+    * table is persisted BUCKETED BY the join key (band, band_key): a probe
+    * join then reads the index partitioning straight from the files — no
+    * Exchange on the corpus side, only the (much smaller) probe side
+    * shuffles into the bucket layout (asserted in PlanAssertionsSpec).
+    * At 100 TB the index build amortizes across every future batch; daily
+    * ingest cost is proportional to the batch, not the corpus.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = docTokens(spark, sfDir)
+    val corpus = Scratch.materialize(all.filter(col("doc_id") % 10 =!= 0), "graft_inc_corpus")
+    val newDocs = Scratch.materialize(all.filter(col("doc_id") % 10 === 0), "graft_inc_new")
+    // the "offline" index build: banded signatures, bucketed by the probe key
+    bandsOf(minhashSigs(corpus)).write.mode("overwrite")
+      .option("path", Scratch.dir("graft_band_index"))
+      .bucketBy(16, "band", "band_key")
+      .sortBy("band", "band_key")
+      .saveAsTable("graft_band_index")
+    val index = spark.table("graft_band_index")
+    // the "online" probe: new docs' bands join the index in place
+    val cand = bandsOf(minhashSigs(newDocs)).as("x").join(index.as("y"), Seq("band", "band_key"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(newDocs.select(col("doc_id").as("new_id"), col("g").as("ga")), "new_id")
+      .join(corpus.select(col("doc_id").as("corpus_id"), col("g").as("gb")), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("jaccard") >= 0.9)
+      .select("new_id", "corpus_id", "jaccard")
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH d AS (SELECT doc_id, list_sort($tokenHashesDuck) AS g FROM documents),
+          s AS (SELECT doc_id, ${minhashSigDuckOf("g")} AS sig FROM d),
+          bands AS (
+            SELECT doc_id, b AS band,
+                   ${hash60Duck(s"array_to_string(sig[b * $RowsPerBand + 1 : (b + 1) * $RowsPerBand], '-')")}
+                     AS band_key
+            FROM s, (SELECT unnest(range(0, $Bands)) AS b)
+          ), cand AS (
+            SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+            FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+            WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+          )
+          SELECT c.new_id, c.corpus_id,
+                 CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                   / len(list_distinct(a.g || b.g)) AS jaccard
+          FROM cand c JOIN d a ON c.new_id = a.doc_id JOIN d b ON c.corpus_id = b.doc_id
+          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / len(list_distinct(a.g || b.g)) >= 0.9
+          ORDER BY c.new_id, c.corpus_id"""
+
   // ---- near-dup group resolution (pairs → connected components) ----
 
   /** Connected components over an undirected pair set `(ia, ib)` via
@@ -473,6 +540,7 @@ object Dedup extends QueryModule {
     "dedup_simhash" -> (simhashDedup _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_components" -> (componentsDedup _),
+    "dedup_incremental" -> (incrementalDedup _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -482,5 +550,6 @@ object Dedup extends QueryModule {
     "dedup_simhash" -> simhashDedupSql,
     "dedup_embedding" -> embeddingDedupSql,
     "dedup_components" -> componentsDedupSql,
+    "dedup_incremental" -> incrementalDedupSql,
   )
 }

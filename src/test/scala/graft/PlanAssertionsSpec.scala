@@ -34,6 +34,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incremental dedup probes the bucketed band index without shuffling it") {
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path: at fixture scale the probe side would
+      // auto-broadcast, which proves nothing about the index bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = SparkEntry.queries("dedup_incremental")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      // the (band, band_key) join may shuffle the probe side into the bucket
+      // layout, but never the corpus index side: exactly one such exchange
+      val exchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"corpus index side re-shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
