@@ -8,10 +8,13 @@ import org.apache.spark.sql.SparkSessionExtensions
   * functions up without touching internal session state.
   *
   * Functions: `vec_dot(array<float|double>, array<float|double>) -> double`
-  * (codegen'd strict-left-fold dot product; see [[functions.VectorDot]]).
+  * (codegen'd strict-left-fold dot product; see [[functions.VectorDot]]) and
+  * `kmv_distinct(hash bigint) -> double` (bounded-buffer KMV distinct-count
+  * sketch; see [[functions.KmvSketchAgg]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(functions.VectorDot.description)
+    ext.injectFunction(functions.KmvSketchAgg.description)
   }
 }

@@ -21,8 +21,10 @@ case class KmvBuf(hashes: Seq[Long])
   *
   * Scale: the buffer is ≤ K longs per group regardless of input size;
   * map-side partial aggregation reduces each partition to one buffer before
-  * the shuffle. The per-row sorted-Seq insert is O(K) — fine for K=64; a
-  * production TypedImperativeAggregate would keep a mutable bounded heap.
+  * the shuffle. The per-row sorted-Seq insert is O(K) — this Aggregator is
+  * the reference/spec form; the production path is [[KmvSketchAgg]], a
+  * TypedImperativeAggregate with an O(log K) mutable bounded ordered set,
+  * proven bit-identical in KmvSketchSpec and used by `events_kmv_distinct`.
   */
 object KmvSketch extends Aggregator[Long, KmvBuf, Double] {
 

@@ -169,16 +169,16 @@ object Events extends QueryModule {
     * deterministic (min-K of a set), so the DuckDB oracle reproduces the
     * estimate bit-for-bit from the same hashes and k-th order statistic.
     */
-  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    val kmv = udaf(graft.functions.KmvSketch)
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"),
         expr(graft.pipeline.Dedup.hash60("CAST(user_id AS STRING)")).as("h"))
       .groupBy("event_type")
       .agg(countDistinct("user_id").as("exact_users"),
-        kmv(col("h")).as("kmv_estimate"))
+        // production form: bounded-buffer TypedImperativeAggregate installed
+        // as SQL fn kmv_distinct (bit-identical to the KmvSketch Aggregator)
+        expr("kmv_distinct(h)").as("kmv_estimate"))
       .orderBy("event_type")
-  }
 
   private val kmvDistinctSql = {
     val k = graft.functions.KmvSketch.K

@@ -33,4 +33,23 @@ class KmvSketchSpec extends AnyFunSuite {
     val est = KmvSketch.finish(sketchOf(hs))
     assert(est > n * 0.6 && est < n * 1.4) // K=64 → ~13% rse; 40% is >3 sigma
   }
+
+  test("TypedImperativeAggregate form is bit-identical under merge-heavy partials") {
+    // drive the imperative buffer directly through a worst case for bounded
+    // state: 64 single-element partials serialized/deserialized then merged
+    // pairwise in a skewed order, with duplicates across partials
+    val agg = KmvSketchAgg(org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    val hs = (1 to 640).map(i => (i.toLong * 2654435761L) % (1L << 60))
+    def bufOf(part: Seq[Long]) = {
+      val b = agg.createAggregationBuffer()
+      part.foreach(h => { b.add(h); while (b.size > KmvSketch.K) b.pollLast() })
+      agg.deserialize(agg.serialize(b)) // round-trip the shuffle format
+    }
+    val partials = (hs ++ hs.take(100)).grouped(10).map(p => bufOf(p)).toSeq
+    val merged = partials.reduceLeft(agg.merge)
+    val expected = KmvSketch.finish(hs.foldLeft(KmvSketch.zero)(KmvSketch.reduce))
+    assert(java.lang.Double.doubleToLongBits(agg.eval(merged).asInstanceOf[Double]) ===
+      java.lang.Double.doubleToLongBits(expected))
+    assert(merged.size === KmvSketch.K)
+  }
 }
