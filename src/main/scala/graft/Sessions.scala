@@ -15,8 +15,8 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.ts is TIMESTAMP(NANOS) parquet; declared at construction so no
-      // loader has to flip session state mid-flight (Tables.events re-asserts
-      // it for foreign sessions)
+      // loader has to flip session state mid-flight (Tables.events REQUIRES
+      // it, failing fast on foreign sessions instead of mutating them)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -20,12 +20,17 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by default
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (runtime SQL conf) and
-    * rebuild a microsecond TimestampType column — truncation matches DuckDB's
-    * own ns→µs cast, so oracle comparisons agree.
+    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (session conf, declared at
+    * construction in [[Sessions.local]]) and rebuild a microsecond
+    * TimestampType column — truncation matches DuckDB's own ns→µs cast, so
+    * oracle comparisons agree. A loader must not mutate session state, so a
+    * foreign session without the conf fails fast with the fix spelled out
+    * instead of being silently reconfigured mid-flight.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session via graft.Sessions.local " +
+        "(or set spark.sql.legacy.parquet.nanosAsLong=true at session construction)")
     val raw = table(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
     // integral `div`, not `/`: double division would lose sub-µs precision
