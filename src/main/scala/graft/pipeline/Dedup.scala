@@ -219,7 +219,11 @@ object Dedup extends QueryModule {
       // The signature agg is consumed twice (band self-join). Materialize it
       // ONCE to scratch parquet — both self-join sides then scan the same
       // immutable files, with no block-manager pinning and no eager
-      // cache+count race (see Scratch).
+      // cache+count race (see Scratch). NOTE a bucket-explode formulation
+      // (groupBy collect_list + chunked pair transform) was benchmarked and
+      // LOST to this join by ~1.6×: the nested higher-order functions build
+      // interpreted GenericArrayData per cell while the join stays inside
+      // whole-stage codegen end-to-end.
       val allBands = Scratch.materialize(bandsOf(minhashSigs(docs)), "graft_lsh_bands")
       // skew guard (see MaxBucket): the window shuffle partitions by the same
       // keys the self-join needs, so the exchange is reused, not added
@@ -511,28 +515,51 @@ object Dedup extends QueryModule {
 
   // ---- near-dup group resolution (pairs → connected components) ----
 
-  /** Connected components over an undirected pair set `(ia, ib)` via
-    * iterative min-label propagation with pointer jumping: each round a
-    * node's label becomes the min of its own label, its neighbors' labels,
-    * AND its label's label (the pointer-jumping term turns O(diameter)
-    * convergence into ~O(log diameter) — near-dup graphs are dense clusters
-    * with tiny diameter, but the log bound also covers planted chains).
+  /** Connected components over an undirected pair set `(ia, ib)`, two-phase:
     *
-    * Each round is two equi-joins + one min-aggregate on the label table,
-    * materialized to scratch parquet so lineage stays flat (no
-    * exponentially-growing plan) and memory stays unpinned. Convergence is
-    * checked exactly (any label strictly decreased?) and asserted within
-    * `maxIters` — the fixpoint, not an iteration budget, defines the result.
+    * Phase 1 — CONTRACTION. One shuffle over the raw edges labels every node
+    * `min(id, min neighbor)`; the iteration then runs on the LABEL graph
+    * (an edge (la, lb) per original edge whose endpoints got different
+    * labels). On a near-dup corpus the raw graph is dense cliques — the
+    * label graph is smaller than the node graph by roughly the mean cluster
+    * size, so every subsequent round joins a table orders of magnitude
+    * smaller than the pair set. (Contraction preserves components, and the
+    * global min m of a component always labels itself: lbl(m) = m.)
+    *
+    * Phase 2 — iterative min-label propagation with pointer jumping on the
+    * contracted graph: each round a node's label becomes the min of its own
+    * label, its neighbors' labels, AND its label's label (the
+    * pointer-jumping term turns O(diameter) convergence into ~O(log
+    * diameter)). Each round is two equi-joins + one min-aggregate on the
+    * small label table, materialized to scratch parquet so lineage stays
+    * flat (no exponentially-growing plan) and memory stays unpinned.
+    * Convergence is checked exactly (any label strictly decreased?) and
+    * asserted within `maxIters` — the fixpoint, not an iteration budget,
+    * defines the result.
     *
     * Returns (id, lbl): every node that appears in a pair, labeled by the
-    * min doc_id of its component.
+    * min doc_id of its component (composition: node → phase-1 label → that
+    * label's phase-2 component min).
     */
   def components(pairsIn: DataFrame, maxIters: Int = 30): DataFrame = {
     val pa = pairsIn.columns(0)
     val pb = pairsIn.columns(1)
+    // lazy symmetric view of the (memoized-parquet) pair scans: consumed by
+    // exactly two jobs below, cheaper to re-scan than to re-materialize 2M
+    // rows that phase 1 immediately collapses
+    val undirected = pairsIn.select(col(pa).as("a"), col(pb).as("b"))
+      .union(pairsIn.select(col(pb).as("a"), col(pa).as("b")))
+    val base = Scratch.materialize(
+      undirected.groupBy(col("a").as("id")).agg(min("b").as("mb"))
+        .select(col("id"), least(col("id"), col("mb")).as("lbl")),
+      "graft_cc_base")
+    // the contracted graph: already symmetric because `undirected` is
     val edges = Scratch.materialize(
-      pairsIn.select(col(pa).as("a"), col(pb).as("b"))
-        .union(pairsIn.select(col(pb).as("a"), col(pa).as("b")))
+      undirected
+        .join(base.select(col("id").as("a"), col("lbl").as("la")), "a")
+        .join(base.select(col("id").as("b"), col("lbl").as("lb")), "b")
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("a"), col("lb").as("b"))
         .distinct(),
       "graft_cc_edges")
     // round 0 folded into the init: lbl = min(id, min direct neighbor)
@@ -567,7 +594,11 @@ object Dedup extends QueryModule {
       it += 1
     }
     require(converged, s"connected components did not converge within $maxIters rounds")
-    labels
+    // compose: node → phase-1 label → its contracted component's min. A
+    // phase-1 label absent from the contracted graph (its whole cluster
+    // collapsed onto it) is already the component min — coalesce keeps it.
+    base.as("n").join(labels.as("r"), col("n.lbl") === col("r.id"), "left")
+      .select(col("n.id").as("id"), coalesce(col("r.lbl"), col("n.lbl")).as("lbl"))
   }
 
   /** `dedup_components`: the end-to-end corpus dedup the pair queries feed —
