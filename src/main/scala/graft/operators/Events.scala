@@ -205,6 +205,88 @@ object Events extends QueryModule {
         ORDER BY event_type"""
   }
 
+  /** The static user dimension for enrichment joins: customer keyed by
+    * custkey with its market segment. events.user_id draws from the custkey
+    * domain in the synthetic data, mirroring a production user→profile dim.
+    */
+  def userDim(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+
+  /** Enrichment join core, shared verbatim by the batch query below and the
+    * stream-static join (`SensorStreams.enriched`) — the sharing is what
+    * makes the STREAMING join oracle-checkable: the stream must converge to
+    * this. Inner equi-join on user_id; no broadcast hint — a dimension this
+    * size is AQE's call (broadcast when small, shuffle on user_id when the
+    * dim outgrows executors; either way stateless per micro-batch on the
+    * stream side).
+    */
+  def enrichJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim, Seq("user_id"))
+
+  def enrichedQ(spark: SparkSession, sfDir: String): DataFrame =
+    enrichJoin(withEventTime(Tables.events(spark, sfDir)), userDim(spark, sfDir))
+      .select("event_id", "user_id", "event_type", "value", "segment")
+      .orderBy("event_id")
+
+  private val enrichedSql =
+    """SELECT e.event_id, e.user_id, e.event_type, e.value,
+              c.c_mktsegment AS segment
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       WHERE e.ts IS NOT NULL
+       ORDER BY e.event_id"""
+
+  /** Attribution window for the click→purchase interval join. */
+  val AttributionWindow = "6 hours"
+
+  /** The two sides of the attribution join, projected to disjoint column
+    * names so the streaming path can watermark each side independently.
+    * Both expect `event_time` (post-[[withEventTime]]).
+    */
+  def clicksOf(df: DataFrame): DataFrame =
+    df.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+
+  def purchasesOf(df: DataFrame): DataFrame =
+    df.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("event_time").as("purchase_time"))
+
+  /** Interval-join core (click ⋈ purchase by user within
+    * [[AttributionWindow]]), shared by the batch query and the watermarked
+    * stream-stream join (`SensorStreams.attribution`). The equi-key
+    * (user_id) carries the shuffle; the time range is a post-join predicate
+    * batch-side and the state-retention bound stream-side — Spark derives
+    * "a click older than watermark − window can never match again" from
+    * exactly this condition and evicts its state.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr(s"INTERVAL $AttributionWindow"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_time"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        date_format(col("purchase_time"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+
+  def attributionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withEventTime(Tables.events(spark, sfDir))
+    attributionJoin(clicksOf(e), purchasesOf(e))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  private val attributionSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+              strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+              strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+       WHERE c.ts IS NOT NULL AND p.ts IS NOT NULL
+       ORDER BY click_id, purchase_id"""
+
   /** JSON scalar surface (SURVEY §2.8): extract props.k per event, aggregate
     * per event_type. get_json_object ↔ json_extract_string.
     */
@@ -234,6 +316,8 @@ object Events extends QueryModule {
     "events_sessionize" -> (sessionizeQ _),
     "events_kmv_distinct" -> (kmvDistinct _),
     "events_props_json" -> (propsExtract _),
+    "events_enriched" -> (enrichedQ _),
+    "events_attribution" -> (attributionQ _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -243,5 +327,7 @@ object Events extends QueryModule {
     "events_sessionize" -> sessionizeSql,
     "events_kmv_distinct" -> kmvDistinctSql,
     "events_props_json" -> propsExtractSql,
+    "events_enriched" -> enrichedSql,
+    "events_attribution" -> attributionSql,
   )
 }

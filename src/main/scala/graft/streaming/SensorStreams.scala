@@ -151,6 +151,42 @@ object SensorStreams {
       }
   }
 
+  /** Stream-static enrichment join: the event stream against a STATIC
+    * dimension frame (user → segment), the first join any production
+    * pipeline adds. Stateless — each micro-batch joins the dim and moves on
+    * (no streaming state at all), so it composes with any output mode. The
+    * join core is `Events.enrichJoin`, the SAME function the DuckDB-checked
+    * batch row `events_enriched` runs — convergence to that row is the
+    * correctness contract (tested in SensorStreamsSpec).
+    *
+    * Scale: the static side is re-planned per micro-batch — AQE broadcasts
+    * it while it fits, and a huge dim degrades to a shuffle on user_id, not
+    * to driver state.
+    */
+  def enriched(stream: DataFrame, dim: DataFrame): DataFrame =
+    Events.enrichJoin(Events.withEventTime(stream), dim)
+      .select("event_id", "user_id", "event_type", "value", "segment")
+
+  /** Watermarked stream-stream interval join: purchases attributed to the
+    * same user's clicks within `Events.AttributionWindow`, both sides carved
+    * from ONE source stream. Each side carries its own watermark and the
+    * join condition bounds purchase_time to [click_time, click_time+window],
+    * which is exactly what lets Spark evict state: a click older than
+    * (watermark − window) can never match a future purchase, so its state
+    * is dropped — retention is O(window × arrival rate), not unbounded.
+    * Inner join ⇒ matches emit as soon as both sides arrive (append mode).
+    *
+    * Same oracle-checkable shape as [[enriched]]: the core is
+    * `Events.attributionJoin`, shared with the DuckDB-verified batch row
+    * `events_attribution`.
+    */
+  def attribution(stream: DataFrame): DataFrame = {
+    val e = Events.withEventTime(stream)
+    Events.attributionJoin(
+      Events.clicksOf(e).withWatermark("click_time", "2 minutes"),
+      Events.purchasesOf(e).withWatermark("purchase_time", "2 minutes"))
+  }
+
   /** Streaming exact dedup — the unbounded twin of the batch `dedup_exact`
     * operator: duplicate `event_id`s are dropped across micro-batches ON THE
     * ID ALONE (`dropDuplicatesWithinWatermark`, so a producer retry with a

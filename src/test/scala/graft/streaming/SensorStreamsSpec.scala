@@ -219,6 +219,61 @@ class SensorStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join converges to the batch twin") {
+    val dim = Seq((1L, "AUTO"), (2L, "HOUSE"), (3L, "MACH"), (6L, "BLDG"))
+      .toDF("user_id", "segment")
+    val src = MemoryStream[Ev]
+    val q = SensorStreams.enriched(src.toDF, dim).writeStream
+      .queryName("conv_enriched").outputMode("append").format("memory").start()
+    try {
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      src.addData(late, onTime2) // stateless: the "late" row still enriches
+      q.processAllAvailable()
+      val streamed = spark.table("conv_enriched").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getString(4)))
+        .toSet
+      val batch = SensorStreams.enriched((batch1 :+ late :+ onTime2).toDF, dim).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getString(4)))
+        .toSet
+      // user 5 (event 5, 5 % 7) and user 4 are absent from the dim → inner
+      // join drops them in BOTH paths; everything else enriches identically
+      assert(streamed === batch && streamed.nonEmpty)
+      assert(!streamed.exists(_._2 == 4L))
+    } finally q.stop()
+  }
+
+  test("watermarked stream-stream interval join matches across micro-batches and converges") {
+    val events = Seq(
+      ev(1, "2024-01-01T00:00:00Z", "click", 1.0).copy(user_id = 1),
+      ev(2, "2024-01-01T01:00:00Z", "purchase", 9.0).copy(user_id = 1), // in-window (1h)
+      ev(3, "2024-01-01T00:30:00Z", "click", 1.0).copy(user_id = 2),
+      ev(4, "2024-01-01T08:00:00Z", "purchase", 9.0).copy(user_id = 2), // out of 6h window
+      ev(5, "2024-01-01T05:30:00Z", "purchase", 9.0).copy(user_id = 1)) // 2nd match for click 1
+    val src = MemoryStream[Ev]
+    val q = SensorStreams.attribution(src.toDF).writeStream
+      .queryName("conv_attr").outputMode("append").format("memory").start()
+    try {
+      // clicks arrive first; both matching purchases arrive in LATER
+      // micro-batches — the matches can only come from buffered join state
+      src.addData(events(0), events(2))
+      q.processAllAvailable()
+      src.addData(events(1), events(3))
+      q.processAllAvailable()
+      src.addData(events(4))
+      q.processAllAvailable()
+      val streamed = spark.table("conv_attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+        .toSet
+      val e = Events.withEventTime(events.toDF)
+      val batch = Events.attributionJoin(Events.clicksOf(e), Events.purchasesOf(e)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.map(t => (t._2, t._3)) === Set((1L, 2L), (1L, 5L))) // click 1 → purchases 2 and 5
+    } finally q.stop()
+  }
+
   test("query lifecycle: active registry empties after stopAll (K4)") {
     val src = MemoryStream[Ev]
     SensorStreams.startMemory(SensorStreams.perKeyStats(src.toDF), "lifecycle_q",
