@@ -116,32 +116,57 @@ class SensorStreamsSpec extends SparkSpec {
       java.nio.file.Files.writeString(dir.resolve(s"f${from + i}.json"), json)
     }
 
-  test("checkpointed stream restarts with state AND source offsets intact (recovery)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_recov_src")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_recov_ckpt").toString
-    def perKey = SensorStreams.perKeyStats(
-      SensorStreams.parsed(SensorStreams.fileSource(spark, dir.toString)))
+  /** Both keyed-state backends the engine supports: the default in-memory
+    * (HDFS-backed) provider and RocksDB — the provider 100 TB-scale keyed
+    * state actually runs on (state spills to local SSD instead of living on
+    * the executor heap). The provider is read from the session conf at query
+    * START, so scoping the setting around the scenario pins it per test.
+    */
+  private val providers = Seq(
+    "default" -> None,
+    "rocksdb" -> Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
 
-    writeJson(dir, Seq(batch1))
-    val q1 = SensorStreams.startMemory(perKey, "recov_run1", "complete",
-      "1 second", Some(ckpt))
-    try { q1.processAllAvailable() } finally q1.stop()
-
-    // second file arrives while the query is DOWN
-    writeJson(dir, Seq(Seq(onTime2)), from = 1)
-    val q2 = SensorStreams.startMemory(perKey, "recov_run2", "complete",
-      "1 second", Some(ckpt))
-    try {
-      q2.processAllAvailable()
-      val streamed = spark.table("recov_run2").orderBy("event_type").collect().toSeq
-      val batch = Events.perKeyStats((batch1 :+ onTime2).toDF)
-        .orderBy("event_type").collect().toSeq
-      // equality proves BOTH directions of recovery: batch1's contribution is
-      // present (state restored from the checkpoint) and not double-counted
-      // (f0's offset was committed, so the restarted run read only f1)
-      assert(streamed === batch)
-    } finally q2.stop()
+  private def withStateProvider(providerClass: Option[String])(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    providerClass.foreach(spark.conf.set(key, _))
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
+
+  for ((tag, providerClass) <- providers)
+    test(s"checkpointed stream restarts with state AND source offsets intact ($tag provider)") {
+      withStateProvider(providerClass) {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_recov_src_$tag")
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft_recov_ckpt_$tag").toString
+        def perKey = SensorStreams.perKeyStats(
+          SensorStreams.parsed(SensorStreams.fileSource(spark, dir.toString)))
+
+        writeJson(dir, Seq(batch1))
+        val q1 = SensorStreams.startMemory(perKey, s"recov_${tag}_run1", "complete",
+          "1 second", Some(ckpt))
+        try { q1.processAllAvailable() } finally q1.stop()
+
+        // second file arrives while the query is DOWN
+        writeJson(dir, Seq(Seq(onTime2)), from = 1)
+        val q2 = SensorStreams.startMemory(perKey, s"recov_${tag}_run2", "complete",
+          "1 second", Some(ckpt))
+        try {
+          q2.processAllAvailable()
+          val streamed = spark.table(s"recov_${tag}_run2").orderBy("event_type").collect().toSeq
+          val batch = Events.perKeyStats((batch1 :+ onTime2).toDF)
+            .orderBy("event_type").collect().toSeq
+          // equality proves BOTH directions of recovery: batch1's contribution is
+          // present (state restored from the checkpoint) and not double-counted
+          // (f0's offset was committed, so the restarted run read only f1)
+          assert(streamed === batch)
+        } finally q2.stop()
+      }
+    }
 
   test("console sink runs a micro-batch in update mode (K2)") {
     val src = MemoryStream[Ev]
@@ -155,10 +180,15 @@ class SensorStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("flatMapGroupsWithState sessionization closes sessions by gap and by timeout") {
+  for ((tag, providerClass) <- providers)
+    test(s"flatMapGroupsWithState sessionization closes sessions by gap and by timeout ($tag provider)") {
+      withStateProvider(providerClass) { sessionizeScenario(tag) }
+    }
+
+  private def sessionizeScenario(tag: String): Unit = {
     val src = MemoryStream[Ev]
     val q = SensorStreams.sessionize(src.toDF).writeStream
-      .queryName("sessions").outputMode("append").format("memory").start()
+      .queryName(s"sessions_$tag").outputMode("append").format("memory").start()
     try {
       // b1: user 1 two events 60s apart, user 2 one event
       src.addData(
@@ -177,7 +207,7 @@ class SensorStreamsSpec extends SparkSpec {
       src.addData(ev(6, "2024-01-03T12:00:00Z", "view", 1.0).copy(user_id = 99))
       q.processAllAvailable()
 
-      val sessions = spark.table("sessions").collect()
+      val sessions = spark.table(s"sessions_$tag").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
       val expected = Set(
         (1L, "2024-01-01 00:00:00", "2024-01-01 12:01:00", 2L), // closed by gap in b2
