@@ -223,7 +223,12 @@ object SensorStreams {
 
   /** Memory-table sink twin of [[startConsole]] — same update mode + trigger,
     * but queryable (`SELECT * FROM <name>`); used by tests and the demo.
-    * Same `checkpointDir` contract as [[startConsole]].
+    * Same `checkpointDir` contract as [[startConsole]] with one caveat: the
+    * memory sink itself is NOT fault-tolerant — offsets and operator state
+    * recover from the checkpoint, but the in-memory table restarts empty, so
+    * in update/append mode rows emitted before the restart are gone. Use
+    * complete mode (the recovery test does) or a durable sink
+    * ([[startDurable]]) when output must survive a restart.
     */
   def startMemory(df: DataFrame, name: String, outputMode: String = "update",
                   triggerInterval: String = "10 seconds",
@@ -235,6 +240,42 @@ object SensorStreams {
       .trigger(Trigger.ProcessingTime(triggerInterval))
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
+
+  /** Exactly-once durable sink: `foreachBatch` → parquet, one
+    * `batch_id=<n>` directory per micro-batch, written with OVERWRITE.
+    *
+    * Why this is exactly-once: after a crash between "output written" and
+    * "batch committed to the checkpoint", Structured Streaming re-runs the
+    * SAME batchId over the SAME offsets range — at-least-once delivery with
+    * deterministic replay. The overwrite of the batch's own directory makes
+    * that replay idempotent (the second write replaces, never appends), and
+    * at-least-once + idempotent = exactly-once table contents. Readers see
+    * the table as `spark.read.parquet(outDir)` with `batch_id` as a
+    * discovered partition column (prune it or drop it).
+    *
+    * This is the production ending of a Q4-class pipeline — the reference
+    * stops at the console sink; a real pipeline lands in a table. Scale: the
+    * write inherits the batch's partitioning (no repartition here — size
+    * output files via the trigger interval), and per-batch directories also
+    * give cheap retention deletes.
+    */
+  /** The idempotent per-batch writer [[startDurable]] installs — exposed so
+    * tests can wrap it with an injected post-write crash and prove the
+    * replay semantics against the real failure path.
+    */
+  def durableBatchWriter(outDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  def startDurable(df: DataFrame, outDir: String, checkpointDir: String,
+                   triggerInterval: String = "10 seconds"): StreamingQuery =
+    df.writeStream
+      .queryName("durable_sink")
+      .outputMode("append")
+      .foreachBatch(durableBatchWriter(outDir))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
 
   /** T8: the reference's three concurrent queries over ONE source directory
     * (q4 cell 0:61-123): per-key stats, tumbling, sliding. With

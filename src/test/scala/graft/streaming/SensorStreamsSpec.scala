@@ -304,6 +304,45 @@ class SensorStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch durable sink is exactly-once across a crash-replay of a batch") {
+    val src = java.nio.file.Files.createTempDirectory("graft_eo_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_eo_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eo_ckpt")
+    def stream = SensorStreams.parsed(SensorStreams.fileSource(spark, src.toString))
+      .select("event_id", "user_id", "event_type", "value")
+
+    // run 1 crashes AFTER the parquet write but BEFORE the checkpoint
+    // commit — the worst spot: output is on disk, offsets are not marked
+    // done, so on restart Spark re-runs the same batchId over the same
+    // offsets (at-least-once, deterministic replay) and the per-batch
+    // overwrite must absorb it
+    writeJson(src, Seq(batch1))
+    val writer = SensorStreams.durableBatchWriter(out)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writer(batch, batchId)
+        if (!crashed.getAndSet(true))
+          throw new RuntimeException("injected crash: output written, commit pending")
+      }
+      .option("checkpointLocation", ckpt.toString).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(crashed.get)
+
+    writeJson(src, Seq(Seq(onTime2)), from = 1)
+    val q2 = SensorStreams.startDurable(stream, out, ckpt.toString, "1 second")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val landed = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).toSeq
+    // every input row exactly once: the replayed batch overwrote its own
+    // directory instead of appending a duplicate copy
+    assert(landed.sorted === (batch1 :+ onTime2).map(_.event_id).sorted)
+  }
+
   test("query lifecycle: active registry empties after stopAll (K4)") {
     val src = MemoryStream[Ev]
     SensorStreams.startMemory(SensorStreams.perKeyStats(src.toDF), "lifecycle_q",
