@@ -15,7 +15,9 @@ object Bench {
     // and everything else stay sorted.
     val producerRank = Map(
       "dedup_minhash_lsh" -> 0, "dedup_simhash" -> 0, "similarity_topk_lsh" -> 0,
+      "similarity_topk_ivf" -> 0,
       "dedup_components" -> 1, "dedup_incremental" -> 1, "similarity_lsh_recall" -> 1,
+      "similarity_ivf_recall" -> 1,
     ).withDefaultValue(0)
     val names = SparkEntry.queries.keys.toSeq.sortBy(n => (producerRank(n), n))
     def runPass(): Map[String, (Double, Option[String])] = names.map { name =>

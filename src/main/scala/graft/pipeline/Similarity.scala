@@ -96,6 +96,61 @@ object Similarity {
       s"CASE WHEN ${dotDuck(v, planeDuck(p))} > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  // ---- IVF coarse quantizer (argmin-centroid assignment) ----
+
+  /** Number of IVF centroids (Voronoi cells) and probes per query. TUNED ON
+    * THE FIXTURE against `similarity_ivf_recall` (≥ 0.9 with fewer
+    * candidates than the LSH path): the synthetic embeddings are
+    * near-uniform, so deterministic hash centroids partition about as well
+    * as data-sampled ones (measured; stride-sampled centroids were tried and
+    * were no better) and recall ≈ probe coverage. Production embeddings
+    * CLUSTER — there, k-means-trained centroids make cells align with the
+    * clusters and nprobe/C drops to 1–5% for the same recall; the scaling
+    * shape is C ≈ √corpus cells with ~√corpus vectors each, nprobe tuned by
+    * re-running the recall query.
+    */
+  val NumCentroids = 16
+  val NProbe = 10
+
+  /** Deterministic pseudo-random centroid component in [-1, 1] — same
+    * recurrence family as [[planeComponent]] with different constants, so
+    * centroids and hyperplanes are decorrelated; rendered once to shortest
+    * round-trip decimals shared by both dialects.
+    */
+  def centroidComponent(c: Int, d: Int): Double = {
+    val h = ((c.toLong * Dim + d) * 2246822519L + 1013904223L) % 4294967296L
+    ((h % 2001L) - 1000L) / 1000.0
+  }
+
+  private def centroidVals(c: Int): Seq[String] =
+    (0 until Dim).map(d => centroidComponent(c, d).toString)
+
+  private def centroidSpark(c: Int): String =
+    centroidVals(c).map(_ + "D").mkString("array(", ", ", ")")
+
+  private def centroidDuck(c: Int): String =
+    centroidVals(c).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** ‖c‖² as a shortest-round-trip double literal (computed once here, so
+    * both engines parse the identical value instead of re-summing).
+    */
+  private def centroidNorm2(c: Int): String =
+    (0 until Dim).map(d => centroidComponent(c, d)).map(x => x * x).sum.toString
+
+  /** array<double>[C] of per-centroid scores ‖c‖² − 2·v·c — the argmin of
+    * this is the argmin of L2 distance (‖v‖² is constant per row). Map-only;
+    * bit-identical across engines (same literals, same fold order).
+    */
+  def ivfScores(v: String): String =
+    (0 until NumCentroids)
+      .map(c => s"(${centroidNorm2(c)} - 2 * vec_dot($v, ${centroidSpark(c)}))")
+      .mkString("array(", ", ", ")")
+
+  def ivfScoresDuck(v: String): String =
+    (0 until NumCentroids)
+      .map(c => s"(${centroidNorm2(c)} - 2 * ${dotDuck(v, centroidDuck(c))})")
+      .mkString("[", ", ", "]")
+
   // ---- multi-table LSH (OR-amplification) ----
 
   /** DEFAULT planes per table (k): each table has 2^k buckets.
