@@ -116,6 +116,30 @@ object Nested extends QueryModule {
       .orderBy("o_custkey")
   }
 
+  /** The reference's ACTUAL pivot shape (q3_json_processing.py:76-81):
+    * `pivot(col)` with NO value list, so Spark first runs a distinct job to
+    * DISCOVER the pivot values, then plans the aggregate — one extra pass
+    * over the data, which is why the explicit-list form above is the scale
+    * default (and why Spark caps discovery at spark.sql.pivotMaxValues).
+    * Same result, same oracle; the discovered values feed the same
+    * column-name slugging and row-wise total, so nothing downstream knows
+    * which form produced the frame.
+    */
+  def customerPriorityPivotDynamic(spark: SparkSession, sfDir: String): DataFrame = {
+    val pivoted = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .pivot("o_orderpriority") // no values → discovery job here
+      .count()
+      .na.fill(0L)
+    // reading the schema is what forces the discovery pass
+    val values = pivoted.columns.filter(_ != "o_custkey").sorted
+    def slug(v: String) = "p" + v.toLowerCase.replaceAll("[^a-z0-9]+", "_").stripSuffix("_")
+    val renamed = values.foldLeft(pivoted)((df, v) => df.withColumnRenamed(v, slug(v)))
+    renamed
+      .withColumn("total_orders", values.map(v => col(slug(v))).reduce(_ + _))
+      .orderBy("o_custkey")
+  }
+
   private val customerPriorityPivotSql =
     """SELECT o_custkey,
               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
@@ -129,12 +153,14 @@ object Nested extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_product_stats" -> (productStats _),
     "q3_customer_pivot" -> (customerPriorityPivot _),
+    "q3_customer_pivot_dynamic" -> (customerPriorityPivotDynamic _),
     "s2_nested_json_roundtrip" -> (nestedJsonRoundTrip _),
   )
 
   override def oracle: Map[String, String] = Map(
     "q3_product_stats" -> productStatsSql,
     "q3_customer_pivot" -> customerPriorityPivotSql,
+    "q3_customer_pivot_dynamic" -> customerPriorityPivotSql, // same result, discovered values
     "s2_nested_json_roundtrip" -> productStatsSql, // same result through the JSON round-trip
   )
 }
