@@ -50,6 +50,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("attribution interval join rides the user_id equi-key, never a cartesian") {
+    val p = planOf("events_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join lost its equi-key:\n$p")
+  }
+
+  test("enrichment join prunes the dim scan to its two columns") {
+    val p = planOf("events_enriched")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    // the customer scan must read only (c_custkey, c_mktsegment)
+    assert(reads.exists(r => r.contains("c_custkey") && r.split(",").length == 2),
+      reads.mkString("\n"))
+  }
+
+  test("IVF top-k keeps the two-phase WindowGroupLimit and broadcast query side") {
+    val p = planOf("similarity_topk_ivf")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
