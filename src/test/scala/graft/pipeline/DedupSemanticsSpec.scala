@@ -83,6 +83,47 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("components agrees with union-find on random graphs (incl. a long path)") {
+    val rnd = new scala.util.Random(20260812L)
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min-label canonicalization: root then min over each root's members
+      val byRoot = nodes.groupBy(find)
+      byRoot.flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }
+    }
+    // a long path (worst diameter for label propagation) + random graphs
+    val cases = Seq(
+      (0 until 40).map(i => (i.toLong, (i + 1).toLong)), // path of 41 nodes
+      Seq.empty[(Long, Long)],
+      Seq((7L, 7L))) ++ // self-loop only
+      (1 to 3).map { _ =>
+        val n = 60
+        Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      }
+    cases.foreach { edges =>
+      val expected = unionFind(0, edges.filter(e => e._1 != e._2))
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else Dedup.components(edges.toDF("ia", "ib")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expectedWithSelfLoops = expected ++
+        edges.filter(e => e._1 == e._2).map(e => e._1 -> e._1).toMap
+          .filterNot { case (k, _) => expected.contains(k) }
+      assert(got === expectedWithSelfLoops, s"edges=$edges")
+    }
+  }
+
   test("dedup_components folds the planted chain A≈B≈C into one canonical group") {
     // the chain links exist, but no direct 10–12 pair does (0.852 < 0.9)
     val minhash = Dedup.minhashLsh(spark, dir).collect()
