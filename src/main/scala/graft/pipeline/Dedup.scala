@@ -87,6 +87,14 @@ object Dedup extends QueryModule {
     * collide in many bands. 10k² = 5·10⁷ pairs is the worst single-bucket
     * term the cap admits; a no-op at fixture scale (largest fixture bucket
     * ≪ 10k), and mirrored exactly in the oracle so the gate stays green.
+    *
+    * If cap-sized buckets are COMMON in a corpus (the 5·10⁷-pair term lands
+    * on one task per bucket), salt the self-join: x side keyed
+    * (band, band_key, hash(doc_id) % S) and repartitioned on it, y side
+    * tag-replicated S×, which splits each bucket's expansion across S
+    * tasks. Measured on this fixture it costs ~0.6 s (replication +1
+    * exchange) with no win — the cap already bounds the term — so the plain
+    * join ships; the salted form is the drop-in when the skew profile flips.
     */
   val MaxBucket = 10000
 
