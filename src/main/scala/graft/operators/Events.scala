@@ -261,11 +261,13 @@ object Events extends QueryModule {
     * "a click older than watermark − window can never match again" from
     * exactly this condition and evicts its state.
     */
-  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      joinType: String = "inner"): DataFrame =
     clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("purchase_time") >= col("click_time") &&
-        col("purchase_time") <= col("click_time") + expr(s"INTERVAL $AttributionWindow"))
+        col("purchase_time") <= col("click_time") + expr(s"INTERVAL $AttributionWindow"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         date_format(col("click_time"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
         date_format(col("purchase_time"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
@@ -285,6 +287,26 @@ object Events extends QueryModule {
         AND c.event_type = 'click' AND p.event_type = 'purchase'
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
        WHERE c.ts IS NOT NULL AND p.ts IS NOT NULL
+       ORDER BY click_id, purchase_id"""
+
+  /** Left-outer attribution: every click, matched or not (unconverted
+    * clicks carry null purchase columns). Stream-side this is the
+    * emit-after-watermark shape — see `SensorStreams.attributionOuter`.
+    */
+  def attributionOuterQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withEventTime(Tables.events(spark, sfDir))
+    attributionJoin(clicksOf(e), purchasesOf(e), "left_outer")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  private val attributionOuterSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+              strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+              strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+       FROM (SELECT * FROM events WHERE event_type = 'click' AND ts IS NOT NULL) c
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+         ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
        ORDER BY click_id, purchase_id"""
 
   /** JSON scalar surface (SURVEY §2.8): extract props.k per event, aggregate
@@ -318,6 +340,7 @@ object Events extends QueryModule {
     "events_props_json" -> (propsExtract _),
     "events_enriched" -> (enrichedQ _),
     "events_attribution" -> (attributionQ _),
+    "events_attribution_outer" -> (attributionOuterQ _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -329,5 +352,6 @@ object Events extends QueryModule {
     "events_props_json" -> propsExtractSql,
     "events_enriched" -> enrichedSql,
     "events_attribution" -> attributionSql,
+    "events_attribution_outer" -> attributionOuterSql,
   )
 }

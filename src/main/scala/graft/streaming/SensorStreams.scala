@@ -187,6 +187,22 @@ object SensorStreams {
       Events.purchasesOf(e).withWatermark("purchase_time", "2 minutes"))
   }
 
+  /** Left-outer twin of [[attribution]]: every click eventually emits —
+    * matched rows as both sides arrive, UNCONVERTED clicks (null purchase
+    * columns) only once the purchase-side watermark passes
+    * click_time + window, because until then a match could still arrive.
+    * This deferred-null emission is the defining outer-join semantics under
+    * a watermark; the batch twin is the DuckDB-checked
+    * `events_attribution_outer` row the finite stream must converge to.
+    */
+  def attributionOuter(stream: DataFrame): DataFrame = {
+    val e = Events.withEventTime(stream)
+    Events.attributionJoin(
+      Events.clicksOf(e).withWatermark("click_time", "2 minutes"),
+      Events.purchasesOf(e).withWatermark("purchase_time", "2 minutes"),
+      "left_outer")
+  }
+
   /** Streaming exact dedup — the unbounded twin of the batch `dedup_exact`
     * operator: duplicate `event_id`s are dropped across micro-batches ON THE
     * ID ALONE (`dropDuplicatesWithinWatermark`, so a producer retry with a

@@ -304,6 +304,38 @@ class SensorStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks only after the watermark") {
+    val click = ev(1, "2024-01-01T00:00:00Z", "click", 1.0).copy(user_id = 1)
+    val purchase = ev(2, "2024-01-01T01:00:00Z", "purchase", 9.0).copy(user_id = 2) // other user
+    val src = MemoryStream[Ev]
+    val q = SensorStreams.attributionOuter(src.toDF).writeStream
+      .queryName("conv_attr_outer").outputMode("append").format("memory").start()
+    try {
+      src.addData(click, purchase)
+      q.processAllAvailable()
+      // the 6h window is still open — the unmatched click must NOT have
+      // emitted its null row yet (a purchase could still arrive)
+      assert(spark.table("conv_attr_outer").isEmpty)
+      // push BOTH sides' watermarks past click_time + 6h + 2min delay (the
+      // join's state watermark is the min across inputs, so an idle click
+      // side would hold the null emission back forever)
+      src.addData(
+        ev(3, "2024-01-01T12:00:00Z", "purchase", 9.0).copy(user_id = 3),
+        ev(4, "2024-01-01T12:00:00Z", "click", 1.0).copy(user_id = 9))
+      q.processAllAvailable()
+      src.addData(
+        ev(5, "2024-01-02T00:00:00Z", "purchase", 9.0).copy(user_id = 3),
+        ev(6, "2024-01-02T00:00:00Z", "click", 1.0).copy(user_id = 9))
+      q.processAllAvailable()
+      val rows = spark.table("conv_attr_outer").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+      // clicks 1 and 4 (windows closed under the final watermark) emitted
+      // exactly once each with a NULL purchase; click 6's window is still
+      // open, so it must NOT have emitted
+      assert(rows === Set((1L, None), (4L, None)))
+    } finally q.stop()
+  }
+
   test("foreachBatch durable sink is exactly-once across a crash-replay of a batch") {
     val src = java.nio.file.Files.createTempDirectory("graft_eo_src")
     val out = java.nio.file.Files.createTempDirectory("graft_eo_out").toString
