@@ -49,7 +49,12 @@ object Bench {
     val results = names.map { name =>
       val (t1, e1) = pass1(name)
       val (t2, e2) = pass2(name)
-      (name, math.min(t1, t2), Seq(t1, t2), e1.orElse(e2))
+      // best of the SUCCESSFUL passes only: a fast abort must never report
+      // as a fast time; error only when both passes failed
+      val ok = Seq((t1, e1), (t2, e2)).collect { case (t, None) => t }
+      val best = if (ok.nonEmpty) ok.min else math.min(t1, t2)
+      val err = if (ok.nonEmpty) None else e1.orElse(e2)
+      (name, best, Seq(t1, t2), err)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""

@@ -60,9 +60,12 @@ object Scratch {
     df.sparkSession.read.parquet(d)
   }
 
-  // content key → scratch parquet path, one entry per logical pipeline stage
-  // per JVM (see memoize)
-  private val memo = scala.collection.mutable.HashMap[String, String]()
+  // content key → future scratch parquet path, one entry per logical
+  // pipeline stage per JVM (see memoize); a per-key future rather than a
+  // global lock so concurrent callers computing DIFFERENT stages never
+  // serialize behind each other's Spark jobs
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
 
   /** [[materialize]], memoized on a logical-stage key: the first call per JVM
     * computes `df` and writes it to scratch parquet; every later call with
@@ -79,20 +82,31 @@ object Scratch {
     * invocation (e.g. the per-round connected-components label tables) use
     * [[materialize]] directly.
     *
-    * The global lock is held across the compute: a stage is computed exactly
-    * once even under concurrent callers, and nested memoized stages are safe
-    * because the monitor is reentrant.
+    * Exactly-once compute per key via a per-key future: the first caller
+    * installs and completes it, racers (and nested stages on other keys)
+    * proceed independently; a failed compute removes its entry so a retry
+    * is possible.
     */
   def memoize(spark: org.apache.spark.sql.SparkSession, key: String)
              (df: => DataFrame): DataFrame = {
-    val path = memo.synchronized {
-      memo.getOrElseUpdate(key, {
-        val d = dir("graft_memo")
-        df.write.mode("overwrite").parquet(d)
-        d
-      })
-    }
-    spark.read.parquet(path)
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = memo.putIfAbsent(key, fresh)
+    val fut =
+      if (prior != null) prior
+      else {
+        try {
+          val d = dir("graft_memo")
+          df.write.mode("overwrite").parquet(d)
+          fresh.complete(d)
+        } catch {
+          case e: Throwable =>
+            memo.remove(key, fresh)
+            fresh.completeExceptionally(e)
+            throw e
+        }
+        fresh
+      }
+    spark.read.parquet(fut.join())
   }
 
   /** Forget every memoized stage and delete its files eagerly (bounding peak
@@ -100,8 +114,10 @@ object Scratch {
     * suite passes so the second pass re-measures the real pipelines cold
     * rather than timing warm memo scans.
     */
-  def clearMemo(): Unit = memo.synchronized {
-    memo.values.foreach(p => deleteRecursively(Paths.get(p)))
+  def clearMemo(): Unit = {
+    memo.values.forEach { f =>
+      if (f.isDone && !f.isCompletedExceptionally) deleteRecursively(Paths.get(f.join()))
+    }
     memo.clear()
   }
 }

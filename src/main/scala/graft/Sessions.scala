@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * session-level conf cannot drift across entry points.
   */
 object Sessions {
+  // spark.sql.warehouse.dir is a STATIC conf — fixed by the first
+  // SharedState per JVM — so allocate the scratch dir once; per-call
+  // allocation would leak an ignored directory per extra session
+  private lazy val warehouseDir: String = Scratch.dir("graft_warehouse")
+
   def local(cpus: String): SparkSession = {
     // catalog side effects (saveAsTable warehouse dirs, any derby metastore
     // files) belong in scratch, not the launch CWD — repeated Verify/Bench
@@ -16,7 +21,7 @@ object Sessions {
       System.setProperty("derby.system.home", Scratch.root)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.warehouse.dir", Scratch.dir("graft_warehouse"))
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -124,6 +124,12 @@ object Nested extends QueryModule {
     * Same result, same oracle; the discovered values feed the same
     * column-name slugging and row-wise total, so nothing downstream knows
     * which form produced the frame.
+    *
+    * CAVEAT the explicit-list form exists to avoid: the discovered schema is
+    * data-dependent. The shared fixed-column oracle assumes every
+    * o_orderpriority value occurs in the input — true of every driver
+    * fixture (closed 5-value domain); a filtered corpus that drops a value
+    * would shrink this variant's schema and fail the compare by design.
     */
   def customerPriorityPivotDynamic(spark: SparkSession, sfDir: String): DataFrame = {
     val pivoted = Tables.orders(spark, sfDir)

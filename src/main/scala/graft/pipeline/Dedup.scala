@@ -223,7 +223,7 @@ object Dedup extends QueryModule {
     // same pairs) compute it once and both scan the scratch parquet. `docs`
     // must already be a memoized/materialized (doc_id, g) scan — it is
     // consumed three times (signature agg + both verification sides).
-    Scratch.memoize(spark, s"$stageKey#pairs") {
+    Scratch.memoize(spark, s"$stageKey#pairs#$threshold") {
       // The signature agg is consumed twice (band self-join). Materialize it
       // ONCE to scratch parquet — both self-join sides then scan the same
       // immutable files, with no block-manager pinning and no eager

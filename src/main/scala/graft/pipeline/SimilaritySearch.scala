@@ -62,23 +62,41 @@ object SimilaritySearch extends QueryModule {
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
 
-  private def rankTopK(scored: DataFrame): DataFrame =
+  private def ranked(scored: DataFrame): DataFrame =
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id")))
         .cast("long")) // DuckDB row_number is BIGINT; match the schema exactly
       .filter(col("rnk") <= K)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
-      .orderBy("qid", "rnk")
 
-  def bruteTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  private def rankTopK(scored: DataFrame): DataFrame =
+    ranked(scored).orderBy("qid", "rnk")
+
+  /** Exact top-k, memoized: the full-corpus dot-product scan is the most
+    * expensive similarity stage and is consumed by `similarity_topk_brute`
+    * AND both recall queries — one computation per run (order restored by
+    * consumers; parquet does not preserve it).
+    */
+  /** The actual brute-force plan (package-visible so PlanAssertionsSpec can
+    * audit it — the registered query's own plan is a scan of the memo).
+    */
+  private[graft] def bruteCompute(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vectors(spark, sfDir)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    rankTopK(
+    ranked(
       e.join(broadcast(q), col("vec_id") =!= col("qid"))
         .withColumn("cosine", expr("vec_dot(qv, v)") / (col("qn") * col("nrm"))))
   }
+
+  private def bruteRanked(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#simbrute#$K#$NumQueries") {
+      bruteCompute(spark, sfDir)
+    }
+
+  def bruteTopK(spark: SparkSession, sfDir: String): DataFrame =
+    bruteRanked(spark, sfDir).orderBy("qid", "rnk")
 
   private val bruteSql =
     s"""WITH e AS (
@@ -110,19 +128,22 @@ object SimilaritySearch extends QueryModule {
         .withColumn("buckets", expr(Similarity.lshTableBuckets("v", tableBits, numTables)))
     }
 
-  /** (qid, vec_id) candidate pairs of the OR-amplified LSH path. */
+  /** (qid, vec_id) candidate pairs of the OR-amplified LSH path; memoized —
+    * consumed by `similarity_topk_lsh` and both recall queries.
+    */
   private def lshCandidates(spark: SparkSession, sfDir: String,
-                            tableBits: Int, numTables: Int): DataFrame = {
-    val e = lshBucketed(spark, sfDir, tableBits, numTables)
-    val tables = e.select(col("vec_id"),
-      posexplode(col("buckets")).as(Seq("t", "bucket")))
-    val qTables = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"),
+                            tableBits: Int, numTables: Int): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#simlshcand#$tableBits#$numTables") {
+      val e = lshBucketed(spark, sfDir, tableBits, numTables)
+      val tables = e.select(col("vec_id"),
         posexplode(col("buckets")).as(Seq("t", "bucket")))
-    qTables.join(tables, Seq("t", "bucket"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select("qid", "vec_id").distinct()
-  }
+      val qTables = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"),
+          posexplode(col("buckets")).as(Seq("t", "bucket")))
+      qTables.join(tables, Seq("t", "bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+    }
 
   /** `tableBits`/`numTables` are the per-query LSH knobs (defaults are the
     * fixture-scale constants; scaling rule on [[Similarity.TableBits]]).
@@ -201,12 +222,14 @@ object SimilaritySearch extends QueryModule {
     * to cell assignments — same join shape as the LSH path, different (and
     * cheaper) bucketing.
     */
-  private def ivfCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = ivfCorpus(spark, sfDir)
-    ivfProbes(corpus).join(corpus.select("vec_id", "bucket"), Seq("bucket"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select("qid", "vec_id").distinct()
-  }
+  private def ivfCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark,
+        s"$sfDir#simivfcand#${Similarity.NumCentroids}#${Similarity.NProbe}") {
+      val corpus = ivfCorpus(spark, sfDir)
+      ivfProbes(corpus).join(corpus.select("vec_id", "bucket"), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+    }
 
   /** `similarity_topk_ivf`: ANN via IVF coarse quantization — the same
     * map-only-assign + bucket-equi-join + candidate-scoring pipeline as
@@ -290,7 +313,7 @@ object SimilaritySearch extends QueryModule {
     * candidates at equal recall" comparison as one oracle-checkable fact.
     */
   def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val brute = bruteTopK(spark, sfDir).select("qid", "neighbor_id")
+    val brute = bruteRanked(spark, sfDir).select("qid", "neighbor_id")
     val ivf = ivfTopK(spark, sfDir).select("qid", "neighbor_id")
       .withColumn("hit", lit(1L))
     val recall = brute.join(ivf, Seq("qid", "neighbor_id"), "left")
@@ -326,7 +349,7 @@ object SimilaritySearch extends QueryModule {
     * (k, L) after any corpus-scale retune.
     */
   def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val brute = bruteTopK(spark, sfDir).select("qid", "neighbor_id")
+    val brute = bruteRanked(spark, sfDir).select("qid", "neighbor_id")
     val lsh = lshTopK(spark, sfDir).select("qid", "neighbor_id")
       .withColumn("hit", lit(1L))
     brute.join(lsh, Seq("qid", "neighbor_id"), "left")

@@ -29,7 +29,9 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("similarity brute top-k uses two-phase WindowGroupLimit, broadcast query side") {
-    val p = planOf("similarity_topk_brute")
+    // the registered query scans the memoized result; audit the computation
+    val p = pipeline.SimilaritySearch.bruteCompute(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("WindowGroupLimit"))
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
   }
