@@ -216,6 +216,16 @@ object Dedup extends QueryModule {
     * band buckets — the LSH guarantee — so the plan survives corpus growth;
     * no all-pairs join keyed on low-cardinality metadata anywhere.
     */
+  /** (doc_id, band, band_key) for a (doc_id, g) hash universe, memoized per
+    * stage: consumed by both sides of the candidate self-join AND (for the
+    * unigram stage) by `incrementalDedup`, whose corpus/batch split is a
+    * filter of this table rather than a second signature computation.
+    */
+  private def lshBands(spark: SparkSession, stageKey: String, docs: DataFrame): DataFrame =
+    Scratch.memoize(spark, s"$stageKey#bands") {
+      bandsOf(minhashSigs(docs))
+    }
+
   private def lshPairs(spark: SparkSession, stageKey: String,
                        docs: DataFrame, threshold: Double): DataFrame =
     // The whole pair table is memoized on (sfDir-qualified) stageKey: within
@@ -224,15 +234,17 @@ object Dedup extends QueryModule {
     // must already be a memoized/materialized (doc_id, g) scan — it is
     // consumed three times (signature agg + both verification sides).
     Scratch.memoize(spark, s"$stageKey#pairs#$threshold") {
-      // The signature agg is consumed twice (band self-join). Materialize it
-      // ONCE to scratch parquet — both self-join sides then scan the same
-      // immutable files, with no block-manager pinning and no eager
-      // cache+count race (see Scratch). NOTE a bucket-explode formulation
-      // (groupBy collect_list + chunked pair transform) was benchmarked and
-      // LOST to this join by ~1.6×: the nested higher-order functions build
-      // interpreted GenericArrayData per cell while the join stays inside
-      // whole-stage codegen end-to-end.
-      val allBands = Scratch.materialize(bandsOf(minhashSigs(docs)), "graft_lsh_bands")
+      // The signature agg is consumed twice (band self-join) and the banded
+      // form is per-doc deterministic, so it is MEMOIZED per stage — both
+      // self-join sides scan the same immutable files (no block-manager
+      // pinning, no eager cache+count race), and `incrementalDedup` reuses
+      // the same table by filtering it (bands of a doc subset = subset of
+      // the bands). NOTE a bucket-explode formulation (groupBy collect_list
+      // + chunked pair transform) was benchmarked and LOST to this join by
+      // ~1.6×: the nested higher-order functions build interpreted
+      // GenericArrayData per cell while the join stays inside whole-stage
+      // codegen end-to-end.
+      val allBands = lshBands(spark, stageKey, docs)
       // skew guard (see MaxBucket): the window shuffle partitions by the same
       // keys the self-join needs, so the exchange is reused, not added
       val bands = allBands
@@ -456,13 +468,13 @@ object Dedup extends QueryModule {
     */
   private val bandIndexNames = scala.collection.mutable.HashMap[String, String]()
 
-  private def bandIndexTable(spark: SparkSession, sfDir: String, corpus: DataFrame): String =
+  private def bandIndexTable(spark: SparkSession, sfDir: String, corpusBands: DataFrame): String =
     bandIndexNames.synchronized {
       val tbl = bandIndexNames.getOrElseUpdate(sfDir,
         s"graft_band_index_${java.lang.Long.toHexString(System.nanoTime())}")
       if (!spark.catalog.tableExists(tbl)) {
         // the "offline" index build: banded signatures, bucketed by the probe key
-        bandsOf(minhashSigs(corpus)).write.mode("overwrite")
+        corpusBands.write.mode("overwrite")
           .option("path", Scratch.dir("graft_band_index"))
           .bucketBy(16, "band", "band_key")
           .sortBy("band", "band_key")
@@ -482,11 +494,17 @@ object Dedup extends QueryModule {
 
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val all = docTokens(spark, sfDir) // memoized scan, shared with the LSH queries
+    // bands are per-doc deterministic, so corpus and batch bands are FILTERS
+    // of the memoized unigram band table (shared with dedup_minhash_lsh) —
+    // no second signature computation anywhere in this query
+    val allBands = lshBands(spark, s"$sfDir#dedup#minhash_unigram", all)
     val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    val corpusBands = allBands.filter(col("doc_id") % 10 =!= 0)
     val newDocs = all.filter(col("doc_id") % 10 === 0)
-    val index = spark.table(bandIndexTable(spark, sfDir, corpus))
+    val index = spark.table(bandIndexTable(spark, sfDir, corpusBands))
     // the "online" probe: new docs' bands join the index in place
-    val cand = bandsOf(minhashSigs(newDocs)).as("x").join(index.as("y"), Seq("band", "band_key"))
+    val cand = allBands.filter(col("doc_id") % 10 === 0)
+      .as("x").join(index.as("y"), Seq("band", "band_key"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
     cand
