@@ -56,6 +56,20 @@ object SensorStreamDemo {
 
     SensorStreams.stopAll(spark)
     println(s"DEMO_STOPPED=${spark.streams.active.isEmpty}")
+
+    // production tail of the pipeline: enrich the same stream against the
+    // static user dim and land it exactly-once in parquet via foreachBatch
+    val out = graft.Scratch.dir("graft_demo_out")
+    val ckpt = graft.Scratch.dir("graft_demo_ckpt")
+    val enriched = SensorStreams.enriched(
+      SensorStreams.parsed(SensorStreams.fileSource(spark, dir)),
+      graft.operators.Events.userDim(spark, sfDir))
+    val durable = SensorStreams.startDurable(enriched, out, ckpt, "1 second")
+    durable.processAllAvailable()
+    durable.stop()
+    val landed = spark.read.parquet(out).count()
+    val expected = graft.operators.Events.enrichedQ(spark, sfDir).count()
+    println(s"DEMO_DURABLE_OK=${landed == expected}")
     spark.stop()
   }
 }
