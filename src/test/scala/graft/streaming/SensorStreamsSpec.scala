@@ -304,6 +304,19 @@ class SensorStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attribution window bounds are inclusive at both ends (batch core)") {
+    val events = Seq(
+      ev(1, "2024-01-01T00:00:00Z", "click", 1.0).copy(user_id = 1),
+      ev(2, "2024-01-01T00:00:00Z", "purchase", 9.0).copy(user_id = 1), // t = click_time exactly
+      ev(3, "2024-01-01T06:00:00Z", "purchase", 9.0).copy(user_id = 1), // t = click_time + 6h exactly
+      ev(4, "2024-01-01T06:00:00.001Z", "purchase", 9.0).copy(user_id = 1), // 1ms past → out
+      ev(5, "2023-12-31T23:59:59.999Z", "purchase", 9.0).copy(user_id = 1)) // 1ms before → out
+    val e = Events.withEventTime(events.toDF)
+    val got = Events.attributionJoin(Events.clicksOf(e), Events.purchasesOf(e))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L)))
+  }
+
   test("left-outer stream-stream join emits unmatched clicks only after the watermark") {
     val click = ev(1, "2024-01-01T00:00:00Z", "click", 1.0).copy(user_id = 1)
     val purchase = ev(2, "2024-01-01T01:00:00Z", "purchase", 9.0).copy(user_id = 2) // other user
