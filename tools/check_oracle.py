@@ -2,7 +2,11 @@
 """Dev-only parity checker mirroring the driver's DuckDB-oracle compare.
 
 Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
-    python3 tools/check_oracle.py <sfDir> <outDir>
+    python3 tools/check_oracle.py <sfDir> <outDir> [substr ...]
+
+Optional trailing args restrict the run to queries whose name contains any
+of the given substrings (e.g. a quick re-check of one family, or skipping
+oracle formulations that are slow at larger SFs).
 
 For each query: loads the Spark parquet result and the DuckDB oracle result,
 sorts columns by name, sorts rows, and compares values exactly (doubles must
@@ -30,6 +34,9 @@ def main() -> int:
         name = os.path.basename(p)[: -len(".parquet")]
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = sys.argv[3:]
+    if only:
+        oracle = {k: v for k, v in oracle.items() if any(s in k for s in only)}
     failed = []
     for name in sorted(oracle):
         try:
