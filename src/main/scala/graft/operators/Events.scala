@@ -268,7 +268,10 @@ object Events extends QueryModule {
         col("purchase_time") >= col("click_time") &&
         col("purchase_time") <= col("click_time") + expr(s"INTERVAL $AttributionWindow"),
       joinType)
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
+      // coalesce is a no-op for inner/left (click side always present) and
+      // makes full_outer's purchase-only rows carry their user
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
         date_format(col("click_time"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
         date_format(col("purchase_time"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
 
@@ -309,6 +312,28 @@ object Events extends QueryModule {
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
        ORDER BY click_id, purchase_id"""
 
+  /** Full-outer attribution: unmatched CLICKS and unmatched PURCHASES both
+    * survive with nulls on the other side — the complete conversion picture
+    * (unconverted clicks + unattributed purchases) in one frame. user_id is
+    * taken from whichever side is present.
+    */
+  def attributionFullQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withEventTime(Tables.events(spark, sfDir))
+    attributionJoin(clicksOf(e), purchasesOf(e), "full_outer")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  private val attributionFullSql =
+    """SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+              c.event_id AS click_id, p.event_id AS purchase_id,
+              strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+              strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+       FROM (SELECT * FROM events WHERE event_type = 'click' AND ts IS NOT NULL) c
+       FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+         ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+       ORDER BY click_id, purchase_id"""
+
   /** JSON scalar surface (SURVEY §2.8): extract props.k per event, aggregate
     * per event_type. get_json_object ↔ json_extract_string.
     */
@@ -341,6 +366,7 @@ object Events extends QueryModule {
     "events_enriched" -> (enrichedQ _),
     "events_attribution" -> (attributionQ _),
     "events_attribution_outer" -> (attributionOuterQ _),
+    "events_attribution_full" -> (attributionFullQ _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -353,5 +379,6 @@ object Events extends QueryModule {
     "events_enriched" -> enrichedSql,
     "events_attribution" -> attributionSql,
     "events_attribution_outer" -> attributionOuterSql,
+    "events_attribution_full" -> attributionFullSql,
   )
 }

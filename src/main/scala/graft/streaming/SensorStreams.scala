@@ -195,12 +195,21 @@ object SensorStreams {
     * a watermark; the batch twin is the DuckDB-checked
     * `events_attribution_outer` row the finite stream must converge to.
     */
-  def attributionOuter(stream: DataFrame): DataFrame = {
+  def attributionOuter(stream: DataFrame): DataFrame =
+    attributionJoinType(stream, "left_outer")
+
+  /** Full-outer twin: unmatched rows from BOTH sides emit with nulls once
+    * the watermark closes their window (batch twin: `events_attribution_full`).
+    */
+  def attributionFull(stream: DataFrame): DataFrame =
+    attributionJoinType(stream, "full_outer")
+
+  private def attributionJoinType(stream: DataFrame, joinType: String): DataFrame = {
     val e = Events.withEventTime(stream)
     Events.attributionJoin(
       Events.clicksOf(e).withWatermark("click_time", "2 minutes"),
       Events.purchasesOf(e).withWatermark("purchase_time", "2 minutes"),
-      "left_outer")
+      joinType)
   }
 
   /** Streaming exact dedup — the unbounded twin of the batch `dedup_exact`

@@ -349,6 +349,48 @@ class SensorStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join also emits unattributed purchases after the watermark") {
+    val src = MemoryStream[Ev]
+    val q = SensorStreams.attributionFull(src.toDF).writeStream
+      .queryName("conv_attr_full").outputMode("append").format("memory").start()
+    try {
+      // purchase with NO preceding click for its user — full-outer must
+      // eventually emit it with a null click; a matched pair rides along
+      src.addData(
+        ev(1, "2024-01-01T00:00:00Z", "purchase", 9.0).copy(user_id = 1),
+        ev(2, "2024-01-01T00:00:00Z", "click", 1.0).copy(user_id = 2),
+        ev(3, "2024-01-01T01:00:00Z", "purchase", 9.0).copy(user_id = 2))
+      q.processAllAvailable()
+      // advance both sides' watermarks far past every window
+      src.addData(
+        ev(8, "2024-01-02T00:00:00Z", "click", 1.0).copy(user_id = 9),
+        ev(9, "2024-01-02T00:00:00Z", "purchase", 9.0).copy(user_id = 8))
+      q.processAllAvailable()
+      src.addData(
+        ev(10, "2024-01-03T00:00:00Z", "click", 1.0).copy(user_id = 9),
+        ev(11, "2024-01-03T00:00:00Z", "purchase", 9.0).copy(user_id = 8))
+      q.processAllAvailable()
+      val rows = spark.table("conv_attr_full").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong),
+          Option(r.get(2)).map(_.toString.toLong))).toSet
+      // purchase 1: no click for user 1 → (null click, purchase) emitted;
+      // click 2 matched purchase 3 (emitted eagerly, inner-style)
+      assert(rows.contains((1L, None, Some(1L))))
+      assert(rows.contains((2L, Some(2L), Some(3L))))
+      // batch twin agrees on the same input
+      val all = Seq(
+        ev(1, "2024-01-01T00:00:00Z", "purchase", 9.0).copy(user_id = 1),
+        ev(2, "2024-01-01T00:00:00Z", "click", 1.0).copy(user_id = 2),
+        ev(3, "2024-01-01T01:00:00Z", "purchase", 9.0).copy(user_id = 2))
+      val e = Events.withEventTime(all.toDF)
+      val batch = Events.attributionJoin(Events.clicksOf(e), Events.purchasesOf(e), "full_outer")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong),
+          Option(r.get(2)).map(_.toString.toLong))).toSet
+      assert(batch.subsetOf(rows))
+    } finally q.stop()
+  }
+
   test("foreachBatch durable sink is exactly-once across a crash-replay of a batch") {
     val src = java.nio.file.Files.createTempDirectory("graft_eo_src")
     val out = java.nio.file.Files.createTempDirectory("graft_eo_out").toString
