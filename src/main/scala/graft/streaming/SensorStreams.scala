@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.operators.Events
@@ -210,6 +210,72 @@ object SensorStreams {
       Events.clicksOf(e).withWatermark("click_time", "2 minutes"),
       Events.purchasesOf(e).withWatermark("purchase_time", "2 minutes"),
       joinType)
+  }
+
+  /** [[sessionize]] re-expressed on Spark 4's `transformWithState` — the
+    * successor API to `flatMapGroupsWithState` and the one a new pipeline
+    * should target: explicit named state handles, first-class event-time
+    * TIMERS (a set per key, not one timeout), and RocksDB-only state (the
+    * backend the API assumes at scale). Same semantics, same [[Session]]
+    * output, same batch `session_window` oracle; the spec runs both
+    * implementations through the identical scenario.
+    *
+    * Timer discipline: extending a session DELETES the old timer before
+    * registering the new one (timers accumulate, unlike setTimeoutTimestamp),
+    * and [[handleExpiredTimer]] double-checks the expiry against current
+    * state so a stale timer that raced an extension closes nothing.
+    */
+  class SessionProcessor extends StatefulProcessor[Long, (Long, java.sql.Timestamp), Session] {
+    @transient private var state: ValueState[SessionState] = _
+    private val gapMs = Events.SessionGapMs
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+                                 timerValues: TimerValues): Iterator[Session] = {
+      val closed = Seq.newBuilder[Session]
+      val prior = if (state.exists()) Some(state.get()) else None
+      var st = prior
+      rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+        st match {
+          case None =>
+            st = Some(SessionState(t, t, 1))
+          case Some(s) if t - s.lastMs >= gapMs =>
+            closed += Session.close(user, s, gapMs)
+            st = Some(SessionState(t, t, 1))
+          case Some(s) =>
+            st = Some(SessionState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
+        }
+      }
+      st.foreach { s =>
+        state.update(s)
+        prior.filter(_.lastMs != s.lastMs)
+          .foreach(p => getHandle.deleteTimer(p.lastMs + gapMs))
+        getHandle.registerTimer(s.lastMs + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[Session] =
+      if (state.exists() && state.get().lastMs + gapMs <= expired.getExpiryTimeInMs) {
+        val out = Session.close(user, state.get(), gapMs)
+        state.clear()
+        Iterator.single(out)
+      } else Iterator.empty // stale timer from a since-extended session
+  }
+
+  def sessionizeTws(stream: DataFrame): Dataset[Session] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    Events.withEventTime(stream)
+      .withWatermark("event_time", "2 minutes")
+      .select(col("user_id"), col("event_time"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime, OutputMode.Append)
   }
 
   /** Streaming exact dedup — the unbounded twin of the batch `dedup_exact`

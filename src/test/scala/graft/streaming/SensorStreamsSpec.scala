@@ -182,12 +182,22 @@ class SensorStreamsSpec extends SparkSpec {
 
   for ((tag, providerClass) <- providers)
     test(s"flatMapGroupsWithState sessionization closes sessions by gap and by timeout ($tag provider)") {
-      withStateProvider(providerClass) { sessionizeScenario(tag) }
+      withStateProvider(providerClass) {
+        sessionizeScenario(s"fmgws_$tag", SensorStreams.sessionize)
+      }
     }
 
-  private def sessionizeScenario(tag: String): Unit = {
+  test("transformWithState sessionization matches the same scenario (rocksdb provider)") {
+    // the TWS API supports only the RocksDB state store
+    withStateProvider(providers.toMap.apply("rocksdb")) {
+      sessionizeScenario("tws", SensorStreams.sessionizeTws)
+    }
+  }
+
+  private def sessionizeScenario(tag: String,
+                                 sessionizer: DataFrame => org.apache.spark.sql.Dataset[Session]): Unit = {
     val src = MemoryStream[Ev]
-    val q = SensorStreams.sessionize(src.toDF).writeStream
+    val q = sessionizer(src.toDF).writeStream
       .queryName(s"sessions_$tag").outputMode("append").format("memory").start()
     try {
       // b1: user 1 two events 60s apart, user 2 one event
