@@ -290,6 +290,19 @@ object SensorStreams {
       .withWatermark("event_time", "2 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Data-quality observability: `observe()` metrics evaluated inline with
+    * each micro-batch (no extra pass, no extra action) and surfaced on
+    * `StreamingQueryProgress.observedMetrics` — row count, null event
+    * times, and negative values per batch. A production pipeline alerts on
+    * these; here the spec asserts them. Works identically on batch frames
+    * (metrics via `QueryExecutionListener`).
+    */
+  def withQualityMetrics(df: DataFrame, name: String = "quality"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("rows"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("null_ts"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("negative_values"))
+
   /** K2/T5/T6: console sink, update mode, processing-time trigger (10 s in
     * the reference; configurable so tests don't wall-clock-wait).
     *

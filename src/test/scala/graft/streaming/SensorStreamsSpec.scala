@@ -440,6 +440,21 @@ class SensorStreamsSpec extends SparkSpec {
     assert(landed.sorted === (batch1 :+ onTime2).map(_.event_id).sorted)
   }
 
+  test("observe() surfaces per-batch data-quality metrics on query progress") {
+    val src = MemoryStream[Ev]
+    val q = SensorStreams.perKeyStats(
+        SensorStreams.withQualityMetrics(src.toDF))
+      .writeStream.queryName("observed_q").outputMode("complete").format("memory").start()
+    try {
+      src.addData(batch1 :+ batch1.head.copy(event_id = 99, value = -5.0): _*)
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("quality"))).last
+      assert(m.getAs[Long]("rows") === batch1.length + 1L)
+      assert(m.getAs[Long]("null_ts") === 0L)
+      assert(m.getAs[Long]("negative_values") === 1L)
+    } finally q.stop()
+  }
+
   test("query lifecycle: active registry empties after stopAll (K4)") {
     val src = MemoryStream[Ev]
     SensorStreams.startMemory(SensorStreams.perKeyStats(src.toDF), "lifecycle_q",
