@@ -20,6 +20,7 @@ object SparkEntry {
     pipeline.SimilaritySearch,
     pipeline.Multimodal,
     pipeline.TextAnalysis,
+    pipeline.TrainPrep,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
