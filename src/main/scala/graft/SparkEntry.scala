@@ -21,6 +21,7 @@ object SparkEntry {
     pipeline.Multimodal,
     pipeline.TextAnalysis,
     pipeline.TrainPrep,
+    pipeline.CorpusQc,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,219 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Corpus-level quality control for pre-training data: repetition filtering
+  * (Gopher-style), benchmark-contamination detection, and temperature-scaled
+  * language mixture weights. These sit between TextAnalysis (per-doc
+  * features) and TrainPrep (split/pack): decide what to KEEP and at what
+  * RATE before batching.
+  *
+  * Scale (100 TB): repetition is explode → two partial-agg'd reductions on
+  * the same doc_id clustering; contamination is a broadcast join against the
+  * (small) benchmark shingle set; mixture is a langs-sized aggregate. No
+  * all-pairs, no driver loops, no unbounded state.
+  */
+object CorpusQc extends QueryModule {
+
+  /** Gopher-style repetition thresholds: a doc is flagged when its most
+    * frequent bigram covers > 20% of bigram slots, or > 30% of its 5-gram
+    * slots are repeats (cf. Rae et al. 2021, table A1 — token-based here,
+    * the char-based variant changes only the numerator).
+    */
+  val TopBigramMax = 0.20
+  val DupFivegramMax = 0.30
+  private val MinTokens = 5
+
+  private def gramsExpr(n: Int): String = {
+    val parts = (1 to n).map(k => s"element_at(t, i + $k)").mkString(", ")
+    s"transform(sequence(0, size(t) - $n), i -> concat_ws(' ', $parts))"
+  }
+  private def gramsDuck(n: Int): String = {
+    val parts = (1 to n).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+    s"list_transform(range(0, len(t) - ${n - 1}), i -> $parts)"
+  }
+
+  /** `text_repetition`: per-doc repetition metrics + keep/drop flag.
+    *
+    * dup_fivegram_fraction is computed map-only per row (array size vs
+    * distinct size); only the top-bigram count needs the explode + count
+    * path, whose second aggregate reuses the first's doc_id clustering.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(Dedup.rawTokens).as("t"))
+      .filter(expr(s"size(t) >= $MinTokens"))
+      .select(
+        col("doc_id"),
+        expr("size(t)").cast("long").as("n_tokens"),
+        expr(gramsExpr(2)).as("bg"),
+        expr(s"1.0D - CAST(size(array_distinct(${gramsExpr(5)})) AS DOUBLE)" +
+          s" / size(${gramsExpr(5)})").as("dup_fivegram_fraction"))
+    val topBigram = base
+      .select(col("doc_id"), expr("size(bg)").cast("long").as("n_bigrams"),
+        explode(col("bg")).as("gram"))
+      .groupBy("doc_id", "n_bigrams", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n_bigrams").agg(max("cnt").as("top_cnt"))
+    base.drop("bg").join(topBigram, "doc_id")
+      .withColumn("top_bigram_ratio",
+        col("top_cnt").cast("double") / col("n_bigrams"))
+      .withColumn("flagged",
+        col("top_bigram_ratio") > TopBigramMax ||
+          col("dup_fivegram_fraction") > DupFivegramMax)
+      .select("doc_id", "n_tokens", "top_bigram_ratio",
+        "dup_fivegram_fraction", "flagged")
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    s"""WITH t AS (
+          SELECT doc_id, ${Dedup.rawTokensDuck} AS t FROM documents
+        ), base AS (
+          SELECT doc_id, len(t) AS n_tokens, ${gramsDuck(2)} AS bg,
+                 1.0 - CAST(len(list_distinct(${gramsDuck(5)})) AS DOUBLE)
+                   / len(${gramsDuck(5)}) AS dup_fivegram_fraction
+          FROM t WHERE len(t) >= $MinTokens
+        ), cnt AS (
+          SELECT doc_id, len(bg) AS n_bigrams, unnest(bg) AS gram FROM base
+        ), per_gram AS (
+          SELECT doc_id, n_bigrams, gram, COUNT(*) AS cnt
+          FROM cnt GROUP BY 1, 2, 3
+        ), top AS (
+          SELECT doc_id, n_bigrams, MAX(cnt) AS top_cnt
+          FROM per_gram GROUP BY 1, 2
+        )
+        SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               CAST(top_cnt AS DOUBLE) / n_bigrams AS top_bigram_ratio,
+               b.dup_fivegram_fraction,
+               (CAST(top_cnt AS DOUBLE) / n_bigrams > $TopBigramMax
+                OR b.dup_fivegram_fraction > $DupFivegramMax) AS flagged
+        FROM base b JOIN top USING (doc_id)
+        ORDER BY doc_id"""
+
+  /** Every doc_id ≡ 0 (mod [[BenchMod]]) plays the held-out benchmark. */
+  val BenchMod = 97
+
+  /** Contamination flag threshold: ≥ half the doc's shingles appear in the
+    * benchmark set.
+    */
+  val ContamThreshold = 0.5
+
+  /** `text_contamination`: n-gram overlap of each corpus doc against the
+    * held-out benchmark set — the pre-training decontamination check run
+    * before every release. A doc is reported when ANY of its distinct
+    * 3-token shingles (60-bit hashed) appears in the benchmark's shingle
+    * set, with overlap ratio and a `contaminated` flag at
+    * [[ContamThreshold]].
+    *
+    * Scale: the benchmark side is eval suites — MBs, not TBs — so its
+    * distinct shingle set is broadcast; the corpus side is one explode +
+    * map-side hash join + one count keyed by doc_id. No shuffle of corpus
+    * text anywhere.
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val shingled = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(Dedup.rawTokens).as("t"))
+      .filter(expr(s"size(t) >= ${Dedup.ShingleN}"))
+      .select(col("doc_id"), explode(expr(Dedup.shinglesOfT)).as("s"))
+      .select(col("doc_id"), expr(Dedup.hash60("s")).as("h"))
+    val benchSet = shingled
+      .filter(col("doc_id") % BenchMod === 0)
+      .select("h").distinct()
+    shingled
+      .filter(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(benchSet.withColumn("hit", lit(1))),
+        Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .withColumn("overlap_ratio",
+        col("n_overlap").cast("double") / col("n_shingles"))
+      .withColumn("contaminated", col("overlap_ratio") >= ContamThreshold)
+      .select("doc_id", "n_shingles", "n_overlap", "overlap_ratio", "contaminated")
+      .orderBy("doc_id")
+  }
+
+  private val contaminationSql =
+    s"""WITH t AS (
+          SELECT doc_id, ${Dedup.rawTokensDuck} AS t FROM documents
+          WHERE len(${Dedup.rawTokensDuck}) >= ${Dedup.ShingleN}
+        ), sh AS (
+          SELECT doc_id, ${Dedup.hash60Duck("s")} AS h
+          FROM (SELECT doc_id, unnest(${Dedup.shinglesOfTDuck}) AS s FROM t)
+        ), bench AS (
+          SELECT DISTINCT h FROM sh WHERE doc_id % $BenchMod = 0
+        ), o AS (
+          SELECT sh.doc_id, COUNT(*) AS n_shingles,
+                 COUNT(bench.h) AS n_overlap
+          FROM sh LEFT JOIN bench USING (h)
+          WHERE sh.doc_id % $BenchMod <> 0
+          GROUP BY 1
+        )
+        SELECT doc_id, n_shingles, n_overlap,
+               CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_ratio,
+               CAST(n_overlap AS DOUBLE) / n_shingles >= $ContamThreshold
+                 AS contaminated
+        FROM o WHERE n_overlap > 0 ORDER BY doc_id"""
+
+  /** `mix_weights`: temperature-scaled language mixture (α = 0.5 — i.e.
+    * sampling weight ∝ √tokens, the standard up-weighting of low-resource
+    * languages). α = 0.5 specifically because sqrt is IEEE-exactly-rounded
+    * in both engines where a general pow is not; the denominator is a
+    * left-fold over the per-lang values sorted ascending, so the double
+    * addition order is pinned on both sides. `oversample` is the effective
+    * epoch multiplier each lang sees vs proportional sampling.
+    *
+    * Scale: one langs-sized aggregate + a 1×1 cross join — nothing here
+    * grows with corpus size.
+    */
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val perLang = Tables.documents(spark, sfDir)
+      .select(col("lang"), expr(s"size(${Dedup.rawTokens})").as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .withColumn("s", sqrt(col("n_tokens").cast("double")))
+    val totals = perLang.agg(
+      expr("aggregate(array_sort(collect_list(s)), 0D, (a, x) -> a + x)").as("denom"),
+      sum("n_tokens").as("total_tokens"))
+    perLang.crossJoin(totals)
+      .withColumn("weight", col("s") / col("denom"))
+      .withColumn("oversample",
+        col("weight") * col("total_tokens").cast("double") / col("n_tokens"))
+      .select("lang", "n_docs", "n_tokens", "weight", "oversample")
+      .orderBy("lang")
+  }
+
+  private val mixWeightsSql =
+    s"""WITH per_lang AS (
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(len(${Dedup.rawTokensDuck})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1
+        ), s AS (
+          SELECT lang, n_docs, n_tokens,
+                 sqrt(CAST(n_tokens AS DOUBLE)) AS s
+          FROM per_lang
+        ), tot AS (
+          SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_sort(list(s))), (a, x) -> a + x) AS denom,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+          FROM s
+        )
+        SELECT lang, n_docs, n_tokens, s / denom AS weight,
+               s / denom * total_tokens / n_tokens AS oversample
+        FROM s CROSS JOIN tot ORDER BY lang"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
+    "text_contamination" -> (contamination _),
+    "mix_weights" -> (mixWeights _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "text_repetition" -> repetitionSql,
+    "text_contamination" -> contaminationSql,
+    "mix_weights" -> mixWeightsSql,
+  )
+}
