@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic tests: the QC operators must actually CATCH planted spam /
+  * contamination and compute the mixture math on knowable inputs.
+  */
+class CorpusQcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def write(d: String, rows: Seq[(Long, String, String, String)]): String = {
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def words(prefix: String, n: Int) = (0 until n)
+    .map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+
+  private lazy val repDir: String = write(
+    Files.createTempDirectory("graft_rep_fixture").toString,
+    Seq(
+      (1L, Seq.fill(50)("spam").mkString(" "), "en", "s"), // pure repetition
+      (2L, words("w", 50).mkString(" "), "en", "s"),       // 50 distinct words
+      (3L, "aa bb cc", "en", "s"),                         // under MinTokens
+    ))
+
+  test("repetition flags the spam doc, passes the diverse doc, skips short docs") {
+    val rows = CorpusQc.repetition(spark, repDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    val (top1, dup1, flag1) = rows(1L)
+    assert(top1 == 1.0)               // all 49 bigrams are "spam spam"
+    assert(dup1 == 1.0 - 1.0 / 46)    // 46 5-gram slots, 1 distinct
+    assert(flag1)
+    val (top2, dup2, flag2) = rows(2L)
+    assert(top2 == 1.0 / 49 && dup2 == 0.0 && !flag2)
+  }
+
+  private lazy val contamDir: String = {
+    val bench = words("b", 60).mkString(" ")
+    val half = (words("b", 30) ++ words("z", 30)).mkString(" ")
+    write(Files.createTempDirectory("graft_contam_fixture").toString,
+      Seq(
+        (0L, bench, "en", "s"),                     // 0 % 97 == 0 → benchmark
+        (98L, bench, "en", "s"),                    // verbatim copy of it
+        (99L, words("q", 60).mkString(" "), "en", "s"), // unrelated
+        (100L, half, "en", "s"),                    // front half shared
+      ))
+  }
+
+  test("contamination flags the verbatim copy, scores the partial, skips clean docs") {
+    val rows = CorpusQc.contamination(spark, contamDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(!rows.contains(0L), "benchmark docs must not report against themselves")
+    assert(!rows.contains(99L), "clean doc must not appear")
+    val (copyRatio, copyFlag) = rows(98L)
+    assert(copyRatio == 1.0 && copyFlag)
+    val (halfRatio, halfFlag) = rows(100L)
+    // 58 shingles, 28 fully inside the shared 30-word prefix
+    assert(halfRatio == 28.0 / 58 && !halfFlag)
+  }
+
+  private lazy val mixDir: String = write(
+    Files.createTempDirectory("graft_mix_fixture").toString,
+    Seq(
+      (1L, Seq.fill(200)("w").mkString(" "), "en", "s"),
+      (2L, Seq.fill(200)("w").mkString(" "), "en", "s"),
+      (3L, Seq.fill(100)("w").mkString(" "), "de", "s"),
+    ))
+
+  test("mixture weights follow sqrt scaling and oversample the small lang") {
+    val rows = CorpusQc.mixWeights(spark, mixDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val denom = 10.0 + 20.0 // sorted ascending fold: sqrt(100) then sqrt(400)
+    assert(rows("en") == ((2L, 400L, 20.0 / denom, 20.0 / denom * 500.0 / 400.0)))
+    assert(rows("de") == ((1L, 100L, 10.0 / denom, 10.0 / denom * 500.0 / 100.0)))
+    // sqrt mixing up-weights the low-resource lang above parity
+    assert(rows("de")._4 > 1.0 && rows("en")._4 < 1.0)
+  }
+}

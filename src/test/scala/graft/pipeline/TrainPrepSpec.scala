@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic tests for the training-prep operators: the split aggregate is
+  * checked against an independent Java md5 implementation (not Spark's),
+  * and packing against hand-computed bins on a fixture with known token
+  * counts — including the exact-boundary case.
+  */
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, nTokens: Int, lang: String) =
+    (id, Seq.fill(nTokens)("w").mkString(" "), lang, "src0")
+
+  /** 1000 docs, alternating en/de, 7 tokens each. */
+  private lazy val splitDir: String = {
+    val d = Files.createTempDirectory("graft_split_fixture").toString
+    (0L until 1000L).map(i => doc(i, 7, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  /** The same hash60(doc_id) % 100 assignment, via java.security directly. */
+  private def splitOf(id: Long): String = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16) % 100
+    if (h < TrainPrep.TrainPct) "train" else if (h < TrainPrep.ValPct) "val" else "test"
+  }
+
+  test("stable split matches an independent md5 implementation exactly") {
+    val expected = (0L until 1000L)
+      .map(i => (splitOf(i), if (i % 2 == 0) "en" else "de"))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val got = TrainPrep.stableSplit(spark, splitDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (nDocs, nTokens)) =>
+      assert(nDocs == expected(k).toLong, s"docs for $k")
+      assert(nTokens == 7L * expected(k), s"tokens for $k")
+    }
+    // the 90/5/5 boundaries actually hold in aggregate
+    val bySplit = got.groupBy(_._1._1).view.mapValues(_.values.map(_._1).sum)
+    assert(bySplit("train") > 850 && bySplit("train") < 950)
+    assert(bySplit("val") > 0 && bySplit("test") > 0)
+  }
+
+  /** Shard 0 (ids 0,8,16,24): tokens 300,300,300,100 → bins 0,0,1,1.
+    * Shard 1 (ids 1,9): tokens 512,10 — the second doc STARTS exactly at
+    * the 512 budget, so it opens bin 1. Shard 2 (ids 2,10): 200,200 both
+    * fit bin 0.
+    */
+  private lazy val packDir: String = {
+    val d = Files.createTempDirectory("graft_pack_fixture").toString
+    Seq(doc(0L, 300, "en"), doc(8L, 300, "en"), doc(16L, 300, "en"),
+      doc(24L, 100, "en"), doc(1L, 512, "en"), doc(9L, 10, "en"),
+      doc(2L, 200, "en"), doc(10L, 200, "en"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("packing fills bins greedily per shard, boundary doc opens a new bin") {
+    val rows = TrainPrep.packSequences(spark, packDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == Map(
+      (0L, 0L) -> ((2L, 600L)), // 300+300 overflows the 512 budget: contiguity packing
+      (0L, 1L) -> ((2L, 400L)), // 300+100
+      (1L, 0L) -> ((1L, 512L)), // exactly full
+      (1L, 1L) -> ((1L, 10L)),  // starts at 512 → next bin
+      (2L, 0L) -> ((2L, 400L)),
+    ))
+    val fill = TrainPrep.packSequences(spark, packDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(fill((1L, 0L)) == 1.0)
+    assert(fill((0L, 0L)) == 600.0 / 512)
+  }
+
+  test("split and pack are deterministic across runs") {
+    def run() = (TrainPrep.stableSplit(spark, splitDir).collect().toSeq,
+      TrainPrep.packSequences(spark, packDir).collect().toSeq)
+    assert(run() == run())
+  }
+}
