@@ -72,6 +72,41 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"))
   }
 
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("repetition grams stay codegen'd: no interpreted lambda anywhere") {
+    val p = executed("text_repetition")
+    assert(!p.contains("lambdafunction"), s"HOF crept back in:\n$p")
+    // the scan reads only (doc_id, text)
+    assert("ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .forall(_.group(1).split(",").length <= 2), p)
+  }
+
+  test("contamination broadcasts the benchmark set; corpus text never hash-shuffles") {
+    val p = executed("text_contamination")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only hash exchange is the post-join per-doc count — the corpus
+    // side reaches the join map-side
+    val hashEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(hashEx == 1, s"corpus side shuffled before the broadcast join:\n$p")
+  }
+
+  test("packing's bin aggregate reuses the shard window exchange") {
+    val p = executed("pack_sequences")
+    // one exchange to shard-partition the window; the (shard, bin) aggregate
+    // is satisfied by it (shard ⊆ keys) — no second hash exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"bin aggregate re-shuffled:\n$p")
+  }
+
+  test("stable split is map-only up to its bounded aggregate") {
+    val p = executed("text_stable_split")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
