@@ -210,15 +210,75 @@ object CorpusQc extends QueryModule {
                s / denom * total_tokens / n_tokens AS oversample
         FROM s CROSS JOIN tot ORDER BY lang"""
 
+  /** Hash-threshold granularity for fractional sampling. */
+  private val Mod = 1000000
+
+  /** `mix_materialize`: apply [[mixWeights]]'s oversample factors to the
+    * corpus — the step that actually BUILDS the mixture. Each doc gets
+    * `floor(f)` guaranteed copies plus one more when its salted hash falls
+    * under the fractional part of f (so a lang at f=1.6 emits every doc
+    * once and ~60% of docs twice; a downsampled lang at f=0.8 keeps ~80%).
+    * Deterministic: the same doc always draws the same copies, independent
+    * of what else is in the corpus partition-wise.
+    *
+    * Double care: `f - floor(f)` and `* 1000000` are exact IEEE ops on the
+    * pinned-order f, and the threshold passes through floor() before any
+    * cast because DuckDB CAST(double AS BIGINT) rounds where Spark
+    * truncates.
+    *
+    * Scale: per-lang factors are a langs-sized broadcast; the corpus side
+    * is map-only (hash, compare, no explode — emit counts, not copies).
+    */
+  def mixMaterialize(spark: SparkSession, sfDir: String): DataFrame = {
+    val factors = mixWeights(spark, sfDir).select(col("lang"), col("oversample"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(broadcast(factors), "lang")
+      .withColumn("h",
+        expr(s"${Dedup.hash60(s"concat('mix:', CAST(doc_id AS STRING))")} % $Mod"))
+      .withColumn("n_copies",
+        (floor(col("oversample")) +
+          when(col("h") < floor((col("oversample") - floor(col("oversample"))) * Mod), 1)
+            .otherwise(0)).cast("long"))
+      .select("doc_id", "lang", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  private val mixMaterializeSql =
+    s"""WITH per_lang AS (
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(len(${Dedup.rawTokensDuck})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1
+        ), s AS (
+          SELECT lang, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS s
+          FROM per_lang
+        ), tot AS (
+          SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_sort(list(s))), (a, x) -> a + x) AS denom,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+          FROM s
+        ), f AS (
+          SELECT lang, s / denom * total_tokens / n_tokens AS oversample
+          FROM s CROSS JOIN tot
+        )
+        SELECT d.doc_id, d.lang,
+               CAST(floor(oversample) AS BIGINT)
+                 + CASE WHEN ${Dedup.hash60Duck("'mix:' || CAST(doc_id AS VARCHAR)")} % $Mod
+                          < floor((oversample - floor(oversample)) * $Mod)
+                        THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN f USING (lang)
+        ORDER BY doc_id"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (repetition _),
     "text_contamination" -> (contamination _),
     "mix_weights" -> (mixWeights _),
+    "mix_materialize" -> (mixMaterialize _),
   )
 
   override def oracle: Map[String, String] = Map(
     "text_repetition" -> repetitionSql,
     "text_contamination" -> contaminationSql,
     "mix_weights" -> mixWeightsSql,
+    "mix_materialize" -> mixMaterializeSql,
   )
 }

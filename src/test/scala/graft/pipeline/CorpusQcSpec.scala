@@ -83,4 +83,23 @@ class CorpusQcSpec extends SparkSpec {
     // sqrt mixing up-weights the low-resource lang above parity
     assert(rows("de")._4 > 1.0 && rows("en")._4 < 1.0)
   }
+
+  test("mixture materialization draws deterministic per-doc copies at the computed rates") {
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 1000000
+    }
+    def copies(id: Long, f: Double): Long =
+      math.floor(f).toLong +
+        (if (h(id) < math.floor((f - math.floor(f)) * 1000000)) 1L else 0L)
+    val fEn = 20.0 / 30.0 * 500.0 / 400.0 // < 1: downsampled
+    val fDe = 10.0 / 30.0 * 500.0 / 100.0 // > 1: every doc once, ~2/3 twice
+    val rows = CorpusQc.mixMaterialize(spark, mixDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows == Map(
+      1L -> copies(1L, fEn), 2L -> copies(2L, fEn), 3L -> copies(3L, fDe)))
+    assert(rows.values.forall(c => c >= 0 && c <= 2))
+  }
 }
