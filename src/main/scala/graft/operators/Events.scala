@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -356,7 +357,41 @@ object Events extends QueryModule {
        WHERE k IS NOT NULL
        GROUP BY event_type ORDER BY event_type"""
 
+  /** Exact nearest-rank quantiles of value per event_type: rank ⌈q·n⌉'s
+    * VALUE is picked, never interpolated, so doubles cross engines
+    * untouched (interpolated percentile arithmetic differs per engine and
+    * would break the bit-exact oracle). Scale: a per-key sort — the exact,
+    * oracle-checkable form; at 100 TB the first pass is percentile_approx
+    * or a t-digest sketch and this runs on the filtered tail.
+    */
+  def valueQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val byValue = Window.partitionBy("event_type").orderBy("value")
+    val all = Window.partitionBy("event_type")
+    def pick(q: Double, name: String) =
+      max(when(col("rn") === ceil(col("n") * q), col("value"))).as(name)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(byValue))
+      .withColumn("n", count(lit(1)).over(all))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+      .orderBy("event_type")
+  }
+
+  private val valueQuantilesSql =
+    """WITH v AS (
+         SELECT event_type, value,
+                row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+         FROM events)
+       SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+              MAX(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS p50,
+              MAX(CASE WHEN rn = ceil(n * 0.9) THEN value END) AS p90,
+              MAX(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p99
+       FROM v GROUP BY 1 ORDER BY 1"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_value_quantiles" -> (valueQuantiles _),
     "t1_per_key_stats" -> (perKeyStatsQ _),
     "t3_tumbling_window" -> (tumblingQ _),
     "t4_sliding_window" -> (slidingQ _),
@@ -370,6 +405,7 @@ object Events extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "events_value_quantiles" -> valueQuantilesSql,
     "t1_per_key_stats" -> perKeyStatsSql,
     "t3_tumbling_window" -> tumblingSql,
     "t4_sliding_window" -> slidingSql,

@@ -84,15 +84,36 @@ object TextStats extends QueryModule {
                  AS avg_word_length
         FROM tok WHERE word NOT IN ($stopWordsSql)"""
 
+  /** CUBE over (lang, source): corpus totals at all four grouping levels in
+    * one pass, grouping_id distinguishing them. Spark expands the cube with
+    * `Expand` before a single partial+final aggregate — one shuffle of
+    * (4 × groups) rows, not four jobs. Sort order pins NULLS FIRST
+    * explicitly: DuckDB defaults ASC NULLS LAST, Spark NULLS FIRST.
+    */
+  def cubeStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .cube("lang", "source")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy(col("gid"), col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  private val cubeStatsSql =
+    """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+              COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY CUBE (lang, source)
+       ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_wordcount_top20" -> (wordCountTop20 _),
     "q1_length_histogram" -> (lengthHistogram _),
     "q1_corpus_stats" -> (corpusStats _),
+    "docs_cube_stats" -> (cubeStats _),
   )
 
   override def oracle: Map[String, String] = Map(
     "q1_wordcount_top20" -> wordCountTop20Sql,
     "q1_length_histogram" -> lengthHistogramSql,
     "q1_corpus_stats" -> corpusStatsSql,
+    "docs_cube_stats" -> cubeStatsSql,
   )
 }

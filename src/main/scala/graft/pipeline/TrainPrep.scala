@@ -99,13 +99,51 @@ object TrainPrep extends QueryModule {
                CAST(SUM(n_tokens) AS DOUBLE) / $PackBudget AS fill_ratio
         FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** `pack_manifest`: the trainer-facing manifest — each bin's member docs
+    * as an ordered CSV string (same bin assignment as [[packSequences]];
+    * doc list sorted numerically before joining so both engines emit the
+    * identical string). Bins hold a handful of docs, so the per-group array
+    * work is bounded.
+    */
+  def packManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (col("doc_id") % PackShards).as("shard"),
+        expr(s"size(${Dedup.rawTokens})").as("n_tokens"))
+      .withColumn("bin",
+        floor((sum("n_tokens").over(w) - col("n_tokens")) / lit(PackBudget.toDouble)))
+      .groupBy("shard", "bin")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+        .as("docs"))
+      .orderBy("shard", "bin")
+  }
+
+  private val packManifestSql =
+    s"""WITH d AS (
+          SELECT doc_id, doc_id % $PackShards AS shard,
+                 len(${Dedup.rawTokensDuck}) AS n_tokens
+          FROM documents
+        ), b AS (
+          SELECT doc_id, shard,
+                 CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens)
+                            / ${PackBudget.toDouble}) AS BIGINT) AS bin
+          FROM d)
+        SELECT shard, bin,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stable_split" -> (stableSplit _),
     "pack_sequences" -> (packSequences _),
+    "pack_manifest" -> (packManifest _),
   )
 
   override def oracle: Map[String, String] = Map(
     "text_stable_split" -> stableSplitSql,
     "pack_sequences" -> packSequencesSql,
+    "pack_manifest" -> packManifestSql,
   )
 }
