@@ -41,9 +41,15 @@ object CorpusQc extends QueryModule {
     * doc_id, so the top-bigram second aggregate and the final join reuse
     * the first shuffle's clustering.
     */
-  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  /** DataFrame core of [[repetition]] — per-doc, so a streaming micro-batch
+    * can run it as-is ([[graft.streaming.CorpusIngest]]). Unordered.
+    */
+  def repetitionOf(docs: DataFrame): DataFrame = {
     def f(k: String) = col("z").getField(k)
-    val g = Tables.documents(spark, sfDir)
+    val g = docs
       .select(col("doc_id"), expr(Dedup.rawTokens).as("t"))
       .filter(expr(s"size(t) >= $MinTokens"))
       .select(col("doc_id"), expr("size(t)").cast("long").as("n_tokens"),
@@ -70,7 +76,6 @@ object CorpusQc extends QueryModule {
           col("dup_fivegram_fraction") > DupFivegramMax)
       .select("doc_id", "n_tokens", "top_bigram_ratio",
         "dup_fivegram_fraction", "flagged")
-      .orderBy("doc_id")
   }
 
   private val repetitionSql =
@@ -118,17 +123,32 @@ object CorpusQc extends QueryModule {
     * map-side hash join + one count keyed by doc_id. No shuffle of corpus
     * text anywhere.
     */
-  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val shingled = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), expr(Dedup.rawTokens).as("t"))
+  def contamination(spark: SparkSession, sfDir: String): DataFrame =
+    contaminationOf(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % BenchMod =!= 0),
+      benchShingles(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** Distinct hashed shingles over docs. */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(Dedup.rawTokens).as("t"))
       .filter(expr(s"size(t) >= ${Dedup.ShingleN}"))
       .select(col("doc_id"), explode(expr(Dedup.shinglesOfT)).as("s"))
       .select(col("doc_id"), expr(Dedup.hash60("s")).as("h"))
-    val benchSet = shingled
-      .filter(col("doc_id") % BenchMod === 0)
+
+  /** The held-out benchmark's distinct shingle-hash set for sfDir. */
+  def benchShingles(spark: SparkSession, sfDir: String): DataFrame =
+    shingleRows(Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % BenchMod === 0))
       .select("h").distinct()
-    shingled
-      .filter(col("doc_id") % BenchMod =!= 0)
+
+  /** DataFrame core of [[contamination]]: overlap of `docs` against a
+    * benchmark shingle-hash set (column `h`). The benchmark side is always
+    * broadcast — eval suites are MBs. Per-doc, so a streaming micro-batch
+    * runs it as-is ([[graft.streaming.CorpusIngest]]). Unordered.
+    */
+  def contaminationOf(docs: DataFrame, benchSet: DataFrame): DataFrame =
+    shingleRows(docs)
       .join(broadcast(benchSet.withColumn("hit", lit(1))),
         Seq("h"), "left")
       .groupBy("doc_id")
@@ -138,8 +158,6 @@ object CorpusQc extends QueryModule {
         col("n_overlap").cast("double") / col("n_shingles"))
       .withColumn("contaminated", col("overlap_ratio") >= ContamThreshold)
       .select("doc_id", "n_shingles", "n_overlap", "overlap_ratio", "contaminated")
-      .orderBy("doc_id")
-  }
 
   private val contaminationSql =
     s"""WITH t AS (

@@ -495,6 +495,38 @@ object Dedup extends QueryModule {
     bandIndexNames.clear()
   }
 
+  /** Online near-dup probe for streaming ingest: an arriving `batch`
+    * (doc_id, text — doc_ids unseen by the index) against sfDir's persisted
+    * corpus band index (the same one [[incrementalDedup]] builds: docs with
+    * doc_id % 10 != 0). Unlike incrementalDedup — whose probe side is a
+    * filter of the memoized all-docs band table — the batch here is
+    * genuinely new data, so its signatures are computed fresh; per-batch
+    * cost ∝ batch size and the corpus is touched only through the bucketed
+    * index plus the token join on surviving candidates. Unordered (a sink
+    * writer needs no sort).
+    */
+  def probeBatch(spark: SparkSession, sfDir: String, batch: DataFrame): DataFrame = {
+    val g = batch.select(col("doc_id"),
+      expr(s"array_sort(transform($tokenSet, w -> ${hash60("w")}))").as("g"))
+    val bands = bandsOf(minhashSigs(g))
+    val all = docTokens(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    val corpusBands = lshBands(spark, s"$sfDir#dedup#minhash_unigram", all)
+      .filter(col("doc_id") % 10 =!= 0)
+    val index = spark.table(bandIndexTable(spark, sfDir, corpusBands))
+    val cand = bands.as("x").join(index.as("y"), Seq("band", "band_key"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("new_id"), col("g").as("ga")), "new_id")
+      .join(corpus.select(col("doc_id").as("corpus_id"), col("g").as("gb")), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("jaccard") >= 0.9)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val all = docTokens(spark, sfDir) // memoized scan, shared with the LSH queries
     // bands are per-doc deterministic, so corpus and batch bands are FILTERS

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipeline.{CorpusQc, Dedup}
+
+case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
+/** The streaming ingest must converge to its batch twins: feeding the
+  * "new" docs (doc_id % 10 == 0, the incrementalDedup convention) through
+  * CorpusIngest in two micro-batches lands exactly the rows the batch
+  * operators produce on the same docs in one pass — and replaying a batch
+  * (crash-recovery's at-least-once path) changes nothing.
+  */
+class CorpusIngestSpec extends SparkSpec {
+  import spark.implicits._
+  implicit private def sqlCtx: SQLContext = spark.sqlContext
+
+  private lazy val newDocs: Seq[Doc] =
+    graft.Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") % 10 === 0)
+      .as[Doc].collect().toSeq.sortBy(_.doc_id)
+
+  test("streamed ingest converges to the batch twins and replays idempotently") {
+    val outDir = Files.createTempDirectory("graft_ingest_out").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    val (a, b) = newDocs.splitAt(newDocs.size / 2)
+    val src = MemoryStream[Doc]
+    val q = CorpusIngest.start(src.toDF, Sf0001, outDir, ckpt)
+    try {
+      src.addData(a: _*); q.processAllAvailable()
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def landed(sub: String) = spark.read.parquet(s"$outDir/$sub").drop("batch_id")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+
+    val batchDocs = newDocs.toDF()
+    assert(rows(landed("qc")) == rows(CorpusQc.repetitionOf(batchDocs)))
+    assert(rows(landed("contam")) ==
+      rows(CorpusQc.contaminationOf(batchDocs, CorpusQc.benchShingles(spark, Sf0001))))
+    val streamedDups = rows(landed("dups"))
+    assert(streamedDups == rows(Dedup.probeBatch(spark, Sf0001, batchDocs)))
+    // and the probe agrees with the oracle-checked incremental query
+    assert(streamedDups == rows(
+      Dedup.incrementalDedup(spark, Sf0001).select("new_id", "corpus_id", "jaccard")))
+    assert(streamedDups.nonEmpty, "fixture should contain planted near-dups")
+
+    // crash replay: re-running a committed batch overwrites, never appends
+    val before = (rows(landed("qc")), rows(landed("contam")), rows(landed("dups")))
+    CorpusIngest.batchWriter(spark, Sf0001, outDir)(a.toDF(), 0L)
+    assert((rows(landed("qc")), rows(landed("contam")), rows(landed("dups"))) == before)
+  }
+}
