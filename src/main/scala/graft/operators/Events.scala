@@ -390,8 +390,41 @@ object Events extends QueryModule {
               MAX(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p99
        FROM v GROUP BY 1 ORDER BY 1"""
 
+  /** Email-shaped token pattern — identical semantics in Java regex (Spark)
+    * and RE2 (DuckDB): plain character classes only, no lookaround.
+    */
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+
+  /** PII scrub of the props payload: redact email-shaped tokens, then digit
+    * runs — the standard redact-before-training step, as map-only codegen'd
+    * `regexp_replace`. `n_redacted` counts the digit runs removed so scrub
+    * coverage is auditable downstream. DataFrame core is per-row, reusable
+    * on a streaming micro-batch.
+    */
+  def scrubPiiOf(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("props"),
+      expr("size(regexp_extract_all(props, '[0-9]+', 0))").cast("long").as("n_redacted"),
+      regexp_replace(regexp_replace(col("props"), EmailPat, "<email>"), "[0-9]+", "#")
+        .as("props_clean"))
+      .withColumn("changed", col("props_clean") =!= col("props"))
+      .drop("props")
+
+  def scrubPii(spark: SparkSession, sfDir: String): DataFrame =
+    scrubPiiOf(Tables.events(spark, sfDir)).orderBy("event_id")
+
+  private val scrubPiiSql =
+    s"""WITH s AS (
+         SELECT event_id, props,
+                CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted,
+                regexp_replace(regexp_replace(props, '$EmailPat', '<email>', 'g'),
+                               '[0-9]+', '#', 'g') AS props_clean
+         FROM events)
+       SELECT event_id, n_redacted, props_clean, props_clean <> props AS changed
+       FROM s ORDER BY event_id"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_value_quantiles" -> (valueQuantiles _),
+    "events_scrub_pii" -> (scrubPii _),
     "t1_per_key_stats" -> (perKeyStatsQ _),
     "t3_tumbling_window" -> (tumblingQ _),
     "t4_sliding_window" -> (slidingQ _),
@@ -406,6 +439,7 @@ object Events extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "events_value_quantiles" -> valueQuantilesSql,
+    "events_scrub_pii" -> scrubPiiSql,
     "t1_per_key_stats" -> perKeyStatsSql,
     "t3_tumbling_window" -> tumblingSql,
     "t4_sliding_window" -> slidingSql,

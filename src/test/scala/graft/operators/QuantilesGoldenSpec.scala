@@ -30,4 +30,19 @@ class QuantilesGoldenSpec extends SparkSpec {
     assert(rows("a") == ((10L, 5.0, 9.0, 10.0)))
     assert(rows("b") == ((3L, 2.0, 3.0, 3.0)))
   }
+
+  test("PII scrub redacts planted emails and digit runs, flags changed rows") {
+    val df = Seq(
+      (1L, """{"user": "alice.b_1%x@mail-host.example.com", "id": 12345}"""),
+      (2L, """{"note": "no pii here"}"""),
+      (3L, """{"ids": [7, 42]}"""))
+      .toDF("event_id", "props")
+    val rows = Events.scrubPiiOf(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    // n_redacted counts digit runs in the ORIGINAL props (the "1" inside
+    // the address plus "12345"), independent of the email pass
+    assert(rows(1L) == ((2L, """{"user": "<email>", "id": #}""", true)), rows(1L).toString)
+    assert(rows(2L) == ((0L, """{"note": "no pii here"}""", false)))
+    assert(rows(3L) == ((2L, """{"ids": [#, #]}""", true)))
+  }
 }
