@@ -495,6 +495,82 @@ object Dedup extends QueryModule {
     bandIndexNames.clear()
   }
 
+  // ---- exact-substring span overlap ----
+
+  /** Span-overlap parameters: pairs must share ≥ [[MinSharedWindows]]
+    * distinct token-8-gram hashes (≈ a ≥15-token contiguous common span, or
+    * several shorter ones) to be reported. 8-grams are taken at EVERY token
+    * position — stride-free, so shared spans match regardless of where an
+    * edit shifts them (a strided variant breaks on any shift that is not a
+    * stride multiple). [[MaxDocsPerWindow]] is the hot-key guard: an 8-gram
+    * shared by more docs than this (boilerplate headers) is dropped before
+    * the self-join, exactly like [[MaxBucket]] for LSH bands.
+    */
+  val SpanTokens = 8
+  val MinSharedWindows = 8
+  val MaxDocsPerWindow = 1000
+
+  /** `dedup_span_overlap`: document pairs sharing exact token spans — the
+    * substring-level duplication detector (the check RefinedWeb-class
+    * pipelines run beside MinHash): set-level Jaccard dilutes a copied
+    * paragraph inside two long, otherwise-different documents below any
+    * sane τ, while the copied span's 8-grams match exactly.
+    *
+    * Shape: codegen'd zip/slice gram generation (no interpreted lambdas),
+    * distinct (doc_id, h) memoized to scratch, hot-window guard reusing the
+    * window count's clustering, then an equi-join on 8-byte hashes whose
+    * per-pair count IS the verification — no second pass. 100 TB: the join
+    * moves (doc, hash) pairs only, never text; the guard bounds any single
+    * key's expansion at MaxDocsPerWindow².
+    */
+  def spanOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    def f(k: String) = col("z").getField(k)
+    val slices = (2 to SpanTokens).map(k => s"slice(t, $k, size(t))").mkString(", ")
+    val wins = Scratch.memoize(spark, s"$sfDir#dedup#span_windows") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), expr(rawTokens).as("t"))
+        .filter(expr(s"size(t) >= $SpanTokens"))
+        .select(col("doc_id"), explode(expr(s"arrays_zip(t, $slices)")).as("z"))
+        .filter(f((SpanTokens - 1).toString).isNotNull)
+        .select(col("doc_id"), concat_ws(" ",
+          f("t") +: (1 until SpanTokens).map(k => f(k.toString)): _*).as("gram"))
+        .select(col("doc_id"), expr(hash60("gram")).as("h"))
+        .distinct()
+    }
+    val kept = wins
+      .withColumn("w_n", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("w_n") <= MaxDocsPerWindow)
+      .drop("w_n")
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedWindows)
+      .orderBy("ia", "ib")
+  }
+
+  private val spanOverlapSql = {
+    val gram = (1 to SpanTokens).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+          SELECT doc_id, $rawTokensDuck AS t FROM documents
+          WHERE len($rawTokensDuck) >= $SpanTokens
+        ), wins AS (
+          SELECT DISTINCT doc_id, ${hash60Duck("g")} AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(t) - ${SpanTokens - 1}),
+                                         i -> $gram)) AS g
+            FROM toks)
+        ), kept AS (
+          SELECT doc_id, h FROM (
+            SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS w_n FROM wins)
+          WHERE w_n <= $MaxDocsPerWindow
+        )
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_shared
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= $MinSharedWindows
+        ORDER BY 1, 2"""
+  }
+
   /** Online near-dup probe for streaming ingest: an arriving `batch`
     * (doc_id, text — doc_ids unseen by the index) against sfDir's persisted
     * corpus band index (the same one [[incrementalDedup]] builds: docs with
@@ -721,6 +797,7 @@ object Dedup extends QueryModule {
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_components" -> (componentsDedup _),
     "dedup_incremental" -> (incrementalDedup _),
+    "dedup_span_overlap" -> (spanOverlap _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -731,5 +808,6 @@ object Dedup extends QueryModule {
     "dedup_embedding" -> embeddingDedupSql,
     "dedup_components" -> componentsDedupSql,
     "dedup_incremental" -> incrementalDedupSql,
+    "dedup_span_overlap" -> spanOverlapSql,
   )
 }

@@ -156,4 +156,19 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(top(0L)._1 === 1L && top(0L)._2 > 0.999999)
     assert(top(1L)._1 === 0L && top(1L)._2 > 0.999999)
   }
+
+  /** 50-token docs have 43 token-8-grams; an edit at 0-indexed position p
+    * kills the grams starting in [p-7, p] ∩ [0, 42]. So: identical pair
+    * shares 43; one interior edit (waz, p=25) kills 8 → 35; the chain's
+    * leading-edge edits (p ∈ {0,1} / {2,3}) kill only 2 or 4 — and unlike
+    * Jaccard-τ, the span detector rightly REPORTS (10,12): they still share
+    * long exact spans even though their set Jaccard fell to 0.852.
+    */
+  test("span overlap finds exact shared spans with exact window counts") {
+    val rows = Dedup.spanOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows == Map(
+      (1L, 2L) -> 43L, (1L, 3L) -> 35L, (2L, 3L) -> 35L,
+      (10L, 11L) -> 41L, (10L, 12L) -> 39L, (11L, 12L) -> 39L))
+  }
 }
