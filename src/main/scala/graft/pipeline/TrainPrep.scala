@@ -135,15 +135,40 @@ object TrainPrep extends QueryModule {
                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
         FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** `doc_global_index`: dense contiguous sample indices 0..N-1 in doc_id
+    * order — the address space a trainer's sampler draws from. A global
+    * ORDER BY + row_number window would collapse the numbering onto ONE
+    * task at scale; this is the scale-correct form: range-partitioned sort,
+    * then `zipWithIndex` (one lightweight per-partition count job + a
+    * map-side offset add — the textbook distributed prefix sum, and one of
+    * the two deliberate RDD uses in the repo). The oracle's row_number
+    * twin proves the two formulations agree.
+    */
+  def globalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id")).orderBy("doc_id")
+      .as[Long].rdd.zipWithIndex()
+      .toDF("doc_id", "idx")
+      .orderBy("doc_id")
+  }
+
+  private val globalIndexSql =
+    """SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       FROM documents ORDER BY doc_id"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stable_split" -> (stableSplit _),
     "pack_sequences" -> (packSequences _),
     "pack_manifest" -> (packManifest _),
+    "doc_global_index" -> (globalIndex _),
   )
 
   override def oracle: Map[String, String] = Map(
     "text_stable_split" -> stableSplitSql,
     "pack_sequences" -> packSequencesSql,
     "pack_manifest" -> packManifestSql,
+    "doc_global_index" -> globalIndexSql,
   )
 }
