@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-corpus robustness: a fresh ingest partition IS an empty table, so
+  * every documents/embeddings-family query must plan and return empty —
+  * never throw on size(t)-style guards, empty folds, empty pivots, or
+  * empty index builds.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_empty_fixture").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private val docQueries = Seq(
+    "text_lang_id", "text_quality_score", "text_token_counts", "text_fingerprint",
+    "text_repetition", "text_contamination", "text_stable_split",
+    "mix_weights", "mix_materialize",
+    "pack_sequences", "pack_manifest", "doc_global_index",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_span_overlap", "dedup_components",
+    "similarity_topk_brute", "dedup_embedding",
+    "q1_wordcount_top20", "q1_length_histogram", "q1_corpus_stats")
+
+  /** Ungrouped global aggregates correctly emit ONE summary row on empty
+    * input (SQL semantics, same as the DuckDB oracle) — everything else
+    * must be empty.
+    */
+  private val globalAggRows = Map("q1_corpus_stats" -> 1L)
+
+  test("documents-family queries return empty on an empty corpus, never throw") {
+    docQueries.foreach { name =>
+      val n =
+        try SparkEntry.queries(name)(spark, dir).count()
+        catch { case e: Throwable => fail(s"$name threw on empty input: $e") }
+      assert(n == globalAggRows.getOrElse(name, 0L),
+        s"$name returned $n rows on empty input")
+      spark.catalog.clearCache()
+    }
+  }
+}
