@@ -98,6 +98,19 @@ object Dedup extends QueryModule {
     */
   val MaxBucket = 10000
 
+  /** Design-time LSH planner: among (bands, rows) factorizations of the
+    * permutation budget, pick the one whose s-curve midpoint (1/b)^(1/r)
+    * sits closest to the target Jaccard threshold (ties → more rows, the
+    * sharper curve). The shipped 8×12 is this planner's answer for the
+    * fixture profile (midpoint 0.84, chosen low of τ=0.9 to buy recall at
+    * the measured 0.63 background similarity); rerun the planner + the
+    * `similarity_lsh_recall` loop when a corpus's pair-similarity profile
+    * differs.
+    */
+  def lshPlan(tau: Double, n: Int = NumPerms): (Int, Int) =
+    (1 to n).filter(n % _ == 0).map(b => (b, n / b))
+      .minBy { case (b, r) => (math.abs(math.pow(1.0 / b, 1.0 / r) - tau), -r) }
+
   /** MinHash signature: sig[k] = min over tokens of ((37k+11)(h mod M) + 101k+7) mod M.
     * Affine-mod permutations in 64-bit integer math — products stay < 2^43.
     *

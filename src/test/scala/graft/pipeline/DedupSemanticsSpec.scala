@@ -164,6 +164,18 @@ class DedupSemanticsSpec extends SparkSpec {
     * Jaccard-τ, the span detector rightly REPORTS (10,12): they still share
     * long exact spans even though their set Jaccard fell to 0.852.
     */
+  test("LSH planner picks s-curve midpoints near the target threshold") {
+    def midpoint(br: (Int, Int)) = math.pow(1.0 / br._1, 1.0 / br._2)
+    // the planner's midpoint lands within 0.06 of any reasonable target
+    Seq(0.7, 0.8, 0.85, 0.9, 0.95).foreach { tau =>
+      assert(math.abs(midpoint(Dedup.lshPlan(tau)) - tau) < 0.06, s"tau=$tau")
+    }
+    // higher thresholds need fewer bands (more selective OR-construction)
+    assert(Dedup.lshPlan(0.95)._1 < Dedup.lshPlan(0.7)._1)
+    // the shipped 8x12 is the planner's own answer for the fixture profile
+    assert(Dedup.lshPlan(0.84) == ((Dedup.Bands, Dedup.RowsPerBand)))
+  }
+
   test("span overlap finds exact shared spans with exact window counts") {
     val rows = Dedup.spanOverlap(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
