@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Nested,
     operators.Sources,
     operators.Events,
+    operators.AsOfJoin,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
     pipeline.Multimodal,
