@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Sources,
     operators.Events,
     operators.AsOfJoin,
+    operators.RangeJoin,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
     pipeline.Multimodal,

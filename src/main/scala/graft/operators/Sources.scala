@@ -80,6 +80,20 @@ object Sources extends QueryModule {
        WHERE word NOT IN ('the', 'is', 'an', 'a', 'are')
        GROUP BY word ORDER BY n DESC, word LIMIT 50"""
 
+  /** S5-adjacent: supplier → ORC (snappy, partitioned) → read back. ORC is
+    * the other columnar format a Hadoop-lineage pipeline inherits (the
+    * reference's course stack is Hadoop-first); schema and values must
+    * survive the trip bit-for-bit. Statistics-bearing like parquet, so
+    * filter pushdown and column pruning work the same way at scale.
+    */
+  def orcRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_orc")
+    Tables.supplier(spark, sfDir).write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   /** §2.7 set operators over compatible projections. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
@@ -109,6 +123,7 @@ object Sources extends QueryModule {
     "s1_csv_roundtrip" -> (csvRoundTrip _),
     "s2_json_roundtrip" -> (jsonRoundTrip _),
     "s4_text_wordcount" -> (textSourceWordCount _),
+    "s6_orc_roundtrip" -> (orcRoundTrip _),
     "setops_union_intersect_except" -> (setOps _),
   )
 
@@ -119,6 +134,9 @@ object Sources extends QueryModule {
     "s2_json_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "s4_text_wordcount" -> textSourceWordCountSql,
+    "s6_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier ORDER BY s_suppkey""",
     "setops_union_intersect_except" -> setOpsSql,
   )
 }
