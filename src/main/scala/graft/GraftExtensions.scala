@@ -8,13 +8,18 @@ import org.apache.spark.sql.SparkSessionExtensions
   * functions up without touching internal session state.
   *
   * Functions: `vec_dot(array<float|double>, array<float|double>) -> double`
-  * (codegen'd strict-left-fold dot product; see [[functions.VectorDot]]) and
+  * (codegen'd strict-left-fold dot product; see [[functions.VectorDot]]),
   * `kmv_distinct(hash bigint) -> double` (bounded-buffer KMV distinct-count
-  * sketch; see [[functions.KmvSketchAgg]]).
+  * sketch; see [[functions.KmvSketchAgg]]), and the bloom pair
+  * `bloom_filter_agg` / `might_contain` (Spark's own runtime-filter
+  * expressions surfaced for deliberate use; see [[functions.BloomAgg]],
+  * [[functions.MightContain]], [[operators.BloomJoin]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(functions.VectorDot.description)
     ext.injectFunction(functions.KmvSketchAgg.description)
+    ext.injectFunction(functions.MightContain.description)
+    ext.injectFunction(functions.BloomAgg.description)
   }
 }

@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Events,
     operators.AsOfJoin,
     operators.RangeJoin,
+    operators.BloomJoin,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
     pipeline.Multimodal,
