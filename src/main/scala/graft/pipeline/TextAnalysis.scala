@@ -170,11 +170,76 @@ object TextAnalysis extends QueryModule {
                MIN(${Dedup.hash60Duck(s"substring(text, pos, $ShingleChars)")}) AS fingerprint
         FROM w GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Keywords per document. */
+  val TfidfTopK = 5
+
+  /** TF-IDF keyword extraction: top-[[TfidfTopK]] terms per document by
+    * `tf · ln(N / df)`, ties broken by term. The corpus size N rides in as a
+    * scalar subquery, so the plan is: one token explode → (doc, term) count →
+    * a term-keyed aggregation for document frequency → join back on term.
+    *
+    * Scale: the df table is vocabulary-sized (≪ corpus; heavy-tail tokens
+    * collapse at the map-side partial agg), so AQE broadcasts it at any
+    * realistic vocabulary/corpus ratio and the only full shuffle is the
+    * (doc, term) count the job needs anyway. The per-doc top-k window
+    * repartitions by doc_id — bounded state, no global sort until the final
+    * presentation ORDER BY.
+    *
+    * Determinism: tf and df are exact integers, but `ln` is NOT bit-stable
+    * across engines (measured: ~3% of scores differ in the last ulp vs
+    * DuckDB's libm), so the double score ORDERS the ranking — where a
+    * sub-ulp difference cannot flip distinct (tf, df) pairs — and the
+    * emitted columns are the exact integers (tf, doc_freq, rank) only.
+    */
+  def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n")).scalar()
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        col("tf").cast("double") * log(nDocs.cast("double") / col("doc_freq")))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= TfidfTopK)
+      .select("doc_id", "term", "tf", "doc_freq", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfKeywordsSql =
+    s"""WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1
+        ), scored AS (
+          SELECT doc_id, term, tf, doc_freq,
+                 CAST(tf AS DOUBLE)
+                   * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / doc_freq)
+                   AS score
+          FROM tf JOIN dfreq USING (term)
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tf, doc_freq, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= $TfidfTopK ORDER BY doc_id, rank"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> (langId _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality_score" -> (qualityScore _),
     "text_fingerprint" -> (fingerprint _),
+    "text_tfidf_keywords" -> (tfidfKeywords _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -182,5 +247,6 @@ object TextAnalysis extends QueryModule {
     "text_token_counts" -> tokenCountsSql,
     "text_quality_score" -> qualityScoreSql,
     "text_fingerprint" -> fingerprintSql,
+    "text_tfidf_keywords" -> tfidfKeywordsSql,
   )
 }

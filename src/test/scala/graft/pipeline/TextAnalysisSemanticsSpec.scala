@@ -55,4 +55,22 @@ class TextAnalysisSemanticsSpec extends SparkSpec {
     assert(fps.size === 4)
     assert(fps.values.toSet.size === 4) // all distinct texts → distinct fingerprints
   }
+
+  test("tf-idf ranks a rare term above a corpus-wide term despite lower tf") {
+    val d = Files.createTempDirectory("graft_tfidf_fixture").toString
+    // "common" dominates every doc (tf=3) but df=N ⇒ idf=ln(1)=0; each doc's
+    // singleton word (df=1, tf=1) must out-rank it
+    Seq(
+      (1L, "common common common alpha"),
+      (2L, "common common common beta"),
+      (3L, "common common common gamma"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextAnalysis.tfidfKeywords(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(4))) // (doc, term, rank)
+    val rank1 = rows.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    assert(rank1 === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    assert(rows.filter(_._2 == "common").forall(_._3 == 2),
+      "zero-idf term must sit below every positive-score term")
+  }
 }
