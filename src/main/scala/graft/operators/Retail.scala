@@ -435,6 +435,41 @@ object Retail extends QueryModule {
               wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
        ORDER BY o_custkey, o_orderkey"""
 
+  /** Time-RANGE window frame (beyond W1-W4's row frames and ranking): per
+    * customer, trailing-30-day order count and revenue — the frame is bounded
+    * by a time DISTANCE (`rangeBetween` on epoch seconds ↔ SQL `RANGE BETWEEN
+    * INTERVAL 30 DAY PRECEDING`), not a row count, so same-date peers are
+    * always in-frame together and the result is order-independent under ties
+    * (which row frames are not). Revenue accumulates in DECIMAL for the same
+    * reason. Scale: one hash partition per customer, state bounded by the
+    * 30-day span — no global sort until the presentation ORDER BY.
+    */
+  def trailingRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(unix_timestamp(col("o_orderdate"))) // NTZ→epoch under the session's UTC
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("trailing_orders", count(lit(1)).over(w))
+      .withColumn("trailing_revenue",
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("trailing_orders"), col("trailing_revenue"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val trailingRevenueSql =
+    """SELECT o_custkey, o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+              COUNT(*) OVER w AS trailing_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                AS trailing_revenue
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+       ORDER BY o_custkey, o_orderkey"""
+
   /** Semi / anti joins (SURVEY §2.3 note): customers with / without a pending
     * ('P') order. The status filter keeps the anti side non-empty and shows a
     * pushed-down predicate feeding a semi-join build side.
@@ -471,6 +506,7 @@ object Retail extends QueryModule {
     "bonus_join_left" -> (joinLeftFrequent _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
+    "q2_trailing_revenue" -> (trailingRevenue _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -496,5 +532,6 @@ object Retail extends QueryModule {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
          ORDER BY c_custkey""",
+    "q2_trailing_revenue" -> trailingRevenueSql,
   )
 }
