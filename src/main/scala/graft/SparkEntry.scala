@@ -19,6 +19,7 @@ object SparkEntry {
     operators.AsOfJoin,
     operators.RangeJoin,
     operators.BloomJoin,
+    operators.SkewJoin,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
     pipeline.Multimodal,

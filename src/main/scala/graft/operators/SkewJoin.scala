@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryModule, Tables}
 
 /** Salted equi-join for skewed keys (builder brief: "salting for skew, AQE
   * for runtime re-plan").
@@ -18,7 +21,7 @@ import org.apache.spark.sql.functions._
   * Result equality with the plain join is exact (proved in SkewJoinSpec):
   * salting only refines the partitioning key, never the match condition.
   */
-object SkewJoin {
+object SkewJoin extends QueryModule {
 
   /** Equi-join `facts ⋈ dims` on `key`, spreading each fact key over
     * `factor` partitions. `saltSource` must be a fact-side column (any type)
@@ -37,4 +40,36 @@ object SkewJoin {
       explode(expr(s"sequence(0, ${factor - 1})")))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
   }
+
+  // ---------------------------------------------------------------- queries
+
+  /** Orders ⋈ customers through the salted path, factor 8: per-nation order
+    * count and exact-decimal revenue. Identical to the plain join (salting
+    * refines partitioning, never the match), so the oracle is the plain SQL
+    * join — this puts the skew machinery itself under the CORRECTNESS gate,
+    * not just its spec.
+    */
+  def saltedRevenueQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val dim = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    saltedJoin(fact, dim, "c_custkey", saltSource = col("o_orderkey"), factor = 8)
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double").as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_join_salted_revenue" -> (saltedRevenueQ _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "skew_join_salted_revenue" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+  )
 }
