@@ -94,6 +94,28 @@ object Sources extends QueryModule {
       .orderBy("s_suppkey")
   }
 
+  /** S7: schema evolution across parquet generations. A long-lived corpus is
+    * written by many pipeline versions; later generations grow columns. Two
+    * generations land in one directory — even suppkeys without `s_acctbal`
+    * (the old writer), odd ones with it — and a `mergeSchema` read unifies
+    * them, nulling the missing column. At 100 TB mergeSchema's footer-merge
+    * pass is the cost knob (it reads every file's footer up front), which is
+    * why it is opt-in here and not a session default.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_evolve")
+    val s = Tables.supplier(spark, sfDir)
+    s.filter(pmod(col("s_suppkey"), lit(2)) === 0)
+      .select("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    s.filter(pmod(col("s_suppkey"), lit(2)) === 1)
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/gen=1", s"$dir/gen=2")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   /** §2.7 set operators over compatible projections. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
@@ -124,6 +146,7 @@ object Sources extends QueryModule {
     "s2_json_roundtrip" -> (jsonRoundTrip _),
     "s4_text_wordcount" -> (textSourceWordCount _),
     "s6_orc_roundtrip" -> (orcRoundTrip _),
+    "s7_schema_evolution" -> (schemaEvolution _),
     "setops_union_intersect_except" -> (setOps _),
   )
 
@@ -136,6 +159,10 @@ object Sources extends QueryModule {
     "s4_text_wordcount" -> textSourceWordCountSql,
     "s6_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier ORDER BY s_suppkey""",
+    "s7_schema_evolution" ->
+      """SELECT s_suppkey, s_name,
+              CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
          FROM supplier ORDER BY s_suppkey""",
     "setops_union_intersect_except" -> setOpsSql,
   )
