@@ -234,12 +234,76 @@ object TextAnalysis extends QueryModule {
         SELECT doc_id, term, tf, doc_freq, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= $TfidfTopK ORDER BY doc_id, rank"""
 
+  /** Count-min sketch geometry: [[CmsDepth]] independent hash rows ×
+    * [[CmsWidth]] counters, probed for the exact top-[[CmsTopK]] words.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+  val CmsTopK = 20
+
+  private def cmsBucket(iExpr: String, wExpr: String): String =
+    s"pmod(${Dedup.hash60(s"concat(cast($iExpr AS string), ':', $wExpr)")}, $CmsWidth)"
+  private def cmsBucketDuck(iExpr: String, wExpr: String): String =
+    s"(${Dedup.hash60Duck(s"concat(CAST($iExpr AS VARCHAR), ':', $wExpr)")} % $CmsWidth)"
+
+  /** Heavy hitters through a count-min sketch: every token stream update is
+    * `+1` at ([[CmsDepth]] row, hash_row(word)) — the sketch is a fixed
+    * depth×width counter grid whose merge is plain addition, so partial
+    * aggregation and any shuffle order give the SAME grid (this is what
+    * makes an approximate sketch exactly oracle-checkable: deterministic md5
+    * row-hashes, commutative counters). Estimate = min over rows, compared
+    * here against the exact counts of the true top-[[CmsTopK]] words.
+    *
+    * Scale: the grid is depth×width cells REGARDLESS of corpus size — the
+    * state a 100 TB stream can afford when the exact (word → count) map
+    * cannot; the depth-factor token replication stays map-side (broadcast
+    * of a [[CmsDepth]]-row frame, no extra shuffle) and collapses into the
+    * partial agg. CMS never undercounts (collisions only add), which
+    * [[TextAnalysisSemanticsSpec]] pins alongside a planted heavy hitter.
+    */
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    val rows = spark.range(CmsDepth.toLong).toDF("i")
+    val counters = tok.crossJoin(rows)
+      .select(col("i"), expr(cmsBucket("i", "word")).as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
+    val top = tok.groupBy("word").agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("word")).limit(CmsTopK)
+    top.crossJoin(rows)
+      .withColumn("b", expr(cmsBucket("i", "word")))
+      .join(counters, Seq("i", "b"))
+      .groupBy("word", "true_count")
+      .agg(min("cnt").as("cms_estimate"))
+      .orderBy(col("true_count").desc, col("word"))
+  }
+
+  private val cmsHeavyHittersSql =
+    s"""WITH tok AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents
+        ), rows AS (
+          SELECT i FROM range(0, $CmsDepth) t(i)
+        ), counters AS (
+          SELECT i, ${cmsBucketDuck("i", "word")} AS b, COUNT(*) AS cnt
+          FROM tok CROSS JOIN rows GROUP BY 1, 2
+        ), top AS (
+          SELECT word, COUNT(*) AS true_count FROM tok GROUP BY 1
+          ORDER BY true_count DESC, word LIMIT $CmsTopK
+        )
+        SELECT word, true_count, MIN(cnt) AS cms_estimate
+        FROM top CROSS JOIN rows
+        JOIN counters USING (i) WHERE counters.b = ${cmsBucketDuck("i", "word")}
+        GROUP BY word, true_count
+        ORDER BY true_count DESC, word"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> (langId _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality_score" -> (qualityScore _),
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf_keywords" -> (tfidfKeywords _),
+    "text_heavy_hitters_cms" -> (cmsHeavyHitters _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -248,5 +312,6 @@ object TextAnalysis extends QueryModule {
     "text_quality_score" -> qualityScoreSql,
     "text_fingerprint" -> fingerprintSql,
     "text_tfidf_keywords" -> tfidfKeywordsSql,
+    "text_heavy_hitters_cms" -> cmsHeavyHittersSql,
   )
 }

@@ -73,4 +73,24 @@ class TextAnalysisSemanticsSpec extends SparkSpec {
     assert(rows.filter(_._2 == "common").forall(_._3 == 2),
       "zero-idf term must sit below every positive-score term")
   }
+
+  test("count-min never undercounts, and a planted heavy hitter surfaces exactly") {
+    val d = Files.createTempDirectory("graft_cms_fixture").toString
+    // all-alpha filler: the tokenizer is [a-z]+, so digit-suffixed words
+    // would collapse into one token and out-count the planted hitter
+    val filler = (0 until 40)
+      .map(i => s"f${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+    Seq(
+      (1L, ("spam " * 50) + filler),
+      (2L, filler),
+      (3L, filler))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextAnalysis.cmsHeavyHitters(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (word, trueCount, est) = rows.head // ordered by true count desc
+    assert(word === "spam" && trueCount === 50L)
+    assert(rows.forall { case (_, t, e) => e >= t },
+      "CMS collisions only ever ADD counts")
+  }
 }
