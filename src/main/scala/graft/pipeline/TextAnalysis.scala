@@ -195,11 +195,17 @@ object TextAnalysis extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(count(lit(1)).as("n")).scalar()
-    val tf = docs
-      .select(col("doc_id"),
-        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    // materialized once: tf feeds BOTH the score join and the df aggregate,
+    // and Catalyst does not share the subtree — without this the corpus is
+    // tokenized and counted twice (visible as two Generate chains in the
+    // plan), which at 100 TB is a second full scan
+    val tf = graft.Scratch.materialize(
+      docs
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf")),
+      "graft_tfidf_tf")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     tf.join(dfreq, "term")
       .withColumn("score",
@@ -256,20 +262,25 @@ object TextAnalysis extends QueryModule {
     *
     * Scale: the grid is depth×width cells REGARDLESS of corpus size — the
     * state a 100 TB stream can afford when the exact (word → count) map
-    * cannot; the depth-factor token replication stays map-side (broadcast
-    * of a [[CmsDepth]]-row frame, no extra shuffle) and collapses into the
-    * partial agg. CMS never undercounts (collisions only add), which
+    * cannot; the depth-factor replication rides the vocabulary-sized word
+    * counts (a [[CmsDepth]]-row broadcast, no extra shuffle), never the raw
+    * token stream. CMS never undercounts (collisions only add), which
     * [[TextAnalysisSemanticsSpec]] pins alongside a planted heavy hitter.
     */
   def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    // tokenize + count ONCE, then build the grid from the vocab-sized word
+    // counts (sum-of-counts per bucket ≡ count-of-tokens per bucket): the
+    // depth-factor replication touches vocabulary rows, never the corpus,
+    // and the materialization stops Catalyst re-tokenizing for the top-k arm
+    val wc = graft.Scratch.materialize(
+      tok.groupBy("word").agg(count(lit(1)).as("true_count")), "graft_cms_wc")
     val rows = spark.range(CmsDepth.toLong).toDF("i")
-    val counters = tok.crossJoin(rows)
-      .select(col("i"), expr(cmsBucket("i", "word")).as("b"))
-      .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
-    val top = tok.groupBy("word").agg(count(lit(1)).as("true_count"))
-      .orderBy(col("true_count").desc, col("word")).limit(CmsTopK)
+    val counters = wc.crossJoin(rows)
+      .select(col("i"), expr(cmsBucket("i", "word")).as("b"), col("true_count"))
+      .groupBy("i", "b").agg(sum("true_count").cast("long").as("cnt"))
+    val top = wc.orderBy(col("true_count").desc, col("word")).limit(CmsTopK)
     top.crossJoin(rows)
       .withColumn("b", expr(cmsBucket("i", "word")))
       .join(counters, Seq("i", "b"))
