@@ -445,14 +445,19 @@ object Retail extends QueryModule {
     * 30-day span — no global sort until the presentation ORDER BY.
     */
   def trailingRevenue(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(unix_timestamp(col("o_orderdate"))) // NTZ→epoch under the session's UTC
+    // one concrete epoch column, not an inline expression: both window aggs
+    // must order by the SAME attribute or Catalyst splits them into two
+    // Window nodes with a re-sort between (PlanAssertionsSpec pins one)
+    val w = Window.partitionBy("o_custkey").orderBy(col("__ts"))
       .rangeBetween(-30L * 86400, 0)
     Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("__ts", unix_timestamp(col("o_orderdate"))) // NTZ→epoch under the session's UTC
+      // pre-cast too: an inline cast becomes a Project BETWEEN the two
+      // Window nodes, which blocks CollapseWindow just as surely
+      .withColumn("__price", col("o_totalprice").cast(DecimalType(12, 2)))
       .withColumn("trailing_orders", count(lit(1)).over(w))
-      .withColumn("trailing_revenue",
-        sum(col("o_totalprice").cast(DecimalType(12, 2))).over(w).cast("double"))
+      .withColumn("trailing_revenue", sum(col("__price")).over(w).cast("double"))
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("trailing_orders"), col("trailing_revenue"))

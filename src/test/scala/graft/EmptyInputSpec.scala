@@ -33,7 +33,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_span_overlap", "dedup_components",
     "similarity_topk_brute", "dedup_embedding",
-    "q1_wordcount_top20", "q1_length_histogram", "q1_corpus_stats")
+    "q1_wordcount_top20", "q1_length_histogram", "q1_corpus_stats",
+    "text_tfidf_keywords", "text_heavy_hitters_cms")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else

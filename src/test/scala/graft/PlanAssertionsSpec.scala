@@ -107,6 +107,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("tf-idf and count-min tokenize the corpus once: no Generate in the final plan") {
+    // both consume a scratch-materialized count table; a Generate (explode)
+    // reappearing means a consumer re-derived the token stream from text
+    for (name <- Seq("text_tfidf_keywords", "text_heavy_hitters_cms")) {
+      val p = planOf(name)
+      assert(!p.contains("Generate"), s"$name re-tokenizes the corpus:\n$p")
+    }
+  }
+
+  test("trailing range-frame window shuffles once and evaluates as ONE Window") {
+    val p = executed("q2_trailing_revenue")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // count and sum share the frame; a second Window node means the ordering
+    // expression diverged into distinct attributes and re-sorts the partition
+    assert("Window ".r.findAllIn(p).size == 1, p)
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
