@@ -475,6 +475,31 @@ object Retail extends QueryModule {
                     RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
        ORDER BY o_custkey, o_orderkey"""
 
+  /** The SQL front door: ONE engine-portable ANSI string (three-way join,
+    * decimal money, CTE) executed verbatim by `spark.sql` over temp views
+    * AND by the DuckDB oracle — proving a user can drive this engine with
+    * plain SQL, not just the DataFrame API, and that the SQL dialect the
+    * library commits to is portable. The string itself is the oracle entry.
+    */
+  val sqlFrontDoor: String =
+    """WITH big AS (
+         SELECT o_custkey, o_totalprice FROM orders
+         WHERE o_totalprice > 150000
+       )
+       SELECT n_name, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+       FROM big
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
+
+  def sqlFrontDoorQ(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "customer", "nation").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(sqlFrontDoor)
+  }
+
   /** Semi / anti joins (SURVEY §2.3 note): customers with / without a pending
     * ('P') order. The status filter keeps the anti side non-empty and shows a
     * pushed-down predicate feeding a semi-join build side.
@@ -512,6 +537,7 @@ object Retail extends QueryModule {
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "q2_trailing_revenue" -> (trailingRevenue _),
+    "sql_frontdoor_revenue" -> (sqlFrontDoorQ _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -538,5 +564,6 @@ object Retail extends QueryModule {
                            WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
          ORDER BY c_custkey""",
     "q2_trailing_revenue" -> trailingRevenueSql,
+    "sql_frontdoor_revenue" -> sqlFrontDoor,
   )
 }
