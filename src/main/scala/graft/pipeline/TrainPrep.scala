@@ -158,8 +158,64 @@ object TrainPrep extends QueryModule {
               CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
        FROM documents ORDER BY doc_id"""
 
+  /** Negatives per anchor document. */
+  val NegativesPerAnchor = 2
+
+  /** `train_negative_pairs`: deterministic contrastive negative sampling —
+    * every document draws [[NegativesPerAnchor]] pseudo-random OTHER
+    * documents, reproducibly (same corpus → same pairs, any cluster size,
+    * any partitioning). The draw is `h = md5-hash(doc_id:slot) mod (N-1)`
+    * mapped around the anchor's own index (`h ≥ idx → h+1` — the textbook
+    * uniform-excluding-self bijection), then resolved to a doc through the
+    * dense [[globalIndex]] address space.
+    *
+    * Scale: the index table is materialized once (the zipWithIndex job);
+    * the negative resolution is one equi-join on `idx` — shuffle keyed by
+    * a dense long, no skew by construction (hash-uniform draws). A trainer
+    * regenerates exactly these pairs from the manifest alone; corpora of
+    * one document draw nothing (N-1 = 0 guard) instead of dividing by zero.
+    */
+  def negativePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = graft.Scratch.materialize(globalIndex(spark, sfDir), "graft_negidx")
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n")).scalar()
+    val slots = spark.range(1L, NegativesPerAnchor + 1L).toDF("neg_slot")
+    val draws = idx.crossJoin(slots)
+      .filter(nDocs > lit(1))
+      .withColumn("__h",
+        pmod(expr(Dedup.hash60(
+          "concat(cast(doc_id AS string), ':', cast(neg_slot AS string))")),
+          nDocs - lit(1)))
+      .withColumn("__neg_idx", when(col("__h") >= col("idx"), col("__h") + 1).otherwise(col("__h")))
+    val neg = idx.select(col("idx").as("__neg_idx"), col("doc_id").as("neg_doc_id"))
+    draws.join(neg, "__neg_idx")
+      .select("doc_id", "neg_slot", "neg_doc_id")
+      .orderBy("doc_id", "neg_slot")
+  }
+
+  private val negativePairsSql =
+    s"""WITH idx AS (
+          SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+          FROM documents
+        ), n AS (SELECT COUNT(*) AS n FROM documents),
+        slots AS (SELECT i AS neg_slot FROM range(1, ${NegativesPerAnchor + 1}) t(i)),
+        draws AS (
+          SELECT doc_id, idx, neg_slot,
+                 (${graft.pipeline.Dedup.hash60Duck(
+                     "concat(CAST(doc_id AS VARCHAR), ':', CAST(neg_slot AS VARCHAR))")}
+                  % (n.n - 1)) AS h
+          FROM idx CROSS JOIN slots CROSS JOIN n WHERE n.n > 1
+        ), resolved AS (
+          SELECT doc_id, neg_slot,
+                 CASE WHEN h >= idx THEN h + 1 ELSE h END AS neg_idx
+          FROM draws
+        )
+        SELECT r.doc_id, r.neg_slot, i2.doc_id AS neg_doc_id
+        FROM resolved r JOIN idx i2 ON i2.idx = r.neg_idx
+        ORDER BY r.doc_id, r.neg_slot"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stable_split" -> (stableSplit _),
+    "train_negative_pairs" -> (negativePairs _),
     "pack_sequences" -> (packSequences _),
     "pack_manifest" -> (packManifest _),
     "doc_global_index" -> (globalIndex _),
@@ -167,6 +223,7 @@ object TrainPrep extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "text_stable_split" -> stableSplitSql,
+    "train_negative_pairs" -> negativePairsSql,
     "pack_sequences" -> packSequencesSql,
     "pack_manifest" -> packManifestSql,
     "doc_global_index" -> globalIndexSql,

@@ -34,7 +34,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "dedup_span_overlap", "dedup_components",
     "similarity_topk_brute", "dedup_embedding",
     "q1_wordcount_top20", "q1_length_histogram", "q1_corpus_stats",
-    "text_tfidf_keywords", "text_heavy_hitters_cms")
+    "text_tfidf_keywords", "text_heavy_hitters_cms", "train_negative_pairs")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else

@@ -91,4 +91,21 @@ class TrainPrepSpec extends SparkSpec {
       TrainPrep.packSequences(spark, packDir).collect().toSeq)
     assert(run() == run())
   }
+
+  test("negative sampling: full fan-out, never self, single-doc corpus draws nothing") {
+    val rows = TrainPrep.negativePairs(spark, splitDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 1000 * TrainPrep.NegativesPerAnchor)
+    assert(rows.forall { case (a, _, n) => a != n }, "anchor drew itself")
+    // reproducible by construction: same corpus, same pairs
+    assert(rows.toSeq === TrainPrep.negativePairs(spark, splitDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+
+    val d = Files.createTempDirectory("graft_neg_single").toString
+    Seq(doc(7L, 3, "en")).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(TrainPrep.negativePairs(spark, d).count() === 0L,
+      "N-1 = 0 must guard, not divide by zero")
+  }
 }
