@@ -267,6 +267,20 @@ object TextAnalysis extends QueryModule {
     * token stream. CMS never undercounts (collisions only add), which
     * [[TextAnalysisSemanticsSpec]] pins alongside a planted heavy hitter.
     */
+  /** The counter grid over a `word` column — batch OR streaming (the grid
+    * is a plain commutative groupBy-count, so a streaming complete-mode run
+    * converges to the batch grid exactly; CmsStreamSpec pins it). The batch
+    * query below uses the vocabulary-count shortcut instead; this form is
+    * the one an unbounded stream can run, because its state is the
+    * depth×width grid, not the vocabulary.
+    */
+  def cmsGrid(words: DataFrame): DataFrame = {
+    val rows = words.sparkSession.range(CmsDepth.toLong).toDF("i")
+    words.crossJoin(rows)
+      .select(col("i"), expr(cmsBucket("i", "word")).as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
+  }
+
   def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
