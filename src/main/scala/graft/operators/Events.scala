@@ -390,6 +390,66 @@ object Events extends QueryModule {
               MAX(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p99
        FROM v GROUP BY 1 ORDER BY 1"""
 
+  /** Tukey-fence outlier audit per event_type: the quartiles are exact
+    * nearest-rank PICKED values (same formulation as [[valueQuantiles]] —
+    * rank-⌈qn⌉ in sorted order, value-determined under ties, so no
+    * cross-engine interpolation), the fences q1/q3 ∓ 1.5·IQR a fixed-order
+    * small double expression mirrored exactly in the oracle. Emits the audit
+    * row a data-quality monitor keeps per type: fences and how many rows
+    * fall outside.
+    *
+    * Scale: two shuffles on event_type (rank, then the summary agg); the
+    * per-type fence table is type-count-sized and broadcast back onto the
+    * stream. At 100 TB the first pass switches to the sketch quantiles the
+    * quantile operator documents; the fence join is unchanged.
+    */
+  def valueOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val byValue = Window.partitionBy("event_type").orderBy("value")
+    val all = Window.partitionBy("event_type")
+    def pick(q: Double, name: String) =
+      max(when(col("rn") === ceil(col("n") * q), col("value"))).as(name)
+    val fences = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(byValue))
+      .withColumn("n", count(lit(1)).over(all))
+      .groupBy("event_type")
+      .agg(pick(0.25, "q1"), pick(0.75, "q3"))
+      .withColumn("lo_fence", expr("q1 - 1.5D * (q3 - q1)"))
+      .withColumn("hi_fence", expr("q3 + 1.5D * (q3 - q1)"))
+    Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+      .join(fences, "event_type")
+      .groupBy("event_type", "q1", "q3", "lo_fence", "hi_fence")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo_fence") || col("value") > col("hi_fence"), 1)
+          .otherwise(0)).cast("long").as("n_outliers"))
+      .select("event_type", "n", "q1", "q3", "lo_fence", "hi_fence", "n_outliers")
+      .orderBy("event_type")
+  }
+
+  private val valueOutliersSql =
+    """WITH v AS (
+         SELECT event_type, value,
+                row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+         FROM events
+       ), f AS (
+         SELECT event_type,
+                MAX(CASE WHEN rn = ceil(n * 0.25) THEN value END) AS q1,
+                MAX(CASE WHEN rn = ceil(n * 0.75) THEN value END) AS q3
+         FROM v GROUP BY 1
+       ), fence AS (
+         SELECT event_type, q1, q3,
+                q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS lo_fence,
+                q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS hi_fence
+         FROM f
+       )
+       SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n, q1, q3, lo_fence, hi_fence,
+              CAST(SUM(CASE WHEN value < lo_fence OR value > hi_fence
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM events e JOIN fence USING (event_type)
+       GROUP BY 1, 3, 4, 5, 6 ORDER BY 1"""
+
   /** Email-shaped token pattern — identical semantics in Java regex (Spark)
     * and RE2 (DuckDB): plain character classes only, no lookaround.
     */
@@ -424,6 +484,7 @@ object Events extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_value_quantiles" -> (valueQuantiles _),
+    "events_value_outliers" -> (valueOutliers _),
     "events_scrub_pii" -> (scrubPii _),
     "t1_per_key_stats" -> (perKeyStatsQ _),
     "t3_tumbling_window" -> (tumblingQ _),
@@ -439,6 +500,7 @@ object Events extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "events_value_quantiles" -> valueQuantilesSql,
+    "events_value_outliers" -> valueOutliersSql,
     "events_scrub_pii" -> scrubPiiSql,
     "t1_per_key_stats" -> perKeyStatsSql,
     "t3_tumbling_window" -> tumblingSql,
