@@ -116,6 +116,38 @@ object Sources extends QueryModule {
       .orderBy("s_suppkey")
   }
 
+  /** S8: small-file compaction — the table-maintenance pass every streaming
+    * or fine-partitioned 100 TB corpus needs: micro-batches and
+    * per-executor writers leave thousands of KB-sized files whose per-file
+    * open/footer cost dominates scans. Sizes the output by the directory's
+    * ACTUAL bytes (Hadoop FS metadata listing, a driver-side catalog op —
+    * not a data collect) over a target file size, then rewrites with that
+    * partition count. Content must survive byte-for-byte; CompactionSpec
+    * additionally pins the file-count collapse.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(parts)
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
+  def compactionRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val frag = tmpDir("graft_frag")
+    val out = tmpDir("graft_compacted")
+    // simulate a micro-batch-fragmented landing zone: 64 tiny files
+    Tables.supplier(spark, sfDir).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    compact(spark, frag, out)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   /** §2.7 set operators over compatible projections. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
@@ -147,6 +179,7 @@ object Sources extends QueryModule {
     "s4_text_wordcount" -> (textSourceWordCount _),
     "s6_orc_roundtrip" -> (orcRoundTrip _),
     "s7_schema_evolution" -> (schemaEvolution _),
+    "s8_compaction_roundtrip" -> (compactionRoundTrip _),
     "setops_union_intersect_except" -> (setOps _),
   )
 
@@ -163,6 +196,9 @@ object Sources extends QueryModule {
     "s7_schema_evolution" ->
       """SELECT s_suppkey, s_name,
               CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
+         FROM supplier ORDER BY s_suppkey""",
+    "s8_compaction_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
          FROM supplier ORDER BY s_suppkey""",
     "setops_union_intersect_except" -> setOpsSql,
   )
