@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -450,6 +450,71 @@ object Events extends QueryModule {
        FROM events e JOIN fence USING (event_type)
        GROUP BY 1, 3, 4, 5, 6 ORDER BY 1"""
 
+  /** Ordered funnel analysis (view → click → purchase per user): each stage
+    * timestamp is the earliest qualifying event STRICTLY AFTER the previous
+    * stage — the sequence must actually happen in order, not merely all
+    * occur. Expressed as three chained full-partition window minima (t2's
+    * predicate reads t1, so the windows cannot collapse — deliberately):
+    * ONE hash exchange on user_id, no sort (unbounded frames), no
+    * self-joins — where the naive per-stage-join formulation pays three
+    * shuffled joins, this pays one exchange regardless of funnel depth.
+    * Stage timestamps are partition-constants, so the per-user reduction is
+    * a trivial max; timestamps leave as formatted UTC strings per the
+    * determinism contract.
+    */
+  def funnelQ(spark: SparkSession, sfDir: String): DataFrame =
+    funnelOf(Tables.events(spark, sfDir))
+
+  def funnelOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    def fmt(c: Column) = date_format(c, "yyyy-MM-dd HH:mm:ss")
+    events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(byUser))
+      .groupBy("user_id")
+      .agg(max("t1").as("viewed_at"), max("t2").as("clicked_at"), max("t3").as("purchased_at"))
+      .select(col("user_id"),
+        when(col("purchased_at").isNotNull, 3)
+          .when(col("clicked_at").isNotNull, 2)
+          .when(col("viewed_at").isNotNull, 1).otherwise(0).as("stage"),
+        fmt(col("viewed_at")).as("viewed_at"),
+        fmt(col("clicked_at")).as("clicked_at"),
+        fmt(col("purchased_at")).as("purchased_at"))
+      .orderBy("user_id")
+  }
+
+  private val funnelSql =
+    """WITH s AS (
+         SELECT user_id, ts, event_type,
+                MIN(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+         FROM events
+       ), s2 AS (
+         SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                     OVER (PARTITION BY user_id) AS t2
+         FROM s
+       ), s3 AS (
+         SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                     OVER (PARTITION BY user_id) AS t3
+         FROM s2
+       ), u AS (
+         SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+         FROM s3 GROUP BY 1
+       )
+       SELECT user_id,
+              CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+              strftime(t1, '%Y-%m-%d %H:%M:%S') AS viewed_at,
+              strftime(t2, '%Y-%m-%d %H:%M:%S') AS clicked_at,
+              strftime(t3, '%Y-%m-%d %H:%M:%S') AS purchased_at
+       FROM u ORDER BY user_id"""
+
   /** Email-shaped token pattern — identical semantics in Java regex (Spark)
     * and RE2 (DuckDB): plain character classes only, no lookaround.
     */
@@ -485,6 +550,7 @@ object Events extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_value_quantiles" -> (valueQuantiles _),
     "events_value_outliers" -> (valueOutliers _),
+    "events_funnel" -> (funnelQ _),
     "events_scrub_pii" -> (scrubPii _),
     "t1_per_key_stats" -> (perKeyStatsQ _),
     "t3_tumbling_window" -> (tumblingQ _),
@@ -501,6 +567,7 @@ object Events extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "events_value_quantiles" -> valueQuantilesSql,
     "events_value_outliers" -> valueOutliersSql,
+    "events_funnel" -> funnelSql,
     "events_scrub_pii" -> scrubPiiSql,
     "t1_per_key_stats" -> perKeyStatsSql,
     "t3_tumbling_window" -> tumblingSql,
