@@ -475,6 +475,39 @@ object Retail extends QueryModule {
                     RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
        ORDER BY o_custkey, o_orderkey"""
 
+  /** Explicit GROUPING SETS (completing the multi-level family next to
+    * rollup and CUBE): per-status totals, per-priority totals, and the grand
+    * total in ONE pass — a single Expand + one shuffle where three separate
+    * aggregations would scan and shuffle three times. `grouping_id`
+    * disambiguates the levels; nulls from the Expand are labeled 'ALL' so
+    * the output is self-describing. Spark 4's `Dataset.groupingSets` API.
+    */
+  def groupingSetsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double").as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n_orders"), col("revenue"))
+      .orderBy("gid", "status", "priority")
+  }
+
+  private val groupingSetsSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       ORDER BY gid, status, priority"""
+
   /** The SQL front door: ONE engine-portable ANSI string (three-way join,
     * decimal money, CTE) executed verbatim by `spark.sql` over temp views
     * AND by the DuckDB oracle — proving a user can drive this engine with
@@ -538,6 +571,7 @@ object Retail extends QueryModule {
     "join_anti" -> (joinAnti _),
     "q2_trailing_revenue" -> (trailingRevenue _),
     "sql_frontdoor_revenue" -> (sqlFrontDoorQ _),
+    "q2_grouping_sets" -> (groupingSetsQ _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -565,5 +599,6 @@ object Retail extends QueryModule {
          ORDER BY c_custkey""",
     "q2_trailing_revenue" -> trailingRevenueSql,
     "sql_frontdoor_revenue" -> sqlFrontDoor,
+    "q2_grouping_sets" -> groupingSetsSql,
   )
 }
