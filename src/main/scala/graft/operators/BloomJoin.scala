@@ -59,6 +59,8 @@ object BloomJoin extends QueryModule {
       dimKey: String,
       expectedItems: Long = 1000000L,
       numBits: Long = 8388608L): DataFrame = {
+    val overlap = fact.columns.toSet.intersect(dim.columns.toSet)
+    require(overlap.isEmpty, s"column collision between fact and dim: $overlap")
     val bloom = keyBloom(dim, col(dimKey), expectedItems, numBits)
     semiFilter(fact, col(factKey), bloom)
       .join(dim, col(factKey) === col(dimKey))

@@ -128,6 +128,11 @@ object Sources extends QueryModule {
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    // a lazy scan of inDir while overwriting the same path would destroy the
+    // data mid-read; compact-in-place needs a staging dir + swap, not this
+    require(new java.io.File(inDir).getCanonicalPath !=
+        new java.io.File(outDir).getCanonicalPath,
+      s"compact cannot write into its input directory ($inDir)")
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(path).getLength

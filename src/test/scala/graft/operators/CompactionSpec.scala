@@ -28,4 +28,13 @@ class CompactionSpec extends SparkSpec {
     Sources.compact(spark, frag, out2, targetBytes = 1024)
     assert(parquetFiles(out2) > 1)
   }
+
+  test("compacting into the input directory is rejected, not destroyed") {
+    val frag = Files.createTempDirectory("graft_frag_guard").toString
+    Tables.supplier(spark, Sf0001).write.mode("overwrite").parquet(frag)
+    val e = intercept[IllegalArgumentException] {
+      Sources.compact(spark, frag, frag)
+    }
+    assert(e.getMessage.contains("input directory"))
+  }
 }
