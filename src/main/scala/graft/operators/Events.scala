@@ -455,7 +455,8 @@ object Events extends QueryModule {
     * stage — the sequence must actually happen in order, not merely all
     * occur. Expressed as three chained full-partition window minima (t2's
     * predicate reads t1, so the windows cannot collapse — deliberately):
-    * ONE hash exchange on user_id, no sort (unbounded frames), no
+    * ONE hash exchange on user_id, one partition-grouping sort shared by
+    * all three Window passes (unbounded frames need no ORDER BY), no
     * self-joins — where the naive per-stage-join formulation pays three
     * shuffled joins, this pays one exchange regardless of funnel depth.
     * Stage timestamps are partition-constants, so the per-user reduction is
