@@ -516,6 +516,75 @@ object Events extends QueryModule {
               strftime(t3, '%Y-%m-%d %H:%M:%S') AS purchased_at
        FROM u ORDER BY user_id"""
 
+  /** Weekly cohort retention: users are anchored to the Monday-truncated
+    * week of their FIRST event; every event then lands in a non-negative
+    * whole-week offset from that anchor, and the cell (cohort_week, offset)
+    * counts distinct users still active. All grid math is exact integers
+    * (day diffs / 7) on top of one first-seen window — two shuffles total
+    * (user anchor, then the grid aggregate), the shape a 100 TB product
+    * funnel runs daily.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("cohort", date_trunc("week", min(col("ts")).over(byUser)))
+      .withColumn("week_offset",
+        floor(datediff(col("ts").cast("date"), col("cohort").cast("date")) / 7).cast("long"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"), col("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val cohortRetentionSql =
+    """WITH anchored AS (
+         SELECT user_id, ts,
+                date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cohort
+         FROM events
+       )
+       SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+              CAST(floor(date_diff('day', CAST(cohort AS DATE), CAST(ts AS DATE)) / 7)
+                   AS BIGINT) AS week_offset,
+              COUNT(DISTINCT user_id) AS n_users
+       FROM anchored
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Event-transition matrix (the path-analysis primitive): for each user's
+    * time-ordered event sequence, count from→to transitions and each
+    * target's share of its source's outgoing edges. The sequence order is
+    * TOTAL ((ts, event_id)), so lead() is deterministic under same-ms
+    * events; shares divide two exact longs. One user-partition window, one
+    * pair aggregate.
+    */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val seq_ = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val bySrc = Window.partitionBy("from_type")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(seq_))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum("n").over(bySrc).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val transitionMatrixSql =
+    """WITH seq AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS to_type
+         FROM events
+       ), pairs AS (
+         SELECT from_type, to_type, COUNT(*) AS n
+         FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+       )
+       SELECT from_type, to_type, n,
+              CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                AS share
+       FROM pairs ORDER BY from_type, to_type"""
+
   /** Email-shaped token pattern — identical semantics in Java regex (Spark)
     * and RE2 (DuckDB): plain character classes only, no lookaround.
     */
@@ -552,6 +621,8 @@ object Events extends QueryModule {
     "events_value_quantiles" -> (valueQuantiles _),
     "events_value_outliers" -> (valueOutliers _),
     "events_funnel" -> (funnelQ _),
+    "events_cohort_retention" -> (cohortRetention _),
+    "events_transitions" -> (transitionMatrix _),
     "events_scrub_pii" -> (scrubPii _),
     "t1_per_key_stats" -> (perKeyStatsQ _),
     "t3_tumbling_window" -> (tumblingQ _),
@@ -569,6 +640,8 @@ object Events extends QueryModule {
     "events_value_quantiles" -> valueQuantilesSql,
     "events_value_outliers" -> valueOutliersSql,
     "events_funnel" -> funnelSql,
+    "events_cohort_retention" -> cohortRetentionSql,
+    "events_transitions" -> transitionMatrixSql,
     "events_scrub_pii" -> scrubPiiSql,
     "t1_per_key_stats" -> perKeyStatsSql,
     "t3_tumbling_window" -> tumblingSql,
