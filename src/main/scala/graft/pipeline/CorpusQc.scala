@@ -286,8 +286,62 @@ object CorpusQc extends QueryModule {
         FROM documents d JOIN f USING (lang)
         ORDER BY doc_id"""
 
+  /** Snapshot diff (the CDC/reconciliation primitive): given two corpus
+    * snapshots, classify every doc_id as added / removed / changed /
+    * unchanged via ONE full-outer join on the key with md5 content
+    * fingerprints — the audit a pipeline runs between ingest generations
+    * before retraining. The comparison ships fingerprints, not text, so the
+    * shuffle moves 32-byte digests regardless of document size.
+    *
+    * The "new" snapshot here is a deterministic transform of the corpus
+    * (every 7th doc dropped, every 11th edited, every 13th cloned to a
+    * fresh id) so the oracle derives both sides identically.
+    */
+  def snapshotDiffOf(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def fp(df: DataFrame, side: String) =
+      df.select(col("doc_id"), md5(col("text")).as(s"${side}_fp"))
+    fp(oldDocs, "old").join(fp(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val old = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val newSnap = old
+      .filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(old.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    snapshotDiffOf(old, newSnap).orderBy("doc_id")
+  }
+
+  private val snapshotDiffSql =
+    """WITH old AS (
+         SELECT doc_id, text FROM documents
+       ), new_snap AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+         FROM old WHERE doc_id % 7 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM old WHERE doc_id % 13 = 0
+       ), o AS (SELECT doc_id, md5(text) AS old_fp FROM old),
+          n AS (SELECT doc_id, md5(text) AS new_fp FROM new_snap)
+       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN old_fp <> new_fp THEN 'changed'
+                   ELSE 'unchanged' END AS status
+       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+       ORDER BY doc_id"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (repetition _),
+    "corpus_snapshot_diff" -> (snapshotDiff _),
     "text_contamination" -> (contamination _),
     "mix_weights" -> (mixWeights _),
     "mix_materialize" -> (mixMaterialize _),
@@ -295,6 +349,7 @@ object CorpusQc extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "text_repetition" -> repetitionSql,
+    "corpus_snapshot_diff" -> snapshotDiffSql,
     "text_contamination" -> contaminationSql,
     "mix_weights" -> mixWeightsSql,
     "mix_materialize" -> mixMaterializeSql,

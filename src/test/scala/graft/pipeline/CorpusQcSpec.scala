@@ -102,4 +102,13 @@ class CorpusQcSpec extends SparkSpec {
       1L -> copies(1L, fEn), 2L -> copies(2L, fEn), 3L -> copies(3L, fDe)))
     assert(rows.values.forall(c => c >= 0 && c <= 2))
   }
+
+  test("snapshot diff classifies add/remove/change/unchanged on planted edits") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val got = CorpusQc.snapshotDiffOf(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
 }
