@@ -20,6 +20,7 @@ object SparkEntry {
     operators.RangeJoin,
     operators.BloomJoin,
     operators.SkewJoin,
+    operators.FuzzyJoin,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
     pipeline.Multimodal,
