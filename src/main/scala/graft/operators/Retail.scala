@@ -475,6 +475,42 @@ object Retail extends QueryModule {
                     RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
        ORDER BY o_custkey, o_orderkey"""
 
+  /** Market-basket co-occurrence: the top part pairs bought together in one
+    * order — the self-join-on-basket shape (same calculus as the LSH band
+    * and fuzzy-key joins: the basket id is the blocking key, so work is
+    * Σ|basket|², bounded by basket size, never corpus²). Distinct parts per
+    * basket first — duplicate line items would inflate pair counts — then
+    * each unordered pair once via `<`. Top-k with a total (count DESC,
+    * pair) tie-break.
+    *
+    * At 100 TB the skew knob is the occasional giant basket: cap or salt
+    * baskets above a size threshold (the hot-window guard `dedup_span_
+    * overlap` uses); AQE's skew split handles the shuffle side.
+    */
+  def basketPairsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  private val basketPairsSql =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       )
+       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              COUNT(*) AS n_orders
+       FROM items a JOIN items b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2
+       ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""
+
   /** Explicit GROUPING SETS (completing the multi-level family next to
     * rollup and CUBE): per-status totals, per-priority totals, and the grand
     * total in ONE pass — a single Expand + one shuffle where three separate
@@ -572,6 +608,7 @@ object Retail extends QueryModule {
     "q2_trailing_revenue" -> (trailingRevenue _),
     "sql_frontdoor_revenue" -> (sqlFrontDoorQ _),
     "q2_grouping_sets" -> (groupingSetsQ _),
+    "basket_pair_counts" -> (basketPairsQ _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -600,5 +637,6 @@ object Retail extends QueryModule {
     "q2_trailing_revenue" -> trailingRevenueSql,
     "sql_frontdoor_revenue" -> sqlFrontDoor,
     "q2_grouping_sets" -> groupingSetsSql,
+    "basket_pair_counts" -> basketPairsSql,
   )
 }
