@@ -40,7 +40,18 @@ object FuzzyJoin extends QueryModule {
     * witness). Records with zero neighbors are not emitted — absence IS the
     * clean-entity signal.
     */
-  def neighborCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The distance-≤[[MaxDist]] pair set (a < b, each unordered pair once),
+    * memoized to scratch per corpus: [[neighborCounts]] and the triangle
+    * census both consume it, and the deletion-key join should run once.
+    */
+  def fuzzyPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Scratch.memoize(spark, s"fuzzy_pairs:$sfDir") {
+      rawPairs(spark, sfDir)
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+    }
+
+  private def rawPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // explode + codegen'd substring/concat, NOT a transform() lambda
     // (interpreted on the key hot path); materialized once so all join
     // sides share one derivation
@@ -70,16 +81,44 @@ object FuzzyJoin extends QueryModule {
       idl.select(col("b_id").as("a_id"), col("b_name").as("a_name"),
         col("a_id").as("b_id"), col("a_name").as("b_name")))
       .reduce(_ unionByName _)
-    pairs
-      .filter(col("a_id") =!= col("b_id") &&
-        levenshtein(col("a_name"), col("b_name")) <= MaxDist)
-      .select("a_id", "b_id").distinct()
-      .groupBy(col("a_id").as("c_custkey"))
-      .agg(count(lit(1)).as("n_fuzzy_neighbors"), min("b_id").as("nearest_id"))
+    pairs.filter(col("a_id") =!= col("b_id") &&
+      levenshtein(col("a_name"), col("b_name")) <= MaxDist)
+  }
+
+  /** Per-record fuzzy-neighbor summary (see object doc): derived from the
+    * memoized a<b pair set, counting both directions.
+    */
+  def neighborCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = fuzzyPairs(spark, sfDir)
+    p.select(col("a_id").as("c_custkey"), col("b_id").as("nbr"))
+      .unionByName(p.select(col("b_id").as("c_custkey"), col("a_id").as("nbr")))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_fuzzy_neighbors"), min("nbr").as("nearest_id"))
       .orderBy("c_custkey")
   }
 
-  private val neighborCountsSql =
+  /** Triangle census of the fuzzy-similarity graph — the standard two-join
+    * ordered-edge formulation (a<b<c, so each triangle counts once and the
+    * join never revisits a permutation). Degrees in a d=1 graph are
+    * alphabet-bounded, so the wedge join stays linear-ish in edges — the
+    * graph-analytics companion to the dedup connected components. Emits the
+    * one-row census (edges, wedge candidates, triangles).
+    */
+  def triangleCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = fuzzyPairs(spark, sfDir)
+    val wedges = e.select(col("a_id").as("a"), col("b_id").as("b"))
+      .join(e.select(col("a_id").as("b"), col("b_id").as("c")), "b")
+    val triangles = wedges
+      .join(e.select(col("a_id").as("a"), col("b_id").as("c")), Seq("a", "c"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(
+        wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** Shared oracle CTE chain ending in `pairs(a, b)` — each distance-≤1
+    * unordered pair once, a < b.
+    */
+  private val pairsCte =
     s"""WITH pos AS (
           SELECT c_custkey, c_name,
                  unnest(range(0, length(c_name) + 1)) AS i
@@ -100,18 +139,35 @@ object FuzzyJoin extends QueryModule {
           UNION
           SELECT b.c_custkey, b.c_name, a.c_custkey, a.c_name
           FROM keyed a JOIN keyed b ON a.k = b.k AND a.i = 0
-        )
-        SELECT a_id AS c_custkey, COUNT(*) AS n_fuzzy_neighbors,
-               MIN(b_id) AS nearest_id
-        FROM (SELECT DISTINCT a_id, a_name, b_id, b_name FROM cand) c
-        WHERE a_id <> b_id AND levenshtein(a_name, b_name) <= $MaxDist
+        ), pairs AS (
+          SELECT DISTINCT a_id AS a, b_id AS b FROM cand
+          WHERE a_id < b_id AND levenshtein(a_name, b_name) <= $MaxDist
+        )"""
+
+  private val neighborCountsSql =
+    s"""$pairsCte
+        SELECT c_custkey, COUNT(*) AS n_fuzzy_neighbors, MIN(nbr) AS nearest_id
+        FROM (SELECT a AS c_custkey, b AS nbr FROM pairs
+              UNION ALL
+              SELECT b, a FROM pairs) u
         GROUP BY 1 ORDER BY 1"""
+
+  private val triangleCensusSql =
+    s"""$pairsCte
+        SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+               (SELECT COUNT(*) FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a)
+                 AS n_wedges,
+               (SELECT COUNT(*) FROM pairs e1
+                  JOIN pairs e2 ON e1.b = e2.a
+                  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"""
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_name_neighbors" -> (neighborCounts _),
+    "fuzzy_triangle_census" -> (triangleCensus _),
   )
 
   override def oracle: Map[String, String] = Map(
     "fuzzy_name_neighbors" -> neighborCountsSql,
+    "fuzzy_triangle_census" -> triangleCensusSql,
   )
 }

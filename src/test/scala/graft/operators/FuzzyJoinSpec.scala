@@ -24,5 +24,10 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === Map(
       1L -> ((3L, 3L)), 2L -> ((1L, 3L)), 3L -> ((3L, 1L)),
       4L -> ((3L, 1L)), 5L -> ((2L, 1L))))
+
+    // graph: edges {13,14,15,23,34,45}; wedges (1,3,4),(1,4,5),(2,3,4),
+    // (3,4,5); only the first two close ((1,4),(1,5) exist; (2,4),(3,5) don't)
+    val census = FuzzyJoin.triangleCensus(spark, d).collect().head
+    assert((census.getLong(0), census.getLong(1), census.getLong(2)) === ((6L, 4L, 2L)))
   }
 }
