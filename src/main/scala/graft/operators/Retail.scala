@@ -511,6 +511,52 @@ object Retail extends QueryModule {
        GROUP BY 1, 2
        ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""
 
+  /** Association rules over the top co-occurrence pairs: support,
+    * directional confidence, and lift from exact counts (pair orders, each
+    * part's orders, total orders). Every emitted double is one
+    * fixed-shape division of exact longs — deterministic across engines.
+    * Lift > 1 means the pair co-occurs more than independence predicts;
+    * the single-part counts ride in as a broadcast (vocabulary-sized), the
+    * total as a scalar subquery.
+    */
+  def basketRulesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val nOrders = items.select(countDistinct("l_orderkey").as("n")).scalar()
+    val partCounts = items.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+    basketPairsQ(spark, sfDir)
+      .join(partCounts.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(partCounts.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_orders"), col("n_a"), col("n_b"),
+        (col("n_orders").cast("double") / nOrders.cast("double")).as("support"),
+        (col("n_orders").cast("double") / col("n_a").cast("double")).as("confidence_ab"),
+        (col("n_orders").cast("double") * nOrders.cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+  }
+
+  private val basketRulesSql =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       ), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders_total FROM items),
+       pc AS (SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY 1),
+       top_pairs AS (
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+       )
+       SELECT part_a, part_b, n_orders, pa.n_part AS n_a, pb.n_part AS n_b,
+              CAST(n_orders AS DOUBLE) / CAST(n_orders_total AS DOUBLE) AS support,
+              CAST(n_orders AS DOUBLE) / CAST(pa.n_part AS DOUBLE) AS confidence_ab,
+              CAST(n_orders AS DOUBLE) * CAST(n_orders_total AS DOUBLE)
+                / (CAST(pa.n_part AS DOUBLE) * CAST(pb.n_part AS DOUBLE)) AS lift
+       FROM top_pairs
+       JOIN pc pa ON pa.l_partkey = part_a
+       JOIN pc pb ON pb.l_partkey = part_b
+       CROSS JOIN n
+       ORDER BY n_orders DESC, part_a, part_b"""
+
   /** Explicit GROUPING SETS (completing the multi-level family next to
     * rollup and CUBE): per-status totals, per-priority totals, and the grand
     * total in ONE pass — a single Expand + one shuffle where three separate
@@ -609,6 +655,7 @@ object Retail extends QueryModule {
     "sql_frontdoor_revenue" -> (sqlFrontDoorQ _),
     "q2_grouping_sets" -> (groupingSetsQ _),
     "basket_pair_counts" -> (basketPairsQ _),
+    "basket_rules" -> (basketRulesQ _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -638,5 +685,6 @@ object Retail extends QueryModule {
     "sql_frontdoor_revenue" -> sqlFrontDoor,
     "q2_grouping_sets" -> groupingSetsSql,
     "basket_pair_counts" -> basketPairsSql,
+    "basket_rules" -> basketRulesSql,
   )
 }
