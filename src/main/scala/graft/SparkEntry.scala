@@ -21,6 +21,8 @@ object SparkEntry {
     operators.BloomJoin,
     operators.SkewJoin,
     operators.FuzzyJoin,
+    operators.Graph,
+    operators.History,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
     pipeline.Multimodal,

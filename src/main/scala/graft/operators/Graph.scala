@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Scratch}
+
+/** PageRank over the co-purchase graph: parts are nodes, an edge connects
+  * two parts that ever share an order basket — the same graph the
+  * market-basket queries (`basket_pair_counts`, q2_ecommerce_analysis.py's
+  * co-occurrence motivation) mine pairwise, here analyzed globally with the
+  * canonical iterative-join algorithm every production-scale engine needs.
+  *
+  * Per round the plan is: contributions = edges ⋈ ranks on the source id
+  * (ONE equi-join — the scratch-materialized edge table already carries the
+  * source degree), one shuffle on the target id for the re-aggregation,
+  * then the node-sized rank table rebuilds. [[Iterations]] is fixed, so
+  * lineage depth is bounded without per-round re-materialization (contrast
+  * `dedup_components`, whose data-dependent fixpoint loop re-roots each
+  * round).
+  *
+  * At 100 TB: the edge table is the big immutable input — bucket it by `u`
+  * and every round's join co-locates against it, making the node-sized rank
+  * table the only moving data. The contribution aggregate would be a plain
+  * `sum`; the sorted left-fold used here pins IEEE addition order so the
+  * DuckDB oracle matches bit-for-bit (the mix_weights determinism pattern)
+  * at the cost of an in-degree-bounded per-group list. Dangling nodes
+  * cannot arise in an undirected graph (every node with an edge has
+  * out-degree ≥ 1), so no teleport-mass redistribution term is needed.
+  */
+object Graph extends QueryModule {
+
+  /** Damping factor and its teleport complement. Kept as separate literals
+    * (never derived as `1 - Damping` at runtime): both engines parse the
+    * decimal strings "0.85"/"0.15" to the same nearest doubles, whereas
+    * computed `1.0 - 0.85` is 0.15000000000000002.
+    */
+  val Damping = 0.85
+  val Teleport = 0.15
+
+  val Iterations = 3
+  val TopK = 20
+
+  /** Directed edge list of the undirected co-purchase graph (both
+    * directions present) with the source's out-degree attached — the one
+    * join input every PageRank round consumes. Memoized per corpus; the
+    * basket-item distinct is shared with the market-basket queries.
+    */
+  private def edges(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"copurchase_edges:$sfDir") {
+      val items = Retail.distinctItems(spark, sfDir)
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("v"))
+      val e = a.join(b, "l_orderkey")
+        .filter(col("u") =!= col("v"))
+        .select("u", "v").distinct()
+      e.join(e.groupBy("u").agg(count(lit(1)).as("deg")), "u")
+    }
+
+  /** [[Iterations]] rounds of PageRank over a directed `(u, v, deg)` edge
+    * list (deg = out-degree of u). Returns `(id, deg, pagerank)` for every
+    * node with at least one out-edge.
+    */
+  def pagerankOf(edgeList: DataFrame): DataFrame = {
+    val nodes = edgeList.select(col("u").as("id"), col("deg")).distinct()
+    val n = nodes.agg(count(lit(1)).as("n")).scalar()
+    var ranks = nodes.select(col("id"), (lit(1.0) / n).as("r"))
+    for (_ <- 1 to Iterations) {
+      val contribs = edgeList
+        .join(ranks, edgeList("u") === ranks("id"))
+        .select(col("v").as("id"), (col("r") / col("deg")).as("c"))
+        .groupBy("id")
+        .agg(expr("aggregate(array_sort(collect_list(c)), 0D, (a, x) -> a + x)").as("s"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(Teleport) / n +
+            lit(Damping) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    nodes.join(ranks, "id").select(col("id"), col("deg"), col("r").as("pagerank"))
+  }
+
+  /** `graph_pagerank`: top-[[TopK]] parts of the co-purchase graph by
+    * PageRank, ties broken by part id.
+    */
+  def pagerankQ(spark: SparkSession, sfDir: String): DataFrame =
+    pagerankOf(edges(spark, sfDir))
+      .select(col("id").as("part_id"), col("deg").as("n_neighbors"), col("pagerank"))
+      .orderBy(col("pagerank").desc, col("part_id"))
+      .limit(TopK)
+
+  private val pagerankSql = {
+    val iters = (1 to Iterations).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+            SELECT e.v AS id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_sort(list(r.r / e.deg))), (a, x) -> a + x) AS s
+            FROM edges e JOIN $prev r ON r.id = e.u
+            GROUP BY 1
+          ), r$i AS (
+            SELECT nodes.id,
+                   CAST($Teleport AS DOUBLE) / n
+                     + CAST($Damping AS DOUBLE) * COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS r
+            FROM nodes CROSS JOIN n LEFT JOIN c$i c ON c.id = nodes.id
+          )"""
+    }.mkString(", ")
+    s"""WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edge0 AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ), deg AS (
+          SELECT u, COUNT(*) AS deg FROM edge0 GROUP BY 1
+        ), edges AS (
+          SELECT e.u, e.v, d.deg FROM edge0 e JOIN deg d USING (u)
+        ), nodes AS (
+          SELECT u AS id, deg FROM deg
+        ), n AS (
+          SELECT COUNT(*) AS n FROM nodes
+        ), r0 AS (
+          SELECT id, CAST(1.0 AS DOUBLE) / n AS r FROM nodes CROSS JOIN n
+        ), $iters
+        SELECT r.id AS part_id, nd.deg AS n_neighbors, r.r AS pagerank
+        FROM r$Iterations r JOIN nodes nd ON nd.id = r.id
+        ORDER BY pagerank DESC, part_id LIMIT $TopK"""
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (pagerankQ _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql,
+  )
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Slowly-changing-dimension (Type 2) history build — the warehouse
+  * operator that turns an event log of attribute observations into
+  * validity-interval rows (`valid_from`, `valid_to`, `is_current`), one per
+  * run of consecutive equal values. The run detection is the classic
+  * gaps-and-islands shape: a LAG-based change flag, a running sum to number
+  * islands, one aggregation per island, then LEAD to close each interval
+  * at the next island's start.
+  *
+  * Reference scope: the reference cleans and aggregates the order log
+  * (q2_ecommerce_analysis.py) but never reconstructs attribute history;
+  * any warehouse-grade pipeline needs this to dimension-ize a change log.
+  *
+  * Plan shape: ONE `Exchange hashpartitioning(o_custkey)` feeds every step —
+  * the two stacked windows (LAG + running SUM) share a partition-compatible
+  * sort, the island aggregation groups on a superset of the partition key,
+  * and the closing LEAD re-uses the same clustering. Nothing here shuffles
+  * twice; at 100 TB the per-customer history is the only state and the
+  * island table is strictly smaller than the input.
+  *
+  * Determinism: islands are defined over the total order
+  * (o_orderdate, o_orderkey); dates leave as formatted strings; counts and
+  * version numbers are exact longs. The open interval's sentinel end is the
+  * conventional '9999-12-31'.
+  */
+object History extends QueryModule {
+
+  /** SCD-2 intervals of `o_orderpriority` per customer over the order log.
+    * Exposed on a pre-projected frame so specs can feed planted histories.
+    */
+  private[graft] def scd2Core(orders: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val run = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("o_orderpriority"), 1).over(byTime)
+    val islands = orders
+      .withColumn("chg", when(prev.isNull || prev =!= col("o_orderpriority"), 1L).otherwise(0L))
+      .withColumn("version", sum("chg").over(run))
+      .groupBy(col("o_custkey"), col("version"), col("o_orderpriority"))
+      .agg(min("o_orderdate").as("from_date"), count(lit(1)).as("n_orders"))
+    val byVersion = Window.partitionBy("o_custkey").orderBy("version")
+    islands
+      .withColumn("to_date", lead(col("from_date"), 1).over(byVersion))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderpriority").as("priority"),
+        date_format(col("from_date"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("to_date"), "yyyy-MM-dd"), lit("9999-12-31")).as("valid_to"),
+        col("to_date").isNull.as("is_current"),
+        col("n_orders"))
+  }
+
+  def priorityScd2(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Core(Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"))
+      .orderBy("o_custkey", "version")
+
+  private val priorityScd2Sql =
+    """WITH flagged AS (
+         SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+                       OR LAG(o_orderpriority) OVER w <> o_orderpriority
+                     THEN 1 ELSE 0 END AS chg
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ), versioned AS (
+         SELECT o_custkey, o_orderdate, o_orderpriority,
+                CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+         FROM flagged
+       ), islands AS (
+         SELECT o_custkey, version, o_orderpriority,
+                MIN(o_orderdate) AS from_date, COUNT(*) AS n_orders
+         FROM versioned GROUP BY 1, 2, 3
+       )
+       SELECT o_custkey, version, o_orderpriority AS priority,
+              strftime(from_date, '%Y-%m-%d') AS valid_from,
+              COALESCE(strftime(LEAD(from_date) OVER w2, '%Y-%m-%d'),
+                       '9999-12-31') AS valid_to,
+              LEAD(from_date) OVER w2 IS NULL AS is_current,
+              n_orders
+       FROM islands
+       WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
+       ORDER BY o_custkey, version"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_priority_scd2" -> (priorityScd2 _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "orders_priority_scd2" -> priorityScd2Sql,
+  )
+}

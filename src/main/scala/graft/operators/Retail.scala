@@ -490,7 +490,7 @@ object Retail extends QueryModule {
   // items and top pairs memoized per corpus: the pair query and the rules
   // query share them (the r3 advice lesson — never re-execute a sibling
   // query's full pipeline as a subroutine)
-  private def distinctItems(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def distinctItems(spark: SparkSession, sfDir: String): DataFrame =
     graft.Scratch.memoize(spark, s"basket_items:$sfDir") {
       Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey").distinct()
     }

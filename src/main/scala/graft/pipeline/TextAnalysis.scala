@@ -322,8 +322,103 @@ object TextAnalysis extends QueryModule {
         GROUP BY word, true_count
         ORDER BY true_count DESC, word"""
 
+  /** Posting-list preview length and emitted vocabulary head size. */
+  val PostingsPreview = 8
+  val IndexTopK = 50
+
+  /** `text_inverted_index`: term → (document frequency, the first
+    * [[PostingsPreview]] posting doc_ids as an ordered CSV) for the
+    * [[IndexTopK]] highest-df terms — the core build step of a search/
+    * retrieval index over the corpus.
+    *
+    * Shape: per-doc DISTINCT terms explode map-side (so a term counts once
+    * per doc however often it repeats), then ONE shuffle on term builds df
+    * and the posting preview together. Postings sort numerically before
+    * joining, so both engines emit the identical string.
+    *
+    * Scale: posting lists are the textbook skew hazard — stopword terms
+    * post in every document. Bounding the emitted list ([[PostingsPreview]])
+    * keeps per-group state O(k) here; a full index at 100 TB shards each
+    * term's postings by `(term, doc_id range)` so no reducer owns an entire
+    * stopword list, and df still comes from this exact aggregate.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(Dedup.tokenSet)).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"),
+        expr(s"""array_join(transform(
+                   slice(array_sort(collect_list(doc_id)), 1, $PostingsPreview),
+                   x -> CAST(x AS STRING)), ',')""").as("postings"))
+      .orderBy(col("doc_freq").desc, col("term"))
+      .limit(IndexTopK)
+
+  private val invertedIndexSql =
+    s"""WITH posting AS (
+          SELECT doc_id, unnest(${Dedup.tokenSetDuck}) AS term FROM documents
+        )
+        SELECT term, COUNT(*) AS doc_freq,
+               array_to_string(list_transform(
+                 (list_sort(list(doc_id)))[1:$PostingsPreview],
+                 x -> CAST(x AS VARCHAR)), ',') AS postings
+        FROM posting GROUP BY 1
+        ORDER BY doc_freq DESC, term LIMIT $IndexTopK"""
+
+  /** Emitted head size for the bigram model. */
+  val BigramTopK = 30
+
+  /** `text_bigram_lm`: corpus bigram statistics — count, prefix-unigram
+    * count, and the conditional probability P(w2|w1) — for the
+    * [[BigramTopK]] most frequent bigrams. The estimation step of a
+    * classical n-gram language model (and the co-occurrence table feature
+    * pipelines mine for collocations).
+    *
+    * Shape: bigrams come from one map-side explode of
+    * `arrays_zip(t, slice(t, 2, ...))` (the codegen'd gram pattern from
+    * `text_repetition` — no interpreted lambdas on the per-token path);
+    * ONE shuffle on (w1, w2) counts them; the prefix total rides a window
+    * over the vocabulary²-bounded count table, never the token stream.
+    * cond_p is a single division of exact longs, so the doubles match the
+    * oracle bit-for-bit.
+    */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def f(k: String) = col("z").getField(k)
+    val counts = Tables.documents(spark, sfDir)
+      .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+      .filter(expr("size(t) >= 2"))
+      .select(explode(expr("arrays_zip(t, slice(t, 2, size(t)))")).as("z"))
+      .select(f("t").as("w1"), f("1").as("w2"))
+      .filter(col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_bigram"))
+    counts
+      .withColumn("n_prefix", sum("n_bigram").over(Window.partitionBy("w1")))
+      .withColumn("cond_p", col("n_bigram").cast("double") / col("n_prefix"))
+      .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
+      .limit(BigramTopK)
+  }
+
+  private val bigramLmSql =
+    s"""WITH toks AS (
+          SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+        ), pos AS (
+          SELECT t, unnest(range(0, len(t) - 1)) AS i FROM toks WHERE len(t) >= 2
+        ), counts AS (
+          SELECT t[i + 1] AS w1, t[i + 2] AS w2, COUNT(*) AS n_bigram
+          FROM pos GROUP BY 1, 2
+        ), pref AS (
+          SELECT w1, w2, n_bigram,
+                 CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_prefix
+          FROM counts
+        )
+        SELECT w1, w2, n_bigram, n_prefix,
+               CAST(n_bigram AS DOUBLE) / n_prefix AS cond_p
+        FROM pref ORDER BY n_bigram DESC, w1, w2 LIMIT $BigramTopK"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> (langId _),
+    "text_inverted_index" -> (invertedIndex _),
+    "text_bigram_lm" -> (bigramLm _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality_score" -> (qualityScore _),
     "text_fingerprint" -> (fingerprint _),
@@ -333,6 +428,8 @@ object TextAnalysis extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "text_lang_id" -> langIdSql,
+    "text_inverted_index" -> invertedIndexSql,
+    "text_bigram_lm" -> bigramLmSql,
     "text_token_counts" -> tokenCountsSql,
     "text_quality_score" -> qualityScoreSql,
     "text_fingerprint" -> fingerprintSql,

@@ -213,8 +213,45 @@ object TrainPrep extends QueryModule {
         FROM resolved r JOIN idx i2 ON i2.idx = r.neg_idx
         ORDER BY r.doc_id, r.neg_slot"""
 
+  /** Per-stratum sample quota for [[stratifiedSample]]. */
+  val StratumQuota = 40
+
+  /** `docs_stratified_sample`: deterministic stratified sampling — exactly
+    * `min(`[[StratumQuota]]`, |stratum|)` documents per language, drawn in
+    * md5(doc_id) order. Unlike `sample()`/`TABLESAMPLE`, the draw is a pure
+    * function of the row: a re-run (or a different cluster size, or a
+    * different partitioning) picks the SAME sample, and adding documents
+    * only ever displaces the quota boundary — the property an eval-set
+    * builder needs.
+    *
+    * Scale: the rank ≤ k filter on a row_number window runs as Spark's
+    * two-phase WindowGroupLimit — each task keeps a k-row heap per stratum
+    * before the lang exchange, so the full corpus never shuffles; only
+    * ~k rows per (task, stratum) do. Strata = languages here; any
+    * low-cardinality key works.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        expr("md5(concat('strat:', CAST(doc_id AS STRING)))").as("draw"))
+      .withColumn("strat_rank",
+        row_number().over(Window.partitionBy("lang").orderBy("draw", "doc_id")).cast("long"))
+      .filter(col("strat_rank") <= StratumQuota)
+      .select("lang", "doc_id", "strat_rank")
+      .orderBy("lang", "strat_rank")
+
+  private val stratifiedSampleSql =
+    s"""SELECT lang, doc_id, strat_rank FROM (
+          SELECT lang, doc_id,
+                 CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+                      AS BIGINT) AS strat_rank
+          FROM documents) t
+        WHERE strat_rank <= $StratumQuota ORDER BY lang, strat_rank"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stable_split" -> (stableSplit _),
+    "docs_stratified_sample" -> (stratifiedSample _),
     "train_negative_pairs" -> (negativePairs _),
     "pack_sequences" -> (packSequences _),
     "pack_manifest" -> (packManifest _),
@@ -223,6 +260,7 @@ object TrainPrep extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "text_stable_split" -> stableSplitSql,
+    "docs_stratified_sample" -> stratifiedSampleSql,
     "train_negative_pairs" -> negativePairsSql,
     "pack_sequences" -> packSequencesSql,
     "pack_manifest" -> packManifestSql,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import java.sql.Date
+
+import graft.SparkSpec
+
+/** SCD-2 semantics on planted change logs: runs collapse into one interval,
+  * each change opens a new version whose start closes the previous one, and
+  * same-date changes resolve by the orderkey tiebreak (producing a
+  * degenerate same-day interval, which must be kept — dropping it would
+  * lose the attribute's audit trail).
+  */
+class HistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  private def run(rows: Seq[(Long, Long, Date, String)]) =
+    History.scd2Core(
+      rows.toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"))
+      .orderBy("o_custkey", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getBoolean(5), r.getLong(6))).toSeq
+
+  test("runs collapse, changes version, intervals chain, last is current") {
+    val got = run(Seq(
+      (100L, 1L, d("1995-01-01"), "HIGH"),
+      (100L, 2L, d("1995-02-01"), "HIGH"),
+      (100L, 3L, d("1995-03-01"), "LOW"),
+      (100L, 4L, d("1995-04-01"), "HIGH")))
+    assert(got == Seq(
+      (100L, 1L, "HIGH", "1995-01-01", "1995-03-01", false, 2L),
+      (100L, 2L, "LOW", "1995-03-01", "1995-04-01", false, 1L),
+      (100L, 3L, "HIGH", "1995-04-01", "9999-12-31", true, 1L)))
+  }
+
+  test("same-date change: orderkey order decides, degenerate interval kept") {
+    val got = run(Seq(
+      (200L, 10L, d("1996-06-01"), "HIGH"),
+      (200L, 11L, d("1996-06-01"), "LOW")))
+    assert(got == Seq(
+      (200L, 1L, "HIGH", "1996-06-01", "1996-06-01", false, 1L),
+      (200L, 2L, "LOW", "1996-06-01", "9999-12-31", true, 1L)))
+  }
+
+  test("customers never interleave; a single-order history is one current row") {
+    val got = run(Seq(
+      (300L, 20L, d("1997-01-01"), "MED"),
+      (301L, 21L, d("1997-02-01"), "MED")))
+    assert(got == Seq(
+      (300L, 1L, "MED", "1997-01-01", "9999-12-31", true, 1L),
+      (301L, 1L, "MED", "1997-02-01", "9999-12-31", true, 1L)))
+  }
+}

@@ -93,4 +93,35 @@ class TextAnalysisSemanticsSpec extends SparkSpec {
     assert(rows.forall { case (_, t, e) => e >= t },
       "CMS collisions only ever ADD counts")
   }
+
+  test("inverted index: df counts docs once each, postings are sorted doc ids") {
+    val d = Files.createTempDirectory("graft_invidx_fixture").toString
+    Seq(
+      (1L, "alpha beta alpha"), // repeated term must count once for df
+      (2L, "beta gamma"),
+      (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextAnalysis.invertedIndex(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      ("beta", 3L, "1,2,3"),
+      ("alpha", 2L, "1,3"),
+      ("gamma", 1L, "2")))
+  }
+
+  test("bigram LM: counts, prefix totals, and conditional probabilities are exact") {
+    val d = Files.createTempDirectory("graft_bigram_fixture").toString
+    // doc 1 bigrams: (a,b), (b,a), (a,b); doc 2: (b,c); doc 3 has none
+    Seq((1L, "a b a b"), (2L, "b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextAnalysis.bigramLm(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(rows == Seq(
+      ("a", "b", 2L, 2L, 1.0),
+      ("b", "a", 1L, 2L, 0.5),
+      ("b", "c", 1L, 2L, 0.5)))
+  }
 }

@@ -108,4 +108,24 @@ class TrainPrepSpec extends SparkSpec {
     assert(TrainPrep.negativePairs(spark, d).count() === 0L,
       "N-1 = 0 must guard, not divide by zero")
   }
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("stratified sample: exact quota per stratum, members are the md5-smallest") {
+    val got = TrainPrep.stratifiedSample(spark, splitDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val byLang = got.groupBy(_._1)
+    assert(byLang.keySet == Set("en", "de"))
+    byLang.values.foreach { rows =>
+      assert(rows.length == TrainPrep.StratumQuota)
+      assert(rows.map(_._3).sorted == (1L to TrainPrep.StratumQuota))
+    }
+    // independent md5: the sample is exactly the draw-smallest ids per stratum
+    def expect(parity: Long) = (0L until 1000L).filter(_ % 2 == parity)
+      .sortBy(i => (md5Hex(s"strat:$i"), i)).take(TrainPrep.StratumQuota).toSet
+    assert(byLang("en").map(_._2).toSet == expect(0))
+    assert(byLang("de").map(_._2).toSet == expect(1))
+  }
 }
