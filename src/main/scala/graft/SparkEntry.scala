@@ -23,6 +23,8 @@ object SparkEntry {
     operators.FuzzyJoin,
     operators.Graph,
     operators.History,
+    operators.Layout,
+    operators.Profiling,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
     pipeline.Multimodal,
