@@ -617,7 +617,57 @@ object Events extends QueryModule {
        SELECT event_id, n_redacted, props_clean, props_clean <> props AS changed
        FROM s ORDER BY event_id"""
 
+  /** `events_daily_gapfilled`: per-type daily counts on a COMPLETE calendar
+    * spine — days with no events appear as explicit zeros. Dashboards,
+    * rate-of-change windows, and anomaly baselines all break on implicit
+    * gaps; the spine join is the standard fix.
+    *
+    * Shape: the corpus pays ONE aggregation shuffle (the daily counts it
+    * needs anyway); the spine is GENERATED from the 1-row min/max aggregate
+    * (`sequence` + explode × the type list — days·types rows, trivially
+    * broadcast into the left join). Nothing about the spine scales with
+    * corpus size, only with the calendar span.
+    */
+  def dailyGapfilled(spark: SparkSession, sfDir: String): DataFrame =
+    dailyGapfilledOf(Tables.events(spark, sfDir)).orderBy("event_type", "day")
+
+  /** DataFrame core of [[dailyGapfilled]] — any frame with (event_type, ts).
+    * Unordered.
+    */
+  def dailyGapfilledOf(events: DataFrame): DataFrame = {
+    val e = events.filter(col("ts").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val daily = e.groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+    val spine = e.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(e.select("event_type").distinct())
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  private val dailyGapfilledSql =
+    """WITH e AS (
+         SELECT event_type, CAST(ts AS DATE) AS day
+         FROM events WHERE ts IS NOT NULL
+       ), daily AS (
+         SELECT event_type, day, COUNT(*) AS n_events FROM e GROUP BY 1, 2
+       ), r AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+       spine AS (
+         SELECT t.event_type, g.day
+         FROM (SELECT DISTINCT event_type FROM e) t
+         CROSS JOIN (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                       AS day FROM r) g
+       )
+       SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+              COALESCE(d.n_events, 0) AS n_events
+       FROM spine s LEFT JOIN daily d
+         ON d.event_type = s.event_type AND d.day = s.day
+       ORDER BY 1, 2"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_daily_gapfilled" -> (dailyGapfilled _),
     "events_value_quantiles" -> (valueQuantiles _),
     "events_value_outliers" -> (valueOutliers _),
     "events_funnel" -> (funnelQ _),
@@ -637,6 +687,7 @@ object Events extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "events_daily_gapfilled" -> dailyGapfilledSql,
     "events_value_quantiles" -> valueQuantilesSql,
     "events_value_outliers" -> valueOutliersSql,
     "events_funnel" -> funnelSql,

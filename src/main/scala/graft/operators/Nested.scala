@@ -156,7 +156,42 @@ object Nested extends QueryModule {
               CAST(COUNT(*) AS BIGINT) AS total_orders
        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
 
+  /** The inverse reshape: melt the pivot back to long form with
+    * `Dataset.unpivot` (Spark's wide→long operator, the `stack` generator
+    * under a typed API). Zero-filled cells survive the round trip as
+    * explicit zero rows — the pivot⇄unpivot pair is lossless. Map-only: the
+    * wide frame fans out to `n_cols` rows per input row with no shuffle;
+    * the only exchanges are the pivot's own aggregate and the presentation
+    * sort.
+    */
+  def customerPivotUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = customerPriorityPivot(spark, sfDir).drop("total_orders")
+    wide.unpivot(
+      Array(col("o_custkey")),
+      wide.columns.filter(_ != "o_custkey").map(col),
+      "priority", "n_orders")
+      .orderBy("o_custkey", "priority")
+  }
+
+  private val customerPivotUnpivotSql = {
+    val slugs = Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+    val arms = slugs.map(s =>
+      s"SELECT o_custkey, '$s' AS priority, $s AS n_orders FROM p")
+    s"""WITH p AS (
+          SELECT o_custkey,
+                 CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+                 CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+                 CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+                 CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+                 CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
+          FROM orders GROUP BY o_custkey
+        )
+        ${arms.mkString(" UNION ALL ")}
+        ORDER BY o_custkey, priority"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_customer_unpivot" -> (customerPivotUnpivot _),
     "q3_product_stats" -> (productStats _),
     "q3_customer_pivot" -> (customerPriorityPivot _),
     "q3_customer_pivot_dynamic" -> (customerPriorityPivotDynamic _),
@@ -164,6 +199,7 @@ object Nested extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q3_customer_unpivot" -> customerPivotUnpivotSql,
     "q3_product_stats" -> productStatsSql,
     "q3_customer_pivot" -> customerPriorityPivotSql,
     "q3_customer_pivot_dynamic" -> customerPriorityPivotSql, // same result, discovered values

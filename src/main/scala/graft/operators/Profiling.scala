@@ -64,11 +64,80 @@ object Profiling extends QueryModule {
           FROM orders"""
     }.mkString("", " UNION ALL ", " ORDER BY column_name")
 
+  /** `orders_chisq_independence`: the χ² independence statistic of a
+    * contingency table (o_orderstatus × o_orderpriority) — the standard
+    * drift / association check a data-quality pipeline runs between two
+    * categorical columns.
+    *
+    * All inputs are exact longs: observed cell counts (zero cells included
+    * via the distinct×distinct spine — they legitimately contribute to the
+    * statistic), row/column/grand totals via windows over the cells-sized
+    * table. `expected = row·col/N` and each `(o−e)²/e` term are
+    * fixed-shape double expressions; the final sum is the sorted left-fold
+    * (the mix_weights pattern) so the statistic is bit-identical to the
+    * oracle. The corpus pays one counting shuffle; everything after runs
+    * on `|statuses|·|priorities|` rows.
+    */
+  def chisqIndependence(spark: SparkSession, sfDir: String): DataFrame =
+    chisqOf(Tables.orders(spark, sfDir), "o_orderstatus", "o_orderpriority")
+
+  /** χ² core over any frame and categorical column pair. */
+  def chisqOf(o: DataFrame, cs: String, cp: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = o.groupBy(col(cs).as("s"), col(cp).as("p"))
+      .agg(count(lit(1)).as("n"))
+    val cells = o.select(col(cs).as("s")).distinct()
+      .crossJoin(o.select(col(cp).as("p")).distinct())
+      .join(counts, Seq("s", "p"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val terms = cells
+      .withColumn("rt", sum("n").over(Window.partitionBy("s")))
+      .withColumn("ct", sum("n").over(Window.partitionBy("p")))
+      .withColumn("tot", sum("n").over(Window.partitionBy()))
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("tot"))
+      .withColumn("term",
+        (col("n").cast("double") - col("e")) * (col("n").cast("double") - col("e")) / col("e"))
+    terms.agg(
+      count(lit(1)).as("n_cells"),
+      ((countDistinct("s") - 1) * (countDistinct("p") - 1)).as("dof"),
+      expr("aggregate(array_sort(collect_list(term)), 0D, (a, x) -> a + x)").as("chisq"))
+  }
+
+  private val chisqIndependenceSql =
+    """WITH c AS (
+         SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS n
+         FROM orders GROUP BY 1, 2
+       ), cells AS (
+         SELECT ds.s, dp.p, COALESCE(c.n, 0) AS n
+         FROM (SELECT DISTINCT o_orderstatus AS s FROM orders) ds
+         CROSS JOIN (SELECT DISTINCT o_orderpriority AS p FROM orders) dp
+         LEFT JOIN c ON c.s = ds.s AND c.p = dp.p
+       ), t AS (
+         SELECT s, p, n,
+                CAST(SUM(n) OVER (PARTITION BY s) AS BIGINT) AS rt,
+                CAST(SUM(n) OVER (PARTITION BY p) AS BIGINT) AS ct,
+                CAST(SUM(n) OVER () AS BIGINT) AS tot
+         FROM cells
+       ), terms AS (
+         SELECT s, p,
+                (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot)
+                  * (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot)
+                  / (CAST(rt AS DOUBLE) * ct / tot) AS term
+         FROM t
+       )
+       SELECT (SELECT COUNT(*) FROM terms) AS n_cells,
+              (SELECT (COUNT(DISTINCT s) - 1) * (COUNT(DISTINCT p) - 1) FROM cells) AS dof,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(term))),
+                          (a, x) -> a + x) AS chisq
+       FROM terms"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
+    "orders_chisq_independence" -> (chisqIndependence _),
   )
 
   override def oracle: Map[String, String] = Map(
     "profile_orders" -> profileOrdersSql,
+    "orders_chisq_independence" -> chisqIndependenceSql,
   )
 }
