@@ -131,13 +131,103 @@ object Profiling extends QueryModule {
                           (a, x) -> a + x) AS chisq
        FROM terms"""
 
+  /** Numeric lineitem columns profiled by [[corrMatrix]], with their exact
+    * integer encodings (×100 kills the two-decimal float representation, so
+    * every moment below is an EXACT integer sum — the whole reason the
+    * statistic can be oracle-hash-checked across engines).
+    */
+  private val CorrVars: Seq[(String, String)] = Seq(
+    "l_quantity" -> "q", "l_extendedprice" -> "e",
+    "l_discount" -> "d", "l_tax" -> "t")
+
+  private val CorrPairs: Seq[((String, String), (String, String))] =
+    for { i <- 0 until CorrVars.length; j <- i + 1 until CorrVars.length }
+      yield (CorrVars(i), CorrVars(j))
+
+  /** The Pearson formula on the exact moment sums, as ONE fixed-shape
+    * double expression shared verbatim (modulo cast spelling) with the
+    * oracle — every input is an exact integer, so both engines round the
+    * same reals through the same IEEE operation tree.
+    */
+  private def corrExpr(x: String, y: String, d: String => String): String = {
+    def v(c: String) = d(c)
+    s"""(${v("n")} * ${v(s"s_${x}_$y")} - ${v(s"s_$x")} * ${v(s"s_$y")})
+        / (sqrt(${v("n")} * ${v(s"s_${x}_$x")} - ${v(s"s_$x")} * ${v(s"s_$x")})
+           * sqrt(${v("n")} * ${v(s"s_${y}_$y")} - ${v(s"s_$y")} * ${v(s"s_$y")}))"""
+  }
+
+  /** `lineitem_corr_matrix`: the pairwise Pearson correlation matrix of the
+    * numeric lineitem measures — the numeric companion of [[chisqOf]] in a
+    * profiling pass (which measures move together?).
+    *
+    * Unlike `corr()` (whose double accumulation is partition-order
+    * dependent and can never hash-match another engine), the moments here
+    * are EXACT: each measure becomes an integer (×100), and all sums /
+    * cross-product sums accumulate as DECIMAL (HUGEINT in the oracle) —
+    * associative exact arithmetic, any partitioning, any cluster. The
+    * double math happens once, on the 14 exact aggregates, in a fixed
+    * expression shape.
+    *
+    * Shape: ONE partial+final aggregation pass over a 4-column pruned scan
+    * computes all 14 moments (map-side combine does almost all the work);
+    * the matrix assembly is a `stack` over a single row. At 100 TB this is
+    * a single scan + a 14-value reduce — there is no cheaper shape.
+    */
+  def corrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(CorrVars.map { case (c, _) => col(c).isNotNull }.reduce(_ && _))
+      .select(CorrVars.map { case (c, a) =>
+        expr(s"CAST(ROUND($c * 100) AS DECIMAL(18,0))").as(a)
+      }: _*)
+    val moments: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("n") +:
+      CorrVars.map { case (_, a) => sum(col(a)).as(s"s_$a") } ++:
+      (CorrVars.zipWithIndex.flatMap { case ((_, a), i) =>
+        CorrVars.drop(i).map { case (_, b) => sum(col(a) * col(b)).as(s"s_${a}_$b") }
+      })
+    val wide = li.agg(moments.head, moments.tail: _*)
+    val withCorrs = CorrPairs.foldLeft(wide) { case (df, ((_, a), (_, b))) =>
+      df.withColumn(s"corr_${a}_$b",
+        expr(corrExpr(a, b, c => s"CAST($c AS DOUBLE)")))
+    }
+    val stacked = CorrPairs.map { case ((cx, a), (cy, b)) =>
+      s"'$cx', '$cy', corr_${a}_$b" }.mkString(", ")
+    withCorrs.selectExpr("n AS n_rows",
+      s"stack(${CorrPairs.length}, $stacked) AS (col_x, col_y, corr)")
+      .select("col_x", "col_y", "n_rows", "corr")
+      .orderBy("col_x", "col_y")
+  }
+
+  def corrMatrixQ(spark: SparkSession, sfDir: String): DataFrame =
+    corrMatrix(spark, sfDir)
+
+  private val corrMatrixSql = {
+    val notNull = CorrVars.map { case (c, _) => s"$c IS NOT NULL" }.mkString(" AND ")
+    val enc = CorrVars.map { case (c, a) => s"CAST(ROUND($c * 100) AS HUGEINT) AS $a" }
+      .mkString(", ")
+    val sums = (CorrVars.map { case (_, a) => s"SUM($a) AS s_$a" } ++
+      CorrVars.zipWithIndex.flatMap { case ((_, a), i) =>
+        CorrVars.drop(i).map { case (_, b) => s"SUM($a * $b) AS s_${a}_$b" }
+      }).mkString(", ")
+    val rows = CorrPairs.map { case ((cx, a), (cy, b)) =>
+      s"""SELECT '$cx' AS col_x, '$cy' AS col_y, CAST(n AS BIGINT) AS n_rows,
+                 ${corrExpr(a, b, c => s"CAST($c AS DOUBLE)")} AS corr
+          FROM a"""
+    }.mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT $enc FROM lineitem WHERE $notNull),
+        a AS (SELECT COUNT(*) AS n, $sums FROM v)
+        $rows ORDER BY col_x, col_y"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
     "orders_chisq_independence" -> (chisqIndependence _),
+    "lineitem_corr_matrix" -> (corrMatrixQ _),
   )
 
   override def oracle: Map[String, String] = Map(
     "profile_orders" -> profileOrdersSql,
     "orders_chisq_independence" -> chisqIndependenceSql,
+    "lineitem_corr_matrix" -> corrMatrixSql,
   )
 }

@@ -213,6 +213,47 @@ object TrainPrep extends QueryModule {
         FROM resolved r JOIN idx i2 ON i2.idx = r.neg_idx
         ORDER BY r.doc_id, r.neg_slot"""
 
+  /** Chunk window / stride (characters) for [[chunkDocs]]. */
+  val ChunkWidth = 200
+  val ChunkStride = 150
+
+  /** `docs_chunked`: overlapping fixed-window document chunking — the step
+    * that turns variable-length documents into trainer-sized pieces with a
+    * stride-sized overlap so no boundary context is lost. Chunk starts are
+    * `0, stride, 2·stride, …` while they still index into the text; the
+    * final chunk may run short, and an empty/short document still yields
+    * its one (possibly short) chunk. Emits offsets + per-chunk md5
+    * fingerprint rather than the chunk text — the downstream contract is
+    * (doc_id, chunk_id → byte range), not a second copy of the corpus.
+    *
+    * Scale: map-only fan-out (`sequence` + `explode`, codegen'd); a 100 TB
+    * corpus chunks with ZERO shuffles — the only exchange below is the
+    * presentation sort. Fan-out factor is ~len/stride, bounded per row.
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, greatest(len - 1, 0), $ChunkStride)")).as("start"))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("chunk_start"),
+        length(expr(s"substring(text, start + 1, $ChunkWidth)")).cast("long").as("chunk_len"),
+        md5(expr(s"substring(text, start + 1, $ChunkWidth)")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkDocsSql =
+    s"""WITH starts AS (
+          SELECT doc_id, text,
+                 unnest(range(0, greatest(len(text) - 1, 0) + 1, $ChunkStride)) AS s
+          FROM documents)
+        SELECT doc_id,
+               CAST(s // $ChunkStride AS BIGINT) AS chunk_id,
+               CAST(s AS BIGINT) AS chunk_start,
+               CAST(len(substr(text, s + 1, $ChunkWidth)) AS BIGINT) AS chunk_len,
+               md5(substr(text, s + 1, $ChunkWidth)) AS chunk_md5
+        FROM starts ORDER BY doc_id, chunk_id"""
+
   /** Per-stratum sample quota for [[stratifiedSample]]. */
   val StratumQuota = 40
 
@@ -256,6 +297,7 @@ object TrainPrep extends QueryModule {
     "pack_sequences" -> (packSequences _),
     "pack_manifest" -> (packManifest _),
     "doc_global_index" -> (globalIndex _),
+    "docs_chunked" -> (chunkDocs _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -265,5 +307,6 @@ object TrainPrep extends QueryModule {
     "pack_sequences" -> packSequencesSql,
     "pack_manifest" -> packManifestSql,
     "doc_global_index" -> globalIndexSql,
+    "docs_chunked" -> chunkDocsSql,
   )
 }

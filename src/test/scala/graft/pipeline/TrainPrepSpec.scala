@@ -113,6 +113,48 @@ class TrainPrepSpec extends SparkSpec {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
 
+  /** Texts sized around the 200/150 window/stride: empty, sub-window,
+    * exactly one window, and a 380-char doc that needs three chunks.
+    */
+  private lazy val chunkDir: String = {
+    val d = Files.createTempDirectory("graft_chunk_fixture").toString
+    Seq((0L, ""), (1L, "a" * 100), (2L, (('a' to 'z').mkString * 10).take(200)),
+      (3L, Seq.tabulate(380)(i => ('a' + i % 26).toChar).mkString))
+      .map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("chunking: offsets, short tails, empty docs, md5 vs java digest") {
+    val texts = Map(
+      0L -> "", 1L -> "a" * 100,
+      2L -> (('a' to 'z').mkString * 10).take(200),
+      3L -> Seq.tabulate(380)(i => ('a' + i % 26).toChar).mkString)
+    val got = TrainPrep.chunkDocs(spark, chunkDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // chunk counts: max(1, number of strides indexing into the text)
+    assert(byDoc(0L).length == 1 && byDoc(1L).length == 1)
+    assert(byDoc(2L).length == 2, "len 200 > stride 150 → second (tail) chunk")
+    assert(byDoc(3L).length == 3)
+    got.foreach { case (id, cid, start, len, digest) =>
+      val t = texts(id)
+      assert(start == cid * TrainPrep.ChunkStride)
+      val expected = t.slice(start.toInt, start.toInt + TrainPrep.ChunkWidth)
+      assert(len == expected.length, s"doc $id chunk $cid length")
+      assert(digest == md5Hex(expected), s"doc $id chunk $cid md5")
+    }
+    // coverage: consecutive chunks tile the text with stride-sized advances
+    // and the last chunk reaches the end of the document
+    byDoc.foreach { case (id, chunks) =>
+      assert(chunks.map(_._2).toSeq == (0L until chunks.length))
+      val last = chunks.last
+      assert(last._3 + last._4 == texts(id).length, s"doc $id tail reaches end")
+    }
+  }
+
   test("stratified sample: exact quota per stratum, members are the md5-smallest") {
     val got = TrainPrep.stratifiedSample(spark, splitDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
