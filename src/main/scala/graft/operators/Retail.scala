@@ -626,6 +626,53 @@ object Retail extends QueryModule {
     spark.sql(sqlFrontDoor)
   }
 
+  /** `q5_region_revenue`: the classic six-table star join (TPC-H Q5 shape) —
+    * revenue per nation for 1996 orders where customer and supplier sit in
+    * the same ASIA nation. This is the multi-way join-planning workout the
+    * single-dim joins above don't exercise: at 100 TB the lineitem⋈orders
+    * equi-join is the one real shuffle, while region→nation→customer/
+    * supplier collapse into broadcast hash joins (region prunes nations
+    * BEFORE the fact tables are touched, and the date filter pushes into
+    * the orders scan) — exactly what AQE picks on these dim sizes, with
+    * Catalyst free to reorder because the plan is declarative. Money stays
+    * DECIMAL until the final projection (house rule — see [[lineAmount]]).
+    */
+  def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(lineAmount).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  private val regionRevenueSql =
+    """SELECT n_name, COUNT(*) AS n_lines,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name ORDER BY n_name"""
+
   /** Semi / anti joins (SURVEY §2.3 note): customers with / without a pending
     * ('P') order. The status filter keeps the anti side non-empty and shows a
     * pushed-down predicate feeding a semi-join build side.
@@ -664,6 +711,7 @@ object Retail extends QueryModule {
     "join_anti" -> (joinAnti _),
     "q2_trailing_revenue" -> (trailingRevenue _),
     "sql_frontdoor_revenue" -> (sqlFrontDoorQ _),
+    "q5_region_revenue" -> (regionRevenue _),
     "q2_grouping_sets" -> (groupingSetsQ _),
     "basket_pair_counts" -> (basketPairsQ _),
     "basket_rules" -> (basketRulesQ _),
@@ -694,6 +742,7 @@ object Retail extends QueryModule {
          ORDER BY c_custkey""",
     "q2_trailing_revenue" -> trailingRevenueSql,
     "sql_frontdoor_revenue" -> sqlFrontDoor,
+    "q5_region_revenue" -> regionRevenueSql,
     "q2_grouping_sets" -> groupingSetsSql,
     "basket_pair_counts" -> basketPairsSql,
     "basket_rules" -> basketRulesSql,

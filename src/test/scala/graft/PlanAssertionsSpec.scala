@@ -124,6 +124,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("Window ".r.findAllIn(p).size == 1, p)
   }
 
+  test("q5 star join: date filter pushed to the orders scan, dims broadcast, one agg shuffle") {
+    val p = executed("q5_region_revenue")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"date filter not pushed:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$p")
+    // every dim side must come in as a broadcast hash join at this scale
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5, s"expected 5 broadcast joins:\n$p")
+    // the only hash exchange is the final n_name aggregate (fact⋈orders is
+    // broadcast at fixture scale; at 100 TB AQE flips it to sort-merge)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"extra shuffle:\n$p")
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
