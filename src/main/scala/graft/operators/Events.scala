@@ -390,6 +390,142 @@ object Events extends QueryModule {
               MAX(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p99
        FROM v GROUP BY 1 ORDER BY 1"""
 
+  /** Trailing window size (days) for [[rollingActiveUsers]]. */
+  val RollingDays = 7
+
+  /** `events_rolling_active_users`: exact trailing-7-day distinct active
+    * users per day — the sliding-DISTINCT aggregate the fixed-window
+    * queries (t3/t4: count/max, decomposable) cannot express: distinct
+    * does not sum across days, so a rolling SUM of daily distincts
+    * double-counts returning users.
+    *
+    * Shape: dedup to (user, active-day) pairs (ONE shuffle, the only one
+    * the raw stream pays), then each pair COVERS the [[RollingDays]] days
+    * it contributes to via a map-only `sequence`+`explode` fan-out (×7,
+    * bounded), and a distinct-count per covered day. Days are integer
+    * epoch-days end-to-end so both engines do exact integer arithmetic;
+    * the final projection renders them as date strings (house rule:
+    * timestamps leave as formatted strings). Days past the last observed
+    * day are clipped by a scalar-subquery max — no driver collect.
+    *
+    * 100 TB: cost is two key-shuffles of (user, day)-grain rows — no
+    * window-function sort over the event stream, no per-day re-scan; the
+    * ×7 fan-out happens AFTER the first dedup, on the much smaller
+    * user-day grain. An approximate variant swaps the final
+    * count_distinct for HLL/KMV sketches (the documented knob, same
+    * plan shape).
+    */
+  def rollingActiveUsers(spark: SparkSession, sfDir: String): DataFrame =
+    rollingActiveUsersOf(Tables.events(spark, sfDir))
+
+  /** [[rollingActiveUsers]] core over any (user_id, ts) frame. */
+  def rollingActiveUsersOf(events: DataFrame): DataFrame = {
+    val ud = events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"))
+      .distinct()
+    val maxD = ud.agg(max("d")).scalar()
+    ud.select(col("user_id"),
+        explode(expr(s"sequence(d, d + ${RollingDays - 1})")).as("cd"))
+      .filter(col("cd") <= maxD)
+      .groupBy("cd")
+      .agg(countDistinct("user_id").as("active_users"))
+      .select(
+        date_format(expr("date_add(DATE '1970-01-01', CAST(cd AS INT))"), "yyyy-MM-dd")
+          .as("day"),
+        col("active_users"))
+      .orderBy("day")
+  }
+
+  private val rollingActiveUsersSql =
+    s"""WITH ud AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+          FROM events WHERE ts IS NOT NULL
+        ), cover AS (
+          SELECT user_id, d + i AS cd
+          FROM ud CROSS JOIN (SELECT unnest(range(0, $RollingDays)) AS i)
+          WHERE d + i <= (SELECT MAX(d) FROM ud)
+        )
+        SELECT strftime(DATE '1970-01-01' + CAST(cd AS INTEGER), '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS active_users
+        FROM cover GROUP BY 1 ORDER BY 1"""
+
+  /** Histogram resolution for [[valueQuantilesHist]]. */
+  val HistBuckets = 1000
+
+  /** `events_value_quantiles_hist`: the BOUNDED-STATE quantile path the
+    * exact operator's scaladoc points to for 100 TB — a fixed-resolution
+    * equi-width histogram per key, quantiles read off the cumulative bucket
+    * counts (upper bucket edge: the answer is exact to one bucket width,
+    * (max−min)/[[HistBuckets]]). Same output shape as [[valueQuantiles]] so
+    * the two rows compare side by side.
+    *
+    * Unlike rank-based exact quantiles (whose per-key SORT of every value
+    * is the scale bottleneck) or `approx_percentile` (whose sketch merge is
+    * partition-order dependent and can never hash-match another engine),
+    * the histogram is deterministic under ANY partitioning: bucket
+    * assignment is a pure per-row function of (value, min, max), and
+    * counts are associative. The corpus pays two map-side-combined
+    * aggregations (min/max/count, then bucket counts); everything after
+    * runs on ≤ types·[[HistBuckets]] rows. The degenerate min=max key
+    * collapses to bucket 0 rather than dividing by zero.
+    */
+  def valueQuantilesHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).filter(col("value").isNotNull)
+    val stats = ev.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"), count(lit(1)).as("n"))
+    val cum = ev.join(broadcast(stats), "event_type")
+      .withColumn("bucket", expr(
+        s"""CAST(CASE WHEN mx = mn THEN 0
+                 ELSE least(floor((value - mn) / (mx - mn) * $HistBuckets),
+                            ${HistBuckets - 1}) END AS BIGINT)"""))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("event_type").orderBy("bucket")))
+    def pick(q: Double, name: String) =
+      min(when(col("cum") >= ceil(col("n") * q), col("bucket"))).as(s"b_$name")
+    def edge(name: String) =
+      expr(s"mn + (b_$name + 1) * (mx - mn) / $HistBuckets").as(name)
+    cum.join(broadcast(stats), "event_type")
+      .groupBy("event_type", "mn", "mx", "n")
+      .agg(pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+      .select(col("event_type"), col("n"), edge("p50"), edge("p90"), edge("p99"))
+      .orderBy("event_type")
+  }
+
+  private val valueQuantilesHistSql =
+    s"""WITH s AS (
+          SELECT event_type, MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n
+          FROM events WHERE value IS NOT NULL GROUP BY 1
+        ), b AS (
+          SELECT e.event_type,
+                 CAST(CASE WHEN s.mx = s.mn THEN 0
+                      ELSE least(floor((e.value - s.mn) / (s.mx - s.mn) * $HistBuckets),
+                                 ${HistBuckets - 1}) END AS BIGINT) AS bucket,
+                 COUNT(*) AS cnt
+          FROM events e JOIN s USING (event_type)
+          WHERE e.value IS NOT NULL GROUP BY 1, 2
+        ), c AS (
+          SELECT event_type, bucket, cnt,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM b
+        ), p AS (
+          SELECT c.event_type,
+                 MIN(CASE WHEN cum >= ceil(s.n * 0.5) THEN bucket END) AS b_p50,
+                 MIN(CASE WHEN cum >= ceil(s.n * 0.9) THEN bucket END) AS b_p90,
+                 MIN(CASE WHEN cum >= ceil(s.n * 0.99) THEN bucket END) AS b_p99
+          FROM c JOIN s USING (event_type) GROUP BY 1
+        )
+        SELECT p.event_type, CAST(s.n AS BIGINT) AS n,
+               s.mn + (b_p50 + 1) * (s.mx - s.mn) / $HistBuckets AS p50,
+               s.mn + (b_p90 + 1) * (s.mx - s.mn) / $HistBuckets AS p90,
+               s.mn + (b_p99 + 1) * (s.mx - s.mn) / $HistBuckets AS p99
+        FROM p JOIN s USING (event_type) ORDER BY 1"""
+
   /** Tukey-fence outlier audit per event_type: the quartiles are exact
     * nearest-rank PICKED values (same formulation as [[valueQuantiles]] —
     * rank-⌈qn⌉ in sorted order, value-determined under ties, so no
@@ -669,6 +805,8 @@ object Events extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_daily_gapfilled" -> (dailyGapfilled _),
     "events_value_quantiles" -> (valueQuantiles _),
+    "events_value_quantiles_hist" -> (valueQuantilesHist _),
+    "events_rolling_active_users" -> (rollingActiveUsers _),
     "events_value_outliers" -> (valueOutliers _),
     "events_funnel" -> (funnelQ _),
     "events_cohort_retention" -> (cohortRetention _),
@@ -689,6 +827,8 @@ object Events extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "events_daily_gapfilled" -> dailyGapfilledSql,
     "events_value_quantiles" -> valueQuantilesSql,
+    "events_value_quantiles_hist" -> valueQuantilesHistSql,
+    "events_rolling_active_users" -> rollingActiveUsersSql,
     "events_value_outliers" -> valueOutliersSql,
     "events_funnel" -> funnelSql,
     "events_cohort_retention" -> cohortRetentionSql,

@@ -673,6 +673,49 @@ object Retail extends QueryModule {
          AND o_orderdate < TIMESTAMP '1997-01-01'
        GROUP BY n_name ORDER BY n_name"""
 
+  /** `topk_unshipped_revenue`: the TPC-H Q3 shape — the 10 highest-value
+    * orders taken before the cutoff but still (partly) unshipped after it,
+    * for one market segment. The scale content is the TOP-K ITSELF: a
+    * global sort of the aggregated orders would shuffle every group to
+    * order ten rows; `orderBy(...).limit(k)` instead compiles to
+    * `TakeOrderedAndProject` — each task keeps a 10-row heap, the driver
+    * merges task heaps, nothing but k rows ever leaves an executor. Ties
+    * on revenue break by o_orderkey so the k-row cut is value-determined
+    * in both engines.
+    */
+  val ShippingCutoff = "1998-06-01"
+
+  def topkUnshippedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(ShippingCutoff).cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(ShippingCutoff).cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(lineAmount).cast("double").as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val topkUnshippedRevenueSql =
+    s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '$ShippingCutoff'
+          AND l_shipdate > TIMESTAMP '$ShippingCutoff'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+
   /** Semi / anti joins (SURVEY §2.3 note): customers with / without a pending
     * ('P') order. The status filter keeps the anti side non-empty and shows a
     * pushed-down predicate feeding a semi-join build side.
@@ -712,6 +755,7 @@ object Retail extends QueryModule {
     "q2_trailing_revenue" -> (trailingRevenue _),
     "sql_frontdoor_revenue" -> (sqlFrontDoorQ _),
     "q5_region_revenue" -> (regionRevenue _),
+    "topk_unshipped_revenue" -> (topkUnshippedRevenue _),
     "q2_grouping_sets" -> (groupingSetsQ _),
     "basket_pair_counts" -> (basketPairsQ _),
     "basket_rules" -> (basketRulesQ _),
@@ -743,6 +787,7 @@ object Retail extends QueryModule {
     "q2_trailing_revenue" -> trailingRevenueSql,
     "sql_frontdoor_revenue" -> sqlFrontDoor,
     "q5_region_revenue" -> regionRevenueSql,
+    "topk_unshipped_revenue" -> topkUnshippedRevenueSql,
     "q2_grouping_sets" -> groupingSetsSql,
     "basket_pair_counts" -> basketPairsSql,
     "basket_rules" -> basketRulesSql,

@@ -339,12 +339,103 @@ object CorpusQc extends QueryModule {
        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
        ORDER BY doc_id"""
 
+  /** Quality-histogram resolution and low-quality threshold for
+    * [[sourceReportOf]].
+    */
+  val QBuckets = 20
+  val LowQuality = 0.5
+
+  /** `corpus_source_report`: the per-source curation dashboard — documents,
+    * tokens, language spread, low-quality share, and a mean quality score,
+    * grouped by the `source` provenance column. This is the report a data
+    * curator reads before deciding which sources to keep, upweight, or
+    * re-crawl.
+    *
+    * The mean is DETERMINISTIC at any scale without per-group lists: each
+    * doc's quality (the `text_quality_score` formula verbatim) is bucketed
+    * into [[QBuckets]] cells, and the mean-of-bucket-midpoints numerator
+    * `Σ (2·bucket+1)` is an EXACT integer sum — associative under any
+    * partitioning — divided once, at the end, as the single double op. (A
+    * naive `avg(quality)` accumulates doubles in partition order and can
+    * never hash-match another engine; the mix_weights sorted-fold fixes
+    * that only for group counts that stay small, which per-source doc
+    * counts do not.)
+    *
+    * Shape: map-only feature extraction, ONE shuffle on `source`. The
+    * low-quality share compares each doc's identically-computed double
+    * against [[LowQuality]] — exact, since both engines build the same q.
+    */
+  def sourceReport(spark: SparkSession, sfDir: String): DataFrame =
+    sourceReportOf(graft.Tables.documents(spark, sfDir))
+
+  def sourceReportOf(docs: DataFrame): DataFrame = {
+    val stop = graft.operators.TextStats.stopWords.map(w => s"'$w'").mkString(", ")
+    docs.select(
+        col("source"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("length(regexp_replace(text, '[^a-zA-Z]', ''))").as("alpha_chars"),
+        expr(raw"size(regexp_extract_all(text, '\\S+', 0))").cast("long").as("n_tokens"),
+        expr(s"""size(filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+                   w -> w IN ($stop)))""").as("stop_tokens"))
+      .filter(col("n_tokens") > 0 && col("n_chars") > 0)
+      .withColumn("q", expr(
+        """0.5D * (CAST(alpha_chars AS DOUBLE) / n_chars)
+           + 0.3D * (1.0D - CAST(stop_tokens AS DOUBLE) / n_tokens)
+           + 0.2D * least(1.0D, CAST(n_tokens AS DOUBLE) / 100.0D)"""))
+      .withColumn("qb",
+        expr(s"CAST(least(floor(q * $QBuckets), ${QBuckets - 1}) AS BIGINT)"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        countDistinct("lang").as("n_langs"),
+        sum(when(col("q") < LowQuality, 1L).otherwise(0L)).as("n_low_quality"),
+        sum(expr("2 * qb + 1")).as("qnum"))
+      .withColumn("mean_quality_bucketed",
+        expr(s"CAST(qnum AS DOUBLE) / (${2 * QBuckets} * n_docs)"))
+      .select("source", "n_docs", "total_tokens", "n_langs",
+        "n_low_quality", "mean_quality_bucketed")
+      .orderBy("source")
+  }
+
+  private val sourceReportSql = {
+    val stop = graft.operators.TextStats.stopWords.map(w => s"'$w'").mkString(", ")
+    raw"""WITH f AS (
+          SELECT source, lang,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+                 len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                 len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                     w -> w IN ($stop))) AS stop_tokens
+          FROM documents
+        ), r AS (
+          SELECT source, lang, n_tokens,
+                 0.5 * (CAST(alpha_chars AS DOUBLE) / n_chars)
+                   + 0.3 * (1.0 - CAST(stop_tokens AS DOUBLE) / n_tokens)
+                   + 0.2 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS q
+          FROM f WHERE n_tokens > 0 AND n_chars > 0
+        ), b AS (
+          SELECT source, lang, n_tokens, q,
+                 CAST(least(floor(q * ${QBuckets}), ${QBuckets - 1}) AS BIGINT) AS qb
+          FROM r
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(DISTINCT lang) AS n_langs,
+               CAST(SUM(CASE WHEN q < ${LowQuality} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_low_quality,
+               CAST(SUM(2 * qb + 1) AS DOUBLE) / (${2 * QBuckets} * COUNT(*))
+                 AS mean_quality_bucketed
+        FROM b GROUP BY 1 ORDER BY 1"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (repetition _),
     "corpus_snapshot_diff" -> (snapshotDiff _),
     "text_contamination" -> (contamination _),
     "mix_weights" -> (mixWeights _),
     "mix_materialize" -> (mixMaterialize _),
+    "corpus_source_report" -> (sourceReport _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -353,5 +444,6 @@ object CorpusQc extends QueryModule {
     "text_contamination" -> contaminationSql,
     "mix_weights" -> mixWeightsSql,
     "mix_materialize" -> mixMaterializeSql,
+    "corpus_source_report" -> sourceReportSql,
   )
 }

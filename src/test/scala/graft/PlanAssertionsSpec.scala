@@ -135,6 +135,35 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"extra shuffle:\n$p")
   }
 
+  test("corr matrix is ONE partial+final aggregation pass over a pruned scan") {
+    val p = executed("lineitem_corr_matrix")
+    // a single 1-row reduce: exactly one SinglePartition exchange, no Expand
+    // (nothing here count-distincts), scan pruned to the four measures
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, s"moment pass not single:\n$p")
+    assert(!p.contains("Expand"), s"unexpected Expand:\n$p")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(_.split(",").length <= 4), reads.mkString("\n"))
+  }
+
+  test("top-k unshipped revenue runs as TakeOrderedAndProject, never a global sort") {
+    val p = executed("topk_unshipped_revenue")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost its heap operator:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort crept in:\n$p")
+  }
+
+  test("rolling actives never sort the event stream with a window function") {
+    val p = executed("events_rolling_active_users")
+    assert(!p.contains("Window"), s"window-function formulation crept in:\n$p")
+    assert(p.contains("Generate explode"), s"cover fan-out missing:\n$p")
+  }
+
+  test("source report: map-only features, one source shuffle (plus bounded lang Expand)") {
+    val p = executed("corpus_source_report")
+    // exchanges: the (source[, lang]) aggregate pair from count-distinct and
+    // the presentation sort — but never TWO independent scans of documents
+    assert("FileScan parquet".r.findAllIn(p).size == 1, s"documents scanned twice:\n$p")
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively

@@ -31,6 +31,39 @@ class QuantilesGoldenSpec extends SparkSpec {
     assert(rows("b") == ((3L, 2.0, 3.0, 3.0)))
   }
 
+  test("histogram quantiles: hand-computed edges on a uniform fixture, near exact on real data") {
+    // key "a": values 1..10, min 1, max 10 → bucket width 9/1000; value v
+    // lands in bucket floor((v−1)/9·1000). cum ≥ ⌈q·10⌉ picks the bucket of
+    // the ⌈q·10⌉-th value, upper edge = 1 + (b+1)·9/1000 — within one width
+    // of the exact nearest-rank pick.
+    val rows = Events.valueQuantilesHist(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val w = 9.0 / Events.HistBuckets
+    assert(rows("a")._1 == 10L)
+    assert(math.abs(rows("a")._2 - 5.0) <= w + 1e-9, s"p50 ${rows("a")._2}")
+    assert(math.abs(rows("a")._3 - 9.0) <= w + 1e-9, s"p90 ${rows("a")._3}")
+    assert(math.abs(rows("a")._4 - 10.0) <= w + 1e-9, s"p99 ${rows("a")._4}")
+    // key "b": values 1..3 — the max itself is clamped into the last bucket
+    assert(rows("b")._1 == 3L && math.abs(rows("b")._4 - 3.0) <= 2.0 / Events.HistBuckets)
+
+    // real data: every histogram pick within one bucket width of the exact
+    // nearest-rank answer per type
+    val sf = "/root/testdata/sf0.001"
+    val exact = Events.valueQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val ranges = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").agg(min("value"), max("value")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2) - r.getDouble(1))).toMap
+    Events.valueQuantilesHist(spark, sf).collect().foreach { r =>
+      val t = r.getString(0)
+      val width = ranges(t) / Events.HistBuckets
+      assert(math.abs(r.getDouble(2) - exact(t)._1) <= width + 1e-9, s"$t p50")
+      assert(math.abs(r.getDouble(3) - exact(t)._2) <= width + 1e-9, s"$t p90")
+      assert(math.abs(r.getDouble(4) - exact(t)._3) <= width + 1e-9, s"$t p99")
+    }
+  }
+
   test("PII scrub redacts planted emails and digit runs, flags changed rows") {
     val df = Seq(
       (1L, """{"user": "alice.b_1%x@mail-host.example.com", "id": 12345}"""),

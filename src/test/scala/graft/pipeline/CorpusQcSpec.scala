@@ -111,4 +111,28 @@ class CorpusQcSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
+
+  test("source report: counts, language spread, low-quality share, bucketed mean") {
+    // src_good: two clean all-alpha docs (no stopwords), langs en+de.
+    // src_bad: one doc that is mostly digits → alpha_ratio ≈ 0 → q < 0.5.
+    // src_empty: a zero-token doc, excluded entirely (no report row).
+    val docs = Seq(
+      (1L, words("x", 40).mkString(" "), "en", "src_good"),
+      (2L, words("y", 40).mkString(" "), "de", "src_good"),
+      (3L, ("1234567890 " * 30).trim, "en", "src_bad"),
+      (4L, "   ", "en", "src_empty"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusQc.sourceReportOf(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set("src_good", "src_bad"), got.toString)
+    val (nG, tokG, langG, lowG, mqG) = got("src_good")
+    assert(nG == 2L && tokG == 80L && langG == 2L && lowG == 0L)
+    // good docs: alpha_ratio = 120/159, no stopwords, length term 0.08
+    // → q ≈ 0.757; the bucketed mean must land in the same region
+    assert(mqG > 0.5 && mqG <= 1.0, s"good mean $mqG")
+    val (nB, _, _, lowB, mqB) = got("src_bad")
+    assert(nB == 1L && lowB == 1L, "digit doc must fall below the quality bar")
+    assert(mqB < 0.5, s"bad mean $mqB")
+  }
 }
