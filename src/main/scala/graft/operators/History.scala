@@ -89,11 +89,57 @@ object History extends QueryModule {
        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
        ORDER BY o_custkey, version"""
 
+  /** `orders_incremental_agg`: incremental view maintenance for an additive
+    * aggregate — the nightly-ETL pattern where a materialized per-day
+    * revenue table absorbs a new batch WITHOUT rescanning history. The
+    * fixture split stands in for "materialized state" (o_orderkey % 10 ≠ 0)
+    * vs "today's batch" (% 10 = 0); the merge is the algebraic union-then-
+    * combine (`state ⊎ delta`): counts add, DECIMAL revenue sums add —
+    * associative and commutative, so merge ≡ full recompute, and the
+    * DuckDB oracle PROVES it by computing the aggregate flat over all
+    * orders. Avg rides the merged (sum, count) pair, never an avg-of-avgs.
+    *
+    * Scale: the whole point — per-night cost ∝ batch, not history. The
+    * state side is a day-grain table (read, not rebuilt); only the delta
+    * pays a fact-table scan. Any aggregate expressible as a commutative
+    * monoid (count/sum/min/max, and avg/stddev/corr via moment pairs —
+    * see `lineitem_corr_matrix`) maintains this way; rank/median do not,
+    * which is why the quantile operators ship separate full and
+    * bounded-state paths.
+    */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    def dayAgg(orders: DataFrame): DataFrame = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).as("rev"))
+    val all = Tables.orders(spark, sfDir).filter(col("o_orderdate").isNotNull)
+    val state = dayAgg(all.filter(col("o_orderkey") % 10 =!= 0))
+    val delta = dayAgg(all.filter(col("o_orderkey") % 10 === 0))
+    state.unionByName(delta)
+      .groupBy("month")
+      .agg(sum("n_orders").as("n_orders"), sum("rev").as("rev"))
+      .select(col("month"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") / col("n_orders")).as("avg_order_value"))
+      .orderBy("month")
+  }
+
+  private val incrementalAggSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                AS avg_order_value
+       FROM orders WHERE o_orderdate IS NOT NULL
+       GROUP BY 1 ORDER BY 1"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_priority_scd2" -> (priorityScd2 _),
+    "orders_incremental_agg" -> (incrementalAgg _),
   )
 
   override def oracle: Map[String, String] = Map(
     "orders_priority_scd2" -> priorityScd2Sql,
+    "orders_incremental_agg" -> incrementalAggSql,
   )
 }

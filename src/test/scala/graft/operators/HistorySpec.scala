@@ -43,6 +43,24 @@ class HistorySpec extends SparkSpec {
       (200L, 2L, "LOW", "1996-06-01", "9999-12-31", true, 1L)))
   }
 
+  test("incremental merge equals a flat recompute over all orders, bit for bit") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val merged = History.incrementalAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val flat = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).as("rev"))
+      .select(col("month"), col("n"), col("rev").cast("double"),
+        (col("rev").cast("double") / col("n")))
+      .orderBy("month").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(merged == flat, "state ⊎ delta diverged from the flat aggregate")
+    assert(merged.nonEmpty && merged.map(_._2).sum > 0)
+  }
+
   test("customers never interleave; a single-order history is one current row") {
     val got = run(Seq(
       (300L, 20L, d("1997-01-01"), "MED"),
