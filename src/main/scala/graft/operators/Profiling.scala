@@ -144,16 +144,43 @@ object Profiling extends QueryModule {
     for { i <- 0 until CorrVars.length; j <- i + 1 until CorrVars.length }
       yield (CorrVars(i), CorrVars(j))
 
-  /** The Pearson formula on the exact moment sums, as ONE fixed-shape
-    * double expression shared verbatim (modulo cast spelling) with the
-    * oracle — every input is an exact integer, so both engines round the
-    * same reals through the same IEEE operation tree.
+  /** Exact-integer → double, LIMB-EXACT: once a moment sum exceeds 2⁵³ the
+    * engines' native conversions stop agreeing (Spark's DECIMAL→DOUBLE and
+    * DuckDB's HUGEINT→DOUBLE round the same integer to DIFFERENT nearest
+    * doubles in the last ulp — observed at sf0.1, where Sxx ≈ 3·10¹⁹).
+    * Splitting into three 42-bit limbs makes every CAST exact (each limb
+    * < 2⁴², and the 2⁴²/2⁸⁴ scalings are powers of two, so the products
+    * are exact too); the only rounding left is the final two IEEE
+    * additions, identical in both engines. Valid for any x < 2¹²⁶ — i.e.
+    * every value a DECIMAL(38) moment can hold. Requires x ≥ 0 (the
+    * caller factors the sign out first).
     */
-  private def corrExpr(x: String, y: String, d: String => String): String = {
-    def v(c: String) = d(c)
-    s"""(${v("n")} * ${v(s"s_${x}_$y")} - ${v(s"s_$x")} * ${v(s"s_$y")})
-        / (sqrt(${v("n")} * ${v(s"s_${x}_$x")} - ${v(s"s_$x")} * ${v(s"s_$x")})
-           * sqrt(${v("n")} * ${v(s"s_${y}_$y")} - ${v(s"s_$y")} * ${v(s"s_$y")}))"""
+  private val LimbB = "4398046511104"               // 2^42
+  private val LimbB2 = "19342813113834066795298816" // 2^84
+
+  private def hlSpark(x: String): String =
+    s"""(CAST((($x) - (($x) % $LimbB2)) / $LimbB2 AS DOUBLE) * CAST($LimbB2 AS DOUBLE)
+        + CAST(((($x) % $LimbB2) - (($x) % $LimbB)) / $LimbB AS DOUBLE) * CAST($LimbB AS DOUBLE)
+        + CAST(($x) % $LimbB AS DOUBLE))"""
+
+  private def hlDuck(x: String): String =
+    s"""(CAST(($x) // $LimbB2 AS DOUBLE) * CAST($LimbB2 AS DOUBLE)
+        + CAST((($x) % $LimbB2) // $LimbB AS DOUBLE) * CAST($LimbB AS DOUBLE)
+        + CAST(($x) % $LimbB AS DOUBLE))"""
+
+  /** The Pearson formula on the exact moment sums: numerator and both
+    * radicands stay EXACT integers (DECIMAL / HUGEINT) through the
+    * arithmetic, the sign is factored out exactly, and only the three
+    * final non-negative integers cross into double — limb-exact, so both
+    * engines round the same reals through the same IEEE operation tree.
+    */
+  private def corrExpr(x: String, y: String, hl: String => String): String = {
+    val num = s"(n * s_${x}_$y - s_$x * s_$y)"
+    val dx = s"(n * s_${x}_$x - s_$x * s_$x)"
+    val dy = s"(n * s_${y}_$y - s_$y * s_$y)"
+    s"""(CASE WHEN $num < 0 THEN -1.0 ELSE 1.0 END)
+        * ${hl(s"abs($num)")}
+        / (sqrt(${hl(dx)}) * sqrt(${hl(dy)}))"""
   }
 
   /** `lineitem_corr_matrix`: the pairwise Pearson correlation matrix of the
@@ -187,8 +214,7 @@ object Profiling extends QueryModule {
       })
     val wide = li.agg(moments.head, moments.tail: _*)
     val withCorrs = CorrPairs.foldLeft(wide) { case (df, ((_, a), (_, b))) =>
-      df.withColumn(s"corr_${a}_$b",
-        expr(corrExpr(a, b, c => s"CAST($c AS DOUBLE)")))
+      df.withColumn(s"corr_${a}_$b", expr(corrExpr(a, b, hlSpark)))
     }
     val stacked = CorrPairs.map { case ((cx, a), (cy, b)) =>
       s"'$cx', '$cy', corr_${a}_$b" }.mkString(", ")
@@ -211,7 +237,7 @@ object Profiling extends QueryModule {
       }).mkString(", ")
     val rows = CorrPairs.map { case ((cx, a), (cy, b)) =>
       s"""SELECT '$cx' AS col_x, '$cy' AS col_y, CAST(n AS BIGINT) AS n_rows,
-                 ${corrExpr(a, b, c => s"CAST($c AS DOUBLE)")} AS corr
+                 ${corrExpr(a, b, hlDuck)} AS corr
           FROM a"""
     }.mkString(" UNION ALL ")
     s"""WITH v AS (SELECT $enc FROM lineitem WHERE $notNull),
