@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   * Functions: `vec_dot(array<float|double>, array<float|double>) -> double`
   * (codegen'd strict-left-fold dot product; see [[functions.VectorDot]]),
+  * `jaccard_sorted(array<bigint>, array<bigint>) -> double` (one-merge-pass
+  * set Jaccard over sorted hash arrays; see [[functions.JaccardSorted]]),
   * `kmv_distinct(hash bigint) -> double` (bounded-buffer KMV distinct-count
   * sketch; see [[functions.KmvSketchAgg]]), and the bloom pair
   * `bloom_filter_agg` / `might_contain` (Spark's own runtime-filter
@@ -18,6 +20,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(functions.VectorDot.description)
+    ext.injectFunction(functions.JaccardSorted.description)
     ext.injectFunction(functions.KmvSketchAgg.description)
     ext.injectFunction(functions.MightContain.description)
     ext.injectFunction(functions.BloomAgg.description)
