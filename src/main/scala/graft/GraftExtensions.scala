@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(functions.VectorDot.description)
     ext.injectFunction(functions.JaccardSorted.description)
+    ext.injectFunction(functions.SortedSumAgg.description)
     ext.injectFunction(functions.KmvSketchAgg.description)
     ext.injectFunction(functions.MightContain.description)
     ext.injectFunction(functions.BloomAgg.description)

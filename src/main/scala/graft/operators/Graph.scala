@@ -61,7 +61,14 @@ object Graph extends QueryModule {
     * list (deg = out-degree of u). Returns `(id, deg, pagerank)` for every
     * node with at least one out-edge.
     */
-  def pagerankOf(edgeList: DataFrame): DataFrame = {
+  def pagerankOf(edgeList: DataFrame): DataFrame =
+    pagerankOfWithAgg(edgeList, "sorted_sum(c)")
+
+  /** [[pagerankOf]] with the contribution aggregate pluggable — bench/A-B
+    * surface for comparing deterministic-sum implementations (the HOF fold
+    * and `sorted_sum` are bit-identical; see SortedSumSpec).
+    */
+  private[graft] def pagerankOfWithAgg(edgeList: DataFrame, aggExpr: String): DataFrame = {
     val nodes = edgeList.select(col("u").as("id"), col("deg")).distinct()
     val n = nodes.agg(count(lit(1)).as("n")).scalar()
     var ranks = nodes.select(col("id"), (lit(1.0) / n).as("r"))
@@ -70,7 +77,7 @@ object Graph extends QueryModule {
         .join(ranks, edgeList("u") === ranks("id"))
         .select(col("v").as("id"), (col("r") / col("deg")).as("c"))
         .groupBy("id")
-        .agg(expr("aggregate(array_sort(collect_list(c)), 0D, (a, x) -> a + x)").as("s"))
+        .agg(expr(aggExpr).as("s"))
       ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(Teleport) / n +
@@ -83,7 +90,11 @@ object Graph extends QueryModule {
     * PageRank, ties broken by part id.
     */
   def pagerankQ(spark: SparkSession, sfDir: String): DataFrame =
-    pagerankOf(edges(spark, sfDir))
+    pagerankQWithAgg(spark, sfDir, "sorted_sum(c)")
+
+  private[graft] def pagerankQWithAgg(spark: SparkSession, sfDir: String,
+      aggExpr: String): DataFrame =
+    pagerankOfWithAgg(edges(spark, sfDir), aggExpr)
       .select(col("id").as("part_id"), col("deg").as("n_neighbors"), col("pagerank"))
       .orderBy(col("pagerank").desc, col("part_id"))
       .limit(TopK)

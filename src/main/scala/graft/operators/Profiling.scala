@@ -100,7 +100,7 @@ object Profiling extends QueryModule {
     terms.agg(
       count(lit(1)).as("n_cells"),
       ((countDistinct("s") - 1) * (countDistinct("p") - 1)).as("dof"),
-      expr("aggregate(array_sort(collect_list(term)), 0D, (a, x) -> a + x)").as("chisq"))
+      expr("sorted_sum(term)").as("chisq")) // deterministic fold, production agg form (functions.SortedSumAgg)
   }
 
   private val chisqIndependenceSql =

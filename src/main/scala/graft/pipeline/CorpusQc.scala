@@ -199,7 +199,7 @@ object CorpusQc extends QueryModule {
       .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
       .withColumn("s", sqrt(col("n_tokens").cast("double")))
     val totals = perLang.agg(
-      expr("aggregate(array_sort(collect_list(s)), 0D, (a, x) -> a + x)").as("denom"),
+      expr("sorted_sum(s)").as("denom"),
       sum("n_tokens").as("total_tokens"))
     perLang.crossJoin(totals)
       .withColumn("weight", col("s") / col("denom"))
