@@ -716,6 +716,61 @@ object Retail extends QueryModule {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, o_orderkey LIMIT 10"""
 
+  /** `parts_abc_classification`: Pareto / ABC inventory analysis — parts
+    * ranked by revenue, running cumulative share, and the classic A (≤70%
+    * of revenue), B (≤90%), C classes. The warehouse query behind "which
+    * 20% of the catalog earns 80% of the money".
+    *
+    * Determinism: revenue and its running cumulative stay DECIMAL (exact,
+    * order-pinned by the (revenue DESC, partkey) total order); the share is
+    * ONE double division of two exact decimals, and the class thresholds
+    * compare that deterministic double. Unscaled cents stay far below 2^53
+    * at bench scales (the limb-exact conversion in `Profiling` is the
+    * documented fallback past it).
+    *
+    * Shape: one partkey aggregate, then ONE global-order window pass for
+    * the cumulative — the part-level table (catalog-sized, orders of
+    * magnitude under the fact stream) is the only thing sorted.
+    */
+  def abcClassification(spark: SparkSession, sfDir: String): DataFrame = {
+    val byRev = Window.orderBy(col("revenue_dec").desc, col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey")
+      .agg(sum(lineAmount).as("revenue_dec"))
+      .withColumn("cum_dec", sum("revenue_dec").over(
+        byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_dec", sum("revenue_dec").over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cum_share",
+        col("cum_dec").cast("double") / col("total_dec").cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.7, "A")
+          .when(col("cum_share") <= 0.9, "B").otherwise("C"))
+      .select(col("l_partkey"), col("revenue_dec").cast("double").as("revenue"),
+        col("cum_share"), col("abc_class"))
+      .orderBy(desc("revenue"), col("l_partkey"))
+  }
+
+  private val abcClassificationSql =
+    """WITH p AS (
+         SELECT l_partkey,
+                SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue_dec
+         FROM lineitem GROUP BY 1
+       ), c AS (
+         SELECT l_partkey, revenue_dec,
+                SUM(revenue_dec) OVER (ORDER BY revenue_dec DESC, l_partkey
+                                       ROWS UNBOUNDED PRECEDING) AS cum_dec,
+                SUM(revenue_dec) OVER () AS total_dec
+         FROM p
+       )
+       SELECT l_partkey, CAST(revenue_dec AS DOUBLE) AS revenue,
+              CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS cum_share,
+              CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) <= 0.7 THEN 'A'
+                   WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) <= 0.9 THEN 'B'
+                   ELSE 'C' END AS abc_class
+       FROM c ORDER BY revenue DESC, l_partkey"""
+
   /** Semi / anti joins (SURVEY §2.3 note): customers with / without a pending
     * ('P') order. The status filter keeps the anti side non-empty and shows a
     * pushed-down predicate feeding a semi-join build side.
@@ -756,6 +811,7 @@ object Retail extends QueryModule {
     "sql_frontdoor_revenue" -> (sqlFrontDoorQ _),
     "q5_region_revenue" -> (regionRevenue _),
     "topk_unshipped_revenue" -> (topkUnshippedRevenue _),
+    "parts_abc_classification" -> (abcClassification _),
     "q2_grouping_sets" -> (groupingSetsQ _),
     "basket_pair_counts" -> (basketPairsQ _),
     "basket_rules" -> (basketRulesQ _),
@@ -788,6 +844,7 @@ object Retail extends QueryModule {
     "sql_frontdoor_revenue" -> sqlFrontDoor,
     "q5_region_revenue" -> regionRevenueSql,
     "topk_unshipped_revenue" -> topkUnshippedRevenueSql,
+    "parts_abc_classification" -> abcClassificationSql,
     "q2_grouping_sets" -> groupingSetsSql,
     "basket_pair_counts" -> basketPairsSql,
     "basket_rules" -> basketRulesSql,

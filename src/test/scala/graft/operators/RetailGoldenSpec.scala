@@ -56,6 +56,29 @@ class RetailGoldenSpec extends SparkSpec {
     assert(full.length > 10)
   }
 
+  test("ABC classification: shares climb to exactly 1.0, classes split at the thresholds") {
+    val rows = Retail.abcClassification(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+    assert(rows.length > 100)
+    // revenue descending, cumulative share strictly nondecreasing, ends at 1.0
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 && a._3 <= b._3 })
+    assert(math.abs(rows.last._3 - 1.0) < 1e-9)
+    // class boundaries follow the share exactly
+    rows.foreach { case (_, _, share, cls) =>
+      val expected = if (share <= 0.7) "A" else if (share <= 0.9) "B" else "C"
+      assert(cls == expected, s"share $share class $cls")
+    }
+    // boundary: A-class revenue covers at most 70% plus one part's worth
+    // (the synthetic catalog is near-uniform, so no 80/20 skew to assert —
+    // the CLASS boundary, not the distribution, is the operator's contract)
+    val total = rows.map(_._2).sum
+    val aRev = rows.filter(_._4 == "A").map(_._2).sum
+    val maxPart = rows.map(_._2).max
+    assert(rows.map(_._4).toSet == Set("A", "B", "C"))
+    assert(aRev / total <= 0.7 + maxPart / total + 1e-9, s"A share ${aRev / total}")
+    assert(aRev / total > 0.7 - maxPart / total - 1e-9, s"A share ${aRev / total}")
+  }
+
   test("pivot output has no nulls and total_orders sums the pivot columns (A7/P8/P10)") {
     val pivoted = Nested.customerPriorityPivot(spark, Sf0001)
     val cols = Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
