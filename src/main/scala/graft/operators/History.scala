@@ -133,13 +133,56 @@ object History extends QueryModule {
        FROM orders WHERE o_orderdate IS NOT NULL
        GROUP BY 1 ORDER BY 1"""
 
+  /** `orders_monthly_growth`: month-over-month and year-over-year revenue
+    * growth — the reporting staple that windows over an AGGREGATED series
+    * rather than raw rows (contrast `q2_trailing_revenue`, whose RANGE
+    * frame rides the fact stream). The fact table pays one month-grain
+    * aggregate; the LAG(1)/LAG(12) window then runs over the months-sized
+    * series, so the single-partition window is months-cheap at any corpus
+    * size. Growth ratios are one double division of exact DECIMAL sums per
+    * row; the first month (and first year) legitimately report NULL.
+    *
+    * LAG(12) means "12 PRESENT months back": on a series with empty months,
+    * compose with the calendar gap-fill operator (`events_daily_gapfilled`'s
+    * spine pattern) first so the offset is truly one year.
+    */
+  def monthlyGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("month")
+    Tables.orders(spark, sfDir).filter(col("o_orderdate").isNotNull)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).as("rev"))
+      .withColumn("prev_m", lag("rev", 1).over(w))
+      .withColumn("prev_y", lag("rev", 12).over(w))
+      .select(col("month"), col("rev").cast("double").as("revenue"),
+        ((col("rev") - col("prev_m")).cast("double") / col("prev_m").cast("double"))
+          .as("mom_growth"),
+        ((col("rev") - col("prev_y")).cast("double") / col("prev_y").cast("double"))
+          .as("yoy_growth"))
+      .orderBy("month")
+  }
+
+  private val monthlyGrowthSql =
+    """WITH m AS (
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+         FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+       )
+       SELECT month, CAST(rev AS DOUBLE) AS revenue,
+              CAST(rev - lag(rev, 1) OVER (ORDER BY month) AS DOUBLE)
+                / CAST(lag(rev, 1) OVER (ORDER BY month) AS DOUBLE) AS mom_growth,
+              CAST(rev - lag(rev, 12) OVER (ORDER BY month) AS DOUBLE)
+                / CAST(lag(rev, 12) OVER (ORDER BY month) AS DOUBLE) AS yoy_growth
+       FROM m ORDER BY month"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_priority_scd2" -> (priorityScd2 _),
     "orders_incremental_agg" -> (incrementalAgg _),
+    "orders_monthly_growth" -> (monthlyGrowth _),
   )
 
   override def oracle: Map[String, String] = Map(
     "orders_priority_scd2" -> priorityScd2Sql,
     "orders_incremental_agg" -> incrementalAggSql,
+    "orders_monthly_growth" -> monthlyGrowthSql,
   )
 }

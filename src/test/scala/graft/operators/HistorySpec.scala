@@ -61,6 +61,31 @@ class HistorySpec extends SparkSpec {
     assert(merged.nonEmpty && merged.map(_._2).sum > 0)
   }
 
+  test("monthly growth: lag math matches an independent BigDecimal computation") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val monthly = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).sortBy(_._1)
+    val got = History.monthlyGrowth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.length == monthly.length && got.length > 13)
+    got.zipWithIndex.foreach { case ((m, rev, mom, yoy), i) =>
+      assert(m == monthly(i)._1)
+      def growth(k: Int): Option[Double] =
+        if (i < k) None
+        else Some(monthly(i)._2.subtract(monthly(i - k)._2).doubleValue() /
+          monthly(i - k)._2.doubleValue())
+      assert(mom == growth(1), s"$m mom")
+      assert(yoy == growth(12), s"$m yoy")
+      assert(rev == monthly(i)._2.doubleValue())
+    }
+  }
+
   test("customers never interleave; a single-order history is one current row") {
     val got = run(Seq(
       (300L, 20L, d("1997-01-01"), "MED"),
