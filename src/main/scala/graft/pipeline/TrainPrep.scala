@@ -231,7 +231,14 @@ object TrainPrep extends QueryModule {
     * presentation sort. Fan-out factor is ~len/stride, bounded per row.
     */
   def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    chunkDocsOf(Tables.documents(spark, sfDir)).orderBy("doc_id", "chunk_id")
+
+  /** [[chunkDocs]] core over any (doc_id, text) frame — per-doc and
+    * map-only, so a streaming ingest micro-batch runs it as-is
+    * ([[graft.streaming.CorpusIngest]]). Unordered.
+    */
+  def chunkDocsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(0, greatest(len - 1, 0), $ChunkStride)")).as("start"))
@@ -240,7 +247,6 @@ object TrainPrep extends QueryModule {
         col("start").cast("long").as("chunk_start"),
         length(expr(s"substring(text, start + 1, $ChunkWidth)")).cast("long").as("chunk_len"),
         md5(expr(s"substring(text, start + 1, $ChunkWidth)")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_id")
 
   private val chunkDocsSql =
     s"""WITH starts AS (

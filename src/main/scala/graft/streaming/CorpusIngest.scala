@@ -8,10 +8,12 @@ import graft.pipeline.{CorpusQc, Dedup}
 /** Streaming corpus ingestion — the LLM-data front door, end to end:
   * arriving documents are QC'd (repetition flags), checked for benchmark
   * contamination, probed for near-dups against the persisted corpus band
-  * index, and landed idempotently in per-batch parquet directories.
+  * index, chunked into trainer-sized windows, and landed idempotently in
+  * per-batch parquet directories.
   *
-  * The three per-batch stages are the SAME batch operators the oracle
-  * checks (`repetitionOf` / `contaminationOf` / `probeBatch`) — documents
+  * The four per-batch stages are the SAME batch operators the oracle
+  * checks (`repetitionOf` / `contaminationOf` / `probeBatch` /
+  * `TrainPrep.chunkDocsOf`) — documents
   * arrive whole, every metric is doc-local or probe-shaped, so a micro-batch
   * is just a small batch and the stream trivially converges to its batch
   * twin (CorpusIngestSpec asserts it). This is the honest architecture for
@@ -39,6 +41,8 @@ object CorpusIngest {
         .write.mode("overwrite").parquet(s"$outDir/contam/batch_id=$batchId")
       Dedup.probeBatch(spark, sfDir, batch)
         .write.mode("overwrite").parquet(s"$outDir/dups/batch_id=$batchId")
+      graft.pipeline.TrainPrep.chunkDocsOf(batch)
+        .write.mode("overwrite").parquet(s"$outDir/chunks/batch_id=$batchId")
     }
 
   def start(docStream: DataFrame, sfDir: String, outDir: String,

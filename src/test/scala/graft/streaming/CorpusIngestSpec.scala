@@ -50,10 +50,14 @@ class CorpusIngestSpec extends SparkSpec {
     assert(streamedDups == rows(
       Dedup.incrementalDedup(spark, Sf0001).select("new_id", "corpus_id", "jaccard")))
     assert(streamedDups.nonEmpty, "fixture should contain planted near-dups")
+    assert(rows(landed("chunks")) ==
+      rows(graft.pipeline.TrainPrep.chunkDocsOf(batchDocs)))
 
     // crash replay: re-running a committed batch overwrites, never appends
-    val before = (rows(landed("qc")), rows(landed("contam")), rows(landed("dups")))
+    val before = (rows(landed("qc")), rows(landed("contam")),
+      rows(landed("dups")), rows(landed("chunks")))
     CorpusIngest.batchWriter(spark, Sf0001, outDir)(a.toDF(), 0L)
-    assert((rows(landed("qc")), rows(landed("contam")), rows(landed("dups"))) == before)
+    assert((rows(landed("qc")), rows(landed("contam")),
+      rows(landed("dups")), rows(landed("chunks"))) == before)
   }
 }
