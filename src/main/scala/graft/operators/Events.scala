@@ -452,6 +452,81 @@ object Events extends QueryModule {
                COUNT(DISTINCT user_id) AS active_users
         FROM cover GROUP BY 1 ORDER BY 1"""
 
+  /** Trailing baseline window (days) and flag threshold for
+    * [[dailyAnomalies]].
+    */
+  val AnomalyWindow = 28
+  val AnomalyMinBaseline = 7
+  val AnomalyZ = 3.0
+
+  /** `events_daily_anomalies`: daily event-volume anomaly detection — each
+    * day's count z-scored against the trailing [[AnomalyWindow]]-day
+    * baseline (excluding the day itself), flagged at |z| ≥ [[AnomalyZ]].
+    * The monitoring query every ingestion pipeline runs on its own volume.
+    *
+    * Determinism: counts are exact longs, so the baseline moments (k, Σn,
+    * Σn²) accumulated by the window frame are exact; mean/variance/z are a
+    * fixed-shape double expression over them, identical in the oracle.
+    * Days with fewer than [[AnomalyMinBaseline]] baseline days (the series
+    * warm-up) report NULL z rather than a spurious score, as does a
+    * zero-variance baseline. (Baseline sums stay far below 2^53 at any
+    * gate scale; past it, the limb-exact conversion in `Profiling` is the
+    * documented fallback.)
+    *
+    * Shape: the event stream pays ONE day-grain count; the window rides
+    * the days-sized series. ROWS frames assume a dense day series —
+    * compose with the calendar gap-fill spine when days can be empty.
+    */
+  def dailyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("d").rowsBetween(-AnomalyWindow, -1)
+    val zExpr =
+      """(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / k)
+         / sqrt((CAST(k AS DOUBLE) * s2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(k AS DOUBLE) * k) / (k - 1) * k)"""
+    Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", count("n").over(w))
+      .withColumn("s", sum("n").over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("z",
+        when(col("k") >= AnomalyMinBaseline &&
+          col("k") * col("s2") > col("s") * col("s"), expr(zExpr)))
+      .select(
+        date_format(expr("date_add(DATE '1970-01-01', CAST(d AS INT))"), "yyyy-MM-dd")
+          .as("day"),
+        col("n").as("n_events"), col("z"),
+        (col("z").isNotNull && abs(col("z")) >= AnomalyZ).as("anomalous"))
+      .orderBy("day")
+  }
+
+  private val dailyAnomaliesSql =
+    s"""WITH daily AS (
+          SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                 COUNT(*) AS n
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ), m AS (
+          SELECT d, n,
+                 COUNT(n) OVER w AS k,
+                 SUM(n) OVER w AS s,
+                 SUM(n * n) OVER w AS s2
+          FROM daily
+          WINDOW w AS (ORDER BY d ROWS BETWEEN $AnomalyWindow PRECEDING AND 1 PRECEDING)
+        ), z AS (
+          SELECT d, n,
+                 CASE WHEN k >= $AnomalyMinBaseline AND k * s2 > s * s THEN
+                   (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / k)
+                   / sqrt((CAST(k AS DOUBLE) * s2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                          / (CAST(k AS DOUBLE) * k) / (k - 1) * k)
+                 END AS z
+          FROM m
+        )
+        SELECT strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS day,
+               CAST(n AS BIGINT) AS n_events, z,
+               (z IS NOT NULL AND abs(z) >= $AnomalyZ) AS anomalous
+        FROM z ORDER BY day"""
+
   /** Histogram resolution for [[valueQuantilesHist]]. */
   val HistBuckets = 1000
 
@@ -807,6 +882,7 @@ object Events extends QueryModule {
     "events_value_quantiles" -> (valueQuantiles _),
     "events_value_quantiles_hist" -> (valueQuantilesHist _),
     "events_rolling_active_users" -> (rollingActiveUsers _),
+    "events_daily_anomalies" -> (dailyAnomalies _),
     "events_value_outliers" -> (valueOutliers _),
     "events_funnel" -> (funnelQ _),
     "events_cohort_retention" -> (cohortRetention _),
@@ -829,6 +905,7 @@ object Events extends QueryModule {
     "events_value_quantiles" -> valueQuantilesSql,
     "events_value_quantiles_hist" -> valueQuantilesHistSql,
     "events_rolling_active_users" -> rollingActiveUsersSql,
+    "events_daily_anomalies" -> dailyAnomaliesSql,
     "events_value_outliers" -> valueOutliersSql,
     "events_funnel" -> funnelSql,
     "events_cohort_retention" -> cohortRetentionSql,

@@ -47,4 +47,38 @@ class GapfillSpec extends SparkSpec {
       "2026-03-08" -> 1L, "2026-03-09" -> 1L, // only user 1's day-3 activity
       "2026-03-10" -> 1L), got.toString) // user 3; clipping removes 11..16
   }
+
+  test("daily anomalies: planted spike flags, warm-up and flat baselines stay NULL") {
+    // 14 alternating 2/3-event days (nonzero baseline variance), then a
+    // 40-event spike on day 15
+    val d = java.nio.file.Files.createTempDirectory("graft_anom_fixture").toString
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val epoch0 = 1767225600L * 1000 * 1000 * 1000 // 2026-01-01 UTC
+    val rows = (0 until 14).flatMap { day =>
+      (0 until (if (day % 2 == 0) 2 else 3)).map(i =>
+        (day * 10L + i, epoch0 + day * dayNs + i, 1L, "view", 1.0, "{}"))
+    } ++ (0 until 40).map(i => (900L + i, epoch0 + 14 * dayNs + i, 1L, "view", 1.0, "{}"))
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.dailyAnomalies(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    assert(got.length == 15)
+    // warm-up: first AnomalyMinBaseline days have too little history
+    got.take(Events.AnomalyMinBaseline).foreach { case (day, _, z, flag) =>
+      assert(z.isEmpty && !flag, s"$day should be warm-up NULL")
+    }
+    // the spike: z against the hand-computed 14-day baseline
+    val base = (0 until 14).map(day => if (day % 2 == 0) 2.0 else 3.0)
+    val mean = base.sum / base.length
+    val sd = math.sqrt(base.map(v => (v - mean) * (v - mean)).sum / (base.length - 1))
+    val (lastDay, lastN, lastZ, lastFlag) = got.last
+    assert(lastN == 40L && lastFlag, s"$lastDay should flag")
+    assert(math.abs(lastZ.get - (40.0 - mean) / sd) < 1e-9, s"z ${lastZ.get}")
+    // ordinary alternating days in the steady region stay unflagged
+    got.drop(Events.AnomalyMinBaseline).dropRight(1).foreach { case (day, _, z, flag) =>
+      assert(z.isDefined && !flag, s"$day should score but not flag")
+    }
+  }
 }
