@@ -35,7 +35,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * init.
   *
   * State is group-size-bounded — the callers (PageRank contributions:
-  * in-degree; χ² terms: cells) document why that is bounded in context.
+  * in-degree; χ² terms: cells) document why that is bounded in context —
+  * but "bounded in context" is a caller promise, not a property of the
+  * aggregate: on a power-law graph a hub node's in-degree is effectively
+  * unbounded. [[SortedSumAgg.MaxBufferSize]] turns that silent OOM into a
+  * clear error (64 Mi values ≈ 512 MB/group). Groups that can exceed it
+  * need a bounded-state alternative: pairwise/Kahan compensated summation
+  * trades bit-exact cross-engine reproducibility for O(1) state, or
+  * pre-bucket the values (the `corpus_source_report` integer-midpoint
+  * trick) so the sum is an exact integer.
   * SQL surface: `sorted_sum(x DOUBLE) -> DOUBLE`, installed by
   * [[graft.GraftExtensions]].
   */
@@ -59,11 +67,15 @@ case class SortedSumAgg(
 
   override def update(buf: ArrayBuffer[Double], input: InternalRow): ArrayBuffer[Double] = {
     val v = child.eval(input)
-    if (v != null) buf += v.asInstanceOf[Double]
+    if (v != null) {
+      SortedSumAgg.checkCapacity(buf.size + 1)
+      buf += v.asInstanceOf[Double]
+    }
     buf
   }
 
   override def merge(a: ArrayBuffer[Double], b: ArrayBuffer[Double]): ArrayBuffer[Double] = {
+    SortedSumAgg.checkCapacity(a.size + b.size)
     a ++= b
     a
   }
@@ -102,6 +114,21 @@ case class SortedSumAgg(
 }
 
 object SortedSumAgg {
+  /** Hard cap on per-group buffered values (64 Mi doubles ≈ 512 MB). A
+    * group larger than this would have OOM'd the executor anyway; the cap
+    * makes the failure a named error pointing at the bounded-state
+    * alternatives instead of a heap dump.
+    */
+  val MaxBufferSize: Int = 1 << 26
+
+  private[functions] def checkCapacity(needed: Int): Unit =
+    if (needed > MaxBufferSize) {
+      throw new IllegalStateException(
+        s"sorted_sum group exceeds $MaxBufferSize buffered values; a group this " +
+          "large needs a bounded-state sum (pairwise/Kahan, or integer " +
+          "pre-bucketing) instead of the exact sorted fold")
+    }
+
   /** FunctionRegistry description for `SparkSessionExtensions.injectFunction`. */
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("sorted_sum"),

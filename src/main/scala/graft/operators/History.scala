@@ -90,7 +90,7 @@ object History extends QueryModule {
        ORDER BY o_custkey, version"""
 
   /** `orders_incremental_agg`: incremental view maintenance for an additive
-    * aggregate — the nightly-ETL pattern where a materialized per-day
+    * aggregate — the nightly-ETL pattern where a materialized per-month
     * revenue table absorbs a new batch WITHOUT rescanning history. The
     * fixture split stands in for "materialized state" (o_orderkey % 10 ≠ 0)
     * vs "today's batch" (% 10 = 0); the merge is the algebraic union-then-
@@ -100,7 +100,7 @@ object History extends QueryModule {
     * orders. Avg rides the merged (sum, count) pair, never an avg-of-avgs.
     *
     * Scale: the whole point — per-night cost ∝ batch, not history. The
-    * state side is a day-grain table (read, not rebuilt); only the delta
+    * state side is a month-grain table (read, not rebuilt); only the delta
     * pays a fact-table scan. Any aggregate expressible as a commutative
     * monoid (count/sum/min/max, and avg/stddev/corr via moment pairs —
     * see `lineitem_corr_matrix`) maintains this way; rank/median do not,
@@ -108,13 +108,13 @@ object History extends QueryModule {
     * bounded-state paths.
     */
   def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    def dayAgg(orders: DataFrame): DataFrame = orders
+    def monthAgg(orders: DataFrame): DataFrame = orders
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
         sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).as("rev"))
     val all = Tables.orders(spark, sfDir).filter(col("o_orderdate").isNotNull)
-    val state = dayAgg(all.filter(col("o_orderkey") % 10 =!= 0))
-    val delta = dayAgg(all.filter(col("o_orderkey") % 10 === 0))
+    val state = monthAgg(all.filter(col("o_orderkey") % 10 =!= 0))
+    val delta = monthAgg(all.filter(col("o_orderkey") % 10 === 0))
     state.unionByName(delta)
       .groupBy("month")
       .agg(sum("n_orders").as("n_orders"), sum("rev").as("rev"))

@@ -364,6 +364,12 @@ object CorpusQc extends QueryModule {
     * Shape: map-only feature extraction, ONE shuffle on `source`. The
     * low-quality share compares each doc's identically-computed double
     * against [[LowQuality]] — exact, since both engines build the same q.
+    *
+    * The bucket index is clamped to [0, QBuckets): `stop_tokens` counts
+    * `[a-z]+` runs while `n_tokens` counts `\S+` tokens, so a token like
+    * `the.the.the` can push `stop_tokens > n_tokens` and q below zero —
+    * without the clamp that row would land in a NEGATIVE bucket and drag
+    * `mean_quality_bucketed` outside [0, 1].
     */
   def sourceReport(spark: SparkSession, sfDir: String): DataFrame =
     sourceReportOf(graft.Tables.documents(spark, sfDir))
@@ -383,7 +389,7 @@ object CorpusQc extends QueryModule {
            + 0.3D * (1.0D - CAST(stop_tokens AS DOUBLE) / n_tokens)
            + 0.2D * least(1.0D, CAST(n_tokens AS DOUBLE) / 100.0D)"""))
       .withColumn("qb",
-        expr(s"CAST(least(floor(q * $QBuckets), ${QBuckets - 1}) AS BIGINT)"))
+        expr(s"CAST(least(greatest(floor(q * $QBuckets), 0), ${QBuckets - 1}) AS BIGINT)"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -416,7 +422,7 @@ object CorpusQc extends QueryModule {
           FROM f WHERE n_tokens > 0 AND n_chars > 0
         ), b AS (
           SELECT source, lang, n_tokens, q,
-                 CAST(least(floor(q * ${QBuckets}), ${QBuckets - 1}) AS BIGINT) AS qb
+                 CAST(least(greatest(floor(q * ${QBuckets}), 0), ${QBuckets - 1}) AS BIGINT) AS qb
           FROM r
         )
         SELECT source, COUNT(*) AS n_docs,

@@ -222,7 +222,10 @@ object TrainPrep extends QueryModule {
     * stride-sized overlap so no boundary context is lost. Chunk starts are
     * `0, stride, 2·stride, …` while they still index into the text; the
     * final chunk may run short, and an empty/short document still yields
-    * its one (possibly short) chunk. Emits offsets + per-chunk md5
+    * its one (possibly short) chunk — NULL text is coalesced to `''`
+    * first, so every doc_id in the input appears in the chunk manifest
+    * (without the coalesce, `sequence` of a NULL length is NULL and
+    * `explode` would silently drop the document). Emits offsets + per-chunk md5
     * fingerprint rather than the chunk text — the downstream contract is
     * (doc_id, chunk_id → byte range), not a second copy of the corpus.
     *
@@ -239,6 +242,7 @@ object TrainPrep extends QueryModule {
     */
   def chunkDocsOf(docs: DataFrame): DataFrame =
     docs
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(0, greatest(len - 1, 0), $ChunkStride)")).as("start"))
@@ -249,10 +253,12 @@ object TrainPrep extends QueryModule {
         md5(expr(s"substring(text, start + 1, $ChunkWidth)")).as("chunk_md5"))
 
   private val chunkDocsSql =
-    s"""WITH starts AS (
+    s"""WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS text FROM documents
+        ), starts AS (
           SELECT doc_id, text,
                  unnest(range(0, greatest(len(text) - 1, 0) + 1, $ChunkStride)) AS s
-          FROM documents)
+          FROM d)
         SELECT doc_id,
                CAST(s // $ChunkStride AS BIGINT) AS chunk_id,
                CAST(s AS BIGINT) AS chunk_start,

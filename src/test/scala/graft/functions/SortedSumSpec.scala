@@ -48,4 +48,13 @@ class SortedSumSpec extends SparkSpec {
     assert(rows(1) == 2.5)
     assert(rows(2) == 0.0, "all-null group must equal the fold init, like the HOF form")
   }
+
+  test("buffer capacity guard raises a named error instead of an executor OOM") {
+    SortedSumAgg.checkCapacity(SortedSumAgg.MaxBufferSize) // at the cap: fine
+    val e = intercept[IllegalStateException] {
+      SortedSumAgg.checkCapacity(SortedSumAgg.MaxBufferSize + 1)
+    }
+    assert(e.getMessage.contains("sorted_sum"))
+    assert(e.getMessage.contains("bounded-state"))
+  }
 }

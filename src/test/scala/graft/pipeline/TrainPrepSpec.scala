@@ -155,6 +155,18 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("chunking: NULL text behaves like '' — the doc still appears in the manifest") {
+    val docs = Seq((10L, Some("hello")), (11L, None), (12L, Some("")))
+      .toDF("doc_id", "text")
+    val got = TrainPrep.chunkDocsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4)))
+    assert(got.map(_._1).toSet == Set(10L, 11L, 12L), "no doc_id may vanish")
+    val nullRow = got.find(_._1 == 11L).get
+    val emptyRow = got.find(_._1 == 12L).get
+    assert(nullRow._3 == 0L && nullRow._4 == emptyRow._4,
+      "null text chunks identically to the empty string")
+  }
+
   test("stratified sample: exact quota per stratum, members are the md5-smallest") {
     val got = TrainPrep.stratifiedSample(spark, splitDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
