@@ -88,7 +88,24 @@ object Scratch {
     * is possible.
     */
   def memoize(spark: org.apache.spark.sql.SparkSession, key: String)
-             (df: => DataFrame): DataFrame = {
+             (df: => DataFrame): DataFrame =
+    memoizeWith(spark, key)(df.write.mode("overwrite").parquet(_))
+
+  /** [[memoize]] with a Hive-style `partitionBy` layout: the scratch table
+    * is written under `col=value/` directories, so a later scan with a
+    * filter (static or a runtime `DynamicPruningExpression`) on the
+    * partition columns reads ONLY the matching directories. This is the
+    * date-partitioned fact-table layout every 100 TB warehouse uses; at
+    * test scale it exists so the pruning plans can be pinned for real.
+    */
+  def memoizePartitioned(spark: org.apache.spark.sql.SparkSession, key: String,
+                         partitionCols: Seq[String])
+                        (df: => DataFrame): DataFrame =
+    memoizeWith(spark, key)(
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(_))
+
+  private def memoizeWith(spark: org.apache.spark.sql.SparkSession, key: String)
+                         (write: String => Unit): DataFrame = {
     val fresh = new java.util.concurrent.CompletableFuture[String]()
     val prior = memo.putIfAbsent(key, fresh)
     val fut =
@@ -96,7 +113,7 @@ object Scratch {
       else {
         try {
           val d = dir("graft_memo")
-          df.write.mode("overwrite").parquet(d)
+          write(d)
           fresh.complete(d)
         } catch {
           case e: Throwable =>

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{QueryModule, Tables}
+import graft.{QueryModule, Scratch, Tables}
 
 /** Z-order (Morton) layout keys — multi-dimensional data clustering for
   * scan pruning. Sorting a table by the bit-interleave of two cell
@@ -71,11 +71,81 @@ object Layout extends QueryModule {
         FROM orders ORDER BY o_orderkey"""
   }
 
+  /** Dim-side year selecting which fact partitions survive pruning. */
+  val DppYear = "1997"
+
+  /** The orders fact, Hive-partitioned by order month (`o_month=yyyy-MM/`
+    * directories) under scratch — the date-partitioned fact layout every
+    * 100 TB warehouse uses so time-scoped scans read only the matching
+    * directories. Memoized: written once per run, shared by every consumer.
+    */
+  def ordersByMonth(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoizePartitioned(spark, s"$sfDir#orders_by_month", Seq("o_month")) {
+      Tables.orders(spark, sfDir)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    }
+
+  /** A month calendar dim (month, year, quarter) — the tiny table whose
+    * attribute filters drive partition pruning on the fact. Derived from
+    * the order-date domain and materialized as its OWN scratch table, so
+    * the fact query joins a genuinely separate scan (as a warehouse
+    * calendar dim would be).
+    */
+  def monthDim(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#month_dim") {
+      Tables.orders(spark, sfDir)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m_month"))
+        .distinct()
+        .select(col("m_month"),
+          substring(col("m_month"), 1, 4).as("m_year"),
+          concat(lit("Q"),
+            (((substring(col("m_month"), 6, 2).cast("int") - 1) / 3).cast("int") + 1))
+            .as("m_quarter"))
+    }
+
+  /** `dpp_monthly_revenue`: monthly order volume and revenue for the months
+    * of [[DppYear]], computed as a star join of the month-PARTITIONED fact
+    * against the calendar dim filtered on its year attribute — the shape
+    * where Spark's dynamic partition pruning fires. The year predicate
+    * lives only on the dim, so no static filter reaches the fact; at
+    * runtime the broadcast dim's `m_month` values are injected into the
+    * fact scan as a `DynamicPruningExpression` partition filter and only
+    * the 12 matching `o_month=` directories are read (pinned in
+    * PlanAssertionsSpec).
+    *
+    * This is the 100 TB scan-killer the reference's own date filtering
+    * gestures at (q2_ecommerce_analysis.py:58-61 filters a parsed
+    * timestamp): at scale the filter must prune DIRECTORIES before any
+    * row is read, not rows after. The DuckDB oracle computes the same
+    * months directly from the flat table — layout must never change
+    * results, only which files a scan touches.
+    */
+  def dppMonthlyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = ordersByMonth(spark, sfDir)
+    val dim = monthDim(spark, sfDir).filter(col("m_year") === DppYear)
+    fact.join(broadcast(dim), col("o_month") === col("m_month"))
+      .groupBy(col("o_month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).as("rev"))
+      .select(col("month"), col("n_orders"), col("rev").cast("double").as("revenue"))
+      .orderBy("month")
+  }
+
+  private val dppMonthlyRevenueSql =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y') = '$DppYear'
+        GROUP BY 1 ORDER BY 1"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_zorder_key" -> (zorderKey _),
+    "dpp_monthly_revenue" -> (dppMonthlyRevenue _),
   )
 
   override def oracle: Map[String, String] = Map(
     "orders_zorder_key" -> zorderKeySql,
+    "dpp_monthly_revenue" -> dppMonthlyRevenueSql,
   )
 }

@@ -164,6 +164,33 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size == 1, s"documents scanned twice:\n$p")
   }
 
+  test("dpp: month-partitioned fact scan is pruned by a DynamicPruningExpression") {
+    val df = SparkEntry.queries("dpp_monthly_revenue")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the dim's year filter must reach the fact as a runtime partition filter
+    assert(p.contains("dynamicpruningexpression"),
+      s"fact scan not dynamically pruned:\n$p")
+    // and it must land in PartitionFilters (directory pruning), not a row filter
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(p).isDefined,
+      s"dynamic filter did not land on the partition columns:\n$p")
+    // pruning is real: the executed fact scan reads 12 of ~80 month partitions
+    df.collect()
+    def scansOf(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.partitionSchema.fieldNames.contains("o_month") => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, s"no partitioned fact scan found:\n$p")
+    val partsRead = scans.head.metrics("numPartitions").value
+    assert(partsRead == 12, s"expected 12 surviving o_month partitions, got $partsRead")
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
