@@ -64,6 +64,57 @@ object Profiling extends QueryModule {
           FROM orders"""
     }.mkString("", " UNION ALL ", " ORDER BY column_name")
 
+  /** [[profileOf]] with BOUNDED-state distinct counts — the 100 TB form.
+    * The exact profile's per-column COUNT(DISTINCT) forces Catalyst's
+    * Expand (input rows × n_cols before the shuffle); this variant
+    * estimates each column's cardinality with the deterministic KMV
+    * sketch ([[graft.functions.KmvSketchAgg]]) over the same md5-derived
+    * 60-bit hashes the dedup family uses: ONE aggregation pass, NO
+    * Expand, ≤K longs of state per column regardless of input size.
+    * KMV is a pure set function (the K smallest distinct hashes), so the
+    * estimate is bit-reproducible in the DuckDB oracle — unlike HLL,
+    * whose register layout is engine-private. Exact when a column has
+    * fewer than K distinct hashes; ~1/√(K−2) relative error above.
+    */
+  def profileKmvOf(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        expr(s"kmv_distinct(${graft.pipeline.Dedup.hash60(s"CAST($c AS STRING)")})")
+          .as(s"${c}__kmv"),
+        min(col(c).cast("string")).as(s"${c}__min"),
+        max(col(c).cast("string")).as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__kmv, ${c}__min, ${c}__max").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $stacked) AS (column_name, n_nulls, n_distinct_kmv, min_value, max_value)")
+  }
+
+  def profileOrdersKmv(spark: SparkSession, sfDir: String): DataFrame =
+    profileKmvOf(Tables.orders(spark, sfDir)).orderBy("column_name")
+
+  private val profileOrdersKmvSql = {
+    val k = graft.functions.KmvSketch.K
+    OrdersCols.map { c =>
+      val h = graft.pipeline.Dedup.hash60Duck(s"CAST($c AS VARCHAR)")
+      s"""SELECT '$c' AS column_name, b.n_nulls, ks.n_distinct_kmv, b.min_value, b.max_value
+          FROM (SELECT CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       MIN(CAST($c AS VARCHAR)) AS min_value,
+                       MAX(CAST($c AS VARCHAR)) AS max_value
+                FROM orders) b
+          CROSS JOIN (
+            SELECT CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE ${k - 1}.0 * 1152921504606846976.0
+                             / MAX(CASE WHEN rn = $k THEN h END) END AS n_distinct_kmv
+            FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                  FROM (SELECT DISTINCT $h AS h FROM orders WHERE $c IS NOT NULL) hh) r
+          ) ks"""
+    }.mkString("", " UNION ALL ", " ORDER BY column_name")
+  }
+
   /** `orders_chisq_independence`: the χ² independence statistic of a
     * contingency table (o_orderstatus × o_orderpriority) — the standard
     * drift / association check a data-quality pipeline runs between two
@@ -247,12 +298,14 @@ object Profiling extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
+    "profile_orders_kmv" -> (profileOrdersKmv _),
     "orders_chisq_independence" -> (chisqIndependence _),
     "lineitem_corr_matrix" -> (corrMatrixQ _),
   )
 
   override def oracle: Map[String, String] = Map(
     "profile_orders" -> profileOrdersSql,
+    "profile_orders_kmv" -> profileOrdersKmvSql,
     "orders_chisq_independence" -> chisqIndependenceSql,
     "lineitem_corr_matrix" -> corrMatrixSql,
   )

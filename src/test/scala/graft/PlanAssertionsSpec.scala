@@ -164,6 +164,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size == 1, s"documents scanned twice:\n$p")
   }
 
+  test("kmv profile: one aggregation pass, no Expand") {
+    val p = executed("profile_orders_kmv")
+    assert(!p.contains("Expand"), s"exact-distinct Expand crept back:\n$p")
+    // single global reduce: exactly one SinglePartition exchange
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, s"extra shuffle:\n$p")
+  }
+
   test("dpp: month-partitioned fact scan is pruned by a DynamicPruningExpression") {
     val df = SparkEntry.queries("dpp_monthly_revenue")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
