@@ -41,6 +41,7 @@ object Bench {
     def resetShared(): Unit = {
       Scratch.clearMemo()
       pipeline.Dedup.dropBandIndexes(spark)
+      operators.Graph.dropEdgeTables(spark)
       spark.catalog.clearCache()
     }
     val pass1 = runPass()

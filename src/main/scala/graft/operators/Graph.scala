@@ -19,14 +19,17 @@ import graft.{QueryModule, Scratch}
   * `dedup_components`, whose data-dependent fixpoint loop re-roots each
   * round).
   *
-  * At 100 TB: the edge table is the big immutable input — bucket it by `u`
-  * and every round's join co-locates against it, making the node-sized rank
-  * table the only moving data. The contribution aggregate would be a plain
-  * `sum`; the sorted left-fold used here pins IEEE addition order so the
-  * DuckDB oracle matches bit-for-bit (the mix_weights determinism pattern)
-  * at the cost of an in-degree-bounded per-group list. Dangling nodes
-  * cannot arise in an undirected graph (every node with an edge has
-  * out-degree ≥ 1), so no teleport-mass redistribution term is needed.
+  * At 100 TB: the edge table is the big immutable input — it is persisted
+  * BUCKETED BY `u` ([[Graph.EdgeBuckets]] buckets, one offline build per
+  * corpus), so every round's contribution join reads co-located buckets
+  * straight from the files and only the node-sized rank table moves
+  * (asserted in PlanAssertionsSpec: zero `u`-exchanges in the executed
+  * plan). The contribution aggregate would be a plain `sum`; the sorted
+  * left-fold used here pins IEEE addition order so the DuckDB oracle
+  * matches bit-for-bit (the mix_weights determinism pattern) at the cost
+  * of an in-degree-bounded per-group list. Dangling nodes cannot arise in
+  * an undirected graph (every node with an edge has out-degree ≥ 1), so no
+  * teleport-mass redistribution term is needed.
   */
 object Graph extends QueryModule {
 
@@ -41,21 +44,59 @@ object Graph extends QueryModule {
   val Iterations = 3
   val TopK = 20
 
+  /** Bucket count for the persisted edge table — on a cluster this would
+    * track executor parallelism; 16 matches the band-index convention.
+    */
+  val EdgeBuckets = 16
+
+  /** Catalog names of the persisted bucketed edge tables, one per (JVM,
+    * sfDir) with a per-JVM nonce — the same lifecycle as Dedup's band
+    * index: same-JVM re-runs (Bench best-of-N, every PageRank round) reuse
+    * the built table; [[dropEdgeTables]] resets between bench passes.
+    */
+  private val edgeTableNames = scala.collection.mutable.HashMap[String, String]()
+
   /** Directed edge list of the undirected co-purchase graph (both
     * directions present) with the source's out-degree attached — the one
-    * join input every PageRank round consumes. Memoized per corpus; the
-    * basket-item distinct is shared with the market-basket queries.
+    * join input every PageRank round consumes. Persisted as a catalog
+    * table BUCKETED AND SORTED BY `u`, so each round's contribution join
+    * (and the node extraction, whose `u`-clustering the bucket layout
+    * already satisfies) runs with ZERO exchange on the edge side — the
+    * offline one-time index build that makes iterated joins cheap, exactly
+    * like the incremental-dedup band index. The basket-item distinct is
+    * shared with the market-basket queries.
     */
-  private def edges(spark: SparkSession, sfDir: String): DataFrame =
-    Scratch.memoize(spark, s"copurchase_edges:$sfDir") {
-      val items = Retail.distinctItems(spark, sfDir)
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("u"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("v"))
-      val e = a.join(b, "l_orderkey")
-        .filter(col("u") =!= col("v"))
-        .select("u", "v").distinct()
-      e.join(e.groupBy("u").agg(count(lit(1)).as("deg")), "u")
+  private def edges(spark: SparkSession, sfDir: String): DataFrame = {
+    val tbl = edgeTableNames.synchronized {
+      val t = edgeTableNames.getOrElseUpdate(sfDir,
+        s"graft_copurchase_edges_${java.lang.Long.toHexString(System.nanoTime())}")
+      if (!spark.catalog.tableExists(t)) {
+        val items = Retail.distinctItems(spark, sfDir)
+        val a = items.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = items.select(col("l_orderkey"), col("l_partkey").as("v"))
+        val e = a.join(b, "l_orderkey")
+          .filter(col("u") =!= col("v"))
+          .select("u", "v").distinct()
+        e.join(e.groupBy("u").agg(count(lit(1)).as("deg")), "u")
+          .write.mode("overwrite")
+          .option("path", Scratch.dir("graft_edges"))
+          .bucketBy(EdgeBuckets, "u")
+          .sortBy("u")
+          .saveAsTable(t)
+      }
+      t
     }
+    spark.table(tbl)
+  }
+
+  /** Drop all edge tables this JVM registered (Bench pairs this with
+    * `Scratch.clearMemo` between passes so pass 2 re-measures the full
+    * build+iterate cost).
+    */
+  def dropEdgeTables(spark: SparkSession): Unit = edgeTableNames.synchronized {
+    edgeTableNames.values.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    edgeTableNames.clear()
+  }
 
   /** [[Iterations]] rounds of PageRank over a directed `(u, v, deg)` edge
     * list (deg = out-degree of u). Returns `(id, deg, pagerank)` for every

@@ -164,6 +164,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size == 1, s"documents scanned twice:\n$p")
   }
 
+  test("pagerank: bucketed edge table, zero exchanges on the edge side") {
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force sort-merge joins: at fixture scale the rank table would
+      // broadcast, which also avoids edge exchanges but proves nothing
+      // about the bucket layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = SparkEntry.queries("graph_pagerank")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"edge scan not bucketed:\n$plan")
+      // every contribution join and the node distinct must be satisfied by
+      // the bucket partitioning: no u-exchange anywhere in the plan
+      assert("Exchange hashpartitioning\\(u#".r.findAllIn(plan).isEmpty,
+        s"edge side re-shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("kmv profile: one aggregation pass, no Expand") {
     val p = executed("profile_orders_kmv")
     assert(!p.contains("Expand"), s"exact-distinct Expand crept back:\n$p")
