@@ -474,19 +474,33 @@ object Events extends QueryModule {
     * documented fallback.)
     *
     * Shape: the event stream pays ONE day-grain count; the window rides
-    * the days-sized series. ROWS frames assume a dense day series —
-    * compose with the calendar gap-fill spine when days can be empty.
+    * the days-sized series. The series is first joined onto the dense
+    * calendar spine (min..max day, generated — the `events_daily_gapfilled`
+    * pattern) with empty days as explicit zero counts, so the trailing
+    * ROWS frame means "[[AnomalyWindow]] CALENDAR days" even under sparse
+    * data — without the spine it silently degrades to "the last
+    * [[AnomalyWindow]] OBSERVED days", and a zero-volume day (often the
+    * most anomalous signal there is: the pipeline stopped) never even
+    * appears. GapfillSpec proves both properties on a planted empty day.
     */
-  def dailyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+  def dailyAnomalies(spark: SparkSession, sfDir: String): DataFrame =
+    dailyAnomaliesOf(Tables.events(spark, sfDir))
+
+  /** [[dailyAnomalies]] core over any (ts) frame. */
+  def dailyAnomaliesOf(events: DataFrame): DataFrame = {
     val w = Window.orderBy("d").rowsBetween(-AnomalyWindow, -1)
     val zExpr =
       """(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / k)
          / sqrt((CAST(k AS DOUBLE) * s2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                 / (CAST(k AS DOUBLE) * k) / (k - 1) * k)"""
-    Tables.events(spark, sfDir)
+    val daily = events
       .filter(col("ts").isNotNull)
       .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"))
       .agg(count(lit(1)).as("n"))
+    val spine = daily.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("k", count("n").over(w))
       .withColumn("s", sum("n").over(w))
       .withColumn("s2", sum(col("n") * col("n")).over(w))
@@ -502,10 +516,17 @@ object Events extends QueryModule {
   }
 
   private val dailyAnomaliesSql =
-    s"""WITH daily AS (
+    s"""WITH daily0 AS (
           SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
                  COUNT(*) AS n
           FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ), r AS (
+          SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily0
+        ), spine AS (
+          SELECT unnest(range(d0, d1 + 1)) AS d FROM r
+        ), daily AS (
+          SELECT s.d, COALESCE(daily0.n, 0) AS n
+          FROM spine s LEFT JOIN daily0 ON daily0.d = s.d
         ), m AS (
           SELECT d, n,
                  COUNT(n) OVER w AS k,

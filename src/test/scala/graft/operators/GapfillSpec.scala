@@ -81,4 +81,35 @@ class GapfillSpec extends SparkSpec {
       assert(z.isDefined && !flag, s"$day should score but not flag")
     }
   }
+
+  test("daily anomalies ride the calendar spine: a planted empty day appears and flags") {
+    // 14 alternating 2/3-event days, day 15 EMPTY (no rows at all), then a
+    // 3-event day 16 — without the spine the empty day would vanish and the
+    // trailing frame would silently skip it
+    val d = java.nio.file.Files.createTempDirectory("graft_anom_gap_fixture").toString
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val epoch0 = 1767225600L * 1000 * 1000 * 1000 // 2026-01-01 UTC
+    val rows = (0 until 14).flatMap { day =>
+      (0 until (if (day % 2 == 0) 2 else 3)).map(i =>
+        (day * 10L + i, epoch0 + day * dayNs + i, 1L, "view", 1.0, "{}"))
+    } ++ Seq(0, 1, 2).map(i => (900L + i, epoch0 + 15 * dayNs + i, 1L, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.dailyAnomalies(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    // the spine closes the gap: 16 calendar days, not 15 observed ones
+    assert(got.length == 16, got.map(_._1).mkString(","))
+    val empty = got(14)
+    assert(empty._1 == "2026-01-15" && empty._2 == 0L, s"empty day row: $empty")
+    // a zero-volume day against a steady baseline is the loudest anomaly
+    val base = (0 until 14).map(day => if (day % 2 == 0) 2.0 else 3.0)
+    val mean = base.sum / base.length
+    val sd = math.sqrt(base.map(v => (v - mean) * (v - mean)).sum / (base.length - 1))
+    assert(empty._3.isDefined && empty._4, "pipeline-stopped day must flag")
+    assert(math.abs(empty._3.get - (0.0 - mean) / sd) < 1e-9, s"z ${empty._3}")
+    // the day after the gap scores against a baseline that INCLUDES the zero
+    val after = got(15)
+    assert(after._2 == 3L && after._3.isDefined, s"post-gap day: $after")
+  }
 }
