@@ -728,19 +728,46 @@ object Retail extends QueryModule {
     * at bench scales (the limb-exact conversion in `Profiling` is the
     * documented fallback past it).
     *
-    * Shape: one partkey aggregate, then ONE global-order window pass for
-    * the cumulative — the part-level table (catalog-sized, orders of
-    * magnitude under the fact stream) is the only thing sorted.
+    * Shape: one partkey aggregate, then a TWO-PHASE distributed prefix sum
+    * for the cumulative (the `globalIndex` pattern in DataFrame form) —
+    * a single-task global window over the part table would bottleneck a
+    * 10⁹-part catalog on one executor. Phase 1: range-partition by the
+    * (revenue DESC, partkey) total order, materialize once with each
+    * row's partition id, and run the running sum PER PARTITION (parallel;
+    * a range partition is a contiguous slice of the total order). Phase
+    * 2: per-partition totals (one row per partition, cluster-sized not
+    * data-sized) become exclusive prefix offsets via a tiny triangular
+    * self-join, broadcast back, and added to the local running sums.
+    * No window in the plan touches more than one partition's rows
+    * (asserted in PlanAssertionsSpec). Result is invariant to where the
+    * sampled range boundaries fall because the total order is unique
+    * (partkey tie-break) and the offset algebra is exact DECIMAL.
     */
   def abcClassification(spark: SparkSession, sfDir: String): DataFrame = {
-    val byRev = Window.orderBy(col("revenue_dec").desc, col("l_partkey"))
-    Tables.lineitem(spark, sfDir)
-      .groupBy("l_partkey")
-      .agg(sum(lineAmount).as("revenue_dec"))
-      .withColumn("cum_dec", sum("revenue_dec").over(
-        byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total_dec", sum("revenue_dec").over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // materialized once: every downstream branch (local sums, totals,
+    // grand total) must see the SAME partition assignment — re-running
+    // the range exchange could sample different boundaries per branch
+    val parts = graft.Scratch.materialize(
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_partkey")
+        .agg(sum(lineAmount).as("revenue_dec"))
+        .repartitionByRange(col("revenue_dec").desc, col("l_partkey"))
+        .withColumn("pid", spark_partition_id()),
+      "graft_abc_parts")
+    val localW = Window.partitionBy("pid")
+      .orderBy(col("revenue_dec").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = parts.groupBy("pid").agg(sum("revenue_dec").as("ptotal"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(sum(col("b.ptotal")).as("prefix"))
+    val grand = totals.agg(sum("ptotal").as("total_dec"))
+    parts
+      .withColumn("local_cum", sum("revenue_dec").over(localW))
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(grand))
+      .withColumn("cum_dec", coalesce(col("prefix"), lit(0)) + col("local_cum"))
       .withColumn("cum_share",
         col("cum_dec").cast("double") / col("total_dec").cast("double"))
       .withColumn("abc_class",

@@ -164,6 +164,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size == 1, s"documents scanned twice:\n$p")
   }
 
+  test("abc classification: every window is partition-local, no global-order window") {
+    val p = executed("parts_abc_classification")
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected the per-partition running sum window:\n$p")
+    // a spec NOT led by the pid partition key is the single-task global
+    // cumulative creeping back
+    assert(specs.forall(_.contains("pid")), s"global window crept back:\n$specs")
+  }
+
   test("pagerank: bucketed edge table, zero exchanges on the edge side") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
