@@ -137,6 +137,16 @@ object Similarity {
   private def centroidNorm2(c: Int): String =
     (0 until Dim).map(d => centroidComponent(c, d)).map(x => x * x).sum.toString
 
+  /** All [[NumCentroids]] seed centroids as ONE array-of-arrays literal per
+    * dialect — the seed table the Lloyd-trained IVF variant starts from
+    * (`posexplode`/`unnest` turns it into a (cid, cent) relation).
+    */
+  def centroidArraySpark: String =
+    (0 until NumCentroids).map(centroidSpark).mkString("array(", ", ", ")")
+
+  def centroidArrayDuck: String =
+    (0 until NumCentroids).map(centroidDuck).mkString("[", ", ", "]")
+
   /** array<double>[C] of per-centroid scores ‖c‖² − 2·v·c — the argmin of
     * this is the argmin of L2 distance (‖v‖² is constant per row). Map-only;
     * bit-identical across engines (same literals, same fold order).
