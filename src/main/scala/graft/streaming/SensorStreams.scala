@@ -151,6 +151,27 @@ object SensorStreams {
       }
   }
 
+  /** The DECLARATIVE streaming sessionization — `Events.sessionizeAgg`
+    * (the exact `session_window` aggregate behind the DuckDB-checked
+    * `events_sessionize` row) run verbatim as a watermarked streaming
+    * query. This is the form users write FIRST; the
+    * [[sessionize]] (flatMapGroupsWithState) and [[sessionizeTws]]
+    * (transformWithState) twins exist for when session semantics outgrow
+    * the built-in merge. In append mode a session row is emitted exactly
+    * once, when the watermark passes its end (last event + gap) — unlike
+    * the custom-state forms it cannot close a session EARLY on the
+    * arrival of the next gap-separated event, but the converged output
+    * over any finite input is the same row set (SensorStreamsSpec runs
+    * the identical scenario through all three).
+    *
+    * State: Spark's session-window state store keeps one merged window
+    * per (user, open session), evicted at watermark — the same O(1)/key
+    * bound as the explicit-state forms.
+    */
+  def sessionizeDeclarative(stream: DataFrame): DataFrame =
+    Events.sessionizeAgg(
+      Events.withEventTime(stream).withWatermark("event_time", "2 minutes"))
+
   /** Stream-static enrichment join: the event stream against a STATIC
     * dimension frame (user → segment), the first join any production
     * pipeline adds. Stateless — each micro-batch joins the dim and moves on

@@ -183,19 +183,26 @@ class SensorStreamsSpec extends SparkSpec {
   for ((tag, providerClass) <- providers)
     test(s"flatMapGroupsWithState sessionization closes sessions by gap and by timeout ($tag provider)") {
       withStateProvider(providerClass) {
-        sessionizeScenario(s"fmgws_$tag", SensorStreams.sessionize)
+        sessionizeScenario(s"fmgws_$tag", df => SensorStreams.sessionize(df).toDF)
       }
     }
 
   test("transformWithState sessionization matches the same scenario (rocksdb provider)") {
     // the TWS API supports only the RocksDB state store
     withStateProvider(providers.toMap.apply("rocksdb")) {
-      sessionizeScenario("tws", SensorStreams.sessionizeTws)
+      sessionizeScenario("tws", df => SensorStreams.sessionizeTws(df).toDF)
     }
   }
 
+  test("declarative session_window streaming twin converges to the same scenario") {
+    // the form users write first: the batch session_window aggregate itself,
+    // watermarked — emission waits for the watermark instead of closing
+    // early on a gap event, but the converged row set is identical
+    sessionizeScenario("declarative", SensorStreams.sessionizeDeclarative)
+  }
+
   private def sessionizeScenario(tag: String,
-                                 sessionizer: DataFrame => org.apache.spark.sql.Dataset[Session]): Unit = {
+                                 sessionizer: DataFrame => DataFrame): Unit = {
     val src = MemoryStream[Ev]
     val q = sessionizer(src.toDF).writeStream
       .queryName(s"sessions_$tag").outputMode("append").format("memory").start()
