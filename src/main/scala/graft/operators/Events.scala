@@ -89,29 +89,56 @@ object Events extends QueryModule {
        FROM events WHERE ts IS NOT NULL
        GROUP BY 1, 2 ORDER BY 1"""
 
-  /** T4: sliding window (10 min length, 5 min slide) per key — max + count
-    * (q4 cell 0:100-114). Each event lands in exactly two windows; the oracle
-    * enumerates both starts per event.
+  /** T4: sliding window ([[SlidingWindowMinutes]] length,
+    * [[SlidingSlideMinutes]] slide) per key — max + count (q4 cell
+    * 0:100-114). Each event lands in exactly window/slide windows; the
+    * oracle enumerates the covering starts GENERICALLY from that ratio
+    * ([[slidingStartsDuck]]), so re-parameterizing the window cannot
+    * silently desync the twin (SlidingWindowSpec proves the enumeration
+    * at a 3-bucket ratio against Spark's own window()).
     */
+  val SlidingWindowMinutes = 10
+  val SlidingSlideMinutes = 5
+
   def sliding(df: DataFrame): DataFrame = slidingAgg(withEventTime(df))
 
   def slidingAgg(df: DataFrame): DataFrame =
+    slidingAggOf(df, SlidingWindowMinutes, SlidingSlideMinutes)
+
+  /** [[slidingAgg]] at any window = k·slide (minutes). */
+  def slidingAggOf(df: DataFrame, windowMinutes: Int, slideMinutes: Int): DataFrame = {
+    require(windowMinutes % slideMinutes == 0,
+      s"slide must divide window: $windowMinutes % $slideMinutes != 0")
     df
-      .groupBy(window(col("event_time"), "10 minutes", "5 minutes").as("w"),
+      .groupBy(window(col("event_time"), s"$windowMinutes minutes", s"$slideMinutes minutes").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("max_value"))
+  }
 
   def slidingQ(spark: SparkSession, sfDir: String): DataFrame =
     sliding(Tables.events(spark, sfDir)).orderBy("window_start", "event_type")
 
+  /** The DuckDB list of an event's covering window starts for any
+    * window = k·slide: `bucket − i·slide` for i ∈ [0, k) where bucket is
+    * the event's slide-grain floor — exactly Spark's `window()` cover set
+    * (start ≤ t < start + window over slide-aligned starts).
+    */
+  private[operators] def slidingStartsDuck(windowMinutes: Int, slideMinutes: Int): String = {
+    require(windowMinutes % slideMinutes == 0,
+      s"slide must divide window: $windowMinutes % $slideMinutes != 0")
+    (0 until windowMinutes / slideMinutes)
+      .map(i => s"""time_bucket(INTERVAL '$slideMinutes minutes', ts)
+                      - INTERVAL '${i * slideMinutes} minutes'""")
+      .mkString("[", ", ", "]")
+  }
+
   private val slidingSql =
-    """WITH e AS (
+    s"""WITH e AS (
          SELECT event_type, value,
-                unnest([time_bucket(INTERVAL '5 minutes', ts),
-                        time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+                unnest(${slidingStartsDuck(SlidingWindowMinutes, SlidingSlideMinutes)})
                   AS window_start
          FROM events WHERE ts IS NOT NULL)
        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
