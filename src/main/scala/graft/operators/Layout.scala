@@ -83,6 +83,11 @@ object Layout extends QueryModule {
     Scratch.memoizePartitioned(spark, s"$sfDir#orders_by_month", Seq("o_month")) {
       Tables.orders(spark, sfDir)
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        // cluster by the partition column before the partitionBy write:
+        // without this every write task emits one file per month it sees
+        // (tasks × months small files); with it each month directory gets
+        // its writing task's single file — the standard layout-job shape
+        .repartition(col("o_month"))
     }
 
   /** A month calendar dim (month, year, quarter) — the tiny table whose
