@@ -78,6 +78,11 @@ object Graph extends QueryModule {
           .filter(col("u") =!= col("v"))
           .select("u", "v").distinct()
         e.join(e.groupBy("u").agg(count(lit(1)).as("deg")), "u")
+          // one shuffle into the bucket layout BEFORE the write: each task
+          // then holds exactly one bucket's rows, so the table lands as one
+          // file per bucket (not tasks × buckets) and the sorted-bucket
+          // property lets later sort-merge joins skip their edge-side sort
+          .repartition(EdgeBuckets, col("u"))
           .write.mode("overwrite")
           .option("path", Scratch.dir("graft_edges"))
           .bucketBy(EdgeBuckets, "u")
