@@ -479,6 +479,66 @@ object Events extends QueryModule {
                COUNT(DISTINCT user_id) AS active_users
         FROM cover GROUP BY 1 ORDER BY 1"""
 
+  /** `events_rolling_active_users_kmv`: [[rollingActiveUsers]] with the
+    * final per-day distinct count swapped for the deterministic KMV
+    * sketch — the approximate composition the exact operator's scaladoc
+    * promises, PROVEN rather than documented. Same dedup-then-cover plan
+    * shape; the per-day aggregate state drops from "all covering users"
+    * to ≤K longs, which is what makes a 10⁹-user daily-actives dashboard
+    * a bounded-memory query. KMV (min-K of a hash set) is a pure set
+    * function, so the DuckDB oracle reproduces every day's estimate
+    * bit-for-bit; days with fewer than K active users are EXACT.
+    */
+  def rollingActiveUsersKmv(spark: SparkSession, sfDir: String): DataFrame =
+    rollingActiveUsersKmvOf(Tables.events(spark, sfDir))
+
+  def rollingActiveUsersKmvOf(events: DataFrame): DataFrame = {
+    val ud = events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"))
+      .distinct()
+    val maxD = ud.agg(max("d")).scalar()
+    ud.select(
+        expr(graft.pipeline.Dedup.hash60("CAST(user_id AS STRING)")).as("h"),
+        explode(expr(s"sequence(d, d + ${RollingDays - 1})")).as("cd"))
+      .filter(col("cd") <= maxD)
+      .groupBy("cd")
+      .agg(expr("kmv_distinct(h)").as("active_users_kmv"))
+      .select(
+        date_format(expr("date_add(DATE '1970-01-01', CAST(cd AS INT))"), "yyyy-MM-dd")
+          .as("day"),
+        col("active_users_kmv"))
+      .orderBy("day")
+  }
+
+  private val rollingActiveUsersKmvSql = {
+    val k = graft.functions.KmvSketch.K
+    s"""WITH ud AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+          FROM events WHERE ts IS NOT NULL
+        ), cover AS (
+          SELECT user_id, d + i AS cd
+          FROM ud CROSS JOIN (SELECT unnest(range(0, $RollingDays)) AS i)
+          WHERE d + i <= (SELECT MAX(d) FROM ud)
+        ), h AS (
+          SELECT DISTINCT cd,
+                 ${graft.pipeline.Dedup.hash60Duck("CAST(user_id AS VARCHAR)")} AS h
+          FROM cover
+        ), r AS (
+          SELECT cd, h, row_number() OVER (PARTITION BY cd ORDER BY h) AS rn
+          FROM h
+        ), a AS (
+          SELECT cd, COUNT(*) AS nd, MAX(CASE WHEN rn = $k THEN h END) AS kth
+          FROM r GROUP BY cd
+        )
+        SELECT strftime(DATE '1970-01-01' + CAST(cd AS INTEGER), '%Y-%m-%d') AS day,
+               CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+                    ELSE ${k - 1}.0 * 1152921504606846976.0 / kth END AS active_users_kmv
+        FROM a ORDER BY day"""
+  }
+
   /** Trailing baseline window (days) and flag threshold for
     * [[dailyAnomalies]].
     */
@@ -930,6 +990,7 @@ object Events extends QueryModule {
     "events_value_quantiles" -> (valueQuantiles _),
     "events_value_quantiles_hist" -> (valueQuantilesHist _),
     "events_rolling_active_users" -> (rollingActiveUsers _),
+    "events_rolling_active_users_kmv" -> (rollingActiveUsersKmv _),
     "events_daily_anomalies" -> (dailyAnomalies _),
     "events_value_outliers" -> (valueOutliers _),
     "events_funnel" -> (funnelQ _),
@@ -953,6 +1014,7 @@ object Events extends QueryModule {
     "events_value_quantiles" -> valueQuantilesSql,
     "events_value_quantiles_hist" -> valueQuantilesHistSql,
     "events_rolling_active_users" -> rollingActiveUsersSql,
+    "events_rolling_active_users_kmv" -> rollingActiveUsersKmvSql,
     "events_daily_anomalies" -> dailyAnomaliesSql,
     "events_value_outliers" -> valueOutliersSql,
     "events_funnel" -> funnelSql,
