@@ -324,8 +324,14 @@ object SimilaritySearch extends QueryModule {
     * on this fixture). Scoring keeps the raw vectors + norms.
     */
   private def unitVectors(spark: SparkSession, sfDir: String): DataFrame =
-    vectors(spark, sfDir)
-      .select(col("vec_id"), expr("transform(v, x -> CAST(x AS DOUBLE) / nrm)").as("v"))
+    Scratch.memoize(spark, s"$sfDir#simunit") {
+      // memoized: every Lloyd round's assignment + means, the corpus
+      // assignment, and the probe side all consume this frame — the norm
+      // pays once per run (parquet doubles round-trip exactly, so the
+      // memo cannot perturb the bit-reproducible training)
+      vectors(spark, sfDir)
+        .select(col("vec_id"), expr("transform(v, x -> CAST(x AS DOUBLE) / nrm)").as("v"))
+    }
 
   /** (cid, cent) seed centroid relation from the deterministic literals. */
   private def seedCentroids(spark: SparkSession): DataFrame =
