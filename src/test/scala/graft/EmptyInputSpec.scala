@@ -32,9 +32,12 @@ class EmptyInputSpec extends AnyFunSuite {
     "pack_sequences", "pack_manifest", "doc_global_index",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_span_overlap", "dedup_components",
-    "similarity_topk_brute", "dedup_embedding",
+    "similarity_topk_brute", "similarity_topk_lsh", "similarity_topk_ivf",
+    "similarity_topk_ivf_trained", "dedup_embedding",
     "q1_wordcount_top20", "q1_length_histogram", "q1_corpus_stats",
-    "text_tfidf_keywords", "text_heavy_hitters_cms", "train_negative_pairs")
+    "text_tfidf_keywords", "text_heavy_hitters_cms", "train_negative_pairs",
+    "docs_chunked", "docs_stratified_sample", "corpus_source_report",
+    "text_inverted_index", "text_bigram_lm")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else
