@@ -174,15 +174,92 @@ object History extends QueryModule {
                 / CAST(lag(rev, 12) OVER (ORDER BY month) AS DOUBLE) AS yoy_growth
        FROM m ORDER BY month"""
 
+  /** `orders_cdc_upsert`: MERGE-INTO semantics as a plain full-outer join —
+    * the nightly CDC upsert every parquet-backed warehouse table runs
+    * (lakehouse MERGE without a table-format dependency). A keyed state
+    * table absorbs a change batch of upserts and delete tombstones:
+    * matched keys take the batch row, tombstoned keys disappear, unmatched
+    * state rows survive. Fixture split: state = o_orderkey % 10 ≠ 0,
+    * batch = % 7 = 0 with rewritten priority — chosen to OVERLAP the
+    * state so all three MERGE cases genuinely occur: matched updates
+    * (% 7 = 0, % 10 ≠ 0), pure inserts (% 70 = 0 but not % 49, absent
+    * from state), and tombstones (% 49 = 0 — 7², coprime with the state
+    * split so it cannot swallow every insert) that delete from state or
+    * drop on arrival.
+    *
+    * Row-level semantics, not column coalesce: the batch row REPLACES the
+    * state row wholesale (CDC images are full rows), decided by the
+    * batch-side op flag — NULL-safe because presence is tested on the op
+    * column, never on payload columns that could legitimately be NULL.
+    *
+    * Scale: ONE key shuffle for the full-outer sort-merge join — the
+    * merge-on-read compaction job's exact shape. The state side is the
+    * big one: persist it BUCKETED by the key (the band-index /
+    * PageRank-edge lifecycle) and nightly merges co-locate against it,
+    * leaving only the batch-sized side moving. No windows, no skew by
+    * construction (unique keys).
+    */
+  def cdcUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+      col("o_orderpriority"))
+    val state = all.filter(col("o_orderkey") % 10 =!= 0)
+    val batch = all.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("op", when(col("o_orderkey") % 49 === 0, "D").otherwise("U"))
+      .withColumn("o_orderpriority",
+        when(col("op") === "U", concat(lit("UPD-"), col("o_orderpriority")))
+          .otherwise(col("o_orderpriority")))
+    val b = batch.columns.filter(_ != "o_orderkey").foldLeft(batch) {
+      (df, c) => df.withColumnRenamed(c, s"b_$c")
+    }
+    state.join(b, Seq("o_orderkey"), "full_outer")
+      .filter(col("b_op").isNull || col("b_op") =!= "D")
+      .select(col("o_orderkey"),
+        when(col("b_op").isNotNull, col("b_o_custkey")).otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("b_op").isNotNull, col("b_o_orderstatus")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("b_op").isNotNull, col("b_o_totalprice")).otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("b_op").isNotNull, col("b_o_orderdate")).otherwise(col("o_orderdate")).as("o_orderdate"),
+        when(col("b_op").isNotNull, col("b_o_orderpriority")).otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  private val cdcUpsertSql =
+    """WITH all_rows AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+         FROM orders
+       ), state AS (
+         SELECT * FROM all_rows WHERE o_orderkey % 10 <> 0
+       ), batch AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                CASE WHEN o_orderkey % 49 = 0 THEN o_orderpriority
+                     ELSE 'UPD-' || o_orderpriority END AS o_orderpriority,
+                CASE WHEN o_orderkey % 49 = 0 THEN 'D' ELSE 'U' END AS op
+         FROM all_rows WHERE o_orderkey % 7 = 0
+       )
+       SELECT COALESCE(s.o_orderkey, b.o_orderkey) AS o_orderkey,
+              CASE WHEN b.op IS NOT NULL THEN b.o_custkey ELSE s.o_custkey END AS o_custkey,
+              CASE WHEN b.op IS NOT NULL THEN b.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus,
+              CASE WHEN b.op IS NOT NULL THEN b.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+              CASE WHEN b.op IS NOT NULL THEN b.o_orderdate ELSE s.o_orderdate END AS o_orderdate,
+              CASE WHEN b.op IS NOT NULL THEN b.o_orderpriority ELSE s.o_orderpriority END AS o_orderpriority
+       FROM state s FULL OUTER JOIN batch b ON s.o_orderkey = b.o_orderkey
+       WHERE b.op IS NULL OR b.op <> 'D'
+       ORDER BY o_orderkey"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_priority_scd2" -> (priorityScd2 _),
     "orders_incremental_agg" -> (incrementalAgg _),
     "orders_monthly_growth" -> (monthlyGrowth _),
+    "orders_cdc_upsert" -> (cdcUpsert _),
   )
 
   override def oracle: Map[String, String] = Map(
     "orders_priority_scd2" -> priorityScd2Sql,
     "orders_incremental_agg" -> incrementalAggSql,
     "orders_monthly_growth" -> monthlyGrowthSql,
+    "orders_cdc_upsert" -> cdcUpsertSql,
   )
 }

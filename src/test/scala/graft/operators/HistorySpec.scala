@@ -94,4 +94,24 @@ class HistorySpec extends SparkSpec {
       (300L, 1L, "MED", "1997-01-01", "9999-12-31", true, 1L),
       (301L, 1L, "MED", "1997-02-01", "9999-12-31", true, 1L)))
   }
+
+  test("cdc upsert exercises all three MERGE cases: update, insert, delete") {
+    // keys: 3 (state only, untouched), 7 (state + batch U = matched update),
+    // 49 (state + batch D = delete), 70 (batch only, U = insert; 70%10==0 so
+    // absent from state and 70%49!=0 so not a tombstone), 33 (state only)
+    val fixture = java.nio.file.Files.createTempDirectory("graft_cdc_fixture").toString
+    Seq(3L, 7L, 33L, 49L, 70L)
+      .map(k => (k, k * 10, "O", k * 1.5, d("1997-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$fixture/orders.parquet")
+    val got = History.cdcUpsert(spark, fixture).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got == Map(
+      3L -> "1-URGENT",      // untouched state row survives
+      7L -> "UPD-1-URGENT",  // matched key REPLACED by the batch row
+      33L -> "1-URGENT",     // untouched state row survives
+      70L -> "UPD-1-URGENT") // batch-only key inserted
+      , s"got $got")         // 49 tombstoned away entirely
+  }
 }
