@@ -61,8 +61,71 @@ object SkewJoin extends QueryModule {
       .orderBy("c_nationkey")
   }
 
+  /** Hot-key threshold multiple for [[skewReportOf]]: a key is "hot" when
+    * its row count exceeds this multiple of the mean rows-per-key.
+    */
+  val HotKeyFactor = 2.0
+
+  /** `events_key_skew_report`: join-key skew diagnostics — the query a
+    * pipeline runs BEFORE choosing a join strategy (plain / AQE-split /
+    * salted). One row: total rows, distinct keys, mean rows-per-key, the
+    * heaviest key's count and share, and how many keys (and what row
+    * share) sit above [[HotKeyFactor]]× the mean. All exact longs plus
+    * fixed-shape double divisions, so the report hash-matches the oracle.
+    *
+    * Scale: one key-grain counting shuffle (the map-side-combined
+    * aggregate the join itself would pay anyway), then all statistics
+    * reduce the keys-sized count table — no windows, no sorts, and the
+    * 1-row stats frame re-enters as a broadcast for the hot-key pass.
+    */
+  def skewReportOf(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      sum("cnt").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max("cnt").as("max_key_rows"))
+    val hot = counts.crossJoin(broadcast(stats))
+      .filter(col("cnt").cast("double") >
+        lit(HotKeyFactor) * col("n_rows") / col("n_keys"))
+      .agg(count(lit(1)).as("n_hot_keys"),
+        coalesce(sum("cnt"), lit(0L)).as("hot_rows"))
+    stats.crossJoin(hot).select(
+      col("n_rows"), col("n_keys"),
+      (col("n_rows").cast("double") / col("n_keys")).as("avg_rows_per_key"),
+      col("max_key_rows"),
+      (col("max_key_rows").cast("double") / col("n_rows")).as("max_key_share"),
+      col("n_hot_keys"),
+      (col("hot_rows").cast("double") / col("n_rows")).as("hot_rows_share"))
+  }
+
+  def eventsKeySkewReport(spark: SparkSession, sfDir: String): DataFrame =
+    skewReportOf(Tables.events(spark, sfDir), "user_id")
+
+  private val eventsKeySkewReportSql =
+    s"""WITH c AS (
+          SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY 1
+        ), s AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 COUNT(*) AS n_keys,
+                 CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+          FROM c
+        ), h AS (
+          SELECT COUNT(*) AS n_hot_keys,
+                 CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS hot_rows
+          FROM c, s
+          WHERE CAST(cnt AS DOUBLE) > $HotKeyFactor * n_rows / n_keys
+        )
+        SELECT s.n_rows, s.n_keys,
+               CAST(s.n_rows AS DOUBLE) / s.n_keys AS avg_rows_per_key,
+               s.max_key_rows,
+               CAST(s.max_key_rows AS DOUBLE) / s.n_rows AS max_key_share,
+               h.n_hot_keys,
+               CAST(h.hot_rows AS DOUBLE) / s.n_rows AS hot_rows_share
+        FROM s, h"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_join_salted_revenue" -> (saltedRevenueQ _),
+    "events_key_skew_report" -> (eventsKeySkewReport _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -71,5 +134,6 @@ object SkewJoin extends QueryModule {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "events_key_skew_report" -> eventsKeySkewReportSql,
   )
 }
