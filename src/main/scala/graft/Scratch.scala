@@ -33,6 +33,12 @@ object Scratch {
       finally walk.close()
     } catch { case _: Throwable => () } // best-effort; scratch is disposable
 
+  /** Eagerly delete a scratch path created by [[dir]] (best-effort) —
+    * for owners that bound peak scratch disk themselves instead of waiting
+    * for the JVM-exit hook (e.g. [[graft.operators.Graph.dropEdgeTables]]).
+    */
+  def delete(path: String): Unit = deleteRecursively(Paths.get(path))
+
   /** Fresh unique directory under the scratch root. */
   def dir(prefix: String): String = {
     val r = Paths.get(root)

@@ -124,13 +124,19 @@ object Events extends QueryModule {
   /** The DuckDB list of an event's covering window starts for any
     * window = k·slide: `bucket − i·slide` for i ∈ [0, k) where bucket is
     * the event's slide-grain floor — exactly Spark's `window()` cover set
-    * (start ≤ t < start + window over slide-aligned starts).
+    * (start ≤ t < start + window over slide-aligned starts). The bucket
+    * floor is pinned to the Unix epoch origin explicitly: Spark's
+    * `window()` aligns starts to 1970-01-01 while DuckDB's `time_bucket`
+    * defaults to a 2000-01-01 origin, which only coincides for slides
+    * dividing the 2000−1970 offset — with the explicit origin the two
+    * grids agree for EVERY slide (e.g. 7 minutes), not just the default 5.
     */
   private[operators] def slidingStartsDuck(windowMinutes: Int, slideMinutes: Int): String = {
     require(windowMinutes % slideMinutes == 0,
       s"slide must divide window: $windowMinutes % $slideMinutes != 0")
     (0 until windowMinutes / slideMinutes)
-      .map(i => s"""time_bucket(INTERVAL '$slideMinutes minutes', ts)
+      .map(i => s"""time_bucket(INTERVAL '$slideMinutes minutes', ts,
+                                TIMESTAMP '1970-01-01 00:00:00')
                       - INTERVAL '${i * slideMinutes} minutes'""")
       .mkString("[", ", ", "]")
   }

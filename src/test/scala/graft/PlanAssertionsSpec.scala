@@ -221,7 +221,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val scans = scansOf(df.queryExecution.executedPlan)
     assert(scans.nonEmpty, s"no partitioned fact scan found:\n$p")
     val partsRead = scans.head.metrics("numPartitions").value
-    assert(partsRead == 12, s"expected 12 surviving o_month partitions, got $partsRead")
+    // expected partitions = the dim months the year filter selects — derived,
+    // not hardcoded, so a regenerated fixture with a missing month still pins
+    // that pruning happened (partsRead well below the full month domain)
+    val dim = graft.operators.Layout.monthDim(spark, sf)
+    val expected = dim.filter(
+      org.apache.spark.sql.functions.col("m_year") === graft.operators.Layout.DppYear).count()
+    val total = dim.count()
+    assert(partsRead == expected,
+      s"expected $expected surviving o_month partitions, got $partsRead")
+    assert(partsRead < total / 2,
+      s"pruning too weak to prove anything: $partsRead of $total partitions read")
   }
 
   test("no registered query collects to the driver in its plan") {

@@ -12,7 +12,7 @@ import graft.{SparkEntry, SparkSpec}
 class TrainedIvfSpec extends SparkSpec {
 
   test("trained centroids beat the seeded quantizer on the small fixture") {
-    val r = SparkEntry.queries("similarity_ivf_recall")(spark, "/root/testdata/sf0.001")
+    val r = SparkEntry.queries("similarity_ivf_recall")(spark, Sf0001)
       .head()
     val seeded = r.getAs[Double]("recall_at_k")
     val trained = r.getAs[Double]("recall_at_k_trained")
