@@ -40,8 +40,7 @@ object Bench {
     // shape being measured.
     def resetShared(): Unit = {
       Scratch.clearMemo()
-      pipeline.Dedup.dropBandIndexes(spark)
-      operators.Graph.dropEdgeTables(spark)
+      Scratch.dropBucketedTables(spark) // band index, PageRank edges, CDC state
       spark.catalog.clearCache()
     }
     val pass1 = runPass()
@@ -69,7 +68,14 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e.take(300)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the harness captures only a bounded stdout tail, which has truncated
+    // the (large) JSON line before; the file copy keeps the full official
+    // number self-contained under the repo
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -192,12 +192,14 @@ object History extends QueryModule {
     * batch-side op flag — NULL-safe because presence is tested on the op
     * column, never on payload columns that could legitimately be NULL.
     *
-    * Scale: ONE key shuffle for the full-outer sort-merge join — the
-    * merge-on-read compaction job's exact shape. The state side is the
-    * big one: persist it BUCKETED by the key (the band-index /
-    * PageRank-edge lifecycle) and nightly merges co-locate against it,
-    * leaving only the batch-sized side moving. No windows, no skew by
-    * construction (unique keys).
+    * Scale: the state side is the big one, so it IS persisted BUCKETED AND
+    * SORTED by the key (`Scratch.memoizeBucketed` — the band-index /
+    * PageRank-edge lifecycle): the nightly full-outer sort-merge join reads
+    * the state's bucket layout straight from the files with ZERO exchange
+    * on the state side (pinned in PlanAssertionsSpec under forced SMJ);
+    * only the batch-sized side shuffles into the layout, and writing the
+    * merge result back bucketed keeps the next night's merge co-located
+    * too. No windows, no skew by construction (unique keys).
     */
   def cdcUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val all = Tables.orders(spark, sfDir).select(
@@ -205,7 +207,7 @@ object History extends QueryModule {
       col("o_totalprice"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
       col("o_orderpriority"))
-    val state = all.filter(col("o_orderkey") % 10 =!= 0)
+    val state = cdcState(spark, sfDir, all)
     val batch = all.filter(col("o_orderkey") % 7 === 0)
       .withColumn("op", when(col("o_orderkey") % 49 === 0, "D").otherwise("U"))
       .withColumn("o_orderpriority",
@@ -224,6 +226,15 @@ object History extends QueryModule {
         when(col("b_op").isNotNull, col("b_o_orderpriority")).otherwise(col("o_orderpriority")).as("o_orderpriority"))
       .orderBy("o_orderkey")
   }
+
+  /** The keyed CDC state table, persisted bucketed+sorted by `o_orderkey`
+    * — what a real warehouse keeps between nightly merges.
+    */
+  private def cdcState(spark: SparkSession, sfDir: String, all: DataFrame): DataFrame =
+    graft.Scratch.memoizeBucketed(spark, s"$sfDir#history#cdc_state",
+      "graft_cdc_state", Seq("o_orderkey")) {
+      all.filter(col("o_orderkey") % 10 =!= 0)
+    }
 
   private val cdcUpsertSql =
     """WITH all_rows AS (

@@ -474,40 +474,17 @@ object Dedup extends QueryModule {
     * At 100 TB the index build amortizes across every future batch; daily
     * ingest cost is proportional to the batch, not the corpus.
     */
-  /** Session-catalog name of the persisted corpus band index, built on first
-    * use per (JVM, sfDir). The name embeds a per-JVM nonce: concurrent or
-    * interleaved runs sharing a persistent metastore never collide on a
-    * global name, and same-JVM re-runs (Bench best-of-N, components) reuse
-    * the already-built index instead of re-shuffling the corpus — exactly the
-    * amortization the production ingest path relies on. If the registering
-    * session is gone (tests restart sessions), the index is rebuilt in the
-    * current session's catalog.
+  /** The persisted corpus band index, built on first use per (JVM, sfDir)
+    * via [[Scratch.memoizeBucketed]] (per-key future, per-JVM nonce name,
+    * eager file cleanup on drop): same-JVM re-runs (Bench best-of-N,
+    * components) reuse the already-built index instead of re-shuffling the
+    * corpus — exactly the amortization the production ingest path relies
+    * on. `Scratch.dropBucketedTables` resets between bench passes.
     */
-  private val bandIndexNames = scala.collection.mutable.HashMap[String, String]()
-
-  private def bandIndexTable(spark: SparkSession, sfDir: String, corpusBands: DataFrame): String =
-    bandIndexNames.synchronized {
-      val tbl = bandIndexNames.getOrElseUpdate(sfDir,
-        s"graft_band_index_${java.lang.Long.toHexString(System.nanoTime())}")
-      if (!spark.catalog.tableExists(tbl)) {
-        // the "offline" index build: banded signatures, bucketed by the probe key
-        corpusBands.write.mode("overwrite")
-          .option("path", Scratch.dir("graft_band_index"))
-          .bucketBy(16, "band", "band_key")
-          .sortBy("band", "band_key")
-          .saveAsTable(tbl)
-      }
-      tbl
-    }
-
-  /** Drop all band-index tables this JVM registered (Bench pairs this with
-    * `Scratch.clearMemo` between passes so each pass re-measures the full
-    * build+probe cost rather than a warm probe).
-    */
-  def dropBandIndexes(spark: SparkSession): Unit = bandIndexNames.synchronized {
-    bandIndexNames.values.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    bandIndexNames.clear()
-  }
+  private def bandIndex(spark: SparkSession, sfDir: String, corpusBands: => DataFrame): DataFrame =
+    // the "offline" index build: banded signatures, bucketed by the probe key
+    Scratch.memoizeBucketed(spark, s"$sfDir#dedup#band_index", "graft_band_index",
+      Seq("band", "band_key"))(corpusBands)
 
   // ---- exact-substring span overlap ----
 
@@ -603,7 +580,7 @@ object Dedup extends QueryModule {
     val corpus = all.filter(col("doc_id") % 10 =!= 0)
     val corpusBands = lshBands(spark, s"$sfDir#dedup#minhash_unigram", all)
       .filter(col("doc_id") % 10 =!= 0)
-    val index = spark.table(bandIndexTable(spark, sfDir, corpusBands))
+    val index = bandIndex(spark, sfDir, corpusBands)
     val cand = bands.as("x").join(index.as("y"), Seq("band", "band_key"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
@@ -624,7 +601,7 @@ object Dedup extends QueryModule {
     val corpus = all.filter(col("doc_id") % 10 =!= 0)
     val corpusBands = allBands.filter(col("doc_id") % 10 =!= 0)
     val newDocs = all.filter(col("doc_id") % 10 === 0)
-    val index = spark.table(bandIndexTable(spark, sfDir, corpusBands))
+    val index = bandIndex(spark, sfDir, corpusBands)
     // the "online" probe: new docs' bands join the index in place
     val cand = allBands.filter(col("doc_id") % 10 === 0)
       .as("x").join(index.as("y"), Seq("band", "band_key"))

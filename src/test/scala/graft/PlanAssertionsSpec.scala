@@ -190,6 +190,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("cdc upsert: bucketed state table, zero exchanges on the state side") {
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path: at fixture scale the batch side would
+      // auto-broadcast, which proves nothing about the state-table layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = SparkEntry.queries("orders_cdc_upsert")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"state scan not bucketed:\n$plan")
+      // the merge join may shuffle the batch side into the bucket layout,
+      // but never the persisted state side: at most one key exchange
+      val exchanges = "Exchange hashpartitioning\\(o_orderkey".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"state side re-shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("kmv profile: one aggregation pass, no Expand") {
     val p = executed("profile_orders_kmv")
     assert(!p.contains("Expand"), s"exact-distinct Expand crept back:\n$p")
