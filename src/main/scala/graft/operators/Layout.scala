@@ -144,13 +144,65 @@ object Layout extends QueryModule {
         WHERE strftime(o_orderdate, '%Y') = '$DppYear'
         GROUP BY 1 ORDER BY 1"""
 
+  /** The lineitem fact (4× the orders rows), Hive-partitioned by SHIP
+    * month (`l_month=yyyy-MM/` directories) under scratch — the same
+    * date-partitioned layout as [[ordersByMonth]] on the bigger fact.
+    * Memoized: written once per run, shared by every consumer.
+    */
+  def lineitemByShipMonth(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoizePartitioned(spark, s"$sfDir#lineitem_by_ship_month", Seq("l_month")) {
+      Tables.lineitem(spark, sfDir)
+        .withColumn("l_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        // one file per month directory, not tasks × months (see ordersByMonth)
+        .repartition(col("l_month"))
+    }
+
+  /** `dpp_lineitem_revenue`: revenue SHIPPED in each month of [[DppYear]],
+    * restricted to orders also PLACED in [[DppYear]] — the two-level
+    * version of [[dppMonthlyRevenue]]: one broadcast calendar-dim filter
+    * dynamically prunes BOTH month-partitioned facts, the 4×-bigger
+    * lineitem through its ship-month join key and orders through its
+    * order-month, before the fact⋈fact orderkey join runs. No static
+    * filter ever reaches either fact; both scans read only their 12
+    * surviving month directories (pinned in PlanAssertionsSpec) — at
+    * 100 TB this is the difference between scanning a year and scanning
+    * the table, on every fact in the star.
+    */
+  def dppLineitemRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val dimMonths = monthDim(spark, sfDir).filter(col("m_year") === DppYear)
+    val li = lineitemByShipMonth(spark, sfDir)
+      .join(broadcast(dimMonths.select(col("m_month").as("ship_m"))),
+        col("l_month") === col("ship_m"))
+    val ord = ordersByMonth(spark, sfDir)
+      .join(broadcast(dimMonths.select(col("m_month").as("ord_m"))),
+        col("o_month") === col("ord_m"))
+      .select(col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_month").as("month"))
+      .agg(count(lit(1)).as("n_items"), sum(Retail.lineAmount).as("rev"))
+      .select(col("month"), col("n_items"), col("rev").cast("double").as("revenue"))
+      .orderBy("month")
+  }
+
+  private val dppLineitemRevenueSql =
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE strftime(l_shipdate, '%Y') = '$DppYear'
+          AND strftime(o_orderdate, '%Y') = '$DppYear'
+        GROUP BY 1 ORDER BY 1"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_zorder_key" -> (zorderKey _),
     "dpp_monthly_revenue" -> (dppMonthlyRevenue _),
+    "dpp_lineitem_revenue" -> (dppLineitemRevenue _),
   )
 
   override def oracle: Map[String, String] = Map(
     "orders_zorder_key" -> zorderKeySql,
     "dpp_monthly_revenue" -> dppMonthlyRevenueSql,
+    "dpp_lineitem_revenue" -> dppLineitemRevenueSql,
   )
 }

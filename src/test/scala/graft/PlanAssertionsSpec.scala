@@ -250,6 +250,35 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"pruning too weak to prove anything: $partsRead of $total partitions read")
   }
 
+  test("two-level dpp: BOTH month-partitioned facts pruned by dynamic partition filters") {
+    val df = SparkEntry.queries("dpp_lineitem_revenue")(spark, sf)
+    df.collect()
+    def scansOf(n: org.apache.spark.sql.execution.SparkPlan, partCol: String)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan, partCol)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan, partCol)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.partitionSchema.fieldNames.contains(partCol) => Seq(s)
+      case other => other.children.flatMap(n => scansOf(n, partCol))
+    }
+    val dim = graft.operators.Layout.monthDim(spark, sf)
+    val expected = dim.filter(
+      org.apache.spark.sql.functions.col("m_year") === graft.operators.Layout.DppYear).count()
+    for (partCol <- Seq("l_month", "o_month")) {
+      val scans = scansOf(df.queryExecution.executedPlan, partCol)
+      assert(scans.nonEmpty, s"no $partCol-partitioned fact scan found")
+      val p = scans.head.toString
+      assert(p.contains("dynamicpruningexpression") &&
+        "PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(p).isDefined,
+        s"$partCol fact scan not dynamically pruned:\n$p")
+      val partsRead = scans.head.metrics("numPartitions").value
+      assert(partsRead == expected,
+        s"expected $expected surviving $partCol partitions, got $partsRead")
+    }
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
