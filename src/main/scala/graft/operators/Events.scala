@@ -579,7 +579,11 @@ object Events extends QueryModule {
   def dailyAnomalies(spark: SparkSession, sfDir: String): DataFrame =
     dailyAnomaliesOf(Tables.events(spark, sfDir))
 
-  /** [[dailyAnomalies]] core over any (ts) frame. */
+  /** [[dailyAnomalies]] core over any (ts) frame. The unpartitioned
+    * `Window.orderBy("d")` is safe BECAUSE its input is the day-grain
+    * series: calendar cardinality bounds it at 365 rows/year (a decade is
+    * ~3,650 rows on one task), regardless of event volume.
+    */
   def dailyAnomaliesOf(events: DataFrame): DataFrame = {
     val w = Window.orderBy("d").rowsBetween(-AnomalyWindow, -1)
     val zExpr =

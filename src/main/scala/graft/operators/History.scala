@@ -145,6 +145,11 @@ object History extends QueryModule {
     * LAG(12) means "12 PRESENT months back": on a series with empty months,
     * compose with the calendar gap-fill operator (`events_daily_gapfilled`'s
     * spine pattern) first so the offset is truly one year.
+    *
+    * The unpartitioned `Window.orderBy("month")` is safe BECAUSE its input
+    * is the month-grain aggregate: calendar cardinality bounds it at ~12
+    * rows/year (a century of data is ~1,200 rows on one task), regardless
+    * of fact-table size.
     */
   def monthlyGrowth(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy("month")
