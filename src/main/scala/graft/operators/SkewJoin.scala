@@ -101,6 +101,56 @@ object SkewJoin extends QueryModule {
   def eventsKeySkewReport(spark: SparkSession, sfDir: String): DataFrame =
     skewReportOf(Tables.events(spark, sfDir), "user_id")
 
+  /** The three join strategies [[chooseJoinStrategy]] selects among. */
+  sealed abstract class JoinStrategy(val name: String)
+  object JoinStrategy {
+    /** No meaningful skew: the standard shuffle join partitions evenly. */
+    case object Plain extends JoinStrategy("plain")
+    /** Hot keys exist but none dominates: AQE's runtime skew-join split
+      * (`spark.sql.adaptive.skewJoin`) rebalances the oversized
+      * partitions; no static rewrite needed (proven live in AqeSkewSpec).
+      */
+    case object AqeSkew extends JoinStrategy("aqe_skew")
+    /** One key owns most of the table: spread it statically with
+      * [[saltedJoin]] — the fallback for degenerate skew and for joins
+      * where AQE is unavailable (e.g. streaming micro-batches).
+      */
+    case object Salted extends JoinStrategy("salted")
+  }
+
+  /** Hot-row share below which skew is irrelevant: even if a few keys
+    * exceed [[HotKeyFactor]]× the mean, they carry too little of the
+    * table to unbalance a reducer.
+    */
+  val PlainHotShare = 0.2
+
+  /** Max single-key share above which skew is degenerate: the heaviest
+    * key alone owns half the table, so per-partition splitting leaves
+    * every split still dominated by that key's build side — salt it.
+    */
+  val DegenerateShare = 0.5
+
+  /** Pick the join strategy for an equi-join keyed on `key`, by the
+    * [[skewReportOf]] thresholds: hot-row share under [[PlainHotShare]] →
+    * [[JoinStrategy.Plain]]; heaviest-key share over [[DegenerateShare]] →
+    * [[JoinStrategy.Salted]]; otherwise → [[JoinStrategy.AqeSkew]].
+    *
+    * The report costs the same key-grain counting shuffle the join itself
+    * pays, and the decision reads ONE summary row on the driver — the
+    * plan-time probe a nightly pipeline runs once per (table, key), not a
+    * per-row data path. Thresholds are deliberately coarse: the goal is
+    * the right MECHANISM (even partitioning vs runtime split vs static
+    * salt), not a precise cost model.
+    */
+  def chooseJoinStrategy(df: DataFrame, key: String): JoinStrategy = {
+    val r = skewReportOf(df, key).head()
+    val hotShare = r.getAs[Double]("hot_rows_share")
+    val maxShare = r.getAs[Double]("max_key_share")
+    if (hotShare < PlainHotShare) JoinStrategy.Plain
+    else if (maxShare > DegenerateShare) JoinStrategy.Salted
+    else JoinStrategy.AqeSkew
+  }
+
   private val eventsKeySkewReportSql =
     s"""WITH c AS (
           SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY 1

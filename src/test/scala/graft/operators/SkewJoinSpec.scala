@@ -29,4 +29,27 @@ class SkewJoinSpec extends SparkSpec {
       .filter(col("k") === 1).select("__salt").distinct().count()
     assert(spread === 8)
   }
+
+  test("chooseJoinStrategy picks plain / aqe_skew / salted on the three planted shapes") {
+    import SkewJoin.JoinStrategy
+
+    // uniform: 100 keys × 10 rows — no key above 2× the mean
+    val uniform = spark.range(1000)
+      .select(col("id").as("row_id"), (col("id") % 100).as("k"))
+    assert(SkewJoin.chooseJoinStrategy(uniform, "k") === JoinStrategy.Plain)
+
+    // AQE-splittable: 5 keys at 10× the uniform weight carry ~34% of the
+    // rows, but the heaviest single key holds only ~7% — runtime partition
+    // splitting rebalances this without any rewrite
+    val splittable = spark.range(950)
+      .select((col("id") % 95).as("k"))
+      .unionAll(spark.range(500).select((lit(100) + col("id") % 5).as("k")))
+    assert(SkewJoin.chooseJoinStrategy(splittable, "k") === JoinStrategy.AqeSkew)
+
+    // degenerate-hot: one key owns 90% of the table — every AQE split of
+    // it still carries the same dominating build key, so salt statically
+    val degenerate = spark.range(1000)
+      .select(when(col("id") < 900, lit(0L)).otherwise(col("id")).as("k"))
+    assert(SkewJoin.chooseJoinStrategy(degenerate, "k") === JoinStrategy.Salted)
+  }
 }
