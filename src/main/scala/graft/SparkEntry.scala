@@ -31,6 +31,7 @@ object SparkEntry {
     pipeline.TextAnalysis,
     pipeline.TrainPrep,
     pipeline.CorpusQc,
+    pipeline.CurationPipeline,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

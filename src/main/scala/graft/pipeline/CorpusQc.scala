@@ -229,7 +229,7 @@ object CorpusQc extends QueryModule {
         FROM s CROSS JOIN tot ORDER BY lang"""
 
   /** Hash-threshold granularity for fractional sampling. */
-  private val Mod = 1000000
+  private[pipeline] val Mod = 1000000
 
   /** `mix_materialize`: apply [[mixWeights]]'s oversample factors to the
     * corpus — the step that actually BUILDS the mixture. Each doc gets
@@ -374,10 +374,18 @@ object CorpusQc extends QueryModule {
   def sourceReport(spark: SparkSession, sfDir: String): DataFrame =
     sourceReportOf(graft.Tables.documents(spark, sfDir))
 
-  def sourceReportOf(docs: DataFrame): DataFrame = {
+  /** Per-doc curation features — the map-only text pass shared by
+    * [[sourceReportOf]] and the composed curation pipeline
+    * (`corpus_curated_manifest`): identity, provenance, the
+    * `text_quality_score` formula's inputs, the quality double `q`, its
+    * histogram bucket `qb`, and the content fingerprint. ONE scan of the
+    * corpus text produces every column.
+    */
+  private[pipeline] def qualityFeaturesOf(docs: DataFrame): DataFrame = {
     val stop = graft.operators.TextStats.stopWords.map(w => s"'$w'").mkString(", ")
     docs.select(
-        col("source"), col("lang"),
+        col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("fp"),
         length(col("text")).cast("long").as("n_chars"),
         expr("length(regexp_replace(text, '[^a-zA-Z]', ''))").as("alpha_chars"),
         expr(raw"size(regexp_extract_all(text, '\\S+', 0))").cast("long").as("n_tokens"),
@@ -390,6 +398,10 @@ object CorpusQc extends QueryModule {
            + 0.2D * least(1.0D, CAST(n_tokens AS DOUBLE) / 100.0D)"""))
       .withColumn("qb",
         expr(s"CAST(least(greatest(floor(q * $QBuckets), 0), ${QBuckets - 1}) AS BIGINT)"))
+  }
+
+  def sourceReportOf(docs: DataFrame): DataFrame =
+    qualityFeaturesOf(docs)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -402,7 +414,6 @@ object CorpusQc extends QueryModule {
       .select("source", "n_docs", "total_tokens", "n_langs",
         "n_low_quality", "mean_quality_bucketed")
       .orderBy("source")
-  }
 
   private val sourceReportSql = {
     val stop = graft.operators.TextStats.stopWords.map(w => s"'$w'").mkString(", ")

@@ -342,13 +342,13 @@ object Dedup extends QueryModule {
     * τ=0.9: signature (map-only) → band explode → bucket equi-join for
     * candidates → exact-Jaccard verification on candidates only.
     */
-  private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+  private[pipeline] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     lshPairs(spark, s"$sfDir#dedup#minhash_unigram", docTokens(spark, sfDir), 0.9)
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(spark, sfDir).orderBy("ia", "ib")
 
-  private val minhashLshSql =
+  private[pipeline] val minhashLshSql =
     lshPairsSql(s"d AS (SELECT doc_id, list_sort($tokenHashesDuck) AS g FROM documents)", 0.9)
 
   /** SimHash near-dup pairs (hamming ≤ 3): per-row 64-bit signature, 4×16-bit

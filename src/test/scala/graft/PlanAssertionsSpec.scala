@@ -279,6 +279,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("curated manifest composes from memoized stages: zero raw-text scans in its plan") {
+    // the registered pipeline query must consume only memoized scratch
+    // tables and broadcasts — never re-scan the corpus text itself
+    val p = planOf("corpus_curated_manifest")
+    assert(!p.contains("documents.parquet"),
+      s"composed pipeline re-scans the raw corpus:\n$p")
+    // and the feature stage that feeds it is ONE map-only corpus scan
+    val compute = pipeline.CurationPipeline.featuresCompute(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(compute).size == 1,
+      s"feature stage scans more than once:\n$compute")
+    assert(!compute.contains("Exchange"), s"feature stage shuffles:\n$compute")
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
