@@ -18,6 +18,8 @@ object Bench {
       "similarity_topk_ivf" -> 0,
       "dedup_components" -> 1, "dedup_incremental" -> 1, "similarity_lsh_recall" -> 1,
       "similarity_ivf_recall" -> 1,
+      // consumes the minhash pair memo the LSH query builds
+      "corpus_curated_manifest" -> 1,
     ).withDefaultValue(0)
     val names = SparkEntry.queries.keys.toSeq.sortBy(n => (producerRank(n), n))
     def runPass(): Map[String, (Double, Option[String])] = names.map { name =>

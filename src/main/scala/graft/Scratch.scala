@@ -39,14 +39,17 @@ object Scratch {
     */
   def delete(path: String): Unit = deleteRecursively(Paths.get(path))
 
-  /** Default bucket count for persisted bucketed tables: the session's
-    * shuffle parallelism (`spark.sql.shuffle.partitions`) with 16 as the
-    * floor (the band-index convention), so bucketed layouts track the
-    * cluster's configured parallelism instead of a compile-time constant.
+  /** Default bucket count for persisted bucketed tables: the
+    * `SPARK_GRAFT_BUCKETS` env var when set, else the session's shuffle
+    * parallelism (`spark.sql.shuffle.partitions`) with 16 as the floor
+    * (the band-index convention) — bucketed layouts track the cluster's
+    * configured parallelism instead of a compile-time constant, with the
+    * env as the explicit operator override.
     */
   def defaultBuckets(spark: org.apache.spark.sql.SparkSession): Int =
-    math.max(16, scala.util.Try(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(16))
+    sys.env.get("SPARK_GRAFT_BUCKETS").map(_.trim.toInt).getOrElse(
+      math.max(16, scala.util.Try(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(16)))
 
   /** Fresh unique directory under the scratch root. */
   def dir(prefix: String): String = {
