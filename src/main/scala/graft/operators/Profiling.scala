@@ -296,11 +296,94 @@ object Profiling extends QueryModule {
         $rows ORDER BY col_x, col_y"""
   }
 
+  /** Signed limb-exact integer→double: the sign factored exactly, the
+    * magnitude through [[hlSpark]]/[[hlDuck]].
+    */
+  private def signedHl(x: String, hl: String => String): String =
+    s"(CASE WHEN $x < 0 THEN -1.0 ELSE 1.0 END) * ${hl(s"abs($x)")}"
+
+  /** The OLS slope/intercept expressions on the exact per-group moments
+    * `(n, sx, sy, sxy, sxx)`: numerator and denominator stay exact
+    * integers through the arithmetic (the corr-matrix discipline), the
+    * denominator `n·Σx² − (Σx)²` is ≥ 0 by Cauchy–Schwarz (zero only when
+    * every x in the group is equal — reported as NULL, not ±Inf), and the
+    * remaining double math is one fixed IEEE expression tree per output.
+    */
+  private def slopeExpr(hl: String => String): String = {
+    val num = "(n * sxy - sx * sy)"
+    val den = "(n * sxx - sx * sx)"
+    s"""CASE WHEN $den = 0 THEN NULL
+             ELSE ${signedHl(num, hl)} / ${hl(den)} END"""
+  }
+
+  private def interceptExpr(hl: String => String): String =
+    s"""CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+             ELSE (${signedHl("sy", hl)} - (${slopeExpr(hl)}) * ${signedHl("sx", hl)})
+                  / CAST(n AS DOUBLE) END"""
+
+  /** `brand_price_trend`: per-brand ordinary-least-squares trend of line
+    * price over ship time — GROUPED regression as a single aggregation
+    * pass, the per-segment drift statistic a pricing or data-quality
+    * monitor tracks. x = ship day (days since epoch), y = extended price
+    * in cents; slope is cents/day, intercept the day-0 baseline.
+    *
+    * Same determinism discipline as [[corrMatrix]]: both variables are
+    * exact integers, the five per-brand moments accumulate as
+    * DECIMAL/HUGEINT (associative under any partitioning), the slope's
+    * numerator/denominator stay exact through the arithmetic, and the
+    * limb-exact conversion crosses into double once per output.
+    *
+    * Shape: ONE map-side-combined aggregation over a 3-column pruned scan
+    * joined to the broadcast part dim — brands-sized state (25 × 5
+    * moments), no windows, no second pass. At 100 TB, AQE flips the
+    * fixture broadcast to shuffle if part outgrows the threshold; the
+    * moment math is unchanged.
+    */
+  def brandPriceTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate").isNotNull && col("l_extendedprice").isNotNull)
+      .select(col("l_partkey"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+          .cast("decimal(18,0)").as("x"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0))").as("y"))
+    val brands = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    li.join(broadcast(brands), "l_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("p_brand"), col("n").as("n_items"),
+        expr(slopeExpr(hlSpark)).as("slope_cents_per_day"),
+        expr(interceptExpr(hlSpark)).as("intercept_cents"))
+      .orderBy("p_brand")
+  }
+
+  private val brandPriceTrendSql =
+    s"""WITH v AS (
+          SELECT p.p_brand,
+                 CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS HUGEINT) AS x,
+                 CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+        ), m AS (
+          SELECT p_brand, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM v GROUP BY 1
+        )
+        SELECT p_brand, CAST(n AS BIGINT) AS n_items,
+               ${slopeExpr(hlDuck)} AS slope_cents_per_day,
+               ${interceptExpr(hlDuck)} AS intercept_cents
+        FROM m ORDER BY p_brand"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
     "profile_orders_kmv" -> (profileOrdersKmv _),
     "orders_chisq_independence" -> (chisqIndependence _),
     "lineitem_corr_matrix" -> (corrMatrixQ _),
+    "brand_price_trend" -> (brandPriceTrend _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -308,5 +391,6 @@ object Profiling extends QueryModule {
     "profile_orders_kmv" -> profileOrdersKmvSql,
     "orders_chisq_independence" -> chisqIndependenceSql,
     "lineitem_corr_matrix" -> corrMatrixSql,
+    "brand_price_trend" -> brandPriceTrendSql,
   )
 }

@@ -151,6 +151,38 @@ object SkewJoin extends QueryModule {
     else JoinStrategy.AqeSkew
   }
 
+  /** Execute `facts ⋈ dims` on `key` via whatever [[chooseJoinStrategy]]
+    * picks: the salted rewrite for degenerate skew, the plain shuffle join
+    * otherwise ([[JoinStrategy.AqeSkew]] needs no rewrite — the session's
+    * AQE splits oversized partitions at runtime, proven in AqeSkewSpec).
+    * Result equality across all three branches is exact — strategy only
+    * ever changes partitioning, never the match (SkewJoinSpec proves each
+    * branch against the plain join on its planted fixture).
+    */
+  def strategicJoin(facts: DataFrame, dims: DataFrame, key: String,
+                    saltSource: Column, factor: Int = 8): DataFrame =
+    chooseJoinStrategy(facts, key) match {
+      case JoinStrategy.Salted => saltedJoin(facts, dims, key, saltSource, factor)
+      case _ => facts.join(dims, Seq(key))
+    }
+
+  /** `skew_join_strategic_revenue`: the [[saltedRevenueQ]] rollup routed
+    * through [[strategicJoin]] — on the (uniform) fixture the chooser
+    * takes the plain branch, and the oracle is the identical plain-join
+    * SQL: the dispatcher itself sits under the correctness gate.
+    */
+  def strategicRevenueQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val dim = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    strategicJoin(fact, dim, "c_custkey", saltSource = col("o_orderkey"))
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double").as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
   private val eventsKeySkewReportSql =
     s"""WITH c AS (
           SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY 1
@@ -173,17 +205,21 @@ object SkewJoin extends QueryModule {
                CAST(h.hot_rows AS DOUBLE) / s.n_rows AS hot_rows_share
         FROM s, h"""
 
+  private val nationRevenueSql =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_join_salted_revenue" -> (saltedRevenueQ _),
+    "skew_join_strategic_revenue" -> (strategicRevenueQ _),
     "events_key_skew_report" -> (eventsKeySkewReport _),
   )
 
   override def oracle: Map[String, String] = Map(
-    "skew_join_salted_revenue" ->
-      """SELECT c_nationkey, COUNT(*) AS n_orders,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "skew_join_salted_revenue" -> nationRevenueSql,
+    "skew_join_strategic_revenue" -> nationRevenueSql,
     "events_key_skew_report" -> eventsKeySkewReportSql,
   )
 }

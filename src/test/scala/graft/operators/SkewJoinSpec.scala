@@ -52,4 +52,22 @@ class SkewJoinSpec extends SparkSpec {
       .select(when(col("id") < 900, lit(0L)).otherwise(col("id")).as("k"))
     assert(SkewJoin.chooseJoinStrategy(degenerate, "k") === JoinStrategy.Salted)
   }
+
+  test("strategicJoin equals the plain join through every branch") {
+    val dims = (0L to 120L).map(k => (k, s"dim$k")).toDF("k", "label")
+    val fixtures = Seq(
+      spark.range(1000).select(col("id").as("row_id"), (col("id") % 100).as("k")),
+      spark.range(950).select(col("id").as("row_id"), (col("id") % 95).as("k"))
+        .unionAll(spark.range(500).select((col("id") + 1000).as("row_id"),
+          (lit(100) + col("id") % 5).as("k"))),
+      spark.range(1000).select(col("id").as("row_id"),
+        when(col("id") < 900, lit(0L)).otherwise(col("id") % 120).as("k")))
+    for (facts <- fixtures) {
+      val plain = facts.join(dims, Seq("k"))
+        .select("row_id", "k", "label").orderBy("row_id").collect().toSeq
+      val routed = SkewJoin.strategicJoin(facts, dims, "k", col("row_id"))
+        .select("row_id", "k", "label").orderBy("row_id").collect().toSeq
+      assert(routed === plain)
+    }
+  }
 }
