@@ -776,6 +776,112 @@ object Dedup extends QueryModule {
         FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
         ORDER BY d.doc_id"""
 
+  // ---- sparse-cosine near-dup (postings self-join) ----
+
+  /** Char-shingle window / stride for the sparse-cosine universe — the
+    * fingerprint geometry (`text_fingerprint`), reused so the two
+    * shingle-grain operators agree on what a "feature" is.
+    */
+  val CosShingleChars = 8
+  val CosStride = 4
+
+  /** Cosine threshold for [[sparseCosineDedup]] (the fixture separates
+    * cleanly: planted near-dups score ≥ 0.9, everything else < 0.5).
+    */
+  val CosThreshold = 0.9
+
+  /** (doc_id, h, tf): hashed-shingle term frequencies, memoized — the
+    * postings table. Consumed three times (df filter, norms, both sides of
+    * the dot-product self-join), computed once. Shingles ship as 60-bit
+    * BIGINT hashes: 8-byte join/shuffle keys, same hash in the oracle.
+    */
+  private def shinglePostings(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#dedup#cos_postings#$CosShingleChars#$CosStride") {
+      Tables.documents(spark, sfDir)
+        .filter(length(col("text")) >= CosShingleChars)
+        .select(col("doc_id"),
+          explode(expr(
+            s"sequence(1, length(text) - ${CosShingleChars - 1}, $CosStride)")).as("pos"),
+          col("text"))
+        .select(col("doc_id"),
+          expr(hash60(s"substring(text, pos, $CosShingleChars)")).as("h"))
+        .groupBy("doc_id", "h")
+        .agg(count(lit(1)).as("tf"))
+    }
+
+  /** `dedup_cosine_sparse`: EXACT sparse-vector cosine near-dup pairs via
+    * an inverted-postings self-join — the third leg of the similarity
+    * triptych: set overlap (`dedup_minhash_lsh`, Jaccard), SPARSE vectors
+    * (this — term-frequency cosine), dense vectors (`dedup_embedding` /
+    * the ANN family). No sketch, no recall loss: the integer dot product
+    * `Σ tf_a·tf_b` is an exact associative sum under ANY partitioning, so
+    * unlike a double-weighted (tf·idf) dot — whose `ln` is not bit-stable
+    * across engines and whose addition order matters — the score is
+    * hash-reproducible: one double division against exactly-rounded
+    * sqrt norms per surviving pair.
+    *
+    * Scale: the postings self-join's fan-out is Σ_term df² — the df cap
+    * (terms in more than half the corpus are dropped from the score, the
+    * standard near-stopword exclusion) hard-bounds the per-term cost, and
+    * the memoized postings table pays the corpus scan once. The candidate
+    * shuffle is (h: bigint)-keyed; the (ia, ib) re-aggregation is the one
+    * unavoidable pair-grain shuffle. At larger candidate volumes the
+    * standard prefix-filter refinement composes on top; the df cap alone
+    * keeps the fixture's 95k candidates honest (25 survivors).
+    */
+  def sparseCosineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val p0 = shinglePostings(spark, sfDir)
+    val nDocs = p0.select(col("doc_id")).distinct().agg(count(lit(1))).scalar()
+    val keep = p0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 2 <= nDocs).select("h")
+    val p = p0.join(keep, "h") // vocab-sized side broadcasts at any realistic ratio
+    val norms = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn"))
+    val dots = p.select(col("doc_id").as("ia"), col("h"), col("tf").as("tfa"))
+      .join(p.select(col("doc_id").as("ib"), col("h"), col("tf").as("tfb")), "h")
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib")
+      .agg(sum(col("tfa") * col("tfb")).as("d"))
+    dots
+      .join(norms.select(col("doc_id").as("ia"), col("nn").as("na")), "ia")
+      .join(norms.select(col("doc_id").as("ib"), col("nn").as("nb")), "ib")
+      .withColumn("cosine",
+        col("d").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= CosThreshold)
+      .select("ia", "ib", "cosine")
+      .orderBy("ia", "ib")
+  }
+
+  private val sparseCosineDedupSql =
+    s"""WITH w AS (
+          SELECT doc_id,
+                 ${hash60Duck(s"substring(text, pos, $CosShingleChars)")} AS h
+          FROM (SELECT doc_id, text,
+                       unnest(range(1, length(text) - ${CosShingleChars - 2}, $CosStride)) AS pos
+                FROM documents WHERE length(text) >= $CosShingleChars)
+        ), tf AS (
+          SELECT doc_id, h, COUNT(*) AS tf FROM w GROUP BY 1, 2
+        ), stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        keep AS (
+          SELECT h FROM (SELECT h, COUNT(*) AS df FROM tf GROUP BY 1), stats
+          WHERE df * 2 <= n_docs
+        ), p AS (
+          SELECT t.doc_id, t.h, t.tf FROM tf t JOIN keep USING (h)
+        ), n2 AS (
+          SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nn FROM p GROUP BY 1
+        ), dots AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(SUM(a.tf * b.tf) AS BIGINT) AS d
+          FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT ia, ib,
+               CAST(d AS DOUBLE)
+                 / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+        FROM dots JOIN n2 na ON na.doc_id = ia JOIN n2 nb ON nb.doc_id = ib
+        WHERE CAST(d AS DOUBLE)
+                / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= $CosThreshold
+        ORDER BY ia, ib"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (jaccardDedup _),
@@ -785,6 +891,7 @@ object Dedup extends QueryModule {
     "dedup_components" -> (componentsDedup _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_span_overlap" -> (spanOverlap _),
+    "dedup_cosine_sparse" -> (sparseCosineDedup _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -796,5 +903,6 @@ object Dedup extends QueryModule {
     "dedup_components" -> componentsDedupSql,
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_span_overlap" -> spanOverlapSql,
+    "dedup_cosine_sparse" -> sparseCosineDedupSql,
   )
 }
