@@ -218,18 +218,28 @@ object History extends QueryModule {
       .withColumn("o_orderpriority",
         when(col("op") === "U", concat(lit("UPD-"), col("o_orderpriority")))
           .otherwise(col("o_orderpriority")))
-    val b = batch.columns.filter(_ != "o_orderkey").foldLeft(batch) {
+    mergeCdc(state, batch, "o_orderkey").orderBy("o_orderkey")
+  }
+
+  /** The schema-generic MERGE core behind [[cdcUpsert]] (and its streaming
+    * twin, `graft.streaming.CdcStream`): `state ⟗ batch` on `key`; a batch
+    * row with op 'U' REPLACES the state row wholesale (or inserts), op 'D'
+    * tombstones it. Output columns = the state schema. Presence is tested
+    * on the op column only, so NULL payload columns merge correctly; the
+    * plan is ONE key shuffle (or zero state-side exchanges when the state
+    * is bucketed, as `cdcState` persists it).
+    */
+  def mergeCdc(state: DataFrame, batch: DataFrame, key: String): DataFrame = {
+    require(batch.columns.contains("op"),
+      s"batch needs an 'op' column (U=upsert, D=delete); got ${batch.columns.mkString(",")}")
+    val dataCols = state.columns.filter(_ != key)
+    val b = batch.columns.filter(_ != key).foldLeft(batch) {
       (df, c) => df.withColumnRenamed(c, s"b_$c")
     }
-    state.join(b, Seq("o_orderkey"), "full_outer")
+    state.join(b, Seq(key), "full_outer")
       .filter(col("b_op").isNull || col("b_op") =!= "D")
-      .select(col("o_orderkey"),
-        when(col("b_op").isNotNull, col("b_o_custkey")).otherwise(col("o_custkey")).as("o_custkey"),
-        when(col("b_op").isNotNull, col("b_o_orderstatus")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
-        when(col("b_op").isNotNull, col("b_o_totalprice")).otherwise(col("o_totalprice")).as("o_totalprice"),
-        when(col("b_op").isNotNull, col("b_o_orderdate")).otherwise(col("o_orderdate")).as("o_orderdate"),
-        when(col("b_op").isNotNull, col("b_o_orderpriority")).otherwise(col("o_orderpriority")).as("o_orderpriority"))
-      .orderBy("o_orderkey")
+      .select(col(key) +: dataCols.map(c =>
+        when(col("b_op").isNotNull, col(s"b_$c")).otherwise(col(c)).as(c)): _*)
   }
 
   /** The keyed CDC state table, persisted bucketed+sorted by `o_orderkey`
