@@ -20,6 +20,8 @@ object Bench {
       "similarity_ivf_recall" -> 1,
       // consumes the minhash pair memo the LSH query builds
       "corpus_curated_manifest" -> 1,
+      // consumes the shingle-postings memo the exact cosine query builds
+      "dedup_cosine_lsh" -> 1,
     ).withDefaultValue(0)
     val names = SparkEntry.queries.keys.toSeq.sortBy(n => (producerRank(n), n))
     def runPass(): Map[String, (Double, Option[String])] = names.map { name =>

@@ -995,8 +995,89 @@ object Events extends QueryModule {
          ON d.event_type = s.event_type AND d.day = s.day
        ORDER BY 1, 2"""
 
+  /** `events_daily_resampled`: quality-gated daily resampling with linear
+    * imputation — the time-series cleaning step between raw telemetry and
+    * a trainer/forecaster: a day whose sample count falls below the
+    * series' mean is UNRELIABLE (sensor flakiness, partial ingest), so
+    * its aggregate is replaced by the linear interpolation between the
+    * nearest reliable neighbors; leading/trailing unreliable days report
+    * NULL (no anchor to interpolate from).
+    *
+    * Determinism: the gate is an exact integer comparison
+    * (`n·n_days ≥ total` — no double mean), the daily aggregate is MAX
+    * (order-independent, unlike a double sum), anchors are picked by
+    * IGNORE NULLS window navigation over the total day order, and the
+    * imputation is one fixed IEEE tree over exact day distances — both
+    * engines compute bit-identical values.
+    *
+    * Shape: the event stream pays its ONE daily-aggregate shuffle; the
+    * gate re-enters as a 1-row broadcast; the windows ride the days-sized
+    * series (unpartitioned `Window.orderBy` safe by calendar cardinality:
+    * 365 rows/year regardless of event volume).
+    */
+  def dailyResampled(spark: SparkSession, sfDir: String): DataFrame =
+    dailyResampledOf(Tables.events(spark, sfDir))
+
+  /** [[dailyResampled]] core over any (ts, value) frame. */
+  def dailyResampledOf(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"))
+      .agg(count(lit(1)).as("n"), max("value").as("v"))
+    val gate = daily.agg(sum("n").as("total"), count(lit(1)).as("n_days"))
+    val gated = daily.crossJoin(broadcast(gate)) // 1-row gate
+      .withColumn("observed", col("n") * col("n_days") >= col("total"))
+    val asc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    val desc = Window.orderBy("d").rowsBetween(1, Window.unboundedFollowing)
+    def anchored(c: String) = when(col("observed"), col(c))
+    gated
+      .withColumn("pv", last(anchored("v"), ignoreNulls = true).over(asc))
+      .withColumn("pd", last(anchored("d"), ignoreNulls = true).over(asc))
+      .withColumn("nv", first(anchored("v"), ignoreNulls = true).over(desc))
+      .withColumn("nd", first(anchored("d"), ignoreNulls = true).over(desc))
+      .withColumn("value_resampled",
+        when(col("observed"), col("v"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              ((col("d") - col("pd")).cast("double") / (col("nd") - col("pd")).cast("double"))))
+      .select(
+        date_format(expr("date_add(DATE '1970-01-01', CAST(d AS INT))"), "yyyy-MM-dd")
+          .as("day"),
+        col("n").as("n_events"), col("observed"), col("value_resampled"))
+      .orderBy("day")
+  }
+
+  private val dailyResampledSql =
+    """WITH daily AS (
+         SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                COUNT(*) AS n, MAX(value) AS v
+         FROM events WHERE ts IS NOT NULL GROUP BY 1
+       ), gate AS (
+         SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_days FROM daily
+       ), g AS (
+         SELECT d, n, v, n * n_days >= total AS observed FROM daily CROSS JOIN gate
+       ), a AS (
+         SELECT d, n, v, observed,
+                last_value(CASE WHEN observed THEN v END IGNORE NULLS)
+                  OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                last_value(CASE WHEN observed THEN d END IGNORE NULLS)
+                  OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+                first_value(CASE WHEN observed THEN v END IGNORE NULLS)
+                  OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN observed THEN d END IGNORE NULLS)
+                  OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+         FROM g
+       )
+       SELECT strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS day,
+              n AS n_events, observed,
+              CASE WHEN observed THEN v
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN pv + (nv - pv) * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                   END AS value_resampled
+       FROM a ORDER BY day"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_daily_gapfilled" -> (dailyGapfilled _),
+    "events_daily_resampled" -> (dailyResampled _),
     "events_value_quantiles" -> (valueQuantiles _),
     "events_value_quantiles_hist" -> (valueQuantilesHist _),
     "events_rolling_active_users" -> (rollingActiveUsers _),
@@ -1021,6 +1102,7 @@ object Events extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "events_daily_gapfilled" -> dailyGapfilledSql,
+    "events_daily_resampled" -> dailyResampledSql,
     "events_value_quantiles" -> valueQuantilesSql,
     "events_value_quantiles_hist" -> valueQuantilesHistSql,
     "events_rolling_active_users" -> rollingActiveUsersSql,

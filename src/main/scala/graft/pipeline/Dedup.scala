@@ -257,21 +257,7 @@ object Dedup extends QueryModule {
       // ~1.6×: the nested higher-order functions build interpreted
       // GenericArrayData per cell while the join stays inside whole-stage
       // codegen end-to-end.
-      val allBands = lshBands(spark, stageKey, docs)
-      // skew guard (see MaxBucket): the window shuffle partitions by the same
-      // keys the self-join needs, so the exchange is reused, not added
-      val bands = allBands
-        .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_key")))
-        .filter(col("bucket_n") <= MaxBucket)
-        .drop("bucket_n")
-      val candidates = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
-        // distinct BEFORE verification is load-bearing: bands duplicate each
-        // colliding pair ~2.3×, and deduping after the array-intersect
-        // verify instead measured 4× slower end-to-end
-        .distinct()
+      val candidates = lshCandidatePairs(spark, stageKey, docs)
       val ga = docs.select(col("doc_id").as("ia"), col("g").as("ga"))
       val gb = docs.select(col("doc_id").as("ib"), col("g").as("gb"))
       candidates.join(ga, "ia").join(gb, "ib")
@@ -283,11 +269,36 @@ object Dedup extends QueryModule {
         .select("ia", "ib", "jaccard")
     }
 
-  /** DuckDB twin of [[lshPairs]]: `docCte` must define `d(doc_id, g)` with
-    * `g` the sorted 60-bit hash list.
+  /** Distinct band-collision candidate pairs (ia < ib) over a memoized
+    * (doc_id, g) hash universe — the LSH candidate stage shared by the
+    * Jaccard verifiers ([[lshPairs]]) and the exact-dot cosine verifier
+    * ([[sparseCosineLsh]]).
     */
-  private def lshPairsSql(docCte: String, threshold: Double): String =
-    s"""WITH $docCte, s AS (
+  private def lshCandidatePairs(spark: SparkSession, stageKey: String,
+                                docs: DataFrame): DataFrame = {
+    val allBands = lshBands(spark, stageKey, docs)
+    // skew guard (see MaxBucket): the window shuffle partitions by the same
+    // keys the self-join needs, so the exchange is reused, not added
+    val bands = allBands
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_key")))
+      .filter(col("bucket_n") <= MaxBucket)
+      .drop("bucket_n")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      // distinct BEFORE verification is load-bearing: bands duplicate each
+      // colliding pair ~2.3×, and deduping after the array-intersect
+      // verify instead measured 4× slower end-to-end
+      .distinct()
+  }
+
+  /** The LSH candidate CTE chain (DuckDB): `docCte` must define
+    * `d(doc_id, g)` with `g` the sorted 60-bit hash list; ends with
+    * `cand(ia, ib)` — the twin of [[lshCandidatePairs]].
+    */
+  private def lshCandCtesDuck(docCte: String): String =
+    s"""$docCte, s AS (
           SELECT doc_id, g, ${minhashSigDuckOf("g")} AS sig FROM d
         ), all_bands AS (
           SELECT doc_id, b AS band,
@@ -304,7 +315,13 @@ object Dedup extends QueryModule {
           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
           FROM bands x JOIN bands y
             ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-        )
+        )"""
+
+  /** DuckDB twin of [[lshPairs]]: `docCte` must define `d(doc_id, g)` with
+    * `g` the sorted 60-bit hash list.
+    */
+  private def lshPairsSql(docCte: String, threshold: Double): String =
+    s"""WITH ${lshCandCtesDuck(docCte)}
         SELECT c.ia, c.ib,
                CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                  / len(list_distinct(a.g || b.g)) AS jaccard
@@ -882,6 +899,90 @@ object Dedup extends QueryModule {
                 / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= $CosThreshold
         ORDER BY ia, ib"""
 
+  /** (doc_id, g): sorted DISTINCT shingle-hash sets — the banding universe
+    * for [[sparseCosineLsh]], memoized (the band memo consumes it twice).
+    */
+  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#dedup#cos_sets#$CosShingleChars#$CosStride") {
+      shinglePostings(spark, sfDir)
+        .groupBy("doc_id")
+        .agg(expr("array_sort(collect_list(h))").as("g"))
+    }
+
+  /** `dedup_cosine_lsh`: [[sparseCosineDedup]]'s SCALE path — the same
+    * exact integer-dot cosine verification, but only over MinHash-band
+    * candidate pairs instead of the full postings self-join. The exact
+    * form's cost is Σ_term df² (55M contribution rows on the sf0.1
+    * fixture); here the quadratic step happens only inside colliding band
+    * buckets ([[MaxBucket]]-guarded), and the verify joins the postings of
+    * the candidate pairs alone. Keep both: the exact query is the
+    * oracle-baseline (the `profile_orders` / `profile_orders_kmv`
+    * precedent), this is what runs at 100 TB.
+    *
+    * Candidates are the standard LSH trade: a τ ≥ [[CosThreshold]] pair
+    * missing every band is possible in principle; on the fixture the
+    * candidate set covers the exact pair list in full (spec'd at sf0.001
+    * against [[sparseCosineDedup]]).
+    */
+  def sparseCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val p0 = shinglePostings(spark, sfDir)
+    val nDocs = p0.select(col("doc_id")).distinct().agg(count(lit(1))).scalar()
+    val keep = p0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 2 <= nDocs).select("h")
+    val p = p0.join(keep, "h")
+    val norms = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn"))
+    val cand = lshCandidatePairs(spark,
+      s"$sfDir#dedup#cos_shingle$CosShingleChars", shingleSets(spark, sfDir))
+    val dots = cand
+      .join(p.select(col("doc_id").as("ia"), col("h"), col("tf").as("tfa")), "ia")
+      .join(p.select(col("doc_id").as("ib"), col("h"), col("tf").as("tfb")), Seq("ib", "h"))
+      .groupBy("ia", "ib")
+      .agg(sum(col("tfa") * col("tfb")).as("d"))
+    dots
+      .join(norms.select(col("doc_id").as("ia"), col("nn").as("na")), "ia")
+      .join(norms.select(col("doc_id").as("ib"), col("nn").as("nb")), "ib")
+      .withColumn("cosine",
+        col("d").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= CosThreshold)
+      .select("ia", "ib", "cosine")
+      .orderBy("ia", "ib")
+  }
+
+  private val sparseCosineLshSql =
+    s"""WITH w AS (
+          SELECT doc_id,
+                 ${hash60Duck(s"substring(text, pos, $CosShingleChars)")} AS h
+          FROM (SELECT doc_id, text,
+                       unnest(range(1, length(text) - ${CosShingleChars - 2}, $CosStride)) AS pos
+                FROM documents WHERE length(text) >= $CosShingleChars)
+        ), tf AS (
+          SELECT doc_id, h, COUNT(*) AS tf FROM w GROUP BY 1, 2
+        ), stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        keep AS (
+          SELECT h FROM (SELECT h, COUNT(*) AS df FROM tf GROUP BY 1), stats
+          WHERE df * 2 <= n_docs
+        ), p AS (
+          SELECT t.doc_id, t.h, t.tf FROM tf t JOIN keep USING (h)
+        ), n2 AS (
+          SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nn FROM p GROUP BY 1
+        ), ${lshCandCtesDuck(
+          "d AS (SELECT doc_id, list_sort(list(h)) AS g FROM tf GROUP BY doc_id)")},
+        dots AS (
+          SELECT c.ia, c.ib, CAST(SUM(a.tf * b.tf) AS BIGINT) AS d
+          FROM cand c
+          JOIN p a ON a.doc_id = c.ia
+          JOIN p b ON b.doc_id = c.ib AND b.h = a.h
+          GROUP BY 1, 2
+        )
+        SELECT ia, ib,
+               CAST(d AS DOUBLE)
+                 / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+        FROM dots JOIN n2 na ON na.doc_id = ia JOIN n2 nb ON nb.doc_id = ib
+        WHERE CAST(d AS DOUBLE)
+                / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= $CosThreshold
+        ORDER BY ia, ib"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (jaccardDedup _),
@@ -892,6 +993,7 @@ object Dedup extends QueryModule {
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_span_overlap" -> (spanOverlap _),
     "dedup_cosine_sparse" -> (sparseCosineDedup _),
+    "dedup_cosine_lsh" -> (sparseCosineLsh _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -904,5 +1006,6 @@ object Dedup extends QueryModule {
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_span_overlap" -> spanOverlapSql,
     "dedup_cosine_sparse" -> sparseCosineDedupSql,
+    "dedup_cosine_lsh" -> sparseCosineLshSql,
   )
 }

@@ -183,4 +183,12 @@ class DedupSemanticsSpec extends SparkSpec {
       (1L, 2L) -> 43L, (1L, 3L) -> 35L, (2L, 3L) -> 35L,
       (10L, 11L) -> 41L, (10L, 12L) -> 39L, (11L, 12L) -> 39L))
   }
+
+  test("cosine LSH scale path recovers the exact postings-join pair list") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val exact = rows(Dedup.sparseCosineDedup(spark, Sf0001))
+    assert(exact.nonEmpty, "fixture should contain cosine near-dups")
+    // same pairs, same bit-exact cosines: band candidates lost nothing here
+    assert(rows(Dedup.sparseCosineLsh(spark, Sf0001)) === exact)
+  }
 }
