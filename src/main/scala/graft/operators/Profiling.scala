@@ -378,12 +378,62 @@ object Profiling extends QueryModule {
                ${interceptExpr(hlDuck)} AS intercept_cents
         FROM m ORDER BY p_brand"""
 
+  /** NULL sentinel for [[ordersChecksum]]'s row serialization — must be a
+    * string no data column can produce; '<NULL>' is documented convention,
+    * and a collision would need the literal text in a key/date column.
+    */
+  private val NullMark = "<NULL>"
+
+  /** `orders_table_checksum`: ORDER-INDEPENDENT content fingerprint of the
+    * orders table — the audit both sides of a migration / replication /
+    * CDC-merge run to prove "same rows" without sorting or moving data.
+    * Each row serializes to a canonical string (fixed column order, typed
+    * formats — DECIMAL strings for money, yyyy-MM-dd for dates, NULLs as
+    * a sentinel), hashes to 60 bits, and the table's checksum is the SUM
+    * of row hashes: commutative and associative, so ANY partitioning, row
+    * order, cluster size — or engine — produces the identical value
+    * (DECIMAL(38) accumulator: no overflow until ~10²⁶ rows). One map-side
+    * combined pass, 2-value state; the weakness of sum-vs-multiset
+    * (a forged collision needs hash control) is acceptable for drift
+    * detection, which is this operator's job.
+    */
+  def ordersChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq(
+      "CAST(o_orderkey AS STRING)",
+      "CAST(o_custkey AS STRING)",
+      "o_orderstatus",
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING)",
+      "date_format(o_orderdate, 'yyyy-MM-dd')",
+      "o_orderpriority")
+    val rowStr = cols.map(c => s"coalesce($c, '$NullMark')").mkString("concat_ws('|', ", ", ", ")")
+    Tables.orders(spark, sfDir)
+      .select(expr(graft.pipeline.Dedup.hash60(rowStr)).cast("decimal(38,0)").as("fp"))
+      .agg(count(lit(1)).as("n_rows"), sum("fp").as("cs"))
+      .select(col("n_rows"), col("cs").cast("string").as("checksum"))
+  }
+
+  private val ordersChecksumSql = {
+    val cols = Seq(
+      "CAST(o_orderkey AS VARCHAR)",
+      "CAST(o_custkey AS VARCHAR)",
+      "o_orderstatus",
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)",
+      "strftime(o_orderdate, '%Y-%m-%d')",
+      "o_orderpriority")
+    val rowStr = cols.map(c => s"coalesce($c, '$NullMark')").mkString(" || '|' || ")
+    s"""SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(${graft.pipeline.Dedup.hash60Duck(rowStr)} AS HUGEINT)) AS VARCHAR)
+                 AS checksum
+        FROM orders"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
     "profile_orders_kmv" -> (profileOrdersKmv _),
     "orders_chisq_independence" -> (chisqIndependence _),
     "lineitem_corr_matrix" -> (corrMatrixQ _),
     "brand_price_trend" -> (brandPriceTrend _),
+    "orders_table_checksum" -> (ordersChecksum _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -392,5 +442,6 @@ object Profiling extends QueryModule {
     "orders_chisq_independence" -> chisqIndependenceSql,
     "lineitem_corr_matrix" -> corrMatrixSql,
     "brand_price_trend" -> brandPriceTrendSql,
+    "orders_table_checksum" -> ordersChecksumSql,
   )
 }

@@ -37,7 +37,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q1_wordcount_top20", "q1_length_histogram", "q1_corpus_stats",
     "text_tfidf_keywords", "text_heavy_hitters_cms", "train_negative_pairs",
     "docs_chunked", "docs_stratified_sample", "corpus_source_report",
-    "text_inverted_index", "text_bigram_lm")
+    "text_inverted_index", "text_bigram_lm",
+    "dedup_cosine_sparse", "dedup_cosine_lsh", "corpus_curated_manifest")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else
