@@ -53,11 +53,13 @@ object CdcStream {
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .start()
 
-  /** Latest materialized state version under `stateDir`. */
+  /** Latest materialized state version under `stateDir`; −1 when no
+    * version has landed (missing or empty directory).
+    */
   def latestVersion(spark: SparkSession, stateDir: String): Long = {
-    val dirs = new java.io.File(stateDir).listFiles()
-    if (dirs == null) -1L
-    else dirs.map(_.getName).filter(_.startsWith("v=")).map(_.drop(2).toLong).max
+    val dirs = Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+    val versions = dirs.map(_.getName).filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    if (versions.isEmpty) -1L else versions.max
   }
 
   def latestState(spark: SparkSession, stateDir: String): DataFrame =
