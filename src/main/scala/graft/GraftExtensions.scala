@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
+import graft.plans.{AsOfJoinStrategy, PushLeftFilterThroughAsOf}
+
 /** Session extension installing graft's native SQL functions, wired with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the public
   * extension point, so any Spark deployment (cluster or local) picks the
@@ -16,6 +18,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `bloom_filter_agg` / `might_contain` (Spark's own runtime-filter
   * expressions surfaced for deliberate use; see [[functions.BloomAgg]],
   * [[functions.MightContain]], [[operators.BloomJoin]]).
+  *
+  * Plans: the native as-of join ([[plans.AsOfJoinNode]] →
+  * [[plans.AsOfMergeExec]] via [[plans.AsOfJoinStrategy]]) plus its one
+  * safe rewrite, [[plans.PushLeftFilterThroughAsOf]], injected into the
+  * operator-optimization batch so left-side filters reach the scan.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -25,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.KmvSketchAgg.description)
     ext.injectFunction(functions.MightContain.description)
     ext.injectFunction(functions.BloomAgg.description)
+    ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => new PushLeftFilterThroughAsOf)
   }
 }

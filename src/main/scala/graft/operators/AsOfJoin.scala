@@ -1,10 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryModule, Tables}
+import graft.plans.AsOfJoinNode
 
 /** As-of join: attach to every left row the payload of the single most
   * recent right row on the same key (right.ts < left.ts when `strict`,
@@ -85,11 +88,73 @@ object AsOfJoin extends QueryModule {
       .select(leftOut ++ matchOut: _*)
   }
 
+  /** Native-operator form of [[asof]]: plans to [[graft.plans.AsOfMergeExec]],
+    * a streamed O(1)-state merge of two (key, ts)-sorted runs — the
+    * sort-merge-join cost model instead of the union+window's combined sort
+    * run and per-key frame state. Same semantics, same signature; see
+    * [[graft.plans.AsOfJoinNode]] for the plan-level contract.
+    *
+    * The right side is pre-projected to keys + ts + payload and every
+    * column re-aliased (fresh exprIds), so a self-join — both sides derived
+    * from the same table, the attribution case — can never carry ambiguous
+    * attribute references into the node.
+    */
+  def asofMerge(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      strict: Boolean = true): DataFrame = {
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"payload columns collide with left: $collisions")
+    require(payload.nonEmpty, "payload must name at least one right column")
+
+    val rKeyNames = keys.map(k => s"__asof_k_$k")
+    val pruned = right.select(
+      keys.zip(rKeyNames).map { case (k, a) => col(k).as(a) } ++
+        Seq(col(rightTs).cast("timestamp").as("__asof_ts")) ++
+        payload.map(c => col(c).as(c)): _*)
+
+    val lPlan = GraftSqlBridge.analyzed(left)
+    val rPlan = GraftSqlBridge.analyzed(pruned)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+
+    val lTime = attr(lPlan, leftTs)
+    val rTime = attr(rPlan, "__asof_ts")
+    require(lTime.dataType == rTime.dataType,
+      s"left ts ($leftTs: ${lTime.dataType}) must already be ${rTime.dataType}")
+    GraftSqlBridge.ofRows(left.sparkSession, AsOfJoinNode(
+      leftKeys = keys.map(attr(lPlan, _)),
+      rightKeys = rKeyNames.map(attr(rPlan, _)),
+      leftTime = lTime,
+      rightTime = rTime,
+      payload = payload.map(attr(rPlan, _)),
+      strict = strict,
+      left = lPlan,
+      right = rPlan))
+  }
+
   /** Purchases attributed to the user's most recent strictly-earlier view:
     * the point-wise twin of `events_attribution`'s window join. Gap is in
     * whole (floor-truncated) seconds so both engines agree on sub-second ts.
     */
-  def asofViewQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def asofViewQ(spark: SparkSession, sfDir: String): DataFrame =
+    asofViewUsing(asof(_, _, _, _, _, _))(spark, sfDir)
+
+  /** Same question through the native [[asofMerge]] operator — shares the
+    * oracle SQL with [[asofViewQ]], so the DuckDB `ASOF JOIN` checks both
+    * the compositional and the native plan.
+    */
+  def asofViewMergeQ(spark: SparkSession, sfDir: String): DataFrame =
+    asofViewUsing(asofMerge(_, _, _, _, _, _))(spark, sfDir)
+
+  private def asofViewUsing(
+      join: (DataFrame, DataFrame, Seq[String], String, String, Seq[String]) => DataFrame)(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir).filter(col("ts").isNotNull)
     val purchases = e
       .filter(col("event_type") === "purchase")
@@ -97,8 +162,7 @@ object AsOfJoin extends QueryModule {
     val views = e
       .filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
-    asof(purchases, views, keys = Seq("user_id"),
-        leftTs = "ts", rightTs = "view_ts", payload = Seq("view_id", "view_ts"))
+    join(purchases, views, Seq("user_id"), "ts", "view_ts", Seq("view_id", "view_ts"))
       .select(
         col("purchase_id"),
         col("user_id"),
@@ -123,10 +187,12 @@ object AsOfJoin extends QueryModule {
        ORDER BY purchase_id"""
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_asof_view" -> (asofViewQ _)
+    "events_asof_view" -> (asofViewQ _),
+    "events_asof_view_native" -> (asofViewMergeQ _)
   )
 
   override def oracle: Map[String, String] = Map(
-    "events_asof_view" -> asofViewSql
+    "events_asof_view" -> asofViewSql,
+    "events_asof_view_native" -> asofViewSql
   )
 }
