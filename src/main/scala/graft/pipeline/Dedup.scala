@@ -742,6 +742,19 @@ object Dedup extends QueryModule {
       .select(col("n.id").as("id"), coalesce(col("r.lbl"), col("n.lbl")).as("lbl"))
   }
 
+  /** (doc_id, lbl): every paired document labeled by its near-dup connected
+    * component — the shared cluster table behind `dedup_components` and
+    * `dedup_canonical`, memoized so the iterative label propagation runs
+    * ONCE per corpus however many consumers ask (the memoized pair tables
+    * feed it the same way: materialize once, consume everywhere).
+    */
+  private def componentLabels(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#dedup#cc_labels") {
+      val pairs = minhashPairs(spark, sfDir).select("ia", "ib")
+        .union(simhashPairs(spark, sfDir).select("ia", "ib"))
+      components(pairs).select(col("id").as("doc_id"), col("lbl"))
+    }
+
   /** `dedup_components`: the end-to-end corpus dedup the pair queries feed —
     * connected components over the UNION of the MinHash-LSH and SimHash
     * near-dup pairs, resolved to one canonical survivor (min doc_id) per
@@ -750,13 +763,7 @@ object Dedup extends QueryModule {
     * `is_duplicate` rows is the actual dedup a training pipeline runs.
     */
   def componentsDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    // the memoized pair tables — computed once per run whether this query or
-    // dedup_minhash_lsh / dedup_simhash runs first (production DAG shape:
-    // materialize pairs once, consume everywhere)
-    val pairs = minhashPairs(spark, sfDir).select("ia", "ib")
-      .union(simhashPairs(spark, sfDir).select("ia", "ib"))
-    val labels = components(pairs)
-      .select(col("id").as("doc_id"), col("lbl"))
+    val labels = componentLabels(spark, sfDir)
     val w = Window.partitionBy("canonical_id")
     Tables.documents(spark, sfDir).select("doc_id")
       .join(labels, Seq("doc_id"), "left")
@@ -792,6 +799,78 @@ object Dedup extends QueryModule {
                d.doc_id <> COALESCE(l.canon, d.doc_id) AS is_duplicate
         FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
         ORDER BY d.doc_id"""
+
+  /** `dedup_canonical`: quality-aware survivor selection — the step after
+    * clustering that `dedup_components`' min-id canonical deliberately
+    * skips. Per near-dup cluster, KEEP the highest-quality document (the
+    * `text_quality_score` composite, ties to the lowest doc_id) and mark
+    * the rest for drop: detect → cluster → select, the full dedup decision
+    * a training pipeline actually ships.
+    *
+    * Shape: the memoized cluster labels join ([[componentLabels]], computed
+    * once per corpus) + the map-only quality pass, then ONE shuffle on
+    * `cluster_id` serving both windows (size count and argmax row_number
+    * share the partitioning; Spark plans one Exchange, two Window passes
+    * over the same sort run). Quality-less documents (token-free text)
+    * coalesce to −1 so they can only survive as singletons — mirrored in
+    * the oracle, so the double-ordered argmax is bit-deterministic in both
+    * engines.
+    *
+    * At 100 TB: cluster cardinality ≈ corpus cardinality (most docs are
+    * singletons), so the window shuffle is the same scale as the exact-dedup
+    * groupBy; state per cluster is O(1) (running count + current best).
+    */
+  def canonicalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = componentLabels(spark, sfDir)
+    val quality = TextAnalysis.qualityScoreOf(Tables.documents(spark, sfDir))
+      .select("doc_id", "quality_score")
+    val w = Window.partitionBy("cluster_id")
+    val pick = w.orderBy(col("quality_score").desc, col("doc_id"))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .drop("lbl")
+      .join(quality, Seq("doc_id"), "left")
+      .withColumn("quality_score", coalesce(col("quality_score"), lit(-1.0)))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keep", row_number().over(pick) === 1)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: the `dedup_components` closure labels + the
+    * `text_quality_score` composite, argmax per cluster by (quality DESC,
+    * doc_id).
+    */
+  private val canonicalDedupSql =
+    s"""WITH RECURSIVE pairs AS (
+          SELECT ia, ib FROM ($minhashLshSql)
+          UNION
+          SELECT ia, ib FROM ($simhashDedupSql)
+        ), edges AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION
+          SELECT ib, ia FROM pairs
+        ), reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), lbl AS (
+          SELECT a AS doc_id, LEAST(MIN(b), a) AS canon FROM reach GROUP BY a
+        ), q AS (
+          SELECT doc_id, quality_score FROM (${TextAnalysis.qualityScoreSql})
+        ), base AS (
+          SELECT d.doc_id,
+                 COALESCE(l.canon, d.doc_id) AS cluster_id,
+                 COALESCE(q.quality_score, -1.0) AS quality_score
+          FROM documents d
+          LEFT JOIN lbl l ON d.doc_id = l.doc_id
+          LEFT JOIN q ON d.doc_id = q.doc_id
+        )
+        SELECT doc_id, cluster_id, quality_score,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS group_size,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality_score DESC, doc_id) = 1 AS keep
+        FROM base ORDER BY doc_id"""
 
   // ---- sparse-cosine near-dup (postings self-join) ----
 
@@ -990,6 +1069,7 @@ object Dedup extends QueryModule {
     "dedup_simhash" -> (simhashDedup _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_components" -> (componentsDedup _),
+    "dedup_canonical" -> (canonicalDedup _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_span_overlap" -> (spanOverlap _),
     "dedup_cosine_sparse" -> (sparseCosineDedup _),
@@ -1003,6 +1083,7 @@ object Dedup extends QueryModule {
     "dedup_simhash" -> simhashDedupSql,
     "dedup_embedding" -> embeddingDedupSql,
     "dedup_components" -> componentsDedupSql,
+    "dedup_canonical" -> canonicalDedupSql,
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_span_overlap" -> spanOverlapSql,
     "dedup_cosine_sparse" -> sparseCosineDedupSql,

@@ -102,7 +102,14 @@ object TextAnalysis extends QueryModule {
     * small double expression, identical in both engines.
     */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
+    qualityScoreOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  /** Unsorted per-doc quality core — the reusable form consumers join on
+    * (the canonical-survivor dedup keys its argmax off this exact double,
+    * so both engines agree bit-for-bit on the ordering).
+    */
+  private[pipeline] def qualityScoreOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_measured"),
       expr("length(regexp_replace(text, '[^a-zA-Z]', ''))").as("alpha_chars"),
@@ -117,9 +124,8 @@ object TextAnalysis extends QueryModule {
       .withColumn("quality_score", expr(
         "0.5D * alpha_ratio + 0.3D * (1.0D - stop_ratio) + 0.2D * least(1.0D, CAST(n_tokens AS DOUBLE) / 100.0D)"))
       .select("doc_id", "n_chars_measured", "n_tokens", "alpha_ratio", "stop_ratio", "quality_score")
-      .orderBy("doc_id")
 
-  private val qualityScoreSql =
+  private[pipeline] val qualityScoreSql =
     raw"""WITH f AS (
           SELECT doc_id,
                  length(text) AS n_chars_measured,

@@ -142,6 +142,35 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(rows.contains((4L, 4L, 1L, false)))
   }
 
+  test("canonical selection keeps exactly the best-quality doc per cluster") {
+    val rows = Dedup.canonicalDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    // (doc_id, cluster_id, quality_score, group_size, keep)
+    val byCluster = rows.groupBy(_._2)
+    // exactly one survivor per cluster, and it is the (quality DESC, doc_id)
+    // argmax of the cluster's own rows
+    byCluster.foreach { case (c, members) =>
+      val keeps = members.filter(_._5)
+      assert(keeps.length === 1, s"cluster $c keeps: $keeps")
+      val expected = members.minBy(m => (-m._3, m._1))
+      assert(keeps.head._1 === expected._1,
+        s"cluster $c kept ${keeps.head._1}, argmax is ${expected._1}")
+    }
+    // clustering agrees with dedup_components (same labels, same sizes)
+    val comp = Dedup.componentsDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (id, cluster, _, size, _) =>
+      assert(comp(id) === ((cluster, size)), s"doc $id cluster/size drifted")
+    }
+    // the chain cluster {10,11,12} picks by quality, not by min id: its
+    // members' scores differ (distinct texts), so the survivor is whichever
+    // doc scored highest — assert the selection is genuinely quality-driven
+    val chain = byCluster(10L)
+    assert(chain.map(_._1).toSet === Set(10L, 11L, 12L))
+    assert(chain.map(_._3).distinct.length === 3, "fixture texts should score distinctly")
+    assert(chain.filter(_._5).head._3 === chain.map(_._3).max)
+  }
+
   test("planted identical embeddings are each other's top brute-force neighbor") {
     val d = Files.createTempDirectory("graft_sim_fixture").toString
     val v0 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
