@@ -302,9 +302,89 @@ object TrainPrep extends QueryModule {
           FROM documents) t
         WHERE strat_rank <= $StratumQuota ORDER BY lang, strat_rank"""
 
+  /** Sample size m for [[prioritySample]]. */
+  val PrioritySampleSize = 100
+
+  /** Exact power of two (2^52): draws stay below the double-exact bound, so
+    * every u = draw / 2^52 is an exact dyadic rational in both engines.
+    */
+  val PriorityDrawSpace = 4503599627370496L
+
+  /** `docs_priority_sample`: quality-WEIGHTED sampling without replacement —
+    * Duffield–Lund–Thorup priority sampling. Each document draws a
+    * deterministic uniform u ∈ (0, 1] (hash60 of `prio:doc_id` reduced to
+    * the 2^52 grid — the [[stratifiedSample]] draw discipline, made
+    * numeric), gets priority w/u with w = its `text_quality_score` double,
+    * and the m highest-priority docs form the sample. Against the naive
+    * top-m-by-quality cut, every positive-weight document has inclusion
+    * probability min(1, w/τ) — high-quality docs are favored but the tail
+    * still surfaces, which is what a training-mixture sampler needs.
+    * `est_weight = max(w, τ)` (τ = the (m+1)-th priority) is the
+    * Horvitz–Thompson-style per-item estimator: summing est_weight over any
+    * subset of the sample unbiasedly estimates that subset's total corpus
+    * weight, so downstream mixture accounting can run on the SAMPLE.
+    *
+    * Determinism: u is an exact dyadic rational (draw ≤ 2^52 is double-exact;
+    * dividing by 2^52 only shifts the exponent), w is the oracle-green
+    * quality double, so priority = w/u is ONE correctly-rounded IEEE
+    * division — bit-identical in both engines; ties break on doc_id.
+    *
+    * Scale (100 TB): the draw and priority are map-only; the sample is one
+    * TakeOrderedAndProject heap (m+1 rows per task, never a global sort),
+    * materialized once; τ and the ranking then run on the (m+1)-row result
+    * (the single-partition window is bounded by m+1 rows, the
+    * calendar-series argument). No window or shuffle ever sees corpus-sized
+    * data.
+    */
+  def prioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = PrioritySampleSize
+    val pr = TextAnalysis.qualityScoreOf(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("quality_score"),
+        ((pmod(expr(Dedup.hash60("concat('prio:', CAST(doc_id AS STRING))")),
+            lit(PriorityDrawSpace)) + lit(1L)).cast("double")
+          / lit(PriorityDrawSpace.toDouble)).as("u"))
+      .withColumn("priority", col("quality_score") / col("u"))
+    val top = graft.Scratch.materialize(
+      pr.orderBy(col("priority").desc, col("doc_id")).limit(m + 1),
+      "graft_priosample")
+    val tau = top.agg(
+      when(count(lit(1)) === m + 1, min("priority")).otherwise(lit(0.0)).as("tau"))
+    top
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("priority").desc, col("doc_id"))))
+      .filter(col("rk") <= m)
+      .crossJoin(tau) // 1-row threshold broadcast
+      .select(col("doc_id"), col("quality_score"), col("priority"),
+        greatest(col("quality_score"), col("tau")).as("est_weight"))
+      .orderBy(col("priority").desc, col("doc_id"))
+  }
+
+  private val prioritySampleSql = {
+    val m = PrioritySampleSize
+    val d = PriorityDrawSpace
+    s"""WITH p AS (
+          SELECT doc_id, quality_score,
+                 quality_score /
+                   (CAST((${Dedup.hash60Duck("'prio:' || CAST(doc_id AS VARCHAR)")}
+                          % $d) + 1 AS DOUBLE) / $d.0) AS priority
+          FROM (${TextAnalysis.qualityScoreSql})
+        ), topm1 AS (
+          SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT ${m + 1}
+        ), tau AS (
+          SELECT CASE WHEN (SELECT COUNT(*) FROM topm1) = ${m + 1}
+                      THEN (SELECT MIN(priority) FROM topm1) ELSE 0.0 END AS tau
+        )
+        SELECT doc_id, quality_score, priority,
+               greatest(quality_score, tau) AS est_weight
+        FROM (SELECT * FROM topm1 ORDER BY priority DESC, doc_id LIMIT $m) s
+        CROSS JOIN tau
+        ORDER BY priority DESC, doc_id"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stable_split" -> (stableSplit _),
     "docs_stratified_sample" -> (stratifiedSample _),
+    "docs_priority_sample" -> (prioritySample _),
     "train_negative_pairs" -> (negativePairs _),
     "pack_sequences" -> (packSequences _),
     "pack_manifest" -> (packManifest _),
@@ -315,6 +395,7 @@ object TrainPrep extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "text_stable_split" -> stableSplitSql,
     "docs_stratified_sample" -> stratifiedSampleSql,
+    "docs_priority_sample" -> prioritySampleSql,
     "train_negative_pairs" -> negativePairsSql,
     "pack_sequences" -> packSequencesSql,
     "pack_manifest" -> packManifestSql,

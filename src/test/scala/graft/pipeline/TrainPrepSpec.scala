@@ -167,6 +167,35 @@ class TrainPrepSpec extends SparkSpec {
       "null text chunks identically to the empty string")
   }
 
+  test("priority sample: matches an independent Duffield-Lund-Thorup selection") {
+    // independent re-derivation: u from java md5, priority = quality/u,
+    // top-m with doc_id tiebreak, tau = (m+1)-th priority
+    val quality = TextAnalysis.qualityScoreOf(
+        graft.Tables.documents(spark, splitDir))
+      .select("doc_id", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def uOf(id: Long): Double = {
+      val hex = md5Hex(s"prio:$id").substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val draw = ((h % TrainPrep.PriorityDrawSpace) + TrainPrep.PriorityDrawSpace) %
+        TrainPrep.PriorityDrawSpace
+      (draw + 1L).toDouble / TrainPrep.PriorityDrawSpace.toDouble
+    }
+    val ranked = quality.toSeq
+      .map { case (id, q) => (id, q, q / uOf(id)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+    val m = TrainPrep.PrioritySampleSize
+    val tau = if (ranked.length > m) ranked(m)._3 else 0.0
+    val expected = ranked.take(m)
+      .map { case (id, q, p) => (id, q, p, math.max(q, tau)) }
+    val got = TrainPrep.prioritySample(spark, splitDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // the HT property that makes the sample usable downstream:
+    // every est_weight is >= its own quality and >= tau
+    got.foreach { case (_, q, _, w) => assert(w >= q && w >= tau) }
+  }
+
   test("stratified sample: exact quota per stratum, members are the md5-smallest") {
     val got = TrainPrep.stratifiedSample(spark, splitDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
