@@ -421,6 +421,151 @@ object TextAnalysis extends QueryModule {
                CAST(n_bigram AS DOUBLE) / n_prefix AS cond_p
         FROM pref ORDER BY n_bigram DESC, w1, w2 LIMIT $BigramTopK"""
 
+  /** BM25 parameters (the classic defaults k1=1.2, b=0.75) and the fixed
+    * query. The derived constants appear as the LITERAL STRINGS "2.2e0"
+    * (k1+1) and "0.25e0" (1−b) in both engines' expression text — never
+    * computed at runtime, the [[operators.Graph.Damping]] discipline: both
+    * parsers round the same decimal string to the same double, whereas
+    * computed 1.2+1.0 need not equal parsed 2.2.
+    */
+  val Bm25QueryTerms: Seq[String] = Seq("dup", "vector", "scan", "key")
+  val Bm25TopK = 25
+
+  /** The per-(doc, term) BM25 contribution — ONE shared SQL string parsed
+    * by both engines: Lucene-style non-negative idf
+    * `ln(1 + (N − df + ½)/(df + ½))` (plain `ln((N−df+½)/(df+½))` goes
+    * negative once df > N/2, which stopword-like terms here hit) times the
+    * saturating tf normalization. Every constant is an E-NOTATION literal
+    * (`0.5e0`) — both engines parse plain `0.5` as DECIMAL and would run
+    * the idf argument through decimal division (scale-rounded, off the
+    * IEEE grid by an ulp); e-notation is DOUBLE in both, so every
+    * intermediate is one correctly-rounded double op, reproducible by the
+    * spec's plain-Scala recomputation.
+    */
+  private val bm25TermScore =
+    """ln(1.0e0 + (n_docs - doc_freq + 0.5e0) / (doc_freq + 0.5e0))
+       * ((CAST(tf AS DOUBLE) * 2.2e0)
+          / (CAST(tf AS DOUBLE)
+             + 1.2e0 * (0.25e0 + 0.75e0 * (CAST(dl AS DOUBLE) / avgdl))))"""
+
+  /** `text_bm25_topk`: the [[Bm25TopK]] documents ranking highest for the
+    * fixed query [[Bm25QueryTerms]] under BM25(k1=1.2, b=0.75) — the
+    * retrieval scorer a contamination/near-match audit runs against the
+    * training corpus (and the lexical half of every hybrid search stack).
+    *
+    * Shape: the corpus is scanned ONCE into a materialized per-doc
+    * projection (doc_id, dl, query-term hits) — the hits array is filtered
+    * MAP-SIDE to query terms, so the exploded stream is O(query hits), not
+    * O(tokens), and the same projection feeds the corpus stats (N, avgdl),
+    * the per-term df (≤|q| rows, broadcast back), and the tf counts. The
+    * per-doc score is a sorted fold over its ≤|q| term contributions
+    * (pinned IEEE order, the pagerank discipline); the final top-k is
+    * orderBy+limit — per-task k-row heaps (`TakeOrderedAndProject`), never
+    * a global sort or single-partition window (the rank column is stamped
+    * AFTER the limit, on k rows).
+    *
+    * Scale: corpus-sized work is one scan + one (doc, term) shuffle of
+    * query HITS only; df and the (N, avgdl) stats are a ≤|q|-row and 1-row
+    * broadcast. Docs with zero query hits drop at the explode — they score
+    * 0 and cannot enter the top-k (all idf terms are non-negative by the
+    * `1 +` form).
+    *
+    * Hash-compare discipline: the emitted columns are the exact integers
+    * (rank, hit/term counts, dl) — the double score RANKS but is not
+    * emitted, the `text_tfidf_keywords` precedent, because the engines' ln
+    * disagree in the last ulp (measured: …584 vs …583 at sf0.01). The
+    * cross-engine ranking still agrees: within one engine, docs with the
+    * identical (tf profile, dl) compute the identical double and tie-break
+    * on doc_id; docs with different profiles are separated by far more
+    * than an ulp. The score double itself is verified in-JVM against an
+    * independent scalar recomputation (TextAnalysisSemanticsSpec).
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialized once: the tiny (doc_id, dl, hits) projection feeds the
+    // stats aggregate AND the tf explode — without it the corpus text is
+    // tokenized twice (the tfidf `tf` materialization lesson)
+    val (tf, dfreq, stats) = bm25Inputs(graft.Scratch.materialize(
+      bm25Projection(Tables.documents(spark, sfDir)), "graft_bm25_docs"))
+    import org.apache.spark.sql.expressions.Window
+    bm25ScoredOf(tf, dfreq, stats)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("rank", // k-row window: the limit above already ran the heap
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("rank", "doc_id", "n_hit_terms", "tf_total", "dl")
+      .orderBy("rank")
+  }
+
+  /** (doc_id, n_hit_terms, tf_total, dl, score): every query-hit document
+    * BM25-scored. Factored out so the spec can check the double against an
+    * independent recomputation before [[bm25TopK]] drops it.
+    */
+  private[pipeline] def bm25ScoredOf(tf: DataFrame, dfreq: DataFrame,
+      stats: DataFrame): DataFrame =
+    tf.join(dfreq, "term")
+      .crossJoin(stats) // 1-row stats broadcast
+      .select(col("doc_id"), col("dl"), col("tf"), expr(bm25TermScore).as("s"))
+      .groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_hit_terms"), sum("tf").as("tf_total"),
+        expr("aggregate(array_sort(collect_list(s)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+          .as("score"))
+      .select("doc_id", "n_hit_terms", "tf_total", "dl", "score")
+
+  /** The map-only per-doc projection (doc_id, dl, query-term hits) — the
+    * ONLY operator that reads corpus text on the BM25 path.
+    */
+  private[pipeline] def bm25Projection(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        expr(s"filter(t, w -> w IN (${inList(Bm25QueryTerms)}))").as("hits"))
+
+  /** The [[bm25TopK]] inputs (tf, dfreq, stats) from a (materialized)
+    * [[bm25Projection]] — shared by the query and the spec's independent
+    * recomputation.
+    */
+  private[pipeline] def bm25Inputs(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .select("n_docs", "avgdl")
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    (tf, dfreq, stats)
+  }
+
+  private val bm25TopKSql =
+    s"""WITH d AS (
+          SELECT doc_id, len(t) AS dl,
+                 list_filter(t, w -> w IN (${inList(Bm25QueryTerms)})) AS hits
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+                FROM documents)
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM d
+        ), tf AS (
+          SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, dl, unnest(hits) AS term FROM d)
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1
+        ), contrib AS (
+          SELECT doc_id, dl, tf, $bm25TermScore AS s
+          FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        ), scored AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+                 CAST(SUM(tf) AS BIGINT) AS tf_total, dl,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(s))),
+                   (a, x) -> a + x) AS score
+          FROM contrib GROUP BY doc_id, dl
+        )
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+               doc_id, n_hit_terms, tf_total, dl
+        FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> (langId _),
     "text_inverted_index" -> (invertedIndex _),
@@ -430,6 +575,7 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf_keywords" -> (tfidfKeywords _),
     "text_heavy_hitters_cms" -> (cmsHeavyHitters _),
+    "text_bm25_topk" -> (bm25TopK _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -441,5 +587,6 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> fingerprintSql,
     "text_tfidf_keywords" -> tfidfKeywordsSql,
     "text_heavy_hitters_cms" -> cmsHeavyHittersSql,
+    "text_bm25_topk" -> bm25TopKSql,
   )
 }

@@ -124,4 +124,44 @@ class TextAnalysisSemanticsSpec extends SparkSpec {
       ("b", "a", 1L, 2L, 0.5),
       ("b", "c", 1L, 2L, 0.5)))
   }
+
+  test("BM25: scores match an independent scalar recomputation, rare term outranks") {
+    val d = Files.createTempDirectory("graft_bm25_fixture").toString
+    // query terms: dup, vector, scan, key. doc 1: rare 'dup' once; doc 2:
+    // common 'key' three times; doc 3: two distinct common terms; doc 4: no
+    // hits (must not appear); docs 5-8 pad df for 'key'/'scan'.
+    val texts = Map(
+      1L -> "dup alpha beta gamma", 2L -> "key key key alpha",
+      3L -> "scan key beta", 4L -> "alpha beta gamma delta",
+      5L -> "key scan alpha", 6L -> "key scan beta",
+      7L -> "key scan gamma", 8L -> "key scan delta")
+    texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // independent recomputation: plain Scala over the raw map
+    val q = TextAnalysis.Bm25QueryTerms.toSet
+    val toks = texts.view.mapValues(_.split(" ").toSeq).toMap
+    val n = texts.size.toLong
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val tfm = toks.view.mapValues(_.filter(q).groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+    val dfm = q.map(t => t -> tfm.values.count(_.contains(t)).toLong).toMap
+    def contrib(tf: Long, dl: Long, df: Long): Double =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        ((tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl))))
+    val expected = tfm.collect { case (id, tfs) if tfs.nonEmpty =>
+      id -> tfs.map { case (t, tf) => contrib(tf, toks(id).size.toLong, dfm(t)) }
+        .toSeq.sorted.foldLeft(0.0)(_ + _)
+    }
+
+    val (tf, dfreq, stats) = TextAnalysis.bm25Inputs(
+      TextAnalysis.bm25Projection(spark.read.parquet(s"$d/documents.parquet")))
+    val got = TextAnalysis.bm25ScoredOf(tf, dfreq, stats).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got.keySet == expected.keySet, "exactly the query-hit docs score")
+    expected.foreach { case (id, s) =>
+      assert(got(id) == s, s"doc $id: got ${got(id)}, independent $s")
+    }
+    // retrieval semantics: the rare high-idf term beats tf-spam on a common one
+    assert(got(1L) > got(2L), "one rare-term hit must outrank three common-term hits")
+  }
 }
