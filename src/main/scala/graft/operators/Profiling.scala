@@ -427,6 +427,94 @@ object Profiling extends QueryModule {
         FROM orders"""
   }
 
+  /** The orders data contract: named row-level expectations as SQL
+    * predicate strings (violation when TRUE) — ONE text parsed by both
+    * engines, the bm25TermScore discipline. The date window deliberately
+    * ends before the fixture's max orderdate, so the report demonstrably
+    * CATCHES violations rather than vacuously passing.
+    */
+  val OrdersRowRules: Seq[(String, String)] = Seq(
+    "orderkey_not_null" -> "o_orderkey IS NULL",
+    "status_in_domain" ->
+      "o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P')",
+    "price_positive" -> "o_totalprice IS NULL OR o_totalprice <= 0.0e0",
+    "orderdate_in_window" ->
+      """o_orderdate IS NULL OR o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+         OR o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'""")
+
+  /** `orders_contract_report`: the data-contract validation every ingest
+    * gate runs before promoting a batch — one row per named rule with
+    * (rows checked, violations, pass/fail). Three rule shapes, each in its
+    * cheapest plan:
+    *
+    *   - ROW rules ([[OrdersRowRules]]) and the KEY-UNIQUENESS rule share
+    *     ONE aggregation pass (`sum(CASE WHEN violation)` per rule next to
+    *     `count` + `count(DISTINCT key)`; map-side partials, a 1-row
+    *     result, `stack` fans it out to rule rows);
+    *   - the REFERENTIAL rule is one LEFT ANTI join against the dim's key
+    *     projection (the join prunes to the key column; at 100 TB this is
+    *     the one key-grain shuffle a FK check fundamentally costs, and AQE
+    *     broadcasts the dim side when it fits).
+    *
+    * Uniqueness violations are counted as EXTRA rows (`n − n_distinct
+    * keys`): 0 exactly when the key is unique, and the count never needs
+    * per-key state beyond the distinct aggregate. All counts are exact
+    * longs; `passed` is `violations = 0` — deterministic in both engines.
+    *
+    * Scale: total cost = one map-combined pass over orders + one FK join;
+    * nothing driver-side, no per-rule rescans — adding a row rule is one
+    * more CASE column in the same pass.
+    */
+  def ordersContractReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val rowAggs = OrdersRowRules.map { case (name, pred) =>
+      sum(when(expr(pred), 1L).otherwise(0L)).as(s"v_$name")
+    }
+    val wide = orders.agg(
+      count(lit(1)).as("n_rows"),
+      (countDistinct(col("o_orderkey")) +: rowAggs): _*)
+    val stacked = (OrdersRowRules.map { case (name, _) =>
+      s"'$name', n_rows, v_$name"
+    } :+ s"'orderkey_unique', n_rows, n_rows - `count(DISTINCT o_orderkey)`")
+      .mkString(", ")
+    val rowReport = wide.selectExpr(
+      s"stack(${OrdersRowRules.length + 1}, $stacked) AS (rule, n_checked, n_violations)")
+    val withCust = orders.filter(col("o_custkey").isNotNull)
+    val fkChecked = withCust.agg(count(lit(1)).as("n_checked"))
+    val fkViolations = withCust
+      .join(Tables.customer(spark, sfDir).select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val fkReport = fkChecked.crossJoin(fkViolations) // two 1-row frames
+      .select(lit("custkey_references_customer").as("rule"),
+        col("n_checked"), col("n_violations"))
+    rowReport.unionByName(fkReport)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("rule")
+  }
+
+  private val ordersContractReportSql = {
+    val rowBranches = OrdersRowRules.map { case (name, pred) =>
+      s"""SELECT '$name' AS rule, COUNT(*) AS n_checked,
+                 CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+          FROM orders"""
+    }
+    val unique =
+      s"""SELECT 'orderkey_unique' AS rule, COUNT(*) AS n_checked,
+                 COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+          FROM orders"""
+    val fk =
+      s"""SELECT 'custkey_references_customer' AS rule,
+                 (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL) AS n_checked,
+                 (SELECT COUNT(*) FROM orders o
+                  WHERE o.o_custkey IS NOT NULL
+                    AND NOT EXISTS (SELECT 1 FROM customer c
+                                    WHERE c.c_custkey = o.o_custkey)) AS n_violations"""
+    (rowBranches :+ unique :+ fk)
+      .mkString("SELECT rule, n_checked, n_violations, n_violations = 0 AS passed FROM (",
+        " UNION ALL ", ") ORDER BY rule")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
     "profile_orders_kmv" -> (profileOrdersKmv _),
@@ -434,6 +522,7 @@ object Profiling extends QueryModule {
     "lineitem_corr_matrix" -> (corrMatrixQ _),
     "brand_price_trend" -> (brandPriceTrend _),
     "orders_table_checksum" -> (ordersChecksum _),
+    "orders_contract_report" -> (ordersContractReport _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -443,5 +532,6 @@ object Profiling extends QueryModule {
     "lineitem_corr_matrix" -> corrMatrixSql,
     "brand_price_trend" -> brandPriceTrendSql,
     "orders_table_checksum" -> ordersChecksumSql,
+    "orders_contract_report" -> ordersContractReportSql,
   )
 }

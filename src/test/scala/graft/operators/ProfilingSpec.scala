@@ -79,4 +79,48 @@ class ProfilingSpec extends SparkSpec {
     assert(got("empty") == ((2L, 0L, None, None)))
     assert(got("k") == ((0L, 2L, Some("1"), Some("2"))))
   }
+
+  test("contract report: every planted violation is counted, clean rules pass") {
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft_contract_fixture").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // 8 orders: one null key, one duplicated key (2 extra copies), one bad
+    // status, one non-positive price, two outside the date window (early +
+    // late), one dangling custkey, and one fully clean row
+    Seq(
+      (Option.empty[Long], Option(1L), "O", 10.0, Option(ts("1996-01-01")), "1-URGENT"),
+      (Option(2L), Option(1L), "O", 10.0, Option(ts("1996-01-01")), "1-URGENT"),
+      (Option(2L), Option(1L), "O", 10.0, Option(ts("1996-01-01")), "1-URGENT"),
+      (Option(2L), Option(1L), "O", 10.0, Option(ts("1996-01-01")), "1-URGENT"),
+      (Option(3L), Option(1L), "X", 10.0, Option(ts("1996-01-01")), "1-URGENT"),
+      (Option(4L), Option(1L), "F", -1.0, Option(ts("1994-12-31")), "1-URGENT"),
+      (Option(5L), Option(99L), "P", 10.0, Option(ts("2000-01-01")), "1-URGENT"),
+      (Option(6L), Option(1L), "O", 10.0, Option(ts("1996-01-01")), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((1L, "c1")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+
+    val got = Profiling.ordersContractReport(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      "orderkey_not_null" -> ((8L, 1L, false)),
+      // key 2 appears 3×: 8 rows, 5 distinct non-null keys → 3 extras
+      // (the null key counts as an extra too — it IS not a distinct key)
+      "orderkey_unique" -> ((8L, 3L, false)),
+      "status_in_domain" -> ((8L, 1L, false)),
+      "price_positive" -> ((8L, 1L, false)),
+      // 1994-12-31 is early, 2000-01-01 sits ON the exclusive upper bound
+      "orderdate_in_window" -> ((8L, 2L, false)),
+      "custkey_references_customer" -> ((8L, 1L, false))))
+
+    // a clean batch passes every rule
+    Seq((Option(1L), Option(1L), "O", 10.0, Option(ts("1996-01-01")), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val clean = Profiling.ordersContractReport(spark, d).collect()
+    assert(clean.forall(_.getBoolean(3)), "clean batch must pass all rules")
+  }
 }
