@@ -671,6 +671,104 @@ object SimilaritySearch extends QueryModule {
         FROM brute b LEFT JOIN lsh l
           ON b.qid = l.qid AND b.neighbor_id = l.neighbor_id"""
 
+  /** Int8 quantization grid: 256 levels → the divisor literal "255.0e0"
+    * (e-notation: DOUBLE in both engines, the bm25TermScore discipline).
+    */
+  val QuantLevels = 255
+
+  /** Per-(dim, value) quantize→dequantize error — ONE shared SQL string.
+    * `floor(u + 0.5)` instead of `round(u)` (the engines' round()
+    * semantics differ; floor is exact on both), `least` clamps the
+    * max-value edge case, and a constant dimension (scale 0) maps
+    * everything to code 0 with zero error.
+    */
+  private val quantErrExpr =
+    s"""abs(min_v
+            + CAST(CASE WHEN scale > 0.0e0
+                        THEN least($QuantLevels,
+                               CAST(floor((x - min_v) / scale + 0.5e0) AS BIGINT))
+                        ELSE 0 END AS DOUBLE) * scale
+            - x)"""
+
+  /** `emb_quantization_report`: per-dimension int8 scalar-quantization
+    * calibration over the embedding corpus — (min, max) range, the
+    * 256-level scale, the worst absolute reconstruction error, and how
+    * many values land on the saturated codes — the audit a pipeline runs
+    * before shipping embeddings to an int8 ANN index or a quantized
+    * serving tier (4× smaller vectors; the report bounds what that costs).
+    *
+    * Shape: the corpus is exploded ONCE into a materialized (dim, x)
+    * scratch table (the list decode is paid once); pass 1 is the per-dim
+    * min/max calibration (64 rows, broadcast back), pass 2 quantizes each
+    * value and aggregates max error + saturation counts per dim. Two
+    * passes are INHERENT to calibrated quantization (the range must exist
+    * before any value quantizes); both are map-combined aggregations with
+    * a 64-group shuffle.
+    *
+    * Determinism: float→double widening is exact; min/max/count are
+    * order-independent; quantize→dequantize is a fixed per-row IEEE tree
+    * ([[quantErrExpr]] — floor, not round; no transcendentals); the max
+    * over per-row errors is order-independent. Every emitted double is
+    * bit-identical in both engines — no ranking escape hatch needed.
+    *
+    * Scale: at 100 TB the exploded table is 64 rows × 12 bytes per vector
+    * — linear, shuffle-light (64 groups). Calibrating min/max on the full
+    * corpus is one pass; a percentile-clipped calibration (the production
+    * knob when outliers stretch the range) would swap pass 1 for the
+    * bounded-state histogram quantiles (`events_value_quantiles_hist`)
+    * and keep pass 2 unchanged.
+    */
+  def quantizationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = graft.Scratch.materialize(
+      Tables.embeddings(spark, sfDir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select((col("pos") + 1).cast("int").as("dim"),
+          col("xf").cast("double").as("x")),
+      "graft_quant_ex")
+    val rng = ex.groupBy("dim")
+      .agg(min("x").as("min_v"), max("x").as("max_v"))
+      .withColumn("scale",
+        (col("max_v") - col("min_v")) / lit(QuantLevels.toDouble))
+    ex.join(broadcast(rng), "dim")
+      .select(col("dim"), col("min_v"), col("max_v"), col("scale"),
+        expr(quantErrExpr).as("err"),
+        expr(s"""CASE WHEN scale > 0.0e0
+                      THEN least($QuantLevels,
+                             CAST(floor((x - min_v) / scale + 0.5e0) AS BIGINT))
+                      ELSE 0 END""").as("q"))
+      .groupBy("dim", "min_v", "max_v", "scale")
+      .agg(count(lit(1)).as("n_values"),
+        max("err").as("max_abs_err"),
+        sum(when(col("q") === 0 || col("q") === QuantLevels, 1L).otherwise(0L))
+          .as("n_saturated"))
+      .orderBy("dim")
+  }
+
+  private val quantizationReportSql =
+    s"""WITH ex AS (
+          SELECT g.i AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS x
+          FROM embeddings e
+          CROSS JOIN (SELECT unnest(range(1, ${Similarity.Dim + 1})) AS i) g
+        ), rng AS (
+          SELECT dim, MIN(x) AS min_v, MAX(x) AS max_v,
+                 (MAX(x) - MIN(x)) / 255.0e0 AS scale
+          FROM ex GROUP BY 1
+        ), contrib AS (
+          SELECT ex.dim, min_v, max_v, scale, $quantErrExpr AS err,
+                 CASE WHEN scale > 0.0e0
+                      THEN least($QuantLevels,
+                             CAST(floor((x - min_v) / scale + 0.5e0) AS BIGINT))
+                      ELSE 0 END AS q
+          FROM ex JOIN rng USING (dim)
+        )
+        SELECT CAST(dim AS INT) AS dim, min_v, max_v, scale,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               MAX(err) AS max_abs_err,
+               CAST(SUM(CASE WHEN q = 0 OR q = $QuantLevels THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_saturated
+        FROM contrib GROUP BY dim, min_v, max_v, scale
+        ORDER BY dim"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk_brute" -> (bruteTopK _),
     "similarity_topk_lsh" -> ((s, d) => lshTopK(s, d)),
@@ -678,6 +776,7 @@ object SimilaritySearch extends QueryModule {
     "similarity_topk_ivf" -> (ivfTopK _),
     "similarity_topk_ivf_trained" -> (trainedTopK _),
     "similarity_ivf_recall" -> (ivfRecall _),
+    "emb_quantization_report" -> (quantizationReport _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -687,5 +786,6 @@ object SimilaritySearch extends QueryModule {
     "similarity_topk_ivf" -> ivfSql,
     "similarity_topk_ivf_trained" -> trainedSql,
     "similarity_ivf_recall" -> ivfRecallSql,
+    "emb_quantization_report" -> quantizationReportSql,
   )
 }
