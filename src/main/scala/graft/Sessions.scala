@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** The one place the engine's local session configuration lives: UTC, graft
-  * extensions (vec_dot), nanos-parquet handling, no UI, shuffle fan-out =
-  * cores. Every main and the test fixture build through here so a new
-  * session-level conf cannot drift across entry points.
+  * extensions (vec_dot), no UI, shuffle fan-out = cores. Every main and the
+  * test fixture build through here so a new session-level conf cannot drift
+  * across entry points.
   */
 object Sessions {
   // spark.sql.warehouse.dir is a STATIC conf — fixed by the first
@@ -25,10 +25,6 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // events.ts is TIMESTAMP(NANOS) parquet; declared at construction so no
-      // loader has to flip session state mid-flight (Tables.events REQUIRES
-      // it, failing fast on foreign sessions instead of mutating them)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,23 +19,34 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by default
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (session conf, declared at
-    * construction in [[Sessions.local]]) and rebuild a microsecond
-    * TimestampType column — truncation matches DuckDB's own ns→µs cast, so
-    * oracle comparisons agree. A loader must not mutate session state, so a
-    * foreign session without the conf fails fast with the fix spelled out
-    * instead of being silently reconfigured mid-flight.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS) in others, so the loader normalizes
+    * whatever physical type it finds to a session-TZ TimestampType column:
+    *
+    *  - native timestamp (µs, with or without UTC adjustment): cast — the
+    *    session runs in UTC ([[Sessions.local]]) so NTZ→TZ is value-preserving;
+    *  - nanos read as raw longs (requires the caller's session to set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, since Spark 4 otherwise
+    *    rejects nanos parquet with PARQUET_TYPE_ILLEGAL): rebuild µs with
+    *    integral `div` — double division would lose sub-µs precision on
+    *    2024-epoch nanosecond longs (~1.7e18 > 2^53). Truncation matches
+    *    DuckDB's own ns→µs cast, so oracle comparisons agree.
+    *
+    * Any other physical type fails fast with the observed schema in the
+    * message rather than surfacing later as a scattered analysis error.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the session via graft.Sessions.local " +
-        "(or set spark.sql.legacy.parquet.nanosAsLong=true at session construction)")
-    val raw = table(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
-    // integral `div`, not `/`: double division would lose sub-µs precision
-    // on 2024-epoch nanosecond longs (~1.7e18 > 2^53)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected timestamp, " +
+          "timestamp_ntz, or long nanos via spark.sql.legacy.parquet.nanosAsLong)")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

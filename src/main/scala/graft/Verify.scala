@@ -14,11 +14,23 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       filters.isEmpty || filters.exists(name.contains)
     }
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A broken query must surface as a FAILED row, never a missing one:
+        // replace any partial output with a sentinel dir holding only _ERROR,
+        // so the driver's parquet read of it errs instead of skipping.
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        failed(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR"), msg + "\n")
       }
       spark.catalog.clearCache() // per-query caches must not outlive the query
     }
@@ -37,6 +49,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure summary (empty object when all green) plus a
+    // one-line verdict on stderr — a regression must be loud in every channel.
+    val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
+    // exit 0 even on per-query failure: the driver must still ingest the
+    // green rows + sentinels; the sentinel dirs are what make failures loud
   }
 }

@@ -446,6 +446,169 @@ object CorpusQc extends QueryModule {
         FROM b GROUP BY 1 ORDER BY 1"""
   }
 
+  // ---- pairwise source overlap (exact + KMV-sketched scale path) ----
+
+  /** Sketch size for [[sourceOverlapKmv]] — [[graft.functions.KmvSketch.K]],
+    * so the estimator and its oracle parity precedent (`events_kmv_distinct`)
+    * carry over unchanged.
+    */
+  private val OverlapK = graft.functions.KmvSketch.K
+
+  /** Distinct (source, shingle-hash) membership sets: the char-shingle
+    * universe is [[Dedup.shinglePostings]] (memoized — the third consumer
+    * after the two sparse-cosine legs), lifted from doc grain to source
+    * grain through a broadcast-sized (doc_id, source) dim.
+    */
+  private def sourceShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.shinglePostings(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .select("source", "h").distinct()
+
+  /** `corpus_source_overlap`: EXACT pairwise overlap between sources —
+    * shared shingles, Jaccard, and containment — the cross-source
+    * contamination matrix a corpus curator reads before mixing (is src_a a
+    * crawl of src_b? do two dumps share boilerplate?).
+    *
+    * Scale: the self-join fans out per hash as df² where df ≤ #sources —
+    * total Σ_h df² ≤ |vocab|·S², linear in vocabulary for a fixed source
+    * count. Fine for tens-to-hundreds of sources (the real-world shape);
+    * when S itself is large, [[sourceOverlapKmv]] is the bounded-state
+    * path — the same exact/sketched pairing as `dedup_cosine_sparse` /
+    * `dedup_cosine_lsh`.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = sourceShingles(spark, sfDir)
+    val sizes = s.groupBy("source").agg(count(lit(1)).as("n"))
+    s.select(col("source").as("sa"), col("h"))
+      .join(s.select(col("source").as("sb"), col("h")), "h")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"),
+        (col("n_common").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+      .orderBy("sa", "sb")
+  }
+
+  private val sourceOverlapSql =
+    s"""WITH w AS (
+          SELECT d.source,
+                 ${Dedup.hash60Duck(s"substring(text, pos, ${Dedup.CosShingleChars})")} AS h
+          FROM (SELECT source, text,
+                       unnest(range(1, length(text) - ${Dedup.CosShingleChars - 2},
+                                    ${Dedup.CosStride})) AS pos
+                FROM documents WHERE length(text) >= ${Dedup.CosShingleChars}) d
+        ), s AS (SELECT DISTINCT source, h FROM w),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1),
+        inter AS (
+          SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT sa, sb, na.n AS na, nb.n AS nb, n_common,
+               CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE)
+                 AS jaccard,
+               CAST(n_common AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE)
+                 AS containment
+        FROM inter
+        JOIN sizes na ON na.source = sa
+        JOIN sizes nb ON nb.source = sb
+        ORDER BY sa, sb"""
+
+  /** `corpus_source_overlap_kmv`: [[sourceOverlap]]'s bounded-state scale
+    * path — per-source KMV sketches ([[OverlapK]] smallest distinct hashes,
+    * a pure set function, so merge order cannot change it) pairwise-merged
+    * into union estimates; intersections by inclusion–exclusion. State per
+    * source is K longs REGARDLESS of corpus size, and the pair stage works
+    * on S·K rows, not the vocabulary — this is what runs when both the
+    * corpus and the source count are large.
+    *
+    * The estimator is [[graft.functions.KmvSketch]]'s (exact below K,
+    * (K−1)·2^60/h_K above), here in plain relational form — a rank-K
+    * prefix per source — so the DuckDB twin is the same order statistic,
+    * bit for bit. Inclusion–exclusion can go negative on sketch noise;
+    * clamped at 0 in both engines.
+    */
+  def sourceOverlapKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = OverlapK
+    val H = graft.functions.KmvSketch.HashSpace
+    def est(nd: org.apache.spark.sql.Column, kth: org.apache.spark.sql.Column) =
+      when(nd < K, nd.cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(H) / kth.cast("double"))
+    val s = sourceShingles(spark, sfDir)
+    // per-source sketch: the K smallest distinct hashes + true distinct count
+    val perSource = s
+      .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rn") <= K)
+      .groupBy("source")
+      .agg(max("nd").as("nd"), max("h").as("kth"), collect_list("h").as("g"))
+      .withColumn("est", est(col("nd"), col("kth")))
+    // KMV union property: the K smallest of (A ∪ B) are all contained in
+    // sketchA ∪ sketchB, so merging the two sketch SETS and re-taking the
+    // K-th order statistic IS the sketch of the union; when the merged set
+    // has fewer than K elements both inputs were exact, so the union is too
+    val pairs = perSource.select(col("source").as("sa"), col("est").as("est_a"),
+        col("g").as("ga"))
+      .join(perSource.select(col("source").as("sb"), col("est").as("est_b"),
+        col("g").as("gb")), col("sa") < col("sb"))
+    pairs
+      .withColumn("merged", expr("array_sort(array_union(ga, gb))"))
+      .withColumn("n_merged", expr("size(merged)").cast("long"))
+      .withColumn("est_union",
+        est(col("n_merged"), expr(s"element_at(merged, $K)")))
+      .withColumn("est_intersection",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
+      .select(col("sa"), col("sb"), col("est_a"), col("est_b"), col("est_union"),
+        col("est_intersection"),
+        (col("est_intersection") / col("est_union")).as("jaccard_kmv"))
+      .orderBy("sa", "sb")
+  }
+
+  private val sourceOverlapKmvSql = {
+    val k = OverlapK
+    val h = "1152921504606846976.0" // 2^60, exactly representable
+    s"""WITH w AS (
+          SELECT d.source,
+                 ${Dedup.hash60Duck(s"substring(text, pos, ${Dedup.CosShingleChars})")} AS h
+          FROM (SELECT source, text,
+                       unnest(range(1, length(text) - ${Dedup.CosShingleChars - 2},
+                                    ${Dedup.CosStride})) AS pos
+                FROM documents WHERE length(text) >= ${Dedup.CosShingleChars}) d
+        ), s AS (SELECT DISTINCT source, h FROM w),
+        r AS (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS nd
+          FROM s
+        ), sk AS (
+          SELECT source, MAX(nd) AS nd, MAX(h) AS kth, list(h ORDER BY h) AS g
+          FROM r WHERE rn <= $k GROUP BY source
+        ), es AS (
+          SELECT source, g,
+                 CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+                      ELSE ${k - 1}.0 * $h / CAST(kth AS DOUBLE) END AS est
+          FROM sk
+        ), p AS (
+          SELECT a.source AS sa, b.source AS sb, a.est AS est_a, b.est AS est_b,
+                 list_sort(list_distinct(a.g || b.g)) AS merged
+          FROM es a JOIN es b ON a.source < b.source
+        ), u AS (
+          SELECT sa, sb, est_a, est_b,
+                 CASE WHEN len(merged) < $k THEN CAST(len(merged) AS DOUBLE)
+                      ELSE ${k - 1}.0 * $h / CAST(merged[$k] AS DOUBLE) END AS est_union
+          FROM p
+        )
+        SELECT sa, sb, est_a, est_b, est_union,
+               GREATEST(est_a + est_b - est_union, 0.0) AS est_intersection,
+               GREATEST(est_a + est_b - est_union, 0.0) / est_union AS jaccard_kmv
+        FROM u ORDER BY sa, sb"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (repetition _),
     "corpus_snapshot_diff" -> (snapshotDiff _),
@@ -453,6 +616,8 @@ object CorpusQc extends QueryModule {
     "mix_weights" -> (mixWeights _),
     "mix_materialize" -> (mixMaterialize _),
     "corpus_source_report" -> (sourceReport _),
+    "corpus_source_overlap" -> (sourceOverlap _),
+    "corpus_source_overlap_kmv" -> (sourceOverlapKmv _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -462,5 +627,7 @@ object CorpusQc extends QueryModule {
     "mix_weights" -> mixWeightsSql,
     "mix_materialize" -> mixMaterializeSql,
     "corpus_source_report" -> sourceReportSql,
+    "corpus_source_overlap" -> sourceOverlapSql,
+    "corpus_source_overlap_kmv" -> sourceOverlapKmvSql,
   )
 }

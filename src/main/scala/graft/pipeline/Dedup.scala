@@ -886,12 +886,36 @@ object Dedup extends QueryModule {
     */
   val CosThreshold = 0.9
 
+  /** Floor of the sparse-cosine df cap: terms in more than
+    * `max(CosDfCapFloor, ⌈√N⌉)` docs are dropped from the score. A √N cap
+    * bounds the exact postings self-join's Σ_term df² fan-out by N·√N BY
+    * DESIGN (each surviving term contributes ≤ N pairs, and there are at
+    * most N·√N surviving postings), where the previous `df ≤ N/2`
+    * near-stopword rule only bounded the constant and left the quadratic
+    * term to fixture luck. The floor keeps tiny corpora (tests, sf0.001)
+    * from dropping every shared term. Both engines compute the cap from the
+    * same IEEE-double `ceil(sqrt(N))`, so the filtered universe — and thus
+    * every downstream score — is identical bit-for-bit.
+    */
+  val CosDfCapFloor = 16L
+
+  /** The absolute df cap for a corpus of `nDocs` — see [[CosDfCapFloor]]. */
+  def cosDfCap(nDocs: Long): Long =
+    math.max(CosDfCapFloor, math.ceil(math.sqrt(nDocs.toDouble)).toLong)
+
+  /** [[cosDfCap]] as a Column over the scalar-subquery corpus count — the
+    * cap stays inside the plan (no driver collect), and both engines
+    * evaluate the identical IEEE-double `ceil(sqrt(N))`.
+    */
+  private def cosDfCapCol(nDocs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    greatest(lit(CosDfCapFloor), ceil(sqrt(nDocs.cast("double"))).cast("long"))
+
   /** (doc_id, h, tf): hashed-shingle term frequencies, memoized — the
     * postings table. Consumed three times (df filter, norms, both sides of
     * the dot-product self-join), computed once. Shingles ship as 60-bit
     * BIGINT hashes: 8-byte join/shuffle keys, same hash in the oracle.
     */
-  private def shinglePostings(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def shinglePostings(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#dedup#cos_postings#$CosShingleChars#$CosStride") {
       Tables.documents(spark, sfDir)
         .filter(length(col("text")) >= CosShingleChars)
@@ -916,20 +940,21 @@ object Dedup extends QueryModule {
     * hash-reproducible: one double division against exactly-rounded
     * sqrt norms per surviving pair.
     *
-    * Scale: the postings self-join's fan-out is Σ_term df² — the df cap
-    * (terms in more than half the corpus are dropped from the score, the
-    * standard near-stopword exclusion) hard-bounds the per-term cost, and
-    * the memoized postings table pays the corpus scan once. The candidate
-    * shuffle is (h: bigint)-keyed; the (ia, ib) re-aggregation is the one
-    * unavoidable pair-grain shuffle. At larger candidate volumes the
-    * standard prefix-filter refinement composes on top; the df cap alone
-    * keeps the fixture's 95k candidates honest (25 survivors).
+    * Scale: the postings self-join's fan-out is Σ_term df² — the absolute
+    * df cap ([[cosDfCap]]: terms in more than ~√N docs are dropped from the
+    * score) bounds that sum by N·√N by construction, not by fixture luck,
+    * and the memoized postings table pays the corpus scan once. The
+    * candidate shuffle is (h: bigint)-keyed; the (ia, ib) re-aggregation is
+    * the one unavoidable pair-grain shuffle. At larger candidate volumes
+    * the standard prefix-filter refinement composes on top. Even so, N·√N
+    * exact pairing is the ORACLE-BASELINE leg — [[sparseCosineLsh]] is the
+    * declared 100 TB path.
     */
   def sparseCosineDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val p0 = shinglePostings(spark, sfDir)
     val nDocs = p0.select(col("doc_id")).distinct().agg(count(lit(1))).scalar()
     val keep = p0.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") * 2 <= nDocs).select("h")
+      .filter(col("df") <= cosDfCapCol(nDocs)).select("h")
     val p = p0.join(keep, "h") // vocab-sized side broadcasts at any realistic ratio
     val norms = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn"))
     val dots = p.select(col("doc_id").as("ia"), col("h"), col("tf").as("tfa"))
@@ -960,7 +985,7 @@ object Dedup extends QueryModule {
         ), stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
         keep AS (
           SELECT h FROM (SELECT h, COUNT(*) AS df FROM tf GROUP BY 1), stats
-          WHERE df * 2 <= n_docs
+          WHERE df <= GREATEST($CosDfCapFloor, CAST(CEIL(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT))
         ), p AS (
           SELECT t.doc_id, t.h, t.tf FROM tf t JOIN keep USING (h)
         ), n2 AS (
@@ -991,8 +1016,8 @@ object Dedup extends QueryModule {
   /** `dedup_cosine_lsh`: [[sparseCosineDedup]]'s SCALE path — the same
     * exact integer-dot cosine verification, but only over MinHash-band
     * candidate pairs instead of the full postings self-join. The exact
-    * form's cost is Σ_term df² (55M contribution rows on the sf0.1
-    * fixture); here the quadratic step happens only inside colliding band
+    * form's cost is Σ_term df² (N·√N-bounded via [[cosDfCap]], still
+    * superlinear); here the quadratic step happens only inside colliding band
     * buckets ([[MaxBucket]]-guarded), and the verify joins the postings of
     * the candidate pairs alone. Keep both: the exact query is the
     * oracle-baseline (the `profile_orders` / `profile_orders_kmv`
@@ -1007,7 +1032,7 @@ object Dedup extends QueryModule {
     val p0 = shinglePostings(spark, sfDir)
     val nDocs = p0.select(col("doc_id")).distinct().agg(count(lit(1))).scalar()
     val keep = p0.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") * 2 <= nDocs).select("h")
+      .filter(col("df") <= cosDfCapCol(nDocs)).select("h")
     val p = p0.join(keep, "h")
     val norms = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn"))
     val cand = lshCandidatePairs(spark,
@@ -1040,7 +1065,7 @@ object Dedup extends QueryModule {
         ), stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
         keep AS (
           SELECT h FROM (SELECT h, COUNT(*) AS df FROM tf GROUP BY 1), stats
-          WHERE df * 2 <= n_docs
+          WHERE df <= GREATEST($CosDfCapFloor, CAST(CEIL(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT))
         ), p AS (
           SELECT t.doc_id, t.h, t.tf FROM tf t JOIN keep USING (h)
         ), n2 AS (

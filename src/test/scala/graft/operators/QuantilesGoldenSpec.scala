@@ -52,7 +52,7 @@ class QuantilesGoldenSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val exact = Events.valueQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
-    val ranges = spark.read.parquet(s"$sf/events.parquet")
+    val ranges = graft.Tables.events(spark, sf)
       .groupBy("event_type").agg(min("value"), max("value")).collect()
       .map(r => r.getString(0) -> (r.getDouble(2) - r.getDouble(1))).toMap
     Events.valueQuantilesHist(spark, sf).collect().foreach { r =>

@@ -220,4 +220,24 @@ class DedupSemanticsSpec extends SparkSpec {
     // same pairs, same bit-exact cosines: band candidates lost nothing here
     assert(rows(Dedup.sparseCosineLsh(spark, Sf0001)) === exact)
   }
+
+  test("sparse-cosine df cap is an absolute ~sqrt(N) bound, engaged on real data") {
+    // unit shape: floor below floor², ceil(sqrt) above, monotone
+    assert(Dedup.cosDfCap(0) == Dedup.CosDfCapFloor)
+    assert(Dedup.cosDfCap(Dedup.CosDfCapFloor * Dedup.CosDfCapFloor) == Dedup.CosDfCapFloor)
+    assert(Dedup.cosDfCap(1_000_000L) == 1000L)
+    assert(Dedup.cosDfCap(1_000_001L) == 1001L) // ceil, not round
+    assert(Dedup.cosDfCap(10_000_000_000L) == 100_000L)
+    // integration: on the real corpus the cap is strictly tighter than the
+    // old near-stopword N/2 rule AND actually drops something — i.e. the
+    // sum_df^2 <= N*sqrt(N) bound is enforced by design, not fixture luck
+    import org.apache.spark.sql.functions._
+    val p0 = Dedup.shinglePostings(spark, Sf0001)
+    val nDocs = p0.select("doc_id").distinct().count()
+    val cap = Dedup.cosDfCap(nDocs)
+    assert(cap < nDocs / 2, s"cap $cap should be tighter than N/2 of $nDocs")
+    val maxDf = p0.groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(max("df")).head().getLong(0)
+    assert(maxDf > cap, s"fixture should contain terms above the cap (max df $maxDf, cap $cap)")
+  }
 }
