@@ -769,6 +769,130 @@ object SimilaritySearch extends QueryModule {
         FROM contrib GROUP BY dim, min_v, max_v, scale
         ORDER BY dim"""
 
+  // ---- quantized covariance / correlation matrix ----
+
+  /** Off-diagonal pairs emitted by `emb_covariance_q` (of d·(d−1)/2). */
+  val CovTopK = 100
+
+  /** `emb_covariance_q`: top-[[CovTopK]] most-covarying dimension pairs
+    * (covariance + Pearson correlation) of the int8-QUANTIZED embedding
+    * corpus — the redundancy audit behind PCA/whitening and
+    * quantization-aware dimension pruning: a pair with |corr| near 1 is a
+    * dimension the index could drop.
+    *
+    * Quantizing FIRST ([[quantizationReport]]'s calibration grid, same
+    * floor-based code map) is what makes a covariance matrix
+    * oracle-checkable at all: the sufficient statistics (N, Σq, Σq_i·q_j)
+    * become exact integers, immune to summation order, so the final
+    * divisions are one fixed IEEE tree per cell in both engines. A
+    * float-summed covariance could never hash-match across engines.
+    *
+    * Shape: pass 1 calibrates the per-dim grid (64-group aggregate);
+    * pass 2 quantizes each vector against the broadcast grid array (the
+    * crossJoin is the documented 1-row-side broadcast) and feeds ONE
+    * [[graft.functions.GramianAgg]] — a single-pass partial+final
+    * aggregation whose shuffle is one d·(d+3)/2-long buffer per
+    * partition, NOT an N·d² row fan-out. Everything after the one-row
+    * Gramian is d²-sized arithmetic.
+    */
+  def covarianceQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Similarity.Dim
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select((col("pos") + 1).cast("int").as("dim"), col("xf").cast("double").as("x"))
+    val grid = ex.groupBy("dim")
+      .agg(min("x").as("min_v"), max("x").as("max_v"))
+      .withColumn("scale", (col("max_v") - col("min_v")) / lit(QuantLevels.toDouble))
+      .select(struct(col("dim"), col("min_v"), col("scale")).as("e"))
+      .agg(expr("array_sort(collect_list(e))").as("grid")) // 1 row, dim-sorted
+    val qvecs = Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(grid))
+      .select(expr(
+        s"""zip_with(embedding, grid, (xf, g) ->
+              CASE WHEN g.scale > 0.0e0
+                   THEN least($QuantLevels,
+                          CAST(floor((CAST(xf AS DOUBLE) - g.min_v) / g.scale + 0.5e0)
+                               AS BIGINT))
+                   ELSE CAST(0 AS BIGINT) END)""").as("qvec"))
+    val gramian = udaf(new graft.functions.GramianAgg(d))
+    // 1 row: (n, s, g) — materialized so the var/cov consumers below read
+    // the finished statistics instead of re-running the corpus aggregation
+    val gr = graft.Scratch.materialize(
+      qvecs.agg(gramian(col("qvec")).as("r")), "graft_gram")
+    // triangle index (i ≤ j, 0-based) → (i, j); idx = j(j+1)/2 + i
+    val cells = gr.select(col("r.n").as("n"), col("r.s").as("s"),
+        posexplode(col("r.g")).as(Seq("idx", "sxy")))
+    val pairs = cells.sparkSession.range(0, d).select(col("id").cast("int").as("j"))
+      .select(col("j"), explode(expr("sequence(0, j)")).as("i"))
+      .select(col("i"), col("j"), expr("(j * (j + 1)) div 2 + i").as("idx"))
+    val withDims = cells.join(broadcast(pairs), "idx")
+      .select(col("n"), col("i"), col("j"), col("sxy"),
+        expr("element_at(s, i + 1)").as("si"),
+        expr("element_at(s, j + 1)").as("sj"))
+    // cov/var as a fixed IEEE tree over exact integers — identical in DuckDB
+    val moments = withDims.select(col("n"), col("i"), col("j"),
+      (col("sxy").cast("double") / col("n") -
+        (col("si").cast("double") / col("n")) * (col("sj").cast("double") / col("n")))
+        .as("m"))
+    val vars = moments.filter(col("i") === col("j"))
+      .select(col("i").as("vd"), col("m").as("v"))
+    moments.filter(col("i") < col("j"))
+      .join(broadcast(vars).withColumnRenamed("vd", "i").withColumnRenamed("v", "var_i"), "i")
+      .join(broadcast(vars).withColumnRenamed("vd", "j").withColumnRenamed("v", "var_j"), "j")
+      .filter(col("var_i") > 0.0 && col("var_j") > 0.0)
+      .select((col("i") + 1).cast("int").as("dim_i"), (col("j") + 1).cast("int").as("dim_j"),
+        col("m").as("cov_q"),
+        (col("m") / (sqrt(col("var_i")) * sqrt(col("var_j")))).as("corr_q"))
+      .orderBy(abs(col("cov_q")).desc, col("dim_i"), col("dim_j"))
+      .limit(CovTopK)
+  }
+
+  private val covarianceQSql =
+    s"""WITH ex AS (
+          SELECT e.vec_id, g.i AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS x
+          FROM embeddings e
+          CROSS JOIN (SELECT unnest(range(1, ${Similarity.Dim + 1})) AS i) g
+        ), rng AS (
+          SELECT dim, MIN(x) AS min_v, MAX(x) AS max_v,
+                 (MAX(x) - MIN(x)) / 255.0e0 AS scale
+          FROM ex GROUP BY 1
+        ), q AS (
+          SELECT vec_id, ex.dim,
+                 CASE WHEN scale > 0.0e0
+                      THEN least($QuantLevels,
+                             CAST(floor((x - min_v) / scale + 0.5e0) AS BIGINT))
+                      ELSE 0 END AS q
+          FROM ex JOIN rng USING (dim)
+        ), nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM q),
+        sums AS (
+          SELECT dim, CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q * q) AS BIGINT) AS sxx
+          FROM q GROUP BY 1
+        ), vars AS (
+          SELECT dim,
+                 CAST(sxx AS DOUBLE) / n
+                   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS v
+          FROM sums, nn
+        ), x AS (
+          SELECT a.dim AS di, b.dim AS dj, CAST(SUM(a.q * b.q) AS BIGINT) AS sxy
+          FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim < b.dim
+          GROUP BY 1, 2
+        ), c AS (
+          SELECT di, dj,
+                 CAST(sxy AS DOUBLE) / n
+                   - (CAST(sa.s AS DOUBLE) / n) * (CAST(sb.s AS DOUBLE) / n) AS cov,
+                 va.v AS var_i, vb.v AS var_j
+          FROM x
+          JOIN sums sa ON sa.dim = di
+          JOIN sums sb ON sb.dim = dj
+          JOIN vars va ON va.dim = di
+          JOIN vars vb ON vb.dim = dj
+          CROSS JOIN nn
+        )
+        SELECT CAST(di AS INT) AS dim_i, CAST(dj AS INT) AS dim_j, cov AS cov_q,
+               cov / (sqrt(var_i) * sqrt(var_j)) AS corr_q
+        FROM c WHERE var_i > 0.0e0 AND var_j > 0.0e0
+        ORDER BY abs(cov) DESC, di, dj LIMIT $CovTopK"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk_brute" -> (bruteTopK _),
     "similarity_topk_lsh" -> ((s, d) => lshTopK(s, d)),
@@ -777,6 +901,7 @@ object SimilaritySearch extends QueryModule {
     "similarity_topk_ivf_trained" -> (trainedTopK _),
     "similarity_ivf_recall" -> (ivfRecall _),
     "emb_quantization_report" -> (quantizationReport _),
+    "emb_covariance_q" -> (covarianceQ _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -787,5 +912,6 @@ object SimilaritySearch extends QueryModule {
     "similarity_topk_ivf_trained" -> trainedSql,
     "similarity_ivf_recall" -> ivfRecallSql,
     "emb_quantization_report" -> quantizationReportSql,
+    "emb_covariance_q" -> covarianceQSql,
   )
 }
