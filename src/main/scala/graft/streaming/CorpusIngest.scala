@@ -30,6 +30,30 @@ import graft.pipeline.{CorpusQc, Dedup}
   */
 object CorpusIngest {
 
+  /** Streaming exact dedup at the ingest front door — the streaming twin of
+    * `dedup_exact`: a document whose content fingerprint (md5 of text, the
+    * same fingerprint the batch query groups on) was already admitted within
+    * the watermark horizon is dropped before any downstream stage pays for
+    * it.
+    *
+    * `dropDuplicatesWithinWatermark` is the operator that makes this safe at
+    * 100 TB: fingerprint state lives only until the watermark passes its
+    * event time + horizon, so state is bounded by the horizon's ingest
+    * volume — where a bare streaming `dropDuplicates` would pin EVERY
+    * fingerprint ever seen forever. The trade is explicit and honest: a
+    * re-crawl of the same document farther apart than the horizon is
+    * re-admitted (CorpusIngestSpec pins both directions) — cross-horizon
+    * dedup belongs to the batch band-index probe (`probeBatch`), which this
+    * stage feeds.
+    */
+  def dedupedStream(docStream: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docStream
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** The per-batch stage runner + idempotent writer, exposed for replay
     * tests and for running the same stages on a static batch.
     */

@@ -60,4 +60,32 @@ class CorpusIngestSpec extends SparkSpec {
     assert((rows(landed("qc")), rows(landed("contam")),
       rows(landed("dups")), rows(landed("chunks"))) == before)
   }
+
+  test("watermarked ingest dedup: duplicates dropped inside the horizon, state evicted past it") {
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $hhmm:00")
+    val src = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = CorpusIngest.dedupedStream(
+      src.toDF.toDF("doc_id", "text", "ingest_ts"), horizon = "1 hour")
+    val q = deduped.writeStream.queryName("ingest_dedup")
+      .outputMode("append").format("memory").start()
+    try {
+      // batch 1: in-batch duplicate collapses to the first arrival
+      src.addData((1L, "alpha", ts("10:00")), (2L, "beta", ts("10:00")),
+        (3L, "alpha", ts("10:05")))
+      q.processAllAvailable()
+      // batch 2: watermark (10:05 - 1h) has not passed alpha yet -> dropped
+      src.addData((4L, "alpha", ts("10:10")))
+      q.processAllAvailable()
+      // batch 3: a fresh doc advances the watermark to 13:00, evicting alpha
+      src.addData((5L, "gamma", ts("14:00")))
+      q.processAllAvailable()
+      // batch 4: the same content past the horizon is re-admitted
+      src.addData((6L, "alpha", ts("14:01")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("ingest_dedup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 5L, 6L),
+      s"expected in-horizon dups dropped and past-horizon re-admission, got $admitted")
+  }
 }
