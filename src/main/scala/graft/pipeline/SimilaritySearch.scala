@@ -769,6 +769,219 @@ object SimilaritySearch extends QueryModule {
         FROM contrib GROUP BY dim, min_v, max_v, scale
         ORDER BY dim"""
 
+  // ---- percentile-clipped quantization calibration ----
+
+  /** Histogram resolution for the clipped calibration's percentile pass —
+    * the `events_value_quantiles_hist` machinery at embedding grain.
+    */
+  val ClipBuckets = 1000
+
+  /** `emb_quantization_clipped`: the production calibration knob
+    * [[quantizationReport]]'s scaladoc promises — per-dimension int8
+    * calibration with the range CLIPPED to [p01, p99] instead of
+    * [min, max], so a single outlier can no longer stretch a dimension's
+    * scale and waste its 256 codes. Reports the clipped range, how many
+    * values were clipped on each side, and the worst reconstruction error
+    * against the ORIGINAL values (tails included — the honest cost of
+    * clipping, which the [min, max] report by construction never shows).
+    *
+    * Percentiles come from the bounded-state histogram pattern
+    * (`events_value_quantiles_hist`): bucket-count, cumulative pick at
+    * ⌈q·n⌉, p01 takes its bucket's LOWER edge and p99 its UPPER edge so
+    * the clip interval covers the picked mass. Three passes over the
+    * once-materialized (dim, x) explosion — range, histogram, quantize —
+    * each a map-combined aggregate with ≤ 64·[[ClipBuckets]] cells of
+    * state; calibration is inherently multi-pass (a range must exist
+    * before any value quantizes), and the clipped variant adds exactly one
+    * histogram pass over the uncapped report's two.
+    *
+    * Determinism: bucket indices, picks, and edges are the proven hist
+    * math; clip (`least`/`greatest`), code, and reconstruction are the
+    * [[quantErrExpr]] floor tree over exact inputs; max/count aggregates
+    * are order-independent. A constant dimension degenerates to
+    * lo = hi = mn, scale 0, every code 0 — same convention as the uncapped
+    * report.
+    */
+  def quantizationClipped(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = graft.Scratch.materialize(
+      Tables.embeddings(spark, sfDir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select((col("pos") + 1).cast("int").as("dim"),
+          col("xf").cast("double").as("x")),
+      "graft_quantclip_ex")
+    val stats = ex.groupBy("dim")
+      .agg(min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("n"))
+    val cum = ex.join(broadcast(stats), "dim")
+      .withColumn("bucket", expr(
+        s"""CAST(CASE WHEN mx = mn THEN 0
+                 ELSE least(floor((x - mn) / (mx - mn) * $ClipBuckets),
+                            ${ClipBuckets - 1}) END AS BIGINT)"""))
+      .groupBy("dim", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("dim").orderBy("bucket")))
+    val edges = cum.join(broadcast(stats), "dim")
+      .groupBy("dim", "mn", "mx", "n")
+      .agg(
+        min(when(col("cum") >= ceil(col("n") * 0.01), col("bucket"))).as("b_lo"),
+        min(when(col("cum") >= ceil(col("n") * 0.99), col("bucket"))).as("b_hi"))
+      .select(col("dim"),
+        expr(s"mn + b_lo * (mx - mn) / $ClipBuckets").as("lo"),
+        expr(s"mn + (b_hi + 1) * (mx - mn) / $ClipBuckets").as("hi"))
+      .withColumn("scale", expr(s"(hi - lo) / ${QuantLevels}.0e0"))
+    ex.join(broadcast(edges), "dim")
+      .select(col("dim"), col("lo"), col("hi"), col("scale"), col("x"),
+        expr("least(greatest(x, lo), hi)").as("xc"))
+      .withColumn("q", expr(
+        s"""CASE WHEN scale > 0.0e0
+                 THEN least($QuantLevels,
+                        CAST(floor((xc - lo) / scale + 0.5e0) AS BIGINT))
+                 ELSE 0 END"""))
+      .groupBy("dim", "lo", "hi", "scale")
+      .agg(count(lit(1)).as("n_values"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        max(expr("abs(lo + CAST(q AS DOUBLE) * scale - x)")).as("max_abs_err"))
+      .orderBy("dim")
+  }
+
+  private val quantizationClippedSql =
+    s"""WITH ex AS (
+          SELECT g.i AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS x
+          FROM embeddings e
+          CROSS JOIN (SELECT unnest(range(1, ${Similarity.Dim + 1})) AS i) g
+        ), s AS (
+          SELECT dim, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n FROM ex GROUP BY 1
+        ), b AS (
+          SELECT ex.dim,
+                 CAST(CASE WHEN s.mx = s.mn THEN 0
+                      ELSE least(floor((ex.x - s.mn) / (s.mx - s.mn) * $ClipBuckets),
+                                 ${ClipBuckets - 1}) END AS BIGINT) AS bucket,
+                 COUNT(*) AS cnt
+          FROM ex JOIN s USING (dim) GROUP BY 1, 2
+        ), c AS (
+          SELECT dim, bucket, cnt,
+                 SUM(cnt) OVER (PARTITION BY dim ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM b
+        ), p AS (
+          SELECT c.dim,
+                 MIN(CASE WHEN cum >= ceil(s.n * 0.01) THEN bucket END) AS b_lo,
+                 MIN(CASE WHEN cum >= ceil(s.n * 0.99) THEN bucket END) AS b_hi
+          FROM c JOIN s USING (dim) GROUP BY 1
+        ), e2 AS (
+          SELECT p.dim,
+                 s.mn + b_lo * (s.mx - s.mn) / $ClipBuckets AS lo,
+                 s.mn + (b_hi + 1) * (s.mx - s.mn) / $ClipBuckets AS hi
+          FROM p JOIN s USING (dim)
+        ), e3 AS (
+          SELECT dim, lo, hi, (hi - lo) / ${QuantLevels}.0e0 AS scale FROM e2
+        ), contrib AS (
+          SELECT ex.dim, lo, hi, scale, x,
+                 least(greatest(x, lo), hi) AS xc
+          FROM ex JOIN e3 USING (dim)
+        ), coded AS (
+          SELECT dim, lo, hi, scale, x,
+                 CASE WHEN scale > 0.0e0
+                      THEN least($QuantLevels,
+                             CAST(floor((xc - lo) / scale + 0.5e0) AS BIGINT))
+                      ELSE 0 END AS q
+          FROM contrib
+        )
+        SELECT CAST(dim AS INT) AS dim, lo, hi, scale,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+               MAX(abs(lo + CAST(q AS DOUBLE) * scale - x)) AS max_abs_err
+        FROM coded GROUP BY dim, lo, hi, scale
+        ORDER BY dim"""
+
+  // ---- per-label centroids + class separation ----
+
+  /** `emb_label_centroids`: pairwise separation of the label classes —
+    * per-label centroid of the int8-quantized codes, then the L2 distance
+    * between every pair of centroids. The audit behind "are these labels
+    * actually separable in embedding space?" (negative-pair mining and
+    * classifier-probe pipelines read exactly this matrix first).
+    *
+    * Same determinism recipe as [[covarianceQ]]: quantized codes make the
+    * per-(label, dim) sufficient statistics exact integers; each centroid
+    * coordinate is ONE double division; the cross-dim reduction of
+    * (ca−cb)² terms is `sorted_sum` (the multiset fold), so every emitted
+    * double is bit-identical in the oracle.
+    *
+    * Shape: one explode pass → (label, dim) partial+final aggregation
+    * (labels·d cells), MATERIALIZED once; the pair stage joins the
+    * centroid table with itself on dim — labels²·d rows, corpus-free.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("label"), (col("pos") + 1).cast("int").as("dim"),
+        col("xf").cast("double").as("x"))
+    val rng = ex.groupBy("dim")
+      .agg(min("x").as("min_v"), max("x").as("max_v"))
+      .withColumn("scale", (col("max_v") - col("min_v")) / lit(QuantLevels.toDouble))
+    val cent = graft.Scratch.materialize(
+      ex.join(broadcast(rng), "dim")
+        .select(col("label"), col("dim"), expr(
+          s"""CASE WHEN scale > 0.0e0
+                   THEN least($QuantLevels,
+                          CAST(floor((x - min_v) / scale + 0.5e0) AS BIGINT))
+                   ELSE 0 END""").as("q"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("s"))
+        .withColumn("c", col("s").cast("double") / col("n")),
+      "graft_centroids")
+    cent.select(col("label").as("label_a"), col("dim"),
+        col("n").as("n_a"), col("c").as("ca"))
+      .join(cent.select(col("label").as("label_b"), col("dim"),
+        col("n").as("n_b"), col("c").as("cb")), "dim")
+      .filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        expr("(ca - cb) * (ca - cb)").as("term"))
+      .groupBy("label_a", "label_b", "n_a", "n_b")
+      .agg(expr("sorted_sum(term)").as("dist_sq"))
+      .withColumn("dist", sqrt(col("dist_sq")))
+      .orderBy("label_a", "label_b")
+  }
+
+  private val labelCentroidsSql =
+    s"""WITH ex AS (
+          SELECT e.label, g.i AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS x
+          FROM embeddings e
+          CROSS JOIN (SELECT unnest(range(1, ${Similarity.Dim + 1})) AS i) g
+        ), rng AS (
+          SELECT dim, MIN(x) AS min_v,
+                 (MAX(x) - MIN(x)) / 255.0e0 AS scale
+          FROM ex GROUP BY 1
+        ), q AS (
+          SELECT label, ex.dim,
+                 CASE WHEN scale > 0.0e0
+                      THEN least($QuantLevels,
+                             CAST(floor((x - min_v) / scale + 0.5e0) AS BIGINT))
+                      ELSE 0 END AS q
+          FROM ex JOIN rng USING (dim)
+        ), cent AS (
+          SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q) AS BIGINT) AS s
+          FROM q GROUP BY 1, 2
+        ), c2 AS (
+          SELECT label, dim, n, CAST(s AS DOUBLE) / n AS c FROM cent
+        ), terms AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 a.n AS n_a, b.n AS n_b,
+                 (a.c - b.c) * (a.c - b.c) AS term
+          FROM c2 a JOIN c2 b ON a.dim = b.dim AND a.label < b.label
+        ), d AS (
+          SELECT label_a, label_b, n_a, n_b,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(term))),
+                   (a, x) -> a + x) AS dist_sq
+          FROM terms GROUP BY 1, 2, 3, 4
+        )
+        SELECT label_a, label_b, n_a, n_b, dist_sq, sqrt(dist_sq) AS dist
+        FROM d ORDER BY label_a, label_b"""
+
   // ---- quantized covariance / correlation matrix ----
 
   /** Off-diagonal pairs emitted by `emb_covariance_q` (of d·(d−1)/2). */
@@ -902,6 +1115,8 @@ object SimilaritySearch extends QueryModule {
     "similarity_ivf_recall" -> (ivfRecall _),
     "emb_quantization_report" -> (quantizationReport _),
     "emb_covariance_q" -> (covarianceQ _),
+    "emb_quantization_clipped" -> (quantizationClipped _),
+    "emb_label_centroids" -> (labelCentroids _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -913,5 +1128,7 @@ object SimilaritySearch extends QueryModule {
     "similarity_ivf_recall" -> ivfRecallSql,
     "emb_quantization_report" -> quantizationReportSql,
     "emb_covariance_q" -> covarianceQSql,
+    "emb_quantization_clipped" -> quantizationClippedSql,
+    "emb_label_centroids" -> labelCentroidsSql,
   )
 }

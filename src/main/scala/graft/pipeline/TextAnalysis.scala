@@ -566,6 +566,130 @@ object TextAnalysis extends QueryModule {
                doc_id, n_hit_terms, tf_total, dl
         FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
 
+  // ---- perplexity filtering under the corpus bigram LM ----
+
+  /** `text_perplexity_filter` flags the top 1/[[PplFlagDenom]] of docs by
+    * cross-entropy — a rank cut (exact integers), not a score threshold.
+    */
+  val PplFlagDenom = 100
+
+  /** Per-bigram smoothed log-probability — ONE shared SQL string parsed by
+    * both engines: add-½ smoothing over the corpus bigram table,
+    * `ln((c(w1,w2) + ½) / (c(w1·) + ½·V))`, every constant in e-notation
+    * (DOUBLE in both parsers, never DECIMAL).
+    */
+  private val bigramLogProb =
+    """ln((CAST(n_bigram AS DOUBLE) + 0.5e0)
+          / (CAST(n_prefix AS DOUBLE) + 0.5e0 * CAST(n_vocab AS DOUBLE)))"""
+
+  /** `text_perplexity_filter`: per-doc cross-entropy under the corpus's own
+    * add-½-smoothed bigram model — CCNet-style perplexity filtering, the
+    * classic "does this read like the corpus?" quality gate (docs scoring
+    * far above the corpus's entropy are boilerplate, tables, or noise).
+    * Docs are RANKED by cross-entropy and the top 1/[[PplFlagDenom]] are
+    * flagged; the emitted columns are the rank and exact integers, never
+    * the raw score — the `text_bm25_topk` discipline, forced here by
+    * measurement: the engines' `ln` disagree in the last ulp on ~1% of
+    * corpus bigram arguments, so a raw-double emission hash-mismatches
+    * even though every rank is identical (adjacent-doc CE gaps on the
+    * fixture are ~4e-7, nine orders above ulp noise; byte-identical docs
+    * tie exactly and break by doc_id).
+    *
+    * Determinism: each doc's log-likelihood is a sum of ln-doubles — order-
+    * dependent — so the per-doc reduction is `sorted_sum` (multiset
+    * collect, ascending fold; [[graft.functions.SortedSumAgg]]), mirrored
+    * in DuckDB by the list_reduce-over-sorted-list fold. Contributions are
+    * m·ln(p) with exact-integer m, one IEEE multiply per distinct bigram.
+    *
+    * Shape: ONE token-stream explode feeds both the corpus LM tables
+    * (vocab²-bounded counts, vocab-bounded prefixes) and the per-doc
+    * multiplicity table; the contribution join is (w1, w2)-keyed against
+    * the count table (broadcastable at realistic vocabularies), then ONE
+    * doc_id shuffle for the sorted fold. The final global rank is the
+    * presentation sort every oracle query already pays; a production cut
+    * would replace it with the histogram-quantile threshold
+    * (`events_value_quantiles_hist` pattern) and stay distributed.
+    */
+  def perplexityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    perplexityFilterOf(Tables.documents(spark, sfDir))
+
+  /** DataFrame core of [[perplexityFilter]] — fixture surface for the
+    * hand-computed semantics spec.
+    */
+  def perplexityFilterOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct("w").as("n_vocab"))
+    def f(k: String) = col("z").getField(k)
+    val bigrams = toks.filter(expr("size(t) >= 2"))
+      .select(col("doc_id"), explode(expr("arrays_zip(t, slice(t, 2, size(t)))")).as("z"))
+      .select(col("doc_id"), f("t").as("w1"), f("1").as("w2"))
+      .filter(col("w2").isNotNull)
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_bigram"))
+    val prefix = bigrams.groupBy("w1").agg(count(lit(1)).as("n_prefix"))
+    val docBi = bigrams.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    import org.apache.spark.sql.expressions.Window
+    docBi
+      .join(counts, Seq("w1", "w2"))
+      .join(prefix, "w1")
+      .crossJoin(broadcast(vocab)) // 1-row side
+      .select(col("doc_id"), col("m"),
+        expr(s"CAST(m AS DOUBLE) * $bigramLogProb").as("c"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigrams"), count(lit(1)).as("n_distinct_bigrams"),
+        expr("sorted_sum(c)").as("ll"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        expr("-ll / CAST(n_bigrams AS DOUBLE)").as("ce"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ce").desc, col("doc_id"))).cast("long"))
+      .withColumn("flag_high_ppl",
+        expr(s"rank <= (CAST(COUNT(*) OVER () AS BIGINT) + ${PplFlagDenom - 1}) div $PplFlagDenom"))
+      .select("rank", "doc_id", "n_bigrams", "n_distinct_bigrams", "flag_high_ppl")
+      .orderBy("rank")
+  }
+
+  private val perplexityFilterSql =
+    s"""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+        ), vocab AS (
+          SELECT COUNT(DISTINCT w) AS n_vocab
+          FROM (SELECT unnest(t) AS w FROM toks)
+        ), bi AS (
+          SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+          FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2)
+        ), counts AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bigram FROM bi GROUP BY 1, 2
+        ), pref AS (
+          SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_prefix FROM bi GROUP BY 1
+        ), docbi AS (
+          SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m FROM bi GROUP BY 1, 2, 3
+        ), contrib AS (
+          SELECT d.doc_id, d.m,
+                 CAST(d.m AS DOUBLE) * $bigramLogProb AS c
+          FROM docbi d
+          JOIN counts USING (w1, w2)
+          JOIN pref USING (w1)
+          CROSS JOIN vocab
+        ), scored AS (
+          SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(c))),
+                   (a, x) -> a + x) AS ll
+          FROM contrib GROUP BY doc_id
+        ), ranked AS (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY -ll / CAST(n_bigrams AS DOUBLE) DESC, doc_id)
+                 AS BIGINT) AS rank,
+                 doc_id, n_bigrams, n_distinct_bigrams
+          FROM scored
+        )
+        SELECT rank, doc_id, n_bigrams, n_distinct_bigrams,
+               rank <= (CAST(COUNT(*) OVER () AS BIGINT) + ${PplFlagDenom - 1})
+                         // $PplFlagDenom AS flag_high_ppl
+        FROM ranked ORDER BY rank"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> (langId _),
     "text_inverted_index" -> (invertedIndex _),
@@ -576,6 +700,7 @@ object TextAnalysis extends QueryModule {
     "text_tfidf_keywords" -> (tfidfKeywords _),
     "text_heavy_hitters_cms" -> (cmsHeavyHitters _),
     "text_bm25_topk" -> (bm25TopK _),
+    "text_perplexity_filter" -> (perplexityFilter _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -588,5 +713,6 @@ object TextAnalysis extends QueryModule {
     "text_tfidf_keywords" -> tfidfKeywordsSql,
     "text_heavy_hitters_cms" -> cmsHeavyHittersSql,
     "text_bm25_topk" -> bm25TopKSql,
+    "text_perplexity_filter" -> perplexityFilterSql,
   )
 }

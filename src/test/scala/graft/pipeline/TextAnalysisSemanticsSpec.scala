@@ -164,4 +164,31 @@ class TextAnalysisSemanticsSpec extends SparkSpec {
     // retrieval semantics: the rare high-idf term beats tf-spam on a common one
     assert(got(1L) > got(2L), "one rare-term hit must outrank three common-term hits")
   }
+
+  test("perplexity filter: ranks match an independent plain-Scala recomputation") {
+    val docs = Seq(
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "a b c", "en", "s", 5L),
+      (3L, "z z z z z", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // independent model: V=4; corpus bigrams (a,b):3 (b,a):1 (b,c):1 (z,z):4;
+    // prefixes a:3 b:2 z:4; p = (c+.5)/(pref+.5*4)
+    def p(c: Long, pref: Long) = (c + 0.5) / (pref + 0.5 * 4)
+    val ce = Map(
+      1L -> -(2 * math.log(p(3, 3)) + 1 * math.log(p(1, 2))) / 3,
+      2L -> -(1 * math.log(p(3, 3)) + 1 * math.log(p(1, 2))) / 2,
+      3L -> -(4 * math.log(p(4, 4))) / 4)
+    val wantRank = ce.toSeq.sortBy { case (id, c) => (-c, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val got = TextAnalysis.perplexityFilterOf(docs).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((wantRank(1L), 3L, 2L, wantRank(1L) == 1L)))
+    assert(got(2L) == ((wantRank(2L), 2L, 2L, wantRank(2L) == 1L)))
+    assert(got(3L) == ((wantRank(3L), 4L, 1L, wantRank(3L) == 1L)))
+    // semantics: the self-repetitive doc is the most predictable (last rank),
+    // the doc with two rare bigrams the least
+    assert(wantRank(3L) == 3L && wantRank(2L) == 1L)
+  }
 }
