@@ -457,12 +457,17 @@ object CorpusQc extends QueryModule {
   /** Distinct (source, shingle-hash) membership sets: the char-shingle
     * universe is [[Dedup.shinglePostings]] (memoized — the third consumer
     * after the two sparse-cosine legs), lifted from doc grain to source
-    * grain through a broadcast-sized (doc_id, source) dim.
+    * grain through a broadcast-sized (doc_id, source) dim. Memoized
+    * itself: the exact query consumes it three times (sizes + both
+    * self-join sides) and the KMV twin twice more — without the memo the
+    * distinct aggregation re-runs per consumer (audited in PLANS.md).
     */
   private def sourceShingles(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.shinglePostings(spark, sfDir)
-      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
-      .select("source", "h").distinct()
+    graft.Scratch.memoize(spark, s"$sfDir#corpusqc#source_shingles") {
+      Dedup.shinglePostings(spark, sfDir)
+        .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+        .select("source", "h").distinct()
+    }
 
   /** `corpus_source_overlap`: EXACT pairwise overlap between sources —
     * shared shingles, Jaccard, and containment — the cross-source
@@ -483,8 +488,8 @@ object CorpusQc extends QueryModule {
       .join(s.select(col("source").as("sb"), col("h")), "h")
       .filter(col("sa") < col("sb"))
       .groupBy("sa", "sb").agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
-      .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+      .join(broadcast(sizes.select(col("source").as("sa"), col("n").as("na"))), "sa")
+      .join(broadcast(sizes.select(col("source").as("sb"), col("n").as("nb"))), "sb")
       .select(col("sa"), col("sb"), col("na"), col("nb"), col("n_common"),
         (col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"),

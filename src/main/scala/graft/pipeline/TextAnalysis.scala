@@ -626,9 +626,15 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), explode(expr("arrays_zip(t, slice(t, 2, size(t)))")).as("z"))
       .select(col("doc_id"), f("t").as("w1"), f("1").as("w2"))
       .filter(col("w2").isNotNull)
-    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_bigram"))
-    val prefix = bigrams.groupBy("w1").agg(count(lit(1)).as("n_prefix"))
-    val docBi = bigrams.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    // the per-doc multiplicity table subsumes the corpus LM tables
+    // (n_bigram = Σ_docs m, n_prefix = Σ_docs Σ_w2 m), so ONE materialized
+    // aggregation of the token stream feeds all three consumers — without
+    // it the explode re-runs per LM table (audited in PLANS.md)
+    val docBi = graft.Scratch.materialize(
+      bigrams.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m")),
+      "graft_ppl_docbi")
+    val counts = docBi.groupBy("w1", "w2").agg(sum("m").as("n_bigram"))
+    val prefix = docBi.groupBy("w1").agg(sum("m").as("n_prefix"))
     import org.apache.spark.sql.expressions.Window
     docBi
       .join(counts, Seq("w1", "w2"))
