@@ -1,0 +1,186 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** ZCA whitening of the quantized embedding corpus — the decorrelation
+  * transform retrieval pipelines apply before indexing (whitening is the
+  * standard fix for anisotropic embedding spaces; the covariance audit that
+  * motivates it is `emb_covariance_q`).
+  *
+  * Altitude decision, stated explicitly: the covariance matrix is d×d
+  * (64×64 — KILOBYTES, corpus-size-independent), so its eigendecomposition
+  * is a driver-side problem, not a distributed one. The corpus-scale work —
+  * the Gramian (one [[graft.functions.GramianAgg]] pass) and the projection
+  * (map-only matvec) — is distributed; factorizing a 64×64 symmetric matrix
+  * on executors would be cargo-cult distribution. This is the same
+  * decomposition RowMatrix.computePrincipalComponents makes (Gramian on the
+  * cluster, eigen on the driver, public Spark MLlib architecture).
+  *
+  * The eigensolver is classical cyclic Jacobi for symmetric matrices
+  * (Golub & Van Loan §8.5): rotate away the largest off-diagonal until
+  * convergence. O(d³) per sweep, a few sweeps at d=64 — microseconds.
+  *
+  * The whitening matrix is ZCA (W = V·Λ^{-1/2}·Vᵀ), the symmetric square
+  * root inverse: unlike plain PCA whitening it stays closest to the
+  * original basis, so whitened dimensions remain interpretable. Eigenvalues
+  * below [[EigenFloor]] are clamped — a rank-deficient (constant) dimension
+  * must not explode the transform.
+  */
+object Whitening {
+
+  val EigenFloor = 1e-9
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix given as the
+    * full square array. Returns (eigenvalues, eigenvectors as COLUMNS of
+    * the returned matrix: `a ≈ V·diag(λ)·Vᵀ`).
+    */
+  def jacobiEigen(a0: Array[Array[Double]], maxSweeps: Int = 32,
+                  tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && off() > tol) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > tol / (d * d)) {
+            // rotation angle zeroing a(p)(q) (G&VL 8.5.2; sign(0) = +1 —
+            // signum's 0 would skip the 45-degree equal-diagonal rotation)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** (n, mean, covariance) of the int8-quantized corpus — ONE distributed
+    * [[graft.functions.GramianAgg]] pass; the d×d expansion from the
+    * triangle happens on the driver (the deliberate, documented d²-sized
+    * driver step — 33 KB at d=64).
+    */
+  def codeMoments(spark: SparkSession, sfDir: String, dim: Int)
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    val qvecs = quantizedCodes(spark, sfDir)
+    val gramian = udaf(new graft.functions.GramianAgg(dim))
+    // the ONE deliberate driver-side head(): a single row of d(d+3)/2 longs
+    val row = qvecs.agg(gramian(col("qvec")).as("r")).selectExpr("r.n", "r.s", "r.g").head()
+    val n = row.getLong(0)
+    val s = row.getSeq[Long](1).toArray
+    val g = row.getSeq[Long](2).toArray
+    val mean = s.map(_.toDouble / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var j = 0; var k = 0
+    while (j < dim) {
+      var i = 0
+      while (i <= j) {
+        val c = g(k).toDouble / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        i += 1; k += 1
+      }
+      j += 1
+    }
+    (n, mean, cov)
+  }
+
+  /** Per-vector int8 codes against the corpus-calibrated grid — the same
+    * quantize pass as `emb_covariance_q` (broadcast 1-row grid, zip_with).
+    */
+  def quantizedCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = SimilaritySearch.QuantLevels
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select((col("pos") + 1).cast("int").as("dim"), col("xf").cast("double").as("x"))
+    val grid = ex.groupBy("dim")
+      .agg(min("x").as("min_v"), max("x").as("max_v"))
+      .withColumn("scale", (col("max_v") - col("min_v")) / lit(q.toDouble))
+      .select(struct(col("dim"), col("min_v"), col("scale")).as("e"))
+      .agg(expr("array_sort(collect_list(e))").as("grid"))
+    Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(grid))
+      .select(col("vec_id"), col("label"), expr(
+        s"""zip_with(embedding, grid, (xf, g) ->
+              CASE WHEN g.scale > 0.0e0
+                   THEN least($q,
+                          CAST(floor((CAST(xf AS DOUBLE) - g.min_v) / g.scale + 0.5e0)
+                               AS BIGINT))
+                   ELSE CAST(0 AS BIGINT) END)""").as("qvec"))
+  }
+
+  /** The ZCA whitening matrix `V·diag(1/sqrt(max(λ, floor)))·Vᵀ` of the
+    * quantized-corpus covariance.
+    */
+  def whiteningMatrix(cov: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = cov.length
+    val (lam, v) = jacobiEigen(cov)
+    val inv = lam.map(l => 1.0 / math.sqrt(math.max(l, EigenFloor)))
+    // W = V · diag(inv) · Vᵀ
+    Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += v(i)(k) * inv(k) * v(j)(k); k += 1 }
+      s
+    }
+  }
+
+  /** Whitened corpus: `(vec_id, label, wvec)` with
+    * `wvec = W·(codes − mean)` — a map-only matvec per row (the W and mean
+    * CONSTANTS ship in the closure, ~33 KB; a 4096-term Catalyst expression
+    * tree per output dim is where codegen stops being the right tool, so
+    * this is the documented dense-linear-algebra UDF exception).
+    */
+  def whiten(spark: SparkSession, sfDir: String, dim: Int): DataFrame = {
+    val (_, mean, cov) = codeMoments(spark, sfDir, dim)
+    val w = whiteningMatrix(cov)
+    val matvec = udf { (qv: Seq[Long]) =>
+      val centered = Array.tabulate(dim)(i => qv(i).toDouble - mean(i))
+      Array.tabulate(dim) { i =>
+        var s = 0.0
+        var k = 0
+        while (k < dim) { s += w(i)(k) * centered(k); k += 1 }
+        s
+      }
+    }
+    quantizedCodes(spark, sfDir)
+      .select(col("vec_id"), col("label"), matvec(col("qvec")).as("wvec"))
+  }
+}
