@@ -896,6 +896,101 @@ object SimilaritySearch extends QueryModule {
         FROM coded GROUP BY dim, lo, hi, scale
         ORDER BY dim"""
 
+  // ---- quantized retrieval + its recall against the float baseline ----
+
+  /** `emb_topk_quantized`: the brute-force top-k over INT8 CODES — what the
+    * serving tier actually ranks with once vectors ship quantized (4×
+    * smaller, integer dot products). Shape is `similarity_topk_brute` with
+    * the scoring swapped: codes cast to array<double> feed the same
+    * codegen'd `vec_dot` — every product ≤ 255² and every sum ≤ d·255²,
+    * so all intermediates are EXACT integers in double arithmetic: the
+    * cosine is deterministic under any partitioning and the DuckDB twin's
+    * integer SUM reproduces it bit-for-bit (the [[covarianceQ]] recipe
+    * applied to retrieval).
+    */
+  def quantizedTopK(spark: SparkSession, sfDir: String): DataFrame =
+    quantizedRanked(spark, sfDir).orderBy("qid", "rnk")
+
+  private def quantizedRanked(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#simquant#topk#$K#$NumQueries") {
+      val e = quantizedCodes(spark, sfDir)
+        .select(col("vec_id"), expr("cast(qvec as array<double>)").as("qd"))
+        .withColumn("nn", expr("vec_dot(qd, qd)"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("qd").as("qqd"), col("nn").as("qnn"))
+      ranked(
+        e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cosine",
+            expr("vec_dot(qqd, qd)") / (sqrt(col("qnn")) * sqrt(col("nn")))))
+    }
+
+  private val quantizedCodesDuck =
+    s"""qex AS (
+          SELECT e.vec_id, g.i AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS x
+          FROM embeddings e
+          CROSS JOIN (SELECT unnest(range(1, ${Similarity.Dim + 1})) AS i) g
+        ), qrng AS (
+          SELECT dim, MIN(x) AS min_v, (MAX(x) - MIN(x)) / 255.0e0 AS scale
+          FROM qex GROUP BY 1
+        ), qc AS (
+          SELECT vec_id, qex.dim,
+                 CASE WHEN scale > 0.0e0
+                      THEN least($QuantLevels,
+                             CAST(floor((x - min_v) / scale + 0.5e0) AS BIGINT))
+                      ELSE 0 END AS q
+          FROM qex JOIN qrng USING (dim)
+        )"""
+
+  private val quantizedTopKSql =
+    s"""WITH $quantizedCodesDuck, qnn AS (
+          SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nn FROM qc GROUP BY 1
+        ), qd AS (
+          SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                 CAST(SUM(a.q * b.q) AS BIGINT) AS d
+          FROM qc a JOIN qc b ON a.dim = b.dim
+          WHERE a.vec_id < $NumQueries AND b.vec_id <> a.vec_id
+          GROUP BY 1, 2
+        ), qp AS (
+          SELECT qd.qid, qd.vec_id,
+                 CAST(qd.d AS DOUBLE)
+                   / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+          FROM qd JOIN qnn na ON na.vec_id = qd.qid JOIN qnn nb ON nb.vec_id = qd.vec_id
+        ), qr AS (
+          SELECT qid, vec_id, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+          FROM qp
+        )
+        SELECT qid, rnk, vec_id AS neighbor_id, cosine
+        FROM qr WHERE rnk <= $K ORDER BY qid, rnk"""
+
+  /** `emb_quantized_recall`: what int8 quantization costs RETRIEVAL — the
+    * overlap between the float-exact top-[[K]] and the code-ranked
+    * top-[[K]], the go/no-go number for shipping the quantized tier (the
+    * range/error report says codes are cheap; this says whether the
+    * NEIGHBORS survive). Same single-row shape as `similarity_lsh_recall`.
+    */
+  def quantizedRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = bruteRanked(spark, sfDir).select("qid", "neighbor_id")
+    val quant = quantizedRanked(spark, sfDir).select("qid", "neighbor_id")
+      .withColumn("hit", lit(1L))
+    brute.join(quant, Seq("qid", "neighbor_id"), "left")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall_at_k"))
+  }
+
+  private val quantizedRecallSql =
+    s"""WITH brute AS (SELECT qid, neighbor_id FROM ($bruteSql)),
+             quant AS (SELECT qid, neighbor_id FROM ($quantizedTopKSql))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN l.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN l.qid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS recall_at_k
+        FROM brute b LEFT JOIN quant l
+          ON b.qid = l.qid AND b.neighbor_id = l.neighbor_id"""
+
   // ---- per-label centroids + class separation ----
 
   /** `emb_label_centroids`: pairwise separation of the label classes —
@@ -1008,25 +1103,37 @@ object SimilaritySearch extends QueryModule {
     * partition, NOT an N·d² row fan-out. Everything after the one-row
     * Gramian is d²-sized arithmetic.
     */
+  /** `(vec_id, label, qvec)`: per-vector int8 codes against the
+    * corpus-calibrated [min, max] grid — the quantize pass shared by
+    * `emb_covariance_q`, `emb_quantized_recall`, and [[Whitening]];
+    * memoized (the grid calibration + zip_with encode runs once per
+    * corpus per JVM). The crossJoin is the documented 1-row-side
+    * broadcast.
+    */
+  private[pipeline] def quantizedCodes(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#simquant#codes#$QuantLevels") {
+      val ex = Tables.embeddings(spark, sfDir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select((col("pos") + 1).cast("int").as("dim"), col("xf").cast("double").as("x"))
+      val grid = ex.groupBy("dim")
+        .agg(min("x").as("min_v"), max("x").as("max_v"))
+        .withColumn("scale", (col("max_v") - col("min_v")) / lit(QuantLevels.toDouble))
+        .select(struct(col("dim"), col("min_v"), col("scale")).as("e"))
+        .agg(expr("array_sort(collect_list(e))").as("grid")) // 1 row, dim-sorted
+      Tables.embeddings(spark, sfDir)
+        .crossJoin(broadcast(grid))
+        .select(col("vec_id"), col("label"), expr(
+          s"""zip_with(embedding, grid, (xf, g) ->
+                CASE WHEN g.scale > 0.0e0
+                     THEN least($QuantLevels,
+                            CAST(floor((CAST(xf AS DOUBLE) - g.min_v) / g.scale + 0.5e0)
+                                 AS BIGINT))
+                     ELSE CAST(0 AS BIGINT) END)""").as("qvec"))
+    }
+
   def covarianceQ(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Similarity.Dim
-    val ex = Tables.embeddings(spark, sfDir)
-      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
-      .select((col("pos") + 1).cast("int").as("dim"), col("xf").cast("double").as("x"))
-    val grid = ex.groupBy("dim")
-      .agg(min("x").as("min_v"), max("x").as("max_v"))
-      .withColumn("scale", (col("max_v") - col("min_v")) / lit(QuantLevels.toDouble))
-      .select(struct(col("dim"), col("min_v"), col("scale")).as("e"))
-      .agg(expr("array_sort(collect_list(e))").as("grid")) // 1 row, dim-sorted
-    val qvecs = Tables.embeddings(spark, sfDir)
-      .crossJoin(broadcast(grid))
-      .select(expr(
-        s"""zip_with(embedding, grid, (xf, g) ->
-              CASE WHEN g.scale > 0.0e0
-                   THEN least($QuantLevels,
-                          CAST(floor((CAST(xf AS DOUBLE) - g.min_v) / g.scale + 0.5e0)
-                               AS BIGINT))
-                   ELSE CAST(0 AS BIGINT) END)""").as("qvec"))
+    val qvecs = quantizedCodes(spark, sfDir)
     val gramian = udaf(new graft.functions.GramianAgg(d))
     // 1 row: (n, s, g) — materialized so the var/cov consumers below read
     // the finished statistics instead of re-running the corpus aggregation
@@ -1117,6 +1224,8 @@ object SimilaritySearch extends QueryModule {
     "emb_covariance_q" -> (covarianceQ _),
     "emb_quantization_clipped" -> (quantizationClipped _),
     "emb_label_centroids" -> (labelCentroids _),
+    "emb_topk_quantized" -> (quantizedTopK _),
+    "emb_quantized_recall" -> (quantizedRecall _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -1130,5 +1239,7 @@ object SimilaritySearch extends QueryModule {
     "emb_covariance_q" -> covarianceQSql,
     "emb_quantization_clipped" -> quantizationClippedSql,
     "emb_label_centroids" -> labelCentroidsSql,
+    "emb_topk_quantized" -> quantizedTopKSql,
+    "emb_quantized_recall" -> quantizedRecallSql,
   )
 }

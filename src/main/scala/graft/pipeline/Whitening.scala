@@ -122,29 +122,12 @@ object Whitening {
     (n, mean, cov)
   }
 
-  /** Per-vector int8 codes against the corpus-calibrated grid — the same
-    * quantize pass as `emb_covariance_q` (broadcast 1-row grid, zip_with).
+  /** Per-vector int8 codes — [[SimilaritySearch.quantizedCodes]], the
+    * memoized quantize pass shared with `emb_covariance_q` and
+    * `emb_quantized_recall`.
     */
-  def quantizedCodes(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = SimilaritySearch.QuantLevels
-    val ex = Tables.embeddings(spark, sfDir)
-      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
-      .select((col("pos") + 1).cast("int").as("dim"), col("xf").cast("double").as("x"))
-    val grid = ex.groupBy("dim")
-      .agg(min("x").as("min_v"), max("x").as("max_v"))
-      .withColumn("scale", (col("max_v") - col("min_v")) / lit(q.toDouble))
-      .select(struct(col("dim"), col("min_v"), col("scale")).as("e"))
-      .agg(expr("array_sort(collect_list(e))").as("grid"))
-    Tables.embeddings(spark, sfDir)
-      .crossJoin(broadcast(grid))
-      .select(col("vec_id"), col("label"), expr(
-        s"""zip_with(embedding, grid, (xf, g) ->
-              CASE WHEN g.scale > 0.0e0
-                   THEN least($q,
-                          CAST(floor((CAST(xf AS DOUBLE) - g.min_v) / g.scale + 0.5e0)
-                               AS BIGINT))
-                   ELSE CAST(0 AS BIGINT) END)""").as("qvec"))
-  }
+  def quantizedCodes(spark: SparkSession, sfDir: String): DataFrame =
+    SimilaritySearch.quantizedCodes(spark, sfDir)
 
   /** The ZCA whitening matrix `V·diag(1/sqrt(max(λ, floor)))·Vᵀ` of the
     * quantized-corpus covariance.
