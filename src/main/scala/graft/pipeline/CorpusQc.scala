@@ -614,6 +614,83 @@ object CorpusQc extends QueryModule {
         FROM u ORDER BY sa, sb"""
   }
 
+  /** `corpus_dataset_card`: the per-source release card — every per-source
+    * health number a curator reads before shipping a corpus snapshot, in
+    * ONE oracle-checked query: volume and quality (the source report),
+    * exact-duplicate and repetition-flagged and benchmark-contaminated doc
+    * counts, and the worst cross-source containment. This is the
+    * composition story (`corpus_curated_manifest` precedent): every column
+    * is produced by the SAME operator the standalone oracle row checks —
+    * the card cannot drift from the audits it summarizes.
+    *
+    * Shape: five source-grain aggregates left-joined on a 20-row key — the
+    * corpus-scale work happens once inside each component (and the shingle
+    * membership table is the memoized one), the card itself is dim-sized.
+    * `max_containment` is NULL for a source sharing no shingle with any
+    * other (both engines agree).
+    */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val src = docs.select("doc_id", "source")
+    val base = sourceReportOf(docs)
+    val dups = Dedup.exactDedup(spark, sfDir).filter(col("is_duplicate"))
+      .join(src, "doc_id").groupBy("source").agg(count(lit(1)).as("n_exact_dups"))
+    // same universe as the standalone `text_contamination` row: held-out
+    // benchmark docs are not corpus candidates, so they don't self-flag
+    val contam = contaminationOf(docs.filter(col("doc_id") % BenchMod =!= 0),
+        benchShingles(spark, sfDir))
+      .filter(col("contaminated")).join(src, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+    val rep = repetitionOf(docs).filter(col("flagged")).join(src, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_repetition_flagged"))
+    val ov = sourceOverlap(spark, sfDir)
+    val cont = ov.select(col("sa").as("source"), col("containment"))
+      .union(ov.select(col("sb").as("source"), col("containment")))
+      .groupBy("source").agg(max("containment").as("max_containment"))
+    base
+      .join(dups, Seq("source"), "left")
+      .join(contam, Seq("source"), "left")
+      .join(rep, Seq("source"), "left")
+      .join(cont, Seq("source"), "left")
+      .na.fill(0L, Seq("n_exact_dups", "n_contaminated", "n_repetition_flagged"))
+      .orderBy("source")
+  }
+
+  private val datasetCardSql =
+    s"""WITH base AS (SELECT * FROM ($sourceReportSql)),
+        dsrc AS (SELECT doc_id, source FROM documents),
+        dups AS (
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_exact_dups
+          FROM (${Dedup.exactDedupSql}) x JOIN dsrc d USING (doc_id)
+          WHERE x.is_duplicate GROUP BY 1
+        ), contam AS (
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+          FROM ($contaminationSql) c JOIN dsrc d USING (doc_id)
+          WHERE c.contaminated GROUP BY 1
+        ), rep AS (
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_repetition_flagged
+          FROM ($repetitionSql) r JOIN dsrc d USING (doc_id)
+          WHERE r.flagged GROUP BY 1
+        ), ov AS (SELECT * FROM ($sourceOverlapSql)),
+        cont AS (
+          SELECT source, MAX(containment) AS max_containment
+          FROM (SELECT sa AS source, containment FROM ov
+                UNION ALL SELECT sb AS source, containment FROM ov)
+          GROUP BY 1
+        )
+        SELECT b.source, b.n_docs, b.total_tokens, b.n_langs, b.n_low_quality,
+               b.mean_quality_bucketed,
+               COALESCE(dups.n_exact_dups, 0) AS n_exact_dups,
+               COALESCE(contam.n_contaminated, 0) AS n_contaminated,
+               COALESCE(rep.n_repetition_flagged, 0) AS n_repetition_flagged,
+               cont.max_containment
+        FROM base b
+        LEFT JOIN dups USING (source)
+        LEFT JOIN contam USING (source)
+        LEFT JOIN rep USING (source)
+        LEFT JOIN cont USING (source)
+        ORDER BY source"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (repetition _),
     "corpus_snapshot_diff" -> (snapshotDiff _),
@@ -623,6 +700,7 @@ object CorpusQc extends QueryModule {
     "corpus_source_report" -> (sourceReport _),
     "corpus_source_overlap" -> (sourceOverlap _),
     "corpus_source_overlap_kmv" -> (sourceOverlapKmv _),
+    "corpus_dataset_card" -> (datasetCard _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -634,5 +712,6 @@ object CorpusQc extends QueryModule {
     "corpus_source_report" -> sourceReportSql,
     "corpus_source_overlap" -> sourceOverlapSql,
     "corpus_source_overlap_kmv" -> sourceOverlapKmvSql,
+    "corpus_dataset_card" -> datasetCardSql,
   )
 }

@@ -199,7 +199,7 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private val exactDedupSql =
+  private[pipeline] val exactDedupSql =
     s"""WITH f AS (
           SELECT doc_id, md5(array_to_string($tokenSetDuck, ' ')) AS fingerprint
           FROM documents)
