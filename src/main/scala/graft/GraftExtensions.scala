@@ -14,7 +14,9 @@ import graft.plans.{AsOfJoinStrategy, PushLeftFilterThroughAsOf}
   * `jaccard_sorted(array<bigint>, array<bigint>) -> double` (one-merge-pass
   * set Jaccard over sorted hash arrays; see [[functions.JaccardSorted]]),
   * `kmv_distinct(hash bigint) -> double` (bounded-buffer KMV distinct-count
-  * sketch; see [[functions.KmvSketchAgg]]), and the bloom pair
+  * sketch; see [[functions.KmvSketchAgg]]), `kmv_sketch(hash bigint) ->
+  * array<bigint>` (the sketch SET itself, for KMV union/intersection
+  * algebra; see [[functions.KmvSketchSetAgg]]), and the bloom pair
   * `bloom_filter_agg` / `might_contain` (Spark's own runtime-filter
   * expressions surfaced for deliberate use; see [[functions.BloomAgg]],
   * [[functions.MightContain]], [[operators.BloomJoin]]).
@@ -30,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.JaccardSorted.description)
     ext.injectFunction(functions.SortedSumAgg.description)
     ext.injectFunction(functions.KmvSketchAgg.description)
+    ext.injectFunction(functions.KmvSketchSetAgg.description)
     ext.injectFunction(functions.MightContain.description)
     ext.injectFunction(functions.BloomAgg.description)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)

@@ -532,27 +532,31 @@ object CorpusQc extends QueryModule {
     * corpus and the source count are large.
     *
     * The estimator is [[graft.functions.KmvSketch]]'s (exact below K,
-    * (K−1)·2^60/h_K above), here in plain relational form — a rank-K
-    * prefix per source — so the DuckDB twin is the same order statistic,
-    * bit for bit. Inclusion–exclusion can go negative on sketch noise;
-    * clamped at 0 in both engines.
+    * (K−1)·2^60/h_K above). The Spark side builds each sketch with the
+    * `kmv_sketch` TypedImperativeAggregate (O(K) state, map-side combine);
+    * the DuckDB twin takes the same K smallest as a rank-K prefix — the
+    * state is a pure set function, so the two enumerations agree
+    * element-for-element and every estimate is bit-identical.
+    * Inclusion–exclusion can go negative on sketch noise; clamped at 0 in
+    * both engines.
     */
   def sourceOverlapKmv(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val K = OverlapK
     val H = graft.functions.KmvSketch.HashSpace
-    def est(nd: org.apache.spark.sql.Column, kth: org.apache.spark.sql.Column) =
-      when(nd < K, nd.cast("double"))
-        .otherwise(lit((K - 1).toDouble) * lit(H) / kth.cast("double"))
+    // a sketch shorter than K IS the full distinct set (exact); at K the
+    // K-th minimum drives the estimator — one rule for groups AND unions
+    def est(g: org.apache.spark.sql.Column) =
+      when(size(g) < K, size(g).cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(H) /
+          element_at(g, K).cast("double"))
     val s = sourceShingles(spark, sfDir)
-    // per-source sketch: the K smallest distinct hashes + true distinct count
-    val perSource = s
-      .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy("source")))
-      .filter(col("rn") <= K)
-      .groupBy("source")
-      .agg(max("nd").as("nd"), max("h").as("kth"), collect_list("h").as("g"))
-      .withColumn("est", est(col("nd"), col("kth")))
+    // per-source sketch in ONE partial+final aggregation (kmv_sketch,
+    // O(K) state per source, map-side combined) — the window-rank form
+    // this replaces shuffled and sorted every source's whole distinct-hash
+    // universe to keep 64 rows of it
+    val perSource = s.groupBy("source")
+      .agg(expr("kmv_sketch(h)").as("g"))
+      .withColumn("est", est(col("g")))
     // KMV union property: the K smallest of (A ∪ B) are all contained in
     // sketchA ∪ sketchB, so merging the two sketch SETS and re-taking the
     // K-th order statistic IS the sketch of the union; when the merged set
@@ -563,9 +567,7 @@ object CorpusQc extends QueryModule {
         col("g").as("gb")), col("sa") < col("sb"))
     pairs
       .withColumn("merged", expr("array_sort(array_union(ga, gb))"))
-      .withColumn("n_merged", expr("size(merged)").cast("long"))
-      .withColumn("est_union",
-        est(col("n_merged"), expr(s"element_at(merged, $K)")))
+      .withColumn("est_union", est(col("merged")))
       .withColumn("est_intersection",
         greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
       .select(col("sa"), col("sb"), col("est_a"), col("est_b"), col("est_union"),
@@ -587,16 +589,15 @@ object CorpusQc extends QueryModule {
         ), s AS (SELECT DISTINCT source, h FROM w),
         r AS (
           SELECT source, h,
-                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
-                 COUNT(*) OVER (PARTITION BY source) AS nd
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
           FROM s
         ), sk AS (
-          SELECT source, MAX(nd) AS nd, MAX(h) AS kth, list(h ORDER BY h) AS g
+          SELECT source, list(h ORDER BY h) AS g
           FROM r WHERE rn <= $k GROUP BY source
         ), es AS (
           SELECT source, g,
-                 CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
-                      ELSE ${k - 1}.0 * $h / CAST(kth AS DOUBLE) END AS est
+                 CASE WHEN len(g) < $k THEN CAST(len(g) AS DOUBLE)
+                      ELSE ${k - 1}.0 * $h / CAST(g[$k] AS DOUBLE) END AS est
           FROM sk
         ), p AS (
           SELECT a.source AS sa, b.source AS sb, a.est AS est_a, b.est AS est_b,

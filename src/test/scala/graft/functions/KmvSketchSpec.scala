@@ -52,4 +52,25 @@ class KmvSketchSpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(expected))
     assert(merged.size === KmvSketch.K)
   }
+
+  test("kmv_sketch set form: ascending K-minima, identical under any partial order") {
+    val agg = KmvSketchSetAgg(org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    val hs = (1 to 640).map(i => (i.toLong * 2654435761L) % (1L << 60))
+    def bufOf(part: Seq[Long]) = {
+      val b = agg.createAggregationBuffer()
+      part.foreach(h => { b.add(h); while (b.size > KmvSketch.K) b.pollLast() })
+      agg.deserialize(agg.serialize(b))
+    }
+    def sketchVia(groups: Seq[Seq[Long]]): Seq[Long] =
+      agg.eval(groups.map(bufOf).reduceLeft(agg.merge))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    val a = sketchVia((hs ++ hs.take(50)).grouped(7).toSeq)
+    val b = sketchVia(scala.util.Random.shuffle(hs).grouped(100).toSeq)
+    // the sketch is the rank-K prefix of the distinct universe, ascending —
+    // exactly the DuckDB oracle's row_number() <= K formulation
+    val want = hs.distinct.sorted.take(KmvSketch.K)
+    assert(a === want)
+    assert(b === want)
+  }
 }
