@@ -159,7 +159,7 @@ object CorpusQc extends QueryModule {
       .withColumn("contaminated", col("overlap_ratio") >= ContamThreshold)
       .select("doc_id", "n_shingles", "n_overlap", "overlap_ratio", "contaminated")
 
-  private val contaminationSql =
+  private[pipeline] val contaminationSql =
     s"""WITH t AS (
           SELECT doc_id, ${Dedup.rawTokensDuck} AS t FROM documents
           WHERE len(${Dedup.rawTokensDuck}) >= ${Dedup.ShingleN}

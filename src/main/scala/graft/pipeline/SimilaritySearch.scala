@@ -1139,8 +1139,12 @@ object SimilaritySearch extends QueryModule {
     // the finished statistics instead of re-running the corpus aggregation
     val gr = graft.Scratch.materialize(
       qvecs.agg(gramian(col("qvec")).as("r")), "graft_gram")
-    // triangle index (i ≤ j, 0-based) → (i, j); idx = j(j+1)/2 + i
-    val cells = gr.select(col("r.n").as("n"), col("r.s").as("s"),
+    // triangle index (i ≤ j, 0-based) → (i, j); idx = j(j+1)/2 + i.
+    // n > 0 drops the degenerate zero-buffer row a global aggregate emits
+    // on an EMPTY corpus — the oracle's grouped form emits nothing there,
+    // and under ANSI the n=0 divisions would throw rather than NaN
+    val cells = gr.filter(col("r.n") > 0)
+      .select(col("r.n").as("n"), col("r.s").as("s"),
         posexplode(col("r.g")).as(Seq("idx", "sxy")))
     val pairs = cells.sparkSession.range(0, d).select(col("id").cast("int").as("j"))
       .select(col("j"), explode(expr("sequence(0, j)")).as("i"))

@@ -381,8 +381,75 @@ object TrainPrep extends QueryModule {
         ORDER BY priority DESC, doc_id"""
   }
 
+  /** `train_decontaminated_split`: the split assignment a release actually
+    * ships — [[stableSplit]]'s hash buckets with the governance gates
+    * composed in: held-out benchmark docs land in `benchmark` (they are
+    * nobody's training data), benchmark-contaminated and exact-duplicate
+    * docs land in `quarantine`, and only clean docs draw train/val/test.
+    * Every gate is the SAME operator its standalone oracle row checks
+    * (`text_contamination`, `dedup_exact`) — the `corpus_dataset_card`
+    * composition discipline applied to the split itself.
+    *
+    * Shape: the gates are doc-grain flags joined onto the hash-bucket
+    * assignment (contamination's benchmark side is broadcast; the dup
+    * flag rides the fingerprint window) — one final (split, lang)
+    * aggregate. Priority: benchmark > quarantine > hash bucket, so a
+    * contaminated benchmark doc still counts as benchmark.
+    */
+  def decontaminatedSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.select(col("doc_id"), col("lang"),
+      expr(s"size(${Dedup.rawTokens})").as("n_tokens"),
+      expr(s"${Dedup.hash60("CAST(doc_id AS STRING)")} % 100").as("h"))
+    val contam = CorpusQc.contaminationOf(
+        docs.filter(col("doc_id") % CorpusQc.BenchMod =!= 0),
+        CorpusQc.benchShingles(spark, sfDir))
+      .filter(col("contaminated")).select(col("doc_id"), lit(1).as("bad_contam"))
+    val dups = Dedup.exactDedup(spark, sfDir)
+      .filter(col("is_duplicate")).select(col("doc_id"), lit(1).as("bad_dup"))
+    base
+      .join(contam, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .withColumn("split",
+        when(col("doc_id") % CorpusQc.BenchMod === 0, "benchmark")
+          .when(col("bad_contam").isNotNull || col("bad_dup").isNotNull, "quarantine")
+          .when(col("h") < TrainPct, "train")
+          .when(col("h") < ValPct, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("split", "lang")
+  }
+
+  private val decontaminatedSplitSql =
+    s"""WITH contam AS (
+          SELECT doc_id FROM (${CorpusQc.contaminationSql}) WHERE contaminated
+        ), dups AS (
+          SELECT doc_id FROM (${Dedup.exactDedupSql}) WHERE is_duplicate
+        ), d AS (
+          SELECT doc_id, lang,
+                 len(${Dedup.rawTokensDuck}) AS n_tokens,
+                 ${Dedup.hash60Duck("CAST(doc_id AS VARCHAR)")} % 100 AS h
+          FROM documents
+        ), assigned AS (
+          SELECT d.lang, d.n_tokens,
+                 CASE WHEN d.doc_id % ${CorpusQc.BenchMod} = 0 THEN 'benchmark'
+                      WHEN c.doc_id IS NOT NULL OR x.doc_id IS NOT NULL
+                        THEN 'quarantine'
+                      WHEN h < $TrainPct THEN 'train'
+                      WHEN h < $ValPct THEN 'val'
+                      ELSE 'test' END AS split
+          FROM d
+          LEFT JOIN contam c ON c.doc_id = d.doc_id
+          LEFT JOIN dups x ON x.doc_id = d.doc_id
+        )
+        SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stable_split" -> (stableSplit _),
+    "train_decontaminated_split" -> (decontaminatedSplit _),
     "docs_stratified_sample" -> (stratifiedSample _),
     "docs_priority_sample" -> (prioritySample _),
     "train_negative_pairs" -> (negativePairs _),
@@ -394,6 +461,7 @@ object TrainPrep extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "text_stable_split" -> stableSplitSql,
+    "train_decontaminated_split" -> decontaminatedSplitSql,
     "docs_stratified_sample" -> stratifiedSampleSql,
     "docs_priority_sample" -> prioritySampleSql,
     "train_negative_pairs" -> negativePairsSql,

@@ -38,7 +38,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_tfidf_keywords", "text_heavy_hitters_cms", "train_negative_pairs",
     "docs_chunked", "docs_stratified_sample", "corpus_source_report",
     "text_inverted_index", "text_bigram_lm",
-    "dedup_cosine_sparse", "dedup_cosine_lsh", "corpus_curated_manifest")
+    "dedup_cosine_sparse", "dedup_cosine_lsh", "corpus_curated_manifest",
+    "corpus_source_overlap", "corpus_source_overlap_kmv", "corpus_dataset_card",
+    "text_perplexity_filter", "train_decontaminated_split",
+    "emb_covariance_q", "emb_quantization_clipped", "emb_label_centroids",
+    "emb_topk_quantized")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else
