@@ -49,11 +49,23 @@ object Reports {
     Retail.customerSummary(spark, sfDir).show(20, truncate = false)
   }
 
+  /** Release-gate report: the per-source dataset card (verified by
+    * `corpus_dataset_card`) in the same banded-stdout style — the sheet a
+    * curator reads before signing off a snapshot.
+    */
+  def datasetCardReport(spark: SparkSession, sfDir: String): Unit = {
+    banner("DATASET RELEASE CARD (per source)")
+    graft.pipeline.CorpusQc.datasetCard(spark, sfDir).show(25, truncate = false)
+    banner("SPLIT ASSIGNMENT AFTER GOVERNANCE GATES")
+    graft.pipeline.TrainPrep.decontaminatedSplit(spark, sfDir).show(30, truncate = false)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = graft.Sessions.local("4")
     corpusReport(spark, sfDir)
     customerReport(spark, sfDir)
+    datasetCardReport(spark, sfDir)
     println("REPORT_DONE=true")
     spark.stop()
   }
