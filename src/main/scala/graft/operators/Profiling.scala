@@ -54,15 +54,30 @@ object Profiling extends QueryModule {
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority")
 
-  private val profileOrdersSql =
-    OrdersCols.map { c =>
+  private def profileSqlFor(table: String, cols: Seq[String]): String =
+    cols.map { c =>
       s"""SELECT '$c' AS column_name,
                  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                  COUNT(DISTINCT $c) AS n_distinct,
                  MIN(CAST($c AS VARCHAR)) AS min_value,
                  MAX(CAST($c AS VARCHAR)) AS max_value
-          FROM orders"""
+          FROM $table"""
     }.mkString("", " UNION ALL ", " ORDER BY column_name")
+
+  private val profileOrdersSql = profileSqlFor("orders", OrdersCols)
+
+  /** `profile_documents`: the same one-pass profile over the corpus table —
+    * the first look a curator takes at a new documents drop (null text?
+    * lang/source cardinalities? id range?). Same plan shape as
+    * `profile_orders`; the string min/max on `text` is byte-wise in both
+    * engines over the ASCII corpus.
+    */
+  def profileDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    profileOf(Tables.documents(spark, sfDir)).orderBy("column_name")
+
+  private val DocumentsCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private val profileDocumentsSql = profileSqlFor("documents", DocumentsCols)
 
   /** [[profileOf]] with BOUNDED-state distinct counts — the 100 TB form.
     * The exact profile's per-column COUNT(DISTINCT) forces Catalyst's
@@ -517,6 +532,7 @@ object Profiling extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
+    "profile_documents" -> (profileDocuments _),
     "profile_orders_kmv" -> (profileOrdersKmv _),
     "orders_chisq_independence" -> (chisqIndependence _),
     "lineitem_corr_matrix" -> (corrMatrixQ _),
@@ -527,6 +543,7 @@ object Profiling extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "profile_orders" -> profileOrdersSql,
+    "profile_documents" -> profileDocumentsSql,
     "profile_orders_kmv" -> profileOrdersKmvSql,
     "orders_chisq_independence" -> chisqIndependenceSql,
     "lineitem_corr_matrix" -> corrMatrixSql,
