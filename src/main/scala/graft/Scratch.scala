@@ -71,11 +71,34 @@ object Scratch {
     * partitions to later queries. A scratch-parquet write is deterministic,
     * spill-free (it lives on disk, not in the block manager), costs one
     * deliberate pass, and both self-join sides read the same immutable files.
+    *
+    * Dirs written here are PER-INVOCATION (unlike [[memoize]]'s per-run
+    * stages) and are registered for [[sweepEphemeral]]: a harness that runs
+    * many queries back to back (Bench, Verify) sweeps them as soon as the
+    * owning query's action completes, so one query's token-scale scratch
+    * write can never sit on the page cache while its neighbors are being
+    * timed — the r7 text-family regression was exactly that bleed.
     */
   def materialize(df: DataFrame, prefix: String): DataFrame = {
     val d = dir(prefix)
+    ephemeral.add(Paths.get(d))
     df.write.mode("overwrite").parquet(d)
     df.sparkSession.read.parquet(d)
+  }
+
+  // per-invocation materialize dirs, swept between queries by the harnesses
+  private val ephemeral = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  /** Delete every per-invocation [[materialize]] dir created since the last
+    * sweep. Callers (Bench, Verify) invoke this AFTER the query's action has
+    * completed — the returned DataFrame is a lazy scan of the swept files, so
+    * sweeping mid-query would break the read. Memoized stages and bucketed
+    * tables are NOT swept: their cross-query reuse is the production DAG
+    * shape ([[memoize]]); they fall to [[clearMemo]]/[[dropBucketedTables]].
+    */
+  def sweepEphemeral(): Unit = {
+    var p = ephemeral.poll()
+    while (p != null) { deleteRecursively(p); p = ephemeral.poll() }
   }
 
   // content key → future scratch parquet path, one entry per logical

@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Profiling,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
+    pipeline.Whitening,
     pipeline.Multimodal,
     pipeline.TextAnalysis,
     pipeline.TrainPrep,

@@ -33,6 +33,7 @@ object Verify {
         Files.writeString(dir.resolve("_ERROR"), msg + "\n")
       }
       spark.catalog.clearCache() // per-query caches must not outlive the query
+      Scratch.sweepEphemeral() // nor per-query scratch materializations
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -33,6 +33,8 @@ class GramianAgg(dim: Int) extends Aggregator[Seq[Long], GramBuf, GramBuf] {
   override def zero: GramBuf = GramBuf(0L, Array.ofDim[Long](dim), Array.ofDim[Long](tri))
 
   override def reduce(b: GramBuf, q: Seq[Long]): GramBuf = {
+    require(q != null, "GramianAgg: null code vector — filter null embeddings " +
+      "before aggregating (a null row would otherwise NPE the whole pass)")
     require(q.length == dim, s"expected $dim codes, got ${q.length}")
     val qa = q.toArray
     var j = 0

@@ -124,10 +124,20 @@ object CorpusQc extends QueryModule {
     * text anywhere.
     */
   def contamination(spark: SparkSession, sfDir: String): DataFrame =
-    contaminationOf(
-      Tables.documents(spark, sfDir).filter(col("doc_id") % BenchMod =!= 0),
-      benchShingles(spark, sfDir))
-      .orderBy("doc_id")
+    contaminationTable(spark, sfDir).orderBy("doc_id")
+
+  /** [[contamination]]'s unordered core, MEMOIZED per corpus per run — the
+    * shared decontamination gate: `text_contamination` presents it ordered,
+    * `train_decontaminated_split` joins its flag, and both read the same
+    * scratch parquet instead of re-running the shingle explode (the e1340df
+    * repeated-subtree treatment applied to the governance gates).
+    */
+  def contaminationTable(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Scratch.memoize(spark, s"$sfDir#qc#contamination") {
+      contaminationOf(
+        Tables.documents(spark, sfDir).filter(col("doc_id") % BenchMod =!= 0),
+        benchShingles(spark, sfDir))
+    }
 
   /** Distinct hashed shingles over docs. */
   private def shingleRows(docs: DataFrame): DataFrame =
@@ -634,12 +644,12 @@ object CorpusQc extends QueryModule {
     val docs = Tables.documents(spark, sfDir)
     val src = docs.select("doc_id", "source")
     val base = sourceReportOf(docs)
-    val dups = Dedup.exactDedup(spark, sfDir).filter(col("is_duplicate"))
+    val dups = Dedup.exactDedupTable(spark, sfDir).filter(col("is_duplicate"))
       .join(src, "doc_id").groupBy("source").agg(count(lit(1)).as("n_exact_dups"))
     // same universe as the standalone `text_contamination` row: held-out
-    // benchmark docs are not corpus candidates, so they don't self-flag
-    val contam = contaminationOf(docs.filter(col("doc_id") % BenchMod =!= 0),
-        benchShingles(spark, sfDir))
+    // benchmark docs are not corpus candidates, so they don't self-flag —
+    // and the SAME memoized gate table, scanned not recomputed
+    val contam = contaminationTable(spark, sfDir)
       .filter(col("contaminated")).join(src, "doc_id")
       .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
     val rep = repetitionOf(docs).filter(col("flagged")).join(src, "doc_id")

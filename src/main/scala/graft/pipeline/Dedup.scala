@@ -188,16 +188,24 @@ object Dedup extends QueryModule {
     * set → md5). One shuffle on the fingerprint; min(doc_id) is the canonical
     * survivor. Raw-byte exact dedup is the same plan with md5(text).
     */
-  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("fingerprint")
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        expr(s"md5(array_join($tokenSet, ' '))").as("fingerprint"))
-      .withColumn("canonical_id", min("doc_id").over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
-      .orderBy("doc_id")
-  }
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    exactDedupTable(spark, sfDir).orderBy("doc_id")
+
+  /** [[exactDedup]]'s unordered core, MEMOIZED per corpus per run — the
+    * shared duplicate gate: `dedup_exact` presents it ordered,
+    * `train_decontaminated_split` joins its flag, both off one scratch
+    * parquet (the e1340df repeated-subtree treatment).
+    */
+  def exactDedupTable(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#dedup#exact") {
+      val w = Window.partitionBy("fingerprint")
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          expr(s"md5(array_join($tokenSet, ' '))").as("fingerprint"))
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+    }
 
   private[pipeline] val exactDedupSql =
     s"""WITH f AS (

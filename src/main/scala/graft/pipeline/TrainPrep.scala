@@ -401,11 +401,12 @@ object TrainPrep extends QueryModule {
     val base = docs.select(col("doc_id"), col("lang"),
       expr(s"size(${Dedup.rawTokens})").as("n_tokens"),
       expr(s"${Dedup.hash60("CAST(doc_id AS STRING)")} % 100").as("h"))
-    val contam = CorpusQc.contaminationOf(
-        docs.filter(col("doc_id") % CorpusQc.BenchMod =!= 0),
-        CorpusQc.benchShingles(spark, sfDir))
+    // the gates are the MEMOIZED tables their standalone oracle rows check
+    // (`text_contamination`, `dedup_exact`) — one shingle explode and one
+    // fingerprint window per corpus per run, shared by every consumer
+    val contam = CorpusQc.contaminationTable(spark, sfDir)
       .filter(col("contaminated")).select(col("doc_id"), lit(1).as("bad_contam"))
-    val dups = Dedup.exactDedup(spark, sfDir)
+    val dups = Dedup.exactDedupTable(spark, sfDir)
       .filter(col("is_duplicate")).select(col("doc_id"), lit(1).as("bad_dup"))
     base
       .join(contam, Seq("doc_id"), "left")

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{QueryModule, Tables}
 
 /** ZCA whitening of the quantized embedding corpus — the decorrelation
   * transform retrieval pipelines apply before indexing (whitening is the
@@ -29,7 +29,7 @@ import graft.Tables
   * below [[EigenFloor]] are clamped — a rank-deficient (constant) dimension
   * must not explode the transform.
   */
-object Whitening {
+object Whitening extends QueryModule {
 
   val EigenFloor = 1e-9
 
@@ -99,12 +99,25 @@ object Whitening {
     * driver step — 33 KB at d=64).
     */
   def codeMoments(spark: SparkSession, sfDir: String, dim: Int)
-      : (Long, Array[Double], Array[Array[Double]]) = {
+      : (Long, Array[Double], Array[Array[Double]]) =
+    codeMomentsOpt(spark, sfDir, dim).getOrElse(
+      throw new IllegalArgumentException(
+        "whitening needs a non-empty corpus (n = 0: the mean/covariance " +
+          "divisions would silently emit a NaN transform)"))
+
+  /** [[codeMoments]] that signals an EMPTY corpus as `None` instead of
+    * failing — the empty-safe surface for `emb_whitened_check` (every
+    * registered query must plan-and-return-empty on a fresh ingest
+    * partition, EmptyInputSpec).
+    */
+  def codeMomentsOpt(spark: SparkSession, sfDir: String, dim: Int)
+      : Option[(Long, Array[Double], Array[Array[Double]])] = {
     val qvecs = quantizedCodes(spark, sfDir)
     val gramian = udaf(new graft.functions.GramianAgg(dim))
     // the ONE deliberate driver-side head(): a single row of d(d+3)/2 longs
     val row = qvecs.agg(gramian(col("qvec")).as("r")).selectExpr("r.n", "r.s", "r.g").head()
     val n = row.getLong(0)
+    if (n == 0L) return None
     val s = row.getSeq[Long](1).toArray
     val g = row.getSeq[Long](2).toArray
     val mean = s.map(_.toDouble / n)
@@ -119,7 +132,7 @@ object Whitening {
       }
       j += 1
     }
-    (n, mean, cov)
+    Some((n, mean, cov))
   }
 
   /** Per-vector int8 codes — [[SimilaritySearch.quantizedCodes]], the
@@ -153,7 +166,11 @@ object Whitening {
     */
   def whiten(spark: SparkSession, sfDir: String, dim: Int): DataFrame = {
     val (_, mean, cov) = codeMoments(spark, sfDir, dim)
-    val w = whiteningMatrix(cov)
+    whitenWith(quantizedCodes(spark, sfDir), mean, whiteningMatrix(cov), dim)
+  }
+
+  private def whitenWith(codes: DataFrame, mean: Array[Double],
+                         w: Array[Array[Double]], dim: Int): DataFrame = {
     val matvec = udf { (qv: Seq[Long]) =>
       val centered = Array.tabulate(dim)(i => qv(i).toDouble - mean(i))
       Array.tabulate(dim) { i =>
@@ -163,7 +180,102 @@ object Whitening {
         s
       }
     }
-    quantizedCodes(spark, sfDir)
-      .select(col("vec_id"), col("label"), matvec(col("qvec")).as("wvec"))
+    codes.select(col("vec_id"), col("label"), matvec(col("qvec")).as("wvec"))
   }
+
+  /** `emb_whitened_check`: the whitening acceptance audit, oracle-checked —
+    * the second-moment matrix of the WHITENED corpus, emitted as
+    * parts-per-million integer cells of the upper triangle. If the ZCA
+    * transform is right, `E[w·wᵀ] = W·Σ·W ≈ I` to machine precision, so the
+    * expected table is pure structure — 10⁶ on the diagonal, 0 off — which
+    * is exactly what the DuckDB oracle emits WITHOUT re-deriving the
+    * eigenwork: the oracle states what whitening must produce (identity),
+    * the Spark side proves its transform actually produces it on the real
+    * corpus. Rounding at ppm is nine-plus orders above the numerical error
+    * budget (Jacobi residual / λ_min ~1e-10, double-sum error ~1e-12), and
+    * kills summation-order noise, the `emb_covariance_q` integerization
+    * discipline.
+    *
+    * A quantized dimension with zero variance (constant codes) is whitened
+    * to exactly 0, not 1 — its eigenvalue is [[EigenFloor]]-clamped and its
+    * centered coordinate is identically zero — so the oracle gates each
+    * diagonal cell on the dim's integer-exact code variance (the
+    * `emb_covariance_q` vars CTE). Exact cross-dimension rank deficiency
+    * (distinct dims perfectly correlated) would likewise zero an
+    * eigendirection; that cannot be stated in SQL without the eigenbasis
+    * and does not occur in continuous embedding data — documented
+    * assumption, same one the `var_i > 0` correlation filter already makes.
+    *
+    * Shape: the moments pass is the ONE GramianAgg aggregation (shared
+    * memoized codes), the eigenwork is the documented driver-side d×d step,
+    * and the check itself is one map-side-combined aggregation of d(d+1)/2
+    * cells per vector — the same N·d² arithmetic the Gramian pays, emitted
+    * at triangle grain.
+    */
+  def whitenedCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Similarity.Dim
+    codeMomentsOpt(spark, sfDir, dim) match {
+      case None =>
+        // empty corpus: plan-and-return-empty (EmptyInputSpec contract)
+        spark.range(0).selectExpr("CAST(id AS INT) AS dim_i",
+          "CAST(id AS INT) AS dim_j", "id AS cell_ppm")
+      case Some((n, mean, cov)) =>
+        val wv = whitenWith(quantizedCodes(spark, sfDir), mean,
+          whiteningMatrix(cov), dim)
+        wv.select(explode(expr(
+            s"""flatten(transform(sequence(0, ${dim - 1}), j ->
+                  transform(sequence(0, j), i ->
+                    named_struct('i', i, 'j', j, 'p', wvec[i] * wvec[j]))))"""))
+            .as("c"))
+          .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+          .agg(sum(col("c.p")).as("sp"))
+          .select((col("i") + 1).cast("int").as("dim_i"),
+            (col("j") + 1).cast("int").as("dim_j"),
+            round(col("sp") / lit(n.toDouble) * lit(1e6)).cast("bigint").as("cell_ppm"))
+          .orderBy("dim_i", "dim_j")
+    }
+  }
+
+  private val whitenedCheckSql = {
+    val d = Similarity.Dim
+    // identity-by-construction, gated per-diagonal on the dim's exact
+    // integer code variance (zero-variance dims whiten to 0, see scaladoc)
+    s"""WITH ex AS (
+          SELECT e.vec_id, g.i AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS x
+          FROM embeddings e
+          CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) g
+        ), rng AS (
+          SELECT dim, MIN(x) AS min_v,
+                 (MAX(x) - MIN(x)) / ${SimilaritySearch.QuantLevels}.0e0 AS scale
+          FROM ex GROUP BY 1
+        ), q AS (
+          SELECT vec_id, ex.dim,
+                 CASE WHEN scale > 0.0e0
+                      THEN least(${SimilaritySearch.QuantLevels},
+                             CAST(floor((x - min_v) / scale + 0.5e0) AS BIGINT))
+                      ELSE 0 END AS q
+          FROM ex JOIN rng USING (dim)
+        ), nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM q),
+        vars AS (
+          SELECT dim,
+                 CAST(SUM(q * q) AS BIGINT) * n - CAST(SUM(q) AS BIGINT) * CAST(SUM(q) AS BIGINT)
+                   AS v_scaled
+          FROM q, nn GROUP BY dim, n
+        ), dims AS (SELECT unnest(range(1, ${d + 1})) AS dd)
+        SELECT CAST(i.dd AS INT) AS dim_i, CAST(j.dd AS INT) AS dim_j,
+               CAST(CASE WHEN i.dd = j.dd AND vi.v_scaled > 0 THEN 1000000
+                         ELSE 0 END AS BIGINT) AS cell_ppm
+        FROM dims i
+        JOIN dims j ON i.dd <= j.dd
+        JOIN vars vi ON vi.dim = i.dd
+        CROSS JOIN nn
+        WHERE nn.n > 0
+        ORDER BY dim_i, dim_j"""
+  }
+
+  override def queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("emb_whitened_check" -> (whitenedCheck _))
+
+  override def oracle: Map[String, String] =
+    Map("emb_whitened_check" -> whitenedCheckSql)
 }

@@ -31,10 +31,12 @@ import graft.pipeline.{CorpusQc, Dedup}
 object CorpusIngest {
 
   /** Streaming exact dedup at the ingest front door — the streaming twin of
-    * `dedup_exact`: a document whose content fingerprint (md5 of text, the
-    * same fingerprint the batch query groups on) was already admitted within
-    * the watermark horizon is dropped before any downstream stage pays for
-    * it.
+    * `dedup_exact`: a document whose content fingerprint — md5 of the sorted
+    * distinct token set, the IDENTICAL normalized expression the batch query
+    * groups on (`Dedup.tokenSet`), so docs differing only in case,
+    * whitespace, punctuation, or token order dedup the same way in both
+    * pipelines — was already admitted within the watermark horizon is
+    * dropped before any downstream stage pays for it.
     *
     * `dropDuplicatesWithinWatermark` is the operator that makes this safe at
     * 100 TB: fingerprint state lives only until the watermark passes its
@@ -49,7 +51,7 @@ object CorpusIngest {
   def dedupedStream(docStream: DataFrame, horizon: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.functions._
     docStream
-      .withColumn("fp", md5(col("text")))
+      .withColumn("fp", expr(s"md5(array_join(${Dedup.tokenSet}, ' '))"))
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
   }

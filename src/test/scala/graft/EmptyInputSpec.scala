@@ -42,7 +42,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "corpus_source_overlap", "corpus_source_overlap_kmv", "corpus_dataset_card",
     "text_perplexity_filter", "train_decontaminated_split",
     "emb_covariance_q", "emb_quantization_clipped", "emb_label_centroids",
-    "emb_topk_quantized")
+    "emb_topk_quantized", "emb_whitened_check")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else
