@@ -551,6 +551,21 @@ object CorpusQc extends QueryModule {
     * both engines.
     */
   def sourceOverlapKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = sourceShingles(spark, sfDir)
+    // per-source sketch in ONE partial+final aggregation (kmv_sketch,
+    // O(K) state per source, map-side combined) — the window-rank form
+    // this replaces shuffled and sorted every source's whole distinct-hash
+    // universe to keep 64 rows of it
+    overlapFromSketches(s.groupBy("source").agg(expr("kmv_sketch(h)").as("g")))
+      .orderBy("sa", "sb")
+  }
+
+  /** Pairwise KMV set-algebra estimates from per-source `(source, g)`
+    * sketches — shared by [[sourceOverlapKmv]] and the incremental card
+    * ([[cardFromPartials]]), whose merged-across-batches sketches are the
+    * same pure set function of the corpus.
+    */
+  private def overlapFromSketches(sketches: DataFrame): DataFrame = {
     val K = OverlapK
     val H = graft.functions.KmvSketch.HashSpace
     // a sketch shorter than K IS the full distinct set (exact); at K the
@@ -559,14 +574,7 @@ object CorpusQc extends QueryModule {
       when(size(g) < K, size(g).cast("double"))
         .otherwise(lit((K - 1).toDouble) * lit(H) /
           element_at(g, K).cast("double"))
-    val s = sourceShingles(spark, sfDir)
-    // per-source sketch in ONE partial+final aggregation (kmv_sketch,
-    // O(K) state per source, map-side combined) — the window-rank form
-    // this replaces shuffled and sorted every source's whole distinct-hash
-    // universe to keep 64 rows of it
-    val perSource = s.groupBy("source")
-      .agg(expr("kmv_sketch(h)").as("g"))
-      .withColumn("est", est(col("g")))
+    val perSource = sketches.withColumn("est", est(col("g")))
     // KMV union property: the K smallest of (A ∪ B) are all contained in
     // sketchA ∪ sketchB, so merging the two sketch SETS and re-taking the
     // K-th order statistic IS the sketch of the union; when the merged set
@@ -582,8 +590,9 @@ object CorpusQc extends QueryModule {
         greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
       .select(col("sa"), col("sb"), col("est_a"), col("est_b"), col("est_union"),
         col("est_intersection"),
-        (col("est_intersection") / col("est_union")).as("jaccard_kmv"))
-      .orderBy("sa", "sb")
+        (col("est_intersection") / col("est_union")).as("jaccard_kmv"),
+        (col("est_intersection") / least(col("est_a"), col("est_b")))
+          .as("containment_kmv"))
   }
 
   private val sourceOverlapKmvSql = {
@@ -621,7 +630,9 @@ object CorpusQc extends QueryModule {
         )
         SELECT sa, sb, est_a, est_b, est_union,
                GREATEST(est_a + est_b - est_union, 0.0) AS est_intersection,
-               GREATEST(est_a + est_b - est_union, 0.0) / est_union AS jaccard_kmv
+               GREATEST(est_a + est_b - est_union, 0.0) / est_union AS jaccard_kmv,
+               GREATEST(est_a + est_b - est_union, 0.0) / LEAST(est_a, est_b)
+                 AS containment_kmv
         FROM u ORDER BY sa, sb"""
   }
 
@@ -702,6 +713,154 @@ object CorpusQc extends QueryModule {
         LEFT JOIN cont USING (source)
         ORDER BY source"""
 
+  // ---- incremental card: per-batch partials + merge (streaming twin) ----
+
+  /** Per-(source, lang) volume/quality sufficient statistics — exact
+    * integer sums, so cross-batch merge is associative addition and the
+    * merged `mean_quality_bucketed` division is bit-identical to the
+    * single-pass [[sourceReportOf]].
+    */
+  def cardVolPartial(docs: DataFrame): DataFrame =
+    qualityFeaturesOf(docs).groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        sum(when(col("q") < LowQuality, 1L).otherwise(0L)).as("n_low_quality"),
+        sum(expr("2 * qb + 1")).as("qnum"))
+
+  /** Per-(fingerprint, source) count + min doc_id — the sufficient
+    * statistic for exact-dup counting: the global canonical is the min over
+    * every batch's mins, and a source's dup count falls out of its counts
+    * minus its canonical holdings. Same normalized fingerprint as
+    * `dedup_exact` ([[Dedup.tokenSet]]).
+    */
+  def cardFpPartial(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        expr(s"md5(array_join(${Dedup.tokenSet}, ' '))").as("fingerprint"))
+      .groupBy("fingerprint", "source")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_doc"))
+
+  /** Per-source contamination / repetition flag counts — both flags are
+    * doc-local (benchmark set broadcast), so batch counts sum.
+    */
+  def cardFlagPartial(docs: DataFrame, benchSet: DataFrame): DataFrame = {
+    val src = docs.select("doc_id", "source")
+    val contam = contaminationOf(docs.filter(col("doc_id") % BenchMod =!= 0), benchSet)
+      .filter(col("contaminated")).join(src, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+    val rep = repetitionOf(docs).filter(col("flagged")).join(src, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_repetition_flagged"))
+    contam.join(rep, Seq("source"), "full")
+      .na.fill(0L, Seq("n_contaminated", "n_repetition_flagged"))
+  }
+
+  /** Per-source KMV sketch over the batch's char-shingle hashes (the
+    * [[sourceShingles]] universe, doc-local so batch-computable). The
+    * sketch is a pure set function: merging batches' sketches re-sketches
+    * to exactly the whole-corpus sketch, which is what makes the
+    * incremental containment estimate converge bit-for-bit.
+    */
+  def cardKmvPartial(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= Dedup.CosShingleChars)
+      .select(col("source"), explode(expr(
+          s"sequence(1, length(text) - ${Dedup.CosShingleChars - 1}, ${Dedup.CosStride})"))
+          .as("pos"),
+        col("text"))
+      .select(col("source"),
+        expr(Dedup.hash60(s"substring(text, pos, ${Dedup.CosShingleChars})")).as("h"))
+      .groupBy("source").agg(expr("kmv_sketch(h)").as("g"))
+
+  /** Merge accumulated partials into the per-source card —
+    * [[datasetCardKmv]]'s semantics exactly, whether the partials are one
+    * batch (the oracle query) or many micro-batches (the streaming ingest,
+    * [[graft.streaming.CorpusIngest]]): every leg's state is associative
+    * (sums, mins, KMV set-union), so the merged card equals the
+    * single-pass card bit-for-bit.
+    */
+  def cardFromPartials(vol: DataFrame, fp: DataFrame, flags: DataFrame,
+                       kmv: DataFrame): DataFrame = {
+    val base = vol.groupBy("source").agg(
+        sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"),
+        countDistinct("lang").as("n_langs"), sum("n_low_quality").as("n_low_quality"),
+        sum("qnum").as("qnum"))
+      .withColumn("mean_quality_bucketed",
+        expr(s"CAST(qnum AS DOUBLE) / (${2 * QBuckets} * n_docs)"))
+    val fpm = fp.groupBy("fingerprint", "source")
+      .agg(sum("cnt").as("cnt"), min("min_doc").as("min_doc"))
+    val canon = fpm.groupBy("fingerprint").agg(min("min_doc").as("canonical_id"))
+    val dups = fpm.join(canon, "fingerprint")
+      .select(col("source"), (col("cnt") -
+        when(col("min_doc") === col("canonical_id"), 1L).otherwise(0L)).as("nd"))
+      .groupBy("source").agg(sum("nd").as("n_exact_dups"))
+      .filter(col("n_exact_dups") > 0)
+    val flagsM = flags.groupBy("source").agg(
+      sum("n_contaminated").as("n_contaminated"),
+      sum("n_repetition_flagged").as("n_repetition_flagged"))
+    val merged = kmv.select(col("source"), explode(col("g")).as("h"))
+      .groupBy("source").agg(expr("kmv_sketch(h)").as("g"))
+    val ov = overlapFromSketches(merged)
+    val cont = ov.select(col("sa").as("source"), col("containment_kmv"))
+      .union(ov.select(col("sb").as("source"), col("containment_kmv")))
+      .groupBy("source").agg(max("containment_kmv").as("max_containment"))
+    base
+      .join(dups, Seq("source"), "left")
+      .join(flagsM, Seq("source"), "left")
+      .join(cont, Seq("source"), "left")
+      .na.fill(0L, Seq("n_exact_dups", "n_contaminated", "n_repetition_flagged"))
+      .select("source", "n_docs", "total_tokens", "n_langs", "n_low_quality",
+        "mean_quality_bucketed", "n_exact_dups", "n_contaminated",
+        "n_repetition_flagged", "max_containment")
+      .orderBy("source")
+  }
+
+  /** `corpus_dataset_card_kmv`: [[datasetCard]] with the containment leg on
+    * the KMV set-algebra estimates — the card variant whose EVERY leg is
+    * bounded-state mergeable, i.e. the one a streaming ingest can maintain
+    * incrementally ([[graft.streaming.CorpusIngest.cardStateWriter]] lands
+    * the per-batch partials, [[cardFromPartials]] merges). Registered
+    * through the same single-batch partial path the stream uses, so the
+    * oracle row checks exactly the code the micro-batches run.
+    */
+  def datasetCardKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    cardFromPartials(
+      cardVolPartial(docs), cardFpPartial(docs),
+      cardFlagPartial(docs, benchShingles(spark, sfDir)), cardKmvPartial(docs))
+  }
+
+  private val datasetCardKmvSql =
+    s"""WITH base AS (SELECT * FROM ($sourceReportSql)),
+        dsrc AS (SELECT doc_id, source FROM documents),
+        dups AS (
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_exact_dups
+          FROM (${Dedup.exactDedupSql}) x JOIN dsrc d USING (doc_id)
+          WHERE x.is_duplicate GROUP BY 1
+        ), contam AS (
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+          FROM ($contaminationSql) c JOIN dsrc d USING (doc_id)
+          WHERE c.contaminated GROUP BY 1
+        ), rep AS (
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_repetition_flagged
+          FROM ($repetitionSql) r JOIN dsrc d USING (doc_id)
+          WHERE r.flagged GROUP BY 1
+        ), ov AS (SELECT * FROM ($sourceOverlapKmvSql)),
+        cont AS (
+          SELECT source, MAX(containment_kmv) AS max_containment
+          FROM (SELECT sa AS source, containment_kmv FROM ov
+                UNION ALL SELECT sb AS source, containment_kmv FROM ov)
+          GROUP BY 1
+        )
+        SELECT b.source, b.n_docs, b.total_tokens, b.n_langs, b.n_low_quality,
+               b.mean_quality_bucketed,
+               COALESCE(dups.n_exact_dups, 0) AS n_exact_dups,
+               COALESCE(contam.n_contaminated, 0) AS n_contaminated,
+               COALESCE(rep.n_repetition_flagged, 0) AS n_repetition_flagged,
+               cont.max_containment
+        FROM base b
+        LEFT JOIN dups USING (source)
+        LEFT JOIN contam USING (source)
+        LEFT JOIN rep USING (source)
+        LEFT JOIN cont USING (source)
+        ORDER BY source"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (repetition _),
     "corpus_snapshot_diff" -> (snapshotDiff _),
@@ -712,6 +871,7 @@ object CorpusQc extends QueryModule {
     "corpus_source_overlap" -> (sourceOverlap _),
     "corpus_source_overlap_kmv" -> (sourceOverlapKmv _),
     "corpus_dataset_card" -> (datasetCard _),
+    "corpus_dataset_card_kmv" -> (datasetCardKmv _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -724,5 +884,6 @@ object CorpusQc extends QueryModule {
     "corpus_source_overlap" -> sourceOverlapSql,
     "corpus_source_overlap_kmv" -> sourceOverlapKmvSql,
     "corpus_dataset_card" -> datasetCardSql,
+    "corpus_dataset_card_kmv" -> datasetCardKmvSql,
   )
 }

@@ -80,4 +80,58 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .start()
+
+  // ---- incremental dataset card ----
+
+  /** Per-batch state writer for the INCREMENTAL dataset card — the
+    * streaming twin of `corpus_dataset_card_kmv`: each micro-batch lands
+    * its four sufficient-statistic partials ([[CorpusQc.cardVolPartial]] /
+    * `cardFpPartial` / `cardFlagPartial` / `cardKmvPartial` — sums, mins,
+    * and KMV sketches, all associative) under per-batch directories, then
+    * refreshes `stateDir/card` with the merged card over everything
+    * admitted so far. A curator reads the current card at any time; after
+    * the last batch it equals the batch card over the whole ingested
+    * corpus bit-for-bit (CorpusIngestSpec pins two-batch convergence).
+    *
+    * State per batch is source-grain (vol/flags/kmv: sources × langs rows,
+    * K longs per sketch) plus the fingerprint-grain dup statistics — the
+    * same persisted-index trade the band index makes, and the reason the
+    * card can be exact instead of approximate. Idempotent replay: the
+    * per-batch overwrite discipline of [[batchWriter]].
+    */
+  def cardStateWriter(spark: SparkSession, sfDir: String,
+                      stateDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      CorpusQc.cardVolPartial(batch)
+        .write.mode("overwrite").parquet(s"$stateDir/vol/batch_id=$batchId")
+      CorpusQc.cardFpPartial(batch)
+        .write.mode("overwrite").parquet(s"$stateDir/fp/batch_id=$batchId")
+      CorpusQc.cardFlagPartial(batch, CorpusQc.benchShingles(spark, sfDir))
+        .write.mode("overwrite").parquet(s"$stateDir/flags/batch_id=$batchId")
+      CorpusQc.cardKmvPartial(batch)
+        .write.mode("overwrite").parquet(s"$stateDir/kmv/batch_id=$batchId")
+      cardFromState(spark, stateDir)
+        .write.mode("overwrite").parquet(s"$stateDir/card")
+    }
+
+  /** The current card: merge every landed batch partial
+    * ([[CorpusQc.cardFromPartials]] — associative legs, so batch
+    * boundaries are invisible in the result).
+    */
+  def cardFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    def state(sub: String) = spark.read.parquet(s"$stateDir/$sub").drop("batch_id")
+    CorpusQc.cardFromPartials(
+      state("vol"), state("fp"), state("flags"), state("kmv"))
+  }
+
+  def startCard(docStream: DataFrame, sfDir: String, stateDir: String,
+                checkpointDir: String,
+                triggerInterval: String = "1 second"): StreamingQuery =
+    docStream.writeStream
+      .queryName("corpus_ingest_card")
+      .outputMode("append")
+      .foreachBatch(cardStateWriter(docStream.sparkSession, sfDir, stateDir))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
 }

@@ -40,6 +40,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_inverted_index", "text_bigram_lm",
     "dedup_cosine_sparse", "dedup_cosine_lsh", "corpus_curated_manifest",
     "corpus_source_overlap", "corpus_source_overlap_kmv", "corpus_dataset_card",
+    "corpus_dataset_card_kmv",
     "text_perplexity_filter", "train_decontaminated_split",
     "emb_covariance_q", "emb_quantization_clipped", "emb_label_centroids",
     "emb_topk_quantized", "emb_whitened_check")

@@ -61,6 +61,30 @@ class CorpusIngestSpec extends SparkSpec {
       rows(landed("dups")), rows(landed("chunks"))) == before)
   }
 
+  test("incremental dataset card converges to the batch card after two micro-batches") {
+    val stateDir = Files.createTempDirectory("graft_card_state").toString
+    val ckpt = Files.createTempDirectory("graft_card_ckpt").toString
+    // the card is over the WHOLE corpus: stream every doc in two batches
+    val allDocs = graft.Tables.documents(spark, Sf0001)
+      .as[Doc].collect().toSeq.sortBy(_.doc_id)
+    val (a, b) = allDocs.splitAt(allDocs.size / 2)
+    val src = MemoryStream[Doc]
+    val q = CorpusIngest.startCard(src.toDF, Sf0001, stateDir, ckpt)
+    try {
+      src.addData(a: _*); q.processAllAvailable()
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(s"$stateDir/card"))
+    val batch = rows(CorpusQc.datasetCardKmv(spark, Sf0001))
+    assert(streamed == batch,
+      "stream card must equal the batch card bit-for-bit after the last batch")
+    assert(streamed.nonEmpty)
+    // replaying a committed batch (at-least-once recovery) changes nothing
+    CorpusIngest.cardStateWriter(spark, Sf0001, stateDir)(a.toDF(), 0L)
+    assert(rows(spark.read.parquet(s"$stateDir/card")) == batch)
+  }
+
   test("watermarked ingest dedup: duplicates dropped inside the horizon, state evicted past it") {
     def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $hhmm:00")
     val src = MemoryStream[(Long, String, java.sql.Timestamp)]
