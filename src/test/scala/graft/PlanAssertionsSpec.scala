@@ -75,6 +75,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
   private def executed(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("perplexity flag cut is distributed: every window is partitioned") {
+    // the rank decomposition (bucket histogram + per-bucket row_number)
+    // must never fall back to a global single-partition window — the
+    // operator's 100 TB story (TextAnalysis.perplexityFilterOf scaladoc)
+    val plan = SparkEntry.queries("text_perplexity_filter")(spark, sf)
+      .queryExecution.executedPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"single-partition window in the perplexity plan:\n$plan")
+  }
+
+  test("decontaminated split consumes gate tables as scans, not recomputed explodes") {
+    // contamination + exact-dup gates arrive from the memoized scratch
+    // parquet their standalone queries own — a Generate (shingle explode)
+    // in THIS plan means the repeated-subtree disease is back
+    val plan = SparkEntry.queries("train_decontaminated_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"gate subtree recomputed inline:\n$plan")
+  }
+
   test("repetition grams stay codegen'd: no interpreted lambda anywhere") {
     val p = executed("text_repetition")
     assert(!p.contains("lambdafunction"), s"HOF crept back in:\n$p")
@@ -84,7 +109,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("contamination broadcasts the benchmark set; corpus text never hash-shuffles") {
-    val p = executed("text_contamination")
+    // the registered query scans the memoized gate table; audit the
+    // computation the memo pays (the bruteCompute precedent)
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val p = pipeline.CorpusQc.contaminationOf(
+        docs.filter(col("doc_id") % pipeline.CorpusQc.BenchMod =!= 0),
+        pipeline.CorpusQc.benchShingles(spark, sf))
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)
     // the only hash exchange is the post-join per-doc count — the corpus
