@@ -737,6 +737,92 @@ object TextAnalysis extends QueryModule {
                          // $PplFlagDenom AS flag_high_ppl
         FROM ranked ORDER BY rank"""
 
+  /** Checkpoint vocabulary sizes for [[vocabCoverage]] — log-spaced, the
+    * budgets a tokenizer designer actually compares.
+    */
+  val VocabCheckpoints: Seq[Long] = Seq(1L, 2L, 5L, 10L, 20L, 50L, 100L, 1000L)
+
+  /** `text_vocab_coverage`: the tokenizer-budget coverage curve — for each
+    * checkpoint vocabulary size, the fraction of all token OCCURRENCES in
+    * the corpus covered by the top-`vocab_size` most frequent token types
+    * (ties to the lexicographically first token). The question a vocab
+    * budget answers: "how large must the vocabulary be to cover 99 % of
+    * the token stream" — the Heaps'-law companion every tokenizer design
+    * doc opens with.
+    *
+    * Shape: ONE map-side-combined token aggregate is the only corpus-scale
+    * shuffle; everything after runs on the TYPE-grain table. The running
+    * occurrence total and the rank use the `parts_abc_classification`
+    * two-phase distributed prefix sum — range-partition by the
+    * (occurrences DESC, token) total order, materialize once so every
+    * branch sees the same partition assignment, pid-local window sums,
+    * then cluster-sized per-partition totals become broadcast exclusive
+    * offsets. No window touches more than one partition's rows, so the
+    * curve survives web-corpus vocabularies (10⁸ types) where a global
+    * `row_number()` window would bottleneck one task.
+    *
+    * Determinism: occurrence counts and their cumulative are exact BIGINTs
+    * pinned by the unique (occurrences DESC, token) total order; coverage
+    * is ONE double division of two exact integers — bit-stable across
+    * engines and partitionings.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("occurrences"))
+    val parts = graft.Scratch.materialize(
+      counts.repartitionByRange(col("occurrences").desc, col("token"))
+        .withColumn("pid", spark_partition_id()),
+      "graft_vocab_cov")
+    val order = Window.partitionBy("pid")
+      .orderBy(col("occurrences").desc, col("token"))
+    val localW = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = parts.groupBy("pid")
+      .agg(sum("occurrences").as("ptotal"), count(lit(1)).as("pn"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(sum(col("b.ptotal")).as("occ_prefix"), sum(col("b.pn")).as("rank_prefix"))
+    val grand = totals.agg(sum("ptotal").as("total_occurrences"))
+    parts
+      .withColumn("local_cum", sum("occurrences").over(localW))
+      .withColumn("local_rank", row_number().over(order))
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(grand))
+      .withColumn("vocab_size",
+        coalesce(col("rank_prefix"), lit(0L)) + col("local_rank"))
+      .filter(col("vocab_size").isin(VocabCheckpoints: _*))
+      .withColumn("cum_occurrences",
+        coalesce(col("occ_prefix"), lit(0L)) + col("local_cum"))
+      .withColumn("coverage",
+        col("cum_occurrences").cast("double") / col("total_occurrences").cast("double"))
+      .select(col("vocab_size"), col("token").as("boundary_token"),
+        col("cum_occurrences"), col("total_occurrences"), col("coverage"))
+      .orderBy("vocab_size")
+  }
+
+  private val vocabCoverageSql =
+    s"""WITH tok AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+          FROM documents
+        ), c AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences FROM tok GROUP BY 1
+        ), r AS (
+          SELECT token, occurrences,
+                 ROW_NUMBER() OVER (ORDER BY occurrences DESC, token) AS vocab_size,
+                 CAST(SUM(occurrences) OVER (ORDER BY occurrences DESC, token
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occurrences,
+                 CAST(SUM(occurrences) OVER () AS BIGINT) AS total_occurrences
+          FROM c
+        )
+        SELECT vocab_size, token AS boundary_token, cum_occurrences,
+               total_occurrences,
+               CAST(cum_occurrences AS DOUBLE) / CAST(total_occurrences AS DOUBLE)
+                 AS coverage
+        FROM r WHERE vocab_size IN (${VocabCheckpoints.mkString(", ")})
+        ORDER BY vocab_size"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> (langId _),
     "text_inverted_index" -> (invertedIndex _),
@@ -748,6 +834,7 @@ object TextAnalysis extends QueryModule {
     "text_heavy_hitters_cms" -> (cmsHeavyHitters _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_perplexity_filter" -> (perplexityFilter _),
+    "text_vocab_coverage" -> (vocabCoverage _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -761,5 +848,6 @@ object TextAnalysis extends QueryModule {
     "text_heavy_hitters_cms" -> cmsHeavyHittersSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_perplexity_filter" -> perplexityFilterSql,
+    "text_vocab_coverage" -> vocabCoverageSql,
   )
 }

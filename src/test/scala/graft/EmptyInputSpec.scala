@@ -35,7 +35,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "similarity_topk_brute", "similarity_topk_lsh", "similarity_topk_ivf",
     "similarity_topk_ivf_trained", "dedup_embedding",
     "q1_wordcount_top20", "q1_length_histogram", "q1_corpus_stats",
-    "text_tfidf_keywords", "text_heavy_hitters_cms", "train_negative_pairs",
+    "text_tfidf_keywords", "text_heavy_hitters_cms", "text_vocab_coverage",
+    "train_negative_pairs",
     "docs_chunked", "docs_stratified_sample", "corpus_source_report",
     "text_inverted_index", "text_bigram_lm",
     "dedup_cosine_sparse", "dedup_cosine_lsh", "corpus_curated_manifest",

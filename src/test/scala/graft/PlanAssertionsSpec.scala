@@ -205,6 +205,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(specs.forall(_.contains("pid")), s"global window crept back:\n$specs")
   }
 
+  test("vocab coverage: windows are partition-local, one corpus-scale aggregate") {
+    val p = executed("text_vocab_coverage")
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected the per-partition prefix-sum windows:\n$p")
+    assert(specs.forall(_.contains("pid")), s"global window crept back:\n$specs")
+    // the type-grain offsets/grand-total joins must broadcast, never shuffle
+    // the ranked vocab table again
+    assert(!p.contains("SortMergeJoin"), s"type-grain join fell to SMJ:\n$p")
+  }
+
   test("pagerank: bucketed edge table, zero exchanges on the edge side") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -191,4 +191,28 @@ class TextAnalysisSemanticsSpec extends SparkSpec {
     // the doc with two rare bigrams the least
     assert(wantRank(3L) == 3L && wantRank(2L) == 1L)
   }
+
+  test("vocab coverage matches an independent plain-Scala recomputation") {
+    val texts = Seq(
+      "der hund und die katze ist das haus der garten",
+      "the cat and the dog is a friend of the house",
+      "xyzzy plugh quux corge grault waldo fred thud",
+      "le chat et la maison les arbres des fleurs")
+    val counts = texts.flatMap(_.toLowerCase.split("[^a-z]+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val ranked = counts.sortBy { case (t, c) => (-c, t) }
+    val total = counts.map(_._2).sum
+    val cum = ranked.scanLeft(0L)(_ + _._2).tail
+    val want = TextAnalysis.VocabCheckpoints.filter(_ <= ranked.size).map { k =>
+      val i = k.toInt - 1
+      (k, ranked(i)._1, cum(i), total, cum(i).toDouble / total)
+    }
+    val got = TextAnalysis.vocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got === want)
+    // the curve is monotone and ends short of 1.0 while types remain uncovered
+    assert(got.map(_._5) === got.map(_._5).sorted)
+    assert(got.last._5 < 1.0 || got.last._1 >= ranked.size)
+  }
 }
