@@ -39,6 +39,8 @@ object Bench {
       "corpus_curated_manifest" -> 1,
       // consumes the shingle-postings memo the exact cosine query builds
       "dedup_cosine_lsh" -> 1,
+      // consumes the IVF cell-assignment memo similarity_topk_ivf builds
+      "dedup_semantic" -> 1,
       // consumes the component-label memo dedup_components builds (which
       // itself consumes the rank-0 pair memos) — rank 2 so each stage's
       // cost lands on the query that owns it, not on whichever name sorts

@@ -483,6 +483,71 @@ object Dedup extends QueryModule {
         WHERE ${Similarity.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
         ORDER BY c.ia, c.ib"""
 
+  // ---- semantic dedup (SemDeDup: cluster-blocked embedding pruning) ----
+
+  /** Cosine bar for a semantic duplicate — the [[embeddingDedup]] τ, kept
+    * identical so the two embedding-dedup paths are comparable on the same
+    * fixture (production SemDeDup runs τ ≈ 0.95+ on real encoder output).
+    */
+  val SemTau = 0.4
+
+  /** `dedup_semantic`: SemDeDup-style pruning (Abbas et al. 2023, public) —
+    * k-means-cell blocking instead of LSH buckets. Every vector is assigned
+    * to its nearest centroid's Voronoi cell (the memoized
+    * [[SimilaritySearch.ivfCorpus]] pass, shared with the IVF search
+    * queries), pairwise cosine is computed ONLY within a cell, and a vector
+    * is dropped when some lower-id cell-mate sits at cosine ≥ [[SemTau]] —
+    * the upper-triangular keep-first rule of the published implementation
+    * (no chaining: j being itself dropped does not re-admit i). One row per
+    * dropped vector with its first (min-id) keeper and that pair's cosine.
+    *
+    * Scale (100 TB): assignment is a map-only argmin; the quadratic term is
+    * confined to cells, so cell count must grow with the corpus
+    * (k ≈ N / target-cell-size; the paper uses ~N/10⁴ — at fixture scale
+    * [[Similarity.NumCentroids]] cells of ~N/16). Cosine doubles are
+    * bit-identical across engines (strict-left-fold `vec_dot`); tie-free
+    * keeper choice via min id. vs [[embeddingDedup]]: cells give each
+    * vector ONE block (no OR-table candidate dedup pass), at the price of
+    * missing near-dups that straddle a Voronoi boundary — the documented
+    * SemDeDup recall trade.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = SimilaritySearch.ivfCorpus(spark, sfDir)
+    val left = cells.select(col("bucket"), col("vec_id").as("ia"),
+      col("v").as("va"), col("nrm").as("na"))
+    val right = cells.select(col("bucket").as("bktb"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    left.join(right, col("bucket") === col("bktb") && col("ia") < col("ib"))
+      .withColumn("cosine", expr("vec_dot(va, vb)") / (col("na") * col("nb")))
+      .filter(col("cosine") >= SemTau)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("ib").orderBy("ia")))
+      .filter(col("rk") === 1)
+      .select(col("bucket"), col("ib").as("vec_id"), col("ia").as("keeper_id"),
+        col("cosine"))
+      .orderBy("bucket", "vec_id")
+  }
+
+  private val semanticDedupSql =
+    s"""WITH e AS (
+          SELECT vec_id, embedding AS v, ${Similarity.normDuck("embedding")} AS nrm,
+                 ${Similarity.ivfScoresDuck("embedding")} AS scores
+          FROM embeddings
+        ), a AS (
+          SELECT vec_id, v, nrm,
+                 CAST(list_position(scores, list_min(scores)) - 1 AS INT) AS bucket
+          FROM e
+        ), p AS (
+          SELECT x.bucket AS bucket, x.vec_id AS ia, y.vec_id AS ib,
+                 ${Similarity.dotDuck("x.v", "y.v")} / (x.nrm * y.nrm) AS cosine
+          FROM a x JOIN a y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE ${Similarity.dotDuck("x.v", "y.v")} / (x.nrm * y.nrm) >= $SemTau
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY ib ORDER BY ia) AS rk FROM p
+        )
+        SELECT bucket, ib AS vec_id, ia AS keeper_id, cosine
+        FROM r WHERE rk = 1 ORDER BY bucket, vec_id"""
+
   // ---- incremental dedup against a persisted band index ----
 
   /** `dedup_incremental`: dedup NEW documents against an already-indexed
@@ -1101,6 +1166,7 @@ object Dedup extends QueryModule {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashDedup _),
     "dedup_embedding" -> (embeddingDedup _),
+    "dedup_semantic" -> (semanticDedup _),
     "dedup_components" -> (componentsDedup _),
     "dedup_canonical" -> (canonicalDedup _),
     "dedup_incremental" -> (incrementalDedup _),
@@ -1115,6 +1181,7 @@ object Dedup extends QueryModule {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashDedupSql,
     "dedup_embedding" -> embeddingDedupSql,
+    "dedup_semantic" -> semanticDedupSql,
     "dedup_components" -> componentsDedupSql,
     "dedup_canonical" -> canonicalDedupSql,
     "dedup_incremental" -> incrementalDedupSql,

@@ -196,8 +196,10 @@ object SimilaritySearch extends QueryModule {
     * Voronoi cell ([[Similarity.ivfScores]] argmin), memoized per sfDir.
     * Only the 4-byte bucket is carried per corpus vector — the score array
     * is recomputed for the tiny query side, never stored corpus-wide.
+    * Package-visible: [[Dedup.semanticDedup]] blocks on the same cells, so
+    * both families share one memoized assignment pass per run.
     */
-  private def ivfCorpus(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def ivfCorpus(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#simivf#${Similarity.NumCentroids}") {
       vectors(spark, sfDir)
         .withColumn("scores", expr(Similarity.ivfScores("v")))

@@ -186,6 +186,30 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(top(1L)._1 === 0L && top(1L)._2 > 0.999999)
   }
 
+  test("semantic dedup drops cell-mates above tau with keep-first keepers, no chaining") {
+    val d = Files.createTempDirectory("graft_semdedup_fixture").toString
+    val e0 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = e0.clone(); near(0) = (near(0) * 1.1).toFloat // tiny angular nudge
+    val far = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    Seq((1L, e0, 0), (2L, e0.clone(), 0), (3L, near, 0), (4L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // fixture precondition: the "far" vector really is below tau vs e0
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val cosFar = dot(e0, far) / math.sqrt(dot(e0, e0) * dot(far, far))
+    assert(math.abs(cosFar) < Dedup.SemTau, s"fixture drift: cos(e0, far) = $cosFar")
+
+    val rows = Dedup.semanticDedup(spark, d).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // 2 and 3 are dropped; BOTH keep 1 as keeper (upper-triangular rule:
+    // 2 being itself dropped does not hand 3 off to keeper 2 — no chaining,
+    // and a keeper is never dropped)
+    assert(rows.keySet === Set(2L, 3L))
+    assert(rows(2L)._1 === 1L && rows(2L)._2 > 0.999999) // identical pair
+    assert(rows(3L)._1 === 1L && rows(3L)._2 >= Dedup.SemTau)
+  }
+
   /** 50-token docs have 43 token-8-grams; an edit at 0-indexed position p
     * kills the grams starting in [p-7, p] ∩ [0, 42]. So: identical pair
     * shares 43; one interior edit (waz, p=25) kills 8 → 35; the chain's
