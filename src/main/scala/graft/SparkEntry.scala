@@ -30,6 +30,7 @@ object SparkEntry {
     pipeline.Whitening,
     pipeline.Multimodal,
     pipeline.TextAnalysis,
+    pipeline.BpeTokenizer,
     pipeline.TrainPrep,
     pipeline.CorpusQc,
     pipeline.CurationPipeline,

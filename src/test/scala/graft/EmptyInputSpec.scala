@@ -36,6 +36,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "similarity_topk_ivf_trained", "dedup_embedding", "dedup_semantic",
     "q1_wordcount_top20", "q1_length_histogram", "q1_corpus_stats",
     "text_tfidf_keywords", "text_heavy_hitters_cms", "text_vocab_coverage",
+    "text_bpe_pairs", "text_bpe_train",
     "train_negative_pairs",
     "docs_chunked", "docs_stratified_sample", "corpus_source_report",
     "text_inverted_index", "text_bigram_lm",
