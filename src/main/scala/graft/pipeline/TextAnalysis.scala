@@ -671,16 +671,37 @@ object TextAnalysis extends QueryModule {
         expr("sorted_sum(c)").as("ll"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
         expr("-ll / CAST(n_bigrams AS DOUBLE)").as("ce")))
+    histRankDesc(scored, "ce", PplHistBuckets)
+      .withColumn("flag_high_ppl",
+        expr(s"rank <= (n_docs + ${PplFlagDenom - 1}) div $PplFlagDenom"))
+      .select("rank", "doc_id", "n_bigrams", "n_distinct_bigrams", "flag_high_ppl")
+      .orderBy("rank")
+  }
+
+  /** Exact global rank under (`score` DESC, doc_id ASC) — DISTRIBUTED via
+    * the histogram-bucket decomposition (the `events_value_quantiles_hist`
+    * discipline), never a single-partition window: docs are equi-width-
+    * bucketed on the score (descending), the bucket-count table (≤`buckets`
+    * rows, corpus-size-independent) yields each bucket's exact number of
+    * higher-score predecessors via a bounded triangular join, and the
+    * within-bucket `row_number` window is PARTITIONED BY bucket — so
+    * `rank = n_above(bucket) + rank_within_bucket` is the exact global rank
+    * under any partitioning (bucket assignment is a pure per-row function
+    * of (score, mn, mx); equal scores land in one bucket and break by
+    * doc_id inside it). Adds `rank` and `n_docs`, carries every input
+    * column through. Shared by the perplexity and DSIR cuts; pinned
+    * all-windows-partitioned in PlanAssertionsSpec.
+    */
+  private[pipeline] def histRankDesc(scored: DataFrame, score: String,
+                                     buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stats = scored.agg(count(lit(1)).as("n_docs"),
-      min("ce").as("mn"), max("ce").as("mx"))
+      min(score).as("mn"), max(score).as("mx"))
     val bucketed = scored.crossJoin(broadcast(stats)) // 1-row side
       .withColumn("bucket", expr(
         s"""CAST(CASE WHEN mx = mn THEN 0
-                 ELSE least(floor((mx - ce) / (mx - mn) * $PplHistBuckets),
-                            ${PplHistBuckets - 1}) END AS BIGINT)"""))
-    // exact predecessors per bucket off the bucket-count table — a bounded
-    // triangular join over ≤PplHistBuckets rows, NOT a global window
+                 ELSE least(floor((mx - $score) / (mx - mn) * $buckets),
+                            ${buckets - 1}) END AS BIGINT)"""))
     val bcnt = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
     val above = bcnt.select(col("bucket"))
       .join(bcnt.select(col("bucket").as("b2"), col("cnt").as("c2")),
@@ -689,11 +710,8 @@ object TextAnalysis extends QueryModule {
     bucketed
       .join(broadcast(above), "bucket")
       .withColumn("rank", col("n_above") + row_number().over(
-        Window.partitionBy("bucket").orderBy(col("ce").desc, col("doc_id"))).cast("long"))
-      .withColumn("flag_high_ppl",
-        expr(s"rank <= (n_docs + ${PplFlagDenom - 1}) div $PplFlagDenom"))
-      .select("rank", "doc_id", "n_bigrams", "n_distinct_bigrams", "flag_high_ppl")
-      .orderBy("rank")
+        Window.partitionBy("bucket").orderBy(col(score).desc, col("doc_id"))).cast("long"))
+      .drop("bucket", "n_above", "mn", "mx")
   }
 
   private val perplexityFilterSql =

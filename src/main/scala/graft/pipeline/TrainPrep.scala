@@ -448,7 +448,130 @@ object TrainPrep extends QueryModule {
                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- DSIR importance weights (data selection) ----
+
+  /** Hashed-feature space for the DSIR unigram bag model. Fixed and
+    * corpus-independent — the point of hashing: the bucket-count tables
+    * are [[DsirBuckets]] rows at ANY corpus size, so both are broadcast.
+    */
+  val DsirBuckets = 1024
+
+  /** Target domain: the `lang = 'en'` slice stands in for "the
+    * high-quality target corpus" (in production: Wikipedia/books vs web).
+    */
+  val DsirTargetLang = "en"
+
+  /** Selection budget: top 1/[[DsirSelDenom]] by importance weight. */
+  val DsirSelDenom = 5
+
+  /** Histogram resolution for the distributed rank cut. */
+  val DsirHistBuckets = 1024
+
+  /** Per-bucket log importance ratio — ONE shared SQL string parsed by both
+    * engines (the `bigramLogProb` discipline): add-1-smoothed hashed-unigram
+    * likelihood under the target distribution minus the raw distribution.
+    * `tc` arrives pre-coalesced (a bucket never seen in the target slice
+    * still gets the +1 floor).
+    */
+  private val dsirLogRatio =
+    s"""ln((CAST(tc AS DOUBLE) + 1.0e0) / (CAST(tt AS DOUBLE) + $DsirBuckets.0e0))
+      - ln((CAST(rc AS DOUBLE) + 1.0e0) / (CAST(rt AS DOUBLE) + $DsirBuckets.0e0))"""
+
+  /** `train_dsir_weights`: Data Selection via Importance Resampling (Xie et
+    * al. 2023, public) — rank every document by how much more likely its
+    * hashed-unigram bag is under the target domain's unigram model than
+    * under the raw corpus's, and select the top 1/[[DsirSelDenom]]. The
+    * deterministic skeleton of DSIR: the paper's Gumbel-top-k draw is
+    * replaced by the exact rank cut so the selection is reproducible and
+    * hash-checkable (a seeded Gumbel draw is a one-line re-addition on the
+    * ranked table).
+    *
+    * Shape (100 TB): ONE corpus-scale shuffle builds the (doc, bucket,
+    * multiplicity) table (memoized); both model tables collapse to
+    * [[DsirBuckets]] rows (hashing bounds state — the reason DSIR scales
+    * where a full-vocab LM does not) and are BROADCAST back; scoring is a
+    * map-side join + one doc_id fold. The rank and the selection flag are
+    * computed distributed via [[TextAnalysis.histRankDesc]] — no
+    * single-partition window. Emission is the rank + exact integers, never
+    * the raw log-weight ([[TextAnalysis.perplexityFilter]] discipline:
+    * engine `ln`s differ in the last ulp; ranking is safe because adjacent
+    * gaps dwarf ulp noise, and byte-identical docs tie exactly, breaking
+    * by doc_id). Per-doc fold is `sorted_sum` with exact-integer
+    * multiplicities — order-independent.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val docb = graft.Scratch.memoize(spark, s"$sfDir#dsir#docb") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), explode(expr(Dedup.rawTokens)).as("w"))
+        .select(col("doc_id"), col("lang"),
+          expr(s"${Dedup.hash60("w")} % $DsirBuckets").as("b"))
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("m"))
+    }
+    val tcnt = docb.filter(col("lang") === DsirTargetLang)
+      .groupBy("b").agg(sum("m").as("tc"))
+    val rcnt = docb.groupBy("b").agg(sum("m").as("rc"))
+    val totals = docb.agg(
+      sum(when(col("lang") === DsirTargetLang, col("m")).otherwise(0L)).as("tt"),
+      sum("m").as("rt"))
+    val scored = graft.Scratch.memoize(spark, s"$sfDir#dsir#scored") {
+      docb
+        .join(broadcast(rcnt), Seq("b"))
+        .join(broadcast(tcnt), Seq("b"), "left")
+        .withColumn("tc", coalesce(col("tc"), lit(0L)))
+        .crossJoin(broadcast(totals)) // 1-row side
+        .select(col("doc_id"), col("m"),
+          expr(s"CAST(m AS DOUBLE) * ($dsirLogRatio)").as("c"))
+        .groupBy("doc_id")
+        .agg(sum("m").as("n_tokens"), count(lit(1)).as("n_buckets"),
+          expr("sorted_sum(c)").as("lw"))
+    }
+    TextAnalysis.histRankDesc(scored, "lw", DsirHistBuckets)
+      .withColumn("selected",
+        expr(s"rank <= (n_docs + ${DsirSelDenom - 1}) div $DsirSelDenom"))
+      .select("rank", "doc_id", "n_tokens", "n_buckets", "selected")
+      .orderBy("rank")
+  }
+
+  private val dsirWeightsSql =
+    s"""WITH docb AS (
+          SELECT doc_id, lang, ${Dedup.hash60Duck("w")} % $DsirBuckets AS b,
+                 CAST(COUNT(*) AS BIGINT) AS m
+          FROM (SELECT doc_id, lang, unnest(${Dedup.rawTokensDuck}) AS w
+                FROM documents)
+          GROUP BY 1, 2, 3
+        ), tcnt AS (
+          SELECT b, CAST(SUM(m) AS BIGINT) AS tc FROM docb
+          WHERE lang = '$DsirTargetLang' GROUP BY b
+        ), rcnt AS (
+          SELECT b, CAST(SUM(m) AS BIGINT) AS rc FROM docb GROUP BY b
+        ), tot AS (
+          SELECT CAST(SUM(CASE WHEN lang = '$DsirTargetLang' THEN m ELSE 0 END)
+                   AS BIGINT) AS tt,
+                 CAST(SUM(m) AS BIGINT) AS rt
+          FROM docb
+        ), joined AS (
+          SELECT d.doc_id, d.m, COALESCE(tc, 0) AS tc, rc, tt, rt
+          FROM docb d JOIN rcnt USING (b) LEFT JOIN tcnt USING (b) CROSS JOIN tot
+        ), contrib AS (
+          SELECT doc_id, m, CAST(m AS DOUBLE) * ($dsirLogRatio) AS c FROM joined
+        ), scored AS (
+          SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(c))),
+                   (a, x) -> a + x) AS lw
+          FROM contrib GROUP BY doc_id
+        ), ranked AS (
+          SELECT CAST(row_number() OVER (ORDER BY lw DESC, doc_id) AS BIGINT) AS rank,
+                 doc_id, n_tokens, n_buckets
+          FROM scored
+        )
+        SELECT rank, doc_id, n_tokens, n_buckets,
+               rank <= (CAST(COUNT(*) OVER () AS BIGINT) + ${DsirSelDenom - 1})
+                         // $DsirSelDenom AS selected
+        FROM ranked ORDER BY rank"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_dsir_weights" -> (dsirWeights _),
     "text_stable_split" -> (stableSplit _),
     "train_decontaminated_split" -> (decontaminatedSplit _),
     "docs_stratified_sample" -> (stratifiedSample _),
@@ -461,6 +584,7 @@ object TrainPrep extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "train_dsir_weights" -> dsirWeightsSql,
     "text_stable_split" -> stableSplitSql,
     "train_decontaminated_split" -> decontaminatedSplitSql,
     "docs_stratified_sample" -> stratifiedSampleSql,

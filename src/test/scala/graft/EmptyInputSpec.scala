@@ -43,7 +43,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "dedup_cosine_sparse", "dedup_cosine_lsh", "corpus_curated_manifest",
     "corpus_source_overlap", "corpus_source_overlap_kmv", "corpus_dataset_card",
     "corpus_dataset_card_kmv",
-    "text_perplexity_filter", "train_decontaminated_split",
+    "text_perplexity_filter", "train_decontaminated_split", "train_dsir_weights",
     "emb_covariance_q", "emb_quantization_clipped", "emb_label_centroids",
     "emb_topk_quantized", "emb_whitened_check")
 

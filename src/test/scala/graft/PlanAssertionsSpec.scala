@@ -91,6 +91,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"single-partition window in the perplexity plan:\n$plan")
   }
 
+  test("dsir selection cut is distributed: every window is partitioned") {
+    // same histRankDesc decomposition as the perplexity pin — the DSIR
+    // rank/selection must also never fall back to a global window
+    val plan = SparkEntry.queries("train_dsir_weights")(spark, sf)
+      .queryExecution.executedPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"single-partition window in the dsir plan:\n$plan")
+  }
+
   test("decontaminated split consumes gate tables as scans, not recomputed explodes") {
     // contamination + exact-dup gates arrive from the memoized scratch
     // parquet their standalone queries own — a Generate (shingle explode)
