@@ -604,10 +604,14 @@ object Dedup extends QueryModule {
     * moves (doc, hash) pairs only, never text; the guard bounds any single
     * key's expansion at MaxDocsPerWindow².
     */
-  def spanOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Distinct (doc_id, h) token-8-gram hash table — the memoized stage
+    * shared by [[spanOverlap]] and [[ngramNovelty]] (one gram explode per
+    * corpus per run).
+    */
+  private def spanWindows(spark: SparkSession, sfDir: String): DataFrame = {
     def f(k: String) = col("z").getField(k)
     val slices = (2 to SpanTokens).map(k => s"slice(t, $k, size(t))").mkString(", ")
-    val wins = Scratch.memoize(spark, s"$sfDir#dedup#span_windows") {
+    Scratch.memoize(spark, s"$sfDir#dedup#span_windows") {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), expr(rawTokens).as("t"))
         .filter(expr(s"size(t) >= $SpanTokens"))
@@ -618,6 +622,25 @@ object Dedup extends QueryModule {
         .select(col("doc_id"), expr(hash60("gram")).as("h"))
         .distinct()
     }
+  }
+
+  /** Shared DuckDB CTE text for the distinct (doc_id, h) 8-gram table. */
+  private val spanWindowsCtes = {
+    val gram = (1 to SpanTokens).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+    s"""toks AS (
+          SELECT doc_id, $rawTokensDuck AS t FROM documents
+          WHERE len($rawTokensDuck) >= $SpanTokens
+        ), wins AS (
+          SELECT DISTINCT doc_id, ${hash60Duck("g")} AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(t) - ${SpanTokens - 1}),
+                                         i -> $gram)) AS g
+            FROM toks)
+        )"""
+  }
+
+  def spanOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val wins = spanWindows(spark, sfDir)
     val kept = wins
       .withColumn("w_n", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("w_n") <= MaxDocsPerWindow)
@@ -631,17 +654,7 @@ object Dedup extends QueryModule {
   }
 
   private val spanOverlapSql = {
-    val gram = (1 to SpanTokens).map(k => s"t[i + $k]").mkString(" || ' ' || ")
-    s"""WITH toks AS (
-          SELECT doc_id, $rawTokensDuck AS t FROM documents
-          WHERE len($rawTokensDuck) >= $SpanTokens
-        ), wins AS (
-          SELECT DISTINCT doc_id, ${hash60Duck("g")} AS h FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(0, len(t) - ${SpanTokens - 1}),
-                                         i -> $gram)) AS g
-            FROM toks)
-        ), kept AS (
+    s"""WITH $spanWindowsCtes, kept AS (
           SELECT doc_id, h FROM (
             SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS w_n FROM wins)
           WHERE w_n <= $MaxDocsPerWindow
@@ -651,6 +664,40 @@ object Dedup extends QueryModule {
         GROUP BY 1, 2 HAVING COUNT(*) >= $MinSharedWindows
         ORDER BY 1, 2"""
   }
+
+  /** `text_ngram_novelty`: per-document novelty — the fraction of a doc's
+    * distinct token-8-grams that occur in NO other document (df = 1 across
+    * the corpus). The memorization-risk / boilerplate dial: novelty 0 means
+    * every span of the doc exists elsewhere (a pure copy — nothing new to
+    * learn, high memorization pressure), novelty 1 means fully original
+    * text. The complement of [[spanOverlap]]'s pair view, on the SAME
+    * memoized gram table.
+    *
+    * Shape: ONE h-exchange serves both the df computation and the
+    * pass-through (window count over the gram-hash partitioning — no
+    * second shuffle for a df join), then one doc_id aggregate. Docs with
+    * fewer than [[SpanTokens]] tokens have no 8-grams and are absent by
+    * definition. Exact BIGINT counts; novelty is ONE double division of
+    * two exact integers — hash-stable cross-engine.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    spanWindows(spark, sfDir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+
+  private val ngramNoveltySql =
+    s"""WITH $spanWindowsCtes, wdf AS (
+          SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS df FROM wins
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 AS novelty
+        FROM wdf GROUP BY doc_id ORDER BY doc_id"""
 
   /** Online near-dup probe for streaming ingest: an arriving `batch`
     * (doc_id, text — doc_ids unseen by the index) against sfDir's persisted
@@ -1171,6 +1218,7 @@ object Dedup extends QueryModule {
     "dedup_canonical" -> (canonicalDedup _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_span_overlap" -> (spanOverlap _),
+    "text_ngram_novelty" -> (ngramNovelty _),
     "dedup_cosine_sparse" -> (sparseCosineDedup _),
     "dedup_cosine_lsh" -> (sparseCosineLsh _),
   )
@@ -1186,6 +1234,7 @@ object Dedup extends QueryModule {
     "dedup_canonical" -> canonicalDedupSql,
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_span_overlap" -> spanOverlapSql,
+    "text_ngram_novelty" -> ngramNoveltySql,
     "dedup_cosine_sparse" -> sparseCosineDedupSql,
     "dedup_cosine_lsh" -> sparseCosineLshSql,
   )

@@ -186,6 +186,29 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(top(1L)._1 === 0L && top(1L)._2 > 0.999999)
   }
 
+  test("ngram novelty matches an independent recomputation on the planted corpus") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[Seq[String]] = {
+      val ws = "[a-z]+".r.findAllIn(t.toLowerCase).toVector
+      (0 to ws.length - 8).map(i => ws.slice(i, i + 8)).toSet
+    }
+    val g = texts.map { case (id, t) => id -> grams(t) }
+    val dfm = g.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val expect = g.collect { case (id, gs) if gs.nonEmpty =>
+      val novel = gs.count(x => dfm(x) == 1).toLong
+      (id, gs.size.toLong, novel, novel.toDouble / gs.size)
+    }.toSet
+    val got = Dedup.ngramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect)
+    // planted structure: the identical pair has nothing novel; the
+    // unrelated doc is fully novel
+    val byId = got.map(t => t._1 -> t._4).toMap
+    assert(byId(1L) == 0.0 && byId(2L) == 0.0 && byId(4L) == 1.0)
+  }
+
   test("semantic dedup drops cell-mates above tau with keep-first keepers, no chaining") {
     val d = Files.createTempDirectory("graft_semdedup_fixture").toString
     val e0 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
