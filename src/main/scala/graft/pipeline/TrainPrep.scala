@@ -570,8 +570,145 @@ object TrainPrep extends QueryModule {
                          // $DsirSelDenom AS selected
         FROM ranked ORDER BY rank"""
 
+  // ---- rendezvous (highest-random-weight) shard assignment ----
+
+  /** Current shard count and the expansion target the query measures the
+    * reassignment cost against.
+    */
+  val RvShards = 8
+  val RvShardsNext = 9
+
+  /** Per-doc HRW weight array literal for `n` shards: weight(doc, s) =
+    * hash60('rv:' || doc_id || ':' || s). The CRITICAL property: shard s's
+    * weight expression is IDENTICAL at any shard count, so growing the ring
+    * only adds array entries — a doc moves iff the NEW shard's weight beats
+    * its current maximum, which happens with probability 1/(n+1).
+    */
+  private def rvWeights(n: Int): String =
+    (0 until n).map(s =>
+      Dedup.hash60(s"concat('rv:', CAST(doc_id AS STRING), ':$s')"))
+      .mkString("array(", ", ", ")")
+
+  private def rvWeightsDuck(n: Int): String =
+    (0 until n).map(s =>
+      Dedup.hash60Duck(s"('rv:' || CAST(doc_id AS VARCHAR) || ':$s')"))
+      .mkString("[", ", ", "]")
+
+  /** `docs_rendezvous_shards`: rendezvous/HRW hashing (Thaler–Ravishankar,
+    * public) as the stable shard assigner a growing corpus store needs —
+    * per shard, the doc count AND how many of its docs would move if the
+    * ring grew to [[RvShardsNext]] shards. Naive `mod n` reassigns
+    * (n-1)/n of all docs on resize; HRW reassigns ~1/(n+1) (only docs whose
+    * new-shard weight beats their current max), which the emitted `n_moved`
+    * column makes measurable. Map-only per-doc math (two fixed-width hash
+    * arrays, argmax by first-position-of-max — 60-bit weights make ties
+    * practically impossible and position-of-first-max resolves them
+    * identically in both engines), then ONE shards-sized aggregate.
+    */
+  def rendezvousShards(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .withColumn("ws", expr(rvWeights(RvShards)))
+      .withColumn("ws9", expr(rvWeights(RvShardsNext)))
+      .withColumn("shard", expr("CAST(array_position(ws, array_max(ws)) - 1 AS INT)"))
+      .withColumn("shard9", expr("CAST(array_position(ws9, array_max(ws9)) - 1 AS INT)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard") =!= col("shard9"), 1L).otherwise(0L)).as("n_moved"))
+      .orderBy("shard")
+
+  private val rendezvousShardsSql =
+    s"""WITH w AS (
+          SELECT doc_id, ${rvWeightsDuck(RvShards)} AS ws,
+                 ${rvWeightsDuck(RvShardsNext)} AS ws9
+          FROM documents
+        ), a AS (
+          SELECT CAST(list_position(ws, list_max(ws)) - 1 AS INT) AS shard,
+                 CAST(list_position(ws9, list_max(ws9)) - 1 AS INT) AS shard9
+          FROM w
+        )
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN shard <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_moved
+        FROM a GROUP BY shard ORDER BY shard"""
+
+  // ---- largest-remainder proportional allocation sampling ----
+
+  /** Total sample budget allocated across language strata. */
+  val AllocBudget = 100
+
+  /** `docs_allocated_sample`: a FIXED total budget of [[AllocBudget]] docs
+    * allocated across language strata in exact proportion by the
+    * largest-remainder (Hamilton) method — the eval-set builder's
+    * allocation: Σ alloc = budget EXACTLY (quota rounding can't drift the
+    * set size), every stratum within 1 of its exact proportional share.
+    * All allocation math is exact integer: base = (B·n) div total,
+    * remainder = (B·n) mod total, leftover seats to the largest remainders
+    * (ties: lang ASC). Within each stratum the picks are the md5-draw rank
+    * (append-stable, like [[stratifiedSample]]).
+    *
+    * Scale: allocation runs on the AGGREGATED langs-sized table (its global
+    * windows are the `orders_monthly_growth` altitude — strata-count rows,
+    * never corpus rows); the corpus pays one broadcast join + per-stratum
+    * WindowGroupLimit rank.
+    */
+  def allocatedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val alloc = counts
+      .withColumn("total", sum("n_docs").over(Window.partitionBy()))
+      .withColumn("base", expr(s"($AllocBudget * n_docs) div total"))
+      .withColumn("rem", expr(s"($AllocBudget * n_docs) % total"))
+      .withColumn("leftover", lit(AllocBudget.toLong) - sum("base").over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select("lang", "alloc")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        expr("md5(concat('alloc:', CAST(doc_id AS STRING)))").as("draw"))
+      .join(broadcast(alloc), "lang")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy("draw", "doc_id")).cast("long"))
+      .filter(col("rk") <= col("alloc"))
+      .select("lang", "rk", "doc_id")
+      .orderBy("lang", "rk")
+  }
+
+  private val allocatedSampleSql =
+    s"""WITH counts AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+        ), a1 AS (
+          SELECT lang, n_docs, CAST(SUM(n_docs) OVER () AS BIGINT) AS total FROM counts
+        ), a2 AS (
+          SELECT lang, ($AllocBudget * n_docs) // total AS base,
+                 ($AllocBudget * n_docs) % total AS rem
+          FROM a1
+        ), a3 AS (
+          SELECT lang, base, rem,
+                 $AllocBudget - CAST(SUM(base) OVER () AS BIGINT) AS leftover,
+                 row_number() OVER (ORDER BY rem DESC, lang) AS rk
+          FROM a2
+        ), alloc AS (
+          SELECT lang,
+                 CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                   AS alloc
+          FROM a3
+        ), draws AS (
+          SELECT doc_id, lang, md5('alloc:' || CAST(doc_id AS VARCHAR)) AS draw
+          FROM documents
+        ), ranked AS (
+          SELECT d.lang, d.doc_id, a.alloc,
+                 CAST(row_number() OVER (PARTITION BY d.lang
+                        ORDER BY d.draw, d.doc_id) AS BIGINT) AS rk
+          FROM draws d JOIN alloc a USING (lang)
+        )
+        SELECT lang, rk, doc_id FROM ranked WHERE rk <= alloc ORDER BY lang, rk"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "train_dsir_weights" -> (dsirWeights _),
+    "docs_rendezvous_shards" -> (rendezvousShards _),
+    "docs_allocated_sample" -> (allocatedSample _),
     "text_stable_split" -> (stableSplit _),
     "train_decontaminated_split" -> (decontaminatedSplit _),
     "docs_stratified_sample" -> (stratifiedSample _),
@@ -585,6 +722,8 @@ object TrainPrep extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "train_dsir_weights" -> dsirWeightsSql,
+    "docs_rendezvous_shards" -> rendezvousShardsSql,
+    "docs_allocated_sample" -> allocatedSampleSql,
     "text_stable_split" -> stableSplitSql,
     "train_decontaminated_split" -> decontaminatedSplitSql,
     "docs_stratified_sample" -> stratifiedSampleSql,

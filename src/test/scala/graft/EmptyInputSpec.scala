@@ -39,6 +39,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_bpe_pairs", "text_bpe_train",
     "train_negative_pairs",
     "docs_chunked", "docs_stratified_sample", "corpus_source_report",
+    "docs_rendezvous_shards", "docs_allocated_sample",
     "text_inverted_index", "text_bigram_lm",
     "dedup_cosine_sparse", "dedup_cosine_lsh", "corpus_curated_manifest",
     "corpus_source_overlap", "corpus_source_overlap_kmv", "corpus_dataset_card",

@@ -211,4 +211,62 @@ class TrainPrepSpec extends SparkSpec {
     assert(byLang("en").map(_._2).toSet == expect(0))
     assert(byLang("de").map(_._2).toSet == expect(1))
   }
+
+  private def hash60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  test("rendezvous shards: independent HRW recompute; resize moves ~1/(n+1), mod moves ~n/(n+1)") {
+    val n = 1000L
+    def hrwShard(id: Long, shards: Int): Int =
+      (0 until shards).maxBy(s => hash60(s"rv:$id:$s"))
+    val expect = (0L until n).map(id => (hrwShard(id, TrainPrep.RvShards),
+      hrwShard(id, TrainPrep.RvShardsNext)))
+      .groupBy(_._1).map { case (s, rows) =>
+        (s, rows.size.toLong, rows.count(r => r._1 != r._2).toLong)
+      }.toSet
+    val got = TrainPrep.rendezvousShards(spark, splitDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // the minimal-disruption property, quantified: HRW moves ~1/9 of docs
+    // where mod-resharding moves ~8/9
+    val moved = got.toSeq.map(_._3).sum
+    assert(moved > 0 && moved < 2 * n / (TrainPrep.RvShardsNext), s"HRW moved $moved")
+    val modMoved = (0L until n).count(id => id % TrainPrep.RvShards != id % TrainPrep.RvShardsNext)
+    assert(modMoved > n / 2, s"fixture drift: mod moved only $modMoved")
+  }
+
+  test("allocated sample: largest-remainder allocation is exact and the budget is hit exactly") {
+    // splitDir: 500 en / 500 de -> exact 50/50, no leftovers; build a
+    // skewed fixture where remainders decide
+    val d = Files.createTempDirectory("graft_alloc_fixture").toString
+    val sizes = Seq("en" -> 333, "de" -> 211, "fr" -> 89, "zh" -> 17)
+    sizes.flatMap { case (lang, k) =>
+      (0 until k).map(i => doc((lang.hashCode.toLong.abs % 97) * 10000 + i, 3, lang))
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val total = sizes.map(_._2).sum.toLong
+    val b = TrainPrep.AllocBudget.toLong
+    val base = sizes.map { case (l, k) => l -> (b * k) / total }.toMap
+    val rem = sizes.map { case (l, k) => l -> (b * k) % total }.toMap
+    val leftover = (b - base.values.sum).toInt
+    val winners = sizes.map(_._1).sortBy(l => (-rem(l), l)).take(leftover).toSet
+    val expectAlloc = sizes.map { case (l, _) =>
+      l -> (base(l) + (if (winners(l)) 1L else 0L)) }.toMap
+
+    val got = TrainPrep.allocatedSample(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size.toLong == b, s"budget must be hit exactly, got ${got.size}")
+    val byLang = got.groupBy(_._1).map { case (l, rows) => l -> rows.size.toLong }
+    assert(byLang == expectAlloc, s"allocation drifted: $byLang vs $expectAlloc")
+    // every stratum within 1 doc of its exact proportional share
+    sizes.foreach { case (l, k) =>
+      val share = b.toDouble * k / total
+      assert(math.abs(byLang(l) - share) < 1.0, s"$l: ${byLang(l)} vs $share")
+    }
+    // ranks are dense 1..alloc per stratum
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted == (1L to rows.size.toLong))
+    }
+  }
 }
