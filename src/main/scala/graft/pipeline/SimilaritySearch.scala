@@ -1219,7 +1219,100 @@ object SimilaritySearch extends QueryModule {
         FROM c WHERE var_i > 0.0e0 AND var_j > 0.0e0
         ORDER BY abs(cov) DESC, di, dj LIMIT $CovTopK"""
 
+  // ---- incremental ANN: probing a persisted bucketed cell index ----
+
+  /** Persisted IVF cell index, BUCKETED AND SORTED by `bucket` — the
+    * offline index-build lifecycle the band index and PageRank edges share
+    * ([[graft.Scratch.memoizeBucketed]]): build once, then every probe join
+    * reads co-located buckets with ZERO exchange on the index side.
+    * `corpusOnly` selects the `vec_id % 10 != 0` slice (the
+    * `dedup_incremental` fixture convention: 90 % "already-indexed corpus"
+    * vs 10 % "arriving batch"); `false` indexes everything (the streaming
+    * ingest front door, where arrivals are genuinely new vectors).
+    */
+  private[graft] def ivfIndex(spark: SparkSession, sfDir: String,
+                              corpusOnly: Boolean): DataFrame =
+    Scratch.memoizeBucketed(spark,
+        s"$sfDir#simivfidx#${Similarity.NumCentroids}#$corpusOnly",
+        "graft_ivf_idx", Seq("bucket")) {
+      val base = vectors(spark, sfDir)
+      val sliced = if (corpusOnly) base.filter(col("vec_id") % 10 =!= 0) else base
+      sliced
+        .withColumn("scores", expr(Similarity.ivfScores("v")))
+        .withColumn("bucket",
+          expr("CAST(array_position(scores, array_min(scores)) - 1 AS INT)"))
+        .drop("scores")
+    }
+
+  /** Top-[[K]] IVF neighbors in `index` for each vector of `batch`
+    * (`vec_id`, `embedding`) — the probe core shared by the
+    * `similarity_probe_incremental` oracle row and the streaming ANN
+    * ingest ([[graft.streaming.AnnIngest]]). Probe math is identical to
+    * [[ivfTopK]]'s query side: [[Similarity.NProbe]] nearest cells, bucket
+    * equi-join against the index (only the batch side shuffles into the
+    * bucket layout), exact cosine on the candidates, per-qid rank.
+    */
+  def probeAgainst(index: DataFrame, batch: DataFrame): DataFrame = {
+    val p = batch
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", expr("sqrt(vec_dot(qv, qv))"))
+      .withColumn("scores", expr(Similarity.ivfScores("qv")))
+      .withColumn("kth",
+        expr(s"element_at(array_sort(scores), ${Similarity.NProbe})"))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(expr(s"""filter(sequence(0, ${Similarity.NumCentroids - 1}),
+                         c -> element_at(scores, c + 1) <= kth)""")).as("bucket"))
+    p.join(index, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** `similarity_probe_incremental`: ANN search for NEW vectors against an
+    * already-indexed corpus WITHOUT re-shuffling the corpus — the ANN twin
+    * of `dedup_incremental`, and the batch core of the streaming ANN
+    * ingest. At 100 TB the index build amortizes across every future
+    * batch; per-batch probe cost ∝ batch × candidates, and the index side
+    * of the join is exchange-free (pinned in PlanAssertionsSpec).
+    */
+  def probeIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    probeAgainst(
+      ivfIndex(spark, sfDir, corpusOnly = true),
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding")))
+
+  private val probeIncrementalSql =
+    s"""WITH e AS ($ivfBaseDuck),
+             idx AS (
+               SELECT vec_id, v, nrm,
+                      CAST(list_position(scores, list_min(scores)) - 1 AS INT) AS bucket
+               FROM e WHERE vec_id % 10 <> 0
+             ), qp AS (
+               SELECT vec_id AS qid, v AS qv, nrm AS qn,
+                      unnest(list_filter(range(0, ${Similarity.NumCentroids}),
+                        c -> scores[c + 1] <= list_sort(scores)[${Similarity.NProbe}]))
+                        AS bucket
+               FROM e WHERE vec_id % 10 = 0
+             ), scored AS (
+               SELECT q.qid, i.vec_id,
+                      ${Similarity.dotDuck("q.qv", "i.v")} / (q.qn * i.nrm) AS cosine
+               FROM qp q JOIN idx i ON q.bucket = i.bucket AND i.vec_id <> q.qid
+             ), r AS (
+               SELECT qid, vec_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY qid
+                             ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+               FROM scored
+             )
+        SELECT qid, rnk, vec_id AS neighbor_id, cosine
+        FROM r WHERE rnk <= $K ORDER BY qid, rnk"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "similarity_probe_incremental" -> (probeIncremental _),
     "similarity_topk_brute" -> (bruteTopK _),
     "similarity_topk_lsh" -> ((s, d) => lshTopK(s, d)),
     "similarity_lsh_recall" -> (lshRecall _),
@@ -1235,6 +1328,7 @@ object SimilaritySearch extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "similarity_probe_incremental" -> probeIncrementalSql,
     "similarity_topk_brute" -> bruteSql,
     "similarity_topk_lsh" -> lshSql,
     "similarity_lsh_recall" -> lshRecallSql,

@@ -33,6 +33,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_span_overlap", "dedup_components", "text_ngram_novelty",
     "similarity_topk_brute", "similarity_topk_lsh", "similarity_topk_ivf",
+    "similarity_probe_incremental",
     "similarity_topk_ivf_trained", "dedup_embedding", "dedup_semantic",
     "q1_wordcount_top20", "q1_length_histogram", "q1_corpus_stats",
     "text_tfidf_keywords", "text_heavy_hitters_cms", "text_vocab_coverage",

@@ -52,6 +52,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("incremental ANN probe reads the bucketed cell index without shuffling it") {
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = SparkEntry.queries("similarity_probe_incremental")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"cell index scan not bucketed:\n$plan")
+      // the probe side may shuffle into the bucket layout; the index never
+      val exchanges = "Exchange hashpartitioning\\(bucket".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"cell index side re-shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("attribution interval join rides the user_id equi-key, never a cartesian") {
     val p = planOf("events_attribution")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
