@@ -158,24 +158,74 @@ object BpeTokenizer extends QueryModule {
         FROM (${pairCountsSql("words0")}) pc
         ORDER BY pair_count DESC, left_sym, right_sym LIMIT $PairTopK"""
 
+  /** Per-round (winner, rewritten vocab) chain, MEMOIZED per corpus per
+    * run: `text_bpe_train` consumes the winners, `text_bpe_apply` the
+    * rewritten vocab tables — each round's aggregation and fold run once
+    * per run however many queries consume them (vocab-sized scratch).
+    */
+  private def rounds(spark: SparkSession,
+                     sfDir: String): Seq[(DataFrame, DataFrame)] = {
+    var words = symWords(spark, sfDir)
+    (1 to BpeRounds).map { r =>
+      val best = Scratch.memoize(spark, s"$sfDir#bpe#best$r")(bestPair(words))
+      words = Scratch.memoize(spark, s"$sfDir#bpe#words$r")(applyMerge(words, best))
+      (best, words)
+    }
+  }
+
   /** `text_bpe_train`: [[BpeRounds]] BPE merge rounds — one row per round
     * with the winning pair, the merged symbol, and its weighted count (the
-    * head of the merge list a tokenizer ships). Each round's winner and
-    * rewritten vocab are materialized to scratch (vocab-sized, swept after
-    * the query) so the winner is computed once per round and round plans
-    * stay flat instead of nesting.
+    * head of the merge list a tokenizer ships).
     */
-  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    var words = symWords(spark, sfDir)
-    val merges = (1 to BpeRounds).map { r =>
-      val best = Scratch.materialize(bestPair(words), "graft_bpe_best")
-      if (r < BpeRounds)
-        words = Scratch.materialize(applyMerge(words, best), "graft_bpe_words")
-      best.select(lit(r).as("round"), col("l").as("left_sym"),
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    rounds(spark, sfDir).zipWithIndex.map { case ((best, _), i) =>
+      best.select(lit(i + 1).as("round"), col("l").as("left_sym"),
         col("r").as("right_sym"), col("m").as("merged"),
         col("cnt").as("pair_count"))
+    }.reduce(_ unionAll _).orderBy("round")
+
+  /** `text_bpe_apply`: the APPLY half of the trainer — the corpus-level
+    * compression curve after each merge round: word types, total symbol
+    * occurrences (Σ count·|syms|, the "tokens the trainer pays for"),
+    * distinct symbol types (base alphabet + one per merge), and the
+    * compression ratio vs round 0. The go/no-go readout for a merge
+    * budget: ratio flattening means further merges stop paying.
+    * All counts exact BIGINTs over the vocab-grain tables; the ratio is
+    * ONE double division of two exact integers.
+    */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val chain = symWords(spark, sfDir) +: rounds(spark, sfDir).map(_._2)
+    val s0 = chain.head.agg(sum(expr("wc * size(syms)")).as("s0"))
+    chain.zipWithIndex.map { case (w, r) =>
+      w.agg(count(lit(1)).as("n_word_types"),
+          sum(expr("wc * size(syms)")).as("n_symbols"))
+        .crossJoin(w.select(explode(col("syms")).as("s"))
+          .agg(countDistinct("s").as("n_symbol_types")))
+        .crossJoin(broadcast(s0))
+        .select(lit(r).as("round"), col("n_word_types"), col("n_symbols"),
+          col("n_symbol_types"),
+          expr("CAST(s0 AS DOUBLE) / CAST(n_symbols AS DOUBLE)").as("compression"))
+    }.reduce(_ unionAll _).orderBy("round")
+  }
+
+  private val bpeApplySql = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val best = s"best$r AS (${bestPairSql(s"words${r - 1}")})"
+      s"$best,\n words$r AS (${applyMergeSql(s"words${r - 1}", s"SELECT * FROM best$r")})"
     }
-    merges.reduce(_ unionAll _).orderBy("round")
+    val sels = (0 to BpeRounds).map(r =>
+      s"""SELECT $r AS round,
+             CAST(COUNT(*) AS BIGINT) AS n_word_types,
+             CAST(SUM(wc * len(syms)) AS BIGINT) AS n_symbols,
+             (SELECT CAST(COUNT(DISTINCT s) AS BIGINT)
+              FROM (SELECT unnest(syms) AS s FROM words$r) u) AS n_symbol_types,
+             CAST((SELECT SUM(wc * len(syms)) FROM words0) AS DOUBLE)
+               / CAST(SUM(wc * len(syms)) AS DOUBLE) AS compression
+          FROM words$r""")
+    s"""WITH words0 AS ($symWordsSql),
+        ${rounds.mkString(",\n ")}
+        ${sels.mkString(" UNION ALL ")}
+        ORDER BY round"""
   }
 
   private val bpeTrainSql = {
@@ -197,10 +247,12 @@ object BpeTokenizer extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_train" -> (bpeTrain _),
+    "text_bpe_apply" -> (bpeApply _),
   )
 
   override def oracle: Map[String, String] = Map(
     "text_bpe_pairs" -> bpePairsSql,
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_apply" -> bpeApplySql,
   )
 }

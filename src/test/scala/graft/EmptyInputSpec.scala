@@ -5,6 +5,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.pipeline.BpeTokenizer
+
 /** Empty-corpus robustness: a fresh ingest partition IS an empty table, so
   * every documents/embeddings-family query must plan and return empty —
   * never throw on size(t)-style guards, empty folds, empty pivots, or
@@ -37,7 +39,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "similarity_topk_ivf_trained", "dedup_embedding", "dedup_semantic",
     "q1_wordcount_top20", "q1_length_histogram", "q1_corpus_stats",
     "text_tfidf_keywords", "text_heavy_hitters_cms", "text_vocab_coverage",
-    "text_bpe_pairs", "text_bpe_train",
+    "text_bpe_pairs", "text_bpe_train", "text_bpe_apply",
     "train_negative_pairs",
     "docs_chunked", "docs_stratified_sample", "corpus_source_report",
     "docs_rendezvous_shards", "docs_allocated_sample",
@@ -53,7 +55,9 @@ class EmptyInputSpec extends AnyFunSuite {
     * input (SQL semantics, same as the DuckDB oracle) — everything else
     * must be empty.
     */
-  private val globalAggRows = Map("q1_corpus_stats" -> 1L)
+  private val globalAggRows = Map("q1_corpus_stats" -> 1L,
+    // the compression curve is one GLOBAL-aggregate row per merge round
+    "text_bpe_apply" -> (BpeTokenizer.BpeRounds + 1).toLong)
 
   test("documents-family queries return empty on an empty corpus, never throw") {
     docQueries.foreach { name =>
