@@ -275,8 +275,88 @@ object History extends QueryModule {
        WHERE b.op IS NULL OR b.op <> 'D'
        ORDER BY o_orderkey"""
 
+  // ---- point-in-time (temporal) join against the SCD2 history ----
+
+  /** `lineitem_pit_priority`: the temporal-join pattern every SCD2
+    * dimension exists for — fact rows joined to the dimension row VALID AT
+    * the fact's own timestamp, here: each lineitem priced under the
+    * customer priority state in force on its ship date. Late-arriving
+    * facts land in their historical context instead of today's.
+    *
+    * Composition, not new machinery: [[scd2Core]] builds the validity
+    * islands; they reduce to end-of-day states (max version per
+    * (custkey, valid_from) — same-date flip-flops collapse to the last
+    * order's state, the total order scd2 already pins); then
+    * [[AsOfJoin.asof]] (strict=false: a change effective ON the ship date
+    * is visible) attaches the latest state at-or-before each ship date —
+    * ONE custkey exchange, O(facts + history) per key, no per-key
+    * interval product. Because islands tile time, "latest valid_from ≤ d"
+    * IS the interval containing d — no valid_to predicate needed.
+    *
+    * The oracle states the same semantics independently (latest order
+    * at-or-before the ship date per customer, via a correlated argmax) —
+    * proving the scd2→eod→asof composition equals the point-wise
+    * definition. Money in DECIMAL to the final projection; ship dates are
+    * midnight-aligned in this dataset so the string-date cast is exact.
+    * Facts PREDATING their customer's first observed state (the synthetic
+    * data ships some lines before the order date) keep the as-of join's
+    * left-outer NULL and surface as their own bucket — the honest answer,
+    * not a silent drop.
+    */
+  /** DataFrame core of [[pitPriority]] — fixture surface for HistorySpec.
+    * `orders` needs (o_custkey, o_orderkey, o_orderdate, o_orderpriority),
+    * `lineitem` (l_orderkey, l_shipdate, amount).
+    */
+  private[graft] def pitPriorityOf(orders: DataFrame,
+                                   lineitem: DataFrame): DataFrame = {
+    val eod = scd2Core(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("o_custkey", "valid_from").orderBy(col("version").desc)))
+      .filter(col("rk") === 1)
+      .select(col("o_custkey"), col("valid_from"),
+        col("priority").as("pit_priority"))
+    val facts = lineitem
+      .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        "l_orderkey")
+    AsOfJoin.asof(facts, eod, keys = Seq("o_custkey"),
+        leftTs = "l_shipdate", rightTs = "valid_from",
+        payload = Seq("pit_priority"), strict = false)
+      .groupBy("pit_priority")
+      .agg(count(lit(1)).as("n_lines"), sum("amount").as("rev"))
+      .select(col("pit_priority"), col("n_lines"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy("pit_priority")
+  }
+
+  def pitPriority(spark: SparkSession, sfDir: String): DataFrame =
+    pitPriorityOf(
+      Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_shipdate"), Retail.lineAmount.as("amount")))
+
+  private val pitPrioritySql =
+    s"""WITH f AS (
+          SELECT o.o_custkey, l.l_shipdate,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2))) AS amount
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), pit AS (
+          SELECT f.amount,
+                 (SELECT o2.o_orderpriority FROM orders o2
+                  WHERE o2.o_custkey = f.o_custkey
+                    AND o2.o_orderdate <= f.l_shipdate
+                  ORDER BY o2.o_orderdate DESC, o2.o_orderkey DESC
+                  LIMIT 1) AS pit_priority
+          FROM f
+        )
+        SELECT pit_priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(amount) AS DOUBLE) AS revenue
+        FROM pit GROUP BY pit_priority ORDER BY pit_priority"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_priority_scd2" -> (priorityScd2 _),
+    "lineitem_pit_priority" -> (pitPriority _),
     "orders_incremental_agg" -> (incrementalAgg _),
     "orders_monthly_growth" -> (monthlyGrowth _),
     "orders_cdc_upsert" -> (cdcUpsert _),
@@ -284,6 +364,7 @@ object History extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "orders_priority_scd2" -> priorityScd2Sql,
+    "lineitem_pit_priority" -> pitPrioritySql,
     "orders_incremental_agg" -> incrementalAggSql,
     "orders_monthly_growth" -> monthlyGrowthSql,
     "orders_cdc_upsert" -> cdcUpsertSql,

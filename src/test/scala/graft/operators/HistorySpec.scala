@@ -114,4 +114,29 @@ class HistorySpec extends SparkSpec {
       70L -> "UPD-1-URGENT") // batch-only key inserted
       , s"got $got")         // 49 tombstoned away entirely
   }
+
+  test("pit join: facts land in the state valid at their date; pre-history is NULL") {
+    import org.apache.spark.sql.functions._
+    val orders = Seq(
+      (1L, 10L, d("1995-01-10"), "HIGH"),
+      (1L, 11L, d("1995-03-01"), "LOW"),   // change
+      (1L, 12L, d("1995-03-01"), "HIGH"),  // same-date flip-flop: later key wins EOD
+      (1L, 13L, d("1995-06-01"), "LOW"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val lines = Seq(
+      (10L, d("1995-01-05"), BigDecimal("10.00")), // BEFORE any state -> NULL
+      (10L, d("1995-02-01"), BigDecimal("1.00")),  // inside HIGH
+      (11L, d("1995-03-01"), BigDecimal("2.00")),  // ON the flip-flop day -> EOD HIGH
+      (12L, d("1995-04-15"), BigDecimal("4.00")),  // between -> still HIGH
+      (13L, d("1995-06-01"), BigDecimal("8.00")),  // ON the change day -> LOW
+      (13L, d("1999-01-01"), BigDecimal("16.00"))) // long after -> LOW
+      .toDF("l_orderkey", "l_shipdate", "amount")
+      .withColumn("amount", col("amount").cast("decimal(12,2)"))
+    val got = History.pitPriorityOf(orders, lines).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (None, 1L, 10.0),
+      (Some("HIGH"), 3L, 7.0),
+      (Some("LOW"), 2L, 24.0)))
+  }
 }
