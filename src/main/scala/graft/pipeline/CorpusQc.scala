@@ -861,8 +861,101 @@ object CorpusQc extends QueryModule {
         LEFT JOIN cont USING (source)
         ORDER BY source"""
 
+  // ---- snapshot distribution drift (per-lang chi-square) ----
+
+  /** Length-bucket width / count for the drift contingency table. */
+  val DriftBucketWidth = 64
+  val DriftBuckets = 10
+
+  /** `corpus_snapshot_drift`: per-language χ² between the length-bucket
+    * distributions of two corpus snapshots (the `dedup_incremental` slice
+    * convention: `doc_id % 10 != 0` = indexed corpus, `% 10 == 0` =
+    * arriving batch) — the distribution-drift alarm a recurring crawl
+    * needs: `corpus_snapshot_diff` says WHICH docs changed, this says
+    * whether the new data still LOOKS like the old (a χ² far above dof
+    * means the source changed character, not just content).
+    *
+    * Exactly the `orders_chisq_independence` construction GROUPED by lang:
+    * dense (snapshot × bucket) cells per lang, margins via windows
+    * PARTITIONED by (lang, …), every term an IEEE expression over exact
+    * integers (no transcendentals — the reason a χ² double can be
+    * hash-compared at all), per-lang `sorted_sum` fold. Cells with zero
+    * expectation (a snapshot empty within a lang) contribute 0 rather
+    * than NaN — the degenerate-margin guard.
+    *
+    * Scale: one counting shuffle at (lang, snapshot, bucket) grain; all
+    * statistic math on ≤ langs·2·[[DriftBuckets]] rows.
+    */
+  def snapshotDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        when(col("doc_id") % 10 === 0, "new").otherwise("old").as("s"),
+        expr(s"least(n_chars div $DriftBucketWidth, ${DriftBuckets - 1})").as("b"))
+    val counts = docs.groupBy("lang", "s", "b").agg(count(lit(1)).as("n"))
+    val snaps = spark.range(2).select(
+      when(col("id") === 0, "old").otherwise("new").as("s"))
+    val cells = counts.select("lang", "b").distinct()
+      .crossJoin(snaps)
+      .join(counts, Seq("lang", "s", "b"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val terms = cells
+      .withColumn("rt", sum("n").over(Window.partitionBy("lang", "s")))
+      .withColumn("ct", sum("n").over(Window.partitionBy("lang", "b")))
+      .withColumn("tot", sum("n").over(Window.partitionBy("lang")))
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("tot"))
+      .withColumn("term", when(col("e") > 0.0,
+        (col("n").cast("double") - col("e")) * (col("n").cast("double") - col("e"))
+          / col("e")).otherwise(0.0))
+    terms.groupBy("lang").agg(
+        count(lit(1)).as("n_cells"),
+        (countDistinct("b") - 1).as("dof"),
+        sum(when(col("s") === "old", col("n")).otherwise(0L)).as("n_old"),
+        sum(when(col("s") === "new", col("n")).otherwise(0L)).as("n_new"),
+        expr("sorted_sum(term)").as("chisq"))
+      .orderBy("lang")
+  }
+
+  private val snapshotDriftSql =
+    s"""WITH docs AS (
+          SELECT lang,
+                 CASE WHEN doc_id % 10 = 0 THEN 'new' ELSE 'old' END AS s,
+                 least(n_chars // $DriftBucketWidth, ${DriftBuckets - 1}) AS b
+          FROM documents
+        ), c AS (
+          SELECT lang, s, b, CAST(COUNT(*) AS BIGINT) AS n FROM docs GROUP BY 1, 2, 3
+        ), cells AS (
+          SELECT lb.lang, sn.s, lb.b, COALESCE(c.n, 0) AS n
+          FROM (SELECT DISTINCT lang, b FROM c) lb
+          CROSS JOIN (SELECT 'old' AS s UNION ALL SELECT 'new') sn
+          LEFT JOIN c ON c.lang = lb.lang AND c.s = sn.s AND c.b = lb.b
+        ), t AS (
+          SELECT lang, s, b, n,
+                 CAST(SUM(n) OVER (PARTITION BY lang, s) AS BIGINT) AS rt,
+                 CAST(SUM(n) OVER (PARTITION BY lang, b) AS BIGINT) AS ct,
+                 CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+          FROM cells
+        ), terms AS (
+          SELECT lang, s, n,
+                 CASE WHEN CAST(rt AS DOUBLE) * ct / tot > 0.0e0 THEN
+                   (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot)
+                     * (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot)
+                     / (CAST(rt AS DOUBLE) * ct / tot)
+                 ELSE 0.0e0 END AS term,
+                 b
+          FROM t
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(COUNT(DISTINCT b) - 1 AS BIGINT) AS dof,
+               CAST(SUM(CASE WHEN s = 'old' THEN n ELSE 0 END) AS BIGINT) AS n_old,
+               CAST(SUM(CASE WHEN s = 'new' THEN n ELSE 0 END) AS BIGINT) AS n_new,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(term))),
+                           (a, x) -> a + x) AS chisq
+        FROM terms GROUP BY lang ORDER BY lang"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (repetition _),
+    "corpus_snapshot_drift" -> (snapshotDrift _),
     "corpus_snapshot_diff" -> (snapshotDiff _),
     "text_contamination" -> (contamination _),
     "mix_weights" -> (mixWeights _),
@@ -876,6 +969,7 @@ object CorpusQc extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "text_repetition" -> repetitionSql,
+    "corpus_snapshot_drift" -> snapshotDriftSql,
     "corpus_snapshot_diff" -> snapshotDiffSql,
     "text_contamination" -> contaminationSql,
     "mix_weights" -> mixWeightsSql,

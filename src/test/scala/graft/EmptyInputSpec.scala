@@ -48,6 +48,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "corpus_source_overlap", "corpus_source_overlap_kmv", "corpus_dataset_card",
     "corpus_dataset_card_kmv",
     "text_perplexity_filter", "train_decontaminated_split", "train_dsir_weights",
+    "corpus_snapshot_drift",
     "emb_covariance_q", "emb_quantization_clipped", "emb_label_centroids",
     "emb_topk_quantized", "emb_whitened_check")
 

@@ -135,4 +135,52 @@ class CorpusQcSpec extends SparkSpec {
     assert(nB == 1L && lowB == 1L, "digit doc must fall below the quality bar")
     assert(mqB < 0.5, s"bad mean $mqB")
   }
+
+  test("snapshot drift: chi-square matches an independent recompute; drifted lang stands out") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft_drift_fixture").toString
+    // 'st': old and new share the length profile (no drift);
+    // 'dr': old docs short, new docs long (hard drift)
+    def mk(id: Long, lang: String, n: Int) = (id, "w " * (n / 2), lang, "s0", n.toLong)
+    val rows =
+      (0L until 40L).map(i => mk(i * 10 + 1, "st", 60 + (i % 4).toInt * 64)) ++   // old st
+      (0L until 40L).map(i => mk(i * 10, "st", 60 + (i % 4).toInt * 64)) ++       // new st, same mix
+      (0L until 40L).map(i => mk(1000 + i * 10 + 1, "dr", 40)) ++                 // old dr: bucket 0
+      (0L until 40L).map(i => mk(1000 + i * 10, "dr", 500))                       // new dr: bucket 7
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // independent recompute
+    def chisqOf(lang: String): (Long, Long, Double) = {
+      val docs = rows.filter(_._3 == lang).map { case (id, _, _, _, n) =>
+        (if (id % 10 == 0) "new" else "old",
+         math.min(n / CorpusQc.DriftBucketWidth, CorpusQc.DriftBuckets - 1L))
+      }
+      val buckets = docs.map(_._2).distinct.sorted
+      val cells = for (sn <- Seq("old", "new"); b <- buckets) yield
+        (sn, b, docs.count(x => x._1 == sn && x._2 == b).toLong)
+      val tot = docs.size.toDouble
+      val terms = cells.map { case (sn, b, n) =>
+        val rt = docs.count(_._1 == sn).toDouble
+        val ct = docs.count(_._2 == b).toDouble
+        val e = rt * ct / tot
+        if (e > 0) (n - e) * (n - e) / e else 0.0
+      }
+      (cells.size.toLong, buckets.size.toLong - 1, terms.sorted.sum)
+    }
+
+    val got = CorpusQc.snapshotDrift(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    Seq("st", "dr").foreach { lang =>
+      val (nc, dof, chi) = chisqOf(lang)
+      val (gnc, gdof, gold, gnew, gchi) = got(lang)
+      assert((gnc, gdof) == ((nc, dof)), s"$lang cells/dof")
+      assert(gold == 40L && gnew == 40L)
+      assert(math.abs(gchi - chi) < 1e-9, s"$lang chi $gchi vs $chi")
+    }
+    // identical profiles -> 0; total separation -> the maximal N statistic
+    assert(got("st")._5 == 0.0)
+    assert(math.abs(got("dr")._5 - 80.0) < 1e-9)
+  }
 }
