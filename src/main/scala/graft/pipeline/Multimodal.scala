@@ -161,16 +161,109 @@ object Multimodal extends QueryModule {
                sqrt(${Similarity.dotDuck("feature", "feature")}) AS feature_norm
         FROM f ORDER BY doc_id"""
 
+  /** Bits in the perceptual average-hash. */
+  val AHashBits = 64
+
+  /** `mm_ahash_dedup`: perceptual near-dup pairs over media payloads via a
+    * 64-bit AVERAGE HASH (aHash — the classic image fingerprint: stride-
+    * sample 64 intensity bytes, threshold each against their own mean, pack
+    * the bits) with the proven SimHash blocking (4×16-bit chunk pigeonhole:
+    * hamming ≤ 3 guarantees ≥1 exact chunk) and popcount verification.
+    * The image-dedup step a multimodal curation pipeline runs BEFORE
+    * paying for any real decode: resize/re-encode variants of one image
+    * keep nearly the same luma profile, so their aHashes sit within a few
+    * bits. On the deterministic media view this is exact and
+    * DuckDB-checkable end to end; with a real decoder, only the byte
+    * source changes.
+    *
+    * Determinism: sampled bytes are exact integers; the mean is ONE fixed
+    * ascending fold + one division, identical IEEE in both engines; bit
+    * packing, chunking, and popcount are pure integer ops.
+    */
+  def ahashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = graft.Scratch.materialize(
+      media(spark, sfDir)
+        .filter(length(col("payload")) >= AHashBits)
+        .select(col("doc_id"), hex(col("payload")).as("h"),
+          expr(s"length(payload) div $AHashBits").as("stride"))
+        .withColumn("bytes", expr(
+          s"""transform(sequence(0, ${AHashBits - 1}), j ->
+                CAST(conv(substring(h, j * stride * 2 + 1, 2), 16, 10) AS DOUBLE))"""))
+        .withColumn("mean", expr(
+          s"aggregate(bytes, CAST(0.0 AS DOUBLE), (a, x) -> a + x) / $AHashBits.0D"))
+        .withColumn("ah", expr(
+          s"""aggregate(sequence(0, ${AHashBits - 1}), CAST(0 AS BIGINT),
+                (acc, j) -> acc + CASE WHEN element_at(bytes, j + 1) > mean
+                  THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""))
+        .select("doc_id", "ah"),
+      "graft_ahash")
+    val chunks = sigs.select(col("doc_id"), col("ah"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(ah, c * 16) % 65536)"))
+        .as(Seq("chunk_id", "chunk")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+        col("x.ah").as("aha"), col("y.ah").as("ahb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(aha ^ ahb) AS INT)"))
+      .filter(col("hamming") <= 3)
+      .select("ia", "ib", "hamming")
+      .orderBy("ia", "ib")
+  }
+
+  private val ahashDedupSql =
+    s"""WITH m AS (
+          SELECT doc_id, hex(payload) AS h,
+                 octet_length(payload) // $AHashBits AS stride
+          FROM ($mediaSql) WHERE octet_length(payload) >= $AHashBits
+        ), b AS (
+          SELECT doc_id,
+                 list_transform(range(0, $AHashBits), j ->
+                   CAST(CAST('0x' || substring(h, j * stride * 2 + 1, 2) AS INT) AS DOUBLE))
+                   AS bytes
+          FROM m
+        ), s AS (
+          SELECT doc_id, bytes,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), bytes), (a, x) -> a + x)
+                   / $AHashBits.0 AS mean
+          FROM b
+        ), a AS (
+          -- bit 63 is the sign bit: DuckDB raises on (1::BIGINT << 63),
+          -- so the top bit adds the min-long literal instead (same 64-bit
+          -- pattern Spark's shiftleft(1L, 63) wraps to)
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, $AHashBits), j ->
+                   CASE WHEN bytes[j + 1] > mean THEN
+                     CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << j) END
+                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ah
+          FROM s
+        ), chunks AS (
+          SELECT doc_id, ah, c AS chunk_id, (ah >> (c * 16)) % 65536 AS chunk
+          FROM a, (SELECT unnest(range(0, 4)) AS c)
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib, x.ah AS aha, y.ah AS ahb
+          FROM chunks x JOIN chunks y
+            ON x.chunk_id = y.chunk_id AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+        )
+        SELECT ia, ib, CAST(bit_count(xor(aha, ahb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(aha, ahb)) <= 3
+        ORDER BY ia, ib"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata_stats" -> (metadataStats _),
     "mm_frame_sample" -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _),
+    "mm_ahash_dedup" -> (ahashDedup _),
   )
 
   override def oracle: Map[String, String] = Map(
     "mm_metadata_stats" -> metadataStatsSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_feature_extract" -> featureExtractSql,
+    "mm_ahash_dedup" -> ahashDedupSql,
   )
 }
 

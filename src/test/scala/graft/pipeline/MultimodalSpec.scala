@@ -37,4 +37,33 @@ class MultimodalSpec extends SparkSpec {
     assert(n.count() === graft.Tables.documents(spark, Sf0001).count())
     assert(n.filter(col("feature_norm").isNull || col("feature_norm") < 0).count() === 0)
   }
+
+  test("ahash dedup: identical payloads pair at hamming 0; independent aHash recompute") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft_ahash_fixture").toString
+    val longA = (0 until 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val longB = (0 until 40).map(i => s"zulu$i xray$i quux$i").mkString(" ")
+    Seq((1L, longA, "en", "s0"), (2L, longA, "en", "s0"), (3L, longB, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // independent aHash: stride-sample 64 bytes of the UTF-8 payload,
+    // threshold against their mean, pack bits
+    def ahash(text: String): Long = {
+      val bytes = text.getBytes("UTF-8")
+      val stride = bytes.length / 64
+      val sampled = (0 until 64).map(j => (bytes(j * stride) & 0xff).toDouble)
+      val mean = sampled.sum / 64.0
+      (0 until 64).foldLeft(0L)((acc, j) =>
+        if (sampled(j) > mean) acc + (1L << j) else acc)
+    }
+    val got = Multimodal.ahashDedup(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.get((1L, 2L)).contains(0), s"identical payloads must pair at 0: $got")
+    val crossHam = java.lang.Long.bitCount(ahash(longA) ^ ahash(longB))
+    assert(got.contains((1L, 3L)) == (crossHam <= 3),
+      s"cross pair presence must follow the independent hamming $crossHam")
+    got.foreach { case ((ia, ib), h) => assert(ia < ib && h <= 3) }
+  }
 }
