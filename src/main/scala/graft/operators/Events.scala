@@ -1075,7 +1075,87 @@ object Events extends QueryModule {
                    END AS value_resampled
        FROM a ORDER BY day"""
 
+  // ---- hash-stable A/B assignment + two-proportion z-test ----
+
+  /** The shared z-statistic expression — ONE SQL string parsed by both
+    * engines: pooled two-proportion z over exact integer counts. Every
+    * operand derives from BIGINTs; `sqrt` is IEEE-correctly-rounded, so
+    * the double is bit-identical cross-engine (unlike ln/exp). Degenerate
+    * pools (conversion 0 or 1 — zero variance) emit NULL.
+    */
+  private val zExpr =
+    """CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+         (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+           / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0e0 / n_a + 1.0e0 / n_b))
+       END"""
+
+  /** `events_ab_ztest`: experiment readout — users are assigned to variants
+    * by a HASH-STABLE draw (`hash60('ab:' || user_id) % 2`: append-stable
+    * and recomputable anywhere, never a stored assignment table or a
+    * `rand()`), conversion is "ever made a high-value purchase" (value >=
+    * [[AbConvValue]] — plain "ever purchased" saturates at 100 % on this
+    * fixture and degenerates the variance), and the comparison is the
+    * classic pooled two-proportion z-test. On the synthetic events the
+    * variants are exchangeable, so |z| should sit within ordinary bounds —
+    * the null-calibration reading, which the spec pins alongside a planted
+    * real effect.
+    *
+    * Shape: ONE user_id aggregate (conversion per user), a map-only
+    * variant projection, one 2-group aggregate, scalar math on a 1-row
+    * frame. At any corpus size only the user-grain aggregation shuffles.
+    */
+  /** Conversion bar: a purchase at or above this value. */
+  val AbConvValue = 150
+
+  def abZtest(spark: SparkSession, sfDir: String): DataFrame =
+    abZtestOf(Tables.events(spark, sfDir))
+
+  /** DataFrame core of [[abZtest]] — fixture surface for the spec. */
+  private[graft] def abZtestOf(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= AbConvValue,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", expr(
+        s"CASE WHEN ${graft.pipeline.Dedup.hash60("concat('ab:', CAST(user_id AS STRING))")} % 2 = 0 " +
+          "THEN 'A' ELSE 'B' END"))
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("CAST(conv_a AS DOUBLE) / n_a").as("rate_a"),
+        expr("CAST(conv_b AS DOUBLE) / n_b").as("rate_b"),
+        expr(zExpr).as("z"))
+
+  private val abZtestSql =
+    s"""WITH u AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'purchase' AND value >= $AbConvValue THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY user_id
+        ), v AS (
+          SELECT CASE WHEN ${graft.pipeline.Dedup.hash60Duck("('ab:' || CAST(user_id AS VARCHAR))")} % 2 = 0
+                      THEN 'A' ELSE 'B' END AS variant,
+                 conv
+          FROM u
+        ), agg AS (
+          SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+                 CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+          FROM v
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+               CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+               $zExpr AS z
+        FROM agg"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_ztest" -> (abZtest _),
     "events_daily_gapfilled" -> (dailyGapfilled _),
     "events_daily_resampled" -> (dailyResampled _),
     "events_value_quantiles" -> (valueQuantiles _),
@@ -1101,6 +1181,7 @@ object Events extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "events_ab_ztest" -> abZtestSql,
     "events_daily_gapfilled" -> dailyGapfilledSql,
     "events_daily_resampled" -> dailyResampledSql,
     "events_value_quantiles" -> valueQuantilesSql,
