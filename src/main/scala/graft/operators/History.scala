@@ -354,9 +354,72 @@ object History extends QueryModule {
                CAST(SUM(amount) AS DOUBLE) AS revenue
         FROM pit GROUP BY pit_priority ORDER BY pit_priority"""
 
+  // ---- incremental view maintenance for a JOIN view (delta-join algebra) ----
+
+  /** `orders_lineitem_ivm`: maintain a materialized JOIN view — per-customer
+    * line count + revenue over orders ⋈ lineitem — incrementally under
+    * deltas to BOTH base tables, by the textbook delta-join decomposition:
+    *
+    *   V(o ∪ Δo, l ∪ Δl) = V(o,l) ⊎ agg(Δo ⋈ l) ⊎ agg(o ⋈ Δl) ⊎ agg(Δo ⋈ Δl)
+    *
+    * ⊎ being the per-key merge of the commutative-monoid metrics
+    * (count/DECIMAL sum — the `orders_incremental_agg` contract lifted
+    * from a single-table aggregate to a join view). Fixture deltas are
+    * INDEPENDENT slices (`o_orderkey % 7` new orders, `l_linenumber % 3`
+    * late-arriving lines), so all three delta terms are genuinely
+    * non-empty — including late lines for pre-existing orders, the case
+    * that forces the o ⋈ Δl term.
+    *
+    * The oracle is the FLAT recompute over the full tables — the IVM
+    * algebra must be indistinguishable from rebuild, bit for bit (exact
+    * DECIMAL sums are order-independent; the one double cast happens at
+    * the final projection).
+    *
+    * Scale (100 TB): the standing view and each nightly merge cost
+    * O(|Δo|·fanout + |Δl| + view): each delta term joins a DELTA side
+    * against a base scan — broadcast the delta (it is batch-sized) and no
+    * base table ever re-shuffles; the full base ⋈ base join never re-runs.
+    * The base-side scans stay pruned to the join keys + metrics.
+    */
+  def joinIvm(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"),
+      col("l_linenumber"), Retail.lineAmount.as("amount"))
+    joinIvmOf(
+      o.filter(col("o_orderkey") % 7 =!= 0), o.filter(col("o_orderkey") % 7 === 0),
+      l.filter(col("l_linenumber") % 3 =!= 0), l.filter(col("l_linenumber") % 3 === 0))
+  }
+
+  /** The IVM core — fixture surface for HistorySpec. */
+  private[graft] def joinIvmOf(oBase: DataFrame, oDelta: DataFrame,
+                               lBase: DataFrame, lDelta: DataFrame): DataFrame = {
+    def view(o: DataFrame, l: DataFrame): DataFrame =
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_lines"), sum("amount").as("rev"))
+    view(oBase, lBase)                   // the standing view (built once)
+      .unionByName(view(broadcast(oDelta), lBase))   // new orders × old lines
+      .unionByName(view(oBase, broadcast(lDelta)))   // old orders × late lines
+      .unionByName(view(oDelta, lDelta))             // new × new (batch-sized)
+      .groupBy("o_custkey")
+      .agg(sum("n_lines").as("n_lines"), sum("rev").as("rev"))
+      .select(col("o_custkey"), col("n_lines"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy("o_custkey")
+  }
+
+  private val joinIvmSql =
+    """SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                AS revenue
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_custkey ORDER BY o.o_custkey"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_priority_scd2" -> (priorityScd2 _),
     "lineitem_pit_priority" -> (pitPriority _),
+    "orders_lineitem_ivm" -> (joinIvm _),
     "orders_incremental_agg" -> (incrementalAgg _),
     "orders_monthly_growth" -> (monthlyGrowth _),
     "orders_cdc_upsert" -> (cdcUpsert _),
@@ -365,6 +428,7 @@ object History extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "orders_priority_scd2" -> priorityScd2Sql,
     "lineitem_pit_priority" -> pitPrioritySql,
+    "orders_lineitem_ivm" -> joinIvmSql,
     "orders_incremental_agg" -> incrementalAggSql,
     "orders_monthly_growth" -> monthlyGrowthSql,
     "orders_cdc_upsert" -> cdcUpsertSql,

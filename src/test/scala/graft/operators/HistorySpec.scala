@@ -139,4 +139,30 @@ class HistorySpec extends SparkSpec {
       (Some("HIGH"), 3L, 7.0),
       (Some("LOW"), 2L, 24.0)))
   }
+
+  test("join IVM: delta algebra equals flat rebuild; every delta term fires") {
+    import org.apache.spark.sql.functions._
+    def o(rows: (Long, Long)*) = rows.toDF("o_orderkey", "o_custkey")
+    def l(rows: (Long, Int, String)*) = rows.toDF("l_orderkey", "l_linenumber", "a")
+      .withColumn("amount", col("a").cast("decimal(12,2)")).drop("a")
+    // base: orders 1,2 (cust 10, 20) with lines; delta orders: 3 (cust 30, new
+    // customer) and 4 (cust 10 again); delta lines: late line for base order 1,
+    // and lines for the delta orders
+    val oBase = o((1L, 10L), (2L, 20L))
+    val oDelta = o((3L, 30L), (4L, 10L))
+    val lBase = l((1L, 1, "5.00"), (1L, 2, "7.00"), (2L, 1, "11.00"))
+    val lDelta = l((1L, 3, "13.00"), (3L, 1, "17.00"), (4L, 1, "19.00"))
+
+    val got = History.joinIvmOf(oBase, oDelta, lBase, lDelta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // flat rebuild over the unioned tables
+    val flat = History.joinIvmOf(
+      oBase.unionByName(oDelta), o(), lBase.unionByName(lDelta), l())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == flat, s"IVM drifted from rebuild: $got vs $flat")
+    assert(got == Seq(
+      (10L, 4L, 44.0),  // 5+7 base, +13 late line, +19 via delta order 4
+      (20L, 1L, 11.0),
+      (30L, 1L, 17.0))) // entirely from the delta x delta term
+  }
 }
