@@ -1219,6 +1219,99 @@ object SimilaritySearch extends QueryModule {
         FROM c WHERE var_i > 0.0e0 AND var_j > 0.0e0
         ORDER BY abs(cov) DESC, di, dj LIMIT $CovTopK"""
 
+  // ---- nprobe tuning sweep ----
+
+  /** Probe counts swept by `similarity_ivf_sweep`. */
+  val SweepProbes: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** (qid, bucket) probe cells at an explicit probe count. */
+  private def probeCells(corpus: DataFrame, p: Int): DataFrame =
+    corpus.filter(col("vec_id") < NumQueries)
+      .withColumn("scores", expr(Similarity.ivfScores("v")))
+      .withColumn("kth", expr(s"element_at(array_sort(scores), $p)"))
+      .select(col("vec_id").as("qid"),
+        explode(expr(s"""filter(sequence(0, ${Similarity.NumCentroids - 1}),
+                         c -> element_at(scores, c + 1) <= kth)""")).as("bucket"))
+
+  /** `similarity_ivf_sweep`: the nprobe TUNING CURVE — for each probe count
+    * in [[SweepProbes]], the candidate volume and recall@[[K]] against the
+    * memoized brute-force truth. This is the measurement loop an ANN
+    * deployment actually runs when sizing nprobe: recall rises with probe
+    * coverage, candidates (≈ cost) rise linearly — the elbow is the
+    * operating point. One corpus assignment pass (the shared `simivf`
+    * memo) feeds every sweep point; per point the work is one bucket
+    * equi-join + candidate scoring, exactly the production probe path.
+    */
+  def ivfSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = ivfCorpus(spark, sfDir)
+    val brute = bruteRanked(spark, sfDir).select("qid", "neighbor_id")
+    val q = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val rows = SweepProbes.map { p =>
+      val cand = probeCells(corpus, p)
+        .join(corpus.select("vec_id", "bucket"), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+      val scored = cand
+        .join(corpus.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+        .join(broadcast(q), "qid")
+        .withColumn("cosine", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+      val top = ranked(scored).select("qid", "neighbor_id").withColumn("hit", lit(1L))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      brute.join(top, Seq("qid", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .crossJoin(broadcast(nCand)) // 1-row side
+        .select(lit(p).as("nprobe"), col("n_candidates"), col("n_true"),
+          col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true")).as("recall_at_k"))
+    }
+    rows.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
+  private def ivfSweepSql: String = {
+    val perP = SweepProbes.map { p =>
+      s"""cand$p AS (
+            SELECT DISTINCT qp.qid, a.vec_id FROM (
+              SELECT qid, unnest(list_filter(range(0, ${Similarity.NumCentroids}),
+                       c -> scores[c + 1] <= list_sort(scores)[$p])) AS bucket
+              FROM q) qp
+            JOIN a ON qp.bucket = a.bucket
+            WHERE a.vec_id <> qp.qid
+          ), top$p AS (
+            SELECT qid, vec_id AS neighbor_id FROM (
+              SELECT c.qid, c.vec_id,
+                     row_number() OVER (PARTITION BY c.qid ORDER BY
+                       ${Similarity.dotDuck("q.qv", "a2.v")} / (q.qn * a2.nrm) DESC,
+                       c.vec_id) AS rnk
+              FROM cand$p c JOIN a a2 ON c.vec_id = a2.vec_id JOIN q ON c.qid = q.qid) r
+            WHERE rnk <= $K
+          ), row$p AS (
+            SELECT $p AS nprobe,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$p) AS n_candidates,
+                   CAST(COUNT(*) AS BIGINT) AS n_true,
+                   CAST(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hit,
+                   CAST(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*) AS recall_at_k
+            FROM brute b
+            LEFT JOIN top$p t ON b.qid = t.qid AND b.neighbor_id = t.neighbor_id
+          )"""
+    }
+    val sel = SweepProbes.map(p => s"SELECT * FROM row$p").mkString(" UNION ALL ")
+    s"""WITH e AS ($ivfBaseDuck),
+           a AS (
+             SELECT vec_id, v, nrm,
+                    CAST(list_position(scores, list_min(scores)) - 1 AS INT) AS bucket
+             FROM e
+           ),
+           q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, scores FROM e
+                 WHERE vec_id < $NumQueries),
+           brute AS (SELECT qid, neighbor_id FROM ($bruteSql)),
+           ${perP.mkString(",\n ")}
+        $sel ORDER BY nprobe"""
+  }
+
   // ---- incremental ANN: probing a persisted bucketed cell index ----
 
   /** Persisted IVF cell index, BUCKETED AND SORTED by `bucket` — the
@@ -1313,6 +1406,7 @@ object SimilaritySearch extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_probe_incremental" -> (probeIncremental _),
+    "similarity_ivf_sweep" -> (ivfSweep _),
     "similarity_topk_brute" -> (bruteTopK _),
     "similarity_topk_lsh" -> ((s, d) => lshTopK(s, d)),
     "similarity_lsh_recall" -> (lshRecall _),
@@ -1329,6 +1423,7 @@ object SimilaritySearch extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "similarity_probe_incremental" -> probeIncrementalSql,
+    "similarity_ivf_sweep" -> ivfSweepSql,
     "similarity_topk_brute" -> bruteSql,
     "similarity_topk_lsh" -> lshSql,
     "similarity_lsh_recall" -> lshRecallSql,

@@ -20,4 +20,21 @@ class TrainedIvfSpec extends SparkSpec {
     assert(trained > seeded,
       s"training no longer helps where seeds are bad: trained=$trained seeded=$seeded")
   }
+
+  test("ivf sweep: recall and candidate volume are monotone in nprobe; full probe is exact") {
+    val rows = SimilaritySearch.ivfSweep(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(rows.map(_._1) == SimilaritySearch.SweepProbes)
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 >= a._2, s"candidates must not shrink: $a -> $b")
+      assert(b._4 >= a._4, s"hits must not shrink: $a -> $b")
+    }
+    // probing every cell IS brute force: recall exactly 1
+    assert(rows.last._1 == graft.pipeline.Similarity.NumCentroids)
+    assert(rows.last._5 == 1.0, s"full probe must be exact: ${rows.last}")
+    rows.foreach { case (_, _, nTrue, nHit, rec) =>
+      assert(rec == nHit.toDouble / nTrue)
+    }
+  }
 }
