@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.plans.{AsOfJoinStrategy, PushLeftFilterThroughAsOf}
+import graft.plans.{AsOfJoinStrategy, EliminateRedundantLeftJoin, PushLeftFilterThroughAsOf}
 
 /** Session extension installing graft's native SQL functions, wired with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the public
@@ -24,7 +24,10 @@ import graft.plans.{AsOfJoinStrategy, PushLeftFilterThroughAsOf}
   * Plans: the native as-of join ([[plans.AsOfJoinNode]] →
   * [[plans.AsOfMergeExec]] via [[plans.AsOfJoinStrategy]]) plus its one
   * safe rewrite, [[plans.PushLeftFilterThroughAsOf]], injected into the
-  * operator-optimization batch so left-side filters reach the scan.
+  * operator-optimization batch so left-side filters reach the scan; and
+  * [[plans.EliminateRedundantLeftJoin]], the semantic-layer join
+  * elimination Spark's own optimizer lacks (provably-dead unique-keyed
+  * left joins are dropped whole).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -37,5 +40,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.BloomAgg.description)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => new PushLeftFilterThroughAsOf)
+    ext.injectOptimizerRule(_ => new EliminateRedundantLeftJoin)
   }
 }

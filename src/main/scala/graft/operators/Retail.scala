@@ -378,6 +378,34 @@ object Retail extends QueryModule {
     * NULLS FIRST explicitly — Spark's ASC default — because DuckDB defaults
     * to NULLS LAST.
     */
+  /** `q2_join_eliminated`: the semantic-layer view pattern driven through
+    * [[graft.plans.EliminateRedundantLeftJoin]] — a "wide view" pre-joins a
+    * per-customer stats dimension onto orders, and this report reads ONLY
+    * order columns. The injected optimizer rule proves the left join dead
+    * (left outer; right is a unique-keyed Aggregate covered by the join
+    * key; no parent reference touches it) and drops it WHOLE: the
+    * optimized plan contains no join and never builds the dim
+    * (PlanAssertionsSpec pins zero joins + a single scan). The oracle is
+    * the no-join query — elimination must be semantically invisible.
+    */
+  def joinEliminatedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val custStats = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("cust_orders"),
+        avg(col("o_totalprice")).as("cust_avg_price"))
+      .withColumnRenamed("o_custkey", "ck")
+    val wideView = o.join(custStats, col("o_custkey") === col("ck"), "left_outer")
+    wideView.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val joinEliminatedSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .rollup("l_returnflag", "l_linestatus")
@@ -824,6 +852,7 @@ object Retail extends QueryModule {
     "q2_customer_summary_udaf" -> (customerSummaryUdaf _),
     "q2_order_rank" -> (orderRank _),
     "q2_rollup_revenue" -> (rollupRevenue _),
+    "q2_join_eliminated" -> (joinEliminatedQ _),
     "q2_cleaning" -> (cleaning _),
     "q2_order_windows" -> (orderWindows _),
     "q2_first_last_product" -> (firstLastProduct _),
@@ -849,6 +878,7 @@ object Retail extends QueryModule {
     "q2_customer_summary_udaf" -> customerSummarySql,
     "q2_order_rank" -> orderRankSql,
     "q2_rollup_revenue" -> rollupRevenueSql,
+    "q2_join_eliminated" -> joinEliminatedSql,
     "q2_cleaning" -> cleaningSql,
     "q2_order_windows" -> orderWindowsSql,
     "q2_first_last_product" -> firstLastProductSql,

@@ -52,6 +52,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("redundant left join to the unique-keyed dim is eliminated whole") {
+    // the semantic-layer view query must not contain ANY join after
+    // EliminateRedundantLeftJoin — the dim aggregate is never even built
+    val plan = SparkEntry.queries("q2_join_eliminated")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"dead dim join survived:\n$plan")
+  }
+
   test("incremental ANN probe reads the bucketed cell index without shuffling it") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
