@@ -1075,6 +1075,99 @@ object Events extends QueryModule {
                    END AS value_resampled
        FROM a ORDER BY day"""
 
+  // ---- event-time disorder report (watermark sizing) ----
+
+  /** `events_disorder_report`: how out-of-order does this stream actually
+    * arrive? For each event (arrival order = `event_id`, the producer's
+    * sequence), lateness = running-max(event time so far) − its own event
+    * time — exactly the quantity a watermark bounds. The report emits the
+    * lateness distribution at SECOND grain (count, late share, nearest-rank
+    * p50/p95/p99, max): "set the watermark at p99 + margin" becomes a
+    * measurement instead of folklore, and re-running the report validates
+    * the choice after every producer change.
+    *
+    * Scale shape: the running max is the `parts_abc_classification`
+    * two-phase DISTRIBUTED prefix pattern with MAX as the monoid —
+    * range-partition by arrival order (materialized once so every branch
+    * shares the partition assignment), pid-local running max in parallel,
+    * cluster-sized per-partition maxima → broadcast exclusive prefix
+    * maxima — no single-partition window over events. The quantile cut
+    * runs on the SECOND-grain lateness distribution, whose cardinality is
+    * bounded by the disorder horizon in seconds (an aggregated-altitude
+    * window, the `orders_monthly_growth` argument). Exact integers
+    * throughout; one double division.
+    */
+  def disorderReport(spark: SparkSession, sfDir: String): DataFrame =
+    disorderReportOf(Tables.events(spark, sfDir))
+
+  /** DataFrame core of [[disorderReport]] — fixture surface for the spec. */
+  private[graft] def disorderReportOf(events: DataFrame): DataFrame = {
+    val parts = graft.Scratch.materialize(
+      events.select(col("event_id"), expr("unix_micros(ts)").as("t"))
+        .repartitionByRange(col("event_id"))
+        .withColumn("pid", spark_partition_id()),
+      "graft_disorder_parts")
+    val localW = Window.partitionBy("pid").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pmax = parts.groupBy("pid").agg(max("t").as("pmax"))
+    val offsets = pmax.as("a")
+      .join(pmax.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid")).agg(max(col("b.pmax")).as("prefix"))
+    val late = parts
+      .withColumn("lmax", max("t").over(localW))
+      .join(broadcast(offsets), "pid")
+      .withColumn("rm",
+        greatest(coalesce(col("prefix"), lit(Long.MinValue)), col("lmax")))
+      .withColumn("late_s", expr("(rm - t) div 1000000"))
+    val stats = late.agg(count(lit(1)).as("n"),
+      sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+      max("late_s").as("max_s"))
+    val cum = late.groupBy("late_s").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("late_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(stats)) // 1-row side
+    cum.agg(
+        max("n").as("n_events"),
+        max("n_late").as("n_late"),
+        min(when(col("cum") >= expr("(50 * n + 99) div 100"), col("late_s"))).as("p50_s"),
+        min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("late_s"))).as("p95_s"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("late_s"))).as("p99_s"),
+        max("max_s").as("max_s"))
+      .select(col("n_events"), col("n_late"),
+        expr("CAST(n_late AS DOUBLE) / n_events").as("share_late"),
+        col("p50_s"), col("p95_s"), col("p99_s"), col("max_s"))
+  }
+
+  private val disorderReportSql =
+    """WITH o AS (
+         SELECT event_id, epoch_us(ts) AS t FROM events
+       ), r AS (
+         SELECT t, MAX(t) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS rm
+         FROM o
+       ), l AS (
+         SELECT (rm - t) // 1000000 AS late_s FROM r
+       ), c AS (
+         SELECT late_s, COUNT(*) AS c FROM l GROUP BY 1
+       ), cum AS (
+         SELECT late_s, SUM(c) OVER (ORDER BY late_s ROWS UNBOUNDED PRECEDING) AS cum
+         FROM c
+       ), st AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                CAST(MAX(late_s) AS BIGINT) AS max_s
+         FROM l
+       )
+       SELECT st.n AS n_events, st.n_late,
+              CAST(st.n_late AS DOUBLE) / st.n AS share_late,
+              (SELECT CAST(MIN(late_s) AS BIGINT) FROM cum
+               WHERE cum >= (50 * st.n + 99) // 100) AS p50_s,
+              (SELECT CAST(MIN(late_s) AS BIGINT) FROM cum
+               WHERE cum >= (95 * st.n + 99) // 100) AS p95_s,
+              (SELECT CAST(MIN(late_s) AS BIGINT) FROM cum
+               WHERE cum >= (99 * st.n + 99) // 100) AS p99_s,
+              st.max_s
+       FROM st"""
+
   // ---- hash-stable A/B assignment + two-proportion z-test ----
 
   /** The shared z-statistic expression — ONE SQL string parsed by both
@@ -1156,6 +1249,7 @@ object Events extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_ztest" -> (abZtest _),
+    "events_disorder_report" -> (disorderReport _),
     "events_daily_gapfilled" -> (dailyGapfilled _),
     "events_daily_resampled" -> (dailyResampled _),
     "events_value_quantiles" -> (valueQuantiles _),
@@ -1182,6 +1276,7 @@ object Events extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "events_ab_ztest" -> abZtestSql,
+    "events_disorder_report" -> disorderReportSql,
     "events_daily_gapfilled" -> dailyGapfilledSql,
     "events_daily_resampled" -> dailyResampledSql,
     "events_value_quantiles" -> valueQuantilesSql,
