@@ -406,6 +406,61 @@ object Retail extends QueryModule {
               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
        FROM orders GROUP BY 1 ORDER BY 1"""
 
+  /** `tpch_q1_pricing`: the canonical TPC-H Q1 pricing summary (public
+    * spec) — the yardstick plan every engine is judged on: one scan with a
+    * pushed date filter, ONE map-side-combined (returnflag, linestatus)
+    * aggregation computing eight metrics in a single pass, a 4-row result.
+    * All money/quantity math in DECIMAL (quantities are integral, discounts
+    * two-decimal) so every sum is exact and order-independent; the three
+    * averages are single double divisions of exact aggregates at the final
+    * projection. 2^53 bound: the widest group's sum_charge unscaled value
+    * is 5.2e15 at sf0.1 — inside the exact-decimal→double window; past
+    * ~sf0.2 the emission would switch to the limb-exact crossing
+    * (`Profiling.hlSpark`, the in-repo template).
+    */
+  def tpchQ1(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(l_quantity AS DECIMAL(12,2))").as("qty"),
+        expr("CAST(l_extendedprice AS DECIMAL(12,2))").as("price"),
+        expr("CAST(l_discount AS DECIMAL(12,2))").as("disc"),
+        expr("CAST(l_tax AS DECIMAL(12,2))").as("tax"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty").as("sq"), sum("price").as("sp"),
+        sum(expr("price * (1 - disc)")).as("sdp"),
+        sum(expr("price * (1 - disc) * (1 + tax)")).as("sc"),
+        sum("disc").as("sd"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sp").cast("double").as("sum_base_price"),
+        col("sdp").cast("double").as("sum_disc_price"),
+        col("sc").cast("double").as("sum_charge"),
+        expr("CAST(sq AS DOUBLE) / count_order").as("avg_qty"),
+        expr("CAST(sp AS DOUBLE) / count_order").as("avg_price"),
+        expr("CAST(sd AS DOUBLE) / count_order").as("avg_disc"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val tpchQ1Sql =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                       * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+              CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .rollup("l_returnflag", "l_linestatus")
@@ -853,6 +908,7 @@ object Retail extends QueryModule {
     "q2_order_rank" -> (orderRank _),
     "q2_rollup_revenue" -> (rollupRevenue _),
     "q2_join_eliminated" -> (joinEliminatedQ _),
+    "tpch_q1_pricing" -> (tpchQ1 _),
     "q2_cleaning" -> (cleaning _),
     "q2_order_windows" -> (orderWindows _),
     "q2_first_last_product" -> (firstLastProduct _),
@@ -879,6 +935,7 @@ object Retail extends QueryModule {
     "q2_order_rank" -> orderRankSql,
     "q2_rollup_revenue" -> rollupRevenueSql,
     "q2_join_eliminated" -> joinEliminatedSql,
+    "tpch_q1_pricing" -> tpchQ1Sql,
     "q2_cleaning" -> cleaningSql,
     "q2_order_windows" -> orderWindowsSql,
     "q2_first_last_product" -> firstLastProductSql,
