@@ -161,13 +161,62 @@ object FuzzyJoin extends QueryModule {
                   JOIN pairs e2 ON e1.b = e2.a
                   JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"""
 
+  /** `customer_entity_clusters`: entity resolution END-TO-END — the three
+    * stages every MDM/householding pipeline runs, composed from operators
+    * this engine already proves separately: (1) candidate generation via
+    * the FastSS deletion-neighborhood blocking ([[fuzzyPairs]], memoized —
+    * the same scan the neighbor/triangle queries consume), (2) transitive
+    * resolution via the contracted connected-components iteration
+    * ([[graft.pipeline.Dedup.components]] — the SAME operator that resolves
+    * near-dup documents, applied to a different domain, which is the point
+    * of building operators instead of queries), (3) per-cluster summary
+    * with a deterministic canonical (the min-id member, whose name labels
+    * the cluster) and the sorted member roster. Only true clusters emit
+    * (singletons are clean entities — absence is the signal, matching
+    * `fuzzy_name_neighbors`).
+    *
+    * Scale: blocking is alphabet-bounded per key; CC cost is the label
+    * graph (≪ pairs); the summary is one cluster-grain aggregate.
+    */
+  def entityClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = graft.pipeline.Dedup.components(fuzzyPairs(spark, sfDir))
+    val names = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("lbl"), col("c_name").as("canonical_name"))
+    labels.groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"),
+        expr("array_join(transform(array_sort(collect_list(id)), x -> CAST(x AS STRING)), ',')")
+          .as("member_ids"))
+      .join(names, "lbl")
+      .select(col("lbl").as("cluster_id"), col("canonical_name"),
+        col("n_members"), col("member_ids"))
+      .orderBy("cluster_id")
+  }
+
+  private val entityClustersSql =
+    s"""${pairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, edges AS (
+          SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        ), reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), lbl AS (
+          SELECT a AS id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+        )
+        SELECT l.cluster_id, c.c_name AS canonical_name,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               string_agg(CAST(l.id AS VARCHAR), ',' ORDER BY l.id) AS member_ids
+        FROM lbl l JOIN customer c ON c.c_custkey = l.cluster_id
+        GROUP BY 1, 2 ORDER BY 1"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_name_neighbors" -> (neighborCounts _),
     "fuzzy_triangle_census" -> (triangleCensus _),
+    "customer_entity_clusters" -> (entityClusters _),
   )
 
   override def oracle: Map[String, String] = Map(
     "fuzzy_name_neighbors" -> neighborCountsSql,
     "fuzzy_triangle_census" -> triangleCensusSql,
+    "customer_entity_clusters" -> entityClustersSql,
   )
 }

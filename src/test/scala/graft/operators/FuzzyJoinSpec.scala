@@ -30,4 +30,43 @@ class FuzzyJoinSpec extends SparkSpec {
     val census = FuzzyJoin.triangleCensus(spark, d).collect().head
     assert((census.getLong(0), census.getLong(1), census.getLong(2)) === ((6L, 4L, 2L)))
   }
+
+  test("entity clusters: planted households resolve transitively; singleton stays out") {
+    val d = Files.createTempDirectory("graft_entity_fixture").toString
+    Seq(
+      (1L, "alpha smith"), (2L, "alpha smyth"), (3L, "alpha smythe"), // chain 1-2-3
+      (10L, "beta jones"), (11L, "beta jonez"),                       // pair
+      (20L, "gamma solo"))                                            // clean entity
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val got = FuzzyJoin.entityClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    // 1-2 (smith~smyth sub), 2-3 (smyth~smythe insert) chain though 1-3 is
+    // distance 2 — transitive resolution is the point
+    assert(got == Seq(
+      (1L, "alpha smith", 3L, "1,2,3"),
+      (10L, "beta jones", 2L, "10,11")))
+  }
+
+  test("entity clusters equal an independent union-find over the real pair set") {
+    val pairs = FuzzyJoin.fuzzyPairs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = members.groupBy(find).map { case (_, ms) =>
+      val sorted = ms.sorted
+      (sorted.head, ms.size.toLong, sorted.mkString(","))
+    }.toSet
+    val got = FuzzyJoin.entityClusters(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(got == expect)
+  }
 }
