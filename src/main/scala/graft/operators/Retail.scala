@@ -902,7 +902,48 @@ object Retail extends QueryModule {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** `join_notin_null_semantics`: the NOT IN footgun, quantified — SQL's
+    * three-valued logic makes `x NOT IN (subquery)` yield UNKNOWN (never
+    * true) for EVERY x as soon as the subquery contains one NULL, so a
+    * single dirty row silently empties the report. One row compares the
+    * two forms on the same data: the raw NOT IN against a subquery with
+    * planted NULLs (0 survivors — Spark plans the null-aware anti join to
+    * honor this) and the null-filtered form (the fix, a plain left-anti).
+    * Exercises the null-aware anti-join path the plain `join_anti` row
+    * never reaches.
+    */
+  def notInNullSemantics(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("g_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("g_orders")
+    // urgent orders' custkeys, with NULL planted for the 'P' status slice —
+    // the dirty upstream every warehouse eventually meets
+    spark.sql(
+      """WITH sub AS (
+           SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS k
+           FROM g_orders WHERE o_orderpriority = '1-URGENT')
+         SELECT (SELECT COUNT(*) FROM sub) AS n_subquery,
+                (SELECT COUNT(*) FROM sub WHERE k IS NULL) AS n_nulls,
+                (SELECT COUNT(*) FROM g_customer
+                 WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+                (SELECT COUNT(*) FROM g_customer
+                 WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+                  AS n_not_in_filtered""")
+  }
+
+  private val notInNullSemanticsSql =
+    """WITH sub AS (
+         SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS k
+         FROM orders WHERE o_orderpriority = '1-URGENT')
+       SELECT (SELECT COUNT(*) FROM sub) AS n_subquery,
+              (SELECT COUNT(*) FROM sub WHERE k IS NULL) AS n_nulls,
+              (SELECT COUNT(*) FROM customer
+               WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+              (SELECT COUNT(*) FROM customer
+               WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+                AS n_not_in_filtered"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_notin_null_semantics" -> (notInNullSemantics _),
     "q2_customer_summary" -> (customerSummary _),
     "q2_customer_summary_udaf" -> (customerSummaryUdaf _),
     "q2_order_rank" -> (orderRank _),
@@ -935,6 +976,7 @@ object Retail extends QueryModule {
     "q2_order_rank" -> orderRankSql,
     "q2_rollup_revenue" -> rollupRevenueSql,
     "q2_join_eliminated" -> joinEliminatedSql,
+    "join_notin_null_semantics" -> notInNullSemanticsSql,
     "tpch_q1_pricing" -> tpchQ1Sql,
     "q2_cleaning" -> cleaningSql,
     "q2_order_windows" -> orderWindowsSql,
