@@ -566,6 +566,89 @@ object TextAnalysis extends QueryModule {
                doc_id, n_hit_terms, tf_total, dl
         FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
 
+  // ---- hybrid retrieval: reciprocal-rank fusion of BM25 and vector arms ----
+
+  /** RRF constant (the classic k=60), emitted pool per arm, and fused cut. */
+  val RrfK = 60
+  val RrfTopK = 10
+
+  /** The query embedding's id — vec 0 stands in for "the user query,
+    * embedded" (the fixture has no text-to-vector model; in production this
+    * row arrives from the encoder).
+    */
+  val HybridQueryVec = 0L
+
+  /** `hybrid_rrf_fusion`: the modern retrieval stack's fusion step —
+    * lexical candidates (the oracle-checked BM25 arm) and vector
+    * candidates (brute cosine to the query embedding over the ALIGNED
+    * doc_id = vec_id corpus) merged by reciprocal-rank fusion:
+    * `rrf = Σ_arms 1/(k + rank)`, k = [[RrfK]] — the standard
+    * score-free fusion that needs no cross-arm calibration, which is why
+    * hybrid search engines default to it. A doc missing from one arm
+    * contributes only its present term (the conventional treatment).
+    *
+    * Determinism: ranks are exact ints; each term is one IEEE division of
+    * exact ints and the two-term sum has fixed order — the fused double is
+    * bit-identical cross-engine (no transcendentals). Ties break by doc_id.
+    *
+    * Scale: each arm is its own proven path (BM25: query-term-filtered
+    * token stream; vector: brute here, the LSH/IVF probe at corpus scale —
+    * swap `similarity_probe_incremental`'s candidate stage in unchanged);
+    * both end in TakeOrderedAndProject heaps, ranks ride k-row windows,
+    * and the fusion join touches ≤ 2·pool rows.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(spark, sfDir).select(col("rank").as("r_lex"), col("doc_id"))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    val q = e.filter(col("vec_id") === HybridQueryVec)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val vec = e.filter(col("vec_id") =!= HybridQueryVec)
+      .crossJoin(broadcast(q)) // 1-row side
+      .withColumn("cosine", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(Bm25TopK)
+      .withColumn("r_vec", row_number().over( // k-row window post-heap
+        Window.orderBy(col("cosine").desc, col("vec_id"))).cast("int"))
+      .select(col("vec_id").as("doc_id"), col("r_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"1.0e0 / ($RrfK + r_lex)"), lit(0.0)) +
+          coalesce(expr(s"1.0e0 / ($RrfK + r_vec)"), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(RrfTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      .select("rank", "doc_id", "r_lex", "r_vec", "rrf")
+      .orderBy("rank")
+  }
+
+  private def hybridRrfSql =
+    s"""WITH lex AS (
+          SELECT rank AS r_lex, doc_id FROM ($bm25TopKSql)
+        ), e2 AS (
+          SELECT vec_id, embedding AS v, ${Similarity.normDuck("embedding")} AS nrm
+          FROM embeddings
+        ), q AS (
+          SELECT v AS qv, nrm AS qn FROM e2 WHERE vec_id = $HybridQueryVec
+        ), vscored AS (
+          SELECT vec_id AS doc_id,
+                 ${Similarity.dotDuck("q.qv", "e2.v")} / (q.qn * e2.nrm) AS cosine
+          FROM e2, q WHERE vec_id <> $HybridQueryVec
+        ), vtop AS (
+          SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+                   AS r_vec
+          FROM vscored ORDER BY cosine DESC, doc_id LIMIT $Bm25TopK
+        ), fused AS (
+          SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+                 COALESCE(1.0e0 / ($RrfK + l.r_lex), 0.0e0)
+                   + COALESCE(1.0e0 / ($RrfK + v.r_vec), 0.0e0) AS rrf
+          FROM lex l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id
+        )
+        SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+               doc_id, r_lex, r_vec, rrf
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT $RrfTopK"""
+
   // ---- perplexity filtering under the corpus bigram LM ----
 
   /** `text_perplexity_filter` flags the top 1/[[PplFlagDenom]] of docs by
@@ -851,6 +934,7 @@ object TextAnalysis extends QueryModule {
     "text_tfidf_keywords" -> (tfidfKeywords _),
     "text_heavy_hitters_cms" -> (cmsHeavyHitters _),
     "text_bm25_topk" -> (bm25TopK _),
+    "hybrid_rrf_fusion" -> (hybridRrf _),
     "text_perplexity_filter" -> (perplexityFilter _),
     "text_vocab_coverage" -> (vocabCoverage _),
   )
@@ -865,6 +949,7 @@ object TextAnalysis extends QueryModule {
     "text_tfidf_keywords" -> tfidfKeywordsSql,
     "text_heavy_hitters_cms" -> cmsHeavyHittersSql,
     "text_bm25_topk" -> bm25TopKSql,
+    "hybrid_rrf_fusion" -> hybridRrfSql,
     "text_perplexity_filter" -> perplexityFilterSql,
     "text_vocab_coverage" -> vocabCoverageSql,
   )

@@ -215,4 +215,38 @@ class TextAnalysisSemanticsSpec extends SparkSpec {
     assert(got.map(_._5) === got.map(_._5).sorted)
     assert(got.last._5 < 1.0 || got.last._1 >= ranked.size)
   }
+
+  test("hybrid rrf equals an independent fusion of its two arms") {
+    import org.apache.spark.sql.functions._
+    val lex = TextAnalysis.bm25TopK(spark, Sf0001).collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    // independent vector arm: strict left-fold cosine in plain Scala
+    val vecs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val q = vecs(TextAnalysis.HybridQueryVec)
+    val qn = math.sqrt(dot(q, q))
+    val vr = vecs.toSeq.filter(_._1 != TextAnalysis.HybridQueryVec)
+      .map { case (id, v) => (id, dot(q, v) / (qn * math.sqrt(dot(v, v)))) }
+      .sortBy { case (id, c) => (-c, id) }.take(25)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expect = (lex.keySet ++ vr.keySet).toSeq.map { id =>
+      val r = lex.get(id).map(r => 1.0 / (TextAnalysis.RrfK + r)).getOrElse(0.0) +
+        vr.get(id).map(r => 1.0 / (TextAnalysis.RrfK + r)).getOrElse(0.0)
+      (id, r)
+    }.sortBy { case (id, r) => (-r, id) }.take(TextAnalysis.RrfTopK)
+
+    val got = TextAnalysis.hybridRrf(spark, Sf0001).collect()
+      .map(r => (r.getLong(1), r.getDouble(4))).toSeq
+    assert(got == expect, s"fusion drifted:\n got $got\n exp $expect")
+    // the fusion premium: any doc present in BOTH arms outranks the tail of
+    // single-arm docs with comparable per-arm ranks
+    val both = got.map(_._1).filter(id => lex.contains(id) && vr.contains(id))
+    if (both.nonEmpty) assert(got.head._1 == both.head)
+  }
 }
