@@ -1404,8 +1404,74 @@ object SimilaritySearch extends QueryModule {
         SELECT qid, rnk, vec_id AS neighbor_id, cosine
         FROM r WHERE rnk <= $K ORDER BY qid, rnk"""
 
+  /** `emb_knn_label_agreement`: label-noise audit — for every vector, how
+    * many of its top-[[K]] nearest neighbors (under the IVF probe path —
+    * the SCALE shape, not an all-pairs leg: candidates per vector are
+    * NProbe/NumCentroids of the corpus, constant-per-vector once cell
+    * count tracks corpus size) carry the SAME label. Per label: vectors,
+    * scored neighbor pairs, agreeing pairs, and the agreement ratio — a
+    * label whose agreement sits far below the others is mislabeled or
+    * incoherent (the classic kNN label-consistency detector used for
+    * dataset debugging). Exact integer counts; ONE double division.
+    */
+  def knnLabelAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+    val topk = probeAgainst(
+      ivfIndex(spark, sfDir, corpusOnly = false),
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
+    topk
+      .join(labels.select(col("vec_id").as("qid"), col("label")), "qid")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nbr_label")), "neighbor_id")
+      .groupBy("label")
+      .agg(countDistinct("qid").as("n_vecs"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("label") === col("nbr_label"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("label"), col("n_vecs"), col("n_pairs"), col("n_agree"),
+        expr("CAST(n_agree AS DOUBLE) / n_pairs").as("agreement"))
+      .orderBy("label")
+  }
+
+  private val knnLabelAgreementSql =
+    s"""WITH e AS ($ivfBaseDuck),
+             idx AS (
+               SELECT vec_id, v, nrm,
+                      CAST(list_position(scores, list_min(scores)) - 1 AS INT) AS bucket
+               FROM e
+             ), qp AS (
+               SELECT vec_id AS qid,
+                      unnest(list_filter(range(0, ${Similarity.NumCentroids}),
+                        c -> scores[c + 1] <= list_sort(scores)[${Similarity.NProbe}]))
+                        AS bucket
+               FROM e
+             ), scored AS (
+               SELECT q.qid, i.vec_id,
+                      ${Similarity.dotDuck("q2.v", "i.v")} / (q2.nrm * i.nrm) AS cosine
+               FROM qp q
+               JOIN idx i ON q.bucket = i.bucket AND i.vec_id <> q.qid
+               JOIN e q2 ON q2.vec_id = q.qid
+             ), topk AS (
+               SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY cosine DESC, vec_id) AS rnk
+                 FROM scored) r
+               WHERE rnk <= $K
+             )
+        SELECT la.label, CAST(COUNT(DISTINCT t.qid) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_agree,
+               CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS agreement
+        FROM topk t
+        JOIN embeddings la ON la.vec_id = t.qid
+        JOIN embeddings lb ON lb.vec_id = t.vec_id
+        GROUP BY la.label ORDER BY la.label"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_probe_incremental" -> (probeIncremental _),
+    "emb_knn_label_agreement" -> (knnLabelAgreement _),
     "similarity_ivf_sweep" -> (ivfSweep _),
     "similarity_topk_brute" -> (bruteTopK _),
     "similarity_topk_lsh" -> ((s, d) => lshTopK(s, d)),
@@ -1423,6 +1489,7 @@ object SimilaritySearch extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "similarity_probe_incremental" -> probeIncrementalSql,
+    "emb_knn_label_agreement" -> knnLabelAgreementSql,
     "similarity_ivf_sweep" -> ivfSweepSql,
     "similarity_topk_brute" -> bruteSql,
     "similarity_topk_lsh" -> lshSql,

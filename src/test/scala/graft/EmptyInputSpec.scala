@@ -50,7 +50,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_perplexity_filter", "train_decontaminated_split", "train_dsir_weights",
     "corpus_snapshot_drift",
     "emb_covariance_q", "emb_quantization_clipped", "emb_label_centroids",
-    "emb_topk_quantized", "emb_whitened_check")
+    "emb_topk_quantized", "emb_whitened_check", "emb_knn_label_agreement")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else
