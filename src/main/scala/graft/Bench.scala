@@ -46,6 +46,8 @@ object Bench {
       // cost lands on the query that owns it, not on whichever name sorts
       // first
       "dedup_canonical" -> 2,
+      // consumes the same component-label memo
+      "dedup_cluster_histogram" -> 2,
     ).withDefaultValue(0)
     val names = SparkEntry.queries.keys.toSeq.sortBy(n => (producerRank(n), n))
     // (wall sec, gc-delta sec, error) per query

@@ -875,6 +875,64 @@ object Dedup extends QueryModule {
       components(pairs).select(col("id").as("doc_id"), col("lbl"))
     }
 
+  /** `dedup_cluster_histogram`: the shape-of-duplication audit — how many
+    * near-dup clusters exist at each size, plus the singleton row (docs in
+    * no pair at all). The curator's first look at a new crawl: a fat tail
+    * of large clusters means template spam; mass at size 2 means mirrors;
+    * the singleton share is the effective-corpus estimate dedup will
+    * deliver. Consumes the MEMOIZED component labels (computed once per
+    * run with `dedup_components`/`dedup_canonical`); everything after is
+    * cluster-grain then size-grain — two tiny aggregates.
+    */
+  def clusterHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = componentLabels(spark, sfDir)
+      .groupBy("lbl").agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+    val totals = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(
+        componentLabels(spark, sfDir).agg(count(lit(1)).as("n_labeled"))))
+    val singles = totals
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_labeled")).as("n_clusters"),
+        (col("n_total") - col("n_labeled")).as("n_docs"))
+      .filter(col("n_clusters") > 0)
+    hist.unionByName(singles).orderBy("cluster_size")
+  }
+
+  private val clusterHistogramSql =
+    s"""WITH RECURSIVE pairs AS (
+          SELECT ia, ib FROM ($minhashLshSql)
+          UNION
+          SELECT ia, ib FROM ($simhashDedupSql)
+        ), edges AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION
+          SELECT ib, ia FROM pairs
+        ), reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), lbl AS (
+          SELECT a AS doc_id, LEAST(MIN(b), a) AS canon FROM reach GROUP BY a
+        ), sizes AS (
+          SELECT canon, CAST(COUNT(*) AS BIGINT) AS sz FROM lbl GROUP BY canon
+        ), hist AS (
+          SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                 CAST(SUM(sz) AS BIGINT) AS n_docs
+          FROM sizes GROUP BY sz
+        ), singles AS (
+          SELECT CAST(1 AS BIGINT) AS cluster_size,
+                 (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lbl)
+                   AS n_clusters,
+                 (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lbl)
+                   AS n_docs
+        )
+        SELECT * FROM hist
+        UNION ALL
+        SELECT * FROM singles WHERE n_clusters > 0
+        ORDER BY cluster_size"""
+
   /** `dedup_components`: the end-to-end corpus dedup the pair queries feed —
     * connected components over the UNION of the MinHash-LSH and SimHash
     * near-dup pairs, resolved to one canonical survivor (min doc_id) per
@@ -1215,6 +1273,7 @@ object Dedup extends QueryModule {
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
     "dedup_components" -> (componentsDedup _),
+    "dedup_cluster_histogram" -> (clusterHistogram _),
     "dedup_canonical" -> (canonicalDedup _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_span_overlap" -> (spanOverlap _),
@@ -1231,6 +1290,7 @@ object Dedup extends QueryModule {
     "dedup_embedding" -> embeddingDedupSql,
     "dedup_semantic" -> semanticDedupSql,
     "dedup_components" -> componentsDedupSql,
+    "dedup_cluster_histogram" -> clusterHistogramSql,
     "dedup_canonical" -> canonicalDedupSql,
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_span_overlap" -> spanOverlapSql,

@@ -33,7 +33,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "mix_weights", "mix_materialize",
     "pack_sequences", "pack_manifest", "doc_global_index",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_span_overlap", "dedup_components", "text_ngram_novelty",
+    "dedup_span_overlap", "dedup_components", "dedup_cluster_histogram", "text_ngram_novelty",
     "similarity_topk_brute", "similarity_topk_lsh", "similarity_topk_ivf",
     "similarity_probe_incremental",
     "similarity_topk_ivf_trained", "dedup_embedding", "dedup_semantic",

@@ -186,6 +186,14 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(top(1L)._1 === 0L && top(1L)._2 > 0.999999)
   }
 
+  test("cluster histogram: planted clusters and the singleton row") {
+    // fixture components: {1,2,3} (exact pair + near-dup) and {10,11,12}
+    // (the chain); doc 4 pairs with nothing
+    val got = Dedup.clusterHistogram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 1L), (3L, 2L, 6L)), s"histogram drifted: $got")
+  }
+
   test("ngram novelty matches an independent recomputation on the planted corpus") {
     val texts = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect()
