@@ -1075,6 +1075,64 @@ object Events extends QueryModule {
                    END AS value_resampled
        FROM a ORDER BY day"""
 
+  // ---- k-anonymity release audit ----
+
+  /** Anonymity bar and the value-bucket width of the quasi-identifier. */
+  val KAnonK = 5
+  val KAnonBucket = 50
+
+  /** `events_k_anonymity`: the release audit that pairs with the PII scrub —
+    * after direct identifiers are stripped, can rows still be singled out
+    * by their QUASI-identifiers? Here the quasi-identifier is
+    * (event_type, day, value bucket): the audit reports, per event type,
+    * how many identifier groups and rows sit below k = [[KAnonK]]
+    * (re-identifiable under linkage) and the exposed-row share. A release
+    * gate reads one number: `share_below_k` must be ~0, or the release
+    * needs coarser buckets / suppression.
+    *
+    * Shape: ONE counting shuffle at quasi-identifier grain; the audit math
+    * runs on the group-count table (identifier-space bounded). Exact
+    * integers; one double division per type.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    kAnonymityOf(Tables.events(spark, sfDir))
+
+  /** DataFrame core of [[kAnonymity]] — fixture surface for the spec. */
+  private[graft] def kAnonymityOf(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr(s"CAST(floor(value / $KAnonBucket) AS BIGINT)").as("vb"))
+      .groupBy("event_type", "day", "vb").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("n").as("n_rows"),
+        sum(when(col("n") < KAnonK, 1L).otherwise(0L)).as("groups_below_k"),
+        sum(when(col("n") < KAnonK, col("n")).otherwise(0L)).as("rows_below_k"),
+        min("n").as("min_group"))
+      .select(col("event_type"), col("n_groups"), col("n_rows"),
+        col("groups_below_k"), col("rows_below_k"), col("min_group"),
+        expr("CAST(rows_below_k AS DOUBLE) / n_rows").as("share_below_k"))
+      .orderBy("event_type")
+
+  private val kAnonymitySql =
+    s"""WITH g AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(floor(value / $KAnonBucket) AS BIGINT) AS vb,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below_k,
+               CAST(SUM(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_below_k,
+               CAST(MIN(n) AS BIGINT) AS min_group,
+               CAST(SUM(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS DOUBLE)
+                 / SUM(n) AS share_below_k
+        FROM g GROUP BY event_type ORDER BY event_type"""
+
   // ---- event-time disorder report (watermark sizing) ----
 
   /** `events_disorder_report`: how out-of-order does this stream actually
@@ -1250,6 +1308,7 @@ object Events extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_ztest" -> (abZtest _),
     "events_disorder_report" -> (disorderReport _),
+    "events_k_anonymity" -> (kAnonymity _),
     "events_daily_gapfilled" -> (dailyGapfilled _),
     "events_daily_resampled" -> (dailyResampled _),
     "events_value_quantiles" -> (valueQuantiles _),
@@ -1277,6 +1336,7 @@ object Events extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "events_ab_ztest" -> abZtestSql,
     "events_disorder_report" -> disorderReportSql,
+    "events_k_anonymity" -> kAnonymitySql,
     "events_daily_gapfilled" -> dailyGapfilledSql,
     "events_daily_resampled" -> dailyResampledSql,
     "events_value_quantiles" -> valueQuantilesSql,

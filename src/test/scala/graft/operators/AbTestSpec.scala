@@ -65,4 +65,18 @@ class AbTestSpec extends SparkSpec {
       assert(r.isNullAt(6), s"degenerate pool must yield NULL z: $r")
     }
   }
+
+  test("k-anonymity: planted group sizes produce exact audit numbers") {
+    // one day, one type: a 6-row group (safe at k=5) and a 2-row group
+    // (exposed); bucket width 50 keeps values 0-49 together
+    val rows =
+      (1L to 6L).map(i => ev(i, i, "t", 10.0 + i)) ++
+      (7L to 8L).map(i => ev(i, i, "t", 120.0))
+    val r = Events.kAnonymityOf(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6)) ==
+      (("t", 2L, 8L, 1L, 2L, 2L, 0.25)))
+  }
 }
