@@ -1075,6 +1075,60 @@ object Events extends QueryModule {
                    END AS value_resampled
        FROM a ORDER BY day"""
 
+  // ---- seasonal-naive forecast backtest ----
+
+  /** `events_seasonal_backtest`: the forecasting BASELINE report every
+    * capacity/volume forecast must beat before anything fancier ships —
+    * per event type, the mean absolute error of the seasonal-naive
+    * forecast (same weekday last week) against plain persistence
+    * (yesterday), backtested over the dense daily series. Read
+    * mae_seasonal < mae_naive as "weekly seasonality exists and the
+    * seasonal baseline captures it".
+    *
+    * Composes [[dailyGapfilledOf]] (the dense calendar spine, so LAG(7)
+    * means seven CALENDAR days — on the raw sparse series it would mean
+    * "seven present rows back", a different and wrong question). Windows
+    * are per-type over the days-sized aggregated series (the
+    * `orders_monthly_growth` altitude). Counts and absolute errors are
+    * exact BIGINTs; the two MAEs are single double divisions.
+    */
+  def seasonalBacktest(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalBacktestOf(Tables.events(spark, sfDir))
+
+  /** DataFrame core of [[seasonalBacktest]] — fixture surface for the spec. */
+  private[graft] def seasonalBacktestOf(events: DataFrame): DataFrame = {
+    val daily = dailyGapfilledOf(events)
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("f7", lag("n_events", 7).over(w))
+      .withColumn("f1", lag("n_events", 1).over(w))
+      .filter(col("f7").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n_events") - col("f7"))).as("ae_seasonal"),
+        sum(abs(col("n_events") - col("f1"))).as("ae_naive"))
+      .select(col("event_type"), col("n_days"), col("ae_seasonal"), col("ae_naive"),
+        expr("CAST(ae_seasonal AS DOUBLE) / n_days").as("mae_seasonal"),
+        expr("CAST(ae_naive AS DOUBLE) / n_days").as("mae_naive"))
+      .orderBy("event_type")
+  }
+
+  private val seasonalBacktestSql =
+    s"""WITH gap AS ($dailyGapfilledSql), l AS (
+          SELECT event_type, n_events,
+                 LAG(n_events, 7) OVER w AS f7,
+                 LAG(n_events, 1) OVER w AS f1
+          FROM gap
+          WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(abs(n_events - f7)) AS BIGINT) AS ae_seasonal,
+               CAST(SUM(abs(n_events - f1)) AS BIGINT) AS ae_naive,
+               CAST(SUM(abs(n_events - f7)) AS DOUBLE) / COUNT(*) AS mae_seasonal,
+               CAST(SUM(abs(n_events - f1)) AS DOUBLE) / COUNT(*) AS mae_naive
+        FROM l WHERE f7 IS NOT NULL
+        GROUP BY event_type ORDER BY event_type"""
+
   // ---- k-anonymity release audit ----
 
   /** Anonymity bar and the value-bucket width of the quasi-identifier. */
@@ -1309,6 +1363,7 @@ object Events extends QueryModule {
     "events_ab_ztest" -> (abZtest _),
     "events_disorder_report" -> (disorderReport _),
     "events_k_anonymity" -> (kAnonymity _),
+    "events_seasonal_backtest" -> (seasonalBacktest _),
     "events_daily_gapfilled" -> (dailyGapfilled _),
     "events_daily_resampled" -> (dailyResampled _),
     "events_value_quantiles" -> (valueQuantiles _),
@@ -1337,6 +1392,7 @@ object Events extends QueryModule {
     "events_ab_ztest" -> abZtestSql,
     "events_disorder_report" -> disorderReportSql,
     "events_k_anonymity" -> kAnonymitySql,
+    "events_seasonal_backtest" -> seasonalBacktestSql,
     "events_daily_gapfilled" -> dailyGapfilledSql,
     "events_daily_resampled" -> dailyResampledSql,
     "events_value_quantiles" -> valueQuantilesSql,

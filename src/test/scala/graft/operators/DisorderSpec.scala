@@ -45,4 +45,24 @@ class DisorderSpec extends SparkSpec {
     assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
       ((0L, 0L, 0L, 0L)))
   }
+
+  test("seasonal backtest: a perfectly weekly series scores zero seasonal error") {
+    // 21 days, count on day d = (d % 7) + 1: exact weekly period
+    var id = 0L
+    val rows = (0 until 21).flatMap { d =>
+      (0 until (d % 7) + 1).map { _ =>
+        id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+          1L, "t", 1.0, "{}")
+      }
+    }
+    val r = Events.seasonalBacktestOf(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    // scored days 8..21; seasonal-naive is exact, persistence is not:
+    // 12 in-week steps of 1 + two week-boundary drops of 6
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("t", 14L, 0L, 24L)))
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 24.0 / 14.0)
+  }
 }
