@@ -570,6 +570,70 @@ object TrainPrep extends QueryModule {
                          // $DsirSelDenom AS selected
         FROM ranked ORDER BY rank"""
 
+  // ---- packing strategy comparison ----
+
+  /** `pack_compare`: the packing decision quantified — the SAME shard-local
+    * running-sum binning under two document orders, summarized per
+    * strategy: `contiguity` (doc_id order — preserves document locality,
+    * what [[packSequences]] ships) vs `sorted_greedy` (length-descending —
+    * the first-fit-decreasing-style order that trades locality for fill).
+    * One row per strategy: bins, total tokens, mean fill, and how many
+    * bins run under 90 % — the fragmentation a trainer pays as padding.
+    * Everything exact integer until the two divisions per row; the
+    * comparison shares ONE tokenized projection.
+    *
+    * Scale: identical to the packing operators — per-shard windows,
+    * parallelism = shard count; the summary is strategies × 1 rows.
+    */
+  def packCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (col("doc_id") % PackShards).as("shard"),
+        expr(s"size(${Dedup.rawTokens})").as("n_tokens"))
+    def strat(name: String, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+      docs
+        .withColumn("bin",
+          floor((sum("n_tokens").over(w) - col("n_tokens")) / lit(PackBudget.toDouble)))
+        .groupBy("shard", "bin").agg(sum("n_tokens").as("bin_tokens"))
+        .agg(count(lit(1)).as("n_bins"), sum("bin_tokens").as("total_tokens"),
+          sum(when(col("bin_tokens") < (PackBudget * 9) / 10, 1L).otherwise(0L))
+            .as("bins_under_90"))
+        .select(lit(name).as("strategy"), col("n_bins"), col("total_tokens"),
+          col("bins_under_90"),
+          expr(s"CAST(total_tokens AS DOUBLE) / (n_bins * $PackBudget)").as("mean_fill"))
+    strat("contiguity", Window.partitionBy("shard").orderBy("doc_id"))
+      .unionByName(strat("sorted_greedy",
+        Window.partitionBy("shard").orderBy(col("n_tokens").desc, col("doc_id"))))
+      .orderBy("strategy")
+  }
+
+  private val packCompareSql = {
+    def strat(name: String, order: String) =
+      s"""SELECT '$name' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN bin_tokens < ${(PackBudget * 9) / 10} THEN 1 ELSE 0 END)
+               AS BIGINT) AS bins_under_90,
+             CAST(SUM(bin_tokens) AS DOUBLE)
+               / (COUNT(*) * $PackBudget) AS mean_fill
+          FROM (
+            SELECT shard, bin, SUM(n_tokens) AS bin_tokens FROM (
+              SELECT shard,
+                     floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY $order
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+                           / ${PackBudget.toDouble}) AS bin,
+                     n_tokens
+              FROM d) GROUP BY 1, 2)"""
+    s"""WITH d AS (
+          SELECT doc_id, doc_id % $PackShards AS shard,
+                 len(${Dedup.rawTokensDuck}) AS n_tokens
+          FROM documents
+        )
+        ${strat("contiguity", "doc_id")}
+        UNION ALL
+        ${strat("sorted_greedy", "n_tokens DESC, doc_id")}
+        ORDER BY strategy"""
+  }
+
   // ---- rendezvous (highest-random-weight) shard assignment ----
 
   /** Current shard count and the expansion target the query measures the
@@ -715,6 +779,7 @@ object TrainPrep extends QueryModule {
     "docs_priority_sample" -> (prioritySample _),
     "train_negative_pairs" -> (negativePairs _),
     "pack_sequences" -> (packSequences _),
+    "pack_compare" -> (packCompare _),
     "pack_manifest" -> (packManifest _),
     "doc_global_index" -> (globalIndex _),
     "docs_chunked" -> (chunkDocs _),
@@ -730,6 +795,7 @@ object TrainPrep extends QueryModule {
     "docs_priority_sample" -> prioritySampleSql,
     "train_negative_pairs" -> negativePairsSql,
     "pack_sequences" -> packSequencesSql,
+    "pack_compare" -> packCompareSql,
     "pack_manifest" -> packManifestSql,
     "doc_global_index" -> globalIndexSql,
     "docs_chunked" -> chunkDocsSql,

@@ -31,7 +31,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_lang_id", "text_quality_score", "text_token_counts", "text_fingerprint",
     "text_repetition", "text_contamination", "text_stable_split",
     "mix_weights", "mix_materialize",
-    "pack_sequences", "pack_manifest", "doc_global_index",
+    "pack_sequences", "pack_manifest", "pack_compare", "doc_global_index",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_span_overlap", "dedup_components", "dedup_cluster_histogram", "text_ngram_novelty",
     "similarity_topk_brute", "similarity_topk_lsh", "similarity_topk_ivf",
