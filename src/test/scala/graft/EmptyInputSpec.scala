@@ -58,7 +58,9 @@ class EmptyInputSpec extends AnyFunSuite {
     */
   private val globalAggRows = Map("q1_corpus_stats" -> 1L,
     // the compression curve is one GLOBAL-aggregate row per merge round
-    "text_bpe_apply" -> (BpeTokenizer.BpeRounds + 1).toLong)
+    "text_bpe_apply" -> (BpeTokenizer.BpeRounds + 1).toLong,
+    // one global-aggregate row per packing strategy
+    "pack_compare" -> 2L)
 
   test("documents-family queries return empty on an empty corpus, never throw") {
     docQueries.foreach { name =>
