@@ -1219,6 +1219,89 @@ object SimilaritySearch extends QueryModule {
         FROM c WHERE var_i > 0.0e0 AND var_j > 0.0e0
         ORDER BY abs(cov) DESC, di, dj LIMIT $CovTopK"""
 
+  /** `emb_snapshot_drift`: embedding-space drift between corpus snapshots
+    * (the `dedup_incremental` slice convention) — per label, the L2
+    * distance between the old slice's and the new slice's quantized-code
+    * centroid. The encoder/crawl drift alarm for the VECTOR side of the
+    * corpus, complementing `corpus_snapshot_drift`'s text-side χ²: a new
+    * crawl whose per-label centroids moved means the retrieval index and
+    * any centroid-trained quantizer need a rebuild.
+    *
+    * Same exactness architecture as `emb_label_centroids`: shared per-dim
+    * quantization range (over the FULL corpus, so both snapshots share the
+    * code space), exact integer (n, Σq) sufficient statistics per
+    * (label, snapshot, dim), ONE division to the centroid, squared diffs
+    * folded by `sorted_sum`, one final sqrt. Only labels present in BOTH
+    * snapshots emit (a label absent from one has no drift to measure).
+    */
+  def embSnapshotDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        when(col("vec_id") % 10 === 0, "new").otherwise("old").as("snap"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("label"), col("snap"),
+        (col("pos") + 1).cast("int").as("dim"), col("xf").cast("double").as("x"))
+    val rng = ex.groupBy("dim")
+      .agg(min("x").as("min_v"), max("x").as("max_v"))
+      .withColumn("scale", (col("max_v") - col("min_v")) / lit(QuantLevels.toDouble))
+    val cent = graft.Scratch.materialize(
+      ex.join(broadcast(rng), "dim")
+        .select(col("label"), col("snap"), col("dim"), expr(
+          s"""CASE WHEN scale > 0.0e0
+                   THEN least($QuantLevels,
+                          CAST(floor((x - min_v) / scale + 0.5e0) AS BIGINT))
+                   ELSE 0 END""").as("q"))
+        .groupBy("label", "snap", "dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("s"))
+        .withColumn("c", col("s").cast("double") / col("n")),
+      "graft_snap_centroids")
+    cent.filter(col("snap") === "old")
+      .select(col("label"), col("dim"), col("n").as("n_old"), col("c").as("ca"))
+      .join(cent.filter(col("snap") === "new")
+        .select(col("label"), col("dim"), col("n").as("n_new"), col("c").as("cb")),
+        Seq("label", "dim"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        expr("(ca - cb) * (ca - cb)").as("term"))
+      .groupBy("label", "n_old", "n_new")
+      .agg(expr("sorted_sum(term)").as("dist_sq"))
+      .withColumn("drift", sqrt(col("dist_sq")))
+      .select("label", "n_old", "n_new", "drift")
+      .orderBy("label")
+  }
+
+  private val embSnapshotDriftSql =
+    s"""WITH ex AS (
+          SELECT e.label,
+                 CASE WHEN e.vec_id % 10 = 0 THEN 'new' ELSE 'old' END AS snap,
+                 g.i AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS x
+          FROM embeddings e
+          CROSS JOIN (SELECT unnest(range(1, ${Similarity.Dim + 1})) AS i) g
+        ), rng AS (
+          SELECT dim, MIN(x) AS min_v,
+                 (MAX(x) - MIN(x)) / ${QuantLevels.toDouble} AS scale
+          FROM ex GROUP BY 1
+        ), q AS (
+          SELECT label, snap, ex.dim,
+                 CASE WHEN scale > 0.0e0
+                      THEN least($QuantLevels,
+                             CAST(floor((x - min_v) / scale + 0.5e0) AS BIGINT))
+                      ELSE 0 END AS q
+          FROM ex JOIN rng USING (dim)
+        ), cent AS (
+          SELECT label, snap, dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q) AS DOUBLE) / COUNT(*) AS c
+          FROM q GROUP BY 1, 2, 3
+        ), terms AS (
+          SELECT a.label, a.n AS n_old, b.n AS n_new,
+                 (a.c - b.c) * (a.c - b.c) AS term
+          FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+          WHERE a.snap = 'old' AND b.snap = 'new'
+        )
+        SELECT label, n_old, n_new,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(term))),
+                 (acc, t) -> acc + t)) AS drift
+        FROM terms GROUP BY label, n_old, n_new ORDER BY label"""
+
   // ---- nprobe tuning sweep ----
 
   /** Probe counts swept by `similarity_ivf_sweep`. */
@@ -1472,6 +1555,7 @@ object SimilaritySearch extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_probe_incremental" -> (probeIncremental _),
     "emb_knn_label_agreement" -> (knnLabelAgreement _),
+    "emb_snapshot_drift" -> (embSnapshotDrift _),
     "similarity_ivf_sweep" -> (ivfSweep _),
     "similarity_topk_brute" -> (bruteTopK _),
     "similarity_topk_lsh" -> ((s, d) => lshTopK(s, d)),
@@ -1490,6 +1574,7 @@ object SimilaritySearch extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "similarity_probe_incremental" -> probeIncrementalSql,
     "emb_knn_label_agreement" -> knnLabelAgreementSql,
+    "emb_snapshot_drift" -> embSnapshotDriftSql,
     "similarity_ivf_sweep" -> ivfSweepSql,
     "similarity_topk_brute" -> bruteSql,
     "similarity_topk_lsh" -> lshSql,

@@ -78,6 +78,32 @@ object TextAnalysis extends QueryModule {
         FROM s ORDER BY doc_id"""
   }
 
+  /** `text_langid_confusion`: the classifier eval readout — the full
+    * (labeled, predicted) confusion matrix of the marker-word language
+    * identifier, with per-cell counts and the per-label recall on diagonal
+    * cells. The eval every heuristic filter needs before it gates a
+    * corpus: which languages it confuses, and how asymmetrically. Dense at
+    * observed-cells grain ((langs+1)² bounded); exact counts; recall is
+    * one division against the label's row total (window over the
+    * langs-sized matrix — aggregated altitude).
+    */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(spark, sfDir)
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum("n").over(Window.partitionBy("lang")))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        expr("CAST(n AS DOUBLE) / row_total").as("share_of_label"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  private val langIdConfusionSql =
+    s"""WITH ident AS ($langIdSql)
+        SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang) AS share_of_label
+        FROM ident GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""
+
   /** Token counting: whitespace segmentation vs a BPE-ish regex (letter runs,
     * digit runs, single punctuation marks) vs raw chars.
     */
@@ -926,6 +952,7 @@ object TextAnalysis extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> (langId _),
+    "text_langid_confusion" -> (langIdConfusion _),
     "text_inverted_index" -> (invertedIndex _),
     "text_bigram_lm" -> (bigramLm _),
     "text_token_counts" -> (tokenCounts _),
@@ -941,6 +968,7 @@ object TextAnalysis extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "text_lang_id" -> langIdSql,
+    "text_langid_confusion" -> langIdConfusionSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_token_counts" -> tokenCountsSql,

@@ -28,7 +28,7 @@ class EmptyInputSpec extends AnyFunSuite {
   }
 
   private val docQueries = Seq(
-    "text_lang_id", "text_quality_score", "text_token_counts", "text_fingerprint",
+    "text_lang_id", "text_langid_confusion", "text_quality_score", "text_token_counts", "text_fingerprint",
     "text_repetition", "text_contamination", "text_stable_split",
     "mix_weights", "mix_materialize",
     "pack_sequences", "pack_manifest", "pack_compare", "doc_global_index",
@@ -50,7 +50,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_perplexity_filter", "train_decontaminated_split", "train_dsir_weights",
     "corpus_snapshot_drift",
     "emb_covariance_q", "emb_quantization_clipped", "emb_label_centroids",
-    "emb_topk_quantized", "emb_whitened_check", "emb_knn_label_agreement")
+    "emb_topk_quantized", "emb_whitened_check", "emb_knn_label_agreement",
+    "emb_snapshot_drift")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else
