@@ -530,8 +530,66 @@ object Profiling extends QueryModule {
         " UNION ALL ", ") ORDER BY rule")
   }
 
+  /** `gdpr_deletion_impact`: the right-to-be-forgotten IMPACT report — the
+    * first artifact a deletion request produces: for a batch of entities to
+    * forget (fixture stand-in: custkey/user % 100 == 7; in production an
+    * explicit request table), how many rows each table loses and how many
+    * entities each touches, INCLUDING the indirect blast radius (lineitem
+    * has no customer key — its rows die through their orders). The report
+    * is what the deletion job is reconciled against after it runs.
+    *
+    * Shape: the forget set is broadcast and every table pays one semi-join
+    * (lineitem through the order keys — two-hop lineage); per-table 1-row
+    * aggregates union into the tables-sized report. Exact counts only.
+    */
+  def gdprImpact(spark: SparkSession, sfDir: String): DataFrame = {
+    val forget = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 100 === 7).select("c_custkey")
+    val fo = Tables.orders(spark, sfDir)
+      .join(broadcast(forget), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey")
+    val fl = Tables.lineitem(spark, sfDir).select("l_orderkey")
+      .join(broadcast(fo), col("l_orderkey") === col("o_orderkey"))
+    val fe = Tables.events(spark, sfDir)
+      .filter(col("user_id") % 100 === 7).select("user_id")
+    def row(tbl: String, df: DataFrame, entity: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(entity)).as("n_entities"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("n_entities"))
+    row("customer", forget, "c_custkey")
+      .unionByName(row("events", fe, "user_id"))
+      .unionByName(row("lineitem", fl, "o_custkey"))
+      .unionByName(row("orders", fo, "o_custkey"))
+      .orderBy("tbl")
+  }
+
+  private val gdprImpactSql =
+    """WITH forget AS (
+         SELECT c_custkey FROM customer WHERE c_custkey % 100 = 7
+       ), fo AS (
+         SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM forget)
+       ), fl AS (
+         SELECT fo.o_custkey FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+       ), fe AS (
+         SELECT user_id FROM events WHERE user_id % 100 = 7
+       )
+       SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_entities FROM forget
+       UNION ALL
+       SELECT 'events', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM fe
+       UNION ALL
+       SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM fl
+       UNION ALL
+       SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM fo
+       ORDER BY tbl"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
+    "gdpr_deletion_impact" -> (gdprImpact _),
     "profile_documents" -> (profileDocuments _),
     "profile_orders_kmv" -> (profileOrdersKmv _),
     "orders_chisq_independence" -> (chisqIndependence _),
@@ -543,6 +601,7 @@ object Profiling extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "profile_orders" -> profileOrdersSql,
+    "gdpr_deletion_impact" -> gdprImpactSql,
     "profile_documents" -> profileDocumentsSql,
     "profile_orders_kmv" -> profileOrdersKmvSql,
     "orders_chisq_independence" -> chisqIndependenceSql,
