@@ -592,6 +592,35 @@ object TextAnalysis extends QueryModule {
                doc_id, n_hit_terms, tf_total, dl
         FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
 
+  /** `text_quality_percentile`: the quantile-uniform transform of the
+    * quality score — each document's score replaced by its corpus
+    * percentile, the calibration every threshold-free consumer wants
+    * ("keep the top 30 %" survives a re-scoring that shifts the raw scale;
+    * a raw threshold does not). Rank via the shared [[histRankDesc]]
+    * distributed cut (no global window); the percentile is ONE division of
+    * exact integers. Scores are fixed-order small expressions, bit-equal
+    * cross-engine, so the ordering needs no rank-emission hedge.
+    */
+  def qualityPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    histRankDesc(
+      qualityScoreOf(Tables.documents(spark, sfDir))
+        .select("doc_id", "quality_score"),
+      "quality_score", PplHistBuckets)
+      .select(col("rank"), col("doc_id"),
+        expr("CAST(n_docs - rank AS DOUBLE) / n_docs").as("percentile"))
+      .orderBy("rank")
+
+  private val qualityPercentileSql =
+    s"""WITH q AS ($qualityScoreSql), r AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+                   AS BIGINT) AS rank,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM q
+        )
+        SELECT rank, doc_id, CAST(n - rank AS DOUBLE) / n AS percentile
+        FROM r ORDER BY rank"""
+
   // ---- hybrid retrieval: reciprocal-rank fusion of BM25 and vector arms ----
 
   /** RRF constant (the classic k=60), emitted pool per arm, and fused cut. */
@@ -957,6 +986,7 @@ object TextAnalysis extends QueryModule {
     "text_bigram_lm" -> (bigramLm _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality_score" -> (qualityScore _),
+    "text_quality_percentile" -> (qualityPercentile _),
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf_keywords" -> (tfidfKeywords _),
     "text_heavy_hitters_cms" -> (cmsHeavyHitters _),
@@ -973,6 +1003,7 @@ object TextAnalysis extends QueryModule {
     "text_bigram_lm" -> bigramLmSql,
     "text_token_counts" -> tokenCountsSql,
     "text_quality_score" -> qualityScoreSql,
+    "text_quality_percentile" -> qualityPercentileSql,
     "text_fingerprint" -> fingerprintSql,
     "text_tfidf_keywords" -> tfidfKeywordsSql,
     "text_heavy_hitters_cms" -> cmsHeavyHittersSql,

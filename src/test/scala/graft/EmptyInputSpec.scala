@@ -28,7 +28,7 @@ class EmptyInputSpec extends AnyFunSuite {
   }
 
   private val docQueries = Seq(
-    "text_lang_id", "text_langid_confusion", "text_quality_score", "text_token_counts", "text_fingerprint",
+    "text_lang_id", "text_langid_confusion", "text_quality_score", "text_quality_percentile", "text_token_counts", "text_fingerprint",
     "text_repetition", "text_contamination", "text_stable_split",
     "mix_weights", "mix_materialize",
     "pack_sequences", "pack_manifest", "pack_compare", "doc_global_index",
