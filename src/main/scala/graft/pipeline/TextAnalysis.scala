@@ -621,6 +621,72 @@ object TextAnalysis extends QueryModule {
         SELECT rank, doc_id, CAST(n - rank AS DOUBLE) / n AS percentile
         FROM r ORDER BY rank"""
 
+  /** Token budget for `corpus_token_budget` (the fixture corpus holds ~27k
+    * tokens, so the cut is real).
+    */
+  val CurateTokenBudget = 20000L
+
+  /** `corpus_token_budget`: "build the best B-token corpus" — the actual
+    * curation cut a data order executes: rank every document by quality
+    * (bit-stable fixed-order score), admit in rank order until the token
+    * budget is spent, report per language what survived. The greedy
+    * quality-first fill is the standard budgeted-curation policy; the
+    * per-lang survival table is what gets reviewed before training.
+    *
+    * Scale shape: the running token total over the quality order is the
+    * `parts_abc_classification` two-phase DISTRIBUTED prefix sum (range
+    * partition by the total order, materialized once; pid-local running
+    * sums; broadcast exclusive offsets) — no global window over the
+    * corpus. Exact BIGINT token arithmetic; the admit test is an integer
+    * comparison.
+    */
+  def tokenBudgetCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val parts = graft.Scratch.materialize(
+      qualityScoreOf(docs).select("doc_id", "n_tokens", "quality_score")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .repartitionByRange(col("quality_score").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id()),
+      "graft_budget_parts")
+    val localW = Window.partitionBy("pid")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = parts.groupBy("pid").agg(sum("n_tokens").as("ptotal"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid")).agg(sum(col("b.ptotal")).as("prefix"))
+    parts
+      .withColumn("local_cum", sum("n_tokens").over(localW))
+      .join(broadcast(offsets), "pid")
+      .withColumn("cum", coalesce(col("prefix"), lit(0L)) + col("local_cum"))
+      .withColumn("kept", col("cum") <= CurateTokenBudget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .orderBy("lang")
+  }
+
+  private val tokenBudgetCurateSql =
+    s"""WITH q AS ($qualityScoreSql), j AS (
+          SELECT q.doc_id, q.n_tokens, q.quality_score, d.lang
+          FROM q JOIN documents d ON d.doc_id = q.doc_id
+        ), c AS (
+          SELECT lang, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM j
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN cum <= $CurateTokenBudget THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN cum <= $CurateTokenBudget THEN n_tokens ELSE 0 END)
+                 AS BIGINT) AS tokens_kept
+        FROM c GROUP BY lang ORDER BY lang"""
+
   // ---- hybrid retrieval: reciprocal-rank fusion of BM25 and vector arms ----
 
   /** RRF constant (the classic k=60), emitted pool per arm, and fused cut. */
@@ -987,6 +1053,7 @@ object TextAnalysis extends QueryModule {
     "text_token_counts" -> (tokenCounts _),
     "text_quality_score" -> (qualityScore _),
     "text_quality_percentile" -> (qualityPercentile _),
+    "corpus_token_budget" -> (tokenBudgetCurate _),
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf_keywords" -> (tfidfKeywords _),
     "text_heavy_hitters_cms" -> (cmsHeavyHitters _),
@@ -1004,6 +1071,7 @@ object TextAnalysis extends QueryModule {
     "text_token_counts" -> tokenCountsSql,
     "text_quality_score" -> qualityScoreSql,
     "text_quality_percentile" -> qualityPercentileSql,
+    "corpus_token_budget" -> tokenBudgetCurateSql,
     "text_fingerprint" -> fingerprintSql,
     "text_tfidf_keywords" -> tfidfKeywordsSql,
     "text_heavy_hitters_cms" -> cmsHeavyHittersSql,

@@ -30,7 +30,7 @@ class EmptyInputSpec extends AnyFunSuite {
   private val docQueries = Seq(
     "text_lang_id", "text_langid_confusion", "text_quality_score", "text_quality_percentile", "text_token_counts", "text_fingerprint",
     "text_repetition", "text_contamination", "text_stable_split",
-    "mix_weights", "mix_materialize",
+    "mix_weights", "mix_materialize", "corpus_token_budget",
     "pack_sequences", "pack_manifest", "pack_compare", "doc_global_index",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_span_overlap", "dedup_components", "dedup_cluster_histogram", "text_ngram_novelty",
