@@ -79,6 +79,18 @@ object Profiling extends QueryModule {
 
   private val profileDocumentsSql = profileSqlFor("documents", DocumentsCols)
 
+  /** `profile_embeddings`: the third table-agnostic instantiation of the
+    * one-pass profile — the scalar columns of the vector drop (the opaque
+    * embedding payload is profiled by the quantization/covariance family,
+    * not by min/max strings).
+    */
+  def profileEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    profileOf(Tables.embeddings(spark, sfDir).select("vec_id", "label"))
+      .orderBy("column_name")
+
+  private val profileEmbeddingsSql =
+    profileSqlFor("embeddings", Seq("vec_id", "label"))
+
   /** [[profileOf]] with BOUNDED-state distinct counts — the 100 TB form.
     * The exact profile's per-column COUNT(DISTINCT) forces Catalyst's
     * Expand (input rows × n_cols before the shuffle); this variant
@@ -591,6 +603,7 @@ object Profiling extends QueryModule {
     "profile_orders" -> (profileOrders _),
     "gdpr_deletion_impact" -> (gdprImpact _),
     "profile_documents" -> (profileDocuments _),
+    "profile_embeddings" -> (profileEmbeddings _),
     "profile_orders_kmv" -> (profileOrdersKmv _),
     "orders_chisq_independence" -> (chisqIndependence _),
     "lineitem_corr_matrix" -> (corrMatrixQ _),
@@ -603,6 +616,7 @@ object Profiling extends QueryModule {
     "profile_orders" -> profileOrdersSql,
     "gdpr_deletion_impact" -> gdprImpactSql,
     "profile_documents" -> profileDocumentsSql,
+    "profile_embeddings" -> profileEmbeddingsSql,
     "profile_orders_kmv" -> profileOrdersKmvSql,
     "orders_chisq_independence" -> chisqIndependenceSql,
     "lineitem_corr_matrix" -> corrMatrixSql,
