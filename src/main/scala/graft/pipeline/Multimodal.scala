@@ -199,7 +199,7 @@ object Multimodal extends QueryModule {
       "graft_ahash")
     val chunks = sigs.select(col("doc_id"), col("ah"),
       posexplode(expr(
-        "transform(sequence(0, 3), c -> shiftright(ah, c * 16) % 65536)"))
+        "transform(sequence(0, 3), c -> shiftright(ah, c * 16) & 65535)"))
         .as(Seq("chunk_id", "chunk")))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
@@ -241,7 +241,7 @@ object Multimodal extends QueryModule {
                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ah
           FROM s
         ), chunks AS (
-          SELECT doc_id, ah, c AS chunk_id, (ah >> (c * 16)) % 65536 AS chunk
+          SELECT doc_id, ah, c AS chunk_id, (ah >> (c * 16)) & 65535 AS chunk
           FROM a, (SELECT unnest(range(0, 4)) AS c)
         ), cand AS (
           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib, x.ah AS aha, y.ah AS ahb

@@ -1496,22 +1496,32 @@ object SimilaritySearch extends QueryModule {
     * label whose agreement sits far below the others is mislabeled or
     * incoherent (the classic kNN label-consistency detector used for
     * dataset debugging). Exact integer counts; ONE double division.
+    *
+    * `n_vecs` counts the FULL label roster from `embeddings` (left-joined
+    * against the pair stats), so a vector that found zero candidates —
+    * alone in its probed cells — still appears in its label's denominator
+    * instead of silently vanishing; `agreement` is null for a label with
+    * zero scored pairs.
     */
   def knnLabelAgreement(spark: SparkSession, sfDir: String): DataFrame = {
     val labels = Tables.embeddings(spark, sfDir).select("vec_id", "label")
     val topk = probeAgainst(
       ivfIndex(spark, sfDir, corpusOnly = false),
       Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
-    topk
+    val roster = labels.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    val pairStats = topk
       .join(labels.select(col("vec_id").as("qid"), col("label")), "qid")
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("nbr_label")), "neighbor_id")
       .groupBy("label")
-      .agg(countDistinct("qid").as("n_vecs"),
-        count(lit(1)).as("n_pairs"),
+      .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("label") === col("nbr_label"), 1L).otherwise(0L)).as("n_agree"))
-      .select(col("label"), col("n_vecs"), col("n_pairs"), col("n_agree"),
-        expr("CAST(n_agree AS DOUBLE) / n_pairs").as("agreement"))
+    roster.join(pairStats, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .withColumn("agreement", expr(
+        "CASE WHEN n_pairs = 0 THEN NULL ELSE CAST(n_agree AS DOUBLE) / n_pairs END"))
       .orderBy("label")
   }
 
@@ -1541,16 +1551,26 @@ object SimilaritySearch extends QueryModule {
                  FROM scored) r
                WHERE rnk <= $K
              )
-        SELECT la.label, CAST(COUNT(DISTINCT t.qid) AS BIGINT) AS n_vecs,
-               CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_agree,
-               CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*) AS agreement
-        FROM topk t
-        JOIN embeddings la ON la.vec_id = t.qid
-        JOIN embeddings lb ON lb.vec_id = t.vec_id
-        GROUP BY la.label ORDER BY la.label"""
+        , pair_stats AS (
+          SELECT la.label,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+          FROM topk t
+          JOIN embeddings la ON la.vec_id = t.qid
+          JOIN embeddings lb ON lb.vec_id = t.vec_id
+          GROUP BY la.label
+        ), roster AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM embeddings GROUP BY label
+        )
+        SELECT r.label, r.n_vecs,
+               coalesce(p.n_pairs, 0) AS n_pairs,
+               coalesce(p.n_agree, 0) AS n_agree,
+               CASE WHEN coalesce(p.n_pairs, 0) = 0 THEN NULL
+                    ELSE CAST(p.n_agree AS DOUBLE) / p.n_pairs END AS agreement
+        FROM roster r LEFT JOIN pair_stats p ON r.label = p.label
+        ORDER BY r.label"""
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_probe_incremental" -> (probeIncremental _),

@@ -66,4 +66,39 @@ class MultimodalSpec extends SparkSpec {
       s"cross pair presence must follow the independent hamming $crossHam")
     got.foreach { case ((ia, ib), h) => assert(ia < ib && h <= 3) }
   }
+
+  test("ahash dedup: chunk blocking survives aHashes straddling the sign bit") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft_ahash_signbit").toString
+    // 64-byte texts → stride 1, so byte j IS sample j. 'z'(122) > mean >
+    // '0'(48) always (mean stays in [85, 86.2]), so the bit pattern is the
+    // high/low pattern directly. A and B differ ONLY at position 63:
+    // A sets bit 63 (negative aHash), B leaves it clear (positive aHash),
+    // hamming(A, B) = 1 — chunks 0-2 are bitwise identical, so the 16-bit
+    // chunk pigeonhole MUST pair them. Before the &65535 fix, the signed
+    // `% 65536` remainder made every chunk of the negative hash differ.
+    val base = (0 until 64).map(j => if (j % 2 == 0) 'z' else '0')
+    val textA = (base.init :+ 'z').mkString // position 63 high → bit 63 set
+    val textB = base.mkString               // position 63 low  → bit 63 clear
+    Seq((10L, textA, "en", "s0"), (11L, textB, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    def ahash(text: String): Long = {
+      val bytes = text.getBytes("UTF-8")
+      val sampled = (0 until 64).map(j => (bytes(j) & 0xff).toDouble)
+      val mean = sampled.sum / 64.0
+      (0 until 64).foldLeft(0L)((acc, j) =>
+        if (sampled(j) > mean) acc + (1L << j) else acc)
+    }
+    // the fixture really does straddle the sign bit at hamming 1
+    assert(ahash(textA) < 0 && ahash(textB) >= 0)
+    assert(java.lang.Long.bitCount(ahash(textA) ^ ahash(textB)) === 1)
+
+    val got = Multimodal.ahashDedup(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.get((10L, 11L)).contains(1),
+      s"sign-straddling hamming-1 pair must be found by chunk blocking: $got")
+  }
 }

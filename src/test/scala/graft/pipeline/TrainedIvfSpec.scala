@@ -31,9 +31,15 @@ class TrainedIvfSpec extends SparkSpec {
       assert(b._2 >= a._2, s"candidates must not shrink: $a -> $b")
       assert(b._4 >= a._4, s"hits must not shrink: $a -> $b")
     }
-    // probing every cell IS brute force: recall exactly 1
-    assert(rows.last._1 == graft.pipeline.Similarity.NumCentroids)
-    assert(rows.last._5 == 1.0, s"full probe must be exact: ${rows.last}")
+    // probing every cell IS brute force: recall exactly 1. The exactness
+    // claim only holds for a sweep point that covers ALL cells, so derive
+    // that row from NumCentroids instead of assuming it is the last one.
+    assert(SimilaritySearch.SweepProbes.last == graft.pipeline.Similarity.NumCentroids,
+      s"sweep must end at a full probe (SweepProbes.last=${SimilaritySearch.SweepProbes.last}" +
+        s" vs NumCentroids=${graft.pipeline.Similarity.NumCentroids}) or the" +
+        " exactness assertion below is wrong-by-construction")
+    val fullProbe = rows.find(_._1 >= graft.pipeline.Similarity.NumCentroids).get
+    assert(fullProbe._5 == 1.0, s"full probe must be exact: $fullProbe")
     rows.foreach { case (_, _, nTrue, nHit, rec) =>
       assert(rec == nHit.toDouble / nTrue)
     }
