@@ -1,0 +1,206 @@
+package graft.pipeline
+
+/** REAL pure-JVM raster decoders for the two header-simplest uncompressed
+  * image formats — binary PPM (P6) and 24-bit uncompressed BMP — so the
+  * multimodal decode path is exercised against genuine image bytes, not
+  * only the deterministic stub. No codec libraries exist in this
+  * environment; these formats need none: both are a small header plus raw
+  * RGB samples, decodable in ~40 lines each of plain byte arithmetic.
+  *
+  * The decoders are strict about what they accept (exact magic, 24bpp,
+  * uncompressed, positive dimensions, enough pixel bytes) and throw
+  * `IllegalArgumentException` with a reason otherwise — a production codec
+  * dispatch wants loud rejects, not best-effort garbage. Callers that want
+  * fallback behavior sniff first ([[MediaCodec.sniff]]).
+  *
+  * Reference behavior anchor: the reference pipeline treats media as opaque
+  * payloads and never decodes (hadoop-pyspark-streaming-analytics has no
+  * media path at all); this surface comes from the builder brief's
+  * multimodal requirement, with the formats chosen so the contract is
+  * testable inside the sandbox.
+  */
+object MediaCodec {
+
+  /** A decoded raster: row-major pixels, 3 channels, 8 bits per sample.
+    * `rgb` has length `width * height * 3`, ordered R,G,B per pixel.
+    */
+  final case class RasterImage(width: Int, height: Int, rgb: Array[Byte]) {
+    def pixelCount: Int = width * height
+
+    /** Sum of R+G+B for pixel `i` (row-major) — exact integer. */
+    def rgbSum(i: Int): Int =
+      (rgb(3 * i) & 0xff) + (rgb(3 * i + 1) & 0xff) + (rgb(3 * i + 2) & 0xff)
+  }
+
+  /** Magic-byte sniff: Some("ppm") for binary P6, Some("bmp") for BM,
+    * None for anything else (callers fall back to the stub featurizer).
+    */
+  def sniff(payload: Array[Byte]): Option[String] =
+    if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') Some("ppm")
+    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') Some("bmp")
+    else None
+
+  /** Decode a payload whose magic bytes sniff as a supported raster. */
+  def decode(payload: Array[Byte]): RasterImage = sniff(payload) match {
+    case Some("ppm") => decodePpm(payload)
+    case Some("bmp") => decodeBmp(payload)
+    case _ => throw new IllegalArgumentException("unsupported raster payload")
+  }
+
+  /** Binary PPM (P6): `P6 <ws> width <ws> height <ws> maxval <single-ws>`
+    * then `width*height*3` raw RGB bytes. `#` comments are legal anywhere
+    * whitespace is. Only maxval <= 255 (1 byte per sample) is supported.
+    */
+  def decodePpm(bytes: Array[Byte]): RasterImage = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var pos = 2
+    def skipWsAndComments(): Unit = {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (pos < bytes.length && Character.isWhitespace(bytes(pos))) { pos += 1; moved = true }
+        if (pos < bytes.length && bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          moved = true
+        }
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        s"PPM header: expected digit at byte $pos")
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val width = readInt()
+    val height = readInt()
+    val maxval = readInt()
+    require(width > 0 && height > 0, s"PPM: bad dimensions ${width}x$height")
+    require(maxval > 0 && maxval <= 255, s"PPM: unsupported maxval $maxval")
+    // exactly ONE whitespace byte separates the header from pixel data
+    require(pos < bytes.length && Character.isWhitespace(bytes(pos)), "PPM: missing pixel separator")
+    pos += 1
+    val n = width * height * 3
+    require(bytes.length - pos >= n, s"PPM: truncated pixels (${bytes.length - pos} < $n)")
+    RasterImage(width, height, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+  }
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) |
+      ((b(off + 3) & 0xff) << 24)
+
+  /** 24-bit uncompressed BMP (BITMAPINFOHEADER): 14-byte file header
+    * (magic `BM`, pixel-data offset at byte 10), 40+-byte DIB header
+    * (width/height at 18/22, bpp at 28 must be 24, compression at 30 must
+    * be 0). Rows are 4-byte aligned, samples are B,G,R, and a POSITIVE
+    * height means bottom-up row order (the common case); negative height
+    * is top-down. Output is normalized to row-major top-down RGB.
+    */
+  def decodeBmp(bytes: Array[Byte]): RasterImage = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val pixelOffset = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val rawHeight = le32(bytes, 22)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    require(bpp == 24, s"BMP: only 24bpp supported, got $bpp")
+    require(compression == 0, s"BMP: only uncompressed (BI_RGB) supported, got $compression")
+    val height = math.abs(rawHeight)
+    val bottomUp = rawHeight > 0
+    require(width > 0 && height > 0, s"BMP: bad dimensions ${width}x$rawHeight")
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    require(bytes.length >= pixelOffset + rowBytes * height, "BMP: truncated pixels")
+    val rgb = new Array[Byte](width * height * 3)
+    var row = 0
+    while (row < height) {
+      val srcRow = if (bottomUp) height - 1 - row else row
+      val src = pixelOffset + srcRow * rowBytes
+      var x = 0
+      while (x < width) {
+        rgb(3 * (row * width + x)) = bytes(src + 3 * x + 2)     // R
+        rgb(3 * (row * width + x) + 1) = bytes(src + 3 * x + 1) // G
+        rgb(3 * (row * width + x) + 2) = bytes(src + 3 * x)     // B
+        x += 1
+      }
+      row += 1
+    }
+    RasterImage(width, height, rgb)
+  }
+
+  /** Encode a raster back to binary PPM — the round-trip twin of
+    * [[decodePpm]], used by tests and fixtures (e.g. re-encoding a BMP as
+    * the "same image, different container" near-dup case).
+    */
+  def encodePpm(img: RasterImage): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.rgb, 0, out, header.length, img.rgb.length)
+    out
+  }
+
+  /** Banded luma features over the decoded pixels: [[Multimodal.FeatureDim]]
+    * contiguous row-major bands, each the EXACT integer sum of R+G+B over
+    * its pixels divided by `3 * bandPixels * 255` — one double division per
+    * band, then one float round, so the value is bit-reproducible across
+    * engines (the same integer-sums-then-one-division discipline as the
+    * aHash mean). Mirrors the stub's contract: Array[Float] of FeatureDim
+    * values in [0, 1].
+    */
+  def bandedLuma(img: RasterImage, dim: Int = Multimodal.FeatureDim): Array[Float] = {
+    val n = img.pixelCount
+    val out = new Array[Float](dim)
+    var k = 0
+    while (k < dim) {
+      val start = (k.toLong * n / dim).toInt
+      val end = ((k + 1).toLong * n / dim).toInt
+      var sum = 0L
+      var i = start
+      while (i < end) { sum += img.rgbSum(i); i += 1 }
+      if (end > start) out(k) = (sum / (3.0 * (end - start) * 255.0)).toFloat
+      k += 1
+    }
+    out
+  }
+
+  /** 64-bit perceptual average-hash over DECODED pixels: average-pool the
+    * luma (integer R+G+B per pixel) onto an 8x8 grid, threshold each cell
+    * against the grid mean, pack bits row-major — the real-decode twin of
+    * the payload-byte aHash in [[Multimodal.ahashDedup]]. Container-
+    * independent: a BMP and a PPM of the same pixels hash identically.
+    */
+  def ahash64(img: RasterImage): Long = {
+    val grid = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < img.height) {
+      val gy = y * 8 / img.height
+      var x = 0
+      while (x < img.width) {
+        val gx = x * 8 / img.width
+        val cell = gy * 8 + gx
+        grid(cell) += img.rgbSum(y * img.width + x)
+        counts(cell) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    // cell means as exact rationals: compare grid(c)/counts(c) > mean
+    // (= sum(grid)/sum(counts)) via cross-multiplication — no doubles at all
+    val totalSum = grid.sum
+    val totalCount = counts.sum
+    var h = 0L
+    var c = 0
+    while (c < 64) {
+      if (counts(c) > 0 && grid(c) * totalCount > totalSum * counts(c))
+        h |= (1L << c)
+      c += 1
+    }
+    h
+  }
+}

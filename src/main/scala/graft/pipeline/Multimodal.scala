@@ -9,10 +9,14 @@ import graft.{QueryModule, Tables}
   * `binary` payloads plus a TYPED metadata struct, with decode /
   * frame-sample / feature-extract operators (builder brief).
   *
-  * No image/audio codecs exist in this environment, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB ([[StubDecoder]]) — what is real, and
-  * what these queries prove, is the Spark-side plumbing a production decoder
-  * drops into: the binary+struct schema, map-only slicing/fingerprinting of
+  * Decode is REAL for the two formats a pure JVM can parse without codec
+  * libraries — binary PPM (P6) and 24-bit BMP, via [[MediaCodec]], magic-
+  * sniffed per payload by [[BatchedDecode.SniffingDecoder]] and oracle-
+  * checked end to end by `mm_real_decode` — and a clearly-marked
+  * DETERMINISTIC STUB ([[BatchedDecode.StubDecoder]]) for everything else
+  * (no libjpeg/ffmpeg-class codecs exist in this environment). Around the
+  * decoders, the Spark-side plumbing a production codec drops into is all
+  * real: the binary+struct schema, map-only slicing/fingerprinting of
   * payload bytes, generator-based frame sampling, per-row feature vectors
   * feeding the codegen'd `vec_dot`, and the batched `mapPartitions` decode
   * contract (the Scala analogue of `mapInPandas`: iterator of batches, one
@@ -252,11 +256,60 @@ object Multimodal extends QueryModule {
         FROM cand WHERE bit_count(xor(aha, ahb)) <= 3
         ORDER BY ia, ib"""
 
+  /** Pixel bytes per synthetic PPM: an 8x8 RGB image. */
+  private val PpmPixelBytes = 8 * 8 * 3
+
+  /** `mm_real_decode`: REAL image decode, oracle-checked end to end. Spark
+    * constructs a genuine binary PPM (P6) per document — the standard
+    * `P6\\n8 8\\n255\\n` header followed by the document's first 192 bytes
+    * as 8x8 RGB pixels — and pushes it through the SAME typed
+    * [[BatchedDecode.decodeFeatures]] pipeline every decoder uses. The
+    * [[BatchedDecode.SniffingDecoder]] magic-sniffs `P6`, [[MediaCodec]]
+    * parses the header and pixel block for real (dimensions, maxval,
+    * whitespace/comment rules), and the banded-luma featurizer reduces the
+    * decoded pixels. The oracle recomputes the expected bands directly from
+    * the document bytes — so a header-parse or pixel-offset bug lands as a
+    * value mismatch, not a stub artifact. Exact integer band sums, ONE
+    * double division, ONE float round: bit-reproducible across engines.
+    *
+    * Scale: map-only until the final sort — build-payload, decode, and
+    * explode are all per-row; no shuffle, no driver round-trip. At 100 TB
+    * the decode batch runs where the bytes are.
+    */
+  def realDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ppm = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= PpmPixelBytes)
+      .select(col("doc_id"), lit("image").as("media_type"),
+        concat(lit("P6\n8 8\n255\n").cast("binary"),
+          unhex(substring(hex(col("text").cast("binary")), 1, PpmPixelBytes * 2)))
+          .as("payload"))
+    BatchedDecode.decodeFeatures(ppm.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("luma_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realDecodeSql =
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= $PpmPixelBytes
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CAST(CAST(CAST(list_sum(list_transform(range(k * 24, (k + 1) * 24),
+                     i -> CAST('0x' || substring(h, i * 2 + 1, 2) AS INT)))
+                   AS DOUBLE) / 6120.0 AS FLOAT) AS DOUBLE) AS luma_frac
+          FROM d, (SELECT unnest(range(0, ${FeatureDim})) AS k)
+        )
+        SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata_stats" -> (metadataStats _),
     "mm_frame_sample" -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _),
     "mm_ahash_dedup" -> (ahashDedup _),
+    "mm_real_decode" -> (realDecode _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -264,6 +317,7 @@ object Multimodal extends QueryModule {
     "mm_frame_sample" -> frameSampleSql,
     "mm_feature_extract" -> featureExtractSql,
     "mm_ahash_dedup" -> ahashDedupSql,
+    "mm_real_decode" -> realDecodeSql,
   )
 }
 
@@ -284,12 +338,20 @@ case class MediaFeature(doc_id: Long, feature: Array[Float])
   */
 object BatchedDecode {
 
-  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg-class
-    * codecs (unavailable in this environment). Replace `decode` with the
-    * real codec call; everything around it (batching, schema, streaming
-    * iterators) is production plumbing.
+  /** Per-batch decoder context: one instance per batch (real codecs
+    * amortize init/buffers per batch, never per row).
     */
-  final class StubDecoder {
+  trait PayloadDecoder {
+    def decode(payload: Array[Byte]): Array[Float]
+  }
+
+  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg-class
+    * codecs (unavailable in this environment). Used as the fallback arm of
+    * [[SniffingDecoder]] for payloads in formats the REAL decoders
+    * ([[MediaCodec]]) don't cover; everything around it (batching, schema,
+    * streaming iterators) is production plumbing.
+    */
+  final class StubDecoder extends PayloadDecoder {
     def decode(payload: Array[Byte]): Array[Float] = {
       val dim = Multimodal.FeatureDim
       val out = new Array[Float](dim)
@@ -305,11 +367,26 @@ object BatchedDecode {
     }
   }
 
+  /** REAL decoder dispatch: magic-byte sniff, then an actual parse of the
+    * payload — binary PPM (P6) and 24-bit BMP decode to pixels via
+    * [[MediaCodec]] and featurize as banded luma; any other format falls
+    * back to the stub featurizer. This is the production codec-dispatch
+    * shape: per-payload format detection inside a per-batch context.
+    */
+  final class SniffingDecoder extends PayloadDecoder {
+    private val stub = new StubDecoder
+    def decode(payload: Array[Byte]): Array[Float] =
+      MediaCodec.sniff(payload) match {
+        case Some(_) => MediaCodec.bandedLuma(MediaCodec.decode(payload))
+        case None => stub.decode(payload)
+      }
+  }
+
   def decodeFeatures(mediaDs: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeature] = {
     import mediaDs.sparkSession.implicits._
     mediaDs.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        val decoder = new StubDecoder // per-batch context, amortized init
+        val decoder = new SniffingDecoder // per-batch context, amortized init
         batch.iterator.map(r => MediaFeature(r.doc_id, decoder.decode(r.payload)))
       }
     }

@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** The REAL decode contract: handcrafted PPM and BMP byte streams (built
+  * here from the format specs, not by any library) must decode to the same
+  * pixels, hash container-independently, and flow through the shared
+  * batched-decode pipeline alongside non-image payloads.
+  */
+class MediaCodecSpec extends SparkSpec {
+  import spark.implicits._
+  import MediaCodec._
+
+  /** 2x2 test image: row-major RGB = red, green / blue, white. */
+  private val px2x2: Array[Byte] = Array(
+    255, 0, 0,   0, 255, 0,
+    0, 0, 255,   255, 255, 255).map(_.toByte)
+
+  private def ppm2x2(header: String = "P6\n2 2\n255\n"): Array[Byte] =
+    header.getBytes("US-ASCII") ++ px2x2
+
+  /** Build a 24bpp BMP of the given row-major RGB pixels, exercising the
+    * row padding (width 2 -> 8-byte rows) and row order for real.
+    */
+  private def bmp(width: Int, height: Int, rgb: Array[Byte], topDown: Boolean = false): Array[Byte] = {
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    val pixelOffset = 54
+    val size = pixelOffset + rowBytes * height
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(pixelOffset)
+    b.putInt(40).putInt(width).putInt(if (topDown) -height else height)
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val out = b.array()
+    for (row <- 0 until height; x <- 0 until width) {
+      val srcRow = if (topDown) row else height - 1 - row
+      val dst = pixelOffset + row * rowBytes + 3 * x
+      out(dst) = rgb(3 * (srcRow * width + x) + 2)     // B
+      out(dst + 1) = rgb(3 * (srcRow * width + x) + 1) // G
+      out(dst + 2) = rgb(3 * (srcRow * width + x))     // R
+    }
+    out
+  }
+
+  test("PPM decode: header variants (comments, multi-whitespace) and exact pixels") {
+    val plain = decodePpm(ppm2x2())
+    assert(plain.width == 2 && plain.height == 2)
+    assert(plain.rgb.toSeq == px2x2.toSeq)
+    val commented = decodePpm(ppm2x2("P6\n# a comment\n 2\t2 # trailing\n255\n"))
+    assert(commented == plain.copy(rgb = commented.rgb) && commented.rgb.toSeq == px2x2.toSeq)
+  }
+
+  test("PPM decode: strict rejects (truncated pixels, bad maxval, wrong magic)") {
+    intercept[IllegalArgumentException](decodePpm(ppm2x2().dropRight(1)))
+    intercept[IllegalArgumentException](decodePpm(ppm2x2("P6\n2 2\n65535\n")))
+    intercept[IllegalArgumentException](decodePpm("P5\n2 2\n255\n".getBytes ++ px2x2))
+  }
+
+  test("BMP decode: bottom-up and top-down both normalize to the PPM pixels") {
+    val fromPpm = decodePpm(ppm2x2())
+    val up = decodeBmp(bmp(2, 2, px2x2))
+    val down = decodeBmp(bmp(2, 2, px2x2, topDown = true))
+    assert(up.width == 2 && up.height == 2)
+    assert(up.rgb.toSeq == fromPpm.rgb.toSeq, "bottom-up BMP must match PPM pixels")
+    assert(down.rgb.toSeq == fromPpm.rgb.toSeq, "top-down BMP must match PPM pixels")
+  }
+
+  test("BMP decode: strict rejects (unsupported bpp, compressed)") {
+    val good = bmp(2, 2, px2x2)
+    val bpp32 = good.clone(); bpp32(28) = 32
+    intercept[IllegalArgumentException](decodeBmp(bpp32))
+    val rle = good.clone(); rle(30) = 1
+    intercept[IllegalArgumentException](decodeBmp(rle))
+  }
+
+  test("encodePpm round-trips and sniff dispatches by magic") {
+    val img = decodeBmp(bmp(2, 2, px2x2))
+    val rt = decodePpm(encodePpm(img))
+    assert(rt.width == img.width && rt.height == img.height)
+    assert(rt.rgb.toSeq == img.rgb.toSeq)
+    assert(sniff(ppm2x2()).contains("ppm"))
+    assert(sniff(bmp(2, 2, px2x2)).contains("bmp"))
+    assert(sniff("just some text".getBytes).isEmpty)
+  }
+
+  test("ahash64 is container-independent and resize-tolerant") {
+    val rnd = new scala.util.Random(11)
+    val w = 16; val h = 16
+    val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val img = RasterImage(w, h, rgb)
+    assert(ahash64(decodePpm(encodePpm(img))) == ahash64(decodeBmp(bmp(w, h, rgb))),
+      "same pixels in PPM and BMP containers must hash identically")
+    // nearest-neighbor 2x upscale pools back onto the same 8x8 grid cells
+    val big = RasterImage(2 * w, 2 * h, Array.tabulate(2 * w * 2 * h * 3) { i =>
+      val p = i / 3; val c = i % 3
+      val y = p / (2 * w); val x = p % (2 * w)
+      rgb(3 * ((y / 2) * w + x / 2) + c)
+    })
+    val ham = java.lang.Long.bitCount(ahash64(img) ^ ahash64(big))
+    assert(ham <= 3, s"2x nearest-neighbor upscale must stay a near-dup: hamming $ham")
+  }
+
+  test("bandedLuma: exact integer band sums with one division") {
+    val rnd = new scala.util.Random(23)
+    val rgb = Array.fill(8 * 8 * 3)(rnd.nextInt(256).toByte)
+    val img = RasterImage(8, 8, rgb)
+    val got = bandedLuma(img)
+    assert(got.length == Multimodal.FeatureDim)
+    val expected = (0 until 8).map { k =>
+      val sum = (8 * k until 8 * (k + 1)).map(img.rgbSum).map(_.toLong).sum
+      (sum / 6120.0).toFloat
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("sniffing decoder: real parse for rasters, stub for everything else, through one pipeline") {
+    val textPayload = "not an image at all, just bytes".getBytes("UTF-8")
+    val rows = Seq(
+      MediaRow(1L, "image", ppm2x2("P6\n8 8\n255\n".replace("8 8", "2 2"))),
+      MediaRow(2L, "image", bmp(2, 2, px2x2)),
+      MediaRow(3L, "audio", textPayload))
+    val got = BatchedDecode.decodeFeatures(spark.createDataset(rows), batchSize = 2)
+      .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
+    val real = bandedLuma(decodePpm(ppm2x2())).toSeq
+    assert(got(1L) == real, "PPM payload must be REALLY decoded")
+    assert(got(2L) == real, "BMP payload must decode to the same features as its PPM twin")
+    assert(got(3L) == (new BatchedDecode.StubDecoder).decode(textPayload).toSeq,
+      "non-raster payloads fall back to the stub featurizer")
+  }
+}
