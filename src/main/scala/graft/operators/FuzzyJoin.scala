@@ -28,12 +28,19 @@ import graft.{QueryModule, Tables}
   *
   * At 100 TB: key volume is n·(L+1) rows — shuffle linear in corpus size,
   * per-key groups alphabet-bounded, the same reducer-sized-blocks calculus
-  * as the LSH bands. For d=2, emit the 2-deletion neighborhood (L² keys)
-  * or fall back to q-gram blocking.
+  * as the LSH bands. For d=2, [[fuzzyPairsD2]] emits the 2-deletion
+  * neighborhood (≈ n·L²/2 keys, fine for bounded-length name/identifier
+  * columns; document-length strings would switch to q-gram blocking).
   */
 object FuzzyJoin extends QueryModule {
 
   val MaxDist = 1
+
+  /** Radius of the wide matcher: the FastSS theorem (Bocek et al. 2007)
+    * gives full recall at edit distance ≤ d when each side emits all
+    * variants with ≤ d deletions, joined on the VARIANT alone.
+    */
+  val MaxDist2 = 2
 
   /** Per-record fuzzy-neighbor summary: how many other names sit within
     * [[MaxDist]] edits, and the smallest such neighbor id (a deterministic
@@ -84,6 +91,59 @@ object FuzzyJoin extends QueryModule {
     pairs.filter(col("a_id") =!= col("b_id") &&
       levenshtein(col("a_name"), col("b_name")) <= MaxDist)
   }
+
+  /** Distance-≤2 pair set via the FULL 2-deletion neighborhood (FastSS at
+    * d=2): every record emits each variant reachable by deleting 0, 1, or 2
+    * characters — enumerated ONCE per unordered deletion set as (i, j)
+    * with 0 ≤ i < j (0 = unused slot: (0,0) identity, (0,j) single, (i,j)
+    * double) — deduped per record (repeated character runs make distinct
+    * deletion sets collide on the same variant), self-joined on the variant
+    * string alone, then verified with the exact `levenshtein`. Unlike the
+    * d=1 matcher there is no position annotation: at d=2 the two sides'
+    * deletion positions need not align (an insert+substitute pair meets
+    * through differently-placed deletions), so the variant IS the whole
+    * key and the exact re-check carries the precision. Full recall is the
+    * FastSS theorem: ed(x,y) ≤ k iff some ≤k-deletion variants coincide.
+    *
+    * Scale: key volume n·L²/2 — linear in records, quadratic only in the
+    * bounded name length; block width is capped by how many sources can
+    * re-insert 2 characters into a shared variant (alphabet²-bounded), the
+    * same reducer-block calculus as the d=1 keys and the LSH bands.
+    */
+  def fuzzyPairsD2(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Scratch.memoize(spark, s"fuzzy_pairs_d2:$sfDir") {
+      val keyed = graft.Scratch.materialize(
+        Tables.customer(spark, sfDir)
+          // the name table is one small file = one scan task; fan out BEFORE
+          // the two explodes so the ~100x key expansion runs on all cores
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("c_custkey"), col("c_name"),
+            explode(expr("sequence(0, length(c_name))")).as("j"))
+          .select(col("c_custkey"), col("c_name"), col("j"),
+            explode(expr("sequence(0, CASE WHEN j = 0 THEN 0 ELSE j - 1 END)")).as("i"))
+          .select(col("c_custkey"), col("c_name"), expr(
+            """CASE WHEN j = 0 THEN c_name
+                    WHEN i = 0 THEN concat(substring(c_name, 1, j - 1),
+                                           substring(c_name, j + 1, length(c_name)))
+                    ELSE concat(substring(c_name, 1, i - 1),
+                                substring(c_name, i + 1, j - i - 1),
+                                substring(c_name, j + 1, length(c_name))) END""").as("k"))
+          .distinct(),
+        "graft_fuzzy_keys_d2")
+      // verify BEFORE distinct: levenshtein is a cheap codegen'd per-row
+      // check, so running it on the raw join output keeps the false
+      // candidates (~45% of the candidate stream on sequential-id names)
+      // out of the distinct's shuffle entirely. Deliberately the 2-arg
+      // form: the threshold variant `levenshtein(a, b, 2)` measured 4x
+      // SLOWER on this 30M-row stream (30.5 s vs 7.6 s at sf0.1) — its
+      // early-exit bookkeeping costs more than the full 18x18 DP saves at
+      // these string lengths.
+      keyed.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"), col("k"))
+        .join(keyed.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"), col("k")), "k")
+        .filter(col("a_id") < col("b_id") &&
+          levenshtein(col("a_name"), col("b_name")) <= MaxDist2)
+        .select("a_id", "b_id", "a_name", "b_name").distinct()
+    }
 
   /** Per-record fuzzy-neighbor summary (see object doc): derived from the
     * memoized a<b pair set, counting both directions.
@@ -208,14 +268,82 @@ object FuzzyJoin extends QueryModule {
         FROM lbl l JOIN customer c ON c.c_custkey = l.cluster_id
         GROUP BY 1, 2 ORDER BY 1"""
 
+  /** Per-record neighbor summary at the WIDE radius (edit distance ≤ 2) —
+    * the d=2 twin of `fuzzy_name_neighbors`, over [[fuzzyPairsD2]].
+    */
+  def neighborCountsD2(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = fuzzyPairsD2(spark, sfDir)
+    p.select(col("a_id").as("c_custkey"), col("b_id").as("nbr"))
+      .unionByName(p.select(col("b_id").as("c_custkey"), col("a_id").as("nbr")))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_fuzzy_neighbors"), min("nbr").as("nearest_id"))
+      .orderBy("c_custkey")
+  }
+
+  /** `fuzzy_radius_profile`: how the match graph grows with radius — the
+    * d≤2 pair set bucketed by EXACT edit distance (0/1/2), one row per
+    * distance with the pair count. The d=1 row must equal the positioned
+    * matcher's edge count (pinned in the spec), so this doubles as a
+    * cross-implementation consistency check between the two blockers.
+    */
+  def radiusProfile(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyPairsD2(spark, sfDir)
+      .groupBy(levenshtein(col("a_name"), col("b_name")).as("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("dist")
+
+  /** Shared d=2 oracle CTE chain ending in `pairs2(a, b, a_name, b_name)`. */
+  private val pairs2Cte =
+    s"""WITH pj AS (
+          SELECT c_custkey, c_name, unnest(range(0, length(c_name) + 1)) AS j
+          FROM customer
+        ), pij AS (
+          SELECT c_custkey, c_name, j,
+                 unnest(range(0, CASE WHEN j = 0 THEN 1 ELSE j END)) AS i
+          FROM pj
+        ), keyed2 AS (
+          SELECT DISTINCT c_custkey, c_name,
+                 CASE WHEN j = 0 THEN c_name
+                      WHEN i = 0 THEN substring(c_name, 1, CAST(j - 1 AS INT))
+                                      || substring(c_name, CAST(j + 1 AS INT))
+                      ELSE substring(c_name, 1, CAST(i - 1 AS INT))
+                           || substring(c_name, CAST(i + 1 AS INT), CAST(j - i - 1 AS INT))
+                           || substring(c_name, CAST(j + 1 AS INT))
+                 END AS k
+          FROM pij
+        ), pairs2 AS (
+          SELECT DISTINCT a.c_custkey AS a, b.c_custkey AS b,
+                 a.c_name AS a_name, b.c_name AS b_name
+          FROM keyed2 a JOIN keyed2 b ON a.k = b.k AND a.c_custkey < b.c_custkey
+          WHERE levenshtein(a.c_name, b.c_name) <= $MaxDist2
+        )"""
+
+  private val neighborCountsD2Sql =
+    s"""$pairs2Cte
+        SELECT c_custkey, COUNT(*) AS n_fuzzy_neighbors, MIN(nbr) AS nearest_id
+        FROM (SELECT a AS c_custkey, b AS nbr FROM pairs2
+              UNION ALL
+              SELECT b, a FROM pairs2) u
+        GROUP BY 1 ORDER BY 1"""
+
+  private val radiusProfileSql =
+    s"""$pairs2Cte
+        SELECT CAST(levenshtein(a_name, b_name) AS INT) AS dist,
+               COUNT(*) AS n_pairs
+        FROM pairs2 GROUP BY 1 ORDER BY 1"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_name_neighbors" -> (neighborCounts _),
+    "fuzzy_name_neighbors_d2" -> (neighborCountsD2 _),
+    "fuzzy_radius_profile" -> (radiusProfile _),
     "fuzzy_triangle_census" -> (triangleCensus _),
     "customer_entity_clusters" -> (entityClusters _),
   )
 
   override def oracle: Map[String, String] = Map(
     "fuzzy_name_neighbors" -> neighborCountsSql,
+    "fuzzy_name_neighbors_d2" -> neighborCountsD2Sql,
+    "fuzzy_radius_profile" -> radiusProfileSql,
     "fuzzy_triangle_census" -> triangleCensusSql,
     "customer_entity_clusters" -> entityClustersSql,
   )

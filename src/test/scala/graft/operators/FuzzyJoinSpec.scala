@@ -48,6 +48,60 @@ class FuzzyJoinSpec extends SparkSpec {
       (10L, "beta jones", 2L, "10,11")))
   }
 
+  test("d=2 neighborhood finds transpositions and double edits the d=1 matcher cannot") {
+    val d = Files.createTempDirectory("graft_fuzzy_d2_fixture").toString
+    Seq(
+      (1L, "martha"),
+      (2L, "marhta"), // transposition = 2 substitutions: d=2 only
+      (3L, "marta"),
+      (4L, "martha"),
+      (5L, "mortha"),
+      (6L, "zzzzzz")
+    ).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val got = FuzzyJoin.neighborCountsD2(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // pairs at lev<=2: {12,13,14,15,23,24,34,35,45} (2-5 is distance 3)
+    assert(got === Map(
+      1L -> ((4L, 2L)), 2L -> ((3L, 1L)), 3L -> ((4L, 1L)),
+      4L -> ((4L, 1L)), 5L -> ((3L, 1L))))
+  }
+
+  test("d=2 blocking has FULL recall vs brute-force levenshtein on random strings") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0
+      })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(41)
+    // tiny alphabet + short strings → dense near-pair structure, including
+    // length-changing double edits and repeated-run collisions
+    val names = (1L to 60L).map(id =>
+      (id, (0 until 3 + rnd.nextInt(5)).map(_ => "abc".charAt(rnd.nextInt(3))).mkString))
+    val d = Files.createTempDirectory("graft_fuzzy_d2_prop").toString
+    names.toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val expect = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && lev(na, nb) <= FuzzyJoin.MaxDist2
+    } yield (ia, ib)).toSet
+    val got = FuzzyJoin.fuzzyPairsD2(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
+  test("radius profile's d=1 bucket equals the positioned d=1 matcher's edge count") {
+    val profile = FuzzyJoin.radiusProfile(spark, Sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val d1Edges = FuzzyJoin.fuzzyPairs(spark, Sf0001).count()
+    assert(profile.getOrElse(1, 0L) + profile.getOrElse(0, 0L) == d1Edges,
+      s"cross-implementation drift: profile=$profile d1=$d1Edges")
+  }
+
   test("entity clusters equal an independent union-find over the real pair set") {
     val pairs = FuzzyJoin.fuzzyPairs(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
