@@ -105,6 +105,17 @@ object Scratch {
   // pipeline stage per JVM (see memoize); a per-key future rather than a
   // global lock so concurrent callers computing DIFFERENT stages never
   // serialize behind each other's Spark jobs
+  // monotone count of one-time builds (memoized stages + bucketed index
+  // tables) actually COMPUTED by this JVM — memo hits don't advance it.
+  // Bench samples the delta around each query to tell "paid an index/memo
+  // build" invocations from steady-state ones.
+  private val builds = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Number of one-time builds (memo stages + bucketed tables) computed so
+    * far in this JVM. Deltas around a query identify build-paying runs.
+    */
+  def buildsCount: Long = builds.get()
+
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
 
@@ -155,6 +166,7 @@ object Scratch {
         try {
           val d = dir("graft_memo")
           write(d)
+          builds.incrementAndGet()
           fresh.complete(d)
         } catch {
           case e: Throwable =>
@@ -209,6 +221,7 @@ object Scratch {
             .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
             .sortBy(bucketCols.head, bucketCols.tail: _*)
             .saveAsTable(t)
+          builds.incrementAndGet()
           fresh.complete(BucketTable(t, path))
         } catch {
           case e: Throwable =>
