@@ -201,6 +201,15 @@ object Multimodal extends QueryModule {
                   THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""))
         .select("doc_id", "ah"),
       "graft_ahash")
+    ahashPairs(sigs)
+  }
+
+  /** Shared blocking+verify tail over a `(doc_id, ah)` signature table:
+    * 4x16-bit chunk pigeonhole (MASKED extraction — `& 65535`, never a
+    * signed modulo: hamming <= 3 must guarantee >= 1 exact chunk even when
+    * the two hashes straddle the sign bit) and exact popcount verify.
+    */
+  private def ahashPairs(sigs: DataFrame): DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("ah"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(ah, c * 16) & 65535)"))
@@ -276,15 +285,22 @@ object Multimodal extends QueryModule {
     * explode are all per-row; no shuffle, no driver round-trip. At 100 TB
     * the decode batch runs where the bytes are.
     */
-  def realDecode(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val ppm = Tables.documents(spark, sfDir)
+  /** Genuine binary PPM (P6) per document: the standard `P6\n8 8\n255\n`
+    * header followed by the document's first [[PpmPixelBytes]] bytes as
+    * 8x8 RGB pixels — a REAL image file the [[MediaCodec]] parser must
+    * decode, built entirely in codegen'd expressions (hex/unhex/concat).
+    */
+  private def ppmPayloads(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= PpmPixelBytes)
       .select(col("doc_id"), lit("image").as("media_type"),
         concat(lit("P6\n8 8\n255\n").cast("binary"),
           unhex(substring(hex(col("text").cast("binary")), 1, PpmPixelBytes * 2)))
           .as("payload"))
-    BatchedDecode.decodeFeatures(ppm.as[MediaRow]).toDF()
+
+  def realDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    BatchedDecode.decodeFeatures(ppmPayloads(spark, sfDir).as[MediaRow]).toDF()
       .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
       .select(col("doc_id"), col("band"),
         col("f").cast("double").as("luma_frac"))
@@ -304,12 +320,77 @@ object Multimodal extends QueryModule {
         )
         SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
 
+  /** `mm_real_ahash_dedup`: the image-dedup capability END TO END over
+    * REALLY DECODED pixels — build a genuine P6 file per document, parse it
+    * with [[MediaCodec.decodePpm]] inside the typed batcher, perceptual-hash
+    * the DECODED raster ([[MediaCodec.ahash64]]: 8x8 average-pool, integer
+    * cross-multiplication threshold — no doubles anywhere), then the same
+    * masked chunk-pigeonhole blocking + popcount verify as the payload-byte
+    * aHash. The oracle recomputes the hash from the source bytes (for an
+    * 8x8 image the pooling grid is the pixel grid, so cell c's vote is the
+    * exact integer test `64 * rgbSum(c) > totalSum`), so a decode, hash,
+    * or blocking bug all land as value mismatches.
+    *
+    * Scale: decode+hash is map-only inside the per-batch decoder context;
+    * only 8-byte signatures shuffle into the band join.
+    */
+  def realAhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = graft.Scratch.materialize(
+      ppmPayloads(spark, sfDir).as[MediaRow].mapPartitions { rows =>
+        rows.grouped(64).map { batch =>
+          batch.map(r => (r.doc_id, MediaCodec.ahash64(MediaCodec.decode(r.payload))))
+        }.flatten
+      }.toDF("doc_id", "ah"),
+      "graft_real_ahash")
+    ahashPairs(sigs)
+  }
+
+  private val realAhashDedupSql =
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= $PpmPixelBytes
+        ), px AS (
+          SELECT doc_id,
+                 list_transform(range(0, $PpmPixelBytes), i ->
+                   CAST('0x' || substring(h, i * 2 + 1, 2) AS BIGINT)) AS b
+          FROM d
+        ), s AS (
+          SELECT doc_id, b,
+                 list_transform(range(0, 64), c -> b[3*c + 1] + b[3*c + 2] + b[3*c + 3])
+                   AS sum3,
+                 list_sum(b) AS total
+          FROM px
+        ), a AS (
+          -- integer cross-multiplication threshold (64 cells, counts all 1):
+          -- bit c iff 64*sum3 > total; bit 63 via the min-long literal
+          -- (DuckDB raises on 1::BIGINT << 63)
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 64), c ->
+                   CASE WHEN 64 * sum3[c + 1] > total THEN
+                     CASE WHEN c = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << c) END
+                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ah
+          FROM s
+        ), chunks AS (
+          SELECT doc_id, ah, c AS chunk_id, (ah >> (c * 16)) & 65535 AS chunk
+          FROM a, (SELECT unnest(range(0, 4)) AS c)
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib, x.ah AS aha, y.ah AS ahb
+          FROM chunks x JOIN chunks y
+            ON x.chunk_id = y.chunk_id AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+        )
+        SELECT ia, ib, CAST(bit_count(xor(aha, ahb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(aha, ahb)) <= 3
+        ORDER BY ia, ib"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata_stats" -> (metadataStats _),
     "mm_frame_sample" -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _),
     "mm_ahash_dedup" -> (ahashDedup _),
     "mm_real_decode" -> (realDecode _),
+    "mm_real_ahash_dedup" -> (realAhashDedup _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -318,6 +399,7 @@ object Multimodal extends QueryModule {
     "mm_feature_extract" -> featureExtractSql,
     "mm_ahash_dedup" -> ahashDedupSql,
     "mm_real_decode" -> realDecodeSql,
+    "mm_real_ahash_dedup" -> realAhashDedupSql,
   )
 }
 

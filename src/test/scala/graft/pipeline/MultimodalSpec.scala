@@ -101,4 +101,40 @@ class MultimodalSpec extends SparkSpec {
     assert(got.get((10L, 11L)).contains(1),
       s"sign-straddling hamming-1 pair must be found by chunk blocking: $got")
   }
+
+  test("real-pixel ahash dedup: decoded near-dups pair; independent integer-hash recompute") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft_real_ahash_fixture").toString
+    // 192-char texts = the full 8x8 RGB pixel block. A and B share the
+    // first 189 bytes; B's last pixel (bytes 189-191) flips from low to
+    // high — at most that ONE grid cell's vote changes (plus any mean-shift
+    // flips, none here: bytes are 'z'/'0', mean stays far from both).
+    val half = (0 until 96).map(j => if (j % 2 == 0) 'z' else '0')
+    val textA = (half ++ half).mkString
+    val textB = ((half ++ half).take(189) ++ Seq('z', 'z', 'z')).mkString
+    val textC = (0 until 192).map(j => "qrstuvw".charAt(j % 7)).mkString
+    Seq((1L, textA, "en", "s0"), (2L, textB, "en", "s0"), (3L, textC, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // independent recompute: integer cross-multiplication threshold over
+    // the 64 per-pixel RGB sums of the raw text bytes
+    def ahash(text: String): Long = {
+      val b = text.getBytes("UTF-8").take(192).map(_ & 0xff)
+      val sums = (0 until 64).map(c => b(3 * c) + b(3 * c + 1) + b(3 * c + 2))
+      val total = sums.sum // counts are all 1 on the 8x8 grid
+      (0 until 64).foldLeft(0L)((acc, c) =>
+        if (64L * sums(c) > total.toLong) acc | (1L << c) else acc)
+    }
+    val hamAB = java.lang.Long.bitCount(ahash(textA) ^ ahash(textB))
+    assert(hamAB >= 1 && hamAB <= 3, s"fixture must be a true near-dup: $hamAB")
+    val got = Multimodal.realAhashDedup(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.get((1L, 2L)).contains(hamAB),
+      s"decoded near-dup pair must match the independent hamming $hamAB: $got")
+    val hamAC = java.lang.Long.bitCount(ahash(textA) ^ ahash(textC))
+    assert(got.contains((1L, 3L)) == (hamAC <= 3),
+      s"far pair presence must follow independent hamming $hamAC")
+  }
 }
