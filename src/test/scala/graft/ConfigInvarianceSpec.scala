@@ -28,7 +28,10 @@ class ConfigInvarianceSpec extends AnyFunSuite {
     "events_disorder_report",  // distributed prefix max
     "dedup_cosine_lsh",        // banded candidates + exact verify
     "hybrid_rrf_fusion",       // two-arm rank fusion
-    "events_ab_ztest")         // exact-int z math
+    "events_ab_ztest",         // exact-int z math
+    "fuzzy_radius_profile",    // memoized d=2 pair set + distance buckets
+    "mm_real_ahash_dedup",     // typed decode batcher + integer hash + blocking
+    "mm_real_decode")          // real PPM parse, float-rounded banded luma
 
   test("risky queries are bit-identical under shuffle=7 + AQE off") {
     def run(name: String): Seq[Seq[Any]] =

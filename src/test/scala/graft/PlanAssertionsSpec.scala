@@ -371,6 +371,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!compute.contains("Exchange"), s"feature stage shuffles:\n$compute")
   }
 
+  test("real decode is map-only: one range Exchange for the sort, no joins") {
+    val p = planOf("mm_real_decode")
+    assert(p.contains("MapPartitions"), "typed decode batcher missing from plan")
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.startsWith("rangepartitioning")),
+      s"decode path shuffles beyond the final sort: $exchanges\n$p")
+    assert(!p.contains("Join"), s"decode path joins:\n$p")
+  }
+
+  test("real-pixel ahash dedup consumes the signature memo, never raw text") {
+    val p = planOf("mm_real_ahash_dedup")
+    assert(!p.contains("documents.parquet"),
+      s"blocking stage re-scans the corpus text:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"chunk blocking lost its equi-join:\n$p")
+  }
+
+  test("d=2 radius profile reads the memoized pair set, not the key explosion") {
+    val p = planOf("fuzzy_radius_profile")
+    assert(!p.contains("Generate"),
+      s"profile re-explodes the deletion neighborhood instead of reading the memo:\n$p")
+    assert(!p.contains("customer.parquet"),
+      s"profile re-scans the base table:\n$p")
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
