@@ -16,10 +16,13 @@ import graft.plans.{AsOfJoinStrategy, EliminateRedundantLeftJoin, PushLeftFilter
   * `kmv_distinct(hash bigint) -> double` (bounded-buffer KMV distinct-count
   * sketch; see [[functions.KmvSketchAgg]]), `kmv_sketch(hash bigint) ->
   * array<bigint>` (the sketch SET itself, for KMV union/intersection
-  * algebra; see [[functions.KmvSketchSetAgg]]), and the bloom pair
+  * algebra; see [[functions.KmvSketchSetAgg]]), the bloom pair
   * `bloom_filter_agg` / `might_contain` (Spark's own runtime-filter
   * expressions surfaced for deliberate use; see [[functions.BloomAgg]],
-  * [[functions.MightContain]], [[operators.BloomJoin]]).
+  * [[functions.MightContain]], [[operators.BloomJoin]]), and
+  * `lev_within(string, string, int) -> boolean` (banded bounded edit
+  * distance for the fuzzy-join verify hot path; see
+  * [[functions.LevWithin]]).
   *
   * Plans: the native as-of join ([[plans.AsOfJoinNode]] →
   * [[plans.AsOfMergeExec]] via [[plans.AsOfJoinStrategy]]) plus its one
@@ -38,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.KmvSketchSetAgg.description)
     ext.injectFunction(functions.MightContain.description)
     ext.injectFunction(functions.BloomAgg.description)
+    ext.injectFunction(functions.LevWithin.description)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => new PushLeftFilterThroughAsOf)
     ext.injectOptimizerRule(_ => new EliminateRedundantLeftJoin)

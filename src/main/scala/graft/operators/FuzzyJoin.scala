@@ -89,7 +89,7 @@ object FuzzyJoin extends QueryModule {
         col("a_id").as("b_id"), col("a_name").as("b_name")))
       .reduce(_ unionByName _)
     pairs.filter(col("a_id") =!= col("b_id") &&
-      levenshtein(col("a_name"), col("b_name")) <= MaxDist)
+      expr(s"lev_within(a_name, b_name, $MaxDist)"))
   }
 
   /** Distance-≤2 pair set via the FULL 2-deletion neighborhood (FastSS at
@@ -128,21 +128,36 @@ object FuzzyJoin extends QueryModule {
                     ELSE concat(substring(c_name, 1, i - 1),
                                 substring(c_name, i + 1, j - i - 1),
                                 substring(c_name, j + 1, length(c_name))) END""").as("k"))
+          // block on the variant's 64-bit hash, not the string: 8-byte join
+          // keys sort/shuffle ~2x cheaper than 18-char strings, equal
+          // variants always collide (recall preserved), and a random hash
+          // collision only adds a false candidate the levenshtein verify
+          // removes
+          .select(col("c_custkey"), col("c_name"), xxhash64(col("k")).as("kh"))
           .distinct(),
         "graft_fuzzy_keys_d2")
-      // verify BEFORE distinct: levenshtein is a cheap codegen'd per-row
-      // check, so running it on the raw join output keeps the false
-      // candidates (~45% of the candidate stream on sequential-id names)
-      // out of the distinct's shuffle entirely. Deliberately the 2-arg
-      // form: the threshold variant `levenshtein(a, b, 2)` measured 4x
-      // SLOWER on this 30M-row stream (30.5 s vs 7.6 s at sf0.1) — its
-      // early-exit bookkeeping costs more than the full 18x18 DP saves at
-      // these string lengths.
-      keyed.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"), col("k"))
-        .join(keyed.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"), col("k")), "k")
+      // verify BEFORE distinct, with the native banded `lev_within`
+      // expression: running the bound check on the raw join output keeps
+      // the false candidates (~45% of the candidate stream on
+      // sequential-id names) out of the distinct's shuffle entirely.
+      // (History: the full `levenshtein(a,b) <= 2` costs ~7.6 s on this
+      // 30M-row stream at sf0.1 and Spark's own threshold form
+      // `levenshtein(a,b,2)` is 4x worse still — hence the custom
+      // expression; semantics are spec-pinned identical.)
+      val idPairs = keyed
+        .select(col("c_custkey").as("a_id"), col("c_name").as("a_name"), col("kh"))
+        .join(keyed.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"), col("kh")), "kh")
         .filter(col("a_id") < col("b_id") &&
-          levenshtein(col("a_name"), col("b_name")) <= MaxDist2)
-        .select("a_id", "b_id", "a_name", "b_name").distinct()
+          expr(s"lev_within(a_name, b_name, $MaxDist2)"))
+        // distinct over the 16-byte id pair only — the names rejoin below
+        // from the (small) base table, so the dedup shuffle carries a
+        // quarter of the bytes
+        .select("a_id", "b_id").distinct()
+      val names = Tables.customer(spark, sfDir)
+      idPairs
+        .join(names.select(col("c_custkey").as("a_id"), col("c_name").as("a_name")), "a_id")
+        .join(names.select(col("c_custkey").as("b_id"), col("c_name").as("b_name")), "b_id")
+        .select("a_id", "b_id", "a_name", "b_name")
     }
 
   /** Per-record fuzzy-neighbor summary (see object doc): derived from the

@@ -34,9 +34,18 @@ def main() -> int:
         name = os.path.basename(p)[: -len(".parquet")]
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    only = sys.argv[3:]
+    # trailing args: substrings to include; "-name" entries EXCLUDE queries
+    # whose name contains the substring (for oracle formulations that don't
+    # scale to large SFs, e.g. recursive-CTE closures over dense graphs)
+    only = [a for a in sys.argv[3:] if not a.startswith("-")]
+    skip = [a[1:] for a in sys.argv[3:] if a.startswith("-")]
     if only:
         oracle = {k: v for k, v in oracle.items() if any(s in k for s in only)}
+    for sub in skip:
+        dropped = [k for k in oracle if sub in k]
+        for k in dropped:
+            print(f"SKIP {k} (excluded: {sub})")
+        oracle = {k: v for k, v in oracle.items() if sub not in k}
     failed = []
     for name in sorted(oracle):
         try:
