@@ -52,7 +52,7 @@ object Bench {
   }
 
   /** One timed invocation's resource profile. All seconds; bytes in MB. */
-  private final case class RunMetrics(wall: Double, gc: Double, cpu: Double,
+  private[graft] final case class RunMetrics(wall: Double, gc: Double, cpu: Double,
       busy: Double, inputMb: Double, shuffleMb: Double, spillMb: Double,
       tasks: Long, builds: Long) {
     def json: String =
@@ -74,7 +74,7 @@ object Bench {
     *  - "executor-cpu":        the extra time was real on-core compute (JIT
     *                           warmup on first execution, or a plan change).
     */
-  private def classifyStall(slow: RunMetrics, fast: RunMetrics): String = {
+  private[graft] def classifyStall(slow: RunMetrics, fast: RunMetrics): String = {
     val excess = slow.wall - fast.wall
     val gcExcess = slow.gc - fast.gc
     val busyExcess = slow.busy - fast.busy

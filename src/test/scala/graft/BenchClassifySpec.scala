@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The divergence classifier's decision boundaries, pinned with synthetic
+  * per-pass profiles shaped like the stalls it exists to attribute.
+  */
+class BenchClassifySpec extends AnyFunSuite {
+  private def m(wall: Double, gc: Double = 0, cpu: Double = 0, busy: Double = 0) =
+    Bench.RunMetrics(wall, gc, cpu, busy, 0, 0, 0, 0, 0)
+
+  test("collector time eating the excess classifies as gc") {
+    // slow pass: +10s wall, +6s GC
+    assert(Bench.classifyStall(m(12, gc = 6.5, cpu = 20, busy = 30),
+      m(2, gc = 0.2, cpu = 18, busy = 28)) == "gc")
+  }
+
+  test("idle executors during the excess classify as driver-or-scheduler") {
+    // wall grows 10s but summed executor run time barely moves: planning,
+    // codegen compilation, catalog work — the driver owns the stall
+    assert(Bench.classifyStall(m(12, cpu = 19, busy = 29),
+      m(2, cpu = 18, busy = 28)) == "driver-or-scheduler")
+  }
+
+  test("busy-but-starved executors classify as io-or-contention") {
+    // executors report +40s run time over the pair but the PROCESS got
+    // only +2s of CPU: blocked on cold reads or an external core thief
+    assert(Bench.classifyStall(m(12, cpu = 20, busy = 68),
+      m(2, cpu = 18, busy = 28)) == "io-or-contention")
+  }
+
+  test("hot executors with matching process CPU classify as executor-cpu") {
+    // the excess was real on-core compute (JIT warmup, plan change)
+    assert(Bench.classifyStall(m(12, cpu = 58, busy = 68),
+      m(2, cpu = 18, busy = 28)) == "executor-cpu")
+  }
+}
