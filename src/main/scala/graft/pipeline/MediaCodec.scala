@@ -32,12 +32,23 @@ object MediaCodec {
       (rgb(3 * i) & 0xff) + (rgb(3 * i + 1) & 0xff) + (rgb(3 * i + 2) & 0xff)
   }
 
+  /** Decoded PCM audio: unsigned 8-bit mono samples (the one PCM layout
+    * whose container needs no resampling/endianness work to verify).
+    */
+  final case class PcmAudio(sampleRate: Int, samples: Array[Byte]) {
+    /** |sample - 128|: amplitude around the unsigned-8-bit midpoint. */
+    def amplitude(i: Int): Int = math.abs((samples(i) & 0xff) - 128)
+  }
+
   /** Magic-byte sniff: Some("ppm") for binary P6, Some("bmp") for BM,
-    * None for anything else (callers fall back to the stub featurizer).
+    * Some("wav") for RIFF, None for anything else (callers fall back to
+    * the stub featurizer).
     */
   def sniff(payload: Array[Byte]): Option[String] =
     if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') Some("ppm")
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') Some("bmp")
+    else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F') Some("wav")
     else None
 
   /** Decode a payload whose magic bytes sniff as a supported raster. */
@@ -130,6 +141,85 @@ object MediaCodec {
       row += 1
     }
     RasterImage(width, height, rgb)
+  }
+
+  /** WAV (RIFF) with uncompressed 8-bit mono PCM: `RIFF <size> WAVE`, then
+    * a CHUNK WALK — `fmt ` (PCM format tag 1, 1 channel, 8 bits) may be
+    * preceded/followed by chunks a real encoder emits (`LIST`, `fact`,
+    * `bext`...), which are skipped by their declared length (odd sizes pad
+    * one byte, per spec); decode takes the first `data` chunk after a
+    * valid `fmt `. Strict rejects for compressed / multi-channel / 16-bit
+    * forms — this decoder verifies, it never resamples.
+    */
+  def decodeWav(bytes: Array[Byte]): PcmAudio = {
+    require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F', "not a RIFF file")
+    require(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "RIFF but not WAVE")
+    var pos = 12
+    var sampleRate = -1
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = le32(bytes, pos + 4)
+      require(size >= 0, s"WAV: negative chunk size at byte $pos")
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"WAV: fmt chunk too short ($size)")
+          require(body + 16 <= bytes.length, "WAV: truncated fmt chunk")
+          val formatTag = le16(bytes, body)
+          val channels = le16(bytes, body + 2)
+          val bits = le16(bytes, body + 14)
+          require(formatTag == 1, s"WAV: only PCM (tag 1) supported, got $formatTag")
+          require(channels == 1, s"WAV: only mono supported, got $channels channels")
+          require(bits == 8, s"WAV: only 8-bit supported, got $bits")
+          sampleRate = le32(bytes, body + 4)
+          require(sampleRate > 0, s"WAV: bad sample rate $sampleRate")
+        case "data" =>
+          require(sampleRate > 0, "WAV: data chunk before a valid fmt chunk")
+          require(body + size <= bytes.length, "WAV: truncated data chunk")
+          return PcmAudio(sampleRate, java.util.Arrays.copyOfRange(bytes, body, body + size))
+        case _ => // unknown chunk: skip by declared length
+      }
+      pos = body + size + (size & 1) // chunks are word-aligned: odd sizes pad
+    }
+    throw new IllegalArgumentException("WAV: no data chunk found")
+  }
+
+  /** Banded amplitude features over decoded PCM: [[Multimodal.FeatureDim]]
+    * contiguous sample bands, each the EXACT integer sum of |sample - 128|
+    * over its samples divided by `bandSamples * 128` — the audio twin of
+    * [[bandedLuma]] (integer sums, ONE double division, one float round).
+    */
+  def bandedAmplitude(audio: PcmAudio, dim: Int = Multimodal.FeatureDim): Array[Float] = {
+    val n = audio.samples.length
+    val out = new Array[Float](dim)
+    var k = 0
+    while (k < dim) {
+      val start = (k.toLong * n / dim).toInt
+      val end = ((k + 1).toLong * n / dim).toInt
+      var sum = 0L
+      var i = start
+      while (i < end) { sum += audio.amplitude(i); i += 1 }
+      if (end > start) out(k) = (sum / (128.0 * (end - start))).toFloat
+      k += 1
+    }
+    out
+  }
+
+  /** Constant 44-byte WAV header for `n` 8-bit mono PCM samples at
+    * `rate` Hz — the canonical minimal layout (RIFF + fmt + data), used by
+    * fixtures and the payload-builder queries (for FIXED n the header is a
+    * constant byte string, so Spark can `concat` it as a literal).
+    */
+  def wavHeader(n: Int, rate: Int = 8000): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate) // PCM, mono, byteRate=rate
+      .putShort(1).putShort(8)                           // blockAlign=1, 8-bit
+    b.put("data".getBytes("US-ASCII")).putInt(n)
+    b.array()
   }
 
   /** Encode a raster back to binary PPM — the round-trip twin of

@@ -384,6 +384,53 @@ object Multimodal extends QueryModule {
         FROM cand WHERE bit_count(xor(aha, ahb)) <= 3
         ORDER BY ia, ib"""
 
+  /** Samples per synthetic WAV clip. */
+  private val WavSamples = 192
+
+  /** `mm_real_audio`: REAL audio decode, oracle-checked — the WAV twin of
+    * `mm_real_decode`. Spark builds a genuine RIFF/WAVE file per document
+    * (the canonical 44-byte PCM header — a CONSTANT byte literal for fixed
+    * sample count — plus the document's first [[WavSamples]] bytes as
+    * unsigned 8-bit mono samples) and pushes it through the SAME batched
+    * decode pipeline: [[BatchedDecode.SniffingDecoder]] sniffs `RIFF`,
+    * [[MediaCodec.decodeWav]] walks the chunk list and validates the fmt
+    * block for real, and banded amplitude (exact integer |s-128| sums, ONE
+    * division, one float round) reduces the PCM. The oracle recomputes the
+    * bands from the document bytes, so a chunk-walk or offset bug is a
+    * value mismatch. Map-only until the final sort.
+    */
+  def realAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val headerHex = MediaCodec.wavHeader(WavSamples).map("%02X".format(_)).mkString
+    val wav = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= WavSamples)
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        concat(unhex(lit(headerHex)),
+          unhex(substring(hex(col("text").cast("binary")), 1, WavSamples * 2)))
+          .as("payload"))
+    BatchedDecode.decodeFeatures(wav.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("amp_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realAudioSql = {
+    val bandSamples = WavSamples / FeatureDim // 24 samples per band
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= $WavSamples
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CAST(CAST(CAST(list_sum(list_transform(
+                     range(k * $bandSamples, (k + 1) * $bandSamples),
+                     i -> abs(CAST('0x' || substring(h, i * 2 + 1, 2) AS INT) - 128)))
+                   AS DOUBLE) / ${128 * bandSamples}.0 AS FLOAT) AS DOUBLE) AS amp_frac
+          FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
+        )
+        SELECT doc_id, band, amp_frac FROM f ORDER BY doc_id, band"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata_stats" -> (metadataStats _),
     "mm_frame_sample" -> (frameSample _),
@@ -391,6 +438,7 @@ object Multimodal extends QueryModule {
     "mm_ahash_dedup" -> (ahashDedup _),
     "mm_real_decode" -> (realDecode _),
     "mm_real_ahash_dedup" -> (realAhashDedup _),
+    "mm_real_audio" -> (realAudio _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -400,6 +448,7 @@ object Multimodal extends QueryModule {
     "mm_ahash_dedup" -> ahashDedupSql,
     "mm_real_decode" -> realDecodeSql,
     "mm_real_ahash_dedup" -> realAhashDedupSql,
+    "mm_real_audio" -> realAudioSql,
   )
 }
 
@@ -450,15 +499,17 @@ object BatchedDecode {
   }
 
   /** REAL decoder dispatch: magic-byte sniff, then an actual parse of the
-    * payload — binary PPM (P6) and 24-bit BMP decode to pixels via
-    * [[MediaCodec]] and featurize as banded luma; any other format falls
-    * back to the stub featurizer. This is the production codec-dispatch
-    * shape: per-payload format detection inside a per-batch context.
+    * payload — binary PPM (P6) and 24-bit BMP decode to pixels and
+    * featurize as banded luma; RIFF WAV decodes to 8-bit PCM (chunk walk)
+    * and featurizes as banded amplitude; any other format falls back to
+    * the stub featurizer. This is the production codec-dispatch shape:
+    * per-payload format detection inside a per-batch context.
     */
   final class SniffingDecoder extends PayloadDecoder {
     private val stub = new StubDecoder
     def decode(payload: Array[Byte]): Array[Float] =
       MediaCodec.sniff(payload) match {
+        case Some("wav") => MediaCodec.bandedAmplitude(MediaCodec.decodeWav(payload))
         case Some(_) => MediaCodec.bandedLuma(MediaCodec.decode(payload))
         case None => stub.decode(payload)
       }

@@ -113,12 +113,75 @@ class MediaCodecSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+    b.array() // allocate() zero-fills, so odd bodies get their pad byte
+  }
+
+  private def fmtBody(tag: Int = 1, channels: Int = 1, rate: Int = 8000, bits: Int = 8) = {
+    val b = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putShort(tag.toShort).putShort(channels.toShort).putInt(rate).putInt(rate * channels)
+      .putShort(channels.toShort).putShort(bits.toShort)
+    b.array()
+  }
+
+  private def riff(chunks: Array[Byte]*): Array[Byte] = {
+    val body = chunks.flatten.toArray
+    val b = java.nio.ByteBuffer.allocate(12 + body.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(4 + body.length).put("WAVE".getBytes).put(body)
+    b.array()
+  }
+
+  test("WAV decode: chunk walk skips LIST and odd-size junk, parses fmt, takes data") {
+    val samples = Array.tabulate(16)(i => (100 + 7 * i).toByte)
+    val wav = riff(
+      chunk("LIST", "INFOsomething".getBytes), // 13 bytes: odd → padded
+      chunk("fmt ", fmtBody()),
+      chunk("junk", Array[Byte](1, 2, 3)),     // odd again
+      chunk("data", samples))
+    val got = decodeWav(wav)
+    assert(got.sampleRate == 8000)
+    assert(got.samples.toSeq == samples.toSeq)
+    // the constant builder parses through the same decoder
+    val canonical = wavHeader(16) ++ samples
+    assert(decodeWav(canonical).samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV decode: strict rejects (16-bit, stereo, non-PCM, missing data)") {
+    val samples = Array.fill(8)(5.toByte)
+    intercept[IllegalArgumentException](
+      decodeWav(riff(chunk("fmt ", fmtBody(bits = 16)), chunk("data", samples))))
+    intercept[IllegalArgumentException](
+      decodeWav(riff(chunk("fmt ", fmtBody(channels = 2)), chunk("data", samples))))
+    intercept[IllegalArgumentException](
+      decodeWav(riff(chunk("fmt ", fmtBody(tag = 3)), chunk("data", samples))))
+    intercept[IllegalArgumentException](decodeWav(riff(chunk("fmt ", fmtBody()))))
+    // data before fmt is malformed, not silently accepted
+    intercept[IllegalArgumentException](
+      decodeWav(riff(chunk("data", samples), chunk("fmt ", fmtBody()))))
+  }
+
+  test("bandedAmplitude: exact integer |s-128| sums with one division") {
+    val rnd = new scala.util.Random(31)
+    val samples = Array.fill(192)(rnd.nextInt(256).toByte)
+    val got = bandedAmplitude(PcmAudio(8000, samples))
+    val expected = (0 until 8).map { k =>
+      val sum = (24 * k until 24 * (k + 1)).map(i => math.abs((samples(i) & 0xff) - 128)).sum
+      (sum.toLong / (128.0 * 24)).toFloat
+    }
+    assert(got.toSeq == expected)
+  }
+
   test("sniffing decoder: real parse for rasters, stub for everything else, through one pipeline") {
     val textPayload = "not an image at all, just bytes".getBytes("UTF-8")
+    val pcm = Array.tabulate(24)(i => (110 + 3 * i).toByte)
     val rows = Seq(
       MediaRow(1L, "image", ppm2x2("P6\n8 8\n255\n".replace("8 8", "2 2"))),
       MediaRow(2L, "image", bmp(2, 2, px2x2)),
-      MediaRow(3L, "audio", textPayload))
+      MediaRow(3L, "audio", textPayload),
+      MediaRow(4L, "audio", wavHeader(24) ++ pcm))
     val got = BatchedDecode.decodeFeatures(spark.createDataset(rows), batchSize = 2)
       .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
     val real = bandedLuma(decodePpm(ppm2x2())).toSeq
@@ -126,5 +189,7 @@ class MediaCodecSpec extends SparkSpec {
     assert(got(2L) == real, "BMP payload must decode to the same features as its PPM twin")
     assert(got(3L) == (new BatchedDecode.StubDecoder).decode(textPayload).toSeq,
       "non-raster payloads fall back to the stub featurizer")
+    assert(got(4L) == bandedAmplitude(PcmAudio(8000, pcm)).toSeq,
+      "WAV payload must be REALLY decoded to PCM amplitude bands")
   }
 }
