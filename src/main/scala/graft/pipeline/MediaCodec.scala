@@ -49,6 +49,8 @@ object MediaCodec {
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') Some("bmp")
     else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == 'F') Some("wav")
+    else if (payload.length >= 9 &&
+      new String(payload, 0, 9, "US-ASCII") == "YUV4MPEG2") Some("y4m")
     else None
 
   /** Decode a payload whose magic bytes sniff as a supported raster. */
@@ -206,6 +208,92 @@ object MediaCodec {
     }
     out
   }
+
+  /** Decoded uncompressed video: C444 planar frames — each frame is
+    * `width*height` Y bytes, then U, then V (PLANAR, not interleaved; the
+    * YUV4MPEG2 layout).
+    */
+  final case class PlanarVideo(width: Int, height: Int, frames: IndexedSeq[Array[Byte]]) {
+    /** Frame i's luma plane (the first width*height bytes). */
+    def yPlane(i: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(frames(i), 0, width * height)
+  }
+
+  /** YUV4MPEG2 (.y4m) with C444 planar frames — the one VIDEO container a
+    * pure JVM can decode without codecs: a plain-text stream header
+    * (`YUV4MPEG2 W<w> H<h> ... C444\n`), then per frame a `FRAME`
+    * marker line (optionally with its own parameters) followed by
+    * `3*w*h` raw plane bytes. The parser reads the header parameters for
+    * real (W/H required, C must declare 444; F/I/A ignored), walks the
+    * frame markers, and validates every frame is complete. Strict rejects
+    * for other chroma subsamplings — this decoder verifies, it never
+    * resamples.
+    */
+  def decodeY4m(bytes: Array[Byte]): PlanarVideo = {
+    val magic = "YUV4MPEG2"
+    require(bytes.length >= magic.length + 1 &&
+      new String(bytes, 0, magic.length, "US-ASCII") == magic, "not a YUV4MPEG2 stream")
+    var pos = magic.length
+    var width = -1; var height = -1; var chroma = "C420jpeg" // spec default
+    while (pos < bytes.length && bytes(pos) != '\n') {
+      require(bytes(pos) == ' ', s"Y4M: malformed header at byte $pos")
+      pos += 1
+      val start = pos
+      while (pos < bytes.length && bytes(pos) != ' ' && bytes(pos) != '\n') pos += 1
+      val param = new String(bytes, start, pos - start, "US-ASCII")
+      param.headOption match {
+        case Some('W') => width = param.tail.toInt
+        case Some('H') => height = param.tail.toInt
+        case Some('C') => chroma = param
+        case _ => // F (rate), I (interlace), A (aspect), X (extension): ignored
+      }
+    }
+    require(pos < bytes.length, "Y4M: truncated header")
+    pos += 1 // consume the header newline
+    require(width > 0 && height > 0, s"Y4M: missing or bad dimensions ${width}x$height")
+    require(chroma == "C444", s"Y4M: only C444 planar supported, got $chroma")
+    val frameBytes = 3 * width * height
+    val frames = IndexedSeq.newBuilder[Array[Byte]]
+    while (pos < bytes.length) {
+      require(pos + 5 <= bytes.length &&
+        new String(bytes, pos, 5, "US-ASCII") == "FRAME", s"Y4M: expected FRAME at byte $pos")
+      pos += 5
+      while (pos < bytes.length && bytes(pos) != '\n') pos += 1 // frame params
+      require(pos < bytes.length, "Y4M: truncated FRAME marker")
+      pos += 1
+      require(pos + frameBytes <= bytes.length, "Y4M: truncated frame data")
+      frames += java.util.Arrays.copyOfRange(bytes, pos, pos + frameBytes)
+      pos += frameBytes
+    }
+    PlanarVideo(width, height, frames.result())
+  }
+
+  /** Banded luma over a single decoded frame's Y PLANE: the video twin of
+    * [[bandedLuma]]/[[bandedAmplitude]] (exact integer sums of the luma
+    * bytes, ONE double division, one float round).
+    */
+  def bandedLumaY(video: PlanarVideo, frame: Int, dim: Int = Multimodal.FeatureDim): Array[Float] = {
+    val y = video.yPlane(frame)
+    val n = y.length
+    val out = new Array[Float](dim)
+    var k = 0
+    while (k < dim) {
+      val start = (k.toLong * n / dim).toInt
+      val end = ((k + 1).toLong * n / dim).toInt
+      var sum = 0L
+      var i = start
+      while (i < end) { sum += (y(i) & 0xff); i += 1 }
+      if (end > start) out(k) = (sum / (255.0 * (end - start))).toFloat
+      k += 1
+    }
+    out
+  }
+
+  /** Constant Y4M stream header for fixed geometry — like [[wavHeader]], a
+    * constant byte string the payload-builder queries concat as a literal.
+    */
+  def y4mHeader(width: Int, height: Int): Array[Byte] =
+    s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
 
   /** Constant 44-byte WAV header for `n` 8-bit mono PCM samples at
     * `rate` Hz — the canonical minimal layout (RIFF + fmt + data), used by

@@ -9,11 +9,14 @@ import graft.{QueryModule, Tables}
   * `binary` payloads plus a TYPED metadata struct, with decode /
   * frame-sample / feature-extract operators (builder brief).
   *
-  * Decode is REAL for the two formats a pure JVM can parse without codec
-  * libraries — binary PPM (P6) and 24-bit BMP, via [[MediaCodec]], magic-
-  * sniffed per payload by [[BatchedDecode.SniffingDecoder]] and oracle-
-  * checked end to end by `mm_real_decode` — and a clearly-marked
-  * DETERMINISTIC STUB ([[BatchedDecode.StubDecoder]]) for everything else
+  * Decode is REAL across all three modalities, for the formats a pure JVM
+  * can parse without codec libraries — binary PPM (P6) and 24-bit BMP
+  * images, RIFF/WAV 8-bit PCM audio, and YUV4MPEG2 C444 video, via
+  * [[MediaCodec]], magic-sniffed per payload by
+  * [[BatchedDecode.SniffingDecoder]] and oracle-checked end to end by
+  * `mm_real_decode` / `mm_real_audio` / `mm_real_frames` /
+  * `mm_real_ahash_dedup` — with a clearly-marked DETERMINISTIC STUB
+  * ([[BatchedDecode.StubDecoder]]) only for compressed formats
   * (no libjpeg/ffmpeg-class codecs exist in this environment). Around the
   * decoders, the Spark-side plumbing a production codec drops into is all
   * real: the binary+struct schema, map-only slicing/fingerprinting of
@@ -431,6 +434,79 @@ object Multimodal extends QueryModule {
         SELECT doc_id, band, amp_frac FROM f ORDER BY doc_id, band"""
   }
 
+  /** Frames per synthetic Y4M clip, and the sampling stride for the real
+    * frame-sample query (every 2nd frame of 4 → frames 0 and 2).
+    */
+  private val Y4mFrames = 4
+  private val Y4mSampleEvery = 2
+
+  /** Bytes per 4x4 C444 frame (3 planes x 16) — small frames so the
+    * 4-frame clip fits the documents the other real-decode rows use. */
+  private val Y4mFrameBytes = 3 * 4 * 4
+
+  /** `mm_real_frames`: REAL video decode + frame sampling — the VIDEO twin
+    * of `mm_real_decode`/`mm_real_audio`, completing the modality set.
+    * Spark builds a genuine YUV4MPEG2 stream per document (the constant
+    * text header for 4x4 C444, then [[Y4mFrames]] frames each `FRAME\n` +
+    * 192 document bytes as planar YUV), [[MediaCodec.decodeY4m]] parses the
+    * header parameters and WALKS the frame markers for real, and every
+    * [[Y4mSampleEvery]]-th decoded frame emits its banded-luma Y-plane
+    * summary (exact integer sums, ONE division, one float round — the same
+    * discipline as the image/audio twins, collapsed here to the frame-mean
+    * band for a compact row). The oracle recomputes each sampled frame's
+    * luma from the document bytes at the planar offsets, so a header-parse,
+    * marker-walk, or plane-offset bug all land as value mismatches.
+    *
+    * Scale: decode is map-only inside the per-batch decoder context; frame
+    * sampling happens AT the decoder (the skipped frames never leave it),
+    * which is the point of the batched contract — at 100 TB the codec
+    * drops frames where the bytes live, not after a shuffle.
+    */
+  def realFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val headerHex = MediaCodec.y4mHeader(4, 4).map("%02X".format(_)).mkString
+    val markerHex = "FRAME\n".getBytes("US-ASCII").map("%02X".format(_)).mkString
+    val frameCols = (0 until Y4mFrames).flatMap(k => Seq(
+      unhex(lit(markerHex)),
+      unhex(substring(hex(col("text").cast("binary")),
+        k * Y4mFrameBytes * 2 + 1, Y4mFrameBytes * 2))))
+    val y4m = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= Y4mFrames * Y4mFrameBytes)
+      .select(col("doc_id"), lit("video").as("media_type"),
+        concat(unhex(lit(headerHex)) +: frameCols: _*).as("payload"))
+    y4m.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val clip = MediaCodec.decodeY4m(r.payload)
+          (0 until clip.frames.length by Y4mSampleEvery).map { f =>
+            val y = clip.yPlane(f)
+            var sum = 0L
+            var i = 0
+            while (i < y.length) { sum += (y(i) & 0xff); i += 1 }
+            (r.doc_id, f, (sum / (255.0 * y.length)).toFloat.toDouble)
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_no", "y_frac")
+      .orderBy("doc_id", "frame_no")
+  }
+
+  private val realFramesSql = {
+    val pixels = 4 * 4 // Y-plane bytes per frame
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= ${Y4mFrames * Y4mFrameBytes}
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS frame_no,
+                 CAST(CAST(CAST(list_sum(list_transform(
+                     range(k * $Y4mFrameBytes, k * $Y4mFrameBytes + $pixels),
+                     i -> CAST('0x' || substring(h, i * 2 + 1, 2) AS INT)))
+                   AS DOUBLE) / ${255 * pixels}.0 AS FLOAT) AS DOUBLE) AS y_frac
+          FROM d, (SELECT unnest(range(0, $Y4mFrames, $Y4mSampleEvery)) AS k)
+        )
+        SELECT doc_id, frame_no, y_frac FROM f ORDER BY doc_id, frame_no"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata_stats" -> (metadataStats _),
     "mm_frame_sample" -> (frameSample _),
@@ -439,6 +515,7 @@ object Multimodal extends QueryModule {
     "mm_real_decode" -> (realDecode _),
     "mm_real_ahash_dedup" -> (realAhashDedup _),
     "mm_real_audio" -> (realAudio _),
+    "mm_real_frames" -> (realFrames _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -449,6 +526,7 @@ object Multimodal extends QueryModule {
     "mm_real_decode" -> realDecodeSql,
     "mm_real_ahash_dedup" -> realAhashDedupSql,
     "mm_real_audio" -> realAudioSql,
+    "mm_real_frames" -> realFramesSql,
   )
 }
 
@@ -510,6 +588,7 @@ object BatchedDecode {
     def decode(payload: Array[Byte]): Array[Float] =
       MediaCodec.sniff(payload) match {
         case Some("wav") => MediaCodec.bandedAmplitude(MediaCodec.decodeWav(payload))
+        case Some("y4m") => MediaCodec.bandedLumaY(MediaCodec.decodeY4m(payload), frame = 0)
         case Some(_) => MediaCodec.bandedLuma(MediaCodec.decode(payload))
         case None => stub.decode(payload)
       }

@@ -174,6 +174,31 @@ class MediaCodecSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("Y4M decode: header params, frame-marker walk (with per-frame params), planar Y extraction") {
+    val rnd = new scala.util.Random(37)
+    val f0 = Array.fill(2 * 2 * 3)(rnd.nextInt(256).toByte)
+    val f1 = Array.fill(2 * 2 * 3)(rnd.nextInt(256).toByte)
+    val y4m = "YUV4MPEG2 W2 H2 F30:1 Ip A1:1 C444 Xextension\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes ++ f0 ++ "FRAME Ifoo\n".getBytes ++ f1
+    val clip = decodeY4m(y4m)
+    assert(clip.width == 2 && clip.height == 2 && clip.frames.length == 2)
+    assert(clip.frames(0).toSeq == f0.toSeq && clip.frames(1).toSeq == f1.toSeq)
+    assert(clip.yPlane(1).toSeq == f1.take(4).toSeq, "Y plane is the first w*h bytes")
+    // the constant builder parses through the same decoder
+    assert(decodeY4m(y4mHeader(2, 2) ++ "FRAME\n".getBytes ++ f0).frames.length == 1)
+  }
+
+  test("Y4M decode: strict rejects (default C420, truncated frame, junk between frames)") {
+    val f = Array.fill(12)(9.toByte)
+    intercept[IllegalArgumentException]( // no C param -> spec default C420jpeg
+      decodeY4m("YUV4MPEG2 W2 H2\n".getBytes ++ "FRAME\n".getBytes ++ f))
+    intercept[IllegalArgumentException](
+      decodeY4m(y4mHeader(2, 2) ++ "FRAME\n".getBytes ++ f.take(7)))
+    intercept[IllegalArgumentException](
+      decodeY4m(y4mHeader(2, 2) ++ "JUNK!\n".getBytes ++ f))
+    intercept[IllegalArgumentException](decodeY4m("YUV4MPEG2 H2 C444\n".getBytes))
+  }
+
   test("sniffing decoder: real parse for rasters, stub for everything else, through one pipeline") {
     val textPayload = "not an image at all, just bytes".getBytes("UTF-8")
     val pcm = Array.tabulate(24)(i => (110 + 3 * i).toByte)
