@@ -371,13 +371,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!compute.contains("Exchange"), s"feature stage shuffles:\n$compute")
   }
 
-  test("real decode is map-only: one range Exchange for the sort, no joins") {
-    val p = planOf("mm_real_decode")
-    assert(p.contains("MapPartitions"), "typed decode batcher missing from plan")
-    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(exchanges.forall(_.startsWith("rangepartitioning")),
-      s"decode path shuffles beyond the final sort: $exchanges\n$p")
-    assert(!p.contains("Join"), s"decode path joins:\n$p")
+  test("real decode (image, audio, video) is map-only: one range Exchange for the sort, no joins") {
+    for (q <- Seq("mm_real_decode", "mm_real_audio", "mm_real_frames")) {
+      val p = planOf(q)
+      assert(p.contains("MapPartitions"), s"$q: typed decode batcher missing from plan")
+      val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(exchanges.forall(_.startsWith("rangepartitioning")),
+        s"$q: decode path shuffles beyond the final sort: $exchanges\n$p")
+      assert(!p.contains("Join"), s"$q: decode path joins:\n$p")
+    }
   }
 
   test("real-pixel ahash dedup consumes the signature memo, never raw text") {
