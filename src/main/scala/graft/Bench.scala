@@ -51,14 +51,23 @@ object Bench {
     }
   }
 
+  /** Locale-independent fixed-decimal render: the f-interpolator uses the
+    * JVM default locale, which can emit comma decimals — invalid JSON.
+    */
+  private def num(v: Double, decimals: Int): String = {
+    val scale = math.pow(10, decimals)
+    (math.round(v * scale) / scale).toString
+  }
+
   /** One timed invocation's resource profile. All seconds; bytes in MB. */
   private[graft] final case class RunMetrics(wall: Double, gc: Double, cpu: Double,
       busy: Double, inputMb: Double, shuffleMb: Double, spillMb: Double,
       tasks: Long, builds: Long) {
     def json: String =
-      f"""{"wall":$wall%.3f,"gc":$gc%.3f,"cpu":$cpu%.3f,"busy":$busy%.3f,""" +
-        f""""input_mb":$inputMb%.1f,"shuffle_mb":$shuffleMb%.1f,""" +
-        f""""spill_mb":$spillMb%.1f,"tasks":$tasks,"builds":$builds}"""
+      s"""{"wall":${num(wall, 3)},"gc":${num(gc, 3)},"cpu":${num(cpu, 3)},""" +
+        s""""busy":${num(busy, 3)},"input_mb":${num(inputMb, 1)},""" +
+        s""""shuffle_mb":${num(shuffleMb, 1)},"spill_mb":${num(spillMb, 1)},""" +
+        s""""tasks":$tasks,"builds":$builds}"""
   }
 
   /** Mechanical attribution of the EXCESS wall time in a divergent pair:
@@ -119,7 +128,14 @@ object Bench {
     ).withDefaultValue(0)
     val names = SparkEntry.queries.keys.toSeq.sortBy(n => (producerRank(n), n))
 
+    // listener events are async: flush before every counter snapshot so a
+    // query's final task metrics land on IT, not on its successor — a
+    // misattributed tail flips the divergence classifier's verdict
+    def flushListeners(): Unit =
+      org.apache.spark.GraftSparkInternals.flushListeners(spark.sparkContext, 2000)
+
     def timed(name: String): (RunMetrics, Option[String]) = {
+      flushListeners()
       val g0 = gcSeconds(); val c0 = processCpuSeconds()
       val b0 = TaskCounters.busyMs.get; val i0 = TaskCounters.inputBytes.get
       val s0 = TaskCounters.shuffleBytes.get; val p0 = TaskCounters.spillBytes.get
@@ -130,6 +146,7 @@ object Bench {
       val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       val wall = (System.nanoTime() - t0) / 1e9
+      flushListeners() // untimed: wall is already captured
       (RunMetrics(wall, gcSeconds() - g0, processCpuSeconds() - c0,
         (TaskCounters.busyMs.get - b0) / 1e3,
         (TaskCounters.inputBytes.get - i0) / 1e6,
@@ -149,9 +166,12 @@ object Bench {
     def runPass(steadySample: Boolean): Map[String, (RunMetrics, Option[String], Option[Double])] =
       names.map { name =>
         val (m, err) = timed(name)
+        // a failed steady re-run must not publish its fast-abort wall time
         val steady =
-          if (steadySample && err.isEmpty && m.builds > 0) Some(timed(name)._1.wall)
-          else None
+          if (steadySample && err.isEmpty && m.builds > 0) {
+            val (sm, serr) = timed(name)
+            if (serr.isEmpty) Some(sm.wall) else None
+          } else None
         // queries may cache intermediates or write per-invocation scratch;
         // drop both so later timings are independent of earlier queries
         // (lingering scratch parquet competes for the page cache — the r7
@@ -210,7 +230,7 @@ object Bench {
     val errs = results.collect { case (k, _, _, _, Some(e), _, _) => jstr(k) + ":" + jstr(e.take(300)) }
       .mkString("{", ",", "}")
     val steadies = results.collect { case (k, _, _, _, _, _, Some(s)) =>
-      jstr(k) + ":" + f"$s%.3f" }.mkString("{", ",", "}")
+      jstr(k) + ":" + num(s, 3) }.mkString("{", ",", "}")
     val divJson = diverged.map { case (n, _, _) => jstr(n) }.mkString("[", ",", "]")
     // full per-pass resource profile + stall class, divergent queries only
     // (bounded: the common case is an empty object)

@@ -61,13 +61,16 @@ object LevWithin {
     * the byte-band fast path; anything multi-byte falls back to the same
     * full DP Spark's `levenshtein` defines, over code points.
     */
-  def within(a: UTF8String, b: UTF8String, k: Int): Boolean = {
-    if (k < 0) return false
+  def within(a: UTF8String, b: UTF8String, kRaw: Int): Boolean = {
+    if (kRaw < 0) return false
     val n = a.numBytes()
     val m = b.numBytes()
     // pure-ASCII iff byte count == char count; the common (and hot) case
     if (a.numChars() != n || b.numChars() != m)
-      return a.levenshteinDistance(b) <= k
+      return a.levenshteinDistance(b) <= kRaw
+    // distance never exceeds max(n, m): clamping k there keeps the band
+    // arithmetic (i + k, k + 1) overflow-free for any int bound
+    val k = math.min(kRaw, math.max(n, m))
     if (math.abs(n - m) > k) return false
     if (n == 0 || m == 0) return math.max(n, m) <= k
     val cap = k + 1 // every stored value saturates here; cap acts as +inf

@@ -394,8 +394,12 @@ object Dedup extends QueryModule {
       // signature agg exactly once (see Scratch.materialize)
       val chunks = Scratch.materialize(
         docs.select(col("doc_id"), col("sh"),
+          // MASKED extraction (& 65535, never a signed modulo): hash60
+          // signatures never set bit 63 today, but the pigeonhole must not
+          // silently break if a future signature does (the sign-straddling
+          // bug fixed in Multimodal.ahashPairs)
           posexplode(expr(
-            "transform(sequence(0, 3), c -> shiftright(sh, c * 16) % 65536)"))
+            "transform(sequence(0, 3), c -> shiftright(sh, c * 16) & 65535)"))
             .as(Seq("chunk_id", "chunk"))),
         "graft_simhash_chunks")
       val candidates = chunks.as("x").join(chunks.as("y"),
@@ -419,7 +423,7 @@ object Dedup extends QueryModule {
           WHERE len($rawTokensDuck) > 0 -- token-less docs have no signature
                                         -- (Spark side drops them at explode)
         ), chunks AS (
-          SELECT doc_id, sh, c AS chunk_id, (sh >> (c * 16)) % 65536 AS chunk
+          SELECT doc_id, sh, c AS chunk_id, (sh >> (c * 16)) & 65535 AS chunk
           FROM d, (SELECT unnest(range(0, 4)) AS c)
         ), cand AS (
           SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib, x.sh AS sha, y.sh AS shb

@@ -1,11 +1,13 @@
 package graft.pipeline
 
-/** REAL pure-JVM raster decoders for the two header-simplest uncompressed
-  * image formats — binary PPM (P6) and 24-bit uncompressed BMP — so the
-  * multimodal decode path is exercised against genuine image bytes, not
+/** REAL pure-JVM media decoders for the header-simplest uncompressed
+  * formats in each modality — binary PPM (P6) and 24-bit BMP images,
+  * RIFF/WAV 8-bit mono PCM audio, and YUV4MPEG2 C444 video — so the
+  * multimodal decode path is exercised against genuine media bytes, not
   * only the deterministic stub. No codec libraries exist in this
-  * environment; these formats need none: both are a small header plus raw
-  * RGB samples, decodable in ~40 lines each of plain byte arithmetic.
+  * environment; these formats need none: each is a small header (or chunk/
+  * frame-marker walk) plus raw samples, decodable in ~40 lines of plain
+  * byte arithmetic.
   *
   * The decoders are strict about what they accept (exact magic, 24bpp,
   * uncompressed, positive dimensions, enough pixel bytes) and throw
@@ -41,8 +43,8 @@ object MediaCodec {
   }
 
   /** Magic-byte sniff: Some("ppm") for binary P6, Some("bmp") for BM,
-    * Some("wav") for RIFF, None for anything else (callers fall back to
-    * the stub featurizer).
+    * Some("wav") for RIFF, Some("y4m") for YUV4MPEG2, None for anything
+    * else (callers fall back to the stub featurizer).
     */
   def sniff(payload: Array[Byte]): Option[String] =
     if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') Some("ppm")
@@ -123,11 +125,16 @@ object MediaCodec {
     val compression = le32(bytes, 30)
     require(bpp == 24, s"BMP: only 24bpp supported, got $bpp")
     require(compression == 0, s"BMP: only uncompressed (BI_RGB) supported, got $compression")
+    require(pixelOffset >= 54 && pixelOffset <= bytes.length,
+      s"BMP: pixel-data offset $pixelOffset outside the file")
     val height = math.abs(rawHeight)
     val bottomUp = rawHeight > 0
     require(width > 0 && height > 0, s"BMP: bad dimensions ${width}x$rawHeight")
-    val rowBytes = ((width * 3 + 3) / 4) * 4
-    require(bytes.length >= pixelOffset + rowBytes * height, "BMP: truncated pixels")
+    // Long math: a hostile header's width*3 or rowBytes*height must reject,
+    // never overflow into a vacuously-true bounds check
+    val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4
+    require(rowBytesL * height <= bytes.length - pixelOffset, "BMP: truncated pixels")
+    val rowBytes = rowBytesL.toInt
     val rgb = new Array[Byte](width * height * 3)
     var row = 0
     while (row < height) {
@@ -193,21 +200,8 @@ object MediaCodec {
     * over its samples divided by `bandSamples * 128` — the audio twin of
     * [[bandedLuma]] (integer sums, ONE double division, one float round).
     */
-  def bandedAmplitude(audio: PcmAudio, dim: Int = Multimodal.FeatureDim): Array[Float] = {
-    val n = audio.samples.length
-    val out = new Array[Float](dim)
-    var k = 0
-    while (k < dim) {
-      val start = (k.toLong * n / dim).toInt
-      val end = ((k + 1).toLong * n / dim).toInt
-      var sum = 0L
-      var i = start
-      while (i < end) { sum += audio.amplitude(i); i += 1 }
-      if (end > start) out(k) = (sum / (128.0 * (end - start))).toFloat
-      k += 1
-    }
-    out
-  }
+  def bandedAmplitude(audio: PcmAudio, dim: Int = Multimodal.FeatureDim): Array[Float] =
+    bandedSums(audio.samples.length, dim, 128.0, audio.amplitude)
 
   /** Decoded uncompressed video: C444 planar frames — each frame is
     * `width*height` Y bytes, then U, then V (PLANAR, not interleaved; the
@@ -274,19 +268,7 @@ object MediaCodec {
     */
   def bandedLumaY(video: PlanarVideo, frame: Int, dim: Int = Multimodal.FeatureDim): Array[Float] = {
     val y = video.yPlane(frame)
-    val n = y.length
-    val out = new Array[Float](dim)
-    var k = 0
-    while (k < dim) {
-      val start = (k.toLong * n / dim).toInt
-      val end = ((k + 1).toLong * n / dim).toInt
-      var sum = 0L
-      var i = start
-      while (i < end) { sum += (y(i) & 0xff); i += 1 }
-      if (end > start) out(k) = (sum / (255.0 * (end - start))).toFloat
-      k += 1
-    }
-    out
+    bandedSums(y.length, dim, 255.0, i => y(i) & 0xff)
   }
 
   /** Constant Y4M stream header for fixed geometry — like [[wavHeader]], a
@@ -330,8 +312,17 @@ object MediaCodec {
     * aHash mean). Mirrors the stub's contract: Array[Float] of FeatureDim
     * values in [0, 1].
     */
-  def bandedLuma(img: RasterImage, dim: Int = Multimodal.FeatureDim): Array[Float] = {
-    val n = img.pixelCount
+  def bandedLuma(img: RasterImage, dim: Int = Multimodal.FeatureDim): Array[Float] =
+    bandedSums(img.pixelCount, dim, 3.0 * 255.0, img.rgbSum)
+
+  /** The ONE banded reduction all three featurizers share: `dim` contiguous
+    * bands over `n` elements, band k = exact integer sum of `value(i)` for
+    * i in [k*n/dim, (k+1)*n/dim) divided by `denomPerElement * bandSize` —
+    * one double division per band, then one float round, so every modality
+    * is bit-reproducible across engines by the same discipline.
+    */
+  private def bandedSums(n: Int, dim: Int, denomPerElement: Double,
+      value: Int => Int): Array[Float] = {
     val out = new Array[Float](dim)
     var k = 0
     while (k < dim) {
@@ -339,8 +330,8 @@ object MediaCodec {
       val end = ((k + 1).toLong * n / dim).toInt
       var sum = 0L
       var i = start
-      while (i < end) { sum += img.rgbSum(i); i += 1 }
-      if (end > start) out(k) = (sum / (3.0 * (end - start) * 255.0)).toFloat
+      while (i < end) { sum += value(i); i += 1 }
+      if (end > start) out(k) = (sum / (denomPerElement * (end - start))).toFloat
       k += 1
     }
     out

@@ -588,7 +588,12 @@ object BatchedDecode {
     def decode(payload: Array[Byte]): Array[Float] =
       MediaCodec.sniff(payload) match {
         case Some("wav") => MediaCodec.bandedAmplitude(MediaCodec.decodeWav(payload))
-        case Some("y4m") => MediaCodec.bandedLumaY(MediaCodec.decodeY4m(payload), frame = 0)
+        case Some("y4m") =>
+          val clip = MediaCodec.decodeY4m(payload)
+          // a header-only stream is VALID zero-frame Y4M: no luma to band,
+          // so featurize as the zero vector instead of crashing the task
+          if (clip.frames.isEmpty) new Array[Float](Multimodal.FeatureDim)
+          else MediaCodec.bandedLumaY(clip, frame = 0)
         case Some(_) => MediaCodec.bandedLuma(MediaCodec.decode(payload))
         case None => stub.decode(payload)
       }

@@ -42,6 +42,9 @@ class LevWithinSpec extends SparkSpec {
     assert(w("", "", 0) && w("abc", "abc", 0))
     assert(w("", "ab", 2) && !w("", "abc", 2))
     assert(!w("abcdefgh", "zzzzzzzz", 3))
+    // huge bounds must clamp, not overflow the band arithmetic
+    assert(w("ab", "ab", Int.MaxValue - 1))
+    assert(w("ab", "xy", Int.MaxValue))
   }
 
   test("SQL form agrees with levenshtein(a,b) <= k on random unicode pairs (codegen path)") {

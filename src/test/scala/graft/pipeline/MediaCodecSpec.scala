@@ -199,6 +199,27 @@ class MediaCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](decodeY4m("YUV4MPEG2 H2 C444\n".getBytes))
   }
 
+  test("Y4M header-only stream is valid zero-frame video; decoder featurizes it as zeros") {
+    val headerOnly = y4mHeader(2, 2)
+    assert(decodeY4m(headerOnly).frames.isEmpty)
+    val got = BatchedDecode.decodeFeatures(
+      spark.createDataset(Seq(MediaRow(9L, "video", headerOnly)))).collect()
+    assert(got.head.feature.toSeq == Seq.fill(Multimodal.FeatureDim)(0f),
+      "zero-frame clip must featurize as the zero vector, not crash the task")
+  }
+
+  test("BMP hostile headers reject instead of overflowing") {
+    val good = bmp(2, 2, px2x2)
+    val badOffset = good.clone()
+    badOffset(10) = 0xff.toByte; badOffset(11) = 0xff.toByte
+    badOffset(12) = 0xff.toByte; badOffset(13) = 0xff.toByte // negative le32
+    intercept[IllegalArgumentException](decodeBmp(badOffset))
+    val hugeWidth = good.clone()
+    hugeWidth(18) = 0xab.toByte; hugeWidth(19) = 0xaa.toByte
+    hugeWidth(20) = 0xaa.toByte; hugeWidth(21) = 0x2a.toByte // width*3 overflows int
+    intercept[IllegalArgumentException](decodeBmp(hugeWidth))
+  }
+
   test("sniffing decoder: real parse for rasters, stub for everything else, through one pipeline") {
     val textPayload = "not an image at all, just bytes".getBytes("UTF-8")
     val pcm = Array.tabulate(24)(i => (110 + 3 * i).toByte)
