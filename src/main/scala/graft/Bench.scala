@@ -110,8 +110,11 @@ object Bench {
     val producerRank = Map(
       "dedup_minhash_lsh" -> 0, "dedup_simhash" -> 0, "similarity_topk_lsh" -> 0,
       "similarity_topk_ivf" -> 0,
+      "dedup_prefix_exact" -> 0,
       "dedup_components" -> 1, "dedup_incremental" -> 1, "similarity_lsh_recall" -> 1,
       "similarity_ivf_recall" -> 1,
+      // consumes BOTH the prefix-exact and minhash pair memos
+      "dedup_lsh_recall" -> 1,
       // consumes the minhash pair memo the LSH query builds
       "corpus_curated_manifest" -> 1,
       // consumes the shingle-postings memo the exact cosine query builds

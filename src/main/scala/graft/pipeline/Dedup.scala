@@ -1269,7 +1269,130 @@ object Dedup extends QueryModule {
                 / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= $CosThreshold
         ORDER BY ia, ib"""
 
+  /** EXACT τ≥0.9 Jaccard pair set by PREFIX FILTERING (the PPJoin family,
+    * Chaudhuri/Xiao et al.) — the ground-truth twin of the MinHash LSH
+    * path, with FULL recall by theorem instead of by probability: order
+    * every document's token set by a GLOBAL order (document frequency
+    * ascending, ties by hash — the canonical PPJoin order, so prefixes are
+    * made of RARE tokens and candidate postings stay thin), take each
+    * doc's first `|g| - ⌈τ|g|⌉ + 1` tokens as its prefix, and join docs
+    * sharing a prefix token. Any pair with J ≥ τ shares ≥ ⌈τ|g|⌉ tokens,
+    * which cannot all fit outside a prefix that size — so the candidate
+    * set PROVABLY contains every qualifying pair, and the exact
+    * `jaccard_sorted` verify only removes false candidates. The prefix
+    * length is pure integer arithmetic (`⌈9n/10⌉ = (9n+9) div 10`) so both
+    * engines cut identical prefixes.
+    *
+    * Scale: prefix volume ≈ 10% of token volume; because the order is
+    * df-ascending, a token's posting in the prefix index is a SUBSET of
+    * its corpus posting skewed toward rare tokens — the candidate join is
+    * Σ df_prefix², bounded in practice by the rare tail, not the head.
+    */
+  private[pipeline] def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#dedup#prefix_jaccard#0.9") {
+      val docs = docTokens(spark, sfDir)
+      val rows = tokenHashRows(docs)
+      val dfs = rows.groupBy("h").agg(count(lit(1)).as("df"))
+      val prefixes = Scratch.materialize(
+        rows.join(dfs, "h")
+          .groupBy("doc_id")
+          .agg(expr("array_sort(collect_list(struct(df, h)))").as("o"))
+          .select(col("doc_id"), explode(expr(
+            "transform(slice(o, 1, size(o) - (9 * size(o) + 9) div 10 + 1), x -> x.h)"))
+            .as("t")),
+        "graft_prefix_tokens")
+      val cand = prefixes.as("x").join(prefixes.as("y"),
+          col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+        .distinct()
+      val ga = docs.select(col("doc_id").as("ia"), col("g").as("ga"))
+      val gb = docs.select(col("doc_id").as("ib"), col("g").as("gb"))
+      cand.join(ga, "ia").join(gb, "ib")
+        .withColumn("jaccard", expr("jaccard_sorted(ga, gb)"))
+        .filter(col("jaccard") >= 0.9)
+        .select("ia", "ib", "jaccard")
+    }
+
+  def prefixJaccardDedup(spark: SparkSession, sfDir: String): DataFrame =
+    prefixJaccardPairs(spark, sfDir).orderBy("ia", "ib")
+
+  /** Shared exact-pair CTE chain (DuckDB): requires `d(doc_id, g)`; ends
+    * with `exact(ia, ib)`.
+    */
+  private val prefixExactCtesDuck =
+    s"""rows AS (
+          SELECT doc_id, unnest(g) AS h FROM d
+        ), dfs AS (
+          SELECT h, COUNT(*) AS df FROM rows GROUP BY h
+        ), ord AS (
+          SELECT r.doc_id,
+                 list_sort(list({'df': f.df, 'h': r.h})) AS o
+          FROM rows r JOIN dfs f ON r.h = f.h GROUP BY r.doc_id
+        ), pfx AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   o[1 : len(o) - (9 * len(o) + 9) // 10 + 1], x -> x.h)) AS t
+          FROM ord
+        ), pcand AS (
+          SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+          FROM pfx x JOIN pfx y ON x.t = y.t AND x.doc_id < y.doc_id
+        ), exact AS (
+          SELECT c.ia, c.ib,
+                 CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                   / len(list_distinct(a.g || b.g)) AS jaccard
+          FROM pcand c JOIN d a ON c.ia = a.doc_id JOIN d b ON c.ib = b.doc_id
+          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / len(list_distinct(a.g || b.g)) >= 0.9
+        )"""
+
+  private val prefixJaccardSql =
+    s"""WITH d AS (SELECT doc_id, list_sort($tokenHashesDuck) AS g FROM documents),
+        $prefixExactCtesDuck
+        SELECT ia, ib, jaccard FROM exact ORDER BY ia, ib"""
+
+  /** `dedup_lsh_recall`: the MEASURED recall of the flagship MinHash-LSH
+    * dedup against the prefix-filtered exact ground truth — the
+    * "measure, don't guess" number for the probabilistic path (the
+    * similarity family's `_recall` rows, applied to dedup). One row:
+    * exact pairs, LSH pairs, their overlap, LSH-only extras (provably 0 —
+    * LSH verifies with the same exact Jaccard, so its pairs are a subset),
+    * and recall = common/exact. Exact integer counts; ONE division.
+    */
+  def lshRecallDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = prefixJaccardPairs(spark, sfDir).select("ia", "ib")
+    val lsh = minhashPairs(spark, sfDir).select("ia", "ib")
+    val common = exact.join(lsh, Seq("ia", "ib"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .withColumn("n_lsh_extra", expr("n_lsh - n_common"))
+      .withColumn("recall", expr(
+        "CASE WHEN n_exact = 0 THEN NULL ELSE CAST(n_common AS DOUBLE) / n_exact END"))
+  }
+
+  private val lshRecallDedupSql =
+    s"""WITH ${lshCandCtesDuck("d AS (SELECT doc_id, list_sort(" + tokenHashesDuck + ") AS g FROM documents)")},
+        lsh AS (
+          SELECT c.ia, c.ib
+          FROM cand c JOIN d a ON c.ia = a.doc_id JOIN d b ON c.ib = b.doc_id
+          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / len(list_distinct(a.g || b.g)) >= 0.9
+        ), $prefixExactCtesDuck,
+        common AS (
+          SELECT ia, ib FROM exact INTERSECT SELECT ia, ib FROM lsh
+        )
+        SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+               (SELECT COUNT(*) FROM lsh) AS n_lsh,
+               (SELECT COUNT(*) FROM common) AS n_common,
+               (SELECT COUNT(*) FROM lsh) - (SELECT COUNT(*) FROM common)
+                 AS n_lsh_extra,
+               CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
+                    ELSE CAST((SELECT COUNT(*) FROM common) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM exact) END AS recall"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix_exact" -> (prefixJaccardDedup _),
+    "dedup_lsh_recall" -> (lshRecallDedup _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (jaccardDedup _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -1287,6 +1410,8 @@ object Dedup extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "dedup_prefix_exact" -> prefixJaccardSql,
+    "dedup_lsh_recall" -> lshRecallDedupSql,
     "dedup_exact" -> exactDedupSql,
     "dedup_ngram_jaccard" -> jaccardDedupSql,
     "dedup_minhash_lsh" -> minhashLshSql,

@@ -63,6 +63,29 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefix-filtered exact pairs: FULL recall by theorem on the planted fixture") {
+    val exact = Dedup.prefixJaccardDedup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every J >= 0.9 pair present with the exact value...
+    assert(exact.get((1L, 2L)).contains(1.0))
+    assert(exact.get((1L, 3L)).exists(j => math.abs(j - 49.0 / 51.0) < 1e-12))
+    assert(exact.get((10L, 11L)).exists(j => math.abs(j - 48.0 / 52.0) < 1e-12))
+    assert(exact.get((11L, 12L)).exists(j => math.abs(j - 48.0 / 52.0) < 1e-12))
+    // ...and the below-threshold chain ends and unrelated doc are OUT
+    assert(!exact.contains((10L, 12L)), "J = 46/54 < 0.9 must not pair")
+    assert(!exact.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("LSH recall audit: LSH pairs are a subset of exact, recall in (0, 1]") {
+    val r = Dedup.lshRecallDedup(spark, dir).collect().head
+    val (nExact, nLsh, nCommon, nExtra, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(nExtra == 0L, "LSH verifies with exact Jaccard: it can never emit a non-pair")
+    assert(nCommon == nLsh)
+    assert(nExact >= nLsh && nExact > 0)
+    assert(recall == nCommon.toDouble / nExact && recall > 0 && recall <= 1.0)
+  }
+
   test("shingle-Jaccard and SimHash agree on the exact pair; unrelated doc stays out") {
     val shingle = Dedup.jaccardDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
