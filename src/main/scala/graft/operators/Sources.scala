@@ -153,6 +153,25 @@ object Sources extends QueryModule {
       .orderBy("s_suppkey")
   }
 
+  /** S9: nation → XML (one `<nation>` element per row; Spark 4's NATIVE
+    * XML datasource, no external package) → read back with schema
+    * inference. Proves the remaining built-in file format end to end —
+    * element-name round-trip, type inference from element text, and the
+    * same select-cast-sort normalization discipline as the CSV/JSON/ORC
+    * rows (XML infers longs where parquet had ints, and orders columns
+    * alphabetically; the projection pins both).
+    */
+  def xmlRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_xml")
+    Tables.nation(spark, sfDir)
+      .coalesce(1).write.mode("overwrite")
+      .format("xml").option("rowTag", "nation").save(dir)
+    spark.read.format("xml").option("rowTag", "nation").load(dir)
+      .select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+      .orderBy("n_nationkey")
+  }
+
   /** §2.7 set operators over compatible projections. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
@@ -185,6 +204,7 @@ object Sources extends QueryModule {
     "s6_orc_roundtrip" -> (orcRoundTrip _),
     "s7_schema_evolution" -> (schemaEvolution _),
     "s8_compaction_roundtrip" -> (compactionRoundTrip _),
+    "s9_xml_roundtrip" -> (xmlRoundTrip _),
     "setops_union_intersect_except" -> (setOps _),
   )
 
@@ -205,6 +225,8 @@ object Sources extends QueryModule {
     "s8_compaction_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
          FROM supplier ORDER BY s_suppkey""",
+    "s9_xml_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "setops_union_intersect_except" -> setOpsSql,
   )
 }
