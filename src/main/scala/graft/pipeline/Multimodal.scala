@@ -533,6 +533,25 @@ object Multimodal extends QueryModule {
 /** One media row for the typed batched-decode path. */
 case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
+/** Raw media FILES as the pipeline entry — the object-storage landing shape
+  * (a bucket of `<doc_id>.<ext>` blobs) read through Spark's built-in
+  * `binaryFile` source straight into the typed decode rows: id and type
+  * parse from the file name, the content column IS the payload. No custom
+  * input format, no driver-side listing loop — the source parallelizes the
+  * file scan and the decode runs where each blob's bytes are read.
+  */
+object MediaFiles {
+  def read(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.[a-z0-9]+$", 1).cast("long").as("doc_id"),
+        regexp_extract(col("path"), "\\.([a-z0-9]+)$", 1).as("media_type"),
+        col("content").as("payload"))
+      .as[MediaRow]
+  }
+}
+
 /** Fake-decoded feature row. */
 case class MediaFeature(doc_id: Long, feature: Array[Float])
 

@@ -220,6 +220,28 @@ class MediaCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](decodeBmp(hugeWidth))
   }
 
+  test("binaryFile source: a directory of media blobs decodes through the typed pipeline") {
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory("graft_media_files")
+    val ppmBytes = ppm2x2()
+    val wavBytes = wavHeader(16) ++ Array.tabulate(16)(i => (90 + 5 * i).toByte)
+    val junk = "no magic here".getBytes("UTF-8")
+    Files.write(Paths.get(d.toString, "7.ppm"), ppmBytes)
+    Files.write(Paths.get(d.toString, "8.wav"), wavBytes)
+    Files.write(Paths.get(d.toString, "9.bin"), junk)
+    val rows = MediaFiles.read(spark, d.toString).collect()
+      .map(r => r.doc_id -> ((r.media_type, r.payload.toSeq))).toMap
+    assert(rows.keySet == Set(7L, 8L, 9L))
+    assert(rows(7L) == (("ppm", ppmBytes.toSeq)))
+    assert(rows(8L)._1 == "wav")
+    val feats = BatchedDecode.decodeFeatures(MediaFiles.read(spark, d.toString))
+      .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
+    assert(feats(7L) == bandedLuma(decodePpm(ppmBytes)).toSeq,
+      "a .ppm blob landed as a file must REALLY decode")
+    assert(feats(8L) == bandedAmplitude(decodeWav(wavBytes)).toSeq)
+    assert(feats(9L) == (new BatchedDecode.StubDecoder).decode(junk).toSeq)
+  }
+
   test("sniffing decoder: real parse for rasters, stub for everything else, through one pipeline") {
     val textPayload = "not an image at all, just bytes".getBytes("UTF-8")
     val pcm = Array.tabulate(24)(i => (110 + 3 * i).toByte)
