@@ -337,6 +337,47 @@ object MediaCodec {
     out
   }
 
+  /** Box-average resize of a decoded raster to `w x h`: target pixel (x, y)
+    * averages the source box `[x*W/w, (x+1)*W/w) x [y*H/h, (y+1)*H/h)` per
+    * channel with EXACT integer arithmetic (sum of box samples divided by
+    * box size, truncating — identical in any engine), the same floor-bound
+    * banding discipline as the featurizers. Downscale is proper box
+    * filtering; upscale degenerates to nearest-neighbor (boxes of one
+    * source pixel) — both deterministic.
+    */
+  def resize(img: RasterImage, w: Int, h: Int): RasterImage = {
+    require(w > 0 && h > 0, s"resize: bad target ${w}x$h")
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val sy0 = (y.toLong * img.height / h).toInt
+      val sy1 = ((y + 1).toLong * img.height / h).toInt max (sy0 + 1)
+      var x = 0
+      while (x < w) {
+        val sx0 = (x.toLong * img.width / w).toInt
+        val sx1 = ((x + 1).toLong * img.width / w).toInt max (sx0 + 1)
+        var c = 0
+        while (c < 3) {
+          var sum = 0L
+          var sy = sy0
+          while (sy < sy1) {
+            var sx = sx0
+            while (sx < sx1) {
+              sum += (img.rgb(3 * (sy * img.width + sx) + c) & 0xff)
+              sx += 1
+            }
+            sy += 1
+          }
+          out(3 * (y * w + x) + c) = (sum / ((sy1 - sy0).toLong * (sx1 - sx0))).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    RasterImage(w, h, out)
+  }
+
   /** 64-bit perceptual average-hash over DECODED pixels: average-pool the
     * luma (integer R+G+B per pixel) onto an 8x8 grid, threshold each cell
     * against the grid mean, pack bits row-major — the real-decode twin of

@@ -507,6 +507,58 @@ object Multimodal extends QueryModule {
         SELECT doc_id, frame_no, y_frac FROM f ORDER BY doc_id, frame_no"""
   }
 
+  /** Thumbnail edge for the real-resize query: 8x8 decoded PPMs box-average
+    * down to 4x4 (every target pixel is an exact 2x2 integer mean).
+    */
+  private val ThumbSide = 4
+
+  /** `mm_real_thumbnail`: REAL decode + RESIZE — the brief's resize verb,
+    * executed on decoded pixels, oracle-checked per channel. Spark builds
+    * the genuine 8x8 P6 files ([[ppmPayloads]]), [[MediaCodec.decodePpm]]
+    * parses them in the typed batcher, [[MediaCodec.resize]] box-averages
+    * to [[ThumbSide]]² (each target pixel the truncating integer mean of
+    * its 2x2 source box — exact in any engine), and every thumbnail pixel
+    * emits its (r, g, b). The oracle recomputes each box mean from the
+    * document bytes at the row-major offsets, so a resize bounds or
+    * channel-order bug is a value mismatch. Map-only until the final sort.
+    */
+  def realThumbnail(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ppmPayloads(spark, sfDir).as[MediaRow].mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          val thumb = MediaCodec.resize(
+            MediaCodec.decodePpm(row.payload), ThumbSide, ThumbSide)
+          (0 until ThumbSide * ThumbSide).map { p =>
+            (row.doc_id, p, thumb.rgb(3 * p) & 0xff,
+              thumb.rgb(3 * p + 1) & 0xff, thumb.rgb(3 * p + 2) & 0xff)
+          }
+        }
+      }
+    }.toDF("doc_id", "px", "r", "g", "b")
+      .select(col("doc_id"), col("px"),
+        col("r").cast("int"), col("g").cast("int"), col("b").cast("int"))
+      .orderBy("doc_id", "px")
+  }
+
+  private val realThumbnailSql = {
+    // target pixel p = (y, x) on the 4x4 grid; source box = 2x2 pixels at
+    // (2x+dx, 2y+dy); source pixel (sx, sy) is byte offset 3*(sy*8+sx)+c
+    def chan(c: Int) =
+      s"""CAST((list_sum(list_transform(range(0, 4), d ->
+            CAST('0x' || substring(h,
+              (3 * (((p // $ThumbSide) * 2 + d // 2) * 8 + (p % $ThumbSide) * 2 + d % 2)
+               + $c) * 2 + 1, 2) AS INT)))) // 4 AS INT)"""
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= $PpmPixelBytes
+        )
+        SELECT doc_id, CAST(p AS INT) AS px,
+               ${chan(0)} AS r, ${chan(1)} AS g, ${chan(2)} AS b
+        FROM d, (SELECT unnest(range(0, ${ThumbSide * ThumbSide})) AS p)
+        ORDER BY doc_id, px"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata_stats" -> (metadataStats _),
     "mm_frame_sample" -> (frameSample _),
@@ -516,6 +568,7 @@ object Multimodal extends QueryModule {
     "mm_real_ahash_dedup" -> (realAhashDedup _),
     "mm_real_audio" -> (realAudio _),
     "mm_real_frames" -> (realFrames _),
+    "mm_real_thumbnail" -> (realThumbnail _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -527,6 +580,7 @@ object Multimodal extends QueryModule {
     "mm_real_ahash_dedup" -> realAhashDedupSql,
     "mm_real_audio" -> realAudioSql,
     "mm_real_frames" -> realFramesSql,
+    "mm_real_thumbnail" -> realThumbnailSql,
   )
 }
 

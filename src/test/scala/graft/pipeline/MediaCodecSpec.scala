@@ -220,6 +220,24 @@ class MediaCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](decodeBmp(hugeWidth))
   }
 
+  test("resize: box-average downscale is the exact integer mean; upscale is nearest; same-size is identity") {
+    // 4x4 grayscale ramp: pixel p has value 16*p in all channels
+    val ramp = RasterImage(4, 4, Array.tabulate(48)(i => (16 * (i / 3)).toByte))
+    val down = resize(ramp, 2, 2)
+    // target (0,0) averages source pixels 0,1,4,5 -> (0+16+64+80)/4 = 40
+    val expect = Seq(
+      (0 + 16 + 64 + 80) / 4, (32 + 48 + 96 + 112) / 4,
+      (128 + 144 + 192 + 208) / 4, (160 + 176 + 224 + 240) / 4)
+    assert(down.rgb.grouped(3).map(g => g(0) & 0xff).toSeq == expect)
+    assert(down.rgb.grouped(3).forall(g => g(0) == g(1) && g(1) == g(2)))
+    // upscale 2x2 -> 4x4 replicates each source pixel (nearest-neighbor)
+    val up = resize(decodePpm(ppm2x2()), 4, 4)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      assert(up.rgb(3 * (y * 4 + x) + c) == px2x2(3 * ((y / 2) * 2 + x / 2) + c))
+    // same-size resize is the identity (boxes of exactly one pixel)
+    assert(resize(ramp, 4, 4).rgb.toSeq == ramp.rgb.toSeq)
+  }
+
   test("binaryFile source: a directory of media blobs decodes through the typed pipeline") {
     import java.nio.file.{Files, Paths}
     val d = Files.createTempDirectory("graft_media_files")
