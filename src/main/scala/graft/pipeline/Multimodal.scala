@@ -595,15 +595,28 @@ case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   * file scan and the decode runs where each blob's bytes are read.
   */
 object MediaFiles {
-  def read(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    spark.read.format("binaryFile").load(dir)
-      .select(
+
+  private def toRows(files: DataFrame): Dataset[MediaRow] = {
+    import files.sparkSession.implicits._
+    files.select(
         regexp_extract(col("path"), "([0-9]+)\\.[a-z0-9]+$", 1).cast("long").as("doc_id"),
         regexp_extract(col("path"), "\\.([a-z0-9]+)$", 1).as("media_type"),
         col("content").as("payload"))
       .as[MediaRow]
   }
+
+  def read(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    toRows(spark.read.format("binaryFile").load(dir))
+
+  /** The CONTINUOUS landing shape: blobs appearing in the directory stream
+    * in as decode rows (same parse as the batch read), ready for
+    * [[graft.streaming.MediaIngest]] — new files per micro-batch, exactly
+    * the "media keeps arriving in the bucket" production pattern.
+    */
+  def readStream(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    toRows(spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
 }
 
 /** Fake-decoded feature row. */

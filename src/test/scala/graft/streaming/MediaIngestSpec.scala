@@ -63,4 +63,27 @@ class MediaIngestSpec extends SparkSpec {
     assert(landed(spark.read.parquet(s"$outDir/features")
       .select("doc_id", "feature")) == got)
   }
+
+  test("blobs landing in a directory stream through binaryFile into the decode core") {
+    import java.nio.file.{Files, Paths}
+    val blobDir = Files.createTempDirectory("graft_blob_stream")
+    val outDir = Files.createTempDirectory("graft_blob_out").toString
+    val ckpt = Files.createTempDirectory("graft_blob_ckpt").toString
+    val q = MediaIngest.start(
+      graft.pipeline.MediaFiles.readStream(spark, blobDir.toString).toDF,
+      outDir, ckpt)
+    try {
+      // first landing wave, then a second after a micro-batch has committed
+      Files.write(Paths.get(blobDir.toString, "21.ppm"), ppm(21))
+      q.processAllAvailable()
+      Files.write(Paths.get(blobDir.toString, "22.wav"), wav(22))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$outDir/features").select("doc_id", "feature")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.keySet == Set(21L, 22L))
+    assert(got(21L) == MediaCodec.bandedLuma(MediaCodec.decodePpm(ppm(21))).toSeq,
+      "a .ppm blob landing mid-stream must REALLY decode")
+    assert(got(22L) == MediaCodec.bandedAmplitude(MediaCodec.decodeWav(wav(22))).toSeq)
+  }
 }
