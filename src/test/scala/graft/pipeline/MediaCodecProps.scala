@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import MediaCodec._
+
+/** ScalaCheck invariants over the real codecs: container round-trips are
+  * lossless, the perceptual hash is container-independent, resize respects
+  * its exact-integer-mean contract, and the banded featurizers agree with a
+  * direct fold — on RANDOM geometry and pixels, not just the handcrafted
+  * spec fixtures.
+  */
+object MediaCodecProps extends Properties("mediacodec") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(30)
+
+  private val imageGen: Gen[RasterImage] = for {
+    w <- Gen.choose(1, 12)
+    h <- Gen.choose(1, 12)
+    rgb <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+  } yield RasterImage(w, h, rgb.map(_.toByte).toArray)
+
+  property("PPM encode-decode round-trip is lossless") = forAll(imageGen) { img =>
+    val rt = decodePpm(encodePpm(img))
+    rt.width == img.width && rt.height == img.height &&
+      rt.rgb.toSeq == img.rgb.toSeq
+  }
+
+  property("ahash64 sees pixels, not containers (PPM round-trip preserves it)") =
+    forAll(imageGen) { img =>
+      ahash64(img) == ahash64(decodePpm(encodePpm(img)))
+    }
+
+  property("same-size resize is the identity") = forAll(imageGen) { img =>
+    resize(img, img.width, img.height).rgb.toSeq == img.rgb.toSeq
+  }
+
+  property("resize output pixels are exact integer box means, within [min, max] of the box") =
+    forAll(imageGen, Gen.choose(1, 12), Gen.choose(1, 12)) { (img, w, h) =>
+      val out = resize(img, w, h)
+      (0 until h).forall { y =>
+        val (sy0, sy1raw) = ((y.toLong * img.height / h).toInt,
+          ((y + 1).toLong * img.height / h).toInt)
+        val sy1 = math.max(sy1raw, sy0 + 1)
+        (0 until w).forall { x =>
+          val (sx0, sx1raw) = ((x.toLong * img.width / w).toInt,
+            ((x + 1).toLong * img.width / w).toInt)
+          val sx1 = math.max(sx1raw, sx0 + 1)
+          (0 until 3).forall { c =>
+            val box = for (sy <- sy0 until sy1; sx <- sx0 until sx1)
+              yield img.rgb(3 * (sy * img.width + sx) + c) & 0xff
+            val got = out.rgb(3 * (y * w + x) + c) & 0xff
+            got == box.map(_.toLong).sum / box.size &&
+              got >= box.min - 1 && got <= box.max // truncating mean
+          }
+        }
+      }
+    }
+
+  property("bandedLuma equals a direct per-band fold at every dim") =
+    forAll(imageGen, Gen.choose(1, 8)) { (img, dim) =>
+      val got = bandedLuma(img, dim)
+      val n = img.pixelCount
+      (0 until dim).forall { k =>
+        val (s, e) = ((k.toLong * n / dim).toInt, ((k + 1).toLong * n / dim).toInt)
+        val expect =
+          if (e <= s) 0f
+          else ((s until e).map(i => img.rgbSum(i).toLong).sum / (3.0 * 255.0 * (e - s))).toFloat
+        got(k) == expect
+      }
+    }
+
+  private val wavGen: Gen[(Int, Array[Byte])] = for {
+    n <- Gen.choose(0, 64)
+    rate <- Gen.choose(1, 48000)
+    samples <- Gen.listOfN(n, Gen.choose(0, 255))
+  } yield (rate, samples.map(_.toByte).toArray)
+
+  property("WAV header-build + decode round-trip is lossless at any rate/length") =
+    forAll(wavGen) { case (rate, samples) =>
+      val got = decodeWav(wavHeader(samples.length, rate) ++ samples)
+      got.sampleRate == rate && got.samples.toSeq == samples.toSeq
+    }
+
+  property("Y4M build + decode round-trip preserves every frame") =
+    forAll(Gen.choose(1, 6), Gen.choose(1, 6), Gen.choose(0, 4)) { (w, h, nf) =>
+      val rnd = new scala.util.Random(w * 31 + h * 7 + nf)
+      val frames = Seq.fill(nf)(Array.fill(3 * w * h)(rnd.nextInt(256).toByte))
+      val bytes = y4mHeader(w, h) ++
+        frames.flatMap(f => "FRAME\n".getBytes("US-ASCII") ++ f)
+      val clip = decodeY4m(bytes.toArray)
+      clip.width == w && clip.height == h && clip.frames.length == nf &&
+        clip.frames.zip(frames).forall { case (a, b) => a.toSeq == b.toSeq }
+    }
+}
