@@ -98,8 +98,11 @@ object MediaCodec {
     // exactly ONE whitespace byte separates the header from pixel data
     require(pos < bytes.length && Character.isWhitespace(bytes(pos)), "PPM: missing pixel separator")
     pos += 1
-    val n = width * height * 3
-    require(bytes.length - pos >= n, s"PPM: truncated pixels (${bytes.length - pos} < $n)")
+    // Long math: a hostile header like `P6 65536 65536 255` must reject as
+    // truncated, not wrap width*height*3 to a small Int and decode garbage
+    val nL = width.toLong * height * 3
+    require(bytes.length - pos >= nL, s"PPM: truncated pixels (${bytes.length - pos} < $nL)")
+    val n = nL.toInt
     RasterImage(width, height, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
   }
 
@@ -133,7 +136,9 @@ object MediaCodec {
     // Long math: a hostile header's width*3 or rowBytes*height must reject,
     // never overflow into a vacuously-true bounds check
     val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4
-    require(rowBytesL * height <= bytes.length - pixelOffset, "BMP: truncated pixels")
+    // divide, don't multiply: rowBytesL * height can itself overflow Long
+    // when both dims are near Int.MaxValue
+    require(height <= (bytes.length - pixelOffset) / rowBytesL, "BMP: truncated pixels")
     val rowBytes = rowBytesL.toInt
     val rgb = new Array[Byte](width * height * 3)
     var row = 0
@@ -235,9 +240,19 @@ object MediaCodec {
       val start = pos
       while (pos < bytes.length && bytes(pos) != ' ' && bytes(pos) != '\n') pos += 1
       val param = new String(bytes, start, pos - start, "US-ASCII")
+      // numeric params parse strictly: non-digit, empty, or absurdly long
+      // values reject with the module's IllegalArgumentException contract
+      // rather than leaking NumberFormatException (negatives never parse:
+      // '-' is not a digit)
+      def dim(): Int = {
+        val t = param.tail
+        require(t.nonEmpty && t.length <= 9 && t.forall(c => c >= '0' && c <= '9'),
+          s"Y4M: bad numeric parameter '$param'")
+        t.toInt
+      }
       param.headOption match {
-        case Some('W') => width = param.tail.toInt
-        case Some('H') => height = param.tail.toInt
+        case Some('W') => width = dim()
+        case Some('H') => height = dim()
         case Some('C') => chroma = param
         case _ => // F (rate), I (interlace), A (aspect), X (extension): ignored
       }
@@ -246,7 +261,9 @@ object MediaCodec {
     pos += 1 // consume the header newline
     require(width > 0 && height > 0, s"Y4M: missing or bad dimensions ${width}x$height")
     require(chroma == "C444", s"Y4M: only C444 planar supported, got $chroma")
-    val frameBytes = 3 * width * height
+    // Long math: 3*width*height for a hostile 65536x65536 header must
+    // reject as truncated, never wrap to a small Int
+    val frameBytesL = 3L * width * height
     val frames = IndexedSeq.newBuilder[Array[Byte]]
     while (pos < bytes.length) {
       require(pos + 5 <= bytes.length &&
@@ -255,7 +272,8 @@ object MediaCodec {
       while (pos < bytes.length && bytes(pos) != '\n') pos += 1 // frame params
       require(pos < bytes.length, "Y4M: truncated FRAME marker")
       pos += 1
-      require(pos + frameBytes <= bytes.length, "Y4M: truncated frame data")
+      require(pos + frameBytesL <= bytes.length, "Y4M: truncated frame data")
+      val frameBytes = frameBytesL.toInt // safe: bounded by bytes.length above
       frames += java.util.Arrays.copyOfRange(bytes, pos, pos + frameBytes)
       pos += frameBytes
     }

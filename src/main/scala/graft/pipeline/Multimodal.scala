@@ -599,9 +599,14 @@ object MediaFiles {
   private def toRows(files: DataFrame): Dataset[MediaRow] = {
     import files.sparkSession.implicits._
     files.select(
-        regexp_extract(col("path"), "([0-9]+)\\.[a-z0-9]+$", 1).cast("long").as("doc_id"),
+        regexp_extract(col("path"), "([0-9]+)\\.[a-z0-9]+$", 1).try_cast("long").as("doc_id"),
         regexp_extract(col("path"), "\\.([a-z0-9]+)$", 1).as("media_type"),
         col("content").as("payload"))
+      // a landing dir is never clean: _SUCCESS markers, readme.txt, hidden
+      // files all fail the doc_id regex (-> null), and a null into the
+      // primitive Long field would kill the whole task at encode time —
+      // skip non-conforming names instead of failing the stream
+      .filter(col("doc_id").isNotNull)
       .as[MediaRow]
   }
 

@@ -220,6 +220,29 @@ class MediaCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](decodeBmp(hugeWidth))
   }
 
+  test("PPM/Y4M hostile headers reject as truncated instead of Int-overflowing to garbage") {
+    // P6 65536 65536: width*height*3 wraps to 0 in Int math — must reject loudly
+    intercept[IllegalArgumentException](decodePpm("P6\n65536 65536\n255\n ".getBytes("US-ASCII")))
+    // Y4M 65536x65536: 3*w*h wraps in Int math the same way
+    intercept[IllegalArgumentException](
+      decodeY4m("YUV4MPEG2 W65536 H65536 C444\nFRAME\n ".getBytes("US-ASCII")))
+    // BMP with both dims near Int.MaxValue: rowBytes*height overflows LONG —
+    // the divide-form bound must still reject with the documented exception
+    val good = bmp(2, 2, px2x2)
+    val hugeBoth = good.clone()
+    for (o <- Seq(18, 22)) { // width and height = 0x7ffffffe
+      hugeBoth(o) = 0xfe.toByte; hugeBoth(o + 1) = 0xff.toByte
+      hugeBoth(o + 2) = 0xff.toByte; hugeBoth(o + 3) = 0x7f.toByte
+    }
+    intercept[IllegalArgumentException](decodeBmp(hugeBoth))
+  }
+
+  test("Y4M malformed numeric parameters reject with IllegalArgumentException, not NumberFormatException") {
+    for (hdr <- Seq("YUV4MPEG2 W H2 C444\n", "YUV4MPEG2 Wabc H2 C444\n",
+        "YUV4MPEG2 W-2 H2 C444\n", "YUV4MPEG2 W99999999999 H2 C444\n"))
+      intercept[IllegalArgumentException](decodeY4m(hdr.getBytes("US-ASCII")))
+  }
+
   test("resize: box-average downscale is the exact integer mean; upscale is nearest; same-size is identity") {
     // 4x4 grayscale ramp: pixel p has value 16*p in all channels
     val ramp = RasterImage(4, 4, Array.tabulate(48)(i => (16 * (i / 3)).toByte))
@@ -247,6 +270,10 @@ class MediaCodecSpec extends SparkSpec {
     Files.write(Paths.get(d.toString, "7.ppm"), ppmBytes)
     Files.write(Paths.get(d.toString, "8.wav"), wavBytes)
     Files.write(Paths.get(d.toString, "9.bin"), junk)
+    // landing dirs are never clean: marker/readme files whose names don't
+    // match <digits>.<ext> must be SKIPPED, not null-doc_id-crash the task
+    Files.write(Paths.get(d.toString, "_SUCCESS"), Array.emptyByteArray)
+    Files.write(Paths.get(d.toString, "readme.txt"), "notes".getBytes("UTF-8"))
     val rows = MediaFiles.read(spark, d.toString).collect()
       .map(r => r.doc_id -> ((r.media_type, r.payload.toSeq))).toMap
     assert(rows.keySet == Set(7L, 8L, 9L))
