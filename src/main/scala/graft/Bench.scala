@@ -111,6 +111,11 @@ object Bench {
       "dedup_minhash_lsh" -> 0, "dedup_simhash" -> 0, "similarity_topk_lsh" -> 0,
       "similarity_topk_ivf" -> 0,
       "dedup_prefix_exact" -> 0,
+      // the TRAINER owns the 16-stage memoized merge chain; without this
+      // rank the build landed on text_bpe_apply purely because 'a' < 't'
+      // (r9: apply 6.2 s cold / 0.54 s steady, train 0.43 s free-riding)
+      "text_bpe_train" -> 0,
+      "text_bpe_apply" -> 1,
       "dedup_components" -> 1, "dedup_incremental" -> 1, "similarity_lsh_recall" -> 1,
       "similarity_ivf_recall" -> 1,
       // consumes BOTH the prefix-exact and minhash pair memos
@@ -199,25 +204,64 @@ object Bench {
     val pass1 = runPass(steadySample = false)
     resetShared()
     val pass2 = runPass(steadySample = true)
+
+    // a pair past DivergeRatio means the committed best-of-2 is a HOPE, not
+    // a measurement — corroborate it with a THIRD run of just those queries.
+    // Environment per eligibility class: builds==0 queries run against the
+    // post-pass-2 state (every memo/bucketed table in place — exactly their
+    // in-pass environment); build-OWNING queries run after a full reset, in
+    // DAG order, so each replays its cold build. Either way the sample is
+    // comparable only if it computed the same one-time builds as pass 2 —
+    // a reset consumer that rebuilt its producers' memos did MORE work than
+    // its in-pass run and must not publish that time as a third sample.
+    def pairDiverges(a: Double, b: Double): Boolean =
+      math.max(a, b) - math.min(a, b) > DivergeFloorSec &&
+        math.max(a, b) > DivergeRatio * math.min(a, b)
+    val needTiebreak = names.filter { name =>
+      val (m1, e1, _) = pass1(name)
+      val (m2, e2, _) = pass2(name)
+      e1.isEmpty && e2.isEmpty && pairDiverges(m1.wall, m2.wall)
+    }
+    def runTiebreak(name: String): Option[(String, RunMetrics)] = {
+      val (m3, e3) = timed(name)
+      spark.catalog.clearCache()
+      Scratch.sweepEphemeral()
+      val (m2, _, _) = pass2(name)
+      if (e3.isEmpty && m3.builds == m2.builds) Some(name -> m3) else None
+    }
+    val (probeOnly, buildOwning) = needTiebreak.partition(n => pass2(n)._1.builds == 0)
+    val tiebreak: Map[String, RunMetrics] = {
+      val warm = probeOnly.flatMap(runTiebreak)
+      if (buildOwning.nonEmpty) resetShared()
+      (warm ++ buildOwning.flatMap(runTiebreak)).toMap
+    }
+
     val results = names.map { name =>
       val (m1, e1, _) = pass1(name)
       val (m2, e2, steady) = pass2(name)
+      val m3 = tiebreak.get(name)
       // best of the SUCCESSFUL passes only: a fast abort must never report
       // as a fast time; error only when both passes failed
-      val ok = Seq((m1.wall, e1), (m2.wall, e2)).collect { case (t, None) => t }
+      val ok = (Seq((m1.wall, e1), (m2.wall, e2)) ++ m3.map(m => (m.wall, None)))
+        .collect { case (t, None) => t }
       val best = if (ok.nonEmpty) ok.min else math.min(m1.wall, m2.wall)
       val err = if (ok.nonEmpty) None else e1.orElse(e2)
-      val divergent = err.isEmpty && ok.size == 2 &&
-        ok.max - ok.min > DivergeFloorSec && ok.max > DivergeRatio * ok.min
-      (name, best, m1, m2, err, divergent, steady)
+      // with the tie-break in, "divergent" means the BEST time is still
+      // uncorroborated: no second successful sample lands within the ratio
+      // of it — two agreeing fast runs bracketing one stall is a measured
+      // number, not a lower bound
+      val sorted = ok.sorted
+      val divergent = err.isEmpty && sorted.size >= 2 && pairDiverges(sorted(0), sorted(1))
+      (name, best, m1, m2, m3, err, divergent, steady)
     }
-    val diverged = results.collect { case (n, _, m1, m2, _, true, _) => (n, m1, m2) }
-    diverged.foreach { case (n, m1, m2) =>
-      val (slow, fast) = if (m1.wall >= m2.wall) (m1, m2) else (m2, m1)
+    val diverged = results.collect { case (n, _, m1, m2, m3, _, true, _) => (n, m1, m2, m3) }
+    diverged.foreach { case (n, m1, m2, m3) =>
+      val all = Seq(m1, m2) ++ m3
+      val slow = all.maxBy(_.wall); val fast = all.minBy(_.wall)
       System.err.println(
-        f"[bench] DIVERGENT $n: passes ${m1.wall}%.2f/${m2.wall}%.2fs " +
-          f"(>${DivergeRatio}x), gc ${m1.gc}%.2f/${m2.gc}%.2fs, " +
-          f"class=${classifyStall(slow, fast)} — best-of-2 is a lower bound")
+        f"[bench] DIVERGENT $n: passes ${all.map(m => f"${m.wall}%.2f").mkString("/")}s " +
+          f"(>${DivergeRatio}x), class=${classifyStall(slow, fast)} — " +
+          "best-of-N is a lower bound")
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -225,22 +269,29 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _, _, _, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val runs = results.map { case (k, _, m1, m2, _, _, _) =>
-      jstr(k) + ":[" + m1.wall + "," + m2.wall + "]" }.mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, m1, m2, _, _, _) =>
-      jstr(k) + ":[" + m1.gc + "," + m2.gc + "]" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(e), _, _) => jstr(k) + ":" + jstr(e.take(300)) }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val runs = results.map { case (k, _, m1, m2, m3, _, _, _) =>
+      jstr(k) + ":[" + (Seq(m1, m2) ++ m3).map(_.wall).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val steadies = results.collect { case (k, _, _, _, _, _, Some(s)) =>
+    val gcs = results.map { case (k, _, m1, m2, m3, _, _, _) =>
+      jstr(k) + ":[" + (Seq(m1, m2) ++ m3).map(_.gc).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, _, Some(e), _, _) => jstr(k) + ":" + jstr(e.take(300)) }
+      .mkString("{", ",", "}")
+    val steadies = results.collect { case (k, _, _, _, _, _, _, Some(s)) =>
       jstr(k) + ":" + num(s, 3) }.mkString("{", ",", "}")
-    val divJson = diverged.map { case (n, _, _) => jstr(n) }.mkString("[", ",", "]")
-    // full per-pass resource profile + stall class, divergent queries only
-    // (bounded: the common case is an empty object)
-    val diags = diverged.map { case (n, m1, m2) =>
-      val (slow, fast) = if (m1.wall >= m2.wall) (m1, m2) else (m2, m1)
-      jstr(n) + ":" + s"""{"pass1":${m1.json},"pass2":${m2.json},""" +
-        s""""stall_class":${jstr(classifyStall(slow, fast))}}"""
+    val divJson = diverged.map { case (n, _, _, _) => jstr(n) }.mkString("[", ",", "]")
+    // full per-pass resource profile + stall class: queries whose original
+    // PAIR diverged (bounded: the common case is an empty object). Entries
+    // with a pass3 whose best was corroborated drop off the divergent list
+    // but keep their profile here so the stall stays attributed.
+    val diags = results.collect {
+      case (n, _, m1, m2, m3, None, _, _) if pairDiverges(m1.wall, m2.wall) =>
+        val all = Seq(m1, m2) ++ m3
+        val slow = all.maxBy(_.wall); val fast = all.minBy(_.wall)
+        jstr(n) + ":" + s"""{"pass1":${m1.json},"pass2":${m2.json},""" +
+          m3.map(m => s""""pass3":${m.json},""").getOrElse("") +
+          s""""stall_class":${jstr(classifyStall(slow, fast))}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =

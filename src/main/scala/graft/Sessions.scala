@@ -25,6 +25,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // the generated-class cache defaults to 100 entries; a 186-query
+      // suite cycles far more distinct codegen fragments than that, so
+      // compile-heavy plans (BPE chain, BM25) pay Janino recompiles on
+      // every pass — measured as pure process-CPU excess with zero GC
+      // growth (BENCH_r09 divergent-pair profiles)
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
