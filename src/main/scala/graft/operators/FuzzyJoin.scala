@@ -268,14 +268,10 @@ object FuzzyJoin extends QueryModule {
   }
 
   private val entityClustersSql =
-    s"""${pairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, edges AS (
+    s"""$pairsCte, edges AS (
           SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
-        ), reach(a, b) AS (
-          SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        ), lbl AS (
-          SELECT a AS id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+        ), ${graft.pipeline.Dedup.ccLabelCtesDuck()}, lbl AS (
+          SELECT id, l AS cluster_id FROM ${graft.pipeline.Dedup.ccLabelFinal()}
         )
         SELECT l.cluster_id, c.c_name AS canonical_name,
                CAST(COUNT(*) AS BIGINT) AS n_members,

@@ -54,6 +54,50 @@ object Dedup extends QueryModule {
   def hash60Duck(expr: String): String =
     s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** Bounded-iteration connected-components oracle chain (DuckDB): from a
+    * SYMMETRIC `edges(a, b)` CTE, `rounds` rounds of min-label propagation
+    * each followed by one pointer jump (`l <- l(l)`), ending in
+    * `lbl$rounds(id, l)` — the oracle twin of the Spark [[components]]
+    * iteration. This replaces the recursive-CTE transitive closure, whose
+    * path enumeration explodes on dense graphs (20 GB+ and no convergence
+    * on the 262k-edge d=1 name graph at sf0.1) with work bounded at
+    * `rounds × |edges|`. Correctness of a FIXED round count: labels only
+    * decrease and any propagation fixed point is exactly the per-component
+    * min labeling (local consistency forces label equality across every
+    * edge, and a constant label above the component min contradicts
+    * monotonicity at the min node), while the pointer jump doubles covered
+    * distance per round — so `rounds` = 20 converges for any component a
+    * million nodes deep; the driver's equality gate against the Spark
+    * labels would catch under-iteration.
+    */
+  private[graft] def ccLabelCtesDuck(rounds: Int = 20): String = {
+    // every stage MATERIALIZED: DuckDB otherwise inlines a CTE per
+    // reference, expanding the upstream edge scan once per round — which
+    // re-opens the source parquet hundreds of times ("Too many open
+    // files") and re-runs the candidate build per round
+    val init =
+      """edges_m AS MATERIALIZED (SELECT a, b FROM edges),
+         lbl0 AS MATERIALIZED (
+          SELECT e.a AS id, LEAST(e.a, MIN(e.b)) AS l FROM edges_m e GROUP BY e.a
+        )"""
+    val steps = (1 to rounds).map { r =>
+      s"""prop$r AS MATERIALIZED (
+            SELECT e.a AS id, LEAST(MIN(sa.l), MIN(sb.l)) AS l
+            FROM edges_m e
+            JOIN lbl${r - 1} sa ON sa.id = e.a
+            JOIN lbl${r - 1} sb ON sb.id = e.b
+            GROUP BY e.a
+          ), lbl$r AS MATERIALIZED (
+            SELECT p.id, COALESCE(q.l, p.l) AS l
+            FROM prop$r p LEFT JOIN prop$r q ON q.id = p.l
+          )"""
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** The final label CTE name emitted by [[ccLabelCtesDuck]]. */
+  private[graft] def ccLabelFinal(rounds: Int = 20): String = s"lbl$rounds"
+
   /** Distinct token hashes per document. */
   val tokenHashes = s"transform($tokenSet, w -> ${hash60("w")})"
   def tokenHashesDuckOf(arr: String): String = s"list_transform($arr, w -> ${hash60Duck("w")})"
@@ -905,7 +949,7 @@ object Dedup extends QueryModule {
   }
 
   private val clusterHistogramSql =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH pairs AS (
           SELECT ia, ib FROM ($minhashLshSql)
           UNION
           SELECT ia, ib FROM ($simhashDedupSql)
@@ -913,12 +957,8 @@ object Dedup extends QueryModule {
           SELECT ia AS a, ib AS b FROM pairs
           UNION
           SELECT ib, ia FROM pairs
-        ), reach(a, b) AS (
-          SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        ), lbl AS (
-          SELECT a AS doc_id, LEAST(MIN(b), a) AS canon FROM reach GROUP BY a
+        ), ${ccLabelCtesDuck()}, lbl AS (
+          SELECT id AS doc_id, l AS canon FROM ${ccLabelFinal()}
         ), sizes AS (
           SELECT canon, CAST(COUNT(*) AS BIGINT) AS sz FROM lbl GROUP BY canon
         ), hist AS (
@@ -1293,16 +1333,36 @@ object Dedup extends QueryModule {
       val docs = docTokens(spark, sfDir)
       val rows = tokenHashRows(docs)
       val dfs = rows.groupBy("h").agg(count(lit(1)).as("df"))
+      // (doc_id, len = |g|, pos = 0-based rank of t in the global df-asc
+      // order, t): the position and set size feed the two classic PPJoin
+      // refinements below
       val prefixes = Scratch.materialize(
         rows.join(dfs, "h")
           .groupBy("doc_id")
           .agg(expr("array_sort(collect_list(struct(df, h)))").as("o"))
-          .select(col("doc_id"), explode(expr(
-            "transform(slice(o, 1, size(o) - (9 * size(o) + 9) div 10 + 1), x -> x.h)"))
-            .as("t")),
+          .select(col("doc_id"), expr("size(o)").as("len"),
+            posexplode(expr(
+              "transform(slice(o, 1, size(o) - (9 * size(o) + 9) div 10 + 1), x -> x.h)"))
+              .as(Seq("pos", "t"))),
         "graft_prefix_tokens")
+      // Candidate thinning beyond the shared-prefix-token condition — both
+      // filters are implied by J >= 0.9, so neither can drop a true pair:
+      //  - LENGTH: J = O/(la+lb-O) with O <= min(la,lb), so J >= t forces
+      //    min >= t*max — in exact integers, 10*min >= 9*max.
+      //  - POSITIONAL (PPJoin): a shared token at 0-based global-order
+      //    positions (px, py) caps the overlap at
+      //    min(px,py) + 1 + min(la-px-1, lb-py-1) (at most min(px,py)
+      //    earlier tokens can match, at most min of the tails after);
+      //    J >= t forces O >= ceil(t/(1+t)*(la+lb)) = (9*(la+lb)+18) div 19.
+      //    The cap is an upper bound on the TRUE overlap, so a qualifying
+      //    pair satisfies it on EVERY shared prefix token — filtering
+      //    per candidate row (before distinct) is recall-safe.
       val cand = prefixes.as("x").join(prefixes.as("y"),
-          col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+          col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id")
+            && expr("10 * least(x.len, y.len) >= 9 * greatest(x.len, y.len)")
+            && expr("""least(x.pos, y.pos) + 1
+                       + least(x.len - x.pos - 1, y.len - y.pos - 1)
+                       >= (9 * (x.len + y.len) + 18) div 19"""))
         .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
         .distinct()
       val ga = docs.select(col("doc_id").as("ia"), col("g").as("ga"))

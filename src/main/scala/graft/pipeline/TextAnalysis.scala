@@ -134,7 +134,7 @@ object TextAnalysis extends QueryModule {
     * (the canonical-survivor dedup keys its argmax off this exact double,
     * so both engines agree bit-for-bit on the ordering).
     */
-  private[pipeline] def qualityScoreOf(docs: DataFrame): DataFrame =
+  private[graft] def qualityScoreOf(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_measured"),
@@ -602,10 +602,18 @@ object TextAnalysis extends QueryModule {
     * cross-engine, so the ordering needs no rank-emission hedge.
     */
   def qualityPercentile(spark: SparkSession, sfDir: String): DataFrame =
-    histRankDesc(
+    qualityPercentileOf(
       qualityScoreOf(Tables.documents(spark, sfDir))
-        .select("doc_id", "quality_score"),
-      "quality_score", PplHistBuckets)
+        .select("doc_id", "quality_score"))
+
+  /** The percentile transform over an already-scored (doc_id,
+    * quality_score) frame — factored out so the streaming ingest's
+    * incremental readout ([[graft.streaming.CorpusIngest]]) runs the
+    * IDENTICAL composed operator over its accumulated score state and
+    * converges to this query bit-for-bit.
+    */
+  private[graft] def qualityPercentileOf(scored: DataFrame): DataFrame =
+    histRankDesc(scored, "quality_score", PplHistBuckets)
       .select(col("rank"), col("doc_id"),
         expr("CAST(n_docs - rank AS DOUBLE) / n_docs").as("percentile"))
       .orderBy("rank")

@@ -85,6 +85,32 @@ class CorpusIngestSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$stateDir/card")) == batch)
   }
 
+  test("incremental quality percentile converges to text_quality_percentile after two micro-batches") {
+    val stateDir = Files.createTempDirectory("graft_pct_state").toString
+    val ckpt = Files.createTempDirectory("graft_pct_ckpt").toString
+    // the percentile is over the WHOLE corpus: stream every doc in two batches
+    val allDocs = graft.Tables.documents(spark, Sf0001)
+      .as[Doc].collect().toSeq.sortBy(_.doc_id)
+    val (a, b) = allDocs.splitAt(allDocs.size / 2)
+    val src = MemoryStream[Doc]
+    val q = CorpusIngest.startPercentile(src.toDF, stateDir, ckpt)
+    try {
+      src.addData(a: _*); q.processAllAvailable()
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(s"$stateDir/percentile"))
+    val batch = rows(
+      graft.pipeline.TextAnalysis.qualityPercentile(spark, Sf0001))
+    assert(streamed == batch,
+      "stream percentile must equal text_quality_percentile bit-for-bit after the last batch")
+    assert(streamed.nonEmpty)
+    // replaying a committed batch (at-least-once recovery) changes nothing:
+    // the score partial overwrites and the readout re-ranks the same state
+    CorpusIngest.percentileStateWriter(spark, stateDir)(a.toDF(), 0L)
+    assert(rows(spark.read.parquet(s"$stateDir/percentile")) == batch)
+  }
+
   test("watermarked ingest dedup: duplicates dropped inside the horizon, state evicted past it") {
     def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $hhmm:00")
     val src = MemoryStream[(Long, String, java.sql.Timestamp)]
