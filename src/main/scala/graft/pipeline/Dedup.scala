@@ -349,15 +349,20 @@ object Dedup extends QueryModule {
     * `d(doc_id, g)` with `g` the sorted 60-bit hash list; ends with
     * `cand(ia, ib)` — the twin of [[lshCandidatePairs]].
     */
+  // `d` and `bands` are MATERIALIZED: DuckDB inlines CTEs per reference,
+  // so without the hint the tokenize+hash pass runs once per verify-join
+  // side (d is referenced 3x) and the 96-permutation signature build runs
+  // once per self-join side (bands is referenced 2x) — measured 2-3x on
+  // the oracle side at sf0.1
   private def lshCandCtesDuck(docCte: String): String =
-    s"""$docCte, s AS (
+    s"""${docCte.replaceFirst("d AS \\(", "d AS MATERIALIZED (")}, s AS (
           SELECT doc_id, g, ${minhashSigDuckOf("g")} AS sig FROM d
         ), all_bands AS (
           SELECT doc_id, b AS band,
                  ${hash60Duck(s"array_to_string(sig[b * $RowsPerBand + 1 : (b + 1) * $RowsPerBand], '-')")}
                    AS band_key
           FROM s, (SELECT unnest(range(0, $Bands)) AS b)
-        ), bands AS (
+        ), bands AS MATERIALIZED (
           SELECT doc_id, band, band_key FROM (
             SELECT doc_id, band, band_key,
                    COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n
@@ -996,11 +1001,12 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** DuckDB twin: recursive-CTE transitive closure over the same pair union;
-    * a node's canonical id is the least node it can reach (or itself).
+  /** DuckDB twin: bounded-iteration label propagation over the same pair
+    * union ([[ccLabelCtesDuck]]); a node's canonical id is its component
+    * min (or itself).
     */
   private val componentsDedupSql =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH pairs AS (
           SELECT ia, ib FROM ($minhashLshSql)
           UNION
           SELECT ia, ib FROM ($simhashDedupSql)
@@ -1008,12 +1014,8 @@ object Dedup extends QueryModule {
           SELECT ia AS a, ib AS b FROM pairs
           UNION
           SELECT ib, ia FROM pairs
-        ), reach(a, b) AS (
-          SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        ), lbl AS (
-          SELECT a AS doc_id, LEAST(MIN(b), a) AS canon FROM reach GROUP BY a
+        ), ${ccLabelCtesDuck()}, lbl AS (
+          SELECT id AS doc_id, l AS canon FROM ${ccLabelFinal()}
         )
         SELECT d.doc_id,
                COALESCE(l.canon, d.doc_id) AS canonical_id,
@@ -1064,7 +1066,7 @@ object Dedup extends QueryModule {
     * doc_id).
     */
   private val canonicalDedupSql =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH pairs AS (
           SELECT ia, ib FROM ($minhashLshSql)
           UNION
           SELECT ia, ib FROM ($simhashDedupSql)
@@ -1072,12 +1074,8 @@ object Dedup extends QueryModule {
           SELECT ia AS a, ib AS b FROM pairs
           UNION
           SELECT ib, ia FROM pairs
-        ), reach(a, b) AS (
-          SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        ), lbl AS (
-          SELECT a AS doc_id, LEAST(MIN(b), a) AS canon FROM reach GROUP BY a
+        ), ${ccLabelCtesDuck()}, lbl AS (
+          SELECT id AS doc_id, l AS canon FROM ${ccLabelFinal()}
         ), q AS (
           SELECT doc_id, quality_score FROM (${TextAnalysis.qualityScoreSql})
         ), base AS (
