@@ -83,6 +83,23 @@ object Bench {
     *  - "executor-cpu":        the extra time was real on-core compute (JIT
     *                           warmup on first execution, or a plan change).
     */
+  /** Two successful samples disagree past the ratio AND the absolute
+    * floor — the committed min of such a pair is a hope, not a number.
+    */
+  private[graft] def pairDiverges(a: Double, b: Double): Boolean =
+    math.max(a, b) - math.min(a, b) > DivergeFloorSec &&
+      math.max(a, b) > DivergeRatio * math.min(a, b)
+
+  /** With the tie-break sample in, "divergent" means the BEST time is
+    * still uncorroborated: sorted successful samples t1 <= t2 <= ... have
+    * t2 past the ratio of t1. Two agreeing fast runs bracketing one stall
+    * are a measured number; one fast run against two slow ones is not.
+    */
+  private[graft] def uncorroborated(ok: Seq[Double]): Boolean = {
+    val s = ok.sorted
+    s.size >= 2 && pairDiverges(s(0), s(1))
+  }
+
   private[graft] def classifyStall(slow: RunMetrics, fast: RunMetrics): String = {
     val excess = slow.wall - fast.wall
     val gcExcess = slow.gc - fast.gc
@@ -214,9 +231,6 @@ object Bench {
     // comparable only if it computed the same one-time builds as pass 2 —
     // a reset consumer that rebuilt its producers' memos did MORE work than
     // its in-pass run and must not publish that time as a third sample.
-    def pairDiverges(a: Double, b: Double): Boolean =
-      math.max(a, b) - math.min(a, b) > DivergeFloorSec &&
-        math.max(a, b) > DivergeRatio * math.min(a, b)
     val needTiebreak = names.filter { name =>
       val (m1, e1, _) = pass1(name)
       val (m2, e2, _) = pass2(name)
@@ -246,12 +260,7 @@ object Bench {
         .collect { case (t, None) => t }
       val best = if (ok.nonEmpty) ok.min else math.min(m1.wall, m2.wall)
       val err = if (ok.nonEmpty) None else e1.orElse(e2)
-      // with the tie-break in, "divergent" means the BEST time is still
-      // uncorroborated: no second successful sample lands within the ratio
-      // of it — two agreeing fast runs bracketing one stall is a measured
-      // number, not a lower bound
-      val sorted = ok.sorted
-      val divergent = err.isEmpty && sorted.size >= 2 && pairDiverges(sorted(0), sorted(1))
+      val divergent = err.isEmpty && uncorroborated(ok)
       (name, best, m1, m2, m3, err, divergent, steady)
     }
     val diverged = results.collect { case (n, _, m1, m2, m3, _, true, _) => (n, m1, m2, m3) }

@@ -34,4 +34,22 @@ class BenchClassifySpec extends AnyFunSuite {
     assert(Bench.classifyStall(m(12, cpu = 58, busy = 68),
       m(2, cpu = 18, busy = 28)) == "executor-cpu")
   }
+
+  test("pair divergence needs BOTH the ratio and the absolute floor") {
+    assert(Bench.pairDiverges(1.0, 5.0))
+    assert(!Bench.pairDiverges(1.0, 2.5), "under the 3x ratio")
+    assert(!Bench.pairDiverges(0.1, 0.9),
+      "9x ratio but 0.8s spread is under the 1s floor — sub-second noise")
+    assert(Bench.pairDiverges(5.0, 1.0), "order must not matter")
+  }
+
+  test("a third sample corroborating the best clears the divergent flag; one that doesn't, doesn't") {
+    assert(Bench.uncorroborated(Seq(1.0, 5.0)), "a lone fast pass is a hope")
+    assert(!Bench.uncorroborated(Seq(1.0, 5.0, 1.2)),
+      "two agreeing fast runs bracketing one stall are a measurement")
+    assert(Bench.uncorroborated(Seq(1.0, 5.0, 4.8)),
+      "one fast run against two slow ones stays uncorroborated")
+    assert(!Bench.uncorroborated(Seq(2.0)), "a single sample cannot diverge")
+    assert(!Bench.uncorroborated(Seq.empty))
+  }
 }

@@ -81,7 +81,31 @@ write("lineitem", f"""
   FROM '{SRC}/lineitem.parquet', (SELECT unnest([{copies}]) AS k)
 """)
 
-for t in ["region", "nation", "part", "supplier", "events", "embeddings"]:
+# embeddings: 10 copies, copy k with dimensions CYCLICALLY ROTATED by k and
+# a per-(copy, dim) deterministic SIGN FLIP — both transforms are
+# orthogonal, so every within-copy pairwise cosine (and norm) is preserved
+# EXACTLY (verified: dot(0,1) == dot(copy twin pair) to the last bit) while
+# cross-copy similarity decorrelates. The ANN twin of the documents' token
+# remap. NOTE (measured): at a fixed cosine threshold the PAIR DENSITY of
+# this corpus is constant (~1.5e-4), so dedup_embedding's true answer grows
+# ~quadratically in N by semantics — the probe measures whether the
+# LSH-bucketed WORK stays subquadratic, not the answer size.
+write("embeddings", f"""
+  WITH src AS (SELECT * FROM '{SRC}/embeddings.parquet'),
+  n AS (SELECT count(*) AS n_src FROM src)
+  SELECT vec_id + k * n_src AS vec_id,
+         CASE WHEN k = 0 THEN embedding
+              ELSE list_transform(
+                     list_concat(embedding[k + 1:], embedding[1:k]),
+                     (x, i) -> CASE WHEN hash(i * 31 + k) % 2 = 0
+                               THEN x ELSE -x END)
+         END AS embedding,
+         label
+  FROM src, n, (SELECT unnest([{copies}]) AS k)
+  ORDER BY vec_id
+""")
+
+for t in ["region", "nation", "part", "supplier", "events"]:
     p = f"{SRC}/{t}.parquet"
     if os.path.exists(p):
         write(t, f"SELECT * FROM '{p}'")
