@@ -10,10 +10,13 @@ import graft.pipeline.{CorpusQc, Dedup}
 /** Runnable corpus-ingest demo: feeds the "new" documents (doc_id % 10 == 0,
   * the incrementalDedup convention) through a watched directory as arriving
   * JSON files, runs [[CorpusIngest]] over the file stream, and checks the
-  * landed qc/contam/dups tables against their batch twins.
+  * landed qc/contam/dups tables against their batch twins — then runs the
+  * incremental quality-percentile stream over the same files and checks
+  * its published table against the batch percentile transform.
   *
   * `runMain graft.streaming.CorpusIngestDemo [sfDir]` — prints
-  * `INGEST_BATCHES=<n>` and `INGEST_OK=true` on convergence.
+  * `INGEST_BATCHES=<n>`, `INGEST_OK=true`, and `PERCENTILE_OK=true` on
+  * convergence.
   */
 object CorpusIngestDemo {
   def main(args: Array[String]): Unit = {
@@ -48,6 +51,22 @@ object CorpusIngestDemo {
           rows(CorpusQc.contaminationOf(newDocs, CorpusQc.benchShingles(spark, sfDir))) &&
         rows(landed("dups")) == rows(Dedup.probeBatch(spark, sfDir, newDocs))
     println(s"INGEST_OK=$ok")
+
+    // the incremental percentile over the same arriving files: after the
+    // last batch the published table equals the batch transform over the
+    // same docs bit-for-bit
+    val pctState = Files.createTempDirectory("graft_pct_state").toString
+    val pctCkpt = Files.createTempDirectory("graft_pct_ckpt").toString
+    val pctStream = spark.readStream.schema(newDocs.schema).json(inDir)
+    val pq = CorpusIngest.startPercentile(pctStream, pctState, pctCkpt,
+      triggerInterval = "1 second")
+    pq.processAllAvailable()
+    pq.stop()
+    val pctOk = rows(spark.read.parquet(s"$pctState/percentile")) ==
+      rows(graft.pipeline.TextAnalysis.qualityPercentileOf(
+        graft.pipeline.TextAnalysis.qualityScoreOf(newDocs)
+          .select("doc_id", "quality_score")))
+    println(s"PERCENTILE_OK=$pctOk")
     spark.stop()
   }
 }
