@@ -1328,6 +1328,15 @@ object Dedup extends QueryModule {
     */
   private[pipeline] def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#dedup#prefix_jaccard#0.9") {
+      prefixJaccardPairsBuild(spark, sfDir)
+    }
+
+  /** The un-memoized ground-truth build — exposed so PlanAssertionsSpec can
+    * pin the candidate join's shape (equi-join on the prefix token with the
+    * PPJoin length/positional filters as residual conditions, never a
+    * cartesian).
+    */
+  private[graft] def prefixJaccardPairsBuild(spark: SparkSession, sfDir: String): DataFrame = {
       val docs = docTokens(spark, sfDir)
       val rows = tokenHashRows(docs)
       val dfs = rows.groupBy("h").agg(count(lit(1)).as("df"))

@@ -14,6 +14,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  test("prefix-exact candidate join rides the token equi-key with PPJoin residuals, never a cartesian") {
+    val plan = graft.pipeline.Dedup.prefixJaccardPairsBuild(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "the prefix self-join must stay keyed on the shared prefix token")
+    // the length and positional filters must survive as join residuals —
+    // dropping them silently would re-inflate the candidate set 3.3x
+    assert(plan.contains("least") && plan.contains("greatest"),
+      "PPJoin length filter missing from the candidate join condition")
+    assert(plan.contains("div 19") || plan.contains("div (19)") || plan.contains(" 19)"),
+      "PPJoin positional filter (overlap-threshold div 19) missing")
+  }
+
   test("flagship: cleaning filters reach the parquet scan (pushdown)") {
     val p = planOf("q2_customer_summary")
     assert(p.contains("PushedFilters"))
