@@ -236,18 +236,68 @@ object Bench {
       val (m2, e2, _) = pass2(name)
       e1.isEmpty && e2.isEmpty && pairDiverges(m1.wall, m2.wall)
     }
-    def runTiebreak(name: String): Option[(String, RunMetrics)] = {
+    // A rejected sample (error, or one-time-build count differing from its
+    // pass-2 run — an incomparable environment) is RECORDED, not silently
+    // dropped: r10's driver run published only 2 samples for 3 of its 5
+    // divergent queries because the acceptance rule discarded the third
+    // with no trace. Every rejection logs to stderr with both build counts
+    // and lands in the `rejected_samples` diagnostics, and the query gets
+    // ONE retry in a reconstructed pass-2 environment (fresh reset for
+    // build owners, then the producer-ranked queries of lower rank replayed
+    // untimed so the retry owns exactly the builds its pass-2 run owned).
+    final case class RejectedSample(name: String, m: RunMetrics,
+      expectedBuilds: Long, err: Option[String], attempt: Int)
+    val rejected = scala.collection.mutable.Buffer.empty[RejectedSample]
+    def attemptTiebreak(name: String, attempt: Int): Option[(String, RunMetrics)] = {
       val (m3, e3) = timed(name)
       spark.catalog.clearCache()
       Scratch.sweepEphemeral()
       val (m2, _, _) = pass2(name)
-      if (e3.isEmpty && m3.builds == m2.builds) Some(name -> m3) else None
+      if (e3.isEmpty && m3.builds == m2.builds) Some(name -> m3)
+      else {
+        System.err.println(
+          f"[bench] tiebreak sample REJECTED for $name (attempt $attempt): " +
+            f"wall=${m3.wall}%.2f builds=${m3.builds} vs pass2 builds=${m2.builds}" +
+            e3.map(e => s" err=$e").getOrElse(""))
+        rejected += RejectedSample(name, m3, m2.builds, e3, attempt)
+        None
+      }
     }
+    // replay the memo producers a mid-DAG query consumed in-pass (untimed),
+    // so a retried consumer finds its upstream memos in place instead of
+    // rebuilding them — the builds-mismatch cause for DAG consumers
+    def warmProducers(rank: Int): Unit =
+      producerRank.toSeq.filter(_._2 < rank).sortBy { case (n, r) => (r, n) }
+        .foreach { case (n, _) =>
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+          Scratch.sweepEphemeral()
+        }
+    def retryable(name: String): Boolean =
+      rejected.exists(r => r.name == name && r.err.isEmpty) // errored samples don't retry: the query itself is broken
     val (probeOnly, buildOwning) = needTiebreak.partition(n => pass2(n)._1.builds == 0)
     val tiebreak: Map[String, RunMetrics] = {
-      val warm = probeOnly.flatMap(runTiebreak)
+      // probe-only attempt 1 runs against the untouched post-pass-2 state
+      // (all memos in place — exactly the in-pass environment)
+      val warm = probeOnly.flatMap(n => attemptTiebreak(n, 1))
+      // build-owning: fresh reset, DAG order; a rejected sample retries once
+      // with its own reconstructed environment (reset + producers replayed)
       if (buildOwning.nonEmpty) resetShared()
-      (warm ++ buildOwning.flatMap(runTiebreak)).toMap
+      val own = buildOwning.flatMap { n =>
+        attemptTiebreak(n, 1).orElse {
+          if (retryable(n)) {
+            resetShared(); warmProducers(producerRank(n)); attemptTiebreak(n, 2)
+          } else None
+        }
+      }
+      // probe-only retries run LAST: each reconstructs the all-memos state
+      // from scratch (reset + every listed producer), so the reset cannot
+      // disturb the post-pass-2 state the other probe-only samples used
+      val probeRetries = probeOnly.filter(retryable).flatMap { n =>
+        resetShared(); warmProducers(Int.MaxValue); attemptTiebreak(n, 2)
+      }
+      (warm ++ own ++ probeRetries).toMap
     }
 
     val results = names.map { name =>
@@ -290,6 +340,13 @@ object Bench {
     val steadies = results.collect { case (k, _, _, _, _, _, _, Some(s)) =>
       jstr(k) + ":" + num(s, 3) }.mkString("{", ",", "}")
     val divJson = diverged.map { case (n, _, _, _) => jstr(n) }.mkString("[", ",", "]")
+    // every tie-break sample that was computed but could not be published as
+    // a comparable third run — the artifact shows the ATTEMPT, not silence
+    val rejectedJson = rejected.map { r =>
+      s"""{"query":${jstr(r.name)},"attempt":${r.attempt},"wall":${num(r.m.wall, 3)},""" +
+        s""""builds":${r.m.builds},"expected_builds":${r.expectedBuilds}""" +
+        r.err.map(e => s""","err":${jstr(e.take(200))}""").getOrElse("") + "}"
+    }.mkString("[", ",", "]")
     // full per-pass resource profile + stall class: queries whose original
     // PAIR diverged (bounded: the common case is an empty object). Entries
     // with a pass3 whose best was corroborated drop off the divergent list
@@ -305,7 +362,8 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"gc":$gcs,""" +
-        s""""steady":$steadies,"divergent":$divJson,"diagnostics":$diags,"errors":$errs,"sf":"$sfDir"}"""
+        s""""steady":$steadies,"divergent":$divJson,"rejected_samples":$rejectedJson,""" +
+        s""""diagnostics":$diags,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the harness captures only a bounded stdout tail, which has truncated
     // the (large) JSON line before; the file copy keeps the full official
