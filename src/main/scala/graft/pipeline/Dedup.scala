@@ -92,11 +92,30 @@ object Dedup extends QueryModule {
             FROM prop$r p LEFT JOIN prop$r q ON q.id = p.l
           )"""
     }
-    (init +: steps).mkString(",\n")
+    // in-query fixpoint assertion: labels are monotone non-increasing, so a
+    // full round that changes NOTHING is a fixed point (= exact component
+    // minima, per the proof above). If round `rounds` still moved a label,
+    // the chain was under-iterated and the oracle would silently drift from
+    // Spark — which would be misdiagnosed as an engine bug. error() makes
+    // under-iteration a LOUD oracle failure instead; the `+ 0` through the
+    // scalar subquery is what forces the check CTE to evaluate.
+    val check =
+      s"""ccconv AS MATERIALIZED (
+            SELECT CASE WHEN COUNT(*) = 0 THEN 0
+                   ELSE error('ccLabelCtesDuck: labels still moving after $rounds rounds — raise `rounds`')
+                   END AS z
+            FROM lbl${rounds - 1} x JOIN lbl$rounds y ON x.id = y.id
+            WHERE x.l <> y.l
+          ), lblcc AS MATERIALIZED (
+            SELECT s.id, s.l + (SELECT z FROM ccconv) AS l FROM lbl$rounds s
+          )"""
+    (init +: steps :+ check).mkString(",\n")
   }
 
-  /** The final label CTE name emitted by [[ccLabelCtesDuck]]. */
-  private[graft] def ccLabelFinal(rounds: Int = 20): String = s"lbl$rounds"
+  /** The final label CTE name emitted by [[ccLabelCtesDuck]] (labels routed
+    * through the convergence gate).
+    */
+  private[graft] def ccLabelFinal(rounds: Int = 20): String = "lblcc"
 
   /** Distinct token hashes per document. */
   val tokenHashes = s"transform($tokenSet, w -> ${hash60("w")})"

@@ -2,7 +2,8 @@ package graft.pipeline
 
 /** REAL pure-JVM media decoders for the header-simplest uncompressed
   * formats in each modality — binary PPM (P6) and 24-bit BMP images,
-  * RIFF/WAV 8-bit mono PCM audio, and YUV4MPEG2 C444 video — so the
+  * RIFF/WAV 8/16-bit mono/stereo PCM audio, and YUV4MPEG2 C444/C420
+  * video — so the
   * multimodal decode path is exercised against genuine media bytes, not
   * only the deterministic stub. No codec libraries exist in this
   * environment; these formats need none: each is a small header (or chunk/
@@ -34,12 +35,27 @@ object MediaCodec {
       (rgb(3 * i) & 0xff) + (rgb(3 * i + 1) & 0xff) + (rgb(3 * i + 2) & 0xff)
   }
 
-  /** Decoded PCM audio: unsigned 8-bit mono samples (the one PCM layout
-    * whose container needs no resampling/endianness work to verify).
+  /** Decoded PCM audio, channel-merged to mono. `bits` records the source
+    * sample depth; `samples` holds the raw values in that depth's native
+    * domain — unsigned 0..255 for 8-bit, signed -32768..32767 for 16-bit
+    * (little-endian on the wire, per spec). Stereo sources arrive already
+    * downmixed by the decoder (exact integer mean, see [[decodeWav]]).
     */
-  final case class PcmAudio(sampleRate: Int, samples: Array[Byte]) {
-    /** |sample - 128|: amplitude around the unsigned-8-bit midpoint. */
-    def amplitude(i: Int): Int = math.abs((samples(i) & 0xff) - 128)
+  final case class PcmAudio(sampleRate: Int, bits: Int, samples: Array[Int]) {
+    /** Amplitude around the depth's zero line: |s - 128| for unsigned
+      * 8-bit, |s| for signed 16-bit — exact integers either way.
+      */
+    def amplitude(i: Int): Int =
+      if (bits == 8) math.abs(samples(i) - 128) else math.abs(samples(i))
+
+    /** Full-scale amplitude for the depth (the featurizer denominator). */
+    def fullScale: Double = if (bits == 8) 128.0 else 32768.0
+  }
+
+  object PcmAudio {
+    /** 8-bit convenience constructor (raw unsigned sample bytes). */
+    def apply(sampleRate: Int, samples: Array[Byte]): PcmAudio =
+      PcmAudio(sampleRate, 8, samples.map(_ & 0xff))
   }
 
   /** Magic-byte sniff: Some("ppm") for binary P6, Some("bmp") for BM,
@@ -157,13 +173,18 @@ object MediaCodec {
     RasterImage(width, height, rgb)
   }
 
-  /** WAV (RIFF) with uncompressed 8-bit mono PCM: `RIFF <size> WAVE`, then
-    * a CHUNK WALK — `fmt ` (PCM format tag 1, 1 channel, 8 bits) may be
-    * preceded/followed by chunks a real encoder emits (`LIST`, `fact`,
+  /** WAV (RIFF) with uncompressed 8- or 16-bit, mono or stereo PCM:
+    * `RIFF <size> WAVE`, then a CHUNK WALK — `fmt ` (PCM format tag 1) may
+    * be preceded/followed by chunks a real encoder emits (`LIST`, `fact`,
     * `bext`...), which are skipped by their declared length (odd sizes pad
     * one byte, per spec); decode takes the first `data` chunk after a
-    * valid `fmt `. Strict rejects for compressed / multi-channel / 16-bit
-    * forms — this decoder verifies, it never resamples.
+    * valid `fmt `. 16-bit samples are little-endian signed per spec; stereo
+    * is downmixed to mono with the EXACT integer mean `(L + R) >> 1`
+    * (arithmetic shift = floor((L+R)/2), identically `(L+R+65536)/2 - 32768`
+    * for any 16-bit pair — the spelling an integer-division oracle can
+    * reproduce without negative-division ambiguity). Strict rejects for
+    * compressed forms, >2 channels, and depths other than 8/16 — this
+    * decoder verifies and downmixes exactly, it never resamples.
     */
   def decodeWav(bytes: Array[Byte]): PcmAudio = {
     require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
@@ -172,6 +193,8 @@ object MediaCodec {
       "RIFF but not WAVE")
     var pos = 12
     var sampleRate = -1
+    var channels = -1
+    var bits = -1
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = le32(bytes, pos + 4)
@@ -182,17 +205,35 @@ object MediaCodec {
           require(size >= 16, s"WAV: fmt chunk too short ($size)")
           require(body + 16 <= bytes.length, "WAV: truncated fmt chunk")
           val formatTag = le16(bytes, body)
-          val channels = le16(bytes, body + 2)
-          val bits = le16(bytes, body + 14)
+          channels = le16(bytes, body + 2)
+          bits = le16(bytes, body + 14)
           require(formatTag == 1, s"WAV: only PCM (tag 1) supported, got $formatTag")
-          require(channels == 1, s"WAV: only mono supported, got $channels channels")
-          require(bits == 8, s"WAV: only 8-bit supported, got $bits")
+          require(channels == 1 || channels == 2,
+            s"WAV: only mono/stereo supported, got $channels channels")
+          require(bits == 8 || bits == 16, s"WAV: only 8/16-bit PCM supported, got $bits")
           sampleRate = le32(bytes, body + 4)
           require(sampleRate > 0, s"WAV: bad sample rate $sampleRate")
         case "data" =>
           require(sampleRate > 0, "WAV: data chunk before a valid fmt chunk")
           require(body + size <= bytes.length, "WAV: truncated data chunk")
-          return PcmAudio(sampleRate, java.util.Arrays.copyOfRange(bytes, body, body + size))
+          val frameBytes = channels * (bits / 8)
+          require(size % frameBytes == 0,
+            s"WAV: data size $size is not a multiple of the $frameBytes-byte frame")
+          val n = size / frameBytes
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            def sample(c: Int): Int = {
+              val off = body + i * frameBytes + c * (bits / 8)
+              if (bits == 8) bytes(off) & 0xff
+              else (bytes(off) & 0xff) | (bytes(off + 1).toInt << 8) // LE signed
+            }
+            out(i) =
+              if (channels == 1) sample(0)
+              else (sample(0) + sample(1)) >> 1 // pinned downmix: floor mean
+            i += 1
+          }
+          return PcmAudio(sampleRate, bits, out)
         case _ => // unknown chunk: skip by declared length
       }
       pos = body + size + (size & 1) // chunks are word-aligned: odd sizes pad
@@ -206,27 +247,50 @@ object MediaCodec {
     * [[bandedLuma]] (integer sums, ONE double division, one float round).
     */
   def bandedAmplitude(audio: PcmAudio, dim: Int = Multimodal.FeatureDim): Array[Float] =
-    bandedSums(audio.samples.length, dim, 128.0, audio.amplitude)
+    bandedSums(audio.samples.length, dim, audio.fullScale, audio.amplitude)
 
-  /** Decoded uncompressed video: C444 planar frames — each frame is
-    * `width*height` Y bytes, then U, then V (PLANAR, not interleaved; the
-    * YUV4MPEG2 layout).
+  /** Decoded uncompressed video, NORMALIZED to C444 planar frames — each
+    * frame is `width*height` Y bytes, then U, then V (PLANAR, not
+    * interleaved; the YUV4MPEG2 layout). Subsampled sources (C420) arrive
+    * already chroma-upsampled by the decoder, so every consumer sees one
+    * full-resolution layout.
     */
   final case class PlanarVideo(width: Int, height: Int, frames: IndexedSeq[Array[Byte]]) {
     /** Frame i's luma plane (the first width*height bytes). */
     def yPlane(i: Int): Array[Byte] =
       java.util.Arrays.copyOfRange(frames(i), 0, width * height)
+
+    /** Frame i's (normalized full-resolution) U chroma plane. */
+    def uPlane(i: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(frames(i), width * height, 2 * width * height)
+
+    /** Frame i's (normalized full-resolution) V chroma plane. */
+    def vPlane(i: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(frames(i), 2 * width * height, 3 * width * height)
   }
 
-  /** YUV4MPEG2 (.y4m) with C444 planar frames — the one VIDEO container a
-    * pure JVM can decode without codecs: a plain-text stream header
-    * (`YUV4MPEG2 W<w> H<h> ... C444\n`), then per frame a `FRAME`
-    * marker line (optionally with its own parameters) followed by
-    * `3*w*h` raw plane bytes. The parser reads the header parameters for
-    * real (W/H required, C must declare 444; F/I/A ignored), walks the
-    * frame markers, and validates every frame is complete. Strict rejects
-    * for other chroma subsamplings — this decoder verifies, it never
-    * resamples.
+  /** Chroma tags sharing the C420 plane geometry (Y w*h, then U and V each
+    * (w/2)*(h/2)). The suffixes (jpeg/mpeg2/paldv) differ only in chroma
+    * SITING — which corner of the 2x2 luma block the sample is centered
+    * on — which matters to interpolating upsamplers and is irrelevant to
+    * the pinned nearest-neighbor normalization below.
+    */
+  private val C420Tags = Set("C420", "C420jpeg", "C420mpeg2", "C420paldv")
+
+  /** YUV4MPEG2 (.y4m) with C444 or C420-family planar frames — the one
+    * VIDEO container a pure JVM can decode without codecs: a plain-text
+    * stream header (`YUV4MPEG2 W<w> H<h> ... C<chroma>\n`), then per frame
+    * a `FRAME` marker line (optionally with its own parameters) followed by
+    * the raw plane bytes — `3*w*h` for C444, `w*h*3/2` for C420 (quarter-
+    * resolution chroma; virtually all real Y4M in the wild). The parser
+    * reads the header parameters for real (W/H required; C must declare
+    * 444 or the 420 family, including the spec's C420jpeg default when C is
+    * absent; F/I/A ignored), walks the frame markers, validates every frame
+    * is complete, and NORMALIZES C420 frames to C444 by nearest-neighbor
+    * chroma upsampling (each chroma sample covers its 2x2 luma block —
+    * pinned, deterministic, siting ignored). Strict rejects for any other
+    * subsampling (C422, C411, mono) — this decoder verifies and upsamples
+    * exactly, it never interpolates.
     */
   def decodeY4m(bytes: Array[Byte]): PlanarVideo = {
     val magic = "YUV4MPEG2"
@@ -260,10 +324,15 @@ object MediaCodec {
     require(pos < bytes.length, "Y4M: truncated header")
     pos += 1 // consume the header newline
     require(width > 0 && height > 0, s"Y4M: missing or bad dimensions ${width}x$height")
-    require(chroma == "C444", s"Y4M: only C444 planar supported, got $chroma")
+    val c420 = C420Tags(chroma)
+    require(chroma == "C444" || c420,
+      s"Y4M: only C444 and the C420 family supported, got $chroma")
+    if (c420) require(width % 2 == 0 && height % 2 == 0,
+      s"Y4M: C420 needs even dimensions, got ${width}x$height")
     // Long math: 3*width*height for a hostile 65536x65536 header must
     // reject as truncated, never wrap to a small Int
-    val frameBytesL = 3L * width * height
+    val frameBytesL =
+      if (c420) width.toLong * height * 3 / 2 else 3L * width * height
     val frames = IndexedSeq.newBuilder[Array[Byte]]
     while (pos < bytes.length) {
       require(pos + 5 <= bytes.length &&
@@ -274,10 +343,38 @@ object MediaCodec {
       pos += 1
       require(pos + frameBytesL <= bytes.length, "Y4M: truncated frame data")
       val frameBytes = frameBytesL.toInt // safe: bounded by bytes.length above
-      frames += java.util.Arrays.copyOfRange(bytes, pos, pos + frameBytes)
+      val raw = java.util.Arrays.copyOfRange(bytes, pos, pos + frameBytes)
+      frames += (if (c420) upsample420(raw, width, height) else raw)
       pos += frameBytes
     }
     PlanarVideo(width, height, frames.result())
+  }
+
+  /** Nearest-neighbor C420 → C444 chroma upsample: Y copies through, and
+    * full-resolution chroma pixel (x, y) takes quarter-plane sample
+    * (x >> 1, y >> 1) — each chroma sample covers its 2x2 luma block.
+    */
+  private def upsample420(f: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = w * h
+    val cw = w / 2
+    val out = new Array[Byte](3 * n)
+    System.arraycopy(f, 0, out, 0, n)
+    var p = 0 // 0 = U, 1 = V
+    while (p < 2) {
+      val src = n + p * (n / 4)
+      val dst = n * (1 + p)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(dst + y * w + x) = f(src + (y >> 1) * cw + (x >> 1))
+          x += 1
+        }
+        y += 1
+      }
+      p += 1
+    }
+    out
   }
 
   /** Banded luma over a single decoded frame's Y PLANE: the video twin of
@@ -292,23 +389,31 @@ object MediaCodec {
   /** Constant Y4M stream header for fixed geometry — like [[wavHeader]], a
     * constant byte string the payload-builder queries concat as a literal.
     */
-  def y4mHeader(width: Int, height: Int): Array[Byte] =
-    s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+  def y4mHeader(width: Int, height: Int, chroma: String = "C444"): Array[Byte] =
+    s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 $chroma\n".getBytes("US-ASCII")
 
-  /** Constant 44-byte WAV header for `n` 8-bit mono PCM samples at
-    * `rate` Hz — the canonical minimal layout (RIFF + fmt + data), used by
-    * fixtures and the payload-builder queries (for FIXED n the header is a
-    * constant byte string, so Spark can `concat` it as a literal).
+  /** Constant 44-byte WAV header for `frames` PCM frames of the given
+    * geometry at `rate` Hz — the canonical minimal layout (RIFF + fmt +
+    * data) with the derived fields (byte rate, block align, sizes) computed
+    * per spec. Used by fixtures and the payload-builder queries (for FIXED
+    * geometry the header is a constant byte string, so Spark can `concat`
+    * it as a literal).
     */
-  def wavHeader(n: Int, rate: Int = 8000): Array[Byte] = {
+  def wavHeaderPcm(frames: Int, rate: Int, channels: Int, bits: Int): Array[Byte] = {
+    val frameBytes = channels * (bits / 8)
+    val dataBytes = frames * frameBytes
     val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n).put("WAVE".getBytes("US-ASCII"))
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes).put("WAVE".getBytes("US-ASCII"))
     b.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1).putInt(rate).putInt(rate) // PCM, mono, byteRate=rate
-      .putShort(1).putShort(8)                           // blockAlign=1, 8-bit
-    b.put("data".getBytes("US-ASCII")).putInt(n)
+      .putShort(1).putShort(channels.toShort).putInt(rate).putInt(rate * frameBytes)
+      .putShort(frameBytes.toShort).putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
     b.array()
   }
+
+  /** The 8-bit mono layout every earlier fixture uses. */
+  def wavHeader(n: Int, rate: Int = 8000): Array[Byte] =
+    wavHeaderPcm(n, rate, channels = 1, bits = 8)
 
   /** Encode a raster back to binary PPM — the round-trip twin of
     * [[decodePpm]], used by tests and fixtures (e.g. re-encoding a BMP as

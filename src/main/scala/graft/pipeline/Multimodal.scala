@@ -434,6 +434,69 @@ object Multimodal extends QueryModule {
         SELECT doc_id, band, amp_frac FROM f ORDER BY doc_id, band"""
   }
 
+  /** Frames per 16-bit stereo WAV clip (4 bytes per frame — L then R,
+    * little-endian signed 16-bit — so the clip consumes the document's
+    * first [[Wav16Frames]]*4 bytes).
+    */
+  private val Wav16Frames = 96
+
+  /** `mm_real_audio16`: the dominant real-world PCM shape — 16-BIT STEREO —
+    * through the same decode pipeline as the 8-bit twin. Spark builds a
+    * genuine RIFF/WAVE file per document (constant 44-byte header for
+    * 16-bit/2-channel geometry, then the document's first 384 bytes as
+    * little-endian signed L/R sample pairs), [[MediaCodec.decodeWav]]
+    * validates the fmt block, decodes the frames, and downmixes each L/R
+    * pair with the pinned exact floor mean `(L+R) >> 1`, and banded
+    * amplitude reduces with the 16-bit full scale (|s| / 32768). The
+    * oracle recomputes everything from the document bytes — the signed
+    * little-endian reassembly spelled `v - 65536 WHEN v >= 32768` and the
+    * downmix spelled `(L+R+65536) // 2 - 32768`, both exact-integer
+    * equivalents of the decoder's arithmetic — so an endianness, sign, or
+    * downmix bug lands as a value mismatch. Map-only until the final sort.
+    */
+  def realAudio16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val headerHex = MediaCodec.wavHeaderPcm(Wav16Frames, 8000, channels = 2, bits = 16)
+      .map("%02X".format(_)).mkString
+    val dataBytes = Wav16Frames * 4
+    val wav = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= dataBytes)
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        concat(unhex(lit(headerHex)),
+          unhex(substring(hex(col("text").cast("binary")), 1, dataBytes * 2)))
+          .as("payload"))
+    BatchedDecode.decodeFeatures(wav.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("amp_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realAudio16Sql = {
+    val bandFrames = Wav16Frames / FeatureDim // 12 stereo frames per band
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS INT)"
+    // little-endian signed 16-bit at byte offset `off`
+    def s16(off: String) = {
+      val v = s"(${byte(off)} + 256 * ${byte(s"($off) + 1")})"
+      s"(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
+    }
+    // decoder downmix (L+R) >> 1 == (L+R+65536) // 2 - 32768 (the numerator
+    // is non-negative, so integer division is unambiguous floor)
+    val mix = s"((${s16("4 * i")} + ${s16("4 * i + 2")} + 65536) // 2 - 32768)"
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= ${Wav16Frames * 4}
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CAST(CAST(CAST(list_sum(list_transform(
+                     range(k * $bandFrames, (k + 1) * $bandFrames),
+                     i -> abs($mix)))
+                   AS DOUBLE) / ${32768 * bandFrames}.0 AS FLOAT) AS DOUBLE) AS amp_frac
+          FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
+        )
+        SELECT doc_id, band, amp_frac FROM f ORDER BY doc_id, band"""
+  }
+
   /** Frames per synthetic Y4M clip, and the sampling stride for the real
     * frame-sample query (every 2nd frame of 4 → frames 0 and 2).
     */
@@ -443,6 +506,9 @@ object Multimodal extends QueryModule {
   /** Bytes per 4x4 C444 frame (3 planes x 16) — small frames so the
     * 4-frame clip fits the documents the other real-decode rows use. */
   private val Y4mFrameBytes = 3 * 4 * 4
+
+  /** Bytes per 4x4 C420 frame (16 Y + 4 U + 4 V). */
+  private val Y4mFrameBytes420 = 4 * 4 * 3 / 2
 
   /** `mm_real_frames`: REAL video decode + frame sampling — the VIDEO twin
     * of `mm_real_decode`/`mm_real_audio`, completing the modality set.
@@ -462,19 +528,35 @@ object Multimodal extends QueryModule {
     * which is the point of the batched contract — at 100 TB the codec
     * drops frames where the bytes live, not after a shuffle.
     */
-  def realFrames(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val headerHex = MediaCodec.y4mHeader(4, 4).map("%02X".format(_)).mkString
+  /** MIXED-subsampling Y4M payloads: even doc_ids get a genuine 4x4 C444
+    * clip (48 document bytes per frame as the three full planes), odd
+    * doc_ids a genuine 4x4 C420 clip (24 bytes per frame: 16 Y + 4 U +
+    * 4 V) — a corpus where BOTH real-world chroma layouts arrive through
+    * one decode path, the way a real landing bucket would. One shared
+    * length filter (the larger C444 requirement) keeps the two
+    * populations identical, so format coverage is decided by doc_id, not
+    * by document length.
+    */
+  private def y4mPayloads(spark: SparkSession, sfDir: String): DataFrame = {
     val markerHex = "FRAME\n".getBytes("US-ASCII").map("%02X".format(_)).mkString
-    val frameCols = (0 until Y4mFrames).flatMap(k => Seq(
-      unhex(lit(markerHex)),
-      unhex(substring(hex(col("text").cast("binary")),
-        k * Y4mFrameBytes * 2 + 1, Y4mFrameBytes * 2))))
-    val y4m = Tables.documents(spark, sfDir)
+    def clip(chroma: String, frameBytes: Int) = {
+      val headerHex = MediaCodec.y4mHeader(4, 4, chroma).map("%02X".format(_)).mkString
+      val frameCols = (0 until Y4mFrames).flatMap(k => Seq(
+        unhex(lit(markerHex)),
+        unhex(substring(hex(col("text").cast("binary")),
+          k * frameBytes * 2 + 1, frameBytes * 2))))
+      concat(unhex(lit(headerHex)) +: frameCols: _*)
+    }
+    Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= Y4mFrames * Y4mFrameBytes)
       .select(col("doc_id"), lit("video").as("media_type"),
-        concat(unhex(lit(headerHex)) +: frameCols: _*).as("payload"))
-    y4m.as[MediaRow].mapPartitions { rows =>
+        when(col("doc_id") % 2 === 0, clip("C444", Y4mFrameBytes))
+          .otherwise(clip("C420", Y4mFrameBytes420)).as("payload"))
+  }
+
+  def realFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    y4mPayloads(spark, sfDir).as[MediaRow].mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
         batch.iterator.flatMap { r =>
           val clip = MediaCodec.decodeY4m(r.payload)
@@ -492,19 +574,67 @@ object Multimodal extends QueryModule {
   }
 
   private val realFramesSql = {
-    val pixels = 4 * 4 // Y-plane bytes per frame
+    val pixels = 4 * 4 // Y-plane bytes per frame, either subsampling
+    // frame k's Y plane starts at doc byte k*48 (C444, even doc_id) or
+    // k*24 (C420, odd doc_id) — the subsampling changes the MARKER WALK
+    // stride, which is exactly what this oracle pins
+    val stride = s"(CASE WHEN doc_id % 2 = 0 THEN $Y4mFrameBytes ELSE $Y4mFrameBytes420 END)"
     s"""WITH d AS (
           SELECT doc_id, hex(encode(text)) AS h
           FROM documents WHERE octet_length(encode(text)) >= ${Y4mFrames * Y4mFrameBytes}
         ), f AS (
           SELECT doc_id, CAST(k AS INT) AS frame_no,
                  CAST(CAST(CAST(list_sum(list_transform(
-                     range(k * $Y4mFrameBytes, k * $Y4mFrameBytes + $pixels),
+                     range(k * $stride, k * $stride + $pixels),
                      i -> CAST('0x' || substring(h, i * 2 + 1, 2) AS INT)))
                    AS DOUBLE) / ${255 * pixels}.0 AS FLOAT) AS DOUBLE) AS y_frac
           FROM d, (SELECT unnest(range(0, $Y4mFrames, $Y4mSampleEvery)) AS k)
         )
         SELECT doc_id, frame_no, y_frac FROM f ORDER BY doc_id, frame_no"""
+  }
+
+  /** `mm_real_chroma`: pins the C420 chroma UPSAMPLING per pixel (the one
+    * thing `mm_real_frames`'s luma means cannot see). Over the same mixed
+    * C444/C420 corpus, emit frame 0's NORMALIZED full-resolution U and V
+    * value at every pixel: for C444 documents these are the source plane
+    * bytes verbatim; for C420 documents pixel (x, y) must carry quarter-
+    * plane sample (x >> 1, y >> 1) — so a transposed, off-by-one, or
+    * interpolating upsampler lands as a per-pixel value mismatch. The
+    * oracle recomputes both layouts from the document bytes at the planar
+    * offsets. Map-only until the final sort.
+    */
+  def realChroma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    y4mPayloads(spark, sfDir).as[MediaRow].mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val clip = MediaCodec.decodeY4m(r.payload)
+          val u = clip.uPlane(0)
+          val v = clip.vPlane(0)
+          (0 until 16).map(p => (r.doc_id, p, u(p) & 0xff, v(p) & 0xff))
+        }
+      }
+    }.toDF("doc_id", "px", "u", "v")
+      .orderBy("doc_id", "px")
+  }
+
+  private val realChromaSql = {
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS INT)"
+    // C444 frame 0: U plane at doc bytes 16..31, V at 32..47, pixel-indexed.
+    // C420 frame 0: U at 16..19, V at 20..23, quarter-plane index
+    // (py>>1)*2 + (px>>1) for pixel p = py*4 + px — nearest upsampling.
+    val q = "(((p // 4) // 2) * 2 + (p % 4) // 2)"
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= ${Y4mFrames * Y4mFrameBytes}
+        )
+        SELECT doc_id, CAST(p AS INT) AS px,
+               CASE WHEN doc_id % 2 = 0 THEN ${byte("16 + p")}
+                    ELSE ${byte(s"16 + $q")} END AS u,
+               CASE WHEN doc_id % 2 = 0 THEN ${byte("32 + p")}
+                    ELSE ${byte(s"20 + $q")} END AS v
+        FROM d, (SELECT unnest(range(0, 16)) AS p)
+        ORDER BY doc_id, px"""
   }
 
   /** Thumbnail edge for the real-resize query: 8x8 decoded PPMs box-average
@@ -567,7 +697,9 @@ object Multimodal extends QueryModule {
     "mm_real_decode" -> (realDecode _),
     "mm_real_ahash_dedup" -> (realAhashDedup _),
     "mm_real_audio" -> (realAudio _),
+    "mm_real_audio16" -> (realAudio16 _),
     "mm_real_frames" -> (realFrames _),
+    "mm_real_chroma" -> (realChroma _),
     "mm_real_thumbnail" -> (realThumbnail _),
   )
 
@@ -579,7 +711,9 @@ object Multimodal extends QueryModule {
     "mm_real_decode" -> realDecodeSql,
     "mm_real_ahash_dedup" -> realAhashDedupSql,
     "mm_real_audio" -> realAudioSql,
+    "mm_real_audio16" -> realAudio16Sql,
     "mm_real_frames" -> realFramesSql,
+    "mm_real_chroma" -> realChromaSql,
     "mm_real_thumbnail" -> realThumbnailSql,
   )
 }
@@ -599,9 +733,19 @@ object MediaFiles {
   private def toRows(files: DataFrame): Dataset[MediaRow] = {
     import files.sparkSession.implicits._
     files.select(
-        regexp_extract(col("path"), "([0-9]+)\\.[a-z0-9]+$", 1).try_cast("long").as("doc_id"),
-        regexp_extract(col("path"), "\\.([a-z0-9]+)$", 1).as("media_type"),
+        // extension match is case-INsensitive (7.PPM is a valid blob name on
+        // any real object store); media_type normalizes to lowercase so the
+        // decoder dispatch sees one spelling
+        regexp_extract(col("path"), "(?i)([0-9]+)\\.[a-z0-9]+$", 1).try_cast("long").as("doc_id"),
+        lower(regexp_extract(col("path"), "(?i)\\.([a-z0-9]+)$", 1)).as("media_type"),
         col("content").as("payload"))
+      // skipped blobs must be VISIBLE, not silent data loss: the named
+      // observation counts every landed path and every one the name filter
+      // drops, surfaced through QueryExecutionListener / StreamingQuery
+      // .lastProgress.observedMetrics at zero plan cost (no extra job)
+      .observe("media_landing",
+        count(lit(1)).as("paths_seen"),
+        count(when(col("doc_id").isNull, true)).as("paths_skipped"))
       // a landing dir is never clean: _SUCCESS markers, readme.txt, hidden
       // files all fail the doc_id regex (-> null), and a null into the
       // primitive Long field would kill the whole task at encode time —
@@ -669,8 +813,9 @@ object BatchedDecode {
 
   /** REAL decoder dispatch: magic-byte sniff, then an actual parse of the
     * payload — binary PPM (P6) and 24-bit BMP decode to pixels and
-    * featurize as banded luma; RIFF WAV decodes to 8-bit PCM (chunk walk)
-    * and featurizes as banded amplitude; any other format falls back to
+    * featurize as banded luma; RIFF WAV decodes to PCM (chunk walk; 8/16
+    * bit, stereo downmixed exactly) and featurizes as banded amplitude
+    * against the depth's full scale; any other format falls back to
     * the stub featurizer. This is the production codec-dispatch shape:
     * per-payload format detection inside a per-batch context.
     */

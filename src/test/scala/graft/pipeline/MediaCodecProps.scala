@@ -81,7 +81,54 @@ object MediaCodecProps extends Properties("mediacodec") {
   property("WAV header-build + decode round-trip is lossless at any rate/length") =
     forAll(wavGen) { case (rate, samples) =>
       val got = decodeWav(wavHeader(samples.length, rate) ++ samples)
-      got.sampleRate == rate && got.samples.toSeq == samples.toSeq
+      got.sampleRate == rate && got.bits == 8 &&
+        got.samples.toSeq == samples.map(_ & 0xff).toSeq
+    }
+
+  private val wav16Gen: Gen[(Int, List[Int])] = for {
+    n <- Gen.choose(0, 48)
+    rate <- Gen.choose(1, 48000)
+    samples <- Gen.listOfN(n, Gen.choose(-32768, 32767))
+  } yield (rate, samples)
+
+  private def le16bytes(vs: Seq[Int]): Array[Byte] =
+    vs.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+
+  property("16-bit WAV round-trip is lossless over the full signed range") =
+    forAll(wav16Gen) { case (rate, samples) =>
+      val got = decodeWav(wavHeaderPcm(samples.length, rate, 1, 16) ++ le16bytes(samples))
+      got.sampleRate == rate && got.bits == 16 && got.samples.toSeq == samples
+    }
+
+  property("stereo decode equals the floor mean of the per-channel decodes") =
+    forAll(wav16Gen) { case (rate, mono) =>
+      // interleave (s, -s-1): an asymmetric pair whose sum is always -1,
+      // so every frame exercises the negative-odd floor case
+      val frames = mono.map(s => (s, if (s == 32767) -32768 else -s - 1))
+      val inter = le16bytes(frames.flatMap { case (l, r) => Seq(l, r) })
+      val got = decodeWav(wavHeaderPcm(frames.length, rate, 2, 16) ++ inter)
+      got.samples.toSeq == frames.map { case (l, r) => (l + r) >> 1 }
+    }
+
+  property("C420 build + decode normalizes to the nearest-upsampled C444 planes") =
+    forAll(Gen.choose(1, 3), Gen.choose(1, 3), Gen.choose(1, 3)) { (hw, hh, nf) =>
+      val (w, h) = (2 * hw, 2 * hh)
+      val rnd = new scala.util.Random(w * 131 + h * 17 + nf)
+      val frames = Seq.fill(nf)(Array.fill(w * h * 3 / 2)(rnd.nextInt(256).toByte))
+      val bytes = y4mHeader(w, h, "C420") ++
+        frames.flatMap(f => "FRAME\n".getBytes("US-ASCII") ++ f)
+      val clip = decodeY4m(bytes.toArray)
+      clip.width == w && clip.height == h && clip.frames.length == nf &&
+        frames.indices.forall { i =>
+          val f = frames(i)
+          val n = w * h
+          clip.yPlane(i).toSeq == f.take(n).toSeq &&
+            (0 until n).forall { p =>
+              val (x, y) = (p % w, p / w)
+              val q = (y >> 1) * (w / 2) + (x >> 1)
+              clip.uPlane(i)(p) == f(n + q) && clip.vPlane(i)(p) == f(n + n / 4 + q)
+            }
+        }
     }
 
   property("Y4M build + decode round-trip preserves every frame") =

@@ -143,20 +143,47 @@ class MediaCodecSpec extends SparkSpec {
       chunk("data", samples))
     val got = decodeWav(wav)
     assert(got.sampleRate == 8000)
-    assert(got.samples.toSeq == samples.toSeq)
+    assert(got.samples.toSeq == samples.map(_ & 0xff).toSeq)
     // the constant builder parses through the same decoder
     val canonical = wavHeader(16) ++ samples
-    assert(decodeWav(canonical).samples.toSeq == samples.toSeq)
+    assert(decodeWav(canonical).samples.toSeq == samples.map(_ & 0xff).toSeq)
   }
 
-  test("WAV decode: strict rejects (16-bit, stereo, non-PCM, missing data)") {
+  test("WAV decode: 16-bit little-endian signed, mono") {
+    val values = Seq(0, 1, -1, 32767, -32768, 256, -257, 12345)
+    val data = values.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val got = decodeWav(riff(chunk("fmt ", fmtBody(bits = 16)), chunk("data", data)))
+    assert(got.bits == 16)
+    assert(got.samples.toSeq == values)
+    // full-scale amplitude for 16-bit is |s| / 32768
+    assert(got.amplitude(3) == 32767 && got.amplitude(4) == 32768)
+  }
+
+  test("WAV decode: stereo downmixes with the exact floor mean (L+R) >> 1") {
+    // 8-bit stereo: frames (100, 101) and (0, 255) -> 100, 127
+    val d8 = Array[Byte](100, 101, 0, 255.toByte)
+    assert(decodeWav(riff(chunk("fmt ", fmtBody(channels = 2)), chunk("data", d8)))
+      .samples.toSeq == Seq(100, 127))
+    // 16-bit stereo: (-3, 2) -> floor(-1/2) = -1 (the sign-sensitive case),
+    // (1000, 2001) -> 1500
+    val d16 = Seq(-3, 2, 1000, 2001)
+      .flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    assert(decodeWav(riff(chunk("fmt ", fmtBody(channels = 2, bits = 16)), chunk("data", d16)))
+      .samples.toSeq == Seq(-1, 1500))
+  }
+
+  test("WAV decode: strict rejects (12-bit, 3-channel, non-PCM, ragged data, missing data)") {
     val samples = Array.fill(8)(5.toByte)
     intercept[IllegalArgumentException](
-      decodeWav(riff(chunk("fmt ", fmtBody(bits = 16)), chunk("data", samples))))
+      decodeWav(riff(chunk("fmt ", fmtBody(bits = 12)), chunk("data", samples))))
     intercept[IllegalArgumentException](
-      decodeWav(riff(chunk("fmt ", fmtBody(channels = 2)), chunk("data", samples))))
+      decodeWav(riff(chunk("fmt ", fmtBody(channels = 3)), chunk("data", samples))))
     intercept[IllegalArgumentException](
       decodeWav(riff(chunk("fmt ", fmtBody(tag = 3)), chunk("data", samples))))
+    // 16-bit stereo frames are 4 bytes: a 6-byte data chunk is torn mid-frame
+    intercept[IllegalArgumentException](
+      decodeWav(riff(chunk("fmt ", fmtBody(channels = 2, bits = 16)),
+        chunk("data", Array.fill(6)(1.toByte)))))
     intercept[IllegalArgumentException](decodeWav(riff(chunk("fmt ", fmtBody()))))
     // data before fmt is malformed, not silently accepted
     intercept[IllegalArgumentException](
@@ -188,10 +215,33 @@ class MediaCodecSpec extends SparkSpec {
     assert(decodeY4m(y4mHeader(2, 2) ++ "FRAME\n".getBytes ++ f0).frames.length == 1)
   }
 
-  test("Y4M decode: strict rejects (default C420, truncated frame, junk between frames)") {
+  test("Y4M decode: C420 frames normalize to C444 via nearest-neighbor chroma upsampling") {
+    // 2x2 C420 frame: 4 Y + 1 U + 1 V = 6 bytes; the single chroma sample
+    // must cover all four full-resolution pixels
+    val f2 = Array[Byte](10, 20, 30, 40, 77, 99.toByte)
+    val c2 = decodeY4m(y4mHeader(2, 2, "C420") ++ "FRAME\n".getBytes ++ f2)
+    assert(c2.yPlane(0).toSeq == Seq[Byte](10, 20, 30, 40))
+    assert(c2.uPlane(0).toSeq == Seq.fill(4)(77.toByte))
+    assert(c2.vPlane(0).toSeq == Seq.fill(4)(99.toByte))
+    // 4x4 C420: quarter-plane sample (x>>1, y>>1) pins the 2x2 block
+    // pattern (a transposed or off-by-one upsampler fails here)
+    val y16 = Array.tabulate(16)(i => i.toByte)
+    val u4 = Array[Byte](1, 2, 3, 4)
+    val v4 = Array[Byte](5, 6, 7, 8)
+    val c4 = decodeY4m(y4mHeader(4, 4, "C420jpeg") ++ "FRAME\n".getBytes ++ y16 ++ u4 ++ v4)
+    assert(c4.uPlane(0).toSeq == Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+    assert(c4.vPlane(0).toSeq == Seq[Byte](5, 5, 6, 6, 5, 5, 6, 6, 7, 7, 8, 8, 7, 7, 8, 8))
+    // no C param -> the spec's C420jpeg default, now decoded (not rejected)
+    val cd = decodeY4m("YUV4MPEG2 W2 H2\n".getBytes ++ "FRAME\n".getBytes ++ f2)
+    assert(cd.uPlane(0).toSeq == Seq.fill(4)(77.toByte))
+  }
+
+  test("Y4M decode: strict rejects (C422, odd C420 dims, truncated frame, junk between frames)") {
     val f = Array.fill(12)(9.toByte)
-    intercept[IllegalArgumentException]( // no C param -> spec default C420jpeg
-      decodeY4m("YUV4MPEG2 W2 H2\n".getBytes ++ "FRAME\n".getBytes ++ f))
+    intercept[IllegalArgumentException]( // 422 has no decoder: reject, don't guess
+      decodeY4m("YUV4MPEG2 W2 H2 C422\n".getBytes ++ "FRAME\n".getBytes ++ f))
+    intercept[IllegalArgumentException]( // half-res chroma needs even dims
+      decodeY4m("YUV4MPEG2 W3 H2 C420\n".getBytes ++ "FRAME\n".getBytes ++ f))
     intercept[IllegalArgumentException](
       decodeY4m(y4mHeader(2, 2) ++ "FRAME\n".getBytes ++ f.take(7)))
     intercept[IllegalArgumentException](
