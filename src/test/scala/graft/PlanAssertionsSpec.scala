@@ -27,6 +27,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "PPJoin positional filter (overlap-threshold div 19) missing")
   }
 
+  test("q-gram doc matcher: equi-keyed on the gram with residual verify — no cartesian, no per-side re-explode") {
+    val plan = graft.operators.FuzzyJoin.qgramDocPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "the probe-index join must stay keyed on the q-gram")
+    assert(plan.contains("lev_within"),
+      "the bounded verify must ride the candidate join as a residual")
+    // the gram derivation is ONE materialized linear pass; a Generate in
+    // the candidate plan would mean a side re-exploded its grams — the
+    // door through which a length-quadratic enumeration (the FastSS d=2
+    // shape this operator exists to replace) would sneak back in
+    assert(!plan.contains("Generate"),
+      "candidate stage must read the materialized gram pass, not re-explode")
+  }
+
   test("flagship: cleaning filters reach the parquet scan (pushdown)") {
     val p = planOf("q2_customer_summary")
     assert(p.contains("PushedFilters"))

@@ -94,6 +94,55 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
   }
 
+  test("q-gram blocking has FULL recall vs brute-force levenshtein on long strings") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0
+      })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(43)
+    val alpha = "abcd "
+    def randStr(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (0 until edits).foreach { _ =>
+        val i = rnd.nextInt(cur.length)
+        rnd.nextInt(3) match {
+          case 0 => cur = cur.updated(i, alpha(rnd.nextInt(alpha.length)))
+          case 1 => cur = cur.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + cur.substring(i)
+          case _ => cur = cur.substring(0, i) + cur.substring(i + 1)
+        }
+      }
+      cur
+    }
+    // long strings (the regime FastSS's L² keys cannot serve): each base
+    // plants a 1-edit, a 2-edit, and a 3-edit copy — substitutions,
+    // inserts, AND deletes, so every |Δpos| / |Δlen| / verify bound is hit;
+    // the tiny alphabet also makes hot q-grams (the prefix-filter stress)
+    val texts = Seq.fill(12)(randStr(50 + rnd.nextInt(40)))
+      .flatMap(b => Seq(b, mutate(b, 1), mutate(b, 2), mutate(b, 3)))
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong + 1, t, "en", "synthetic", t.length.toLong)
+    }
+    val d = Files.createTempDirectory("graft_qgram_prop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // mirror the query's fixture string exactly
+    val strings = docs.map { case (id, t, lang, _, _) => id -> s"$lang:${t.toLowerCase.take(77)}" }
+    val expect = (for {
+      (ia, sa) <- strings; (ib, sb) <- strings
+      if ia < ib && math.abs(sa.length - sb.length) <= 2 && lev(sa, sb) <= 2
+    } yield (ia, ib) -> lev(sa, sb)).toMap
+    val got = FuzzyJoin.qgramDocPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == expect,
+      s"missing=${expect.keySet -- got.keySet} extra=${got.keySet -- expect.keySet}")
+  }
+
   test("radius profile's d=1 bucket equals the positioned d=1 matcher's edge count") {
     val profile = FuzzyJoin.radiusProfile(spark, Sf0001).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
