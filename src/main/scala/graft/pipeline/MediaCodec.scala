@@ -79,8 +79,15 @@ object MediaCodec {
   }
 
   /** Binary PPM (P6): `P6 <ws> width <ws> height <ws> maxval <single-ws>`
-    * then `width*height*3` raw RGB bytes. `#` comments are legal anywhere
-    * whitespace is. Only maxval <= 255 (1 byte per sample) is supported.
+    * then `width*height*3` RGB samples — ONE byte each for maxval ≤ 255
+    * (kept RAW, the identity at the canonical 255 — the historical
+    * contract every existing oracle pins), TWO bytes each, most
+    * significant first, for maxval 256..65535 (per spec), normalized to
+    * 8-bit with the pinned truncating map `v * 255 / maxval` (exact
+    * integer arithmetic, engine-reproducible; at maxval 65535 = 257·255
+    * the map inverts `v8 * 257` exactly, property-tested). `#` comments
+    * are legal anywhere whitespace is. A sample above maxval is a strict
+    * reject — this decoder verifies, it never clamps.
     */
   def decodePpm(bytes: Array[Byte]): RasterImage = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
@@ -110,16 +117,30 @@ object MediaCodec {
     val height = readInt()
     val maxval = readInt()
     require(width > 0 && height > 0, s"PPM: bad dimensions ${width}x$height")
-    require(maxval > 0 && maxval <= 255, s"PPM: unsupported maxval $maxval")
+    require(maxval > 0 && maxval <= 65535, s"PPM: unsupported maxval $maxval")
+    val twoByte = maxval > 255
     // exactly ONE whitespace byte separates the header from pixel data
     require(pos < bytes.length && Character.isWhitespace(bytes(pos)), "PPM: missing pixel separator")
     pos += 1
     // Long math: a hostile header like `P6 65536 65536 255` must reject as
     // truncated, not wrap width*height*3 to a small Int and decode garbage
     val nL = width.toLong * height * 3
-    require(bytes.length - pos >= nL, s"PPM: truncated pixels (${bytes.length - pos} < $nL)")
+    val needL = nL * (if (twoByte) 2 else 1)
+    require(bytes.length - pos >= needL, s"PPM: truncated pixels (${bytes.length - pos} < $needL)")
     val n = nL.toInt
-    RasterImage(width, height, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+    if (!twoByte)
+      RasterImage(width, height, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+    else {
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val v = ((bytes(pos + 2 * i) & 0xff) << 8) | (bytes(pos + 2 * i + 1) & 0xff) // MSB first
+        require(v <= maxval, s"PPM: sample $v exceeds maxval $maxval")
+        out(i) = (v * 255 / maxval).toByte // pinned truncating normalization
+        i += 1
+      }
+      RasterImage(width, height, out)
+    }
   }
 
   private def le16(b: Array[Byte], off: Int): Int =

@@ -28,6 +28,20 @@ object MediaCodecProps extends Properties("mediacodec") {
       rt.rgb.toSeq == img.rgb.toSeq
   }
 
+  property("16-bit PPM at maxval 65535 inverts the v8 * 257 deepening exactly") =
+    forAll(imageGen) { img =>
+      // widen every 8-bit sample to 16-bit via v * 257 (= v * 65535 / 255,
+      // the canonical deepening); the decoder's v * 255 / 65535 must give
+      // the original back bit-for-bit
+      val header = s"P6\n${img.width} ${img.height}\n65535\n".getBytes("US-ASCII")
+      val wide = img.rgb.flatMap { b =>
+        val v = (b & 0xff) * 257
+        Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      }
+      val rt = decodePpm(header ++ wide)
+      rt.width == img.width && rt.rgb.toSeq == img.rgb.toSeq
+    }
+
   property("ahash64 sees pixels, not containers (PPM round-trip preserves it)") =
     forAll(imageGen) { img =>
       ahash64(img) == ahash64(decodePpm(encodePpm(img)))

@@ -52,8 +52,28 @@ class MediaCodecSpec extends SparkSpec {
 
   test("PPM decode: strict rejects (truncated pixels, bad maxval, wrong magic)") {
     intercept[IllegalArgumentException](decodePpm(ppm2x2().dropRight(1)))
+    intercept[IllegalArgumentException](decodePpm(ppm2x2("P6\n2 2\n70000\n"))) // > 16-bit
+    // maxval > 255 means TWO bytes per sample: the 12 one-byte pixels are
+    // now a truncated payload, not a valid image
     intercept[IllegalArgumentException](decodePpm(ppm2x2("P6\n2 2\n65535\n")))
     intercept[IllegalArgumentException](decodePpm("P5\n2 2\n255\n".getBytes ++ px2x2))
+  }
+
+  test("PPM decode: 16-bit samples (maxval > 255) normalize via v*255/maxval, MSB first") {
+    def be16(vs: Int*): Array[Byte] =
+      vs.flatMap(v => Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)).toArray
+    // maxval 65535: normalization is exactly v div 257
+    val img = decodePpm("P6\n1 1\n65535\n".getBytes("US-ASCII") ++ be16(65535, 0, 32770))
+    assert(img.rgb.toSeq == Seq(255, 0, 127).map(_.toByte))
+    // non-canonical maxval: 299 * 255 / 300 truncates to 254
+    val odd = decodePpm("P6\n1 1\n300\n".getBytes("US-ASCII") ++ be16(299, 300, 0))
+    assert(odd.rgb.toSeq == Seq(254, 255, 0).map(_.toByte))
+    // a sample above maxval is corrupt data, not something to clamp
+    intercept[IllegalArgumentException](
+      decodePpm("P6\n1 1\n300\n".getBytes("US-ASCII") ++ be16(301, 0, 0)))
+    // truncated mid-sample (odd byte count) rejects
+    intercept[IllegalArgumentException](
+      decodePpm("P6\n1 1\n65535\n".getBytes("US-ASCII") ++ be16(65535, 0, 32770).dropRight(1)))
   }
 
   test("BMP decode: bottom-up and top-down both normalize to the PPM pixels") {
