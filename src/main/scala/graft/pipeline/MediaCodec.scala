@@ -1,7 +1,8 @@
 package graft.pipeline
 
 /** REAL pure-JVM media decoders for the header-simplest uncompressed
-  * formats in each modality — binary PPM (P6) and 24-bit BMP images,
+  * formats in each modality — binary PPM (P6) / PGM (P5) and 24-bit BMP
+  * images,
   * RIFF/WAV 8/16-bit mono/stereo PCM audio, and YUV4MPEG2 C444/C420
   * video — so the
   * multimodal decode path is exercised against genuine media bytes, not
@@ -58,12 +59,14 @@ object MediaCodec {
       PcmAudio(sampleRate, 8, samples.map(_ & 0xff))
   }
 
-  /** Magic-byte sniff: Some("ppm") for binary P6, Some("bmp") for BM,
-    * Some("wav") for RIFF, Some("y4m") for YUV4MPEG2, None for anything
-    * else (callers fall back to the stub featurizer).
+  /** Magic-byte sniff: Some("ppm") for binary P6, Some("pgm") for binary
+    * P5, Some("bmp") for BM, Some("wav") for RIFF, Some("y4m") for
+    * YUV4MPEG2, None for anything else (callers fall back to the stub
+    * featurizer).
     */
   def sniff(payload: Array[Byte]): Option[String] =
     if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') Some("ppm")
+    else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '5') Some("pgm")
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') Some("bmp")
     else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == 'F') Some("wav")
@@ -74,6 +77,7 @@ object MediaCodec {
   /** Decode a payload whose magic bytes sniff as a supported raster. */
   def decode(payload: Array[Byte]): RasterImage = sniff(payload) match {
     case Some("ppm") => decodePpm(payload)
+    case Some("pgm") => decodePgm(payload)
     case Some("bmp") => decodeBmp(payload)
     case _ => throw new IllegalArgumentException("unsupported raster payload")
   }
@@ -91,6 +95,23 @@ object MediaCodec {
     */
   def decodePpm(bytes: Array[Byte]): RasterImage = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    decodeNetpbm(bytes, channels = 3)
+  }
+
+  /** Binary PGM (P5): the GRAYSCALE Netpbm sibling — same header grammar
+    * as [[decodePpm]] but `width*height` single-channel samples (1 byte
+    * for maxval ≤ 255, 2 bytes MSB-first up to 65535, same pinned
+    * truncating normalization). Decodes to the standard [[RasterImage]]
+    * contract by replicating each gray sample to R=G=B — so every
+    * downstream consumer (banded luma, aHash, resize, thumbnails) works
+    * unchanged, and a gray pixel's `rgbSum` is exactly `3*g`.
+    */
+  def decodePgm(bytes: Array[Byte]): RasterImage = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5', "not a P5 PGM")
+    decodeNetpbm(bytes, channels = 1)
+  }
+
+  private def decodeNetpbm(bytes: Array[Byte], channels: Int): RasterImage = {
     var pos = 2
     def skipWsAndComments(): Unit = {
       var moved = true
@@ -124,19 +145,26 @@ object MediaCodec {
     pos += 1
     // Long math: a hostile header like `P6 65536 65536 255` must reject as
     // truncated, not wrap width*height*3 to a small Int and decode garbage
-    val nL = width.toLong * height * 3
+    val nL = width.toLong * height * channels
     val needL = nL * (if (twoByte) 2 else 1)
     require(bytes.length - pos >= needL, s"PPM: truncated pixels (${bytes.length - pos} < $needL)")
     val n = nL.toInt
-    if (!twoByte)
+    if (channels == 3 && !twoByte)
       RasterImage(width, height, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
     else {
-      val out = new Array[Byte](n)
+      // one normalized 8-bit value per SOURCE sample; gray replicates to RGB
+      val out = new Array[Byte](width * height * 3)
       var i = 0
       while (i < n) {
-        val v = ((bytes(pos + 2 * i) & 0xff) << 8) | (bytes(pos + 2 * i + 1) & 0xff) // MSB first
-        require(v <= maxval, s"PPM: sample $v exceeds maxval $maxval")
-        out(i) = (v * 255 / maxval).toByte // pinned truncating normalization
+        val v8: Byte =
+          if (!twoByte) bytes(pos + i)
+          else {
+            val v = ((bytes(pos + 2 * i) & 0xff) << 8) | (bytes(pos + 2 * i + 1) & 0xff) // MSB first
+            require(v <= maxval, s"PPM: sample $v exceeds maxval $maxval")
+            (v * 255 / maxval).toByte // pinned truncating normalization
+          }
+        if (channels == 3) out(i) = v8
+        else { out(3 * i) = v8; out(3 * i + 1) = v8; out(3 * i + 2) = v8 }
         i += 1
       }
       RasterImage(width, height, out)

@@ -361,6 +361,55 @@ object Multimodal extends QueryModule {
         )
         SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
 
+  /** `mm_real_gray`: GRAYSCALE rasters through the same decode pipeline —
+    * a MIXED corpus where even doc_ids land as genuine color P6 files and
+    * odd doc_ids as genuine grayscale P5 files (the Netpbm sibling real
+    * scanned/document-image corpora are full of), decoded by the ONE
+    * sniffing dispatch. [[MediaCodec.decodePgm]] replicates each gray
+    * sample to R=G=B, so an odd doc's band luma is exactly
+    * `3 * graysum / 6120` where the P6 branch is `rgbsum / 6120` — the
+    * oracle recomputes BOTH branches from source bytes by doc_id parity,
+    * so a dispatch, replication, or band-stride bug lands as a value
+    * mismatch on one parity class. Map-only until the final sort.
+    */
+  def realGray(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= PpmPixelBytes)
+      .select(col("doc_id"), lit("image").as("media_type"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("P6\n8 8\n255\n").cast("binary"),
+            unhex(substring(hex(col("text").cast("binary")), 1, PpmPixelBytes * 2))))
+          .otherwise(
+            concat(lit("P5\n8 8\n255\n").cast("binary"),
+              unhex(substring(hex(col("text").cast("binary")), 1, 8 * 8 * 2))))
+          .as("payload"))
+    BatchedDecode.decodeFeatures(payloads.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("luma_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realGraySql =
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= $PpmPixelBytes
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CAST(CAST(CAST(
+                   CASE WHEN doc_id % 2 = 0 THEN
+                     list_sum(list_transform(range(k * 24, (k + 1) * 24),
+                       i -> CAST('0x' || substring(h, i * 2 + 1, 2) AS INT)))
+                   ELSE
+                     3 * list_sum(list_transform(range(k * 8, (k + 1) * 8),
+                       i -> CAST('0x' || substring(h, i * 2 + 1, 2) AS INT)))
+                   END
+                   AS DOUBLE) / 6120.0 AS FLOAT) AS DOUBLE) AS luma_frac
+          FROM d, (SELECT unnest(range(0, ${FeatureDim})) AS k)
+        )
+        SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
+
   /** `mm_real_ahash_dedup`: the image-dedup capability END TO END over
     * REALLY DECODED pixels — build a genuine P6 file per document, parse it
     * with [[MediaCodec.decodePpm]] inside the typed batcher, perceptual-hash
@@ -734,6 +783,7 @@ object Multimodal extends QueryModule {
     "mm_ahash_dedup" -> (ahashDedup _),
     "mm_real_decode" -> (realDecode _),
     "mm_real_decode16" -> (realDecode16 _),
+    "mm_real_gray" -> (realGray _),
     "mm_real_ahash_dedup" -> (realAhashDedup _),
     "mm_real_audio" -> (realAudio _),
     "mm_real_audio16" -> (realAudio16 _),
@@ -749,6 +799,7 @@ object Multimodal extends QueryModule {
     "mm_ahash_dedup" -> ahashDedupSql,
     "mm_real_decode" -> realDecodeSql,
     "mm_real_decode16" -> realDecode16Sql,
+    "mm_real_gray" -> realGraySql,
     "mm_real_ahash_dedup" -> realAhashDedupSql,
     "mm_real_audio" -> realAudioSql,
     "mm_real_audio16" -> realAudio16Sql,

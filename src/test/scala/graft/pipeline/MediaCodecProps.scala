@@ -42,6 +42,23 @@ object MediaCodecProps extends Properties("mediacodec") {
       rt.width == img.width && rt.rgb.toSeq == img.rgb.toSeq
     }
 
+  property("P5 gray decodes to the replicated-RGB P6 of the same samples (8- and 16-bit)") =
+    forAll(Gen.choose(1, 12), Gen.choose(1, 12)) { (w, h) =>
+      forAll(Gen.listOfN(w * h, Gen.choose(0, 255))) { gs =>
+        val gray = gs.map(_.toByte).toArray
+        val rgb = gray.flatMap(g => Array(g, g, g))
+        val p5 = decodePgm(s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ gray)
+        val p6 = decodePpm(s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb)
+        val wide = gray.flatMap { b => // canonical deepening, as the PPM prop
+          val v = (b & 0xff) * 257
+          Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        }
+        val p5deep = decodePgm(s"P5\n$w $h\n65535\n".getBytes("US-ASCII") ++ wide)
+        p5.rgb.toSeq == p6.rgb.toSeq && p5deep.rgb.toSeq == p6.rgb.toSeq &&
+          ahash64(p5) == ahash64(p6)
+      }
+    }
+
   property("ahash64 sees pixels, not containers (PPM round-trip preserves it)") =
     forAll(imageGen) { img =>
       ahash64(img) == ahash64(decodePpm(encodePpm(img)))

@@ -76,6 +76,30 @@ class MediaCodecSpec extends SparkSpec {
       decodePpm("P6\n1 1\n65535\n".getBytes("US-ASCII") ++ be16(65535, 0, 32770).dropRight(1)))
   }
 
+  test("PGM decode: grayscale P5 replicates to R=G=B; 16-bit, dispatch, strict rejects") {
+    def be16(vs: Int*): Array[Byte] =
+      vs.flatMap(v => Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)).toArray
+    val gray = Array(0, 127, 128, 255).map(_.toByte)
+    val img = decodePgm("P5\n# gray\n2 2\n255\n".getBytes("US-ASCII") ++ gray)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == gray.toSeq.flatMap(g => Seq(g, g, g)))
+    // rgbSum of a replicated gray pixel is exactly 3*g — the identity the
+    // mm_real_gray oracle's odd-parity branch recomputes
+    assert((0 until 4).forall(i => img.rgbSum(i) == 3 * (gray(i) & 0xff)))
+    // 16-bit samples: maxval 65535 normalizes v div 257, MSB first
+    val deep = decodePgm("P5\n2 1\n65535\n".getBytes("US-ASCII") ++ be16(65535, 514))
+    assert(deep.rgb.toSeq == Seq(255, 255, 255, 2, 2, 2).map(_.toByte))
+    // unified sniff + decode dispatch routes P5 to the PGM decoder
+    assert(MediaCodec.sniff(img.rgb.take(0) ++ "P5\nx".getBytes("US-ASCII")).contains("pgm"))
+    assert(MediaCodec.decode("P5\n2 2\n255\n".getBytes("US-ASCII") ++ gray).rgb.toSeq == img.rgb.toSeq)
+    // strict rejects: truncated pixels, wrong magic, sample above maxval,
+    // hostile dimensions (shared Long-math guard with P6)
+    intercept[IllegalArgumentException](decodePgm("P5\n2 2\n255\n".getBytes("US-ASCII") ++ gray.dropRight(1)))
+    intercept[IllegalArgumentException](decodePgm("P6\n2 2\n255\n".getBytes("US-ASCII") ++ gray))
+    intercept[IllegalArgumentException](decodePgm("P5\n1 1\n300\n".getBytes("US-ASCII") ++ be16(301)))
+    intercept[IllegalArgumentException](decodePgm("P5\n65536 65536\n255\n".getBytes("US-ASCII") ++ gray))
+  }
+
   test("BMP decode: bottom-up and top-down both normalize to the PPM pixels") {
     val fromPpm = decodePpm(ppm2x2())
     val up = decodeBmp(bmp(2, 2, px2x2))
