@@ -38,19 +38,30 @@ object MediaCodec {
 
   /** Decoded PCM audio, channel-merged to mono. `bits` records the source
     * sample depth; `samples` holds the raw values in that depth's native
-    * domain — unsigned 0..255 for 8-bit, signed -32768..32767 for 16-bit
-    * (little-endian on the wire, per spec). Stereo sources arrive already
-    * downmixed by the decoder (exact integer mean, see [[decodeWav]]).
+    * domain — unsigned 0..255 for 8-bit, signed -32768..32767 for 16-bit,
+    * signed -8388608..8388607 for 24-bit (all little-endian on the wire,
+    * per spec). IEEE float32 sources (fmt tag 3, `bits` recorded as 32)
+    * arrive quantized by the decoder to the 16-bit integer grid — exact
+    * `trunc(f * 32768)` clamped to [-32768, 32767], see [[decodeWav]] —
+    * so every depth downstream is integer-exact. Stereo sources arrive
+    * already downmixed by the decoder (exact integer floor mean).
     */
   final case class PcmAudio(sampleRate: Int, bits: Int, samples: Array[Int]) {
     /** Amplitude around the depth's zero line: |s - 128| for unsigned
-      * 8-bit, |s| for signed 16-bit — exact integers either way.
+      * 8-bit, |s| for the signed depths — exact integers either way.
       */
     def amplitude(i: Int): Int =
       if (bits == 8) math.abs(samples(i) - 128) else math.abs(samples(i))
 
-    /** Full-scale amplitude for the depth (the featurizer denominator). */
-    def fullScale: Double = if (bits == 8) 128.0 else 32768.0
+    /** Full-scale amplitude for the depth (the featurizer denominator).
+      * Float32 (`bits` = 32) uses the 16-bit scale its samples were
+      * quantized onto.
+      */
+    def fullScale: Double = bits match {
+      case 8  => 128.0
+      case 24 => 8388608.0
+      case _  => 32768.0 // 16-bit PCM and 16-bit-quantized float32
+    }
   }
 
   object PcmAudio {
@@ -222,18 +233,30 @@ object MediaCodec {
     RasterImage(width, height, rgb)
   }
 
-  /** WAV (RIFF) with uncompressed 8- or 16-bit, mono or stereo PCM:
-    * `RIFF <size> WAVE`, then a CHUNK WALK — `fmt ` (PCM format tag 1) may
-    * be preceded/followed by chunks a real encoder emits (`LIST`, `fact`,
+  /** WAV (RIFF) with uncompressed integer PCM (format tag 1; 8-, 16-, or
+    * 24-bit) or IEEE float32 (format tag 3), mono or stereo:
+    * `RIFF <size> WAVE`, then a CHUNK WALK — the `fmt ` chunk may be
+    * preceded/followed by chunks a real encoder emits (`LIST`, `fact`,
     * `bext`...), which are skipped by their declared length (odd sizes pad
     * one byte, per spec); decode takes the first `data` chunk after a
-    * valid `fmt `. 16-bit samples are little-endian signed per spec; stereo
-    * is downmixed to mono with the EXACT integer mean `(L + R) >> 1`
-    * (arithmetic shift = floor((L+R)/2), identically `(L+R+65536)/2 - 32768`
-    * for any 16-bit pair — the spelling an integer-division oracle can
-    * reproduce without negative-division ambiguity). Strict rejects for
-    * compressed forms, >2 channels, and depths other than 8/16 — this
-    * decoder verifies and downmixes exactly, it never resamples.
+    * valid `fmt `. Integer samples are little-endian signed per spec
+    * (8-bit unsigned). Float32 samples (the other uncompressed format
+    * real speech corpora land as) are QUANTIZED at the decoder to the
+    * 16-bit integer grid with the pinned exact map
+    * `clamp(trunc(f * 32768), -32768, 32767)` — `f * 32768` multiplies by
+    * a power of two (no rounding in IEEE arithmetic) and trunc-toward-zero
+    * matches SQL `trunc`, so an oracle can reconstruct the float's exact
+    * value from its 4 source bytes in double math (sign/exponent/mantissa
+    * unpack — every float32 is exactly a double) and reproduce the
+    * quantization bit-for-bit; non-finite samples reject. Stereo is
+    * downmixed to mono with the EXACT integer floor mean `(L + R) >> 1`
+    * (arithmetic shift = floor((L+R)/2); for 16-bit identically
+    * `(L+R+65536)/2 - 32768`, the spelling an integer-division oracle can
+    * reproduce without negative-division ambiguity — float sources
+    * quantize per channel FIRST, then mix on the integer grid). Strict
+    * rejects for compressed forms, >2 channels, and depth/format
+    * combinations outside {1:8/16/24, 3:32} — this decoder verifies,
+    * quantizes, and downmixes exactly, it never resamples.
     */
   def decodeWav(bytes: Array[Byte]): PcmAudio = {
     require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
@@ -244,6 +267,7 @@ object MediaCodec {
     var sampleRate = -1
     var channels = -1
     var bits = -1
+    var isFloat = false
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = le32(bytes, pos + 4)
@@ -256,16 +280,23 @@ object MediaCodec {
           val formatTag = le16(bytes, body)
           channels = le16(bytes, body + 2)
           bits = le16(bytes, body + 14)
-          require(formatTag == 1, s"WAV: only PCM (tag 1) supported, got $formatTag")
+          require(formatTag == 1 || formatTag == 3,
+            s"WAV: only PCM (tag 1) and IEEE float (tag 3) supported, got $formatTag")
           require(channels == 1 || channels == 2,
             s"WAV: only mono/stereo supported, got $channels channels")
-          require(bits == 8 || bits == 16, s"WAV: only 8/16-bit PCM supported, got $bits")
+          isFloat = formatTag == 3
+          if (isFloat)
+            require(bits == 32, s"WAV: IEEE float must be 32-bit, got $bits")
+          else
+            require(bits == 8 || bits == 16 || bits == 24,
+              s"WAV: only 8/16/24-bit PCM supported, got $bits")
           sampleRate = le32(bytes, body + 4)
           require(sampleRate > 0, s"WAV: bad sample rate $sampleRate")
         case "data" =>
           require(sampleRate > 0, "WAV: data chunk before a valid fmt chunk")
           require(body + size <= bytes.length, "WAV: truncated data chunk")
-          val frameBytes = channels * (bits / 8)
+          val bytesPer = bits / 8
+          val frameBytes = channels * bytesPer
           require(size % frameBytes == 0,
             s"WAV: data size $size is not a multiple of the $frameBytes-byte frame")
           val n = size / frameBytes
@@ -273,9 +304,18 @@ object MediaCodec {
           var i = 0
           while (i < n) {
             def sample(c: Int): Int = {
-              val off = body + i * frameBytes + c * (bits / 8)
-              if (bits == 8) bytes(off) & 0xff
-              else (bytes(off) & 0xff) | (bytes(off + 1).toInt << 8) // LE signed
+              val off = body + i * frameBytes + c * bytesPer
+              bits match {
+                case 8  => bytes(off) & 0xff
+                case 16 => (bytes(off) & 0xff) | (bytes(off + 1).toInt << 8) // LE signed
+                case 24 => (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+                  (bytes(off + 2).toInt << 16) // LE signed, sign from byte 2
+                case _ => // float32: quantize to the 16-bit grid, exactly
+                  val f = java.lang.Float.intBitsToFloat(le32(bytes, off))
+                  require(java.lang.Float.isFinite(f), s"WAV: non-finite float sample $i")
+                  val q = (f.toDouble * 32768.0).toLong // exact product, trunc toward 0
+                  math.min(32767L, math.max(-32768L, q)).toInt
+              }
             }
             out(i) =
               if (channels == 1) sample(0)
@@ -448,14 +488,24 @@ object MediaCodec {
     * geometry the header is a constant byte string, so Spark can `concat`
     * it as a literal).
     */
-  def wavHeaderPcm(frames: Int, rate: Int, channels: Int, bits: Int): Array[Byte] = {
+  def wavHeaderPcm(frames: Int, rate: Int, channels: Int, bits: Int,
+      formatTag: Int = 1): Array[Byte] = {
     val frameBytes = channels * (bits / 8)
     val dataBytes = frames * frameBytes
-    val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes).put("WAVE".getBytes("US-ASCII"))
+    // non-PCM formats carry a `fact` chunk (frame count) per RIFF spec —
+    // emitting it makes the fixture a faithful float WAV and exercises the
+    // decoder's chunk walk on every float clip
+    val factBytes = if (formatTag == 3) 12 else 0
+    val b = java.nio.ByteBuffer.allocate(44 + factBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + factBytes + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
     b.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(channels.toShort).putInt(rate).putInt(rate * frameBytes)
+      .putShort(formatTag.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * frameBytes)
       .putShort(frameBytes.toShort).putShort(bits.toShort)
+    if (formatTag == 3)
+      b.put("fact".getBytes("US-ASCII")).putInt(4).putInt(frames)
     b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
     b.array()
   }

@@ -584,6 +584,96 @@ object Multimodal extends QueryModule {
         SELECT doc_id, band, amp_frac FROM f ORDER BY doc_id, band"""
   }
 
+  /** Samples per deep-audio clip (24-bit PCM / float32 sides both). */
+  private val WavDeepFrames = 96
+
+  /** `mm_real_audio_deep`: the two remaining uncompressed depths real
+    * audio corpora land as — 24-BIT PCM (studio masters) and IEEE FLOAT32
+    * (format tag 3, the default of most speech-processing toolchains) —
+    * mixed in ONE corpus by doc_id parity through the same sniffing
+    * decode path, the way a real landing bucket arrives. Even doc_ids get
+    * a genuine 24-bit mono PCM clip (the document's first 288 bytes as
+    * little-endian signed 3-byte samples); odd doc_ids a genuine float32
+    * mono clip with a real `fact` chunk between `fmt ` and `data` (per
+    * RIFF spec for non-PCM — so every float clip also exercises the chunk
+    * walk), whose samples are the document's 4-byte groups with the LAST
+    * byte masked `& 0xBF`: clearing exponent bit 7 caps the exponent at
+    * 127 (|f| < 2, no Inf/NaN) while keeping sign, 6 exponent bits, and
+    * the full mantissa hostile-real. The decoder quantizes each float to
+    * the 16-bit grid with the pinned `clamp(trunc(f * 32768))` — exact
+    * because the scale is a power of two — and the oracle RECONSTRUCTS
+    * each float's exact value from its 4 source bytes in double math
+    * (sign/exponent/mantissa unpack; denormal branch included; 2^k as
+    * exact HUGEINT-shift doubles, never `pow`) and reproduces the
+    * quantization bit-for-bit. A sign, endianness, exponent-bias, or
+    * clamp bug in either engine lands as a value mismatch. One shared
+    * length filter (the larger float requirement) keeps the two parity
+    * populations identical, so format coverage is decided by doc_id, not
+    * document length. Map-only until the final sort.
+    */
+  def realAudioDeep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h24 = MediaCodec.wavHeaderPcm(WavDeepFrames, 8000, channels = 1, bits = 24)
+      .map("%02X".format(_)).mkString
+    val hF = MediaCodec.wavHeaderPcm(WavDeepFrames, 8000, channels = 1, bits = 32,
+      formatTag = 3).map("%02X".format(_)).mkString
+    val body24 = expr(s"substring(hex(cast(text as binary)), 1, ${WavDeepFrames * 6})")
+    // 4-byte LE float samples: 3 raw bytes + the masked MSB (sign+exp+mant top)
+    val bodyF = expr(
+      s"""array_join(transform(sequence(0, ${WavDeepFrames - 1}), i ->
+            concat(substring(hex(cast(text as binary)), i * 8 + 1, 6),
+                   lpad(hex(cast(conv(substring(hex(cast(text as binary)),
+                                      i * 8 + 7, 2), 16, 10) as int) & 191),
+                        2, '0'))), '')""")
+    val wav = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= WavDeepFrames * 4)
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        when(col("doc_id") % 2 === 0, concat(unhex(lit(h24)), unhex(body24)))
+          .otherwise(concat(unhex(lit(hF)), unhex(bodyF))).as("payload"))
+    BatchedDecode.decodeFeatures(wav.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("amp_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realAudioDeepSql = {
+    val bandFrames = WavDeepFrames / FeatureDim // 12 samples per band
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS INT)"
+    // 24-bit little-endian signed at sample index i
+    val v24 = s"(${byte("3 * i")} + 256 * ${byte("3 * i + 1")} + 65536 * ${byte("3 * i + 2")})"
+    val s24 = s"(CASE WHEN $v24 >= 8388608 THEN $v24 - 16777216 ELSE $v24 END)"
+    // float32 at sample index i: unpack the masked IEEE bytes exactly in
+    // double math, then the decoder's pinned 16-bit quantization
+    val b3m = s"(${byte("4 * i + 3")} & 191)"
+    val b2 = byte("4 * i + 2")
+    val mant = s"(($b2 % 128) * 65536 + ${byte("4 * i + 1")} * 256 + ${byte("4 * i")})"
+    val ex = s"(($b3m & 63) * 2 + $b2 // 128)"
+    val sgn = s"(CASE WHEN $b3m >= 128 THEN -1.0 ELSE 1.0 END)"
+    val fval =
+      s"""($sgn * (CASE WHEN $ex = 0
+                   THEN ($mant / 8388608.0) / CAST(CAST(1 AS HUGEINT) << 126 AS DOUBLE)
+                   ELSE (1.0 + $mant / 8388608.0) / CAST(CAST(1 AS HUGEINT) << (127 - $ex) AS DOUBLE)
+                   END))"""
+    val qf = s"(LEAST(32767, GREATEST(-32768, CAST(trunc($fval * 32768.0) AS BIGINT))))"
+    def band(amp: String, scale: Int) =
+      s"""CAST(CAST(CAST(list_sum(list_transform(
+              range(k * $bandFrames, (k + 1) * $bandFrames),
+              i -> abs($amp)))
+            AS DOUBLE) / ${scale.toLong * bandFrames}.0 AS FLOAT) AS DOUBLE)"""
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= ${WavDeepFrames * 4}
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN ${band(s24, 8388608)}
+                      ELSE ${band(qf, 32768)} END AS amp_frac
+          FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
+        )
+        SELECT doc_id, band, amp_frac FROM f ORDER BY doc_id, band"""
+  }
+
   /** Frames per synthetic Y4M clip, and the sampling stride for the real
     * frame-sample query (every 2nd frame of 4 → frames 0 and 2).
     */
@@ -787,6 +877,7 @@ object Multimodal extends QueryModule {
     "mm_real_ahash_dedup" -> (realAhashDedup _),
     "mm_real_audio" -> (realAudio _),
     "mm_real_audio16" -> (realAudio16 _),
+    "mm_real_audio_deep" -> (realAudioDeep _),
     "mm_real_frames" -> (realFrames _),
     "mm_real_chroma" -> (realChroma _),
     "mm_real_thumbnail" -> (realThumbnail _),
@@ -803,6 +894,7 @@ object Multimodal extends QueryModule {
     "mm_real_ahash_dedup" -> realAhashDedupSql,
     "mm_real_audio" -> realAudioSql,
     "mm_real_audio16" -> realAudio16Sql,
+    "mm_real_audio_deep" -> realAudioDeepSql,
     "mm_real_frames" -> realFramesSql,
     "mm_real_chroma" -> realChromaSql,
     "mm_real_thumbnail" -> realThumbnailSql,

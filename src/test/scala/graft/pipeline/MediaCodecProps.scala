@@ -141,6 +141,46 @@ object MediaCodecProps extends Properties("mediacodec") {
       got.samples.toSeq == frames.map { case (l, r) => (l + r) >> 1 }
     }
 
+  private val wav24Gen: Gen[(Int, List[Int])] = for {
+    n <- Gen.choose(0, 48)
+    rate <- Gen.choose(1, 48000)
+    samples <- Gen.listOfN(n, Gen.choose(-8388608, 8388607))
+  } yield (rate, samples)
+
+  property("24-bit WAV round-trip is lossless over the full signed range") =
+    forAll(wav24Gen) { case (rate, samples) =>
+      val bytes = samples.flatMap(v => Seq((v & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)).toArray
+      val got = decodeWav(wavHeaderPcm(samples.length, rate, 1, 24) ++ bytes)
+      got.sampleRate == rate && got.bits == 24 && got.samples.toSeq == samples
+    }
+
+  property("float32 WAV quantization inverts v/32768f exactly over the 16-bit grid") =
+    forAll(wav16Gen) { case (rate, grid) =>
+      // v/32768f is exact in float32 (16-bit value over a power of two), so
+      // the decoder's trunc(f * 32768) must give back exactly v
+      val bytes = grid.flatMap { v =>
+        val b = java.lang.Float.floatToIntBits(v / 32768.0f)
+        Seq((b & 0xff).toByte, ((b >> 8) & 0xff).toByte,
+          ((b >> 16) & 0xff).toByte, ((b >> 24) & 0xff).toByte)
+      }.toArray
+      val got = decodeWav(wavHeaderPcm(grid.length, rate, 1, 32, formatTag = 3) ++ bytes)
+      got.sampleRate == rate && got.bits == 32 && got.samples.toSeq == grid
+    }
+
+  property("masked-exponent float bytes decode finite and quantize within the clamp") =
+    forAll(Gen.listOfN(16, Gen.choose(0, 255)), Gen.choose(1, 48000)) { (raw, rate) =>
+      // the mm_real_audio_deep fixture discipline: any 4 bytes with the MSB
+      // masked & 0xBF form a finite float with |f| < 2 — decode must accept
+      // and land inside the clamp rails for EVERY byte pattern
+      val bs = raw.grouped(4).filter(_.size == 4).toList
+      val bytes = bs.flatMap { g =>
+        Seq(g(0).toByte, g(1).toByte, g(2).toByte, (g(3) & 0xBF).toByte)
+      }.toArray
+      val got = decodeWav(wavHeaderPcm(bs.length, rate, 1, 32, formatTag = 3) ++ bytes)
+      got.samples.forall(s => s >= -32768 && s <= 32767)
+    }
+
   property("C420 build + decode normalizes to the nearest-upsampled C444 planes") =
     forAll(Gen.choose(1, 3), Gen.choose(1, 3), Gen.choose(1, 3)) { (hw, hh, nf) =>
       val (w, h) = (2 * hw, 2 * hh)

@@ -216,14 +216,64 @@ class MediaCodecSpec extends SparkSpec {
       .samples.toSeq == Seq(-1, 1500))
   }
 
-  test("WAV decode: strict rejects (12-bit, 3-channel, non-PCM, ragged data, missing data)") {
+  test("WAV decode: 24-bit little-endian signed, mono and stereo downmix") {
+    val values = Seq(0, 1, -1, 8388607, -8388608, 65536, -65537, 1234567)
+    def le24(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    val data = values.flatMap(le24).toArray
+    val got = decodeWav(riff(chunk("fmt ", fmtBody(bits = 24)), chunk("data", data)))
+    assert(got.bits == 24)
+    assert(got.samples.toSeq == values)
+    assert(got.fullScale == 8388608.0)
+    assert(got.amplitude(3) == 8388607 && got.amplitude(4) == 8388608)
+    // stereo (-3, 2) -> floor(-1/2) = -1 (sign-sensitive), (100000, 200001) -> 150000
+    val d2 = Seq(-3, 2, 100000, 200001).flatMap(le24).toArray
+    assert(decodeWav(riff(chunk("fmt ", fmtBody(channels = 2, bits = 24)), chunk("data", d2)))
+      .samples.toSeq == Seq(-1, 150000))
+  }
+
+  test("WAV decode: float32 (tag 3) quantizes to the 16-bit grid exactly") {
+    def leF(f: Float) = {
+      val b = java.lang.Float.floatToIntBits(f)
+      Seq((b & 0xff).toByte, ((b >> 8) & 0xff).toByte, ((b >> 16) & 0xff).toByte,
+        ((b >> 24) & 0xff).toByte)
+    }
+    // clamp at both rails, trunc toward zero both signs, denormals -> 0
+    val fs = Seq(1.0f, -1.0f, 0.5f, -0.5f, 0.25f, 0.1f, -0.1f, 1.9999999f,
+      java.lang.Float.MIN_VALUE, -java.lang.Float.MIN_VALUE, 0.0f, -0.0f)
+    val expect = Seq(32767, -32768, 16384, -16384, 8192, 3276, -3276, 32767, 0, 0, 0, 0)
+    val data = fs.flatMap(leF).toArray
+    val got = decodeWav(riff(chunk("fmt ", fmtBody(tag = 3, bits = 32)), chunk("data", data)))
+    assert(got.bits == 32)
+    assert(got.fullScale == 32768.0)
+    assert(got.samples.toSeq == expect)
+    // stereo floats quantize per channel FIRST, then integer floor mean:
+    // (0.5, 0.25) -> (16384 + 8192) >> 1 = 12288
+    val d2 = Seq(0.5f, 0.25f).flatMap(leF).toArray
+    assert(decodeWav(riff(chunk("fmt ", fmtBody(tag = 3, channels = 2, bits = 32)),
+      chunk("data", d2))).samples.toSeq == Seq(12288))
+    // a real float WAV's fact chunk between fmt and data is walked over
+    val fact = chunk("fact", Array[Byte](2, 0, 0, 0))
+    assert(decodeWav(riff(chunk("fmt ", fmtBody(tag = 3, bits = 32)), fact,
+      chunk("data", Seq(0.5f, -0.5f).flatMap(leF).toArray))).samples.toSeq == Seq(16384, -16384))
+    // non-finite samples reject loudly
+    intercept[IllegalArgumentException](
+      decodeWav(riff(chunk("fmt ", fmtBody(tag = 3, bits = 32)),
+        chunk("data", leF(java.lang.Float.NaN).toArray))))
+    intercept[IllegalArgumentException](
+      decodeWav(riff(chunk("fmt ", fmtBody(tag = 3, bits = 32)),
+        chunk("data", leF(java.lang.Float.POSITIVE_INFINITY).toArray))))
+  }
+
+  test("WAV decode: strict rejects (12-bit, 3-channel, compressed tag, ragged data, missing data)") {
     val samples = Array.fill(8)(5.toByte)
     intercept[IllegalArgumentException](
       decodeWav(riff(chunk("fmt ", fmtBody(bits = 12)), chunk("data", samples))))
     intercept[IllegalArgumentException](
       decodeWav(riff(chunk("fmt ", fmtBody(channels = 3)), chunk("data", samples))))
-    intercept[IllegalArgumentException](
-      decodeWav(riff(chunk("fmt ", fmtBody(tag = 3)), chunk("data", samples))))
+    intercept[IllegalArgumentException]( // ADPCM (tag 2): compressed, genuinely unsupported
+      decodeWav(riff(chunk("fmt ", fmtBody(tag = 2)), chunk("data", samples))))
+    intercept[IllegalArgumentException]( // float must be 32-bit: a tag-3/16-bit header is malformed
+      decodeWav(riff(chunk("fmt ", fmtBody(tag = 3, bits = 16)), chunk("data", samples))))
     // 16-bit stereo frames are 4 bytes: a 6-byte data chunk is torn mid-frame
     intercept[IllegalArgumentException](
       decodeWav(riff(chunk("fmt ", fmtBody(channels = 2, bits = 16)),
