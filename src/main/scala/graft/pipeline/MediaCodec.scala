@@ -366,20 +366,38 @@ object MediaCodec {
     */
   private val C420Tags = Set("C420", "C420jpeg", "C420mpeg2", "C420paldv")
 
-  /** YUV4MPEG2 (.y4m) with C444 or C420-family planar frames — the one
-    * VIDEO container a pure JVM can decode without codecs: a plain-text
-    * stream header (`YUV4MPEG2 W<w> H<h> ... C<chroma>\n`), then per frame
-    * a `FRAME` marker line (optionally with its own parameters) followed by
-    * the raw plane bytes — `3*w*h` for C444, `w*h*3/2` for C420 (quarter-
-    * resolution chroma; virtually all real Y4M in the wild). The parser
-    * reads the header parameters for real (W/H required; C must declare
-    * 444 or the 420 family, including the spec's C420jpeg default when C is
-    * absent; F/I/A ignored), walks the frame markers, validates every frame
-    * is complete, and NORMALIZES C420 frames to C444 by nearest-neighbor
-    * chroma upsampling (each chroma sample covers its 2x2 luma block —
-    * pinned, deterministic, siting ignored). Strict rejects for any other
-    * subsampling (C422, C411, mono) — this decoder verifies and upsamples
-    * exactly, it never interpolates.
+  /** Chroma tag → (sx, sy): how many luma columns/rows each chroma sample
+    * covers. C444 full, C422 half-width (broadcast 4:2:2), the C420 family
+    * quarter (consumer video), C411 quarter-width (DV). Anything else —
+    * mono (no chroma to normalize: synthesizing it would be inventing
+    * data), interlaced-chroma tags — rejects strictly.
+    */
+  private def chromaFactors(chroma: String): (Int, Int) = chroma match {
+    case "C444"               => (1, 1)
+    case "C422"               => (2, 1)
+    case "C411"               => (4, 1)
+    case c if C420Tags(c)     => (2, 2)
+    case other => throw new IllegalArgumentException(
+      s"Y4M: only C444/C422/C420-family/C411 supported, got $other")
+  }
+
+  /** YUV4MPEG2 (.y4m) with C444, C422, C420-family, or C411 planar frames
+    * — the one VIDEO container a pure JVM can decode without codecs: a
+    * plain-text stream header (`YUV4MPEG2 W<w> H<h> ... C<chroma>\n`),
+    * then per frame a `FRAME` marker line (optionally with its own
+    * parameters) followed by the raw plane bytes — `w*h + 2*(w/sx)*(h/sy)`
+    * for the tag's [[chromaFactors]]: 3·wh for C444, 2·wh for C422
+    * (broadcast 4:2:2), 1.5·wh for the C420 family (virtually all
+    * consumer Y4M in the wild) and for C411 (DV). The parser reads the
+    * header parameters for real (W/H required; C must declare a supported
+    * tag, including the spec's C420jpeg default when C is absent; F/I/A
+    * ignored), walks the frame markers, validates every frame is
+    * complete, and NORMALIZES subsampled frames to C444 by
+    * nearest-neighbor chroma upsampling (each chroma sample covers its
+    * sx·sy luma block — pinned, deterministic, siting ignored). Strict
+    * rejects for mono (no chroma to normalize — synthesizing one would be
+    * inventing data) and interlaced-chroma tags — this decoder verifies
+    * and upsamples exactly, it never interpolates.
     */
   def decodeY4m(bytes: Array[Byte]): PlanarVideo = {
     val magic = "YUV4MPEG2"
@@ -413,15 +431,13 @@ object MediaCodec {
     require(pos < bytes.length, "Y4M: truncated header")
     pos += 1 // consume the header newline
     require(width > 0 && height > 0, s"Y4M: missing or bad dimensions ${width}x$height")
-    val c420 = C420Tags(chroma)
-    require(chroma == "C444" || c420,
-      s"Y4M: only C444 and the C420 family supported, got $chroma")
-    if (c420) require(width % 2 == 0 && height % 2 == 0,
-      s"Y4M: C420 needs even dimensions, got ${width}x$height")
+    val (sx, sy) = chromaFactors(chroma)
+    require(width % sx == 0 && height % sy == 0,
+      s"Y4M: $chroma needs dimensions divisible by ${sx}x$sy, got ${width}x$height")
     // Long math: 3*width*height for a hostile 65536x65536 header must
     // reject as truncated, never wrap to a small Int
     val frameBytesL =
-      if (c420) width.toLong * height * 3 / 2 else 3L * width * height
+      width.toLong * height + 2L * (width / sx) * (height / sy)
     val frames = IndexedSeq.newBuilder[Array[Byte]]
     while (pos < bytes.length) {
       require(pos + 5 <= bytes.length &&
@@ -433,7 +449,7 @@ object MediaCodec {
       require(pos + frameBytesL <= bytes.length, "Y4M: truncated frame data")
       val frameBytes = frameBytesL.toInt // safe: bounded by bytes.length above
       val raw = java.util.Arrays.copyOfRange(bytes, pos, pos + frameBytes)
-      frames += (if (c420) upsample420(raw, width, height) else raw)
+      frames += (if (sx == 1 && sy == 1) raw else upsampleChroma(raw, width, height, sx, sy))
       pos += frameBytes
     }
     PlanarVideo(width, height, frames.result())
@@ -443,20 +459,24 @@ object MediaCodec {
     * full-resolution chroma pixel (x, y) takes quarter-plane sample
     * (x >> 1, y >> 1) — each chroma sample covers its 2x2 luma block.
     */
-  private def upsample420(f: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  /** Nearest-neighbor chroma normalization to C444: each chroma sample
+    * covers its sx·sy luma block (pinned, deterministic, siting ignored).
+    */
+  private def upsampleChroma(f: Array[Byte], w: Int, h: Int, sx: Int, sy: Int): Array[Byte] = {
     val n = w * h
-    val cw = w / 2
+    val cw = w / sx
+    val cn = cw * (h / sy)
     val out = new Array[Byte](3 * n)
     System.arraycopy(f, 0, out, 0, n)
     var p = 0 // 0 = U, 1 = V
     while (p < 2) {
-      val src = n + p * (n / 4)
+      val src = n + p * cn
       val dst = n * (1 + p)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          out(dst + y * w + x) = f(src + (y >> 1) * cw + (x >> 1))
+          out(dst + y * w + x) = f(src + (y / sy) * cw + (x / sx))
           x += 1
         }
         y += 1

@@ -814,6 +814,67 @@ object Multimodal extends QueryModule {
         ORDER BY doc_id, px"""
   }
 
+  /** `mm_real_chroma422`: the HORIZONTAL-only chroma layouts — C422
+    * (broadcast 4:2:2) for even doc_ids, C411 (DV quarter-width) for odd —
+    * through the same Y4M decode path, pinning the generalized (sx, sy)
+    * upsampler where `mm_real_chroma` pins the 2x2 C420 case. Each
+    * document becomes a genuine one-frame 4x4 clip (C422: 16 Y + 8 U +
+    * 8 V = 32 bytes; C411: 16 Y + 4 U + 4 V = 24), and frame 0's
+    * normalized full-resolution U/V emit per pixel: C422 pixel (x, y)
+    * must carry half-width sample (x >> 1, y), C411 pixel (x, y) sample
+    * (x >> 2, y) — so a vertical/horizontal factor swap, a C420-shaped
+    * guess, or a plane-offset bug all land as per-pixel mismatches. The
+    * oracle recomputes both layouts from the document bytes. Map-only
+    * until the final sort.
+    */
+  def realChroma422(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val markerHex = "FRAME\n".getBytes("US-ASCII").map("%02X".format(_)).mkString
+    def clip(chroma: String, frameBytes: Int) = {
+      val headerHex = MediaCodec.y4mHeader(4, 4, chroma).map("%02X".format(_)).mkString
+      concat(unhex(lit(headerHex)), unhex(lit(markerHex)),
+        unhex(expr(s"substring(hex(cast(text as binary)), 1, ${frameBytes * 2})")))
+    }
+    val clips = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= 32)
+      .select(col("doc_id"), lit("video").as("media_type"),
+        when(col("doc_id") % 2 === 0, clip("C422", 32))
+          .otherwise(clip("C411", 24)).as("payload"))
+    clips.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val clip = MediaCodec.decodeY4m(r.payload)
+          val u = clip.uPlane(0)
+          val v = clip.vPlane(0)
+          (0 until 16).map(p => (r.doc_id, p, u(p) & 0xff, v(p) & 0xff))
+        }
+      }
+    }.toDF("doc_id", "px", "u", "v")
+      .orderBy("doc_id", "px")
+  }
+
+  private val realChroma422Sql = {
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS INT)"
+    // pixel p = (py, px) on the 4x4 grid, py = p // 4, px = p % 4.
+    // C422: U plane (2 wide x 4 tall) at bytes 16..23, V at 24..31;
+    //   sample index py*2 + (px >> 1).
+    // C411: U plane (1 wide x 4 tall) at bytes 16..19, V at 20..23;
+    //   sample index py.
+    val q422 = "((p // 4) * 2 + (p % 4) // 2)"
+    val q411 = "(p // 4)"
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= 32
+        )
+        SELECT doc_id, CAST(p AS INT) AS px,
+               CASE WHEN doc_id % 2 = 0 THEN ${byte(s"16 + $q422")}
+                    ELSE ${byte(s"16 + $q411")} END AS u,
+               CASE WHEN doc_id % 2 = 0 THEN ${byte(s"24 + $q422")}
+                    ELSE ${byte(s"20 + $q411")} END AS v
+        FROM d, (SELECT unnest(range(0, 16)) AS p)
+        ORDER BY doc_id, px"""
+  }
+
   /** Thumbnail edge for the real-resize query: 8x8 decoded PPMs box-average
     * down to 4x4 (every target pixel is an exact 2x2 integer mean).
     */
@@ -880,6 +941,7 @@ object Multimodal extends QueryModule {
     "mm_real_audio_deep" -> (realAudioDeep _),
     "mm_real_frames" -> (realFrames _),
     "mm_real_chroma" -> (realChroma _),
+    "mm_real_chroma422" -> (realChroma422 _),
     "mm_real_thumbnail" -> (realThumbnail _),
   )
 
@@ -897,6 +959,7 @@ object Multimodal extends QueryModule {
     "mm_real_audio_deep" -> realAudioDeepSql,
     "mm_real_frames" -> realFramesSql,
     "mm_real_chroma" -> realChromaSql,
+    "mm_real_chroma422" -> realChroma422Sql,
     "mm_real_thumbnail" -> realThumbnailSql,
   )
 }

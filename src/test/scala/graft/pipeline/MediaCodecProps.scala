@@ -202,6 +202,30 @@ object MediaCodecProps extends Properties("mediacodec") {
         }
     }
 
+  property("C422/C411 build + decode normalize to horizontally-upsampled C444 planes") =
+    forAll(Gen.oneOf(2, 4), Gen.choose(1, 4), Gen.choose(1, 4), Gen.choose(1, 3)) {
+      (sx, wq, h, nf) =>
+        val w = sx * wq
+        val chroma = if (sx == 2) "C422" else "C411"
+        val rnd = new scala.util.Random(w * 131 + h * 17 + nf + sx)
+        val frameLen = w * h + 2 * (w / sx) * h
+        val frames = Seq.fill(nf)(Array.fill(frameLen)(rnd.nextInt(256).toByte))
+        val bytes = y4mHeader(w, h, chroma) ++
+          frames.flatMap(f => "FRAME\n".getBytes("US-ASCII") ++ f)
+        val clip = decodeY4m(bytes.toArray)
+        val n = w * h
+        val cn = (w / sx) * h
+        clip.frames.length == nf && frames.indices.forall { i =>
+          val f = frames(i)
+          clip.yPlane(i).toSeq == f.take(n).toSeq &&
+            (0 until n).forall { p =>
+              val (x, y) = (p % w, p / w)
+              val q = y * (w / sx) + x / sx
+              clip.uPlane(i)(p) == f(n + q) && clip.vPlane(i)(p) == f(n + cn + q)
+            }
+        }
+    }
+
   property("Y4M build + decode round-trip preserves every frame") =
     forAll(Gen.choose(1, 6), Gen.choose(1, 6), Gen.choose(0, 4)) { (w, h, nf) =>
       val rnd = new scala.util.Random(w * 31 + h * 7 + nf)

@@ -330,12 +330,30 @@ class MediaCodecSpec extends SparkSpec {
     assert(cd.uPlane(0).toSeq == Seq.fill(4)(77.toByte))
   }
 
-  test("Y4M decode: strict rejects (C422, odd C420 dims, truncated frame, junk between frames)") {
+  test("Y4M decode: C422 and C411 normalize to C444 by horizontal nearest upsampling") {
+    // C422 2x2: Y = [10 20 / 30 40], U column [70, 80], V column [90, 100]
+    val y422 = Array[Byte](10, 20, 30, 40)
+    val c422 = decodeY4m(y4mHeader(2, 2, "C422") ++ "FRAME\n".getBytes ++
+      y422 ++ Array[Byte](70, 80, 90, 100))
+    assert(c422.yPlane(0).toSeq == y422.toSeq)
+    assert(c422.uPlane(0).toSeq == Seq[Byte](70, 70, 80, 80)) // row-replicated pairs
+    assert(c422.vPlane(0).toSeq == Seq[Byte](90, 90, 100, 100))
+    // C411 4x1: one chroma sample per row of 4
+    val y411 = Array[Byte](1, 2, 3, 4)
+    val c411 = decodeY4m(y4mHeader(4, 1, "C411") ++ "FRAME\n".getBytes ++
+      y411 ++ Array[Byte](55, 66))
+    assert(c411.uPlane(0).toSeq == Seq.fill(4)(55.toByte))
+    assert(c411.vPlane(0).toSeq == Seq.fill(4)(66.toByte))
+  }
+
+  test("Y4M decode: strict rejects (mono, odd C420/C422 dims, truncated frame, junk between frames)") {
     val f = Array.fill(12)(9.toByte)
-    intercept[IllegalArgumentException]( // 422 has no decoder: reject, don't guess
-      decodeY4m("YUV4MPEG2 W2 H2 C422\n".getBytes ++ "FRAME\n".getBytes ++ f))
+    intercept[IllegalArgumentException]( // mono has no chroma: reject, don't invent
+      decodeY4m("YUV4MPEG2 W2 H2 Cmono\n".getBytes ++ "FRAME\n".getBytes ++ f))
     intercept[IllegalArgumentException]( // half-res chroma needs even dims
       decodeY4m("YUV4MPEG2 W3 H2 C420\n".getBytes ++ "FRAME\n".getBytes ++ f))
+    intercept[IllegalArgumentException]( // half-WIDTH chroma needs even width
+      decodeY4m("YUV4MPEG2 W3 H2 C422\n".getBytes ++ "FRAME\n".getBytes ++ f))
     intercept[IllegalArgumentException](
       decodeY4m(y4mHeader(2, 2) ++ "FRAME\n".getBytes ++ f.take(7)))
     intercept[IllegalArgumentException](
