@@ -188,30 +188,50 @@ object MediaCodec {
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) |
       ((b(off + 3) & 0xff) << 24)
 
-  /** 24-bit uncompressed BMP (BITMAPINFOHEADER): 14-byte file header
-    * (magic `BM`, pixel-data offset at byte 10), 40+-byte DIB header
-    * (width/height at 18/22, bpp at 28 must be 24, compression at 30 must
-    * be 0). Rows are 4-byte aligned, samples are B,G,R, and a POSITIVE
-    * height means bottom-up row order (the common case); negative height
-    * is top-down. Output is normalized to row-major top-down RGB.
+  /** Uncompressed BMP (BITMAPINFOHEADER), the three uncompressed depths a
+    * real landing dir actually contains: 24bpp B,G,R triples; 32bpp
+    * B,G,R,A quads (BI_RGB's fourth byte is padding/alpha — ignored);
+    * 8bpp palette-indexed (BGRA color table of `biClrUsed` entries — 0
+    * means 256 per spec — right after the info header, each pixel byte an
+    * index, out-of-palette indexes reject strictly). Layout: 14-byte file
+    * header (magic `BM`, pixel-data offset at byte 10), 40+-byte DIB
+    * header (width/height at 18/22, bpp at 28, compression at 30 must be
+    * 0). Rows are 4-byte aligned, and a POSITIVE height means bottom-up
+    * row order (the common case); negative height is top-down. Output is
+    * normalized to row-major top-down RGB.
     */
   def decodeBmp(bytes: Array[Byte]): RasterImage = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
     val pixelOffset = le32(bytes, 10)
+    val infoSize = le32(bytes, 14)
     val width = le32(bytes, 18)
     val rawHeight = le32(bytes, 22)
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
-    require(bpp == 24, s"BMP: only 24bpp supported, got $bpp")
+    require(bpp == 8 || bpp == 24 || bpp == 32,
+      s"BMP: only 8/24/32bpp supported, got $bpp")
     require(compression == 0, s"BMP: only uncompressed (BI_RGB) supported, got $compression")
+    require(infoSize >= 40, s"BMP: info header too short ($infoSize)")
     require(pixelOffset >= 54 && pixelOffset <= bytes.length,
       s"BMP: pixel-data offset $pixelOffset outside the file")
+    // 8bpp is palette-indexed: BGRA quads right after the info header,
+    // biClrUsed entries (0 means the full 256 per spec)
+    val nColors = if (bpp == 8) {
+      val c = le32(bytes, 46)
+      if (c == 0) 256 else c
+    } else 0
+    val palOff = 14 + infoSize
+    if (bpp == 8) {
+      require(nColors > 0 && nColors <= 256, s"BMP: bad palette size $nColors")
+      require(palOff + 4L * nColors <= pixelOffset,
+        "BMP: palette does not fit before the pixel data")
+    }
     val height = math.abs(rawHeight)
     val bottomUp = rawHeight > 0
     require(width > 0 && height > 0, s"BMP: bad dimensions ${width}x$rawHeight")
-    // Long math: a hostile header's width*3 or rowBytes*height must reject,
-    // never overflow into a vacuously-true bounds check
-    val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4
+    // Long math: a hostile header's width*bytesPer or rowBytes*height must
+    // reject, never overflow into a vacuously-true bounds check
+    val rowBytesL = ((width.toLong * (bpp / 8) + 3) / 4) * 4
     // divide, don't multiply: rowBytesL * height can itself overflow Long
     // when both dims are near Int.MaxValue
     require(height <= (bytes.length - pixelOffset) / rowBytesL, "BMP: truncated pixels")
@@ -223,9 +243,24 @@ object MediaCodec {
       val src = pixelOffset + srcRow * rowBytes
       var x = 0
       while (x < width) {
-        rgb(3 * (row * width + x)) = bytes(src + 3 * x + 2)     // R
-        rgb(3 * (row * width + x) + 1) = bytes(src + 3 * x + 1) // G
-        rgb(3 * (row * width + x) + 2) = bytes(src + 3 * x)     // B
+        val d = 3 * (row * width + x)
+        bpp match {
+          case 24 =>
+            rgb(d) = bytes(src + 3 * x + 2)     // R
+            rgb(d + 1) = bytes(src + 3 * x + 1) // G
+            rgb(d + 2) = bytes(src + 3 * x)     // B
+          case 32 => // BGRA quads; the A/reserved byte is ignored per BI_RGB
+            rgb(d) = bytes(src + 4 * x + 2)
+            rgb(d + 1) = bytes(src + 4 * x + 1)
+            rgb(d + 2) = bytes(src + 4 * x)
+          case _ => // 8bpp: index into the BGRA palette
+            val idx = bytes(src + x) & 0xff
+            require(idx < nColors, s"BMP: palette index $idx >= biClrUsed $nColors")
+            val p = palOff + 4 * idx
+            rgb(d) = bytes(p + 2)
+            rgb(d + 1) = bytes(p + 1)
+            rgb(d + 2) = bytes(p)
+        }
         x += 1
       }
       row += 1
@@ -498,6 +533,25 @@ object MediaCodec {
   /** Constant Y4M stream header for fixed geometry — like [[wavHeader]], a
     * constant byte string the payload-builder queries concat as a literal.
     */
+  /** Constant BMP header (file header + BITMAPINFOHEADER) for fixed
+    * geometry — like [[wavHeaderPcm]], a byte literal the payload-builder
+    * queries `concat` in front of document bytes. The palette (for 8bpp)
+    * and pixel rows follow; `pixelOffset` accounts for `nColors` BGRA
+    * palette entries.
+    */
+  def bmpHeader(width: Int, height: Int, bpp: Int, nColors: Int = 0,
+      topDown: Boolean = false): Array[Byte] = {
+    val rowBytes = ((width * (bpp / 8) + 3) / 4) * 4
+    val pixelOffset = 54 + 4 * nColors
+    val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(pixelOffset + rowBytes * height)
+      .putInt(0).putInt(pixelOffset)
+    b.putInt(40).putInt(width).putInt(if (topDown) -height else height)
+      .putShort(1).putShort(bpp.toShort).putInt(0).putInt(rowBytes * height)
+      .putInt(2835).putInt(2835).putInt(nColors).putInt(0)
+    b.array()
+  }
+
   def y4mHeader(width: Int, height: Int, chroma: String = "C444"): Array[Byte] =
     s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 $chroma\n".getBytes("US-ASCII")
 

@@ -814,6 +814,75 @@ object Multimodal extends QueryModule {
         ORDER BY doc_id, px"""
   }
 
+  /** `mm_real_bmp`: the OTHER two real-world BMP depths — 32bpp BGRA
+    * (even doc_ids: a genuine 4x4 TOP-DOWN file, the document's first 64
+    * bytes as B,G,R,A quads whose alpha byte the decoder must skip) and
+    * 8bpp PALETTE-INDEXED (odd doc_ids: a genuine 6x4 BOTTOM-UP file with
+    * a 16-color BGRA palette from the document's first 64 bytes, then 4
+    * index rows of 8 bytes — 6 used + 2 pad, pinning the 4-byte row
+    * stride — each index the LOW NIBBLE of the next document byte, so
+    * every index is < 16 by construction while staying hostile-real) —
+    * through the one sniffing decode path, banded-luma summarized. The
+    * oracle recomputes both parity branches from the document bytes:
+    * channel c of decoded pixel p is source byte `4p + (2 - c)` on the
+    * even side and palette byte `4·idx + (2 - c)` with
+    * `idx = lownibble(doc[64 + (3 - row)·8 + col])` on the odd side — so
+    * a BGRA-order, alpha, palette-offset, row-order, or row-padding bug
+    * lands as a value mismatch. Map-only until the final sort.
+    */
+  def realBmp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h32 = MediaCodec.bmpHeader(4, 4, 32, topDown = true)
+      .map("%02X".format(_)).mkString
+    val h8 = MediaCodec.bmpHeader(6, 4, 8, nColors = 16)
+      .map("%02X".format(_)).mkString
+    // 32bpp: 64 document bytes of pixel quads, verbatim
+    val body32 = expr("substring(hex(cast(text as binary)), 1, 128)")
+    // 8bpp: 64 palette bytes verbatim, then 32 index bytes built as the
+    // LOW NIBBLE of document bytes 64..95 (one hex char each)
+    val bodyPal = expr("substring(hex(cast(text as binary)), 1, 128)")
+    val bodyIdx = expr(
+      """array_join(transform(sequence(0, 31), i ->
+           concat('0', substring(hex(cast(text as binary)), (64 + i) * 2 + 2, 1))), '')""")
+    val clips = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= 96)
+      .select(col("doc_id"), lit("image").as("media_type"),
+        when(col("doc_id") % 2 === 0, concat(unhex(lit(h32)), unhex(body32)))
+          .otherwise(concat(unhex(lit(h8)), unhex(bodyPal), unhex(bodyIdx)))
+          .as("payload"))
+    BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("luma_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realBmpSql = {
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS INT)"
+    def nibble(off: String) = s"CAST('0x0' || substring(h, ($off) * 2 + 2, 1) AS INT)"
+    // even: rgb byte j -> pixel p = j//3, channel c = j%3, source 4p + (2-c)
+    val even = byte("(j // 3) * 4 + 2 - j % 3")
+    // odd: 6-wide rows; decoded row r = (j//3)//6, col = (j//3)%6 (bottom-up
+    // file row 3-r at an 8-byte stride), palette channel at 4*idx + (2-c)
+    val idx = nibble("64 + (3 - (j // 3) // 6) * 8 + (j // 3) % 6")
+    val odd = byte(s"4 * $idx + 2 - j % 3")
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= 96
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   CAST(CAST(CAST(list_sum(list_transform(range(k * 6, (k + 1) * 6),
+                       j -> $even)) AS DOUBLE) / ${6 * 255}.0 AS FLOAT) AS DOUBLE)
+                 ELSE
+                   CAST(CAST(CAST(list_sum(list_transform(range(k * 9, (k + 1) * 9),
+                       j -> $odd)) AS DOUBLE) / ${9 * 255}.0 AS FLOAT) AS DOUBLE)
+                 END AS luma_frac
+          FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
+        )
+        SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
+  }
+
   /** `mm_real_chroma422`: the HORIZONTAL-only chroma layouts — C422
     * (broadcast 4:2:2) for even doc_ids, C411 (DV quarter-width) for odd —
     * through the same Y4M decode path, pinning the generalized (sx, sy)
@@ -942,6 +1011,7 @@ object Multimodal extends QueryModule {
     "mm_real_frames" -> (realFrames _),
     "mm_real_chroma" -> (realChroma _),
     "mm_real_chroma422" -> (realChroma422 _),
+    "mm_real_bmp" -> (realBmp _),
     "mm_real_thumbnail" -> (realThumbnail _),
   )
 
@@ -960,6 +1030,7 @@ object Multimodal extends QueryModule {
     "mm_real_frames" -> realFramesSql,
     "mm_real_chroma" -> realChromaSql,
     "mm_real_chroma422" -> realChroma422Sql,
+    "mm_real_bmp" -> realBmpSql,
     "mm_real_thumbnail" -> realThumbnailSql,
   )
 }

@@ -109,10 +109,55 @@ class MediaCodecSpec extends SparkSpec {
     assert(down.rgb.toSeq == fromPpm.rgb.toSeq, "top-down BMP must match PPM pixels")
   }
 
+  test("BMP decode: 32bpp BGRA quads, alpha ignored, top-down and bottom-up") {
+    // 2x2 top-down: pixels (R,G,B,A) rows [(1,2,3,9),(4,5,6,9)],[(7,8,10,9),(11,12,13,9)]
+    def px(r: Int, g: Int, b: Int) = Seq(b.toByte, g.toByte, r.toByte, 9.toByte)
+    val rows = Seq(px(1, 2, 3) ++ px(4, 5, 6), px(7, 8, 10) ++ px(11, 12, 13))
+    def file(topDown: Boolean) = {
+      val b = java.nio.ByteBuffer.allocate(54 + 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+      b.putInt(40).putInt(2).putInt(if (topDown) -2 else 2)
+        .putShort(1).putShort(32).putInt(0).putInt(16).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      (if (topDown) rows else rows.reverse).foreach(r => b.put(r.toArray))
+      b.array()
+    }
+    val expect = Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13)
+    assert(decodeBmp(file(topDown = true)).rgb.toSeq == expect)
+    assert(decodeBmp(file(topDown = false)).rgb.toSeq == expect)
+  }
+
+  test("BMP decode: 8bpp palette indexing, row padding, biClrUsed=0 means 256, bad index rejects") {
+    // 2x2 bottom-up, 3-color palette, width 2 -> 4-byte padded index rows
+    def file(nClrUsed: Int, idx: Seq[Int]) = {
+      val nPal = 3
+      val b = java.nio.ByteBuffer.allocate(54 + 4 * nPal + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + 4 * nPal + 8).putInt(0).putInt(54 + 4 * nPal)
+      b.putInt(40).putInt(2).putInt(2)
+        .putShort(1).putShort(8).putInt(0).putInt(8).putInt(2835).putInt(2835)
+        .putInt(nClrUsed).putInt(0)
+      // palette entries are B,G,R,reserved
+      b.put(Array[Byte](30, 20, 10, 0)) // color 0 -> RGB (10,20,30)
+      b.put(Array[Byte](60, 50, 40, 0)) // color 1 -> RGB (40,50,60)
+      b.put(Array[Byte](90, 80, 70, 0)) // color 2 -> RGB (70,80,90)
+      // bottom-up rows with 2 pad bytes each: file rows are [row1, row0]
+      b.put(Array[Byte](idx(2).toByte, idx(3).toByte, 99.toByte, 99.toByte))
+      b.put(Array[Byte](idx(0).toByte, idx(1).toByte, 99.toByte, 99.toByte))
+      b.array()
+    }
+    val got = decodeBmp(file(3, Seq(0, 1, 2, 0)))
+    assert(got.rgb.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 10, 20, 30))
+    // biClrUsed = 0 means a full 256-entry table must fit -> this file rejects
+    intercept[IllegalArgumentException](decodeBmp(file(0, Seq(0, 1, 2, 0))))
+    // an index beyond biClrUsed rejects instead of reading stray bytes
+    intercept[IllegalArgumentException](decodeBmp(file(3, Seq(0, 1, 2, 3))))
+  }
+
   test("BMP decode: strict rejects (unsupported bpp, compressed)") {
     val good = bmp(2, 2, px2x2)
-    val bpp32 = good.clone(); bpp32(28) = 32
-    intercept[IllegalArgumentException](decodeBmp(bpp32))
+    val bpp16 = good.clone(); bpp16(28) = 16 // 16bpp bitfields: genuinely unsupported
+    intercept[IllegalArgumentException](decodeBmp(bpp16))
     val rle = good.clone(); rle(30) = 1
     intercept[IllegalArgumentException](decodeBmp(rle))
   }
