@@ -78,6 +78,8 @@ object MediaCodec {
   def sniff(payload: Array[Byte]): Option[String] =
     if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') Some("ppm")
     else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '5') Some("pgm")
+    else if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') Some("png")
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') Some("bmp")
     else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == 'F') Some("wav")
@@ -89,6 +91,7 @@ object MediaCodec {
   def decode(payload: Array[Byte]): RasterImage = sniff(payload) match {
     case Some("ppm") => decodePpm(payload)
     case Some("pgm") => decodePgm(payload)
+    case Some("png") => decodePng(payload)
     case Some("bmp") => decodeBmp(payload)
     case _ => throw new IllegalArgumentException("unsupported raster payload")
   }
@@ -264,6 +267,142 @@ object MediaCodec {
         x += 1
       }
       row += 1
+    }
+    RasterImage(width, height, rgb)
+  }
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** PNG — THE format a real image corpus actually lands as. Full decode
+    * of the non-interlaced 8-bit-per-sample profile in pure JVM:
+    * signature + chunk walk with CRC-32 VERIFIED on every chunk (a
+    * corrupted or hand-faked file rejects, it never decodes to garbage),
+    * IHDR geometry/profile checks, PLTE capture, IDAT concatenation
+    * across chunks, zlib inflation via `java.util.zip.Inflater` (any
+    * conformant stream: dynamic/fixed/stored blocks alike), and per-row
+    * UNFILTERING of all five spec filters (None/Sub/Up/Average/Paeth —
+    * Paeth with the spec's exact tie-break order). Color types 0 (gray,
+    * replicated to R=G=B like PGM), 2 (RGB), 3 (palette-indexed, PLTE
+    * required and indexes bounds-checked), and 6 (RGBA, alpha dropped —
+    * the library's raster model is RGB) are supported; 16-bit, 1/2/4-bit,
+    * gray+alpha, and Adler/interlaced profiles reject strictly. Output is
+    * row-major top-down RGB, same as every other raster decoder.
+    */
+  def decodePng(bytes: Array[Byte]): RasterImage = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    require(bytes.length >= 8 + 25 && (0 until 8).forall(i => bytes(i) == sig(i)),
+      "not a PNG")
+    var pos = 8
+    var width = -1; var height = -1; var colorType = -1
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(pos + 8 <= bytes.length, "PNG: truncated chunk header")
+      val len = be32(bytes, pos)
+      require(len >= 0, s"PNG: negative chunk length at byte $pos")
+      val body = pos + 8
+      require(body + len.toLong + 4 <= bytes.length, "PNG: truncated chunk")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be32(bytes, body + len),
+        s"PNG: CRC mismatch in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"PNG: IHDR must be 13 bytes, got $len")
+          width = be32(bytes, body)
+          height = be32(bytes, body + 4)
+          require(width > 0 && height > 0, s"PNG: bad dimensions ${width}x$height")
+          require(bytes(body + 8) == 8,
+            s"PNG: only bit depth 8 supported, got ${bytes(body + 8)}")
+          colorType = bytes(body + 9) & 0xff
+          require(colorType == 0 || colorType == 2 || colorType == 3 || colorType == 6,
+            s"PNG: only color types 0/2/3/6 supported, got $colorType")
+          require(bytes(body + 10) == 0 && bytes(body + 11) == 0,
+            "PNG: nonstandard compression/filter method")
+          require(bytes(body + 12) == 0, "PNG: interlaced (Adam7) not supported")
+        case "PLTE" =>
+          require(len % 3 == 0 && len <= 768, s"PNG: bad PLTE length $len")
+          palette = java.util.Arrays.copyOfRange(bytes, body, body + len)
+        case "IDAT" => idat.write(bytes, body, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunk (tEXt, pHYs, gAMA...): CRC checked, skipped
+      }
+      pos = body + len + 4
+    }
+    require(width > 0, "PNG: missing IHDR")
+    val channels = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+    val rowLen = width * channels
+    val raw = new Array[Byte]((rowLen + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      var step = -1
+      while (off < raw.length && step != 0) {
+        step = inf.inflate(raw, off, raw.length - off)
+        off += step
+      }
+      require(off == raw.length,
+        s"PNG: pixel stream is $off bytes, expected ${raw.length}")
+      // a conformant stream ends exactly here; trailing pixels mean the
+      // IHDR geometry and the IDAT contents disagree
+      require(inf.finished || inf.inflate(new Array[Byte](1)) == 0,
+        "PNG: pixel stream longer than the IHDR geometry")
+    } catch { case e: java.util.zip.DataFormatException =>
+      throw new IllegalArgumentException(s"PNG: corrupt zlib stream: ${e.getMessage}")
+    } finally inf.end()
+    // unfilter in place, row by row (each filter references the PRIOR
+    // reconstructed row, so order matters); offsets skip the filter byte
+    var r = 0
+    while (r < height) {
+      val base = r * (rowLen + 1)
+      val filter = raw(base) & 0xff
+      var i = 0
+      while (i < rowLen) {
+        val x = raw(base + 1 + i) & 0xff
+        val a = if (i >= channels) raw(base + 1 + i - channels) & 0xff else 0 // left
+        val b = if (r > 0) raw(base - rowLen + i) & 0xff else 0 // up
+        val c = if (r > 0 && i >= channels) raw(base - rowLen + i - channels) & 0xff else 0
+        val recon = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth: nearest of a/b/c to p = a + b - c, ties a, then b
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case f => throw new IllegalArgumentException(s"PNG: bad filter type $f in row $r")
+        }
+        raw(base + 1 + i) = (recon & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    val rgb = new Array[Byte](width * height * 3)
+    var p = 0
+    val n = width * height
+    while (p < n) {
+      val src = (p / width) * (rowLen + 1) + 1 + (p % width) * channels
+      colorType match {
+        case 2 | 6 =>
+          rgb(3 * p) = raw(src); rgb(3 * p + 1) = raw(src + 1); rgb(3 * p + 2) = raw(src + 2)
+        case 0 =>
+          rgb(3 * p) = raw(src); rgb(3 * p + 1) = raw(src); rgb(3 * p + 2) = raw(src)
+        case _ =>
+          require(palette != null, "PNG: palette image without a PLTE chunk")
+          val idx = raw(src) & 0xff
+          require(3 * idx + 2 < palette.length,
+            s"PNG: palette index $idx beyond the ${palette.length / 3}-entry PLTE")
+          rgb(3 * p) = palette(3 * idx)
+          rgb(3 * p + 1) = palette(3 * idx + 1)
+          rgb(3 * p + 2) = palette(3 * idx + 2)
+      }
+      p += 1
     }
     RasterImage(width, height, rgb)
   }

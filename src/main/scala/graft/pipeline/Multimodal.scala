@@ -10,8 +10,9 @@ import graft.{QueryModule, Tables}
   * frame-sample / feature-extract operators (builder brief).
   *
   * Decode is REAL across all three modalities, for the formats a pure JVM
-  * can parse without codec libraries — binary PPM (P6) and 24-bit BMP
-  * images, RIFF/WAV 8-bit PCM audio, and YUV4MPEG2 C444 video, via
+  * can parse without codec libraries — PNG (real zlib, CRC-verified) /
+  * Netpbm P6+P5 / 8-24-32-bit BMP images, RIFF/WAV 8/16/24-bit PCM and
+  * float32 audio, and YUV4MPEG2 C444/C422/C420/C411 video, via
   * [[MediaCodec]], magic-sniffed per payload by
   * [[BatchedDecode.SniffingDecoder]] and oracle-checked end to end by
   * `mm_real_decode` / `mm_real_audio` / `mm_real_frames` /
@@ -814,6 +815,98 @@ object Multimodal extends QueryModule {
         ORDER BY doc_id, px"""
   }
 
+  /** Hex of a constant PNG prefix (signature + IHDR chunk with its real
+    * CRC) for an 8x8 bit-depth-8 image of the given color type.
+    */
+  private def pngPrefixHex(colorType: Int): String = {
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(8).putInt(8)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr)
+    "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      ihdr.map("%02X".format(_)).mkString + "%08X".format(crc.getValue.toInt)
+  }
+
+  /** `mm_real_png`: PNG — the format a real image corpus actually lands
+    * as, decoded END TO END. Spark BUILDS a genuine PNG per document in
+    * pure SQL expressions: signature + IHDR (constant, real CRC), one
+    * IDAT whose zlib stream uses a STORED deflate block (the one deflate
+    * framing SQL can emit — the raw filter-byte+pixel rows wrapped in the
+    * 5-byte block header) with the ADLER-32 checksum computed
+    * ARITHMETICALLY from the document bytes (`s1 = 1 + Σb mod 65521`,
+    * `s2 = n + Σ (n-j)·b_j mod 65521` — the prefix-sum identity), the
+    * chunk CRC via Spark's native `crc32`, and the constant IEND. The
+    * decoder is the full-profile one the spec tests drive with
+    * Deflater-compressed streams and all five filters: it sniffs the
+    * signature, VERIFIES every chunk CRC, inflates with
+    * `java.util.zip.Inflater` (stored blocks are just another conformant
+    * stream), unfilters, and featurizes — so a wrong Adler, CRC, block
+    * header, or filter byte REJECTS the file and lands as a missing row,
+    * while a geometry or unfilter bug lands as a value mismatch. Even
+    * doc_ids carry 8x8 RGB (color type 2, 192 document bytes), odd 8x8
+    * GRAYSCALE (type 0, 64 bytes, decoder-replicated to R=G=B), so the
+    * IHDR color-type dispatch is load-bearing. The oracle never needs to
+    * inflate anything: it recomputes banded luma straight from the
+    * document bytes per parity. Map-only until the final sort.
+    */
+  def realPng(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // stored-block zlib framing: 0x78 0x01, then BFINAL=1/BTYPE=00, LEN
+    // and ~LEN little-endian; IDAT length = 2 + 5 + raw + 4 (adler)
+    def side(rows: Int, rowBytes: Int, prefixHex: String) = {
+      val n = rows * (rowBytes + 1)
+      val lenHex = "%02X%02X".format(n & 0xff, n >> 8)
+      val nlenHex = "%02X%02X".format(~n & 0xff, (~n >> 8) & 0xff)
+      val rawHex =
+        s"""array_join(transform(sequence(0, ${rows - 1}), r ->
+              concat('00', substring(h, r * ${rowBytes * 2} + 1, ${rowBytes * 2}))), '')"""
+      val byteAt = s"cast(conv(substring(h, i * 2 + 1, 2), 16, 10) as bigint)"
+      val s1 = s"(1 + aggregate(sequence(0, ${rows * rowBytes - 1}), 0L, (acc, i) -> acc + $byteAt)) % 65521"
+      // position of data byte i inside the raw stream: (i div rowBytes)
+      // rows of rowBytes+1 with the leading filter zero, then 1 + i mod
+      val w = s"($n - ((i div $rowBytes) * ${rowBytes + 1} + 1 + i % $rowBytes))"
+      val s2 = s"($n + aggregate(sequence(0, ${rows * rowBytes - 1}), 0L, (acc, i) -> acc + $w * $byteAt)) % 65521"
+      val adlerHex = s"lpad(hex(($s2) * 65536 + ($s1)), 8, '0')"
+      val zlibHex = s"concat('7801', '01$lenHex$nlenHex', $rawHex, $adlerHex)"
+      val idatLen = 2 + 5 + n + 4
+      s"""concat('$prefixHex',
+                 lpad(hex($idatLen), 8, '0'), '49444154', $zlibHex,
+                 lpad(hex(crc32(unhex(concat('49444154', $zlibHex)))), 8, '0'),
+                 '0000000049454E44AE426082')"""
+    }
+    val clips = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= PpmPixelBytes)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"), lit("image").as("media_type"),
+        unhex(when(col("doc_id") % 2 === 0, expr(side(8, 24, pngPrefixHex(2))))
+          .otherwise(expr(side(8, 8, pngPrefixHex(0))))).as("payload"))
+    BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("luma_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realPngSql = {
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS INT)"
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= $PpmPixelBytes
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   CAST(CAST(CAST(list_sum(list_transform(range(k * 24, (k + 1) * 24),
+                       i -> ${byte("i")})) AS DOUBLE) / 6120.0 AS FLOAT) AS DOUBLE)
+                 ELSE
+                   CAST(CAST(CAST(3 * list_sum(list_transform(range(k * 8, (k + 1) * 8),
+                       i -> ${byte("i")})) AS DOUBLE) / 6120.0 AS FLOAT) AS DOUBLE)
+                 END AS luma_frac
+          FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
+        )
+        SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
+  }
+
   /** `mm_real_bmp`: the OTHER two real-world BMP depths — 32bpp BGRA
     * (even doc_ids: a genuine 4x4 TOP-DOWN file, the document's first 64
     * bytes as B,G,R,A quads whose alpha byte the decoder must skip) and
@@ -1012,6 +1105,7 @@ object Multimodal extends QueryModule {
     "mm_real_chroma" -> (realChroma _),
     "mm_real_chroma422" -> (realChroma422 _),
     "mm_real_bmp" -> (realBmp _),
+    "mm_real_png" -> (realPng _),
     "mm_real_thumbnail" -> (realThumbnail _),
   )
 
@@ -1031,6 +1125,7 @@ object Multimodal extends QueryModule {
     "mm_real_chroma" -> realChromaSql,
     "mm_real_chroma422" -> realChroma422Sql,
     "mm_real_bmp" -> realBmpSql,
+    "mm_real_png" -> realPngSql,
     "mm_real_thumbnail" -> realThumbnailSql,
   )
 }

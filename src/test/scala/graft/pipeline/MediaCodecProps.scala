@@ -141,6 +141,22 @@ object MediaCodecProps extends Properties("mediacodec") {
       got.samples.toSeq == frames.map { case (l, r) => (l + r) >> 1 }
     }
 
+  property("PNG encode(real zlib, random filters)-decode round-trip is lossless, all color types") =
+    forAll(Gen.choose(1, 9), Gen.choose(1, 9), Gen.oneOf(0, 2, 6), Gen.long) {
+      (w, h, colorType, seed) =>
+        val ch = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+        val rnd = new scala.util.Random(seed)
+        val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+        val file = MediaCodecSpec.pngFile(w, h, colorType, px, _ => rnd.nextInt(5))
+        val got = decodePng(file)
+        val expect = colorType match {
+          case 0 => px.flatMap(g => Seq(g, g, g))
+          case 2 => px
+          case _ => px.grouped(4).flatMap(_.take(3)).toArray
+        }
+        got.width == w && got.height == h && got.rgb.toSeq == expect.toSeq
+    }
+
   private val wav24Gen: Gen[(Int, List[Int])] = for {
     n <- Gen.choose(0, 48)
     rate <- Gen.choose(1, 48000)

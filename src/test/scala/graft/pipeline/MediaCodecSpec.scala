@@ -494,6 +494,58 @@ class MediaCodecSpec extends SparkSpec {
     assert(feats(9L) == (new BatchedDecode.StubDecoder).decode(junk).toSeq)
   }
 
+  private def png(width: Int, height: Int, colorType: Int, pixels: Array[Byte],
+      filters: Int => Int = _ => 0, palette: Array[Byte] = null): Array[Byte] =
+    MediaCodecSpec.pngFile(width, height, colorType, pixels, filters, palette)
+
+  test("PNG decode: real zlib, all five row filters invert exactly (RGB)") {
+    val rnd = new scala.util.Random(41)
+    val px = Array.fill(5 * 4 * 3)(rnd.nextInt(256).toByte)
+    for (f <- 0 to 4) {
+      val got = decodePng(png(5, 4, 2, px, filters = _ => f))
+      assert(got.width == 5 && got.height == 4)
+      assert(got.rgb.toSeq == px.toSeq, s"filter $f must invert exactly")
+    }
+    // mixed per-row filters in one image (each row references the prior
+    // RECONSTRUCTED row, the order-sensitive case)
+    val mixed = decodePng(png(5, 4, 2, px, filters = r => r % 5))
+    assert(mixed.rgb.toSeq == px.toSeq)
+  }
+
+  test("PNG decode: gray replicates, RGBA drops alpha, palette indexes PLTE") {
+    val gray = Array[Byte](10, 20, 30, 40)
+    assert(decodePng(png(2, 2, 0, gray, filters = _ => 1)).rgb.toSeq ==
+      Seq[Byte](10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40))
+    val rgba = Array[Byte](1, 2, 3, 99, 4, 5, 6, 98, 7, 8, 9, 97, 10, 11, 12, 96)
+    assert(decodePng(png(2, 2, 6, rgba, filters = _ => 4)).rgb.toSeq ==
+      Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90)
+    assert(decodePng(png(2, 2, 3, Array[Byte](0, 1, 2, 0), palette = pal)).rgb.toSeq ==
+      Seq[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 10, 20, 30))
+    // index beyond the palette rejects
+    intercept[IllegalArgumentException](
+      decodePng(png(2, 2, 3, Array[Byte](0, 1, 2, 3), palette = pal)))
+  }
+
+  test("PNG decode: strict rejects (bad CRC, truncated zlib, 16-bit, interlaced, geometry lies)") {
+    val px = Array.fill(2 * 2 * 3)(7.toByte)
+    val good = png(2, 2, 2, px)
+    assert(decodePng(good).rgb.toSeq == px.toSeq)
+    val badCrc = good.clone(); badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 1).toByte
+    intercept[IllegalArgumentException](decodePng(badCrc)) // IEND CRC flipped
+    // flip a byte INSIDE the IDAT payload: its CRC catches the corruption
+    val badIdat = good.clone(); badIdat(8 + 25 + 8 + 2) = (badIdat(8 + 25 + 8 + 2) ^ 0x40).toByte
+    intercept[IllegalArgumentException](decodePng(badIdat))
+    // IHDR says 2x3 but the stream holds 2x2 rows -> short pixel stream
+    intercept[IllegalArgumentException] {
+      val taller = png(2, 3, 2, Array.fill(2 * 3 * 3)(7.toByte))
+      val lie = good.clone() // keep good's IDAT, patch dims from taller's IHDR
+      System.arraycopy(taller, 8, lie, 8, 25)
+      decodePng(lie)
+    }
+    intercept[IllegalArgumentException](decodePng(good.take(40))) // truncated file
+  }
+
   test("sniffing decoder: real parse for rasters, stub for everything else, through one pipeline") {
     val textPayload = "not an image at all, just bytes".getBytes("UTF-8")
     val pcm = Array.tabulate(24)(i => (110 + 3 * i).toByte)
@@ -511,5 +563,58 @@ class MediaCodecSpec extends SparkSpec {
       "non-raster payloads fall back to the stub featurizer")
     assert(got(4L) == bandedAmplitude(PcmAudio(8000, pcm)).toSeq,
       "WAV payload must be REALLY decoded to PCM amplitude bands")
+  }
+}
+
+/** Shared with MediaCodecProps: build a REAL PNG — per-row filter bytes,
+  * genuine zlib (Deflater: dynamic/fixed blocks, not stored), correct
+  * CRCs. `filters(r)` picks each row's filter type; filtering is the
+  * spec's forward direction so the decoder must invert it exactly.
+  */
+object MediaCodecSpec {
+  def pngFile(width: Int, height: Int, colorType: Int, pixels: Array[Byte],
+      filters: Int => Int = _ => 0, palette: Array[Byte] = null): Array[Byte] = {
+    val ch = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+    val rowLen = width * ch
+    val raw = new Array[Byte]((rowLen + 1) * height)
+    for (r <- 0 until height) {
+      val f = filters(r)
+      raw(r * (rowLen + 1)) = f.toByte
+      for (i <- 0 until rowLen) {
+        val x = pixels(r * rowLen + i) & 0xff
+        val a = if (i >= ch) pixels(r * rowLen + i - ch) & 0xff else 0
+        val b = if (r > 0) pixels((r - 1) * rowLen + i) & 0xff else 0
+        val c = if (r > 0 && i >= ch) pixels((r - 1) * rowLen + i - ch) & 0xff else 0
+        val filtered = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(r * (rowLen + 1) + 1 + i) = (filtered & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zlen = deflater.deflate(zbuf); deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        .putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++
+      (if (palette != null) chunk("PLTE", palette) else Array.emptyByteArray) ++
+      chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
   }
 }
