@@ -400,7 +400,10 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("real decode (image, audio, video) is map-only: one range Exchange for the sort, no joins") {
-    for (q <- Seq("mm_real_decode", "mm_real_audio", "mm_real_frames")) {
+    for (q <- Seq("mm_real_decode", "mm_real_audio", "mm_real_frames",
+      "mm_real_decode16", "mm_real_gray", "mm_real_audio16", "mm_real_audio_deep",
+      "mm_real_chroma", "mm_real_chroma422", "mm_real_bmp", "mm_real_png",
+      "mm_real_thumbnail")) {
       val p = planOf(q)
       assert(p.contains("MapPartitions"), s"$q: typed decode batcher missing from plan")
       val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq

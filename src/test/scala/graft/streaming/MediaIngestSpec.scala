@@ -77,13 +77,21 @@ class MediaIngestSpec extends SparkSpec {
       Files.write(Paths.get(blobDir.toString, "21.ppm"), ppm(21))
       q.processAllAvailable()
       Files.write(Paths.get(blobDir.toString, "22.wav"), wav(22))
+      // a REAL (Deflater-compressed, CRC'd) PNG through the same stream
+      val pngPx = Array.tabulate(8 * 8 * 3)(i => (i * 7 + 23).toByte)
+      val pngBytes = graft.pipeline.MediaCodecSpec.pngFile(8, 8, 2, pngPx, _ % 5)
+      Files.write(Paths.get(blobDir.toString, "23.png"), pngBytes)
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.read.parquet(s"$outDir/features").select("doc_id", "feature")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(got.keySet == Set(21L, 22L))
+    assert(got.keySet == Set(21L, 22L, 23L))
     assert(got(21L) == MediaCodec.bandedLuma(MediaCodec.decodePpm(ppm(21))).toSeq,
       "a .ppm blob landing mid-stream must REALLY decode")
     assert(got(22L) == MediaCodec.bandedAmplitude(MediaCodec.decodeWav(wav(22))).toSeq)
+    val pngPx2 = Array.tabulate(8 * 8 * 3)(i => (i * 7 + 23).toByte)
+    assert(got(23L) == MediaCodec.bandedLuma(
+      MediaCodec.decodePng(graft.pipeline.MediaCodecSpec.pngFile(8, 8, 2, pngPx2, _ % 5))).toSeq,
+      "a .png blob must inflate and unfilter through the streaming landing path")
   }
 }
