@@ -25,6 +25,7 @@ object SparkEntry {
     operators.History,
     operators.Layout,
     operators.Profiling,
+    operators.Warc,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
     pipeline.Whitening,
