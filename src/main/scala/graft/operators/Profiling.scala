@@ -32,14 +32,26 @@ object Profiling extends QueryModule {
   /** Profile any DataFrame: one row per column. Unordered. */
   def profileOf(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
-    val aggs = cols.flatMap { c =>
+    // TWO single-row aggregates, not one: mixing DISTINCT and plain
+    // aggregates in one agg makes Catalyst's distinct rewrite drag every
+    // plain aggregate's input (here: 2 string casts + a null flag per
+    // column) through EVERY Expand replica — n_cols+1 copies of each row
+    // with the wide string columns attached (measured 3.6 s warm on the
+    // 150k-row orders table where the two split aggregates take
+    // 1.2 + 0.7 s). Split, the Expand carries only the narrow distinct
+    // keys and the plain pass stays a plain single scan; the cross join
+    // below is 1 row x 1 row (the documented broadcast-stats-side shape).
+    val distincts = df.agg(
+      countDistinct(col(cols.head)).as(s"${cols.head}__distinct"),
+      cols.tail.map(c => countDistinct(col(c)).as(s"${c}__distinct")): _*)
+    val plainAggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
         min(col(c).cast("string")).as(s"${c}__min"),
         max(col(c).cast("string")).as(s"${c}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val plain = df.agg(plainAggs.head, plainAggs.tail: _*)
+    val wide = plain.crossJoin(distincts)
     val stacked = cols.map(c =>
       s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
     wide.selectExpr(
