@@ -218,6 +218,55 @@ object Warc extends QueryModule {
         FROM documents WHERE octet_length(encode(text)) >= 1
         ORDER BY doc_id"""
 
+  /** WARC files → `documents`-shaped rows: the PRODUCTION corpus front
+    * door (a landing bucket of `<id>.warc` / `<id>.warc.gz` crawl files
+    * → the same document schema every downstream operator consumes).
+    * Each file's records parse where its bytes are read ([[read]]: gzip
+    * members verified, Content-Length framing walked); `response`
+    * records become documents — doc_id = fileId·100000 + record index
+    * (stable across replays), lang from the crawl's own
+    * `WARC-Identified-Content-Language` header when present (the field
+    * Common Crawl emits) else `und`, source from `WARC-Target-URI`.
+    * Works on a batch OR streaming binaryFile frame — the streaming form
+    * feeds [[graft.streaming.CorpusIngest.start]] directly, which is the
+    * full production path: crawl bucket → records → QC → contamination →
+    * dedup probe → trainer chunks, exactly-once (WarcSpec pins the
+    * stream-equals-batch convergence).
+    */
+  def docsFromFiles(files: DataFrame): DataFrame = {
+    import files.sparkSession.implicits._
+    files
+      .select(
+        expr("try_cast(regexp_extract(path, '(?i)([0-9]+)\\\\.warc(\\\\.gz)?$', 1) as long)")
+          .as("file_id"),
+        col("content"))
+      .filter(col("file_id").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(16).flatMap { batch =>
+          batch.iterator.flatMap { case (fileId, bytes) =>
+            read(bytes).zipWithIndex.collect {
+              case (r, i) if r.headers.get("WARC-Type").contains("response") =>
+                val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+                (fileId * 100000L + i, text,
+                  r.headers.getOrElse("WARC-Identified-Content-Language", "und"),
+                  r.headers.getOrElse("WARC-Target-URI", "unknown"),
+                  text.length.toLong)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** The streaming landing shape: crawl files appearing in `dir` stream
+    * through binaryFile into document rows, micro-batch by micro-batch.
+    */
+  def docStream(spark: SparkSession, dir: String): DataFrame =
+    docsFromFiles(spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_ingest" -> (warcIngest _),
     "docs_gunzip_roundtrip" -> (gunzipRoundtrip _),
