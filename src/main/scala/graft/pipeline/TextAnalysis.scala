@@ -1053,7 +1053,49 @@ object TextAnalysis extends QueryModule {
         FROM r WHERE vocab_size IN (${VocabCheckpoints.mkString(", ")})
         ORDER BY vocab_size"""
 
+  /** `text_nfc_normalize`: Unicode canonical composition as a corpus
+    * CLEANING step — the native [[graft.functions.NfcNormalize]]
+    * expression (`nfc_normalize`, named for its DuckDB oracle twin)
+    * applied to genuinely DECOMPOSED text. The ASCII corpus is the NFC
+    * identity, so the fixture manufactures the real multilingual case in
+    * pure SQL: a COMBINING ACUTE ACCENT (U+0301) after every Latin
+    * letter of the document's first 48 chars. NFC then recomposes each
+    * letter that has a precomposed form (á é ń ś ź ... — ancient,
+    * version-stable codepoints) and leaves the rest decomposed (b́ d́ ...,
+    * no precomposed form exists), so the composed LENGTH and the md5 of
+    * the composed bytes pin the composition table, the combining-mark
+    * handling, and the UTF-8 round-trip in both engines. A wrong or
+    * missing composition (or an engine disagreeing on the exclusion set)
+    * lands as a length/digest mismatch. Map-only until the final sort;
+    * the expression's ASCII fast path returns the input untouched, which
+    * is the 100 TB common case.
+    */
+  def nfcNormalizeDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        expr("regexp_replace(substring(text, 1, 48), '([A-Za-z])', '$1́')").as("dec"))
+      .select(col("doc_id"),
+        length(col("dec")).as("n_decomposed"),
+        expr("length(nfc_normalize(dec))").as("n_composed"),
+        expr("md5(cast(nfc_normalize(dec) as binary))").as("digest"))
+      .orderBy("doc_id")
+
+  private val nfcNormalizeSql =
+    """WITH d AS (
+         SELECT doc_id,
+                regexp_replace(substring(text, 1, 48), '([A-Za-z])',
+                               '\1' || chr(769), 'g') AS dec
+         FROM documents WHERE length(text) >= 1
+       )
+       SELECT doc_id,
+              CAST(length(dec) AS INT) AS n_decomposed,
+              CAST(length(nfc_normalize(dec)) AS INT) AS n_composed,
+              md5(nfc_normalize(dec)) AS digest
+       FROM d ORDER BY doc_id"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_nfc_normalize" -> (nfcNormalizeDocs _),
     "text_lang_id" -> (langId _),
     "text_langid_confusion" -> (langIdConfusion _),
     "text_inverted_index" -> (invertedIndex _),
@@ -1072,6 +1114,7 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "text_nfc_normalize" -> nfcNormalizeSql,
     "text_lang_id" -> langIdSql,
     "text_langid_confusion" -> langIdConfusionSql,
     "text_inverted_index" -> invertedIndexSql,
