@@ -78,18 +78,18 @@ object Gunzip {
     inf.setInput(bytes, pos, bytes.length - pos)
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
-    try {
-      while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        if (n == 0 && !inf.finished())
-          throw new IllegalArgumentException("gzip: truncated deflate stream")
-        out.write(buf, 0, n)
-      }
-    } catch { case e: java.util.zip.DataFormatException =>
-      throw new IllegalArgumentException(s"gzip: corrupt deflate stream: ${e.getMessage}")
-    }
-    val consumed = inf.getBytesRead.toInt
-    inf.end()
+    val consumed =
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished())
+            throw new IllegalArgumentException("gzip: truncated deflate stream")
+          out.write(buf, 0, n)
+        }
+        inf.getBytesRead.toInt
+      } catch { case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"gzip: corrupt deflate stream: ${e.getMessage}")
+      } finally inf.end() // reject paths must release native zlib state too
     val data = out.toByteArray
     val tr = pos + consumed
     require(tr + 8 <= bytes.length, "gzip: truncated trailer")

@@ -57,9 +57,17 @@ object Warc extends QueryModule {
         headers += (h.substring(0, i).trim -> h.substring(i + 1).trim)
         h = line()
       }
-      val len = headers.getOrElse("Content-Length",
-        throw new IllegalArgumentException("WARC: record without Content-Length")).toInt
-      require(len >= 0 && pos + len + 4 <= bytes.length, s"WARC: truncated record payload")
+      val lenStr = headers.getOrElse("Content-Length",
+        throw new IllegalArgumentException("WARC: record without Content-Length"))
+      val lenL =
+        try lenStr.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"WARC: non-numeric Content-Length '$lenStr'")
+        }
+      // Long arithmetic: a hostile declared length near Int.MaxValue must hit
+      // THIS named reject, not wrap negative and escape to copyOfRange.
+      require(lenL >= 0 && pos.toLong + lenL + 4 <= bytes.length, s"WARC: truncated record payload")
+      val len = lenL.toInt
       out += WarcRecord(headers, java.util.Arrays.copyOfRange(bytes, pos, pos + len))
       pos += len
       require(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
@@ -223,8 +231,9 @@ object Warc extends QueryModule {
     * → the same document schema every downstream operator consumes).
     * Each file's records parse where its bytes are read ([[read]]: gzip
     * members verified, Content-Length framing walked); `response`
-    * records become documents — doc_id = fileId·100000 + record index
-    * (stable across replays), lang from the crawl's own
+    * records become documents — doc_id = fileId·2²⁴ + record index
+    * (stable across replays; collision-free for files under 16M records,
+    * enforced), lang from the crawl's own
     * `WARC-Identified-Content-Language` header when present (the field
     * Common Crawl emits) else `und`, source from `WARC-Target-URI`.
     * Works on a batch OR streaming binaryFile frame — the streaming form
@@ -245,13 +254,21 @@ object Warc extends QueryModule {
       .mapPartitions { rows =>
         rows.grouped(16).flatMap { batch =>
           batch.iterator.flatMap { case (fileId, bytes) =>
-            read(bytes).zipWithIndex.collect {
+            val recs = read(bytes)
+            // 2^24 record slots per file: a production Common Crawl WARC holds
+            // ~150k records, so 16M is generous headroom — and overflow must
+            // reject loudly, not silently collide doc_ids across files.
+            require(recs.length < (1 << 24),
+              s"WARC file $fileId: ${recs.length} records exceed the 2^24 doc_id slot space")
+            recs.zipWithIndex.collect {
               case (r, i) if r.headers.get("WARC-Type").contains("response") =>
                 val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-                (fileId * 100000L + i, text,
+                ((fileId << 24) | i, text,
                   r.headers.getOrElse("WARC-Identified-Content-Language", "und"),
                   r.headers.getOrElse("WARC-Target-URI", "unknown"),
-                  text.length.toLong)
+                  // codepoint count, matching Spark/DuckDB length(text) — NOT
+                  // UTF-16 code units, which double-count non-BMP chars
+                  text.codePointCount(0, text.length).toLong)
             }
           }
         }

@@ -142,11 +142,12 @@ object MediaCodec {
       skipWsAndComments()
       require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
         s"PPM header: expected digit at byte $pos")
-      var v = 0
+      var v = 0L // Long accumulate: a 12-digit header number must reject, not wrap
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
         v = v * 10 + (bytes(pos) - '0'); pos += 1
+        require(v <= Int.MaxValue, s"PPM header: number too large at byte $pos")
       }
-      v
+      v.toInt
     }
     val width = readInt()
     val height = readInt()
@@ -162,6 +163,11 @@ object MediaCodec {
     val nL = width.toLong * height * channels
     val needL = nL * (if (twoByte) 2 else 1)
     require(bytes.length - pos >= needL, s"PPM: truncated pixels (${bytes.length - pos} < $needL)")
+    // the RGB expansion buffer is w*h*3 regardless of channels: for 1-channel
+    // PGM the needL guard alone admits w*h up to ~2^31/1, so pin the OUTPUT
+    // size too — reject, never a wrapped negative allocation
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"PPM: image too large (${width}x$height)")
     val n = nL.toInt
     if (channels == 3 && !twoByte)
       RasterImage(width, height, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
@@ -335,6 +341,12 @@ object MediaCodec {
     }
     require(width > 0, "PNG: missing IHDR")
     val channels = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+    // Long math on hostile IHDR dims (the same guard every sibling decoder
+    // carries): 65536×65536 RGBA must hit THIS reject, not wrap the raw /
+    // rgb allocation sizes negative
+    require((width.toLong * channels + 1) * height <= Int.MaxValue &&
+      width.toLong * height * 3 <= Int.MaxValue,
+      s"PNG: image too large (${width}x$height, color type $colorType)")
     val rowLen = width * channels
     val raw = new Array[Byte]((rowLen + 1) * height)
     val inf = new java.util.zip.Inflater()
@@ -629,10 +641,6 @@ object MediaCodec {
     PlanarVideo(width, height, frames.result())
   }
 
-  /** Nearest-neighbor C420 → C444 chroma upsample: Y copies through, and
-    * full-resolution chroma pixel (x, y) takes quarter-plane sample
-    * (x >> 1, y >> 1) — each chroma sample covers its 2x2 luma block.
-    */
   /** Nearest-neighbor chroma normalization to C444: each chroma sample
     * covers its sx·sy luma block (pinned, deterministic, siting ignored).
     */

@@ -429,10 +429,10 @@ class MediaCodecSpec extends SparkSpec {
 
   test("PPM/Y4M hostile headers reject as truncated instead of Int-overflowing to garbage") {
     // P6 65536 65536: width*height*3 wraps to 0 in Int math — must reject loudly
-    intercept[IllegalArgumentException](decodePpm("P6\n65536 65536\n255\n ".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](decodePpm("P6\n65536 65536\n255\n\u0000".getBytes("US-ASCII")))
     // Y4M 65536x65536: 3*w*h wraps in Int math the same way
     intercept[IllegalArgumentException](
-      decodeY4m("YUV4MPEG2 W65536 H65536 C444\nFRAME\n ".getBytes("US-ASCII")))
+      decodeY4m("YUV4MPEG2 W65536 H65536 C444\nFRAME\n\u0000".getBytes("US-ASCII")))
     // BMP with both dims near Int.MaxValue: rowBytes*height overflows LONG —
     // the divide-form bound must still reject with the documented exception
     val good = bmp(2, 2, px2x2)
@@ -544,6 +544,21 @@ class MediaCodecSpec extends SparkSpec {
       decodePng(lie)
     }
     intercept[IllegalArgumentException](decodePng(good.take(40))) // truncated file
+    // hostile IHDR dims: 65536x65536 RGBA wraps (rowLen+1)*height in Int
+    // math — must hit the named "too large" reject, like every sibling
+    val huge = {
+      def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      def chunk(tag: String, body: Array[Byte]) = {
+        val crc = new java.util.zip.CRC32()
+        crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+        be32(body.length) ++ tag.getBytes("US-ASCII") ++ body ++ be32(crc.getValue.toInt)
+      }
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", be32(65536) ++ be32(65536) ++ Array[Byte](8, 6, 0, 0, 0)) ++
+        chunk("IEND", Array.empty[Byte])
+    }
+    val e = intercept[IllegalArgumentException](decodePng(huge))
+    assert(e.getMessage.contains("too large"))
   }
 
   test("sniffing decoder: real parse for rasters, stub for everything else, through one pipeline") {
