@@ -31,6 +31,7 @@ object SparkEntry {
     pipeline.Whitening,
     pipeline.Multimodal,
     pipeline.TextAnalysis,
+    pipeline.HtmlExtract,
     pipeline.BpeTokenizer,
     pipeline.TrainPrep,
     pipeline.CorpusQc,

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** HTML → text extraction and link harvesting — the WET-generation step of
+  * a crawl pipeline (what turns a WARC response payload into a `documents`
+  * row, and what feeds a link graph). The reference ingests free-text
+  * lines (`q1_mapper.py:19-36` tokenizes whatever the file source hands
+  * it); real crawl corpora hand it HTML, so the engine needs the
+  * boilerplate step in front: strip markup, decode entities, collapse
+  * whitespace, and pull the outbound links.
+  *
+  * Both operators are generic column transforms ([[htmlToText]],
+  * [[linkUrls]]) built ONLY from native codegen'd functions — a fixed
+  * chain of `regexp_replace` / `regexp_extract_all` / `replace`, no UDFs —
+  * so extraction runs inside whole-stage codegen on the scan path, map-only
+  * until the final sort/agg. Per-row cost is linear in the page; state is
+  * zero. At 100 TB this is the same shape as the media decoders' landing
+  * path: bytes in, text out, nothing shuffles but results.
+  *
+  * Oracle strategy (parity-fixture): Spark BUILDS a conformant page per
+  * document — title/h1 from doc_id, the document text entity-escaped into
+  * `<p>`, plus a `<style>` with `p > span` selectors, a `<script>` with
+  * `<`/`&&`/quotes, an HTML comment containing tags, and entity text — and
+  * extracts it back in the SAME projection. The DuckDB oracle recomputes
+  * the EXPECTED text directly from the raw document (never running the
+  * extractor), so a strip-order bug (tags before scripts), a missed
+  * entity, or an over-eager collapse lands as a digest mismatch, and
+  * script/style/comment CONTENT leaking through changes the hash.
+  */
+object HtmlExtract extends QueryModule {
+
+  /** Generic HTML → plain text: remove script/style blocks (content and
+    * all), comments, then tags; decode the common entities (`&amp;` LAST,
+    * per HTML semantics — `&amp;lt;` must yield literal `&lt;`, not `<`);
+    * collapse runs of blank space to one and trim. The whitespace class is
+    * spelled `[ \t\n\r]` explicitly (not `\s`) so Spark/Java and RE2-style
+    * engines agree byte-for-byte.
+    */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
+    trim(regexp_replace(unescaped, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** Generic link harvest: every `href` attribute of an `<a>` tag —
+    * double-quoted links first, then single-quoted (order within each
+    * quoting style is document order; downstream aggregation doesn't care).
+    * Host resolution / relative-link filtering is the caller's job (see
+    * [[linkHosts]] via `parse_url`). Unquoted hrefs (formally legal,
+    * vanishingly rare in crawl data) are a documented scope cut.
+    */
+  def linkUrls(c: Column): Column = concat(
+    regexp_extract_all(c, lit("(?is)<a\\s[^>]*?href=\"([^\"]*)\""), lit(1)),
+    regexp_extract_all(c, lit("(?is)<a\\s[^>]*?href='([^']*)'"), lit(1)))
+
+  private def escaped(c: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(c) { case (acc, (ch, e)) => replace(acc, lit(ch), lit(e)) }
+
+  /** The deterministic fixture page: hostile-but-conformant HTML around
+    * the escaped document text. Link section only when `links` (the text
+    * fixture keeps its expected-output algebra link-free).
+    */
+  private def pageOf(links: Boolean): Column = {
+    val id = col("doc_id")
+    val linkPart =
+      if (!links) lit("")
+      else concat(
+        lit("<p>See <a href=\"http://h"), id % 7,
+        lit(".example.com/p/"), id,
+        lit("\">first</a> and <a class=\"x\" href=\"https://h"), (id + 1) % 7,
+        lit(".example.org/q?x="), id,
+        lit("\">second</a> and <a href=\"http://h"), id % 7,
+        lit(".example.com/again/"), id,
+        lit("\">again</a> and <a href=\"/local/"), id,
+        lit("\">relative</a>.</p>\n"))
+    concat(
+      lit("<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n<title>Doc "), id,
+      lit("</title>\n<style type=\"text/css\"> body { color: #000; } p > span { x: 1; } </style>\n" +
+        "<script>var n = "), id,
+      lit("; if (n < 3 && n > 0) { alert(\"x & y\"); }</script>\n</head>\n<body>\n" +
+        "<!-- comment with <tags> & stuff -->\n<h1 class=\"t\">Doc "), id,
+      lit("</h1>\n"), linkPart,
+      lit("<p>"), escaped(col("text")),
+      lit("</p>\n<div>&nbsp;&amp; tail &#39;q&#39;</div>\n</body>\n</html>"))
+  }
+
+  /** `html_text_extract`: build the fixture page, extract, emit the md5 +
+    * length of the recovered text. The oracle computes the expected string
+    * straight from the raw document (title + h1 + text + entity tail,
+    * whitespace-collapsed) — extraction must invert the page build exactly.
+    */
+  def textExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("extracted", htmlToText(pageOf(links = false)))
+      .select(col("doc_id"),
+        expr("md5(cast(extracted as binary))").as("digest"),
+        length(col("extracted")).cast("bigint").as("n_chars"))
+      .orderBy("doc_id")
+
+  private val textExtractSql =
+    s"""WITH e AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text || ' & tail ''q''',
+                   '[ \t\n\r]+', ' ', 'g')) AS expected
+          FROM documents
+        )
+        SELECT doc_id, md5(expected) AS digest,
+               CAST(length(expected) AS BIGINT) AS n_chars
+        FROM e ORDER BY doc_id"""
+
+  /** `html_link_hosts`: harvest every `<a href>` from the fixture pages,
+    * resolve hosts with native `parse_url` (relative links resolve to NULL
+    * and are dropped — the generic absolute-link filter), and aggregate
+    * the crawl's host-level out-link profile: links and distinct linking
+    * docs per host. This is the link-graph front door — swap the count for
+    * an edge list and it feeds [[graft.operators.Graph]]'s PageRank. One
+    * shuffle, at host grain; the oracle recomputes host membership from
+    * the link formula, so a harvest or parse bug changes the counts.
+    */
+  def linkHosts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("url", explode(linkUrls(pageOf(links = true))))
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .filter(col("host").isNotNull)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("host")
+
+  private val linkHostsSql =
+    """WITH hosts AS (
+         SELECT doc_id, 'h' || (doc_id % 7) || '.example.com' AS host, 2 AS n FROM documents
+         UNION ALL
+         SELECT doc_id, 'h' || ((doc_id + 1) % 7) || '.example.org' AS host, 1 AS n FROM documents
+       )
+       SELECT host, CAST(SUM(n) AS BIGINT) AS n_links,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM hosts GROUP BY host ORDER BY host"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "html_text_extract" -> (textExtract _),
+    "html_link_hosts" -> (linkHosts _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "html_text_extract" -> textExtractSql,
+    "html_link_hosts" -> linkHostsSql,
+  )
+}

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** The generic HTML column transforms on hand-written pages — behavior the
+  * parity-fixture oracle rows can't pin (arbitrary markup, quoting styles,
+  * HTML entity semantics).
+  */
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def text(html: String): String =
+    Seq(html).toDF("h").select(HtmlExtract.htmlToText(col("h"))).as[String].head()
+
+  private def links(html: String): Seq[String] =
+    Seq(html).toDF("h").select(HtmlExtract.linkUrls(col("h"))).as[Seq[String]].head()
+
+  test("htmlToText: script/style/comment CONTENT vanishes, tags strip, whitespace collapses") {
+    val page =
+      """<html><head><style>body { color: red } a > b { x: 1 }</style>
+        |<script type="text/js">if (a < b && c > d) { alert("gone"); }</script></head>
+        |<body><!-- secret <b>comment</b> -->
+        |<h1>Title</h1>  <p>one
+        |   two</p><div><span>three</span></div></body></html>""".stripMargin
+    assert(text(page) == "Title one two three")
+  }
+
+  test("htmlToText: entity decoding, &amp; last (double-escaped entities stay literal)") {
+    assert(text("<p>a &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y &amp; z</p>") ==
+      "a <tag> \"q\" 's' x y & z")
+    // HTML semantics: &amp;lt; is the LITERAL text "&lt;", not "<"
+    assert(text("<p>&amp;lt;</p>") == "&lt;")
+  }
+
+  test("htmlToText: case-insensitive tag and script handling") {
+    assert(text("<P>ok</P><SCRIPT>var x;</SCRIPT><p>more</p>") == "ok more")
+  }
+
+  test("linkUrls: double- and single-quoted hrefs, other attributes, no links") {
+    val page = """<a href="http://a/1">x</a> <A CLASS="k" HREF="http://a/2">y</A>
+                 |<a title='t' href='http://b/3'>z</a> <area href="http://no/">""".stripMargin
+    assert(links(page).toSet == Set("http://a/1", "http://a/2", "http://b/3"))
+    assert(links("<p>no anchors here</p>").isEmpty)
+  }
+}
