@@ -32,6 +32,7 @@ object SparkEntry {
     pipeline.Multimodal,
     pipeline.TextAnalysis,
     pipeline.HtmlExtract,
+    pipeline.Cleaning,
     pipeline.BpeTokenizer,
     pipeline.TrainPrep,
     pipeline.CorpusQc,

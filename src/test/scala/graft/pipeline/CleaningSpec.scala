@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** The generic cleaning transforms on hand-written inputs — rule edges the
+  * formula-oracle fixture rows can't exercise (tab words, \r endings,
+  * case variants, pattern overlap order).
+  */
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c4(text: String): (Int, Int, Boolean, String) = {
+    val (a, b, c, d) = Cleaning.c4Filter(col("t"))
+    Seq(text).toDF("t").select(a, b, c, d).as[(Int, Int, Boolean, String)].head()
+  }
+
+  private def pii(text: String): String =
+    Seq(text).toDF("t").select(Cleaning.piiRedact(col("t"))).as[String].head()
+
+  test("c4Filter: line rules — terminal punctuation, 3 words, javascript, word split on tabs") {
+    val page = Seq(
+      "A good first sentence.", // kept
+      "no ending punctuation here", // dropped
+      "Too short.", // dropped: 2 words
+      "tabbed\twords\tstill\tcount.", // kept: tabs separate words
+      "Contains JavaScript somewhere in it.", // dropped: case-insensitive
+      "Ends with a question?", // kept
+      "Ends with a bang!", // kept
+      "Ends with a quote\"", // kept
+      "trailing carriage return stays dropped.\r" // dropped: \r after the period
+    ).mkString("\n")
+    val (nLines, nKept, pageKept, cleaned) = c4(page)
+    assert(nLines == 9 && nKept == 5)
+    assert(pageKept) // 5 survivors, no lorem/brace
+    assert(cleaned == Seq("A good first sentence.", "tabbed\twords\tstill\tcount.",
+      "Ends with a question?", "Ends with a bang!", "Ends with a quote\"").mkString("\n"))
+  }
+
+  test("c4Filter: page gates — lorem ipsum, brace, under five survivors") {
+    val five = Seq.tabulate(5)(i => s"Perfectly valid sentence number $i.")
+    assert(c4(five.mkString("\n"))._3)
+    assert(!c4((five :+ "then Lorem Ipsum appears").mkString("\n"))._3)
+    assert(!c4((five :+ "code { here }").mkString("\n"))._3)
+    assert(!c4(five.take(4).mkString("\n"))._3) // 4 survivors < 5
+  }
+
+  test("piiRedact: all three types, SSN-before-phone ordering, non-PII untouched") {
+    assert(pii("mail a.b+c@sub.example.org now") == "mail <EMAIL> now")
+    assert(pii("ssn 123-45-6789 phone +1-555-0100 done") == "ssn <SSN> phone <PHONE> done")
+    // 2-3-4 digit grouping is a phone (not an SSN, whose shape is 3-2-4)
+    assert(pii("+12-345-6789") == "<PHONE>")
+    assert(pii("v1.2-3 semver and 10-20-30 dates stay") == "v1.2-3 semver and 10-20-30 dates stay")
+  }
+}
