@@ -26,6 +26,7 @@ object SparkEntry {
     operators.Layout,
     operators.Profiling,
     operators.Warc,
+    operators.Sketches,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
     pipeline.Whitening,

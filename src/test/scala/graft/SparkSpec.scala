@@ -13,4 +13,6 @@ object SparkSpec {
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val Sf0001 = "/root/testdata/sf0.001"
+  val Sf001 = "/root/testdata/sf0.01"
+  val Sf01 = "/root/testdata/sf0.1"
 }
