@@ -71,9 +71,9 @@ object MediaCodec {
   }
 
   /** Magic-byte sniff: Some("ppm") for binary P6, Some("pgm") for binary
-    * P5, Some("bmp") for BM, Some("wav") for RIFF, Some("y4m") for
-    * YUV4MPEG2, None for anything else (callers fall back to the stub
-    * featurizer).
+    * P5, Some("bmp") for BM, Some("gif") for GIF87a/89a, Some("wav") for
+    * RIFF, Some("y4m") for YUV4MPEG2, None for anything else (callers
+    * fall back to the stub featurizer).
     */
   def sniff(payload: Array[Byte]): Option[String] =
     if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') Some("ppm")
@@ -81,6 +81,9 @@ object MediaCodec {
     else if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
       payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') Some("png")
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') Some("bmp")
+    else if (payload.length >= 6 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8' &&
+      (payload(4) == '7' || payload(4) == '9') && payload(5) == 'a') Some("gif")
     else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == 'F') Some("wav")
     else if (payload.length >= 9 &&
@@ -93,6 +96,7 @@ object MediaCodec {
     case Some("pgm") => decodePgm(payload)
     case Some("png") => decodePng(payload)
     case Some("bmp") => decodeBmp(payload)
+    case Some("gif") => decodeGif(payload)
     case _ => throw new IllegalArgumentException("unsupported raster payload")
   }
 
@@ -417,6 +421,196 @@ object MediaCodec {
       p += 1
     }
     RasterImage(width, height, rgb)
+  }
+
+  /** GIF87a/89a, still-image profile: header + logical screen descriptor,
+    * global or local color table, extension blocks skipped by their
+    * sub-block framing (GCE transparency deliberately ignored — this
+    * decoder rasterizes, it doesn't composite), then the FIRST image
+    * descriptor's data through full general LZW ([[lzwDecode]]: variable
+    * 3–12-bit codes, LSB-first bit packing, clear / end-of-information,
+    * KwKwK self-reference, deferred clear at a full dictionary), the
+    * four-pass interlace row remap when flagged (ImageIO's own writer
+    * emits interlaced by default — GifSpec round-trips it), and the
+    * palette map. Named-reject scope cut: frames smaller than the logical
+    * screen (animation deltas need compositing state, not decoding).
+    * Long-math guards on hostile dimensions like every sibling decoder.
+    */
+  def decodeGif(bytes: Array[Byte]): RasterImage = {
+    require(bytes.length >= 14 &&
+      new String(bytes, 0, 6, "US-ASCII").matches("GIF8[79]a"), "not a GIF")
+    val width = le16(bytes, 6)
+    val height = le16(bytes, 8)
+    require(width > 0 && height > 0, s"GIF: bad dimensions ${width}x$height")
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"GIF: image too large (${width}x$height)")
+    val packed = bytes(10) & 0xff
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 7) + 1))
+      require(pos + n <= bytes.length, "GIF: truncated global color table")
+      gct = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n
+    }
+    while (true) {
+      require(pos < bytes.length, "GIF: stream ends without a trailer")
+      (bytes(pos) & 0xff) match {
+        case 0x21 => // extension: label byte then sub-blocks to a 0 terminator
+          pos += 2
+          require(pos <= bytes.length, "GIF: truncated extension")
+          var b = -1
+          while ({ require(pos < bytes.length, "GIF: truncated extension")
+                   b = bytes(pos) & 0xff; pos += 1; b != 0 }) {
+            require(pos + b <= bytes.length, "GIF: truncated extension sub-block")
+            pos += b
+          }
+        case 0x2C => // image descriptor
+          require(pos + 10 <= bytes.length, "GIF: truncated image descriptor")
+          val left = le16(bytes, pos + 1); val top = le16(bytes, pos + 3)
+          val iw = le16(bytes, pos + 5); val ih = le16(bytes, pos + 7)
+          val ipacked = bytes(pos + 9) & 0xff
+          require(left == 0 && top == 0 && iw == width && ih == height,
+            "GIF: sub-rectangle frames (animation deltas) not supported")
+          val interlaced = (ipacked & 0x40) != 0
+          pos += 10
+          var ct = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 3 * (1 << ((ipacked & 7) + 1))
+            require(pos + n <= bytes.length, "GIF: truncated local color table")
+            ct = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+            pos += n
+          }
+          require(ct != null, "GIF: image without a color table")
+          require(pos < bytes.length, "GIF: missing LZW minimum code size")
+          val mcs = bytes(pos) & 0xff
+          require(mcs >= 2 && mcs <= 8, s"GIF: bad LZW minimum code size $mcs")
+          pos += 1
+          val data = new java.io.ByteArrayOutputStream()
+          var b = -1
+          while ({ require(pos < bytes.length, "GIF: truncated image data")
+                   b = bytes(pos) & 0xff; pos += 1; b != 0 }) {
+            require(pos + b <= bytes.length, "GIF: truncated image sub-block")
+            data.write(bytes, pos, b); pos += b
+          }
+          val seq = lzwDecode(data.toByteArray, mcs, width * height)
+          // interlaced streams carry rows in the four-pass order
+          // 0,8,16… / 4,12… / 2,6,10… / 1,3,5… — remap to display order
+          val idx =
+            if (!interlaced) seq
+            else {
+              val order = (0 until height by 8) ++ (4 until height by 8) ++
+                (2 until height by 4) ++ (1 until height by 2)
+              val d = new Array[Byte](seq.length)
+              var s = 0
+              while (s < height) {
+                System.arraycopy(seq, s * width, d, order(s) * width, width)
+                s += 1
+              }
+              d
+            }
+          val rgb = new Array[Byte](width * height * 3)
+          var p = 0
+          while (p < idx.length) {
+            val i = idx(p) & 0xff
+            require(3 * i + 2 < ct.length,
+              s"GIF: pixel index $i beyond the ${ct.length / 3}-entry color table")
+            rgb(3 * p) = ct(3 * i); rgb(3 * p + 1) = ct(3 * i + 1)
+            rgb(3 * p + 2) = ct(3 * i + 2)
+            p += 1
+          }
+          return RasterImage(width, height, rgb)
+        case 0x3B =>
+          throw new IllegalArgumentException("GIF: trailer before any image")
+        case other =>
+          throw new IllegalArgumentException("GIF: unknown block 0x%02X".format(other))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** General GIF-variant LZW: codes start at minCodeSize+1 bits and grow
+    * to 12 as the dictionary fills (one increment each time the size
+    * reaches 2^width), LSB-first packing, `clear` resets the table,
+    * `end` terminates — which must land on exactly `expected` output
+    * bytes. The dictionary is the standard prefix/suffix pair of arrays;
+    * expansion walks the chain backwards into a reusable buffer.
+    */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int, expected: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val chain = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var dictSize = clear + 2
+    var codeWidth = minCodeSize + 1
+    var prev = -1
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
+    def readCode(): Int = {
+      require(bitPos + codeWidth <= totalBits, "GIF: truncated LZW stream")
+      var v = 0; var i = 0
+      while (i < codeWidth) {
+        val bp = bitPos + i
+        v |= ((data((bp >> 3).toInt) >> (bp & 7).toInt) & 1) << i
+        i += 1
+      }
+      bitPos += codeWidth
+      v
+    }
+    // root literal of a code's expansion chain
+    def rootOf(c0: Int): Int = {
+      var c = c0
+      while (c >= clear) { require(c >= clear + 2, "GIF: chain through clear/end"); c = prefix(c) }
+      c
+    }
+    // append code's expansion to out, return its first byte
+    def emit(code: Int): Int = {
+      var c = code; var n = 0
+      while (c >= clear) {
+        require(c >= clear + 2, "GIF: chain through clear/end")
+        chain(n) = suffix(c); n += 1; c = prefix(c)
+      }
+      require(outPos + n + 1 <= expected, "GIF: pixel stream longer than the image")
+      out(outPos) = c.toByte; outPos += 1
+      var i = n - 1
+      while (i >= 0) { out(outPos) = chain(i); outPos += 1; i -= 1 }
+      c
+    }
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code == clear) {
+        dictSize = clear + 2; codeWidth = minCodeSize + 1; prev = -1
+      } else if (code == end) {
+        require(outPos == expected,
+          s"GIF: pixel stream is $outPos bytes, expected $expected")
+        done = true
+      } else if (prev < 0) {
+        require(code < clear, s"GIF: first code after clear must be a literal, got $code")
+        emit(code)
+        prev = code
+      } else if (code < dictSize) {
+        val first = emit(code)
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first.toByte; dictSize += 1
+          if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        prev = code
+      } else if (code == dictSize && dictSize < 4096) {
+        // KwKwK: the code being defined right now — prev's expansion plus
+        // its own first byte
+        prefix(dictSize) = prev; suffix(dictSize) = rootOf(prev).toByte; dictSize += 1
+        emit(dictSize - 1)
+        if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        prev = dictSize - 1
+      } else {
+        throw new IllegalArgumentException(s"GIF: LZW code $code out of range (dict $dictSize)")
+      }
+    }
+    out
   }
 
   /** WAV (RIFF) with uncompressed integer PCM (format tag 1; 8-, 16-, or

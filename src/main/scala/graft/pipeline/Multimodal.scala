@@ -907,6 +907,86 @@ object Multimodal extends QueryModule {
         SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
   }
 
+  /** GIF fixture geometry: 24x16 = 384 pixels, one document byte each. */
+  private val GifW = 24
+  private val GifH = 16
+  private val GifPixels = GifW * GifH
+
+  /** Constant GIF prefix: header, logical screen descriptor (global color
+    * table flag, 128 entries), the formula palette (entry q = (2q,
+    * 255−2q, 7q mod 256) — so decoded luma is recomputable from the
+    * palette INDEX alone), full-screen image descriptor, LZW minimum code
+    * size 7.
+    */
+  private val GifPrefixHex: String = {
+    val palette = (0 until 128).map(q =>
+      "%02X%02X%02X".format(2 * q, 255 - 2 * q, (7 * q) % 256)).mkString
+    "474946383961" +
+      "%02X%02X%02X%02X".format(GifW & 0xff, GifW >> 8, GifH & 0xff, GifH >> 8) +
+      "E60000" + palette +
+      "2C00000000" + "%02X%02X%02X%02X".format(GifW & 0xff, GifW >> 8, GifH & 0xff, GifH >> 8) +
+      "00" + "07"
+  }
+
+  /** `mm_real_gif`: GIF — the palette web-image format, decoded END TO
+    * END through the full LZW machine. Spark BUILDS a genuine GIF89a per
+    * document in pure SQL: the constant prefix above, then the pixel
+    * stream as BYTE-ALIGNED LZW — minimum code size 7 makes every code
+    * exactly 8 bits while the dictionary stays under 256 entries, so a
+    * clear code every ≤ 126 literals keeps the stream one-byte-per-code
+    * (the LZW sibling of the stored-deflate gzip trick: SQL emits a
+    * conformant stream it could never compress). Pixels are document
+    * bytes masked to 7 bits (`% 128` — the masked-hostile-fixture
+    * pattern), so every index is in the 128-entry table by construction
+    * while staying raw-data-real. The DECODER is the general one GifSpec
+    * drives with ImageIO-compressed streams (variable 9→12-bit codes,
+    * KwKwK, dictionary fill): here it must walk the container, reset on
+    * every clear, map the palette, and band the luma. The oracle
+    * recomputes banded luma straight from the document bytes: pixel q =
+    * byte % 128 contributes 255 + (7q mod 256) of the 3·255·48 band
+    * denominator. A framing, LZW, palette, or band bug lands as a value
+    * mismatch; a malformed build rejects into a missing row. Map-only
+    * until the final sort.
+    */
+  def realGif(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pix = "lpad(hex(cast(conv(substring(h, i * 2 + 1, 2), 16, 10) as bigint) % 128), 2, '0')"
+    def block(start: Int, count: Int, last: Boolean) = {
+      val body = s"array_join(transform(sequence($start, ${start + count - 1}), i -> $pix), '')"
+      if (!last) s"concat('7F80', $body)" // len 127: clear + 126 literals
+      else s"concat('${"%02X".format(count + 2)}80', $body, '81')" // clear + literals + end
+    }
+    val blocks = (0 until GifPixels / 126).map(b => block(b * 126, 126, last = false)) :+
+      block((GifPixels / 126) * 126, GifPixels % 126, last = true)
+    val gifHex = s"concat('$GifPrefixHex', ${blocks.mkString(", ")}, '003B')"
+    val clips = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= GifPixels)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"), lit("image").as("media_type"),
+        unhex(expr(gifHex)).as("payload"))
+    BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("luma_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realGifSql = {
+    val q = "(CAST('0x' || substring(h, i * 2 + 1, 2) AS INT) % 128)"
+    val bandPx = GifPixels / FeatureDim
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= $GifPixels
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CAST(CAST(CAST(list_sum(list_transform(range(k * $bandPx, (k + 1) * $bandPx),
+                     i -> 255 + (7 * $q) % 256)) AS DOUBLE) / ${3 * 255 * bandPx}.0 AS FLOAT) AS DOUBLE)
+                   AS luma_frac
+          FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
+        )
+        SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
+  }
+
   /** `mm_real_bmp`: the OTHER two real-world BMP depths — 32bpp BGRA
     * (even doc_ids: a genuine 4x4 TOP-DOWN file, the document's first 64
     * bytes as B,G,R,A quads whose alpha byte the decoder must skip) and
@@ -1106,6 +1186,7 @@ object Multimodal extends QueryModule {
     "mm_real_chroma422" -> (realChroma422 _),
     "mm_real_bmp" -> (realBmp _),
     "mm_real_png" -> (realPng _),
+    "mm_real_gif" -> (realGif _),
     "mm_real_thumbnail" -> (realThumbnail _),
   )
 
@@ -1126,6 +1207,7 @@ object Multimodal extends QueryModule {
     "mm_real_chroma422" -> realChroma422Sql,
     "mm_real_bmp" -> realBmpSql,
     "mm_real_png" -> realPngSql,
+    "mm_real_gif" -> realGifSql,
     "mm_real_thumbnail" -> realThumbnailSql,
   )
 }
