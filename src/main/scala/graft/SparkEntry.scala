@@ -26,6 +26,7 @@ object SparkEntry {
     operators.Layout,
     operators.Profiling,
     operators.Warc,
+    operators.Tar,
     operators.Sketches,
     pipeline.Dedup,
     pipeline.SimilaritySearch,

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The tar record walk against an independently-written builder (POSIX
+  * NUL-terminated octal, real checksums), the gzip composition, and the
+  * reject matrix.
+  */
+class TarSpec extends AnyFunSuite {
+
+  /** Independent ustar builder — NUL-terminated octal fields (the OTHER
+    * legal terminator, so the parser's tolerance is exercised), POSIX
+    * magic with a real NUL, directory support.
+    */
+  private def ustar(entries: Seq[(String, Array[Byte], Char)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    for ((name, data, typ) <- entries) {
+      val hdr = new Array[Byte](512)
+      def put(off: Int, s: String): Unit =
+        System.arraycopy(s.getBytes("US-ASCII"), 0, hdr, off, s.length)
+      put(0, name)
+      put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+      put(124, "%011o".format(data.length)) // NUL-terminated via the zero array
+      put(136, "%011o".format(0))
+      put(156, typ.toString)
+      put(257, "ustar"); put(263, "00")
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      val sum = hdr.map(_ & 0xff).sum
+      put(148, "%06o".format(sum)); hdr(154) = 0; hdr(155) = ' '
+      bos.write(hdr)
+      bos.write(data)
+      val pad = (512 - data.length % 512) % 512
+      bos.write(new Array[Byte](pad))
+    }
+    bos.write(new Array[Byte](1024))
+    bos.toByteArray
+  }
+
+  private val a = "first file payload".getBytes("UTF-8")
+  private val b = Array.tabulate(600)(i => (i * 7 + 3).toByte) // crosses a block boundary
+
+  test("entries: names, sizes, data offsets, block padding, checksum verify") {
+    val tar = ustar(Seq(("a.txt", a, '0'), ("dir/", Array.empty[Byte], '5'), ("b.bin", b, '0')))
+    val es = Tar.entries(tar)
+    assert(es.map(_._1) == IndexedSeq("a.txt", "b.bin")) // directory skipped
+    assert(es(0)._2.toSeq == a.toSeq && es(1)._2.toSeq == b.toSeq)
+  }
+
+  test("read composes with gunzip: a .tgz parses identically") {
+    val tar = ustar(Seq(("a.txt", a, '0')))
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(tar); g.close()
+    assert(Tar.read(bos.toByteArray).map(_._1) == IndexedSeq("a.txt"))
+    assert(Tar.read(tar).map(_._1) == IndexedSeq("a.txt")) // plain passthrough
+  }
+
+  test("rejects: flipped checksum, truncated data, missing zero-block tail, bad octal") {
+    val tar = ustar(Seq(("a.txt", a, '0')))
+    val badChk = tar.clone(); badChk(0) = 'z' // name change breaks the checksum
+    val e = intercept[IllegalArgumentException](Tar.entries(badChk))
+    assert(e.getMessage.contains("checksum"))
+    intercept[IllegalArgumentException](Tar.entries(tar.dropRight(520))) // truncated tail
+    intercept[IllegalArgumentException](Tar.entries(tar.take(512 + 512))) // data, no tail
+    val badOct = tar.clone(); badOct(125) = '9'
+    intercept[IllegalArgumentException](Tar.entries(badOct))
+  }
+
+  test("docsFromFiles: .txt entries become documents; doc_id = fileId<<24 | index") {
+    val spark = graft.SparkSpec.session
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_tar_bucket")
+    val t3 = ustar(Seq(("readme.md", "nope".getBytes, '0'),
+      ("one.txt", "erstes dokument".getBytes, '0'),
+      ("two.txt", "zweites dokument 😀".getBytes("UTF-8"), '0')))
+    Files.write(Paths.get(dir.toString, "3.tar"), t3)
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(ustar(Seq(("x.txt", "via tgz".getBytes, '0')))); g.close()
+    Files.write(Paths.get(dir.toString, "4.tar.gz"), bos.toByteArray)
+    val docs = Tar.docsFromFiles(spark.read.format("binaryFile").load(dir.toString))
+      .orderBy("doc_id").collect()
+    assert(docs.map(r => (r.getLong(0), r.getString(3))).toSeq == Seq(
+      ((3L << 24) | 1, "one.txt"), ((3L << 24) | 2, "two.txt"), (4L << 24, "x.txt")))
+    // n_chars counts codepoints: the emoji is ONE char, not a surrogate pair
+    assert(docs(1).getLong(4) == "zweites dokument ".length + 1)
+  }
+}
