@@ -429,6 +429,33 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"profile re-scans the base table:\n$p")
   }
 
+  test("html/cleaning/tar/gif fixture rows are map-only: no hash shuffle, scan to sort") {
+    // each builds per-row fixtures and extracts/decodes in the same
+    // projection — the only Exchange allowed is the final sort's range
+    // partitioning; a hashpartitioning would mean an accidental shuffle
+    for (name <- Seq("html_text_extract", "text_c4_filter", "text_pii_redact",
+        "tar_ingest", "mm_real_gif")) {
+      val p = planOf(name)
+      assert(!p.contains("Exchange hashpartitioning"), s"$name hash-shuffles:\n$p")
+    }
+  }
+
+  test("html extraction chain stays codegen'd: no interpreted lambda, pruned scan") {
+    val p = executed("html_text_extract")
+    assert(!p.contains("Generate"), "extraction must not explode")
+    // the regexp_replace/replace chain is plain expressions — a
+    // lambdafunction here would mean an interpreted HOF crept in
+    assert(!p.contains("lambdafunction"), s"HOF in the extraction chain:\n$p")
+    assert("ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .forall(_.group(1).split(",").length <= 2), p)
+  }
+
+  test("hll registers combine map-side: partial_max under the bucket exchange") {
+    val p = planOf("sketch_hll_distinct")
+    assert(p.contains("partial_max") || p.contains("partial max"),
+      s"register max must map-side combine (256-value state per partition):\n$p")
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
