@@ -1,15 +1,15 @@
 package graft.pipeline
 
-/** REAL pure-JVM media decoders for the header-simplest uncompressed
-  * formats in each modality — binary PPM (P6) / PGM (P5) and 24-bit BMP
-  * images,
-  * RIFF/WAV 8/16-bit mono/stereo PCM audio, and YUV4MPEG2 C444/C420
-  * video — so the
-  * multimodal decode path is exercised against genuine media bytes, not
-  * only the deterministic stub. No codec libraries exist in this
-  * environment; these formats need none: each is a small header (or chunk/
-  * frame-marker walk) plus raw samples, decodable in ~40 lines of plain
-  * byte arithmetic.
+/** REAL pure-JVM media decoders — binary PPM (P6) / PGM (P5), BMP
+  * (24/32bpp + 8bpp palette), PNG (full non-interlaced 8-bit profile),
+  * GIF (general LZW), and baseline JPEG (Huffman + IDCT, general
+  * subsampling) images; RIFF/WAV 8/16-bit mono/stereo PCM audio; and
+  * YUV4MPEG2 C444/C422/C420 video — so the multimodal decode path is
+  * exercised against genuine media bytes, not only the deterministic
+  * stub. No codec libraries exist in this environment; each format is
+  * decoded from the spec in plain byte arithmetic (the compressed ones
+  * via `java.util.zip.Inflater`, a from-scratch LZW machine, and a
+  * from-scratch Huffman+IDCT entropy pipeline respectively).
   *
   * The decoders are strict about what they accept (exact magic, 24bpp,
   * uncompressed, positive dimensions, enough pixel bytes) and throw
@@ -84,6 +84,8 @@ object MediaCodec {
     else if (payload.length >= 6 && payload(0) == 'G' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == '8' &&
       (payload(4) == '7' || payload(4) == '9') && payload(5) == 'a') Some("gif")
+    else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) Some("jpeg")
     else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == 'F') Some("wav")
     else if (payload.length >= 9 &&
@@ -97,6 +99,7 @@ object MediaCodec {
     case Some("png") => decodePng(payload)
     case Some("bmp") => decodeBmp(payload)
     case Some("gif") => decodeGif(payload)
+    case Some("jpeg") => decodeJpeg(payload)
     case _ => throw new IllegalArgumentException("unsupported raster payload")
   }
 
@@ -929,6 +932,78 @@ object MediaCodec {
   def wavHeader(n: Int, rate: Int = 8000): Array[Byte] =
     wavHeaderPcm(n, rate, channels = 1, bits = 8)
 
+  /** ITU T.81 Annex K.3.3.1 luminance DC Huffman table (counts per code
+    * length 1..16, then the category symbols) — the standard table every
+    * real encoder ships.
+    */
+  val JpegDcLumCounts: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  val JpegDcLumVals: Array[Int] = (0 to 11).toArray
+
+  /** Canonical code strings the DC table above assigns to categories 0..8
+    * (all a 48-byte-document diff can need) — derivable from the counts,
+    * pinned here so the SQL fixture emitter and the decoder are
+    * independent implementations of the same public table.
+    */
+  val JpegDcLumCodes: Seq[String] =
+    Seq("00", "010", "011", "100", "101", "110", "1110", "11110", "111110")
+
+  /** Annex K.3.3.2 luminance AC table. EOB is the length-4 code `1010`. */
+  val JpegAcLumCounts: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  val JpegAcLumVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+
+  /** Everything of a baseline JPEG up to (and including) SOS, for `comps`
+    * components with the given (h, v) sampling factors: SOI, a flat-8
+    * quant table (slot 0 — so a dequantized DC of `8d` IDCTs to exactly
+    * `d` in a DC-only block: `8d·(1/√2)(1/√2)/4 = d`), the Annex K
+    * luminance DC+AC tables (slot 0, shared by every component — legal
+    * and standard-derived), optional DRI, and a SOF0/SOS pair wiring all
+    * components to those tables. With fixed geometry this is one constant
+    * byte string, so the SQL fixture emitter `concat`s it as a literal
+    * (the BMP/WAV/Y4M/GIF pattern) and only the entropy-coded scan varies
+    * per document.
+    */
+  def jpegHeader(width: Int, height: Int, dri: Int,
+      comps: Seq[(Int, Int)] = Seq((1, 1))): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xdb, 0x00 +: Array.fill(64)(8)) // DQT slot 0, all 8
+    seg(0xc4, 0x00 +: (JpegDcLumCounts ++ JpegDcLumVals)) // DHT DC slot 0
+    seg(0xc4, 0x10 +: (JpegAcLumCounts ++ JpegAcLumVals)) // DHT AC slot 0
+    if (dri > 0) seg(0xdd, Array(dri >> 8, dri & 0xff))
+    val sof = Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      comps.length) ++
+      comps.zipWithIndex.flatMap { case ((h, v), i) =>
+        Array(i + 1, (h << 4) | v, 0)
+      }
+    seg(0xc0, sof)
+    val sos = Array(comps.length) ++
+      comps.indices.flatMap(i => Array(i + 1, 0x00)) ++ Array(0, 63, 0)
+    seg(0xda, sos)
+    out.toByteArray
+  }
+
   /** Encode a raster back to binary PPM — the round-trip twin of
     * [[decodePpm]], used by tests and fixtures (e.g. re-encoding a BMP as
     * the "same image, different container" near-dup case).
@@ -1049,5 +1124,374 @@ object MediaCodec {
       c += 1
     }
     h
+  }
+
+  // ------------------------------------------------------------------ JPEG
+
+  /** JPEG zigzag order: `ZigZag(i)` = row-major index of coefficient `i`. */
+  private val ZigZag: Array[Int] = {
+    val zz = new Array[Int](64)
+    var x = 0; var y = 0; var up = true
+    var i = 0
+    while (i < 64) {
+      zz(i) = y * 8 + x
+      if (up) {
+        if (x == 7) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == 7) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+      i += 1
+    }
+    zz
+  }
+
+  /** Separable IDCT basis with the DC 1/√2 normalization folded in:
+    * `IdctCos(x)(u) = C(u)·cos((2x+1)uπ/16)`, so
+    * `f(x,y) = ¼ ΣΣ IdctCos(y)(v)·IdctCos(x)(u)·F(v,u)`.
+    */
+  private val IdctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical Huffman table in the spec's own decode form (ITU T.81 Annex
+    * F.2.2.3: MINCODE/MAXCODE/VALPTR per code length).
+    */
+  private final class JpegHuffTable(counts: Array[Int], symbols: Array[Int]) {
+    require(counts.length == 16, "DHT needs 16 length counts")
+    require(symbols.length == counts.sum, "DHT symbol count mismatch")
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1) // -1 = no codes of this length
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        require(code <= (1 << l), s"DHT over-full at length $l")
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(in: JpegBitReader): Int = {
+      var code = in.nextBit()
+      var l = 1
+      while (maxCode(l) < 0 || code > maxCode(l)) {
+        require(l < 16, "invalid Huffman code in entropy stream")
+        code = (code << 1) | in.nextBit()
+        l += 1
+      }
+      symbols(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment, consuming the
+    * 0xFF00 byte stuffing; any other marker inside bit data is a strict
+    * reject (restart markers are read byte-aligned by the caller, never
+    * through here).
+    */
+  private final class JpegBitReader(bytes: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def nextBit(): Int = {
+      if (nbits == 0) {
+        require(pos < bytes.length, "truncated entropy stream")
+        val b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          require(pos < bytes.length, "truncated entropy stream after 0xFF")
+          val m = bytes(pos) & 0xff
+          require(m == 0x00, f"unexpected marker FF$m%02X inside entropy data")
+          pos += 1 // stuffed zero: the data byte IS 0xFF
+        }
+        cur = b; nbits = 8
+      }
+      nbits -= 1
+      (cur >>> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Drop to the next byte boundary (before a restart marker). */
+    def align(): Unit = nbits = 0
+  }
+
+  /** JPEG EXTEND (T.81 F.12): map the `t` received magnitude bits to the
+    * signed coefficient value.
+    */
+  @inline private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private final class JpegComp(val id: Int, val h: Int, val v: Int, val tq: Int) {
+    var td = 0 // DC table selector (from SOS)
+    var ta = 0 // AC table selector (from SOS)
+    var pred = 0 // DC predictor
+    var plane: Array[Int] = null // padded to full MCU grid
+    var planeW = 0
+  }
+
+  /** Baseline JPEG (ITU T.81 / ISO 10918-1: SOF0, 8-bit, sequential DCT,
+    * Huffman) decoded end to end in pure JVM: full marker walk (APPn/COM
+    * skipped, DQT 8- and 16-bit precision, multi-table DHT segments, DRI),
+    * canonical Huffman entropy decode with 0xFF00 unstuffing and RSTn
+    * restart handling (byte-aligned, DC predictors reset, marker sequence
+    * number verified), dequantization, inverse zigzag, and the spec's
+    * floating IDCT (pinned: `clamp(round(¼ΣΣ C·C·F·cos·cos) + 128)`,
+    * `Math.round` half-up — exact for DC-only blocks by construction).
+    * Grayscale (1 component) and 3-component YCbCr frames are supported
+    * with GENERAL sampling factors h,v ∈ 1..4 — interleaved MCUs carry
+    * h×v data units per component and subsampled planes are upsampled by
+    * sample replication (`sx = x·h/hmax`, nearest — pinned). 3-component
+    * output converts with the JFIF/BT.601 full-range matrix
+    * `R = Y + 1.402·(Cr−128)`, `G = Y − 0.344136·(Cb−128) − 0.714136·(Cr−128)`,
+    * `B = Y + 1.772·(Cb−128)`, each `clamp(round(·))`. Strict rejects, by
+    * design: progressive (SOF2) and every non-SOF0 frame type by name,
+    * 12-bit precision, arithmetic coding, DNL, component counts other than
+    * 1/3, truncated or marker-corrupt entropy data. A DQT/DHT/SOS that
+    * references an undefined table rejects rather than guessing.
+    */
+  def decodeJpeg(bytes: Array[Byte]): RasterImage = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    val quant = new Array[Array[Int]](4)
+    val dcTab = new Array[JpegHuffTable](4)
+    val acTab = new Array[JpegHuffTable](4)
+    var restartInterval = 0
+    var width = -1; var height = -1
+    var comps: Array[JpegComp] = null
+    var pos = 2
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    var inScan = false
+    while (!inScan) {
+      require(pos + 4 <= bytes.length, "truncated before SOS")
+      require((bytes(pos) & 0xff) == 0xff, f"expected marker, got ${bytes(pos)}%02X")
+      val marker = bytes(pos + 1) & 0xff
+      pos += 2
+      if (marker == 0xff) pos -= 1 // fill byte, resync
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7))
+        () // standalone markers: legal, no segment
+      else {
+        require(pos + 2 <= bytes.length, "truncated segment length")
+        val len = u16(pos)
+        require(len >= 2 && pos + len <= bytes.length, "bad segment length")
+        val seg = pos + 2
+        val segEnd = pos + len
+        marker match {
+          case 0xc0 => // SOF0 — the one accepted frame type
+            require((bytes(seg) & 0xff) == 8, "only 8-bit precision is baseline")
+            height = u16(seg + 1); width = u16(seg + 3)
+            require(width > 0 && height > 0, "DNL-deferred or zero dimensions unsupported")
+            val nc = bytes(seg + 5) & 0xff
+            require(nc == 1 || nc == 3, s"unsupported component count $nc")
+            comps = Array.tabulate(nc) { i =>
+              val o = seg + 6 + 3 * i
+              val hv = bytes(o + 1) & 0xff
+              val c = new JpegComp(bytes(o) & 0xff, hv >> 4, hv & 0x0f, bytes(o + 2) & 0xff)
+              require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4,
+                s"sampling factors ${c.h}x${c.v} out of range")
+              c
+            }
+          case 0xc2 => throw new IllegalArgumentException("progressive JPEG (SOF2) unsupported")
+          case m if m == 0xc1 || m == 0xc3 || (m >= 0xc5 && m <= 0xc7) =>
+            throw new IllegalArgumentException(f"non-baseline frame SOF${m - 0xc0}%d unsupported")
+          case m if m >= 0xc9 && m <= 0xcb =>
+            throw new IllegalArgumentException("arithmetic-coded JPEG unsupported")
+          case 0xc4 => // DHT: one or more tables per segment
+            var p = seg
+            while (p < segEnd) {
+              val tc = (bytes(p) & 0xff) >> 4
+              val th = bytes(p) & 0x0f
+              require(tc <= 1 && th <= 3, "bad DHT class/slot")
+              val counts = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+              val n = counts.sum
+              require(p + 17 + n <= segEnd, "truncated DHT")
+              val syms = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xff)
+              val t = new JpegHuffTable(counts, syms)
+              if (tc == 0) dcTab(th) = t else acTab(th) = t
+              p += 17 + n
+            }
+          case 0xdb => // DQT: one or more tables per segment
+            var p = seg
+            while (p < segEnd) {
+              val pq = (bytes(p) & 0xff) >> 4
+              val tq = bytes(p) & 0x0f
+              require(pq <= 1 && tq <= 3, "bad DQT precision/slot")
+              val step = if (pq == 0) 1 else 2
+              require(p + 1 + 64 * step <= segEnd, "truncated DQT")
+              quant(tq) = Array.tabulate(64) { i =>
+                if (pq == 0) bytes(p + 1 + i) & 0xff else u16(p + 1 + 2 * i)
+              }
+              p += 1 + 64 * step
+            }
+          case 0xdd => // DRI
+            restartInterval = u16(seg)
+          case 0xdc => throw new IllegalArgumentException("DNL unsupported")
+          case 0xda => // SOS
+            require(comps != null, "SOS before SOF0")
+            val ns = bytes(seg) & 0xff
+            require(ns == comps.length, "partial-frame scans unsupported")
+            var i = 0
+            while (i < ns) {
+              val cid = bytes(seg + 1 + 2 * i) & 0xff
+              val sel = bytes(seg + 2 + 2 * i) & 0xff
+              val comp = comps.find(_.id == cid).getOrElse(
+                throw new IllegalArgumentException(s"SOS references unknown component $cid"))
+              comp.td = sel >> 4; comp.ta = sel & 0x0f
+              require(dcTab(comp.td) != null, s"undefined DC table ${comp.td}")
+              require(acTab(comp.ta) != null, s"undefined AC table ${comp.ta}")
+              require(quant(comp.tq) != null, s"undefined quant table ${comp.tq}")
+              i += 1
+            }
+            inScan = true
+          case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe =>
+            () // APPn / COM: skip
+          case m =>
+            throw new IllegalArgumentException(f"unsupported marker FF$m%02X")
+        }
+        pos = segEnd
+      }
+    }
+
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    comps.foreach { c =>
+      c.planeW = mcusX * c.h * 8
+      c.plane = new Array[Int](c.planeW * mcusY * c.v * 8)
+    }
+
+    val in = new JpegBitReader(bytes, pos)
+    val coef = new Array[Int](64)
+    def decodeBlock(c: JpegComp, blockX: Int, blockY: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val dc = dcTab(c.td).decode(in)
+      require(dc <= 11, "DC category out of range")
+      c.pred += jpegExtend(in.receive(dc), dc)
+      coef(0) = c.pred
+      var k = 1
+      while (k < 64) {
+        val rs = acTab(c.ta).decode(in)
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else k = 64 // EOB
+        } else {
+          k += r
+          require(k < 64, "AC run past block end")
+          coef(ZigZag(k)) = jpegExtend(in.receive(s), s)
+          k += 1
+        }
+      }
+      // dequantize + IDCT straight into the component plane
+      val q = quant(c.tq)
+      val f = new Array[Double](64)
+      var i = 0
+      while (i < 64) { f(ZigZag(i)) = coef(ZigZag(i)).toDouble * q(i); i += 1 }
+      val x0 = blockX * 8; val y0 = blockY * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) {
+            val cy = IdctCos(y)(v)
+            var u = 0
+            while (u < 8) { s += cy * IdctCos(x)(u) * f(v * 8 + u); u += 1 }
+            v += 1
+          }
+          val px = math.round(s / 4.0).toInt + 128
+          c.plane((y0 + y) * c.planeW + (x0 + x)) =
+            if (px < 0) 0 else if (px > 255) 255 else px
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    val totalMcus = mcusX * mcusY
+    var mcu = 0
+    var rstN = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        in.align()
+        require(in.pos + 2 <= bytes.length, "truncated at restart")
+        val m = ((bytes(in.pos) & 0xff) << 8) | (bytes(in.pos + 1) & 0xff)
+        require(m == 0xffd0 + rstN, f"expected RST$rstN%d, got $m%04X")
+        in.pos += 2
+        rstN = (rstN + 1) % 8
+        comps.foreach(_.pred = 0)
+      }
+      val my = mcu / mcusX; val mx = mcu % mcusX
+      comps.foreach { c =>
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            decodeBlock(c, mx * c.h + bx, my * c.v + by)
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      mcu += 1
+    }
+    in.align()
+    // past the scan: optional trailing fill/RST, then EOI somewhere ahead
+    var e = in.pos
+    var sawEoi = false
+    while (e + 1 < bytes.length && !sawEoi) {
+      if ((bytes(e) & 0xff) == 0xff && (bytes(e + 1) & 0xff) == 0xd9) sawEoi = true
+      e += 1
+    }
+    require(sawEoi, "no EOI after scan")
+
+    val rgb = new Array[Byte](width * height * 3)
+    if (comps.length == 1) {
+      val c = comps(0)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = c.plane((y * c.v / vMax) * c.planeW + (x * c.h / hMax)).toByte
+          val o = (y * width + x) * 3
+          rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val Array(cy, cb, cr) = comps
+      @inline def clamp(d: Double): Byte = {
+        val v = math.round(d).toInt
+        (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+      }
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = cy.plane((y * cy.v / vMax) * cy.planeW + (x * cy.h / hMax)).toDouble
+          val pb = cb.plane((y * cb.v / vMax) * cb.planeW + (x * cb.h / hMax)) - 128.0
+          val pr = cr.plane((y * cr.v / vMax) * cr.planeW + (x * cr.h / hMax)) - 128.0
+          val o = (y * width + x) * 3
+          rgb(o) = clamp(yy + 1.402 * pr)
+          rgb(o + 1) = clamp(yy - 0.344136 * pb - 0.714136 * pr)
+          rgb(o + 2) = clamp(yy + 1.772 * pb)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    RasterImage(width, height, rgb)
   }
 }

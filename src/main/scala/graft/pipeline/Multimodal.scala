@@ -987,6 +987,101 @@ object Multimodal extends QueryModule {
         SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
   }
 
+  /** JPEG fixture geometry: an 8-wide, 48-block-tall column — 3072 pixels,
+    * one document byte per 8x8 block.
+    */
+  private val JpegBlocks = 48
+  private val JpegRst = 16 // restart interval → two RSTn markers per file
+
+  /** `mm_real_jpeg`: baseline JPEG — THE photographic interchange format —
+    * decoded END TO END through the full entropy pipeline (canonical
+    * Huffman with the Annex K luminance tables, 0xFF00 unstuffing, RSTn
+    * restarts, dequantization, zigzag, IDCT, level shift). Spark BUILDS a
+    * genuine JFIF-profile file per document in pure SQL: the constant
+    * header ([[MediaCodec.jpegHeader]] — flat-8 quant, standard tables,
+    * DRI 16), then the scan as real VARIABLE-LENGTH Huffman bits
+    * assembled from the document bytes — block k's pixel value IS byte k
+    * (flat-8 quant makes a DC-only block IDCT to exactly its dequantized
+    * DC/8, so the emitter only needs DC codes + EOB while the decoder
+    * runs its general path). DC diffs chain block to block and RESET at
+    * each restart (so a predictor or marker-sequence bug lands as a value
+    * mismatch), category/value bits straddle byte boundaries (unlike the
+    * byte-aligned GIF LZW trick, these are genuinely unaligned codes),
+    * padding is spec 1-bits, and any 0xFF the bit packing produces is
+    * stuffed. The oracle recomputes banded luma straight from the
+    * document bytes: band b sums blocks 6b..6b+5 at 192 (= 3·64) per
+    * byte over the 3·255·384 band denominator. A Huffman, EXTEND,
+    * predictor, restart, stuffing, quant, zigzag-DC, IDCT-scale, or
+    * level-shift bug in the decoder — or a miscoded emitter — lands as a
+    * value mismatch or a strict-reject missing row. Map-only until the
+    * final sort.
+    */
+  def realJpeg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val header = MediaCodec.jpegHeader(8, 8 * JpegBlocks, JpegRst)
+      .map("%02X".format(_)).mkString
+    val dcCodes = MediaCodec.JpegDcLumCodes.map(c => s"'$c'").mkString(", ")
+    def b(k: String) = s"cast(conv(substring(h, ($k) * 2 + 1, 2), 16, 10) as int)"
+    // one 8-bit byte per code group; '255' → the stuffed pair
+    def pack(p: String) =
+      s"""array_join(transform(sequence(0, cast(length($p) / 8 as int) - 1),
+            i -> if(conv(substring($p, i * 8 + 1, 8), 2, 10) = '255', 'FF00',
+                    lpad(hex(cast(conv(substring($p, i * 8 + 1, 8), 2, 10) as bigint)), 2, '0'))),
+          '')"""
+    val segs = (0 until JpegBlocks / JpegRst).map { s =>
+      (s"bits$s", s"array_join(slice(blockbits, ${s * JpegRst + 1}, $JpegRst), '')")
+    }
+    var df = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= JpegBlocks)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      // DC diff per block: chained, reset to the 0-predictor at restarts
+      .withColumn("diffs", expr(
+        s"transform(sequence(0, ${JpegBlocks - 1}), k -> ${b("k")} - if(k % $JpegRst = 0, 128, ${b("k - 1")}))"))
+      .withColumn("cats", expr(
+        "transform(diffs, d -> if(d = 0, 0, length(bin(cast(abs(d) as bigint)))))"))
+      // per block: DC category code + EXTEND value bits + the AC EOB '1010'
+      .withColumn("blockbits", expr(
+        s"""zip_with(diffs, cats, (d, c) -> concat(
+              element_at(array($dcCodes), c + 1),
+              if(c = 0, '', lpad(bin(cast(if(d > 0, d, d + shiftleft(1, c) - 1) as bigint)), c, '0')),
+              '1010'))"""))
+    for ((name, bitsExpr) <- segs) {
+      df = df.withColumn(name, expr(bitsExpr))
+        .withColumn(s"p$name", expr(
+          s"rpad($name, cast(ceil(length($name) / 8.0) * 8 as int), '1')"))
+        .withColumn(s"seg$name", expr(pack(s"p$name")))
+    }
+    val scan = segs.zipWithIndex.map { case ((name, _), i) =>
+      val rst = if (i < segs.length - 1) s", 'FFD${i % 8}'" else ""
+      s"seg$name$rst"
+    }.mkString(", ")
+    val clips = df
+      .select(col("doc_id"), lit("image").as("media_type"),
+        expr(s"unhex(concat('$header', $scan, 'FFD9'))").as("payload"))
+    BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("luma_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realJpegSql = {
+    val blocksPerBand = JpegBlocks / FeatureDim
+    val denom = 3 * 255 * (8 * 8 * blocksPerBand)
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= $JpegBlocks
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CAST(CAST(CAST(192 * list_sum(list_transform(
+                       range(k * $blocksPerBand, (k + 1) * $blocksPerBand),
+                       i -> CAST('0x' || substring(h, i * 2 + 1, 2) AS INT)))
+                     AS DOUBLE) / $denom.0 AS FLOAT) AS DOUBLE) AS luma_frac
+          FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
+        )
+        SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
+  }
+
   /** `mm_real_bmp`: the OTHER two real-world BMP depths — 32bpp BGRA
     * (even doc_ids: a genuine 4x4 TOP-DOWN file, the document's first 64
     * bytes as B,G,R,A quads whose alpha byte the decoder must skip) and
@@ -1187,6 +1282,7 @@ object Multimodal extends QueryModule {
     "mm_real_bmp" -> (realBmp _),
     "mm_real_png" -> (realPng _),
     "mm_real_gif" -> (realGif _),
+    "mm_real_jpeg" -> (realJpeg _),
     "mm_real_thumbnail" -> (realThumbnail _),
   )
 
@@ -1208,6 +1304,7 @@ object Multimodal extends QueryModule {
     "mm_real_bmp" -> realBmpSql,
     "mm_real_png" -> realPngSql,
     "mm_real_gif" -> realGifSql,
+    "mm_real_jpeg" -> realJpegSql,
     "mm_real_thumbnail" -> realThumbnailSql,
   )
 }

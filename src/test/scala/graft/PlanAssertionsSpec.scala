@@ -403,7 +403,7 @@ class PlanAssertionsSpec extends AnyFunSuite {
     for (q <- Seq("mm_real_decode", "mm_real_audio", "mm_real_frames",
       "mm_real_decode16", "mm_real_gray", "mm_real_audio16", "mm_real_audio_deep",
       "mm_real_chroma", "mm_real_chroma422", "mm_real_bmp", "mm_real_png",
-      "mm_real_thumbnail")) {
+      "mm_real_jpeg", "mm_real_thumbnail")) {
       val p = planOf(q)
       assert(p.contains("MapPartitions"), s"$q: typed decode batcher missing from plan")
       val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
@@ -434,7 +434,7 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // projection — the only Exchange allowed is the final sort's range
     // partitioning; a hashpartitioning would mean an accidental shuffle
     for (name <- Seq("html_text_extract", "text_c4_filter", "text_pii_redact",
-        "tar_ingest", "mm_real_gif")) {
+        "tar_ingest", "mm_real_gif", "mm_real_jpeg")) {
       val p = planOf(name)
       assert(!p.contains("Exchange hashpartitioning"), s"$name hash-shuffles:\n$p")
     }
