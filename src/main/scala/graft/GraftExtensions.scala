@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.BloomAgg.description)
     ext.injectFunction(functions.LevWithin.description)
     ext.injectFunction(functions.Gunzip.description)
+    ext.injectFunction(functions.ZstdInflate.description)
     ext.injectFunction(functions.NfcNormalize.description)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => new PushLeftFilterThroughAsOf)

@@ -27,6 +27,8 @@ object SparkEntry {
     operators.Profiling,
     operators.Warc,
     operators.Tar,
+    operators.Zip,
+    operators.ZstdCorpus,
     operators.Sketches,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
