@@ -172,6 +172,33 @@ object Sources extends QueryModule {
       .orderBy("n_nationkey")
   }
 
+  /** S10: SPLITTABLE-compression text ingestion. A gzip text file is one
+    * task no matter its size (the stream has no entry points), which is
+    * the classic 100 TB ingestion trap; bzip2 is the Hadoop-lineage
+    * splittable codec — its 4-byte-block magic gives the reader sync
+    * points, so ONE multi-TB `.bz2` file still parallelizes at block
+    * grain (why Wikipedia dumps ship .bz2). Documents round-trip as
+    * `doc_id<TAB>hex(text)` lines through a REAL pure-Java `BZip2Codec`
+    * write (bundled with Hadoop, picked by the `compression` option) and
+    * a plain `spark.read.text` back (codec re-picked by extension); the
+    * hex framing makes any text line-safe, and the oracle md5s each
+    * document straight from the parquet source, so a codec, framing, or
+    * split-boundary bug lands as a digest mismatch or a lost row.
+    */
+  def bz2RoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_bz2")
+    Tables.documents(spark, sfDir)
+      .select(concat_ws("\t", col("doc_id"),
+        hex(col("text").cast("binary"))).as("value"))
+      .write.mode("overwrite").option("compression", "bzip2").text(dir)
+    spark.read.text(dir)
+      .select(
+        expr("cast(split(value, '\t')[0] as bigint)").as("doc_id"),
+        expr("md5(unhex(split(value, '\t')[1]))").as("text_md5"),
+        expr("octet_length(unhex(split(value, '\t')[1]))").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** §2.7 set operators over compatible projections. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
@@ -205,6 +232,7 @@ object Sources extends QueryModule {
     "s7_schema_evolution" -> (schemaEvolution _),
     "s8_compaction_roundtrip" -> (compactionRoundTrip _),
     "s9_xml_roundtrip" -> (xmlRoundTrip _),
+    "s10_bz2_roundtrip" -> (bz2RoundTrip _),
     "setops_union_intersect_except" -> (setOps _),
   )
 
@@ -227,6 +255,10 @@ object Sources extends QueryModule {
          FROM supplier ORDER BY s_suppkey""",
     "s9_xml_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "s10_bz2_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+              CAST(octet_length(encode(text)) AS INT) AS n_bytes
+         FROM documents ORDER BY doc_id""",
     "setops_union_intersect_except" -> setOpsSql,
   )
 }
