@@ -434,7 +434,7 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // projection — the only Exchange allowed is the final sort's range
     // partitioning; a hashpartitioning would mean an accidental shuffle
     for (name <- Seq("html_text_extract", "text_c4_filter", "text_pii_redact",
-        "tar_ingest", "mm_real_gif", "mm_real_jpeg")) {
+        "tar_ingest", "mm_real_gif", "mm_real_jpeg", "zip_ingest", "zstd_ingest")) {
       val p = planOf(name)
       assert(!p.contains("Exchange hashpartitioning"), s"$name hash-shuffles:\n$p")
     }
@@ -448,6 +448,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), s"HOF in the extraction chain:\n$p")
     assert("ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
       .forall(_.group(1).split(",").length <= 2), p)
+  }
+
+  test("zstd ingest has no typed boundary: build, inflate, and summarize in one projection") {
+    // the whole point of zstd_inflate as an Expression (vs a mapPartitions
+    // decode) is that the frame build and the native inflate live in the
+    // SAME projection over the scan — a Deserialize/Serialize pair here
+    // would mean the decompress fell off the codegen path
+    val p = planOf("zstd_ingest")
+    assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"),
+      s"zstd_ingest crossed a typed boundary:\n$p")
+    assert(p.contains("zstd_inflate"), s"native expression missing from the plan:\n$p")
   }
 
   test("hll registers combine map-side: partial_max under the bucket exchange") {
