@@ -158,6 +158,17 @@ object Zip extends QueryModule {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Streaming zip-bucket front door: `<id>.zip` drops land through the
+    * streaming binaryFile source and flow straight into
+    * [[graft.streaming.CorpusIngest]] — the dataset-drop twin of
+    * [[Warc.docStream]]'s crawl bucket. Archive grain is the unit of
+    * parallelism and of exactly-once tracking (the file-source log).
+    */
+  def docStream(spark: SparkSession, dir: String): DataFrame =
+    docsFromFiles(spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
+
   /** Fixture geometry: two 48-byte STORED members per document (text
     * bytes [0,48) and [16,64)), FIXED-WIDTH names (`d<12 digits>.txt` /
     * `m<12 digits>.bin`) so every offset in the archive is a constant.

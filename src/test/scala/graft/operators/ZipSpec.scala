@@ -60,6 +60,42 @@ class ZipSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zip:"))
   }
 
+  test("dataset-drop front door: .zip archives stream through CorpusIngest like documents") {
+    val spark = graft.SparkSpec.session
+    import java.nio.file.{Files, Paths}
+    def zipOf(members: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new ZipOutputStream(bos)
+      members.foreach { case (n, t) =>
+        z.putNextEntry(new ZipEntry(n)); z.write(t.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    val blobDir = Files.createTempDirectory("graft_zip_drop")
+    val outDir = Files.createTempDirectory("graft_zip_out").toString
+    val ckpt = Files.createTempDirectory("graft_zip_ckpt").toString
+    Files.write(Paths.get(blobDir.toString, "7.zip"),
+      zipOf("manifest.json" -> "{}", "one.txt" -> "the quick brown fox document",
+        "two.txt" -> "ein anderes dokument mit text"))
+    val q = graft.streaming.CorpusIngest.start(
+      Zip.docStream(spark, blobDir.toString), "/root/testdata/sf0.001", outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      Files.write(Paths.get(blobDir.toString, "8.zip"), // second wave
+        zipOf("three.txt" -> "a later archive drop with one document"))
+      Files.write(Paths.get(blobDir.toString, "readme.txt"), "not an archive".getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the stream must land exactly what the batch twin produces on the
+    // same parsed documents (manifest.json and readme.txt contribute nothing)
+    val batchDocs = Zip.docsFromFiles(
+      spark.read.format("binaryFile").option("pathGlobFilter", "*.zip").load(blobDir.toString))
+    assert(batchDocs.count() == 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(spark.read.parquet(s"$outDir/chunks").drop("batch_id")) ==
+      rows(graft.pipeline.TrainPrep.chunkDocsOf(batchDocs)))
+  }
+
   test("docsFromFiles: .txt members become documents; doc_id = fileId<<24 | index") {
     val spark = graft.SparkSpec.session
     import java.nio.file.{Files, Paths}
