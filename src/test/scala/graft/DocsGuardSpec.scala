@@ -26,7 +26,8 @@ class DocsGuardSpec extends AnyFunSuite {
     * of the entity-resolution tables (SURVEY §2.11 X-rows).
     */
   private val columnAllowlist = Set("customer_name",
-    "zip_with") // Spark builtin function cited in PLANS prose, not a query
+    "zip_with",      // Spark builtin function cited in PLANS prose, not a query
+    "zstd_inflate")  // graft's injected SQL function, cited as a function
 
   private def repoFile(name: String): java.nio.file.Path = {
     val p = java.nio.file.Paths.get(name)
