@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Scratch, Tables}
+
+/** Metadata-only query answering over parquet footers. At 100 TB the
+  * fastest scan is the one that never happens: COUNT/MIN/MAX per
+  * partition are already sitting in every file's footer (row counts per
+  * row group, column statistics per chunk), written by the writer that
+  * produced the data. Answering from footers reads a few KB per file
+  * instead of the file — the catalog-level trick behind metadata-only
+  * optimizers, file skipping, and table-maintenance audits (finding
+  * skewed or tiny files without touching data).
+  *
+  * The footer walk is DISTRIBUTED: file paths are parallelized and each
+  * task opens only its footers ([[footerStats]]), because the classic
+  * failure mode at 100 TB is a driver-side loop over a million footers.
+  *
+  * Reference behavior anchor: the reference's summary reports
+  * (`q2_ecommerce_analysis.py:239-263`) recompute totals by scanning;
+  * this row answers the same shape of question from metadata alone.
+  */
+object ParquetMeta extends QueryModule {
+
+  /** Per-file footer stats for every `*.parquet` under `dir` (one level of
+    * `key=value` partition dirs included): row count summed over row
+    * groups, row-group count, and the footer's min/max statistics for
+    * `statsCol` (must be an INT64 column with complete, non-null stats —
+    * Spark's writer records them by default). No data pages are read.
+    */
+  def footerStats(spark: SparkSession, dir: String, statsCol: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.Buffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath.toString
+    }
+    val paths = spark.createDataset(files.toSeq)
+      .repartition(math.max(1, math.min(files.size, 32)))
+    paths.mapPartitions { ps =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      ps.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks
+          var rows = 0L
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          val bi = blocks.iterator()
+          while (bi.hasNext) {
+            val b = bi.next()
+            rows += b.getRowCount
+            val ci = b.getColumns.iterator()
+            while (ci.hasNext) {
+              val c = ci.next()
+              if (c.getPath.toDotString == statsCol) {
+                val st = c.getStatistics
+                require(st != null && !st.isEmpty && st.getNumNulls == 0,
+                  s"footer of $p lacks complete stats for '$statsCol'")
+                lo = math.min(lo, st.genericGetMin.asInstanceOf[Long])
+                hi = math.max(hi, st.genericGetMax.asInstanceOf[Long])
+              }
+            }
+          }
+          require(rows == 0 || lo != Long.MaxValue,
+            s"column '$statsCol' not found in footer of $p")
+          (p, rows, blocks.size(), lo, hi)
+        } finally r.close()
+      }
+    }.toDF("path", "n_rows", "n_row_groups", "stat_min", "stat_max")
+  }
+
+  /** `parquet_footer_stats`: documents written `partitionBy(bucket)` with
+    * `bucket = doc_id % 8`, then COUNT/MIN/MAX(doc_id) per bucket answered
+    * from FOOTER STATISTICS ONLY — `footerStats` never reads a data page
+    * (plan-pinned: the aggregate's input schema carries no text column,
+    * and the whole answer moves ≤ a few rows per file). The oracle
+    * recomputes the same three aggregates from the data, so a footer
+    * mis-read, a stats-truncation bug, or a lost file lands as a
+    * mismatch or a missing bucket.
+    */
+  def footerStatsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Scratch.dir("graft_meta")
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", pmod(col("doc_id"), lit(8)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    footerStats(spark, dir, "doc_id")
+      .withColumn("bucket",
+        expr("cast(regexp_extract(path, 'bucket=([0-9]+)/', 1) as int)"))
+      .groupBy("bucket")
+      .agg(sum("n_rows").as("n_docs"),
+        min("stat_min").as("min_doc_id"),
+        max("stat_max").as("max_doc_id"))
+      .select(col("bucket"), col("n_docs"), col("min_doc_id"), col("max_doc_id"))
+      .orderBy("bucket")
+  }
+
+  private val footerStatsSql =
+    """SELECT CAST(doc_id % 8 AS INT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              MIN(doc_id) AS min_doc_id,
+              MAX(doc_id) AS max_doc_id
+       FROM documents GROUP BY 1 ORDER BY bucket"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parquet_footer_stats" -> (footerStatsQuery _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "parquet_footer_stats" -> footerStatsSql,
+  )
+}
