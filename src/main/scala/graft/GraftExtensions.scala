@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.LevWithin.description)
     ext.injectFunction(functions.Gunzip.description)
     ext.injectFunction(functions.ZstdInflate.description)
+    ext.injectFunction(functions.ZstdDeflate.description)
     ext.injectFunction(functions.NfcNormalize.description)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => new PushLeftFilterThroughAsOf)

@@ -84,11 +84,38 @@ object ZstdCorpus extends QueryModule {
         ORDER BY doc_id"""
   }
 
+  /** `docs_zstd_roundtrip`: the REAL codec path both directions, entirely
+    * in-plan — [[graft.functions.ZstdDeflate]] entropy-codes each
+    * document (FSE/Huffman blocks, frame checksum on) and
+    * [[graft.functions.ZstdInflate]] hands the frame to the native
+    * decoder, which re-verifies the checksum. The md5 of the round-tripped
+    * bytes is pinned against the source text by the oracle — the
+    * compressed bytes themselves are library-version-dependent and are
+    * deliberately NOT in the output, only proof the trip is lossless.
+    * This is the `.zst` sibling of `docs_gunzip_roundtrip`; `zstd_ingest`
+    * above covers the complementary case (SQL-emitted frames the builder
+    * could never entropy-code).
+    */
+  def zstdRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        expr("md5(zstd_inflate(zstd_deflate(cast(text as binary))))").as("digest"),
+        expr("octet_length(cast(text as binary))").as("n_bytes"))
+      .orderBy("doc_id")
+
+  private val zstdRoundtripSql =
+    """SELECT doc_id, md5(text) AS digest,
+              CAST(octet_length(encode(text)) AS INT) AS n_bytes
+       FROM documents ORDER BY doc_id"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zstd_ingest" -> (zstdIngest _),
+    "docs_zstd_roundtrip" -> (zstdRoundtrip _),
   )
 
   override def oracle: Map[String, String] = Map(
     "zstd_ingest" -> zstdIngestSql,
+    "docs_zstd_roundtrip" -> zstdRoundtripSql,
   )
 }

@@ -18,6 +18,17 @@ class ZstdInflateSpec extends AnyFunSuite {
     assert(inflate(comp).toSeq == text.toSeq)
   }
 
+  test("zstd_deflate kernel: lossless, checksummed, and corruption-detectable") {
+    val comp = ZstdDeflate.deflate(text)
+    assert(comp.length < text.length)
+    assert(inflate(comp).toSeq == text.toSeq)
+    // the deflate kernel must emit a frame checksum: a mid-block bit flip
+    // in entropy-coded literals can otherwise decode to silent garbage
+    val corrupt = comp.clone()
+    corrupt(comp.length / 2) = (corrupt(comp.length / 2) ^ 0x10).toByte
+    intercept[IllegalArgumentException](inflate(corrupt))
+  }
+
   test("multi-frame streams concatenate (zstd cat semantics)") {
     val f1 = com.github.luben.zstd.Zstd.compress("first|".getBytes, 1)
     val f2 = com.github.luben.zstd.Zstd.compress("second".getBytes, 19)
