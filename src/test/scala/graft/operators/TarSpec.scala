@@ -55,6 +55,13 @@ class TarSpec extends AnyFunSuite {
     assert(Tar.read(tar).map(_._1) == IndexedSeq("a.txt")) // plain passthrough
   }
 
+  test("read composes with zstd_inflate: a .tar.zst parses identically") {
+    val tar = ustar(Seq(("a.txt", a, '0')))
+    val zst = com.github.luben.zstd.Zstd.compress(tar, 3)
+    assert(Tar.read(zst).map(_._1) == IndexedSeq("a.txt"))
+    assert(Tar.read(zst)(0)._2.toSeq == a.toSeq)
+  }
+
   test("rejects: flipped checksum, truncated data, missing zero-block tail, bad octal") {
     val tar = ustar(Seq(("a.txt", a, '0')))
     val badChk = tar.clone(); badChk(0) = 'z' // name change breaks the checksum
@@ -78,10 +85,13 @@ class TarSpec extends AnyFunSuite {
     val g = new java.util.zip.GZIPOutputStream(bos)
     g.write(ustar(Seq(("x.txt", "via tgz".getBytes, '0')))); g.close()
     Files.write(Paths.get(dir.toString, "4.tar.gz"), bos.toByteArray)
+    Files.write(Paths.get(dir.toString, "5.tar.zst"), com.github.luben.zstd.Zstd
+      .compress(ustar(Seq(("y.txt", "via zst".getBytes, '0'))), 3))
     val docs = Tar.docsFromFiles(spark.read.format("binaryFile").load(dir.toString))
       .orderBy("doc_id").collect()
     assert(docs.map(r => (r.getLong(0), r.getString(3))).toSeq == Seq(
-      ((3L << 24) | 1, "one.txt"), ((3L << 24) | 2, "two.txt"), (4L << 24, "x.txt")))
+      ((3L << 24) | 1, "one.txt"), ((3L << 24) | 2, "two.txt"), (4L << 24, "x.txt"),
+      (5L << 24, "y.txt")))
     // n_chars counts codepoints: the emoji is ONE char, not a surrogate pair
     assert(docs(1).getLong(4) == "zweites dokument ".length + 1)
   }
