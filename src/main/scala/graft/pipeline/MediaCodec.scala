@@ -1235,18 +1235,35 @@ object MediaCodec {
     var td = 0 // DC table selector (from SOS)
     var ta = 0 // AC table selector (from SOS)
     var pred = 0 // DC predictor
+    var coefs: Array[Int] = null // per-block natural-order coefficients, padded grid
+    var bwP = 0; var bhP = 0 // block grid padded to full MCUs (storage)
+    var bw = 0; var bh = 0 // the component's own block grid (non-interleaved scans)
     var plane: Array[Int] = null // padded to full MCU grid
     var planeW = 0
   }
 
-  /** Baseline JPEG (ITU T.81 / ISO 10918-1: SOF0, 8-bit, sequential DCT,
-    * Huffman) decoded end to end in pure JVM: full marker walk (APPn/COM
-    * skipped, DQT 8- and 16-bit precision, multi-table DHT segments, DRI),
-    * canonical Huffman entropy decode with 0xFF00 unstuffing and RSTn
-    * restart handling (byte-aligned, DC predictors reset, marker sequence
-    * number verified), dequantization, inverse zigzag, and the spec's
-    * floating IDCT (pinned: `clamp(round(¼ΣΣ C·C·F·cos·cos) + 128)`,
-    * `Math.round` half-up — exact for DC-only blocks by construction).
+  /** JPEG (ITU T.81 / ISO 10918-1) decoded end to end in pure JVM —
+    * baseline sequential (SOF0) AND progressive (SOF2). Full marker walk
+    * (APPn/COM skipped, DQT 8- and 16-bit precision, multi-table DHT
+    * segments possibly redefined between scans, DRI), canonical Huffman
+    * entropy decode with 0xFF00 unstuffing and RSTn restart handling
+    * (byte-aligned, DC predictors AND the EOB run reset, marker sequence
+    * number verified per scan), dequantization, inverse zigzag, and the
+    * spec's floating IDCT (pinned: `clamp(round(¼ΣΣ C·C·F·cos·cos) +
+    * 128)`, `Math.round` half-up — exact for DC-only blocks by
+    * construction).
+    *
+    * All frames decode through per-component COEFFICIENT buffers with a
+    * single dequantize+IDCT pass at the end — baseline is the one-scan
+    * special case, and progressive accumulates its scans there: DC first
+    * (diff-coded, stored `<< Al`) and DC refinement (one raw bit per
+    * block, OR-ed at `Al`), AC first (per-band runs with EOBn run
+    * lengths, values `<< Al`) and AC refinement (T.81 G.1.2.3: correction
+    * bits on nonzero-history coefficients, new ±1·2^Al on the run's
+    * target zero, ZRL skipping 16 zero-history slots). Interleaved scans
+    * step MCUs; single-component scans step the component's own
+    * UNPADDED block raster (the spec's non-interleaved geometry).
+    *
     * Grayscale (1 component) and 3-component YCbCr frames are supported
     * with GENERAL sampling factors h,v ∈ 1..4 — interleaved MCUs carry
     * h×v data units per component and subsampled planes are upsampled by
@@ -1254,10 +1271,11 @@ object MediaCodec {
     * output converts with the JFIF/BT.601 full-range matrix
     * `R = Y + 1.402·(Cr−128)`, `G = Y − 0.344136·(Cb−128) − 0.714136·(Cr−128)`,
     * `B = Y + 1.772·(Cb−128)`, each `clamp(round(·))`. Strict rejects, by
-    * design: progressive (SOF2) and every non-SOF0 frame type by name,
-    * 12-bit precision, arithmetic coding, DNL, component counts other than
-    * 1/3, truncated or marker-corrupt entropy data. A DQT/DHT/SOS that
-    * references an undefined table rejects rather than guessing.
+    * design: SOF1/SOF3/SOF5-7 by name, arithmetic coding, 12-bit
+    * precision, DNL, component counts other than 1/3, truncated or
+    * marker-corrupt entropy data, refinement runs past the band end. A
+    * DQT/DHT/SOS that references an undefined table rejects rather than
+    * guessing.
     */
   def decodeJpeg(bytes: Array[Byte]): RasterImage = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
@@ -1270,13 +1288,166 @@ object MediaCodec {
     var comps: Array[JpegComp] = null
     var pos = 2
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
-    var inScan = false
-    while (!inScan) {
-      require(pos + 4 <= bytes.length, "truncated before SOS")
+    var progressive = false
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+    var scans = 0
+    var eoi = false
+
+    /** One scan's entropy-coded data, starting at `start`; returns the
+      * byte offset just past it (aligned, before the next marker). Covers
+      * the baseline full-band scan and all four progressive scan kinds.
+      */
+    def decodeScan(sc: Array[JpegComp], ss: Int, se: Int, ah: Int, al: Int,
+        start: Int): Int = {
+      val in = new JpegBitReader(bytes, start)
+      sc.foreach(_.pred = 0)
+      var eobrun = 0 // progressive AC: blocks remaining in the current EOB run
+
+      def decodeUnit(c: JpegComp, off: Int): Unit = {
+        val coefs = c.coefs
+        if (!progressive) { // sequential: DC + full AC band in one pass
+          val t = dcTab(c.td).decode(in)
+          require(t <= 11, "DC category out of range")
+          c.pred += jpegExtend(in.receive(t), t)
+          coefs(off) = c.pred
+          var k = 1
+          while (k < 64) {
+            val rs = acTab(c.ta).decode(in)
+            val r = rs >> 4; val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else k = 64 // EOB
+            } else {
+              k += r
+              require(k < 64, "AC run past block end")
+              coefs(off + ZigZag(k)) = jpegExtend(in.receive(s), s)
+              k += 1
+            }
+          }
+        } else if (ss == 0) {
+          if (ah == 0) { // DC first: diff accumulates unshifted, stored << Al
+            val t = dcTab(c.td).decode(in)
+            require(t <= 11, "DC category out of range")
+            c.pred += jpegExtend(in.receive(t), t)
+            coefs(off) = c.pred << al
+          } else { // DC refinement: one raw bit per block
+            if (in.nextBit() != 0) coefs(off) |= (1 << al)
+          }
+        } else if (ah == 0) { // AC first pass over [Ss,Se], values << Al
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var done = false
+            while (k <= se && !done) {
+              val rs = acTab(c.ta).decode(in)
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s != 0) {
+                k += r
+                require(k <= se, "AC run past band end")
+                coefs(off + ZigZag(k)) = jpegExtend(in.receive(s), s) << al
+                k += 1
+              } else if (r == 15) k += 16 // ZRL
+              else { // EOBn: this block is the first of the run
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += in.receive(r)
+                done = true
+              }
+            }
+          }
+        } else { // AC refinement (T.81 G.1.2.3): correction bits + new ±1s
+          val p1 = 1 << al; val m1 = -1 << al
+          @inline def refine(z: Int): Unit =
+            if (in.nextBit() != 0 && (coefs(z) & p1) == 0)
+              coefs(z) += (if (coefs(z) >= 0) p1 else m1)
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (k <= se && !brk) {
+              val rs = acTab(c.ta).decode(in)
+              var r = rs >> 4
+              var sNew = 0
+              if ((rs & 0x0f) != 0) {
+                require((rs & 0x0f) == 1, "AC refinement magnitude must be 1")
+                sNew = if (in.nextBit() != 0) p1 else m1
+              } else if (r != 15) { // EOBn: current block finishes below
+                eobrun = 1 << r
+                if (r > 0) eobrun += in.receive(r)
+                brk = true
+              } // r == 15, s == 0: ZRL — skip 16 zero-history coefficients
+              if (!brk) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val z = off + ZigZag(k)
+                  if (coefs(z) != 0) refine(z)
+                  else if (r == 0) { // the target zero-history coefficient
+                    if (sNew != 0) coefs(z) = sNew
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+                require(sNew == 0 || placed, "AC refine ran past band end")
+              }
+            }
+          }
+          if (eobrun > 0) { // correction bits through the rest of the band
+            while (k <= se) {
+              val z = off + ZigZag(k)
+              if (coefs(z) != 0) refine(z)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+      }
+
+      // interleaved scans step MCUs; single-component scans step the
+      // component's own (unpadded) block raster — T.81's non-interleaved
+      // geometry, which is also what makes partial-frame DC scans correct
+      val interleaved = sc.length > 1
+      val units = if (interleaved) mcusX * mcusY else sc(0).bw * sc(0).bh
+      var unit = 0
+      var rstN = 0
+      while (unit < units) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          in.align()
+          require(in.pos + 2 <= bytes.length, "truncated at restart")
+          val m = ((bytes(in.pos) & 0xff) << 8) | (bytes(in.pos + 1) & 0xff)
+          require(m == 0xffd0 + rstN, f"expected RST$rstN%d, got $m%04X")
+          in.pos += 2
+          rstN = (rstN + 1) % 8
+          sc.foreach(_.pred = 0)
+          eobrun = 0
+        }
+        if (interleaved) {
+          val my = unit / mcusX; val mx = unit % mcusX
+          sc.foreach { c =>
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeUnit(c, ((my * c.v + by) * c.bwP + (mx * c.h + bx)) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+        } else {
+          val c = sc(0)
+          decodeUnit(c, ((unit / c.bw) * c.bwP + unit % c.bw) * 64)
+        }
+        unit += 1
+      }
+      in.align()
+      in.pos
+    }
+
+    while (!eoi) {
+      require(pos + 2 <= bytes.length, "truncated before EOI")
       require((bytes(pos) & 0xff) == 0xff, f"expected marker, got ${bytes(pos)}%02X")
       val marker = bytes(pos + 1) & 0xff
       pos += 2
       if (marker == 0xff) pos -= 1 // fill byte, resync
+      else if (marker == 0xd9) eoi = true
       else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7))
         () // standalone markers: legal, no segment
       else {
@@ -1285,9 +1456,12 @@ object MediaCodec {
         require(len >= 2 && pos + len <= bytes.length, "bad segment length")
         val seg = pos + 2
         val segEnd = pos + len
+        pos = segEnd
         marker match {
-          case 0xc0 => // SOF0 — the one accepted frame type
-            require((bytes(seg) & 0xff) == 8, "only 8-bit precision is baseline")
+          case m if m == 0xc0 || m == 0xc2 => // SOF0 baseline / SOF2 progressive
+            require(comps == null, "multiple SOF frames")
+            progressive = m == 0xc2
+            require((bytes(seg) & 0xff) == 8, "only 8-bit precision supported")
             height = u16(seg + 1); width = u16(seg + 3)
             require(width > 0 && height > 0, "DNL-deferred or zero dimensions unsupported")
             val nc = bytes(seg + 5) & 0xff
@@ -1300,7 +1474,17 @@ object MediaCodec {
                 s"sampling factors ${c.h}x${c.v} out of range")
               c
             }
-          case 0xc2 => throw new IllegalArgumentException("progressive JPEG (SOF2) unsupported")
+            hMax = comps.map(_.h).max
+            vMax = comps.map(_.v).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            comps.foreach { c =>
+              c.bwP = mcusX * c.h
+              c.bhP = mcusY * c.v
+              c.bw = (((width * c.h + hMax - 1) / hMax) + 7) / 8
+              c.bh = (((height * c.v + vMax - 1) / vMax) + 7) / 8
+              c.coefs = new Array[Int](c.bwP * c.bhP * 64)
+            }
           case m if m == 0xc1 || m == 0xc3 || (m >= 0xc5 && m <= 0xc7) =>
             throw new IllegalArgumentException(f"non-baseline frame SOF${m - 0xc0}%d unsupported")
           case m if m >= 0xc9 && m <= 0xcb =>
@@ -1335,126 +1519,91 @@ object MediaCodec {
           case 0xdd => // DRI
             restartInterval = u16(seg)
           case 0xdc => throw new IllegalArgumentException("DNL unsupported")
-          case 0xda => // SOS
-            require(comps != null, "SOS before SOF0")
+          case 0xda => // SOS: scan header, then the entropy-coded data
+            require(comps != null, "SOS before SOF")
             val ns = bytes(seg) & 0xff
-            require(ns == comps.length, "partial-frame scans unsupported")
-            var i = 0
-            while (i < ns) {
+            require(ns >= 1 && ns <= comps.length, s"bad scan component count $ns")
+            val sc = Array.tabulate(ns) { i =>
               val cid = bytes(seg + 1 + 2 * i) & 0xff
               val sel = bytes(seg + 2 + 2 * i) & 0xff
               val comp = comps.find(_.id == cid).getOrElse(
                 throw new IllegalArgumentException(s"SOS references unknown component $cid"))
               comp.td = sel >> 4; comp.ta = sel & 0x0f
-              require(dcTab(comp.td) != null, s"undefined DC table ${comp.td}")
-              require(acTab(comp.ta) != null, s"undefined AC table ${comp.ta}")
               require(quant(comp.tq) != null, s"undefined quant table ${comp.tq}")
-              i += 1
+              comp
             }
-            inScan = true
+            val ss = bytes(seg + 1 + 2 * ns) & 0xff
+            val se = bytes(seg + 2 + 2 * ns) & 0xff
+            val aa = bytes(seg + 3 + 2 * ns) & 0xff
+            val ah = aa >> 4; val al = aa & 0x0f
+            if (!progressive) {
+              require(ns == comps.length, "partial-frame scans unsupported in baseline")
+              require(ss == 0 && se == 63 && ah == 0 && al == 0,
+                "baseline scan must cover the full band at full precision")
+              require(scans == 0, "multiple baseline scans unsupported")
+            } else {
+              if (ss == 0) require(se == 0, "progressive DC scan must have Se=0")
+              else {
+                require(ns == 1, "progressive AC scans are single-component")
+                require(se >= ss && se <= 63, "bad spectral band")
+              }
+              require(ah <= 13 && al <= 13, "bad successive-approximation bits")
+            }
+            sc.foreach { c =>
+              if (!progressive || (ss == 0 && ah == 0))
+                require(dcTab(c.td) != null, s"undefined DC table ${c.td}")
+              if (!progressive || ss > 0)
+                require(acTab(c.ta) != null, s"undefined AC table ${c.ta}")
+            }
+            pos = decodeScan(sc, ss, se, ah, al, segEnd)
+            scans += 1
           case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe =>
             () // APPn / COM: skip
           case m =>
             throw new IllegalArgumentException(f"unsupported marker FF$m%02X")
         }
-        pos = segEnd
       }
     }
+    require(comps != null && scans > 0, "no image scan before EOI")
 
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // all scans are in: dequantize + IDCT every padded block into planes
     comps.foreach { c =>
-      c.planeW = mcusX * c.h * 8
-      c.plane = new Array[Int](c.planeW * mcusY * c.v * 8)
-    }
-
-    val in = new JpegBitReader(bytes, pos)
-    val coef = new Array[Int](64)
-    def decodeBlock(c: JpegComp, blockX: Int, blockY: Int): Unit = {
-      java.util.Arrays.fill(coef, 0)
-      val dc = dcTab(c.td).decode(in)
-      require(dc <= 11, "DC category out of range")
-      c.pred += jpegExtend(in.receive(dc), dc)
-      coef(0) = c.pred
-      var k = 1
-      while (k < 64) {
-        val rs = acTab(c.ta).decode(in)
-        val r = rs >> 4; val s = rs & 0x0f
-        if (s == 0) {
-          if (r == 15) k += 16 // ZRL
-          else k = 64 // EOB
-        } else {
-          k += r
-          require(k < 64, "AC run past block end")
-          coef(ZigZag(k)) = jpegExtend(in.receive(s), s)
-          k += 1
-        }
-      }
-      // dequantize + IDCT straight into the component plane
+      c.planeW = c.bwP * 8
+      c.plane = new Array[Int](c.planeW * c.bhP * 8)
       val q = quant(c.tq)
       val f = new Array[Double](64)
-      var i = 0
-      while (i < 64) { f(ZigZag(i)) = coef(ZigZag(i)).toDouble * q(i); i += 1 }
-      val x0 = blockX * 8; val y0 = blockY * 8
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var s = 0.0
-          var v = 0
-          while (v < 8) {
-            val cy = IdctCos(y)(v)
-            var u = 0
-            while (u < 8) { s += cy * IdctCos(x)(u) * f(v * 8 + u); u += 1 }
-            v += 1
+      var by = 0
+      while (by < c.bhP) {
+        var bx = 0
+        while (bx < c.bwP) {
+          val off = (by * c.bwP + bx) * 64
+          var i = 0
+          while (i < 64) { val z = ZigZag(i); f(z) = c.coefs(off + z).toDouble * q(i); i += 1 }
+          val x0 = bx * 8; val y0 = by * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var s = 0.0
+              var v = 0
+              while (v < 8) {
+                val cy = IdctCos(y)(v)
+                var u = 0
+                while (u < 8) { s += cy * IdctCos(x)(u) * f(v * 8 + u); u += 1 }
+                v += 1
+              }
+              val px = math.round(s / 4.0).toInt + 128
+              c.plane((y0 + y) * c.planeW + (x0 + x)) =
+                if (px < 0) 0 else if (px > 255) 255 else px
+              x += 1
+            }
+            y += 1
           }
-          val px = math.round(s / 4.0).toInt + 128
-          c.plane((y0 + y) * c.planeW + (x0 + x)) =
-            if (px < 0) 0 else if (px > 255) 255 else px
-          x += 1
+          bx += 1
         }
-        y += 1
+        by += 1
       }
     }
-
-    val totalMcus = mcusX * mcusY
-    var mcu = 0
-    var rstN = 0
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        in.align()
-        require(in.pos + 2 <= bytes.length, "truncated at restart")
-        val m = ((bytes(in.pos) & 0xff) << 8) | (bytes(in.pos + 1) & 0xff)
-        require(m == 0xffd0 + rstN, f"expected RST$rstN%d, got $m%04X")
-        in.pos += 2
-        rstN = (rstN + 1) % 8
-        comps.foreach(_.pred = 0)
-      }
-      val my = mcu / mcusX; val mx = mcu % mcusX
-      comps.foreach { c =>
-        var by = 0
-        while (by < c.v) {
-          var bx = 0
-          while (bx < c.h) {
-            decodeBlock(c, mx * c.h + bx, my * c.v + by)
-            bx += 1
-          }
-          by += 1
-        }
-      }
-      mcu += 1
-    }
-    in.align()
-    // past the scan: optional trailing fill/RST, then EOI somewhere ahead
-    var e = in.pos
-    var sawEoi = false
-    while (e + 1 < bytes.length && !sawEoi) {
-      if ((bytes(e) & 0xff) == 0xff && (bytes(e + 1) & 0xff) == 0xd9) sawEoi = true
-      e += 1
-    }
-    require(sawEoi, "no EOI after scan")
 
     val rgb = new Array[Byte](width * height * 3)
     if (comps.length == 1) {

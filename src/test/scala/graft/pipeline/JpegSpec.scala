@@ -4,13 +4,14 @@ import java.awt.image.BufferedImage
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Baseline JPEG decoder against (a) a test-side DC-only encoder — exact
+/** JPEG decoder against (a) a test-side DC-only encoder — exact
   * expected pixels by construction, covering Huffman categories, EXTEND,
   * predictor chaining, restart markers, byte stuffing, and 4:2:0
   * interleave/upsampling — and (b) the JDK's own ImageIO JPEG codec, an
   * independent production implementation (real AC coefficients, real
-  * quant tables), compared within the cross-decoder IDCT tolerance. Plus
-  * the strict-reject contract (progressive, truncation, marker garbage).
+  * quant tables; baseline AND its default 10-scan progressive script),
+  * compared within the cross-decoder IDCT tolerance. Plus the
+  * strict-reject contract (truncation, marker garbage).
   */
 class JpegSpec extends AnyFunSuite {
   import MediaCodec.{decodeJpeg, jpegHeader}
@@ -158,12 +159,67 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 3, s"max per-pixel diff $maxDiff")
   }
 
-  test("strict rejects: progressive, truncation, garbage, missing EOI") {
-    val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
-    val prog = imageioJpeg(img, progressive = true)
-    val e1 = intercept[IllegalArgumentException](decodeJpeg(prog))
-    assert(e1.getMessage.contains("progressive"))
+  test("progressive grayscale: ImageIO's multi-scan script decodes within IDCT tolerance") {
+    // the JDK writer's default progressive script exercises every scan
+    // kind: interleaved DC first + refinement, per-band AC first with EOB
+    // runs, and AC refinement with successive approximation
+    val img = new BufferedImage(96, 64, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 64; x <- 0 until 96)
+      img.getRaster.setSample(x, y, 0, (x * 2 + y + (x * y % 13)) % 256)
+    val jpg = imageioJpeg(img, progressive = true)
+    // really progressive: the stream must carry SOF2 and >1 SOS
+    assert(jpg.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+    assert(jpg.sliding(2).count(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda) > 1)
+    val ours = decodeJpeg(jpg)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var maxDiff = 0
+    for (y <- 0 until 64; x <- 0 until 96) {
+      val d = math.abs((ours.rgb((y * 96 + x) * 3) & 0xff) - ref.getRaster.getSample(x, y, 0))
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 2, s"max per-pixel diff $maxDiff")
+  }
 
+  test("progressive color at constant chroma decodes within IDCT tolerance") {
+    val img = new BufferedImage(64, 48, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val g = (x * 3 + y * 2 + (x * y) % 7) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val jpg = imageioJpeg(img, progressive = true)
+    val ours = decodeJpeg(jpg)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var maxDiff = 0
+    for (y <- 0 until 48; x <- 0 until 64; c <- 0 until 3) {
+      val r = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((ours.rgb((y * 64 + x) * 3 + c) & 0xff) - r)
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 3, s"max per-pixel diff $maxDiff")
+  }
+
+  test("progressive 4:2:0 at non-MCU dims: unpadded AC-scan geometry, padded storage") {
+    // 67x45 is not a multiple of the 16x16 MCU: the luma AC scans must
+    // step ceil(67/8)x  ceil(45/8) = 9x6 blocks while storage is the
+    // padded 10x6 grid — an off-by-one in either direction shears rows
+    val img = new BufferedImage(67, 45, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 45; x <- 0 until 67) {
+      val g = (x * 5 + y * 3 + (x * y) % 11) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val jpg = imageioJpeg(img, progressive = true)
+    val ours = decodeJpeg(jpg)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var maxDiff = 0
+    for (y <- 0 until 45; x <- 0 until 67; c <- 0 until 3) {
+      val r = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((ours.rgb((y * 67 + x) * 3 + c) & 0xff) - r)
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 3, s"max per-pixel diff $maxDiff")
+  }
+
+  test("strict rejects: truncation, garbage, missing EOI") {
     val vals = Seq(10, 250, 130, 66)
     val good = jpegHeader(8, 32, 0) ++ dcOnlyScan(vals.map(v => Seq(0 -> (v - 128))), 0)
     intercept[IllegalArgumentException](decodeJpeg(good.dropRight(6))) // cut mid-scan
