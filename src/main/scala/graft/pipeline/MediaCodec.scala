@@ -1004,6 +1004,36 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Progressive (SOF2) twin of [[jpegHeader]] for grayscale, as the
+    * two-scan successive-approximation script the fixture emitter uses:
+    * returns (everything up to and including the FIRST scan's SOS — DC
+    * first, Ah=0, Al=al) and (the SECOND scan's SOS segment — DC
+    * refinement, Ah=al, Al=0). With al=1 the refinement is one raw bit
+    * per block and `coef = (t << 1) | bit` reconstructs the sequential
+    * DC exactly, so the progressive fixture decodes to the SAME pixels
+    * as the baseline one and shares its oracle.
+    */
+  def jpegProgHeader(width: Int, height: Int, dri: Int,
+      al: Int = 1): (Array[Byte], Array[Byte]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(o: java.io.ByteArrayOutputStream, marker: Int, body: Array[Int]): Unit = {
+      o.write(0xff); o.write(marker)
+      val len = body.length + 2
+      o.write(len >> 8); o.write(len & 0xff)
+      body.foreach(o.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(out, 0xdb, 0x00 +: Array.fill(64)(8)) // DQT slot 0, all 8
+    seg(out, 0xc4, 0x00 +: (JpegDcLumCounts ++ JpegDcLumVals)) // DHT DC slot 0
+    if (dri > 0) seg(out, 0xdd, Array(dri >> 8, dri & 0xff))
+    seg(out, 0xc2, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      1, 1, 0x11, 0)) // SOF2, one 1x1 component
+    seg(out, 0xda, Array(1, 1, 0x00, 0, 0, al)) // DC first: Ss=Se=0, Ah=0, Al=al
+    val sos2 = new java.io.ByteArrayOutputStream()
+    seg(sos2, 0xda, Array(1, 1, 0x00, 0, 0, (al << 4) | 0)) // DC refine: Ah=al, Al=0
+    (out.toByteArray, sos2.toByteArray)
+  }
+
   /** Encode a raster back to binary PPM — the round-trip twin of
     * [[decodePpm]], used by tests and fixtures (e.g. re-encoding a BMP as
     * the "same image, different container" near-dup case).

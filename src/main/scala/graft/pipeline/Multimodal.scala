@@ -1082,6 +1082,80 @@ object Multimodal extends QueryModule {
         SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
   }
 
+  /** `mm_real_jpeg_prog`: PROGRESSIVE JPEG (SOF2) through the full
+    * successive-approximation machinery — Spark BUILDS a genuine
+    * two-scan file per document in pure SQL: a DC-first scan at Al=1
+    * (real variable-length Huffman codes over the POINT-TRANSFORMED
+    * diffs `t_k = (byte_k − 128) >> 1`, chained and reset at restarts)
+    * and a DC-refinement scan (one RAW bit per block — `(byte_k − 128)
+    * & 1` — with its own restart markers, whose numbering restarts at
+    * RST0 because each scan counts its own). The decoder reconstructs
+    * `coef = (t << 1) | bit`, which equals the sequential DC EXACTLY, so
+    * this row shares `mm_real_jpeg`'s oracle (banded luma recomputed
+    * from document bytes): a point-transform, refinement-bit, multi-scan
+    * marker-walk, per-scan restart, or scan-geometry bug lands as a
+    * value mismatch or a strict-reject missing row. Map-only until the
+    * final sort.
+    */
+  def realJpegProg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (h1, sos2) = MediaCodec.jpegProgHeader(8, 8 * JpegBlocks, JpegRst)
+    val header = h1.map("%02X".format(_)).mkString
+    val sos2Hex = sos2.map("%02X".format(_)).mkString
+    val dcCodes = MediaCodec.JpegDcLumCodes.map(c => s"'$c'").mkString(", ")
+    def b(k: String) = s"cast(conv(substring(h, ($k) * 2 + 1, 2), 16, 10) as int)"
+    def pack(p: String) =
+      s"""array_join(transform(sequence(0, cast(length($p) / 8 as int) - 1),
+            i -> if(conv(substring($p, i * 8 + 1, 8), 2, 10) = '255', 'FF00',
+                    lpad(hex(cast(conv(substring($p, i * 8 + 1, 8), 2, 10) as bigint)), 2, '0'))),
+          '')"""
+    val segs = (0 until JpegBlocks / JpegRst).map { s =>
+      (s, s"array_join(slice(blockbits, ${s * JpegRst + 1}, $JpegRst), '')",
+        s"array_join(slice(refbits, ${s * JpegRst + 1}, $JpegRst), '')")
+    }
+    var df = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= JpegBlocks)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      // scan 1: diffs of the Al=1 point transform, reset at restarts
+      .withColumn("tvals", expr(
+        s"transform(sequence(0, ${JpegBlocks - 1}), k -> shiftright(${b("k")} - 128, 1))"))
+      .withColumn("diffs", expr(
+        s"transform(sequence(0, ${JpegBlocks - 1}), k -> element_at(tvals, k + 1) - if(k % $JpegRst = 0, 0, element_at(tvals, k)))"))
+      .withColumn("cats", expr(
+        "transform(diffs, d -> if(d = 0, 0, length(bin(cast(abs(d) as bigint)))))"))
+      // per block: DC category code + EXTEND value bits (no AC in a DC scan)
+      .withColumn("blockbits", expr(
+        s"""zip_with(diffs, cats, (d, c) -> concat(
+              element_at(array($dcCodes), c + 1),
+              if(c = 0, '', lpad(bin(cast(if(d > 0, d, d + shiftleft(1, c) - 1) as bigint)), c, '0'))))"""))
+      // scan 2: one raw refinement bit per block — bit 0 of the true DC
+      .withColumn("refbits", expr(
+        s"transform(sequence(0, ${JpegBlocks - 1}), k -> cast((${b("k")} - 128) % 2 != 0 as string))"))
+      .withColumn("refbits", expr("transform(refbits, v -> if(v = 'true', '1', '0'))"))
+    for ((i, bits1, bits2) <- segs) {
+      df = df
+        .withColumn(s"p1s$i", expr(
+          s"rpad($bits1, cast(ceil(length($bits1) / 8.0) * 8 as int), '1')"))
+        .withColumn(s"seg1s$i", expr(pack(s"p1s$i")))
+        .withColumn(s"p2s$i", expr(
+          s"rpad($bits2, cast(ceil(length($bits2) / 8.0) * 8 as int), '1')"))
+        .withColumn(s"seg2s$i", expr(pack(s"p2s$i")))
+    }
+    def scanOf(prefix: String) = segs.map { case (i, _, _) =>
+      val rst = if (i < segs.length - 1) s", 'FFD${i % 8}'" else ""
+      s"$prefix$i$rst"
+    }.mkString(", ")
+    val clips = df
+      .select(col("doc_id"), lit("image").as("media_type"),
+        expr(s"unhex(concat('$header', ${scanOf("seg1s")}, '$sos2Hex', ${scanOf("seg2s")}, 'FFD9'))")
+          .as("payload"))
+    BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("luma_frac"))
+      .orderBy("doc_id", "band")
+  }
+
   /** `mm_real_bmp`: the OTHER two real-world BMP depths — 32bpp BGRA
     * (even doc_ids: a genuine 4x4 TOP-DOWN file, the document's first 64
     * bytes as B,G,R,A quads whose alpha byte the decoder must skip) and
@@ -1283,6 +1357,7 @@ object Multimodal extends QueryModule {
     "mm_real_png" -> (realPng _),
     "mm_real_gif" -> (realGif _),
     "mm_real_jpeg" -> (realJpeg _),
+    "mm_real_jpeg_prog" -> (realJpegProg _),
     "mm_real_thumbnail" -> (realThumbnail _),
   )
 
@@ -1305,6 +1380,8 @@ object Multimodal extends QueryModule {
     "mm_real_png" -> realPngSql,
     "mm_real_gif" -> realGifSql,
     "mm_real_jpeg" -> realJpegSql,
+    "mm_real_jpeg_prog" -> realJpegSql, // identical pixels by construction
+
     "mm_real_thumbnail" -> realThumbnailSql,
   )
 }
