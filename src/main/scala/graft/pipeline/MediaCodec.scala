@@ -300,7 +300,11 @@ object MediaCodec {
     * replicated to R=G=B like PGM), 2 (RGB), 3 (palette-indexed, PLTE
     * required and indexes bounds-checked), and 6 (RGBA, alpha dropped —
     * the library's raster model is RGB) are supported; 16-bit, 1/2/4-bit,
-    * gray+alpha, and Adler/interlaced profiles reject strictly. Output is
+    * gray+alpha, and broken-Adler profiles reject strictly. BOTH interlace
+    * methods decode: Adam7 is the 7-pass generalization of the same
+    * unfilter (each pass filters against its own previous row, empty
+    * passes contribute no bytes, pixels scatter to (x0+i·dx, y0+r·dy)),
+    * and non-interlaced is its 1-pass special case. Output is
     * row-major top-down RGB, same as every other raster decoder.
     */
   def decodePng(bytes: Array[Byte]): RasterImage = {
@@ -309,6 +313,7 @@ object MediaCodec {
       "not a PNG")
     var pos = 8
     var width = -1; var height = -1; var colorType = -1
+    var interlaced = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
@@ -336,7 +341,9 @@ object MediaCodec {
             s"PNG: only color types 0/2/3/6 supported, got $colorType")
           require(bytes(body + 10) == 0 && bytes(body + 11) == 0,
             "PNG: nonstandard compression/filter method")
-          require(bytes(body + 12) == 0, "PNG: interlaced (Adam7) not supported")
+          interlaced = (bytes(body + 12) & 0xff) == 1
+          require(bytes(body + 12) == 0 || interlaced,
+            s"PNG: bad interlace method ${bytes(body + 12)}")
         case "PLTE" =>
           require(len % 3 == 0 && len <= 768, s"PNG: bad PLTE length $len")
           palette = java.util.Arrays.copyOfRange(bytes, body, body + len)
@@ -354,8 +361,21 @@ object MediaCodec {
     require((width.toLong * channels + 1) * height <= Int.MaxValue &&
       width.toLong * height * 3 <= Int.MaxValue,
       s"PNG: image too large (${width}x$height, color type $colorType)")
-    val rowLen = width * channels
-    val raw = new Array[Byte]((rowLen + 1) * height)
+    // Adam7 reduces to pass lists; non-interlaced is the 1-pass case.
+    // Empty passes (a dimension rounds to 0) contribute NO bytes at all.
+    val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+      (if (!interlaced) Seq((0, 0, 1, 1))
+       else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)))
+        .map { case (x0, y0, dx, dy) =>
+          val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+          val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+          (x0, y0, dx, dy, pw, ph)
+        }
+        .filter(p => p._5 > 0 && p._6 > 0)
+    val totalRaw = passes.map(p => p._6.toLong * (p._5.toLong * channels + 1)).sum
+    require(totalRaw <= Int.MaxValue, "PNG: interlaced pixel stream too large")
+    val raw = new Array[Byte](totalRaw.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     try {
@@ -374,47 +394,64 @@ object MediaCodec {
     } catch { case e: java.util.zip.DataFormatException =>
       throw new IllegalArgumentException(s"PNG: corrupt zlib stream: ${e.getMessage}")
     } finally inf.end()
-    // unfilter in place, row by row (each filter references the PRIOR
-    // reconstructed row, so order matters); offsets skip the filter byte
-    var r = 0
-    while (r < height) {
-      val base = r * (rowLen + 1)
-      val filter = raw(base) & 0xff
-      var i = 0
-      while (i < rowLen) {
-        val x = raw(base + 1 + i) & 0xff
-        val a = if (i >= channels) raw(base + 1 + i - channels) & 0xff else 0 // left
-        val b = if (r > 0) raw(base - rowLen + i) & 0xff else 0 // up
-        val c = if (r > 0 && i >= channels) raw(base - rowLen + i - channels) & 0xff else 0
-        val recon = filter match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + b
-          case 3 => x + (a + b) / 2
-          case 4 => // Paeth: nearest of a/b/c to p = a + b - c, ties a, then b
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-          case f => throw new IllegalArgumentException(s"PNG: bad filter type $f in row $r")
+    // per pass: unfilter in place (each filter references the PRIOR
+    // reconstructed row OF THE SAME PASS), then scatter the pass's pixels
+    // to their final (x0 + i·dx, y0 + r·dy) positions
+    val out = new Array[Byte](width * height * channels)
+    var passBase = 0
+    passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+      val rowLen = pw * channels
+      var r = 0
+      while (r < ph) {
+        val base = passBase + r * (rowLen + 1)
+        val filter = raw(base) & 0xff
+        var i = 0
+        while (i < rowLen) {
+          val x = raw(base + 1 + i) & 0xff
+          val a = if (i >= channels) raw(base + 1 + i - channels) & 0xff else 0 // left
+          val b = if (r > 0) raw(base - rowLen + i) & 0xff else 0 // up
+          val c = if (r > 0 && i >= channels) raw(base - rowLen + i - channels) & 0xff else 0
+          val recon = filter match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 => // Paeth: nearest of a/b/c to p = a + b - c, ties a, then b
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case f => throw new IllegalArgumentException(s"PNG: bad filter type $f in row $r")
+          }
+          raw(base + 1 + i) = (recon & 0xff).toByte
+          i += 1
         }
-        raw(base + 1 + i) = (recon & 0xff).toByte
-        i += 1
+        var px = 0
+        while (px < pw) {
+          val dst = ((y0 + r * dy) * width + (x0 + px * dx)) * channels
+          var ch = 0
+          while (ch < channels) {
+            out(dst + ch) = raw(base + 1 + px * channels + ch)
+            ch += 1
+          }
+          px += 1
+        }
+        r += 1
       }
-      r += 1
+      passBase += ph * (rowLen + 1)
     }
     val rgb = new Array[Byte](width * height * 3)
     var p = 0
     val n = width * height
     while (p < n) {
-      val src = (p / width) * (rowLen + 1) + 1 + (p % width) * channels
+      val src = p * channels
       colorType match {
         case 2 | 6 =>
-          rgb(3 * p) = raw(src); rgb(3 * p + 1) = raw(src + 1); rgb(3 * p + 2) = raw(src + 2)
+          rgb(3 * p) = out(src); rgb(3 * p + 1) = out(src + 1); rgb(3 * p + 2) = out(src + 2)
         case 0 =>
-          rgb(3 * p) = raw(src); rgb(3 * p + 1) = raw(src); rgb(3 * p + 2) = raw(src)
+          rgb(3 * p) = out(src); rgb(3 * p + 1) = out(src); rgb(3 * p + 2) = out(src)
         case _ =>
           require(palette != null, "PNG: palette image without a PLTE chunk")
-          val idx = raw(src) & 0xff
+          val idx = out(src) & 0xff
           require(3 * idx + 2 < palette.length,
             s"PNG: palette index $idx beyond the ${palette.length / 3}-entry PLTE")
           rgb(3 * p) = palette(3 * idx)

@@ -495,8 +495,9 @@ class MediaCodecSpec extends SparkSpec {
   }
 
   private def png(width: Int, height: Int, colorType: Int, pixels: Array[Byte],
-      filters: Int => Int = _ => 0, palette: Array[Byte] = null): Array[Byte] =
-    MediaCodecSpec.pngFile(width, height, colorType, pixels, filters, palette)
+      filters: Int => Int = _ => 0, palette: Array[Byte] = null,
+      interlaced: Boolean = false): Array[Byte] =
+    MediaCodecSpec.pngFile(width, height, colorType, pixels, filters, palette, interlaced)
 
   test("PNG decode: real zlib, all five row filters invert exactly (RGB)") {
     val rnd = new scala.util.Random(41)
@@ -527,7 +528,25 @@ class MediaCodecSpec extends SparkSpec {
       decodePng(png(2, 2, 3, Array[Byte](0, 1, 2, 3), palette = pal)))
   }
 
-  test("PNG decode: strict rejects (bad CRC, truncated zlib, 16-bit, interlaced, geometry lies)") {
+  test("PNG decode: Adam7 interlace, all seven passes, mixed filters (RGB)") {
+    // 9x5 makes every pass non-empty and non-trivially sized; per-pass
+    // mixed filters mean a scatter or pass-geometry bug shears pixels
+    val px = Array.tabulate(9 * 5 * 3)(i => ((i * 7 + 3) % 251).toByte)
+    val got = decodePng(png(9, 5, 2, px, filters = r => r % 5, interlaced = true))
+    assert(got.width == 9 && got.height == 5)
+    assert(got.rgb.toSeq == px.toSeq, "Adam7 must reassemble exactly")
+    // 2x2: passes 2-5 are EMPTY (zero-size dimensions contribute no bytes)
+    val gray = Array[Byte](10, 60, 110, 160.toByte)
+    assert(decodePng(png(2, 2, 0, gray, filters = _ => 1, interlaced = true)).rgb.toSeq ==
+      gray.flatMap(g => Seq(g, g, g)).toSeq)
+    // palette-indexed interlaced: the scatter happens pre-palette
+    val pal = Array.tabulate(48)(i => (i * 5).toByte)
+    assert(decodePng(png(3, 3, 3, Array[Byte](0, 5, 10, 1, 6, 11, 2, 7, 12),
+      palette = pal, interlaced = true)).rgb.toSeq ==
+      Seq(0, 5, 10, 1, 6, 11, 2, 7, 12).flatMap(i => pal.slice(3 * i, 3 * i + 3).toSeq))
+  }
+
+  test("PNG decode: strict rejects (bad CRC, truncated zlib, 16-bit, geometry lies)") {
     val px = Array.fill(2 * 2 * 3)(7.toByte)
     val good = png(2, 2, 2, px)
     assert(decodePng(good).rgb.toSeq == px.toSeq)
@@ -588,31 +607,55 @@ class MediaCodecSpec extends SparkSpec {
   */
 object MediaCodecSpec {
   def pngFile(width: Int, height: Int, colorType: Int, pixels: Array[Byte],
-      filters: Int => Int = _ => 0, palette: Array[Byte] = null): Array[Byte] = {
+      filters: Int => Int = _ => 0, palette: Array[Byte] = null,
+      interlaced: Boolean = false): Array[Byte] = {
     val ch = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
-    val rowLen = width * ch
-    val raw = new Array[Byte]((rowLen + 1) * height)
-    for (r <- 0 until height) {
-      val f = filters(r)
-      raw(r * (rowLen + 1)) = f.toByte
-      for (i <- 0 until rowLen) {
-        val x = pixels(r * rowLen + i) & 0xff
-        val a = if (i >= ch) pixels(r * rowLen + i - ch) & 0xff else 0
-        val b = if (r > 0) pixels((r - 1) * rowLen + i) & 0xff else 0
-        val c = if (r > 0 && i >= ch) pixels((r - 1) * rowLen + i - ch) & 0xff else 0
-        val filtered = f match {
-          case 0 => x
-          case 1 => x - a
-          case 2 => x - b
-          case 3 => x - (a + b) / 2
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+    /** Forward-filter one sub-image's rows (the spec direction). */
+    def filterRows(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val rowLen = w * ch
+      val raw = new Array[Byte]((rowLen + 1) * h)
+      for (r <- 0 until h) {
+        val f = filters(r)
+        raw(r * (rowLen + 1)) = f.toByte
+        for (i <- 0 until rowLen) {
+          val x = px(r * rowLen + i) & 0xff
+          val a = if (i >= ch) px(r * rowLen + i - ch) & 0xff else 0
+          val b = if (r > 0) px((r - 1) * rowLen + i) & 0xff else 0
+          val c = if (r > 0 && i >= ch) px((r - 1) * rowLen + i - ch) & 0xff else 0
+          val filtered = f match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          }
+          raw(r * (rowLen + 1) + 1 + i) = (filtered & 0xff).toByte
         }
-        raw(r * (rowLen + 1) + 1 + i) = (filtered & 0xff).toByte
       }
+      raw
     }
+    val raw: Array[Byte] =
+      if (!interlaced) filterRows(pixels, width, height)
+      else {
+        // Adam7: extract each pass's sub-image, filter it independently
+        val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        passes.flatMap { case (x0, y0, dx, dy) =>
+          val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+          val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+          if (pw == 0 || ph == 0) Array.emptyByteArray
+          else {
+            val sub = new Array[Byte](pw * ph * ch)
+            for (r <- 0 until ph; i <- 0 until pw; c <- 0 until ch)
+              sub((r * pw + i) * ch + c) =
+                pixels(((y0 + r * dy) * width + (x0 + i * dx)) * ch + c)
+            filterRows(sub, pw, ph)
+          }
+        }.toArray
+      }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val zbuf = new Array[Byte](raw.length + 64)
@@ -626,7 +669,8 @@ object MediaCodecSpec {
       b.array()
     }
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(width).putInt(height)
-      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+      .put((if (interlaced) 1 else 0).toByte).array()
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
       chunk("IHDR", ihdr) ++
       (if (palette != null) chunk("PLTE", palette) else Array.emptyByteArray) ++
