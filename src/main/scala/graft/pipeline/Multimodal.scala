@@ -818,10 +818,10 @@ object Multimodal extends QueryModule {
   /** Hex of a constant PNG prefix (signature + IHDR chunk with its real
     * CRC) for an 8x8 bit-depth-8 image of the given color type.
     */
-  private def pngPrefixHex(colorType: Int): String = {
+  private def pngPrefixHex(colorType: Int, interlace: Int = 0): String = {
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(8).putInt(8)
-      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
-      .array()
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+      .put(interlace.toByte).array()
     val crc = new java.util.zip.CRC32()
     crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr)
     "89504E470D0A1A0A" + "0000000D" + "49484452" +
@@ -902,6 +902,84 @@ object Multimodal extends QueryModule {
                    CAST(CAST(CAST(3 * list_sum(list_transform(range(k * 8, (k + 1) * 8),
                        i -> ${byte("i")})) AS DOUBLE) / 6120.0 AS FLOAT) AS DOUBLE)
                  END AS luma_frac
+          FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
+        )
+        SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
+  }
+
+  /** `mm_real_png_adam7`: INTERLACED PNG, oracle-checked. With filter 0
+    * everywhere, an Adam7 stream is a pure PERMUTATION of the pixel
+    * bytes laid out in pass order with per-pass-row filter zeros — a
+    * layout SQL can emit with constant index arithmetic for the fixed
+    * 8x8 gray geometry (7 passes, 15 pass rows, 79 raw bytes). The
+    * IHDR carries interlace=1 (its own real CRC), the Adler-32 weights
+    * follow each byte's position in the PERMUTED stream, and the decoder
+    * must run the full per-pass unfilter+scatter to put every pixel back
+    * — so a pass-geometry, scatter, or interlace-dispatch bug lands as a
+    * band mismatch, and a checksum slip rejects the file. Decodes to the
+    * SAME image as `mm_real_png`'s gray arm, so the oracle recomputes
+    * banded luma straight from document bytes. Map-only until the sort.
+    */
+  def realPngAdam7(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Adam7 pass rows for 8x8: each row lists its pixels' source indexes
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val rows: Seq[Seq[Int]] = passes.flatMap { case (x0, y0, dx, dy) =>
+      val pw = (8 - x0 + dx - 1) / dx
+      val ph = (8 - y0 + dy - 1) / dy
+      (0 until ph).map(r => (0 until pw).map(i => (y0 + r * dy) * 8 + (x0 + i * dx)))
+    }
+    val n = rows.map(_.size + 1).sum // 79: 64 pixels + 15 filter bytes
+    // (source pixel, Adler weight = n - stream position) per data byte
+    val entries = {
+      val b = Seq.newBuilder[(Int, Int)]
+      var p = 0
+      rows.foreach { row => p += 1; row.foreach { src => b += (src -> (n - p)); p += 1 } }
+      b.result()
+    }
+    val lenHex = "%02X%02X".format(n & 0xff, n >> 8)
+    val nlenHex = "%02X%02X".format(~n & 0xff, (~n >> 8) & 0xff)
+    val rawHex = rows.map(row =>
+      s"concat('00', ${row.map(src => s"substring(h, ${src * 2 + 1}, 2)").mkString(", ")})")
+      .mkString("concat(", ", ", ")")
+    val srcArr = entries.map(_._1).mkString(", ")
+    val wArr = entries.map(_._2).mkString(", ")
+    val byteAt =
+      s"cast(conv(substring(h, element_at(array($srcArr), i + 1) * 2 + 1, 2), 16, 10) as bigint)"
+    val s1 = "(1 + aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+      "acc + cast(conv(substring(h, i * 2 + 1, 2), 16, 10) as bigint))) % 65521"
+    val s2 = s"($n + aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+      s"acc + element_at(array($wArr), i + 1) * $byteAt)) % 65521"
+    val adlerHex = s"lpad(hex(($s2) * 65536 + ($s1)), 8, '0')"
+    val zlibHex = s"concat('7801', '01$lenHex$nlenHex', $rawHex, $adlerHex)"
+    val idatLen = 2 + 5 + n + 4
+    val fileHex =
+      s"""concat('${pngPrefixHex(0, interlace = 1)}',
+                 lpad(hex($idatLen), 8, '0'), '49444154', $zlibHex,
+                 lpad(hex(crc32(unhex(concat('49444154', $zlibHex)))), 8, '0'),
+                 '0000000049454E44AE426082')"""
+    val clips = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= PpmPixelBytes)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"), lit("image").as("media_type"),
+        unhex(expr(fileHex)).as("payload"))
+    BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("luma_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realPngAdam7Sql = {
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS INT)"
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= $PpmPixelBytes
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CAST(CAST(CAST(3 * list_sum(list_transform(range(k * 8, (k + 1) * 8),
+                     i -> ${byte("i")})) AS DOUBLE) / 6120.0 AS FLOAT) AS DOUBLE) AS luma_frac
           FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
         )
         SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
@@ -1355,6 +1433,7 @@ object Multimodal extends QueryModule {
     "mm_real_chroma422" -> (realChroma422 _),
     "mm_real_bmp" -> (realBmp _),
     "mm_real_png" -> (realPng _),
+    "mm_real_png_adam7" -> (realPngAdam7 _),
     "mm_real_gif" -> (realGif _),
     "mm_real_jpeg" -> (realJpeg _),
     "mm_real_jpeg_prog" -> (realJpegProg _),
@@ -1378,6 +1457,7 @@ object Multimodal extends QueryModule {
     "mm_real_chroma422" -> realChroma422Sql,
     "mm_real_bmp" -> realBmpSql,
     "mm_real_png" -> realPngSql,
+    "mm_real_png_adam7" -> realPngAdam7Sql,
     "mm_real_gif" -> realGifSql,
     "mm_real_jpeg" -> realJpegSql,
     "mm_real_jpeg_prog" -> realJpegSql, // identical pixels by construction
