@@ -1,6 +1,6 @@
 package graft.pipeline
 
-/** REAL pure-JVM media decoders — binary PPM (P6) / PGM (P5), BMP
+/** REAL pure-JVM media decoders — binary PPM (P6) / PGM (P5) / PBM (P4), BMP
   * (24/32bpp + 8bpp palette), PNG (full non-interlaced 8-bit profile),
   * GIF (general LZW), and baseline JPEG (Huffman + IDCT, general
   * subsampling) images; RIFF/WAV 8/16-bit mono/stereo PCM audio; and
@@ -78,6 +78,7 @@ object MediaCodec {
   def sniff(payload: Array[Byte]): Option[String] =
     if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') Some("ppm")
     else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '5') Some("pgm")
+    else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '4') Some("pbm")
     else if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
       payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') Some("png")
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') Some("bmp")
@@ -96,6 +97,7 @@ object MediaCodec {
   def decode(payload: Array[Byte]): RasterImage = sniff(payload) match {
     case Some("ppm") => decodePpm(payload)
     case Some("pgm") => decodePgm(payload)
+    case Some("pbm") => decodePbm(payload)
     case Some("png") => decodePng(payload)
     case Some("bmp") => decodeBmp(payload)
     case Some("gif") => decodeGif(payload)
@@ -130,6 +132,62 @@ object MediaCodec {
   def decodePgm(bytes: Array[Byte]): RasterImage = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5', "not a P5 PGM")
     decodeNetpbm(bytes, channels = 1)
+  }
+
+  /** Binary PBM (P4): the 1-BIT Netpbm sibling — same header grammar
+    * minus maxval, then row-major PACKED bits, each row padded to a byte
+    * boundary (pad bits ignored), MSB first; per the spec a 1 bit is
+    * BLACK (0) and a 0 bit is WHITE (255), replicated to R=G=B like PGM.
+    */
+  def decodePbm(bytes: Array[Byte]): RasterImage = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '4', "not a P4 PBM")
+    var pos = 2
+    def skipWsAndComments(): Unit = {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (pos < bytes.length && Character.isWhitespace(bytes(pos))) { pos += 1; moved = true }
+        if (pos < bytes.length && bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          moved = true
+        }
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        s"PBM header: expected digit at byte $pos")
+      var v = 0L
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+        require(v <= Int.MaxValue, s"PBM header: number too large at byte $pos")
+      }
+      v.toInt
+    }
+    val width = readInt()
+    val height = readInt()
+    require(width > 0 && height > 0, s"PBM: bad dimensions ${width}x$height")
+    require(pos < bytes.length && Character.isWhitespace(bytes(pos)), "PBM: missing pixel separator")
+    pos += 1
+    val rowBytes = (width + 7) / 8
+    require(bytes.length - pos >= rowBytes.toLong * height,
+      s"PBM: truncated bits (${bytes.length - pos} < ${rowBytes.toLong * height})")
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"PBM: image too large (${width}x$height)")
+    val rgb = new Array[Byte](width * height * 3)
+    var r = 0
+    while (r < height) {
+      var x = 0
+      while (x < width) {
+        val bit = (bytes(pos + r * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+        val v: Byte = if (bit == 1) 0 else 255.toByte // 1 = black per spec
+        val o = (r * width + x) * 3
+        rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+        x += 1
+      }
+      r += 1
+    }
+    RasterImage(width, height, rgb)
   }
 
   private def decodeNetpbm(bytes: Array[Byte], channels: Int): RasterImage = {

@@ -985,6 +985,49 @@ object Multimodal extends QueryModule {
         SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
   }
 
+  /** `mm_real_pbm`: 1-BIT bitmap (P4 PBM) — the last Netpbm sibling, and
+    * the one where ROW BIT-PADDING is load-bearing: width 12 means each
+    * row is 12 data bits + 4 pad bits in 2 bytes, and a decoder that
+    * reads rows as contiguous bits (no per-row byte alignment) shears
+    * every row after the first. The fixture is a genuine `P4 12 8`
+    * header + 16 document bytes as packed bits; band k of the banded
+    * luma is exactly row k (12 pixels), so the oracle recomputes it as a
+    * POPCOUNT — black bits per row are `bit_count(b0) +
+    * bit_count(b1 >> 4)` (the pad nibble masked off), and luma is
+    * `765·(12 − black) / 9180`. A bit-order (MSB-first), polarity
+    * (1 = black), padding, or row-stride bug lands as a band mismatch.
+    * Map-only until the final sort.
+    */
+  def realPbm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val headerHex = "P4\n12 8\n".getBytes("US-ASCII").map("%02X".format(_)).mkString
+    val clips = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= 16)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"), lit("image").as("media_type"),
+        unhex(expr(s"concat('$headerHex', substring(h, 1, 32))")).as("payload"))
+    BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("luma_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realPbmSql = {
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS INT)"
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= 16
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CAST(CAST(CAST(765 * (12 - (bit_count(${byte("2 * k")})
+                       + bit_count(${byte("2 * k + 1")} // 16))) AS DOUBLE)
+                     / 9180.0 AS FLOAT) AS DOUBLE) AS luma_frac
+          FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
+        )
+        SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
+  }
+
   /** GIF fixture geometry: 24x16 = 384 pixels, one document byte each. */
   private val GifW = 24
   private val GifH = 16
@@ -1434,6 +1477,7 @@ object Multimodal extends QueryModule {
     "mm_real_bmp" -> (realBmp _),
     "mm_real_png" -> (realPng _),
     "mm_real_png_adam7" -> (realPngAdam7 _),
+    "mm_real_pbm" -> (realPbm _),
     "mm_real_gif" -> (realGif _),
     "mm_real_jpeg" -> (realJpeg _),
     "mm_real_jpeg_prog" -> (realJpegProg _),
@@ -1458,6 +1502,7 @@ object Multimodal extends QueryModule {
     "mm_real_bmp" -> realBmpSql,
     "mm_real_png" -> realPngSql,
     "mm_real_png_adam7" -> realPngAdam7Sql,
+    "mm_real_pbm" -> realPbmSql,
     "mm_real_gif" -> realGifSql,
     "mm_real_jpeg" -> realJpegSql,
     "mm_real_jpeg_prog" -> realJpegSql, // identical pixels by construction

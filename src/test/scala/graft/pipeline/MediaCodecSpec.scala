@@ -528,6 +528,20 @@ class MediaCodecSpec extends SparkSpec {
       decodePng(png(2, 2, 3, Array[Byte](0, 1, 2, 3), palette = pal)))
   }
 
+  test("PBM decode: MSB-first packed bits, 1=black, per-row byte padding") {
+    // 12x2: row = 2 bytes (12 bits + 4 pad). Pad bits set to 1 must be
+    // IGNORED — a contiguous-bit reader would shear row 1.
+    val bits = Array[Byte](0xA5.toByte, 0x5F.toByte, 0x3C.toByte, 0xCF.toByte)
+    val img = MediaCodec.decode("P4\n12 2\n".getBytes("US-ASCII") ++ bits)
+    assert(img.width == 12 && img.height == 2)
+    def row(b0: Int, b1: Int): Seq[Int] =
+      (0 until 12).map(x => if (((if (x < 8) b0 >> (7 - x) else b1 >> (15 - x)) & 1) == 1) 0 else 255)
+    val want = (row(0xA5, 0x5F) ++ row(0x3C, 0xCF)).flatMap(v => Seq(v, v, v))
+    assert(img.rgb.map(_ & 0xff).toSeq == want)
+    intercept[IllegalArgumentException]( // truncated bit rows
+      MediaCodec.decode("P4\n12 2\n".getBytes("US-ASCII") ++ bits.take(3)))
+  }
+
   test("PNG decode: Adam7 interlace, all seven passes, mixed filters (RGB)") {
     // 9x5 makes every pass non-empty and non-trivially sized; per-pass
     // mixed filters mean a scatter or pass-geometry bug shears pixels
