@@ -712,7 +712,12 @@ object MediaCodec {
   }
 
   /** WAV (RIFF) with uncompressed integer PCM (format tag 1; 8-, 16-, or
-    * 24-bit) or IEEE float32 (format tag 3), mono or stereo:
+    * 24-bit), IEEE float32 (format tag 3), or IMA/DVI ADPCM (format tag
+    * 17, mono, 4-bit — the one COMPRESSED WAV that actually ships;
+    * decoded through the full public state machine: per-block int16
+    * predictor header as sample 0, step-index header, low-nibble-first
+    * packing, the 89-entry step table, diff accumulation from the
+    * nibble's bits, ±32768 rails and 0..88 index clamps), mono or stereo:
     * `RIFF <size> WAVE`, then a CHUNK WALK — the `fmt ` chunk may be
     * preceded/followed by chunks a real encoder emits (`LIST`, `fact`,
     * `bext`...), which are skipped by their declared length (odd sizes pad
@@ -736,6 +741,19 @@ object MediaCodec {
     * combinations outside {1:8/16/24, 3:32} — this decoder verifies,
     * quantizes, and downmixes exactly, it never resamples.
     */
+  /** IMA step-size table (89 entries) and index-adjust table — the
+    * public DVI/IMA ADPCM constants every implementation shares.
+    */
+  private val ImaSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndex: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
   def decodeWav(bytes: Array[Byte]): PcmAudio = {
     require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F', "not a RIFF file")
@@ -746,6 +764,9 @@ object MediaCodec {
     var channels = -1
     var bits = -1
     var isFloat = false
+    var adpcm = false
+    var blockAlign = -1
+    var samplesPerBlock = -1
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = le32(bytes, pos + 4)
@@ -758,18 +779,73 @@ object MediaCodec {
           val formatTag = le16(bytes, body)
           channels = le16(bytes, body + 2)
           bits = le16(bytes, body + 14)
-          require(formatTag == 1 || formatTag == 3,
-            s"WAV: only PCM (tag 1) and IEEE float (tag 3) supported, got $formatTag")
-          require(channels == 1 || channels == 2,
-            s"WAV: only mono/stereo supported, got $channels channels")
+          require(formatTag == 1 || formatTag == 3 || formatTag == 0x11,
+            s"WAV: only PCM (tag 1), IEEE float (tag 3), and IMA-ADPCM (tag 17) supported, got $formatTag")
           isFloat = formatTag == 3
-          if (isFloat)
-            require(bits == 32, s"WAV: IEEE float must be 32-bit, got $bits")
-          else
-            require(bits == 8 || bits == 16 || bits == 24,
-              s"WAV: only 8/16/24-bit PCM supported, got $bits")
+          adpcm = formatTag == 0x11
+          if (adpcm) {
+            // mono-only by design: stereo IMA interleaves per-channel
+            // 4-byte nibble groups — a named reject, not silent garbage
+            require(channels == 1, s"WAV: IMA-ADPCM decode is mono-only, got $channels channels")
+            require(bits == 4, s"WAV: IMA-ADPCM must be 4-bit, got $bits")
+            blockAlign = le16(bytes, body + 12)
+            require(size >= 20 && body + 20 <= bytes.length,
+              "WAV: ADPCM fmt chunk missing the samplesPerBlock extension")
+            samplesPerBlock = le16(bytes, body + 18)
+            require(blockAlign >= 5 && samplesPerBlock == 1 + 2 * (blockAlign - 4),
+              s"WAV: ADPCM samplesPerBlock $samplesPerBlock does not match blockAlign $blockAlign")
+          } else {
+            require(channels == 1 || channels == 2,
+              s"WAV: only mono/stereo supported, got $channels channels")
+            if (isFloat)
+              require(bits == 32, s"WAV: IEEE float must be 32-bit, got $bits")
+            else
+              require(bits == 8 || bits == 16 || bits == 24,
+                s"WAV: only 8/16/24-bit PCM supported, got $bits")
+          }
           sampleRate = le32(bytes, body + 4)
           require(sampleRate > 0, s"WAV: bad sample rate $sampleRate")
+        case "data" if adpcm =>
+          require(sampleRate > 0, "WAV: data chunk before a valid fmt chunk")
+          require(body + size <= bytes.length, "WAV: truncated data chunk")
+          require(size % blockAlign == 0,
+            s"WAV: ADPCM data size $size is not a multiple of blockAlign $blockAlign")
+          val nBlocks = size / blockAlign
+          val out = new Array[Int](nBlocks * samplesPerBlock)
+          var o = 0
+          var b = 0
+          while (b < nBlocks) {
+            val base = body + b * blockAlign
+            // block header: initial predictor (int16 LE) IS sample 0,
+            // then the step index; each following byte is two nibbles,
+            // LOW first
+            var pred = (bytes(base) & 0xff) | (bytes(base + 1).toInt << 8)
+            var idx = bytes(base + 2) & 0xff
+            require(idx <= 88, s"WAV: ADPCM step index $idx out of range")
+            out(o) = pred; o += 1
+            var j = 0
+            while (j < blockAlign - 4) {
+              val two = bytes(base + 4 + j) & 0xff
+              var half = 0
+              while (half < 2) {
+                val n = if (half == 0) two & 0x0f else two >> 4
+                val step = ImaSteps(idx)
+                var diff = step >> 3
+                if ((n & 1) != 0) diff += step >> 2
+                if ((n & 2) != 0) diff += step >> 1
+                if ((n & 4) != 0) diff += step
+                pred = if ((n & 8) != 0) pred - diff else pred + diff
+                if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+                idx += ImaIndex(n & 7)
+                if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+                out(o) = pred; o += 1
+                half += 1
+              }
+              j += 1
+            }
+            b += 1
+          }
+          return PcmAudio(sampleRate, 16, out)
         case "data" =>
           require(sampleRate > 0, "WAV: data chunk before a valid fmt chunk")
           require(body + size <= bytes.length, "WAV: truncated data chunk")

@@ -1028,6 +1028,93 @@ object Multimodal extends QueryModule {
         SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
   }
 
+  /** `mm_real_adpcm`: IMA/DVI ADPCM — the one COMPRESSED WAV format real
+    * audio actually ships — decoded through the full public state
+    * machine and ORACLE-CHECKED by re-running that state machine in SQL.
+    * Spark builds a genuine one-block tag-17 WAV per document (constant
+    * RIFF/fmt prefix with the samplesPerBlock extension; block header =
+    * document bytes 32/33 as the int16 predictor, byte 34 mod 89 as the
+    * step index; 32 document bytes as 64 low-nibble-first nibbles) and
+    * the decoder runs the real 89-step table walk. DuckDB replays the
+    * SAME walk as a `list_reduce` FOLD — state `[pred, idx, samples...]`,
+    * per nibble the step lookup, bit-weighted diff, ±32768 rails and
+    * 0..88 index clamps, all exact integers (the BPE-fold pattern, now
+    * driving an audio codec) — then band-sums |sample| with the
+    * decoder's floor band bounds. A step-table, nibble-order, clamp,
+    * sign, or block-header bug in EITHER implementation lands as a
+    * mismatch. Map-only until the final sort.
+    */
+  def realAdpcm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // fmt: tag 0x11, mono, 8 kHz, blockAlign 36, 4-bit, cbSize 2, spb 65
+    val fmtHex = {
+      val b = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0x11).putShort(1).putInt(8000).putInt(4000)
+        .putShort(36).putShort(4).putShort(2).putShort(65)
+      b.array().map("%02X".format(_)).mkString
+    }
+    val riffHex = "52494646" + "%02X%02X%02X%02X".format(76 & 0xff, 0, 0, 0) + "57415645"
+    val dataLenHex = "%02X%02X%02X%02X".format(36, 0, 0, 0)
+    // header: doc bytes 32..33 verbatim (LE int16 predictor), byte 34 % 89
+    // as the step index, a zero reserved byte, then 32 data bytes
+    val payload =
+      s"""concat('$riffHex', '666D7420', '14000000', '$fmtHex',
+                 '64617461', '$dataLenHex',
+                 substring(h, 65, 4),
+                 lpad(hex(cast(conv(substring(h, 69, 2), 16, 10) as bigint) % 89), 2, '0'),
+                 '00', substring(h, 1, 64))"""
+    val clips = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= 35)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        unhex(expr(payload)).as("payload"))
+    BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("amp_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realAdpcmSql = {
+    // the decoder's floor band bounds for 65 samples over 8 bands
+    val bounds = (0 until 8).map(k => ((k * 65) / 8, ((k + 1) * 65) / 8))
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS BIGINT)"
+    val pred0 = s"(CASE WHEN ${byte("33")} >= 128 THEN ${byte("32")} + 256 * ${byte("33")} - 65536 ELSE ${byte("32")} + 256 * ${byte("33")} END)"
+    val idx0 = s"(${byte("34")} % 89)"
+    val stepTable = "list_value(7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767)"
+    val idxAdj = "list_value(-1,-1,-1,-1,2,4,6,8)"
+    val step = s"list_extract($stepTable, CAST(acc[2] AS INT) + 1)"
+    val n = "list_extract(nibs, CAST(x[1] AS INT) + 1)"
+    val diff = s"(($step) // 8 + CASE WHEN ($n) % 2 = 1 THEN ($step) // 4 ELSE 0 END" +
+      s" + CASE WHEN (($n) // 2) % 2 = 1 THEN ($step) // 2 ELSE 0 END" +
+      s" + CASE WHEN (($n) // 4) % 2 = 1 THEN ($step) ELSE 0 END)"
+    val pred2 = s"greatest(-32768, least(32767, CASE WHEN ($n) >= 8 THEN acc[1] - $diff ELSE acc[1] + $diff END))"
+    val idx2 = s"greatest(0, least(88, acc[2] + list_extract($idxAdj, CAST(($n) % 8 AS INT) + 1)))"
+    val fold =
+      s"""list_reduce(
+            [[ $pred0, $idx0, $pred0 ]] ||
+              list_transform(range(0, 64), i -> [i]),
+            (acc, x) -> [ $pred2, $idx2 ] || acc[3:] || [ $pred2 ])"""
+    val bandCases = bounds.zipWithIndex.map { case ((st, en), k) =>
+      s"WHEN $k THEN CAST(CAST(CAST(list_sum(list_transform(samples[${st + 1}:$en], v -> abs(v))) AS DOUBLE) / ${32768.0 * (en - st)} AS FLOAT) AS DOUBLE)"
+    }.mkString(" ")
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= 35
+        ), nb AS (
+          SELECT doc_id, h,
+                 flatten(list_transform(range(0, 32),
+                   j -> [${byte("j")} % 16, ${byte("j")} // 16])) AS nibs
+          FROM d
+        ), s AS (
+          SELECT doc_id, ($fold)[3:] AS samples FROM nb
+        )
+        SELECT doc_id, CAST(k AS INT) AS band,
+               CASE k $bandCases END AS amp_frac
+        FROM s, (SELECT unnest(range(0, 8)) AS k)
+        ORDER BY doc_id, band"""
+  }
+
   /** GIF fixture geometry: 24x16 = 384 pixels, one document byte each. */
   private val GifW = 24
   private val GifH = 16
@@ -1478,6 +1565,7 @@ object Multimodal extends QueryModule {
     "mm_real_png" -> (realPng _),
     "mm_real_png_adam7" -> (realPngAdam7 _),
     "mm_real_pbm" -> (realPbm _),
+    "mm_real_adpcm" -> (realAdpcm _),
     "mm_real_gif" -> (realGif _),
     "mm_real_jpeg" -> (realJpeg _),
     "mm_real_jpeg_prog" -> (realJpegProg _),
@@ -1503,6 +1591,7 @@ object Multimodal extends QueryModule {
     "mm_real_png" -> realPngSql,
     "mm_real_png_adam7" -> realPngAdam7Sql,
     "mm_real_pbm" -> realPbmSql,
+    "mm_real_adpcm" -> realAdpcmSql,
     "mm_real_gif" -> realGifSql,
     "mm_real_jpeg" -> realJpegSql,
     "mm_real_jpeg_prog" -> realJpegSql, // identical pixels by construction

@@ -309,6 +309,65 @@ class MediaCodecSpec extends SparkSpec {
         chunk("data", leF(java.lang.Float.POSITIVE_INFINITY).toArray))))
   }
 
+  test("WAV decode: IMA-ADPCM (tag 17) — state machine vs reference fold, rails, blocks") {
+    def adpcmFmt(blockAlign: Int, spb: Int) = {
+      val b = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0x11).putShort(1).putInt(8000).putInt(4000)
+        .putShort(blockAlign.toShort).putShort(4).putShort(2).putShort(spb.toShort)
+      b.array()
+    }
+    def blockOf(pred0: Int, idx0: Int, nibbles: Seq[Int]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + nibbles.size / 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(pred0.toShort).put(idx0.toByte).put(0.toByte)
+      nibbles.grouped(2).foreach { case Seq(lo, hi) => b.put((lo | (hi << 4)).toByte) }
+      b.array()
+    }
+    // independent reference spelling of the public IMA algorithm
+    val steps = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+      28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+      130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+      449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+      1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+      4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    def ref(pred0: Int, idx0: Int, nibbles: Seq[Int]): Seq[Int] = {
+      var pred = pred0; var idx = idx0
+      pred0 +: nibbles.map { n =>
+        val st = steps(idx)
+        var d = st / 8
+        if ((n & 1) != 0) d += st / 4
+        if ((n & 2) != 0) d += st / 2
+        if ((n & 4) != 0) d += st
+        pred = math.max(-32768, math.min(32767, if ((n & 8) != 0) pred - d else pred + d))
+        idx = math.max(0, math.min(88, idx + Seq(-1, -1, -1, -1, 2, 4, 6, 8)(n & 7)))
+        pred
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val n1 = Seq.fill(16)(rnd.nextInt(16))
+    val n2 = Seq.fill(16)(rnd.nextInt(16))
+    // two blocks: the second's header resets predictor AND index
+    val wav = riff(chunk("fmt ", adpcmFmt(12, 17)),
+      chunk("data", blockOf(-3, 20, n1) ++ blockOf(1000, 60, n2)))
+    val got = decodeWav(wav)
+    assert(got.bits == 16)
+    assert(got.samples.toSeq == ref(-3, 20, n1) ++ ref(1000, 60, n2))
+    // rails: from near the top at max step, an all-add nibble pins at 32767
+    val railed = decodeWav(riff(chunk("fmt ", adpcmFmt(5, 3)),
+      chunk("data", blockOf(32700, 88, Seq(7, 7)))))
+    assert(railed.samples.toSeq == Seq(32700, 32767, 32767))
+    // rejects: stereo ADPCM, out-of-range step index, missing extension
+    intercept[IllegalArgumentException](decodeWav(riff(
+      chunk("fmt ", { val f = adpcmFmt(12, 17); f(2) = 2; f }),
+      chunk("data", blockOf(0, 0, n1) ++ blockOf(0, 0, n1)))))
+    intercept[IllegalArgumentException](decodeWav(riff(chunk("fmt ", adpcmFmt(12, 17)),
+      chunk("data", blockOf(0, 89, n1)))))
+    intercept[IllegalArgumentException](decodeWav(riff(
+      chunk("fmt ", adpcmFmt(12, 17).take(16)), chunk("data", blockOf(0, 0, n1)))))
+  }
+
   test("WAV decode: strict rejects (12-bit, 3-channel, compressed tag, ragged data, missing data)") {
     val samples = Array.fill(8)(5.toByte)
     intercept[IllegalArgumentException](
