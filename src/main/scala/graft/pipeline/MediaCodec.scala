@@ -714,6 +714,10 @@ object MediaCodec {
   /** WAV (RIFF) with uncompressed integer PCM (format tag 1; 8-, 16-, or
     * 24-bit), IEEE float32 (format tag 3), or IMA/DVI ADPCM (format tag
     * 17, mono, 4-bit — the one COMPRESSED WAV that actually ships;
+    * G.711 µ-law (tag 7) and A-law (tag 6) — the telephony companding
+    * formats, expanded per byte with the Sun/CCITT reference formulas
+    * onto the 16-bit grid, mono or stereo with the same floor-mean
+    * downmix;
     * decoded through the full public state machine: per-block int16
     * predictor header as sample 0, step-index header, low-nibble-first
     * packing, the 89-entry step table, diff accumulation from the
@@ -754,6 +758,28 @@ object MediaCodec {
     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
   private val ImaIndex: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
+  /** G.711 µ-law byte → 16-bit sample (the Sun/CCITT reference decode:
+    * complement, biased mantissa shifted by the segment, sign from bit
+    * 7; range ±32124).
+    */
+  def ulawToLinear(b: Int): Int = {
+    val u = ~b & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → 16-bit sample (XOR 0x55, segment-shifted
+    * mantissa, sign bit SET means positive; range ±32256).
+    */
+  def alawToLinear(b: Int): Int = {
+    val a = b ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else t = (t + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
   def decodeWav(bytes: Array[Byte]): PcmAudio = {
     require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F', "not a RIFF file")
@@ -765,6 +791,7 @@ object MediaCodec {
     var bits = -1
     var isFloat = false
     var adpcm = false
+    var g711 = 0 // 6 = A-law, 7 = mu-law (companded 8-bit -> 16-bit grid)
     var blockAlign = -1
     var samplesPerBlock = -1
     while (pos + 8 <= bytes.length) {
@@ -779,8 +806,9 @@ object MediaCodec {
           val formatTag = le16(bytes, body)
           channels = le16(bytes, body + 2)
           bits = le16(bytes, body + 14)
-          require(formatTag == 1 || formatTag == 3 || formatTag == 0x11,
-            s"WAV: only PCM (tag 1), IEEE float (tag 3), and IMA-ADPCM (tag 17) supported, got $formatTag")
+          require(formatTag == 1 || formatTag == 3 || formatTag == 0x11 ||
+            formatTag == 6 || formatTag == 7,
+            s"WAV: only PCM (1), IEEE float (3), A-law (6), mu-law (7), and IMA-ADPCM (17) supported, got $formatTag")
           isFloat = formatTag == 3
           adpcm = formatTag == 0x11
           if (adpcm) {
@@ -797,7 +825,10 @@ object MediaCodec {
           } else {
             require(channels == 1 || channels == 2,
               s"WAV: only mono/stereo supported, got $channels channels")
-            if (isFloat)
+            g711 = if (formatTag == 6 || formatTag == 7) formatTag else 0
+            if (g711 != 0)
+              require(bits == 8, s"WAV: G.711 must be 8-bit, got $bits")
+            else if (isFloat)
               require(bits == 32, s"WAV: IEEE float must be 32-bit, got $bits")
             else
               require(bits == 8 || bits == 16 || bits == 24,
@@ -860,6 +891,8 @@ object MediaCodec {
             def sample(c: Int): Int = {
               val off = body + i * frameBytes + c * bytesPer
               bits match {
+                case 8 if g711 == 7 => ulawToLinear(bytes(off) & 0xff)
+                case 8 if g711 == 6 => alawToLinear(bytes(off) & 0xff)
                 case 8  => bytes(off) & 0xff
                 case 16 => (bytes(off) & 0xff) | (bytes(off + 1).toInt << 8) // LE signed
                 case 24 => (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
@@ -876,7 +909,7 @@ object MediaCodec {
               else (sample(0) + sample(1)) >> 1 // pinned downmix: floor mean
             i += 1
           }
-          return PcmAudio(sampleRate, bits, out)
+          return PcmAudio(sampleRate, if (g711 != 0) 16 else bits, out)
         case _ => // unknown chunk: skip by declared length
       }
       pos = body + size + (size & 1) // chunks are word-aligned: odd sizes pad

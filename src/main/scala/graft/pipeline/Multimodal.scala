@@ -1115,6 +1115,67 @@ object Multimodal extends QueryModule {
         ORDER BY doc_id, band"""
   }
 
+  /** `mm_real_g711`: the telephony companding pair, PARITY-MIXED — even
+    * doc_ids build a genuine µ-law (tag 7) WAV, odd an A-law (tag 6)
+    * one, same 64 document bytes as samples either way, so the fmt-tag
+    * dispatch AND both expansion formulas are pinned by ONE oracle row
+    * over identical populations. The decoder expands per byte with the
+    * Sun/CCITT reference formulas onto the 16-bit grid; the oracle
+    * recomputes the same pure integer expressions per byte per parity
+    * (complement/bias/segment-shift for µ-law, XOR 0x55 with the
+    * seg-0 special case for A-law — sign bit SET is positive there) and
+    * band-sums |sample|. A complement, bias, segment, or sign-convention
+    * bug in either formula lands as a mismatch. Map-only until the sort.
+    */
+  def realG711(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def fmtHex(tag: Int) = {
+      val b = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(tag.toShort).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+      b.array().map("%02X".format(_)).mkString
+    }
+    val riffHex = "52494646" + "%02X%02X%02X%02X".format(104 & 0xff, 0, 0, 0) + "57415645"
+    def fileHex(tag: Int) =
+      s"concat('$riffHex', '666D7420', '10000000', '${fmtHex(tag)}', " +
+        s"'64617461', '40000000', substring(h, 1, 128))"
+    val clips = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= 64)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        unhex(when(col("doc_id") % 2 === 0, expr(fileHex(7)))
+          .otherwise(expr(fileHex(6)))).as("payload"))
+    BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("amp_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realG711Sql = {
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS INT)"
+    // mu-law expand: complement, biased mantissa shifted by segment
+    val u = s"(255 - ${byte("i")})"
+    val ulaw = s"(CASE WHEN $u >= 128 THEN 132 - ((($u % 16) * 8 + 132) * (1 << (($u // 16) % 8)))" +
+      s" ELSE ((($u % 16) * 8 + 132) * (1 << (($u // 16) % 8))) - 132 END)"
+    // A-law expand: XOR 0x55; seg-0 special case; sign bit SET = positive
+    val a = s"xor(${byte("i")}, 85)"
+    val at = s"(CASE WHEN (($a // 16) % 8) = 0 THEN ($a % 16) * 16 + 8" +
+      s" ELSE (($a % 16) * 16 + 264) * (1 << ((($a // 16) % 8) - 1)) END)"
+    val alaw = s"(CASE WHEN $a >= 128 THEN $at ELSE -($at) END)"
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= 64
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CAST(CAST(CAST(list_sum(list_transform(range(k * 8, (k + 1) * 8),
+                     i -> CASE WHEN doc_id % 2 = 0 THEN abs($ulaw) ELSE abs($alaw) END))
+                   AS DOUBLE) / 262144.0 AS FLOAT) AS DOUBLE) AS amp_frac
+          FROM d, (SELECT unnest(range(0, 8)) AS k)
+        )
+        SELECT doc_id, band, amp_frac FROM f ORDER BY doc_id, band"""
+  }
+
   /** GIF fixture geometry: 24x16 = 384 pixels, one document byte each. */
   private val GifW = 24
   private val GifH = 16
@@ -1566,6 +1627,7 @@ object Multimodal extends QueryModule {
     "mm_real_png_adam7" -> (realPngAdam7 _),
     "mm_real_pbm" -> (realPbm _),
     "mm_real_adpcm" -> (realAdpcm _),
+    "mm_real_g711" -> (realG711 _),
     "mm_real_gif" -> (realGif _),
     "mm_real_jpeg" -> (realJpeg _),
     "mm_real_jpeg_prog" -> (realJpegProg _),
@@ -1592,6 +1654,7 @@ object Multimodal extends QueryModule {
     "mm_real_png_adam7" -> realPngAdam7Sql,
     "mm_real_pbm" -> realPbmSql,
     "mm_real_adpcm" -> realAdpcmSql,
+    "mm_real_g711" -> realG711Sql,
     "mm_real_gif" -> realGifSql,
     "mm_real_jpeg" -> realJpegSql,
     "mm_real_jpeg_prog" -> realJpegSql, // identical pixels by construction

@@ -368,6 +368,29 @@ class MediaCodecSpec extends SparkSpec {
       chunk("fmt ", adpcmFmt(12, 17).take(16)), chunk("data", blockOf(0, 0, n1)))))
   }
 
+  test("WAV decode: G.711 mu-law and A-law expand to the known reference values") {
+    import MediaCodec.{alawToLinear, ulawToLinear}
+    // canonical G.711 table anchors: zero codes, both rails, small values
+    assert(ulawToLinear(0xFF) == 0 && ulawToLinear(0x7F) == 0)
+    assert(ulawToLinear(0x00) == -32124 && ulawToLinear(0x80) == 32124)
+    assert(alawToLinear(0x55) == -8 && alawToLinear(0xD5) == 8)
+    assert(alawToLinear(0x2A) == -32256 && alawToLinear(0xAA) == 32256)
+    // through the WAV container: tag 7 / tag 6 dispatch onto the 16-bit grid
+    def fmt(tag: Int) = {
+      val b = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(tag.toShort).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+      b.array()
+    }
+    val data = Array[Byte](0x00, 0xFF.toByte, 0x80.toByte)
+    val mu = decodeWav(riff(chunk("fmt ", fmt(7)), chunk("data", data)))
+    assert(mu.bits == 16 && mu.samples.toSeq == Seq(-32124, 0, 32124))
+    val al = decodeWav(riff(chunk("fmt ", fmt(6)), chunk("data", Array[Byte](0x55, 0x2A, 0xAA.toByte))))
+    assert(al.bits == 16 && al.samples.toSeq == Seq(-8, -32256, 32256))
+    // G.711 with a non-8-bit header is malformed
+    intercept[IllegalArgumentException](
+      decodeWav(riff(chunk("fmt ", fmtBody(tag = 7, bits = 16)), chunk("data", data))))
+  }
+
   test("WAV decode: strict rejects (12-bit, 3-channel, compressed tag, ragged data, missing data)") {
     val samples = Array.fill(8)(5.toByte)
     intercept[IllegalArgumentException](
