@@ -284,7 +284,8 @@ object MediaCodec {
     val compression = le32(bytes, 30)
     require(bpp == 8 || bpp == 24 || bpp == 32,
       s"BMP: only 8/24/32bpp supported, got $bpp")
-    require(compression == 0, s"BMP: only uncompressed (BI_RGB) supported, got $compression")
+    require(compression == 0 || (compression == 1 && bpp == 8),
+      s"BMP: only BI_RGB and 8bpp BI_RLE8 supported, got compression $compression at $bpp bpp")
     require(infoSize >= 40, s"BMP: info header too short ($infoSize)")
     require(pixelOffset >= 54 && pixelOffset <= bytes.length,
       s"BMP: pixel-data offset $pixelOffset outside the file")
@@ -308,8 +309,46 @@ object MediaCodec {
     val rowBytesL = ((width.toLong * (bpp / 8) + 3) / 4) * 4
     // divide, don't multiply: rowBytesL * height can itself overflow Long
     // when both dims are near Int.MaxValue
-    require(height <= (bytes.length - pixelOffset) / rowBytesL, "BMP: truncated pixels")
+    require(compression == 1 ||
+      height <= (bytes.length - pixelOffset) / rowBytesL, "BMP: truncated pixels")
     val rowBytes = rowBytesL.toInt
+    // BI_RLE8: decode the run stream into a top-down index raster first;
+    // runs never cross rows, EOL (00 00) advances, EOB (00 01) ends,
+    // literal runs (00 n>=3) pad to a word, the delta escape is a named
+    // reject (it encodes SKIPPED pixels whose value is undefined)
+    val rle: Array[Byte] = if (compression == 1) {
+      require(bottomUp, "BMP: RLE8 requires a bottom-up bitmap")
+      require(width.toLong * height <= Int.MaxValue, "BMP: RLE8 raster too large")
+      val idx = new Array[Byte](width * height)
+      var p = pixelOffset
+      var x = 0
+      var y = 0 // counts from the BOTTOM row, per file order
+      var eob = false
+      while (!eob) {
+        require(p + 2 <= bytes.length, "BMP: truncated RLE8 stream")
+        val n = bytes(p) & 0xff
+        val v = bytes(p + 1) & 0xff
+        p += 2
+        if (n > 0) {
+          require(y < height && x + n <= width, s"BMP: RLE8 run overflows row $y")
+          val base = (height - 1 - y) * width
+          var i = 0
+          while (i < n) { idx(base + x) = v.toByte; x += 1; i += 1 }
+        } else v match {
+          case 0 => x = 0; y += 1 // end of line
+          case 1 => eob = true
+          case 2 => throw new IllegalArgumentException("BMP: RLE8 delta escape unsupported")
+          case lit =>
+            require(y < height && x + lit <= width, s"BMP: RLE8 literal overflows row $y")
+            require(p + lit + (lit & 1) <= bytes.length, "BMP: truncated RLE8 literal")
+            val base = (height - 1 - y) * width
+            var i = 0
+            while (i < lit) { idx(base + x) = bytes(p + i); x += 1; i += 1 }
+            p += lit + (lit & 1) // literal runs pad to a word boundary
+        }
+      }
+      idx
+    } else null
     val rgb = new Array[Byte](width * height * 3)
     var row = 0
     while (row < height) {
@@ -328,7 +367,7 @@ object MediaCodec {
             rgb(d + 1) = bytes(src + 4 * x + 1)
             rgb(d + 2) = bytes(src + 4 * x)
           case _ => // 8bpp: index into the BGRA palette
-            val idx = bytes(src + x) & 0xff
+            val idx = (if (rle != null) rle(row * width + x) else bytes(src + x)) & 0xff
             require(idx < nColors, s"BMP: palette index $idx >= biClrUsed $nColors")
             val p = palOff + 4 * idx
             rgb(d) = bytes(p + 2)
@@ -1088,14 +1127,16 @@ object MediaCodec {
     * palette entries.
     */
   def bmpHeader(width: Int, height: Int, bpp: Int, nColors: Int = 0,
-      topDown: Boolean = false): Array[Byte] = {
+      topDown: Boolean = false, compression: Int = 0,
+      dataBytes: Int = -1): Array[Byte] = {
     val rowBytes = ((width * (bpp / 8) + 3) / 4) * 4
+    val size = if (dataBytes >= 0) dataBytes else rowBytes * height
     val pixelOffset = 54 + 4 * nColors
     val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put('B'.toByte).put('M'.toByte).putInt(pixelOffset + rowBytes * height)
+    b.put('B'.toByte).put('M'.toByte).putInt(pixelOffset + size)
       .putInt(0).putInt(pixelOffset)
     b.putInt(40).putInt(width).putInt(if (topDown) -height else height)
-      .putShort(1).putShort(bpp.toShort).putInt(0).putInt(rowBytes * height)
+      .putShort(1).putShort(bpp.toShort).putInt(compression).putInt(size)
       .putInt(2835).putInt(2835).putInt(nColors).putInt(0)
     b.array()
   }

@@ -1176,6 +1176,58 @@ object Multimodal extends QueryModule {
         SELECT doc_id, band, amp_frac FROM f ORDER BY doc_id, band"""
   }
 
+  /** `mm_real_bmp_rle`: BI_RLE8 — the compressed BMP variant — decoding
+    * to the SAME 6x4 palette image as `mm_real_bmp`'s odd arm, so the
+    * oracle formula carries over while the DECODE PATH changes entirely:
+    * the SQL emitter writes the run STREAM (a (1, idx) run per pixel,
+    * an end-of-line escape per bottom-up file row, the end-of-bitmap
+    * escape at the tail) and the decoder must parse run framing, row
+    * advancement, and terminators to reassemble the raster. A run-count,
+    * EOL, row-order, or palette bug lands as a value mismatch; malformed
+    * framing rejects. Map-only until the final sort.
+    */
+  def realBmpRle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // stream = 4 file rows (bottom-up) x 6 per-pixel runs + EOL, then EOB
+    val dataBytes = 4 * (6 * 2 + 2) + 2
+    val hdr = MediaCodec.bmpHeader(6, 4, 8, nColors = 16,
+      compression = 1, dataBytes = dataBytes).map("%02X".format(_)).mkString
+    val stream = (0 until 4).map { j =>
+      (0 until 6).map { col =>
+        s"'01', '0', substring(h, ${(64 + j * 8 + col) * 2 + 2}, 1)"
+      }.mkString(", ") + ", '0000'"
+    }.mkString(", ") + ", '0001'"
+    val clips = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= 96)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"), lit("image").as("media_type"),
+        unhex(expr(s"concat('$hdr', substring(h, 1, 128), $stream)")).as("payload"))
+    BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("luma_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realBmpRleSql = {
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS INT)"
+    def nibble(off: String) = s"CAST('0x0' || substring(h, ($off) * 2 + 2, 1) AS INT)"
+    // same image as mm_real_bmp's odd arm: decoded row r = (j//3)//6,
+    // col = (j//3)%6, palette channel at 4*idx + (2-c)
+    val idx = nibble("64 + (3 - (j // 3) // 6) * 8 + (j // 3) % 6")
+    val v = byte(s"4 * $idx + 2 - j % 3")
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= 96
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CAST(CAST(CAST(list_sum(list_transform(range(k * 9, (k + 1) * 9),
+                     j -> $v)) AS DOUBLE) / ${9 * 255}.0 AS FLOAT) AS DOUBLE) AS luma_frac
+          FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
+        )
+        SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
+  }
+
   /** GIF fixture geometry: 24x16 = 384 pixels, one document byte each. */
   private val GifW = 24
   private val GifH = 16
@@ -1628,6 +1680,7 @@ object Multimodal extends QueryModule {
     "mm_real_pbm" -> (realPbm _),
     "mm_real_adpcm" -> (realAdpcm _),
     "mm_real_g711" -> (realG711 _),
+    "mm_real_bmp_rle" -> (realBmpRle _),
     "mm_real_gif" -> (realGif _),
     "mm_real_jpeg" -> (realJpeg _),
     "mm_real_jpeg_prog" -> (realJpegProg _),
@@ -1655,6 +1708,7 @@ object Multimodal extends QueryModule {
     "mm_real_pbm" -> realPbmSql,
     "mm_real_adpcm" -> realAdpcmSql,
     "mm_real_g711" -> realG711Sql,
+    "mm_real_bmp_rle" -> realBmpRleSql,
     "mm_real_gif" -> realGifSql,
     "mm_real_jpeg" -> realJpegSql,
     "mm_real_jpeg_prog" -> realJpegSql, // identical pixels by construction

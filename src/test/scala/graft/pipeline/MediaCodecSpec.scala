@@ -610,6 +610,32 @@ class MediaCodecSpec extends SparkSpec {
       decodePng(png(2, 2, 3, Array[Byte](0, 1, 2, 3), palette = pal)))
   }
 
+  test("BMP decode: BI_RLE8 runs, padded literals, EOL/EOB framing, delta reject") {
+    // 4x2 palette image: palette entry q = (q, 2q, 3q) in BGRA order
+    val pal = Array.tabulate(4)(q => Array(3 * q, 2 * q, q, 0)).flatten.map(_.toByte)
+    def file(stream: Array[Byte]) =
+      MediaCodec.bmpHeader(4, 2, 8, nColors = 4, compression = 1,
+        dataBytes = stream.length) ++ pal ++ stream
+    // bottom row: run of 3 x idx2 + run of 1 x idx0; top row: literal of 3
+    // (odd -> one pad byte) + run of 1 x idx3
+    val stream = Array[Byte](3, 2, 1, 0, 0, 0, // runs + EOL
+      0, 3, 1, 2, 3, 0, // literal 3: idx 1,2,3 + pad
+      1, 3, 0, 0, // run 1 x idx3 + EOL
+      0, 1) // EOB
+    val img = MediaCodec.decode(file(stream))
+    def rgbOf(q: Int) = Seq(q, 2 * q, 3 * q) // palette is BGR on disk
+    val want = (Seq(1, 2, 3, 3) ++ Seq(2, 2, 2, 0)).flatMap(rgbOf) // top row first
+    assert(img.rgb.map(_ & 0xff).toSeq == want)
+    // delta escape and truncated stream are named rejects
+    intercept[IllegalArgumentException](
+      MediaCodec.decode(file(Array[Byte](0, 2, 1, 1, 0, 1))))
+    intercept[IllegalArgumentException](
+      MediaCodec.decode(file(Array[Byte](3, 2, 0, 0))))
+    // a run past the row end is a reject, not a wrap
+    intercept[IllegalArgumentException](
+      MediaCodec.decode(file(Array[Byte](5, 1, 0, 1))))
+  }
+
   test("PBM decode: MSB-first packed bits, 1=black, per-row byte padding") {
     // 12x2: row = 2 bytes (12 bits + 4 pad). Pad bits set to 1 must be
     // IGNORED — a contiguous-bit reader would shear row 1.
