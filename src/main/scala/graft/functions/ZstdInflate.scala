@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   * path, one static call per row, no `mapPartitions` encode/decode
   * fence. The kernel rides Spark's OWN bundled zstd-jni binding (the
   * library Spark already uses for shuffle/parquet codecs), streamed
-  * through `ZstdInputStream` in continuous mode so multi-frame inputs
-  * concatenate; the native decoder verifies magic, block structure, and
+  * through `ZstdInputStream`; multi-frame inputs concatenate because the
+  * reader loops frames until input is exhausted, while
+  * `setContinuous(false)` makes a TRUNCATED final frame reject instead
+  * of returning a short read; the native decoder verifies magic, block
+  * structure, and
   * any per-frame content checksum, and every failure surfaces as a named
   * IllegalArgumentException instead of silent garbage.
   */

@@ -191,11 +191,15 @@ object Sources extends QueryModule {
       .select(concat_ws("\t", col("doc_id"),
         hex(col("text").cast("binary"))).as("value"))
       .write.mode("overwrite").option("compression", "bzip2").text(dir)
+    // split with an explicit limit: Spark's 2-arg split drops TRAILING empty
+    // fields, so an empty document's 'id<TAB>' line would lose its hex field
+    // entirely and md5(NULL)/octet_length(NULL) would diverge from the
+    // oracle's md5('')/0
     spark.read.text(dir)
       .select(
-        expr("cast(split(value, '\t')[0] as bigint)").as("doc_id"),
-        expr("md5(unhex(split(value, '\t')[1]))").as("text_md5"),
-        expr("octet_length(unhex(split(value, '\t')[1]))").as("n_bytes"))
+        expr("cast(split(value, '\t', 2)[0] as bigint)").as("doc_id"),
+        expr("md5(unhex(split(value, '\t', 2)[1]))").as("text_md5"),
+        expr("octet_length(unhex(split(value, '\t', 2)[1]))").as("n_bytes"))
       .orderBy("doc_id")
   }
 

@@ -185,7 +185,12 @@ object Warc extends QueryModule {
         ORDER BY doc_id, record_no"""
   }
 
-  /** Longest text prefix a single stored deflate block can carry. */
+  /** Longest text prefix a single stored deflate block can carry. The cap
+    * is CHARACTERS (sliced identically by Spark and DuckDB `substring`),
+    * then encoded to UTF-8 — worst case 4·4000 = 16000 bytes, still under
+    * the 65535-byte stored-block limit. Slicing bytes instead would split
+    * multi-byte sequences and the two engines would hash different data.
+    */
   private val GzCap = 4000
 
   /** `docs_gunzip_roundtrip`: the native `gunzip` expression INSIDE the
@@ -201,8 +206,9 @@ object Warc extends QueryModule {
   def gunzipRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= 1)
-      .withColumn("n", least(octet_length(col("text")), lit(GzCap)))
-      .withColumn("rawHex", expr(s"substring(hex(cast(text as binary)), 1, n * 2)"))
+      .withColumn("sliced", expr(s"substring(text, 1, $GzCap)"))
+      .withColumn("n", octet_length(col("sliced")))
+      .withColumn("rawHex", expr("hex(cast(sliced as binary))"))
       .withColumn("lenLe", expr(
         "concat(substring(lpad(hex(n), 4, '0'), 3, 2), substring(lpad(hex(n), 4, '0'), 1, 2))"))
       .withColumn("nlenLe", expr(
@@ -222,7 +228,7 @@ object Warc extends QueryModule {
 
   private val gunzipRoundtripSql =
     s"""SELECT doc_id, md5(substring(text, 1, $GzCap)) AS digest,
-               CAST(LEAST(octet_length(encode(text)), $GzCap) AS BIGINT) AS n_bytes
+               CAST(octet_length(encode(substring(text, 1, $GzCap))) AS BIGINT) AS n_bytes
         FROM documents WHERE octet_length(encode(text)) >= 1
         ORDER BY doc_id"""
 
@@ -260,6 +266,10 @@ object Warc extends QueryModule {
             // reject loudly, not silently collide doc_ids across files.
             require(recs.length < (1 << 24),
               s"WARC file $fileId: ${recs.length} records exceed the 2^24 doc_id slot space")
+            // fileId occupies the high 39 bits of doc_id; a larger numeric
+            // filename would overflow the shift and collide across files
+            require(fileId < (1L << 39),
+              s"WARC file id $fileId exceeds the 2^39 doc_id file-slot space")
             recs.zipWithIndex.collect {
               case (r, i) if r.headers.get("WARC-Type").contains("response") =>
                 val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)

@@ -33,7 +33,7 @@ class ConfigInvarianceSpec extends AnyFunSuite {
       .map(_.toSeq.map {
         case a: Array[_] => a.toSeq.toString
         case v => String.valueOf(v)
-      }.mkString(""))
+      }.mkString("\u0001"))
       .sorted.toSeq
 
   test("ALL registered queries are bit-identical under shuffle=7 + AQE off") {
