@@ -37,6 +37,9 @@ object Zip extends QueryModule {
   private def le32(b: Array[Byte], off: Int): Long =
     (le16(b, off) | (le16(b, off + 2).toLong << 16)) & 0xffffffffL
 
+  private def le64(b: Array[Byte], off: Int): Long =
+    le32(b, off) | (le32(b, off + 4) << 32)
+
   /** Every FILE member as (name, payload), in central-directory order.
     * Directory entries (trailing '/') are skipped. CRC-32 and
     * uncompressed size verified per member; unsupported compression
@@ -56,13 +59,42 @@ object Zip extends QueryModule {
       p -= 1
     }
     require(eocd >= 0, "zip: no end-of-central-directory record")
-    require(le16(bytes, eocd + 4) == 0 && le16(bytes, eocd + 6) == 0,
-      "zip: multi-disk archives unsupported")
-    val count = le16(bytes, eocd + 10)
-    require(le16(bytes, eocd + 8) == count, "zip: disk/total entry count mismatch")
-    val cdSize = le32(bytes, eocd + 12)
-    val cdOff = le32(bytes, eocd + 16)
-    require(cdOff + cdSize <= eocd, "zip: central directory overruns its EOCD")
+    // ZIP64 (r12, VERDICT r11 #3): a 20-byte EOCD64 locator sits
+    // immediately before the classic EOCD when any of its fields overflow
+    // 16/32 bits — which at dataset-drop scale (>4 GiB archives, >65535
+    // members) is the COMMON case, and some streaming producers emit the
+    // ZIP64 records unconditionally. The classic fields then hold
+    // 0xFFFF/0xFFFFFFFF sentinels and the truth lives in the EOCD64 record.
+    val loc = eocd - 20
+    val zip64 = loc >= 0 && le32(bytes, loc) == 0x07064b50L
+    val (count, cdSize, cdOff) =
+      if (zip64) {
+        require(le32(bytes, loc + 4) == 0 && le32(bytes, loc + 16) == 1,
+          "zip: multi-disk zip64 archives unsupported")
+        val e64 = le64(bytes, loc + 8)
+        require(e64 >= 0 && e64 + 56 <= loc && le32(bytes, e64.toInt) == 0x06064b50L,
+          "zip: bad zip64 end-of-central-directory record")
+        val q = e64.toInt
+        require(le32(bytes, q + 16) == 0 && le32(bytes, q + 20) == 0,
+          "zip: multi-disk zip64 archives unsupported")
+        val n = le64(bytes, q + 24)
+        require(n == le64(bytes, q + 32), "zip: zip64 disk/total entry count mismatch")
+        // the archive already fits one byte array, so the count does too
+        require(n <= Int.MaxValue, s"zip: zip64 entry count $n exceeds the in-memory bound")
+        val (sz, off) = (le64(bytes, q + 40), le64(bytes, q + 48))
+        require(off + sz <= e64, "zip: central directory overruns its zip64 EOCD")
+        (n.toInt, sz, off)
+      } else {
+        require(le16(bytes, eocd + 4) == 0 && le16(bytes, eocd + 6) == 0,
+          "zip: multi-disk archives unsupported")
+        val n = le16(bytes, eocd + 10)
+        require(le16(bytes, eocd + 8) == n, "zip: disk/total entry count mismatch")
+        require(n != 0xffff && le32(bytes, eocd + 16) != 0xffffffffL,
+          "zip: sentinel EOCD fields with no zip64 locator")
+        val (sz, off) = (le32(bytes, eocd + 12), le32(bytes, eocd + 16))
+        require(off + sz <= eocd, "zip: central directory overruns its EOCD")
+        (n, sz, off)
+      }
 
     val out = IndexedSeq.newBuilder[(String, Array[Byte])]
     var cd = cdOff.toInt
@@ -74,15 +106,38 @@ object Zip extends QueryModule {
       require((flags & 0x1) == 0, s"zip: entry $i is encrypted")
       val method = le16(bytes, cd + 10)
       val crc = le32(bytes, cd + 16)
-      val csize = le32(bytes, cd + 20)
-      val usize = le32(bytes, cd + 24)
-      require(csize <= Int.MaxValue && usize <= Int.MaxValue,
-        s"zip: entry $i sizes exceed the supported range (no ZIP64)")
+      var csize = le32(bytes, cd + 20)
+      var usize = le32(bytes, cd + 24)
       val nlen = le16(bytes, cd + 28)
       val elen = le16(bytes, cd + 30)
       val clen = le16(bytes, cd + 32)
-      val lho = le32(bytes, cd + 42)
+      var lho = le32(bytes, cd + 42)
       val name = new String(bytes, cd + 46, nlen, java.nio.charset.StandardCharsets.UTF_8)
+      if (usize == 0xffffffffL || csize == 0xffffffffL || lho == 0xffffffffL) {
+        // ZIP64 extended-information extra field (id 0x0001): 8-byte values
+        // present ONLY for the fields whose 4-byte slot holds the sentinel,
+        // in spec order usize, csize, lho-offset
+        var x = cd + 46 + nlen
+        val xEnd = x + elen
+        var found = false
+        while (x + 4 <= xEnd && !found) {
+          val id = le16(bytes, x); val sz = le16(bytes, x + 2)
+          if (id == 0x0001) {
+            var q = x + 4
+            if (usize == 0xffffffffL) { usize = le64(bytes, q); q += 8 }
+            if (csize == 0xffffffffL) { csize = le64(bytes, q); q += 8 }
+            if (lho == 0xffffffffL) { lho = le64(bytes, q); q += 8 }
+            require(q <= x + 4 + sz && q <= xEnd,
+              s"zip: zip64 extra field too short in '$name'")
+            found = true
+          } else x += 4 + sz
+        }
+        require(found, s"zip: sentinel sizes with no zip64 extra field in '$name'")
+      }
+      // the format parses past 4 GiB, but a member must still land in one
+      // JVM byte array to decode here — the in-memory bound, not a ZIP64 gap
+      require(csize <= Int.MaxValue && usize <= Int.MaxValue,
+        s"zip: entry $i sizes exceed the in-memory decode bound")
       if (!name.endsWith("/")) {
         // local header: sizes/CRC here may be zeroed under flag bit 3 —
         // the central record above is authoritative, the LFH only frames
@@ -146,6 +201,10 @@ object Zip extends QueryModule {
             val es = entries(bytes)
             require(es.length < (1 << 24),
               s"zip file $fileId: ${es.length} members exceed the 2^24 doc_id slot space")
+            // fileId occupies the high 39 bits of doc_id; a larger numeric
+            // filename would overflow the shift and collide across files
+            require(fileId < (1L << 39),
+              s"zip file id $fileId exceeds the 2^39 doc_id file-slot space")
             es.zipWithIndex.collect {
               case ((name, payload), i) if name.endsWith(".txt") =>
                 val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
@@ -194,22 +253,27 @@ object Zip extends QueryModule {
     * slot, so a framing, offset, endianness, or CRC bug lands as a value
     * mismatch or a missing row.
     */
+  // shared SQL hex-assembly pieces for the zip_ingest / zip64_ingest builders
+  // 4-byte little-endian hex of a bigint column expression
+  private def le4(e: String) =
+    s"array_join(transform(sequence(0, 3), i -> lpad(hex(shiftright($e, 8 * i) & 255), 2, '0')), '')"
+  private def le2(v: Int) = "%02X%02X".format(v & 0xff, (v >> 8) & 0xff)
+  // 8-byte little-endian hex of a nonnegative Long constant
+  private def le8(v: Long) =
+    (0 until 8).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
+  private def nameSql(prefix: String) =
+    s"concat('$prefix', lpad(cast(doc_id as string), 12, '0'), '.txt')"
+  // header constants: version 2.0, no flags, STORED, fixed DOS time/date
+  private val fixedMeta = le2(20) + le2(0) + le2(0) + le2(0) + le2(0x21)
+  private def dataHex(off: Int) = s"substring(h, ${off * 2} + 1, ${SliceLen * 2})"
+  private def crcOf(off: Int) = s"crc32(unhex(${dataHex(off)}))"
+  private def lfh(prefix: String, off: Int) =
+    s"concat('504B0304$fixedMeta', ${le4(crcOf(off))}, " +
+      s"'${le2(SliceLen) + le2(0) + le2(SliceLen) + le2(0) + le2(NameLen) + le2(0)}', " +
+      s"hex(cast(${nameSql(prefix)} as binary)), ${dataHex(off)})"
+
   def zipIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // 4-byte little-endian hex of a bigint column expression
-    def le4(e: String) =
-      s"array_join(transform(sequence(0, 3), i -> lpad(hex(shiftright($e, 8 * i) & 255), 2, '0')), '')"
-    def le2(v: Int) = "%02X%02X".format(v & 0xff, (v >> 8) & 0xff)
-    def nameSql(prefix: String) =
-      s"concat('$prefix', lpad(cast(doc_id as string), 12, '0'), '.txt')"
-    // header constants: version 2.0, no flags, STORED, fixed DOS time/date
-    val fixedMeta = le2(20) + le2(0) + le2(0) + le2(0) + le2(0x21)
-    def dataHex(off: Int) = s"substring(h, ${off * 2} + 1, ${SliceLen * 2})"
-    def crcOf(off: Int) = s"crc32(unhex(${dataHex(off)}))"
-    def lfh(prefix: String, off: Int) =
-      s"concat('504B0304$fixedMeta', ${le4(crcOf(off))}, " +
-        s"'${le2(SliceLen) + le2(0) + le2(SliceLen) + le2(0) + le2(NameLen) + le2(0)}', " +
-        s"hex(cast(${nameSql(prefix)} as binary)), ${dataHex(off)})"
     def cdRec(prefix: String, off: Int, lhoOff: Int) =
       s"concat('504B0102${le2(20)}$fixedMeta', ${le4(crcOf(off))}, " +
         s"'${le2(SliceLen) + le2(0) + le2(SliceLen) + le2(0) + le2(NameLen) + le2(0) + le2(0) + le2(0) + le2(0)}00000000', " +
@@ -221,6 +285,72 @@ object Zip extends QueryModule {
       "%02X%02X%02X%02X".format(cdOff & 0xff, (cdOff >> 8) & 0xff, 0, 0) + le2(0)
     val zipHex = s"concat(${lfh("d", 0)}, ${lfh("m", 16)}, " +
       s"${cdRec("d", 0, 0)}, ${cdRec("m", 16, LfhLen)}, '$eocd')"
+    val files = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= NeedBytes)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"), unhex(expr(zipHex)).as("payload"))
+    files.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.iterator.flatMap { case (id, bytes) =>
+          entries(bytes).zipWithIndex.map { case ((name, payload), i) =>
+            var sum = 0L
+            payload.foreach(b => sum += (b & 0xff))
+            (id, i, name, payload.length, sum)
+          }
+        }
+      }
+    }.toDF("doc_id", "entry_no", "name", "size_bytes", "payload_sum")
+      .select(col("doc_id"), col("entry_no").cast("int"), col("name"),
+        col("size_bytes").cast("int"), col("payload_sum"))
+      .orderBy("doc_id", "entry_no")
+  }
+
+  /** ZIP64 central record: sentinel csize/usize/lho + a 28-byte
+    * extended-information extra field carrying the real 8-byte values.
+    */
+  private val Cd64RecLen = 46 + NameLen + 28 // 91
+
+  /** `zip64_ingest`: the ZIP64 record set parsed end to end — the
+    * dataset-drop size class (>4 GiB archives, >65535 members) whose
+    * producers emit a ZIP64 EOCD record + locator and per-entry
+    * extended-information extra fields, with the classic EOCD and
+    * central-directory slots holding 0xFFFF/0xFFFFFFFF sentinels. Spark
+    * BUILDS a genuine ZIP64 archive per document in pure SQL (the
+    * `zip_ingest` hex-assembly with every size/offset routed through the
+    * sentinel-and-extra indirection: version-needed 4.5, id-0x0001 extra
+    * holding 8-byte usize/csize/lho, the fixed-layout EOCD64 + locator,
+    * sentinel classic EOCD) and parses it back through [[entries]] — the
+    * locator chase, EOCD64 walk, and extra-field override are all
+    * load-bearing: a wrong 8-byte field, a missed sentinel, or a
+    * misplaced EOCD64 offset breaks the member framing and lands as a
+    * value mismatch, a missing row, or a named reject. The spec
+    * additionally round-trips the same bytes through `java.util.zip
+    * .ZipFile`, the JDK's independent ZIP64 reader. The oracle recomputes
+    * each member's name, size, and payload byte sum from the document
+    * bytes per member slot, identical in shape to `zip_ingest`.
+    */
+  def zip64Ingest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sentinel = "FFFFFFFF"
+    def cdRec64(prefix: String, off: Int, lhoOff: Int) =
+      s"concat('504B0102${le2(45)}${le2(45) + fixedMeta.drop(4)}', ${le4(crcOf(off))}, " +
+        // csize, usize sentinels; nlen 17, elen 28, clen 0, disk 0, iattr 0
+        s"'$sentinel$sentinel${le2(NameLen) + le2(28) + le2(0) + le2(0) + le2(0)}00000000', " +
+        s"'$sentinel', " + // local-header offset sentinel
+        s"hex(cast(${nameSql(prefix)} as binary)), " +
+        // ZIP64 extra: id 0x0001, size 24, then usize/csize/lho as 8-byte LE
+        s"'${le2(1) + le2(24) + le8(SliceLen) + le8(SliceLen) + le8(lhoOff)}')"
+    val cdOff = 2 * LfhLen
+    val cdSize = 2 * Cd64RecLen
+    val eocd64Off = cdOff + cdSize
+    val eocd64 = "504B0606" + le8(44) + le2(45) + le2(45) +
+      "00000000" + "00000000" + le8(2) + le8(2) + le8(cdSize) + le8(cdOff)
+    val locator = "504B0607" + "00000000" + le8(eocd64Off) + "01000000"
+    val eocd = "504B0506" + le2(0) + le2(0) + "FFFF" + "FFFF" +
+      sentinel + sentinel + le2(0)
+    val zipHex = s"concat(${lfh("d", 0)}, ${lfh("m", 16)}, " +
+      s"${cdRec64("d", 0, 0)}, ${cdRec64("m", 16, LfhLen)}, " +
+      s"'$eocd64$locator$eocd')"
     val files = Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= NeedBytes)
       .withColumn("h", expr("hex(cast(text as binary))"))
@@ -261,9 +391,13 @@ object Zip extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zip_ingest" -> (zipIngest _),
+    "zip64_ingest" -> (zip64Ingest _),
   )
 
   override def oracle: Map[String, String] = Map(
     "zip_ingest" -> zipIngestSql,
+    // byte-identical member set by construction: the ZIP64 indirection
+    // changes the container records, not the members
+    "zip64_ingest" -> zipIngestSql,
   )
 }

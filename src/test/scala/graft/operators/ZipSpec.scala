@@ -60,6 +60,81 @@ class ZipSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zip:"))
   }
 
+  /** Hand-assembled ZIP64 archive (classic LFHs; central records with
+    * sentinel csize/usize/lho + id-0x0001 extra; EOCD64 + locator;
+    * sentinel classic EOCD) — an INDEPENDENT construction of the layout
+    * the SQL fixture builds, so the parser is pinned from two sides.
+    */
+  private def zip64Of(members: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = (0 until 4).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def w64(v: Long): Unit = (0 until 8).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    val offs = scala.collection.mutable.Buffer[Long]()
+    members.foreach { case (n, d) =>
+      offs += bos.size.toLong
+      w32(0x04034b50L); w16(20); w16(0); w16(0); w16(0); w16(0x21)
+      val c = new CRC32; c.update(d); w32(c.getValue)
+      w32(d.length.toLong); w32(d.length.toLong); w16(n.length); w16(0)
+      bos.write(n.getBytes("UTF-8")); bos.write(d)
+    }
+    val cdOff = bos.size.toLong
+    members.zip(offs).foreach { case ((n, d), off) =>
+      w32(0x02014b50L); w16(45); w16(45); w16(0); w16(0); w16(0); w16(0x21)
+      val c = new CRC32; c.update(d); w32(c.getValue)
+      w32(0xffffffffL); w32(0xffffffffL) // csize, usize -> extra field
+      w16(n.length); w16(28); w16(0); w16(0); w16(0); w32(0)
+      w32(0xffffffffL) // lho -> extra field
+      bos.write(n.getBytes("UTF-8"))
+      w16(1); w16(24); w64(d.length.toLong); w64(d.length.toLong); w64(off)
+    }
+    val cdSize = bos.size - cdOff
+    val eocd64Off = bos.size.toLong
+    w32(0x06064b50L); w64(44); w16(45); w16(45); w32(0); w32(0)
+    w64(members.size.toLong); w64(members.size.toLong); w64(cdSize); w64(cdOff)
+    w32(0x07064b50L); w32(0); w64(eocd64Off); w32(1)
+    w32(0x06054b50L); w16(0); w16(0); w16(0xffff); w16(0xffff)
+    w32(0xffffffffL); w32(0xffffffffL); w16(0)
+    bos.toByteArray
+  }
+
+  test("zip64: locator chase + EOCD64 + extra-field overrides parse; JDK ZipFile agrees") {
+    val m1 = "zip64 member one".getBytes("UTF-8")
+    val m2 = Array.tabulate(512)(i => (i * 31 + 5).toByte)
+    val zip = zip64Of("a.txt" -> m1, "b.bin" -> m2)
+    val es = Zip.entries(zip)
+    assert(es.map(_._1) == IndexedSeq("a.txt", "b.bin"))
+    assert(es(0)._2.toSeq == m1.toSeq && es(1)._2.toSeq == m2.toSeq)
+    // the JDK's own ZIP64-aware reader must see the identical member set
+    val f = java.nio.file.Files.createTempFile("graft_zip64", ".zip")
+    java.nio.file.Files.write(f, zip)
+    val zf = new java.util.zip.ZipFile(f.toFile)
+    try {
+      import scala.jdk.CollectionConverters._
+      val jdk = zf.entries().asScala.map { e =>
+        e.getName -> zf.getInputStream(e).readAllBytes().toSeq
+      }.toMap
+      assert(jdk == Map("a.txt" -> m1.toSeq, "b.bin" -> m2.toSeq))
+    } finally { zf.close(); java.nio.file.Files.delete(f) }
+  }
+
+  test("zip64 rejects: multi-disk locator, corrupt EOCD64, sentinels without locator") {
+    val zip = zip64Of("a.txt" -> "payload".getBytes("UTF-8"))
+    val locOff = zip.length - 22 - 20
+    val multiDisk = zip.clone()
+    multiDisk(locOff + 16) = 2 // total disks = 2
+    val e1 = intercept[IllegalArgumentException](Zip.entries(multiDisk))
+    assert(e1.getMessage.contains("multi-disk"))
+    val badSig = zip.clone()
+    badSig(locOff + 8) = 0 // EOCD64 offset now points at a non-EOCD64 byte
+    val e2 = intercept[IllegalArgumentException](Zip.entries(badSig))
+    assert(e2.getMessage.contains("zip64"))
+    val noLocator = zip.clone()
+    noLocator(locOff + 3) = 0 // break the locator signature
+    val e3 = intercept[IllegalArgumentException](Zip.entries(noLocator))
+    assert(e3.getMessage.contains("sentinel EOCD fields with no zip64 locator"))
+  }
+
   test("dataset-drop front door: .zip archives stream through CorpusIngest like documents") {
     val spark = graft.SparkSpec.session
     import java.nio.file.{Files, Paths}
