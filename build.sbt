@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 200+-query whole-stage-codegen run compiles thousands of generated
+  // classes; at the JVM-default 240m the code cache runs hot and under
+  // flushing pressure the most string-CPU-bound stages can end up
+  // interpreted — the leading suspect for the r11 cross-JVM 3-4.5x
+  // bimodality on fuzzy_name_neighbors_d2/fuzzy_qgram_docs (bench env
+  // block measured 166m used at run end WITH flushing available).
+  "-XX:ReservedCodeCacheSize=512m",
 )

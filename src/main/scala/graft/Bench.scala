@@ -26,6 +26,38 @@ object Bench {
       case _ => 0.0
     }
 
+  /** Cumulative JIT compilation time. A CPU-bound stage measuring 3-5x its
+    * usual wall with a ZERO jit delta and a near-full code cache is the
+    * "CodeCache full, compiler disabled" failure mode — generated
+    * whole-stage code running interpreted for the rest of the JVM's life.
+    * That is the leading suspect for the r11 cross-environment d2/qgram
+    * cold-cost bimodality (driver 21.5 s vs builder 4.7 s on one commit,
+    * each internally consistent — a per-JVM-instance mode, not noise).
+    */
+  private def jitSeconds(): Double = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime / 1e3
+    else 0.0
+  }
+
+  /** (used MB, max MB) summed over the JIT code-cache pools. */
+  private def codeCacheMb(): (Double, Double) = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+    val used = pools.map(_.getUsage.getUsed).sum / 1e6
+    val max = pools.map(p => math.max(p.getUsage.getMax, 0L)).sum / 1e6
+    (used, max)
+  }
+
+  /** 1-minute system load average — separates an externally busy box
+    * (driver-side oracle checks, page-cache eviction by a neighbor) from a
+    * genuinely slow plan. -1 when unavailable.
+    */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   /** Cumulative task-metric counters fed by a [[SparkListener]]; Bench
     * snapshots deltas around each timed query. `busy` is summed executor
     * run time (includes time blocked in I/O), so comparing it against the
@@ -62,12 +94,13 @@ object Bench {
   /** One timed invocation's resource profile. All seconds; bytes in MB. */
   private[graft] final case class RunMetrics(wall: Double, gc: Double, cpu: Double,
       busy: Double, inputMb: Double, shuffleMb: Double, spillMb: Double,
-      tasks: Long, builds: Long) {
+      tasks: Long, builds: Long, jit: Double = 0.0, load: Double = -1.0) {
     def json: String =
       s"""{"wall":${num(wall, 3)},"gc":${num(gc, 3)},"cpu":${num(cpu, 3)},""" +
         s""""busy":${num(busy, 3)},"input_mb":${num(inputMb, 1)},""" +
         s""""shuffle_mb":${num(shuffleMb, 1)},"spill_mb":${num(spillMb, 1)},""" +
-        s""""tasks":$tasks,"builds":$builds}"""
+        s""""tasks":$tasks,"builds":$builds,"jit":${num(jit, 3)},""" +
+        s""""load":${num(load, 2)}}"""
   }
 
   /** Mechanical attribution of the EXCESS wall time in a divergent pair:
@@ -161,7 +194,7 @@ object Bench {
 
     def timed(name: String): (RunMetrics, Option[String]) = {
       flushListeners()
-      val g0 = gcSeconds(); val c0 = processCpuSeconds()
+      val g0 = gcSeconds(); val c0 = processCpuSeconds(); val j0 = jitSeconds()
       val b0 = TaskCounters.busyMs.get; val i0 = TaskCounters.inputBytes.get
       val s0 = TaskCounters.shuffleBytes.get; val p0 = TaskCounters.spillBytes.get
       val k0 = TaskCounters.tasks.get; val u0 = Scratch.buildsCount
@@ -177,7 +210,8 @@ object Bench {
         (TaskCounters.inputBytes.get - i0) / 1e6,
         (TaskCounters.shuffleBytes.get - s0) / 1e6,
         (TaskCounters.spillBytes.get - p0) / 1e6,
-        TaskCounters.tasks.get - k0, Scratch.buildsCount - u0), err)
+        TaskCounters.tasks.get - k0, Scratch.buildsCount - u0,
+        jitSeconds() - j0, loadAvg()), err)
     }
 
     // (metrics, error, steady-state wall) per query. `steadySample`: when a
@@ -360,10 +394,24 @@ object Bench {
           s""""stall_class":${jstr(classifyStall(slow, fast))}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // JVM-instance fingerprint: the r11 d2 cold cost was bimodal ACROSS
+    // bench JVMs (driver 21.5 s vs builder 4.7 s, each self-consistent), so
+    // within-run pair comparison can never see it — the artifact itself
+    // must say what mode this JVM was in. A near-full code cache with the
+    // compiler gone quiet (tiny jit total for a 100+-query run) marks the
+    // interpreted-fallback mode; a high load average marks an externally
+    // busy box.
+    val (ccUsed, ccMax) = codeCacheMb()
+    val env =
+      s"""{"cpus":${Runtime.getRuntime.availableProcessors},""" +
+        s""""heap_max_mb":${num(Runtime.getRuntime.maxMemory / 1e6, 0)},""" +
+        s""""code_cache_used_mb":${num(ccUsed, 1)},"code_cache_max_mb":${num(ccMax, 1)},""" +
+        s""""jit_total_sec":${num(jitSeconds(), 1)},"gc_total_sec":${num(gcSeconds(), 1)},""" +
+        s""""load_avg_end":${num(loadAvg(), 2)}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"gc":$gcs,""" +
         s""""steady":$steadies,"divergent":$divJson,"rejected_samples":$rejectedJson,""" +
-        s""""diagnostics":$diags,"errors":$errs,"sf":"$sfDir"}"""
+        s""""diagnostics":$diags,"errors":$errs,"env":$env,"sf":"$sfDir"}"""
     println(line)
     // the harness captures only a bounded stdout tail, which has truncated
     // the (large) JSON line before; the file copy keeps the full official

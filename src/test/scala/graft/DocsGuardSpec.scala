@@ -50,35 +50,81 @@ class DocsGuardSpec extends AnyFunSuite {
     val cov = new String(java.nio.file.Files.readAllBytes(repoFile("COVERAGE.md")), "UTF-8")
     val section = cov.split("\n## ").find(_.startsWith("Current bench anchors"))
       .getOrElse(fail("COVERAGE.md lost its 'Current bench anchors' section"))
-    val anchorRe = """\|\s*`([a-z0-9_]+)`\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|""".r
+    // third column (r12): WHICH published number the anchor describes.
+    // `cold` = the best-of-N headline in "queries" (the run owning its
+    // one-time builds); `steady` = the build-in-place re-run in "steady".
+    // The seconds column is a single value OR a measured cross-environment
+    // RANGE `lo-hi`: r11 proved fuzzy_name_neighbors_d2 runs 3-4.5x slower
+    // in the driver's bench JVM than in the builder's on ONE commit — cold
+    // 4.7 vs 21.5 s AND steady 0.6 vs 3.1 s, each environment internally
+    // consistent — so any single-point anchor with a 2x gate must break in
+    // one of the two environments; the range records both measured modes
+    // and the gate allows [lo/2, hi*2].
+    val anchorRe =
+      """\|\s*`([a-z0-9_]+)`\s*\|\s*([0-9]+(?:\.[0-9]+)?)(?:\s*-\s*([0-9]+(?:\.[0-9]+)?))?\s*\|\s*(cold|steady)\s*\|""".r
     val anchors = anchorRe.findAllMatchIn(section)
-      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      .map { m =>
+        val lo = m.group(2).toDouble
+        val hi = Option(m.group(3)).map(_.toDouble).getOrElse(lo)
+        (m.group(1), lo, hi, m.group(4))
+      }.toSeq
     assert(anchors.nonEmpty, "anchors table is empty — the convention needs at least one row")
-    anchors.foreach { case (n, _) =>
+    anchors.foreach { case (n, lo, hi, _) =>
       assert(names.contains(n), s"anchor `$n` is not a registered query")
+      assert(lo <= hi, s"anchor `$n` range is inverted: $lo-$hi")
     }
     val benchPath = repoFile("bench_result.json")
     assume(java.nio.file.Files.exists(benchPath), "no bench_result.json to check against")
     val bench = new String(java.nio.file.Files.readAllBytes(benchPath), "UTF-8")
     assume(bench.contains("\"sf\":\"/root/testdata/sf0.1\""),
       "bench_result.json is not an sf0.1 run; anchors are sf0.1 numbers — not checked")
-    // the queries map is the first {...} after "queries": — flat numeric pairs
-    val qsection = bench.drop(bench.indexOf("\"queries\":{"))
-      .takeWhile(_ != '}')
-    val timeRe = """"([a-z0-9_]+)":([0-9.eE+-]+)""".r
-    val actual = timeRe.findAllMatchIn(qsection)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val drifted = anchors.flatMap { case (n, doc) =>
-      actual.get(n) match {
+    // a named flat numeric map ("queries" / "steady") — first {...} after the key
+    def numericMap(key: String): Map[String, Double] = {
+      val idx = bench.indexOf(s""""$key":{""")
+      if (idx < 0) Map.empty
+      else {
+        val sec = bench.drop(idx).takeWhile(_ != '}')
+        """"([a-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(sec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val cold = numericMap("queries")
+    val steady = numericMap("steady")
+    val drifted = anchors.flatMap { case (n, lo, hi, basis) =>
+      val actual = if (basis == "steady") steady.get(n) else cold.get(n)
+      actual match {
+        case None if basis == "steady" => Some(
+          s"$n: no steady sample in bench_result.json — the query no longer " +
+            "owns a one-time build; re-anchor it on cold")
         case None => Some(s"$n: missing from bench_result.json")
-        case Some(a) if a > doc * 2 || a < doc / 2 =>
-          Some(f"$n: documented $doc%.2f s vs measured $a%.2f s (>2x drift)")
+        case Some(a) if a > hi * 2 || a < lo / 2 =>
+          Some(f"$n ($basis): documented $lo%.2f-$hi%.2f s vs measured $a%.2f s (>2x drift)")
         case _ => None
       }
     }
     assert(drifted.isEmpty,
       "bench anchors drifted — re-measure and update COVERAGE.md's table:\n  " +
         drifted.mkString("\n  "))
+  }
+
+  /** Gate-count freshness (VERDICT r11 #5): the TOPMOST "Full-registry 10x
+    * gate" section claims to describe the current registry — r11 shipped
+    * with it reading 197/197 against a 218-query registry because nothing
+    * checked the count. Sections below it are explicitly historical and
+    * stay untouched.
+    */
+  test("COVERAGE.md's topmost full-registry gate section matches the registry size") {
+    val cov = new String(java.nio.file.Files.readAllBytes(repoFile("COVERAGE.md")), "UTF-8")
+    val section = cov.split("\n## ").find(_.startsWith("Full-registry 10x gate"))
+      .getOrElse(fail("COVERAGE.md lost its 'Full-registry 10x gate' section"))
+    val countRe = """\*\*([0-9]+)/([0-9]+)\*\*""".r
+    val m = countRe.findFirstMatchIn(section)
+      .getOrElse(fail("topmost gate section has no **N/N** count"))
+    assert(m.group(1) == m.group(2), s"gate section claims a partial pass: ${m.matched}")
+    assert(m.group(1).toInt == names.size,
+      s"topmost gate section says ${m.matched} but the registry has ${names.size} " +
+        "queries — re-run the both-scale gate and update the section (new queries " +
+        "must be gate-verified the day they land)")
   }
 
   for (doc <- Seq("PLANS.md", "COVERAGE.md", "SURVEY.md")) {
