@@ -44,8 +44,12 @@ object Bench {
   /** (used MB, max MB) summed over the JIT code-cache pools. */
   private def codeCacheMb(): (Double, Double) = {
     import scala.jdk.CollectionConverters._
+    // segmented cache = three "CodeHeap '...'" pools; non-segmented
+    // (ReservedCodeCacheSize < 240m) = one pool named "CodeCache" (no
+    // space on JDK 17, "Code Cache" historically)
     val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .filter(p => p.getName.contains("CodeHeap") ||
+        p.getName.replace(" ", "") == "CodeCache")
     val used = pools.map(_.getUsage.getUsed).sum / 1e6
     val max = pools.map(p => math.max(p.getUsage.getMax, 0L)).sum / 1e6
     (used, max)

@@ -77,6 +77,83 @@ object ParquetMeta extends QueryModule {
     }.toDF("path", "n_rows", "n_row_groups", "stat_min", "stat_max")
   }
 
+  /** Per-file footer profile for a STRING column plus a nullable column:
+    * row count, the nullable column's footer null count, and the string
+    * column's min/max — the catalog path for text tables (VERDICT r11 #6),
+    * where profiling-from-metadata means string ranges and null ratios,
+    * not just INT64 extremes. No data pages are read.
+    *
+    * Truncation-awareness: parquet writers may TRUNCATE long binary
+    * min/max statistics (the stored min is then a prefix lower bound and
+    * the stored max a shortened upper bound — bounds, not values). This
+    * reader requires the stored stats to be shorter than [[StatsExactCap]]
+    * bytes, well under every writer's truncation threshold (parquet-mr
+    * truncates at its configured length, 64 bytes for column indexes),
+    * so a passing read is guaranteed EXACT; columns with longer values
+    * (e.g. document text) must reject loudly rather than silently answer
+    * with bounds — exact extremes of long strings are a scan's job.
+    */
+  val StatsExactCap = 48
+
+  def footerStringStats(spark: SparkSession, dir: String,
+      strCol: String, nullableCol: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.Buffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath.toString
+    }
+    val paths = spark.createDataset(files.toSeq)
+      .repartition(math.max(1, math.min(files.size, 32)))
+    paths.mapPartitions { ps =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      ps.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          var rows = 0L
+          var nulls = 0L
+          var lo: String = null
+          var hi: String = null
+          val bi = r.getFooter.getBlocks.iterator()
+          while (bi.hasNext) {
+            val b = bi.next()
+            rows += b.getRowCount
+            val ci = b.getColumns.iterator()
+            while (ci.hasNext) {
+              val c = ci.next()
+              val st = c.getStatistics
+              if (c.getPath.toDotString == strCol) {
+                require(st != null && !st.isEmpty,
+                  s"footer of $p lacks stats for '$strCol'")
+                val mn = st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                val mx = st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                require(mn.length < StatsExactCap && mx.length < StatsExactCap,
+                  s"footer min/max for '$strCol' in $p may be truncated " +
+                    s"(>= $StatsExactCap bytes) — bounds, not exact values; scan instead")
+                val (s1, s2) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                if (lo == null || s1 < lo) lo = s1
+                if (hi == null || s2 > hi) hi = s2
+              } else if (c.getPath.toDotString == nullableCol) {
+                require(st != null && st.isNumNullsSet,
+                  s"footer of $p lacks a null count for '$nullableCol'")
+                nulls += st.getNumNulls
+              }
+            }
+          }
+          require(rows == 0 || lo != null, s"column '$strCol' not found in footer of $p")
+          (p, rows, nulls, lo, hi)
+        } finally r.close()
+      }
+    }.toDF("path", "n_rows", "n_nulls", "stat_min", "stat_max")
+  }
+
   /** `parquet_footer_stats`: documents written `partitionBy(bucket)` with
     * `bucket = doc_id % 8`, then COUNT/MIN/MAX(doc_id) per bucket answered
     * from FOOTER STATISTICS ONLY — `footerStats` never reads a data page
@@ -109,11 +186,54 @@ object ParquetMeta extends QueryModule {
               MAX(doc_id) AS max_doc_id
        FROM documents GROUP BY 1 ORDER BY bucket"""
 
+  /** `parquet_footer_strings`: the text-table profiling path (VERDICT r11
+    * #6) — string min/max and null counts per bucket answered from FOOTER
+    * STATISTICS ONLY. Documents land `partitionBy(bucket)` carrying
+    * `lang` (a short string whose footer min/max are exact — see
+    * [[StatsExactCap]]) and `maybe_lang` (`lang` nulled on every third
+    * doc_id, so the null count is data-dependent and nonzero); the Spark
+    * side folds per-file footer rows, the oracle recomputes COUNT /
+    * null-count / MIN / MAX from the data — a footer mis-read, a missing
+    * null count, a byte-vs-codepoint ordering slip, or a lost file lands
+    * as a mismatch or a missing bucket.
+    */
+  def footerStringsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Scratch.dir("graft_meta_str")
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", pmod(col("doc_id"), lit(8)).cast("int"))
+      .withColumn("maybe_lang",
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(null: String))
+          .otherwise(col("lang")))
+      .select("doc_id", "lang", "maybe_lang", "bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    footerStringStats(spark, dir, "lang", "maybe_lang")
+      .withColumn("bucket",
+        expr("cast(regexp_extract(path, 'bucket=([0-9]+)/', 1) as int)"))
+      .groupBy("bucket")
+      .agg(sum("n_rows").as("n_docs"),
+        sum("n_nulls").as("n_nulls"),
+        min("stat_min").as("min_lang"),
+        max("stat_max").as("max_lang"))
+      .select(col("bucket"), col("n_docs"), col("n_nulls"),
+        col("min_lang"), col("max_lang"))
+      .orderBy("bucket")
+  }
+
+  private val footerStringsSql =
+    """SELECT CAST(doc_id % 8 AS INT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+              MIN(lang) AS min_lang,
+              MAX(lang) AS max_lang
+       FROM documents GROUP BY 1 ORDER BY bucket"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parquet_footer_stats" -> (footerStatsQuery _),
+    "parquet_footer_strings" -> (footerStringsQuery _),
   )
 
   override def oracle: Map[String, String] = Map(
     "parquet_footer_stats" -> footerStatsSql,
+    "parquet_footer_strings" -> footerStringsSql,
   )
 }

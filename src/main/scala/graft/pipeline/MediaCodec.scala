@@ -396,8 +396,12 @@ object MediaCodec {
     * Paeth with the spec's exact tie-break order). Color types 0 (gray,
     * replicated to R=G=B like PGM), 2 (RGB), 3 (palette-indexed, PLTE
     * required and indexes bounds-checked), and 6 (RGBA, alpha dropped —
-    * the library's raster model is RGB) are supported; 16-bit, 1/2/4-bit,
-    * gray+alpha, and broken-Adler profiles reject strictly. BOTH interlace
+    * the library's raster model is RGB) are supported at bit depth 8;
+    * depth 16 decodes for gray and RGB (MSB-first samples, filters
+    * striding the 2-byte-per-sample pixel width, normalized v·255/65535 =
+    * v/257 exactly — the scientific/archival profile); 1/2/4-bit,
+    * gray+alpha, 16-bit palette/RGBA, and broken-Adler profiles reject
+    * strictly. BOTH interlace
     * methods decode: Adam7 is the 7-pass generalization of the same
     * unfilter (each pass filters against its own previous row, empty
     * passes contribute no bytes, pixels scatter to (x0+i·dx, y0+r·dy)),
@@ -409,7 +413,7 @@ object MediaCodec {
     require(bytes.length >= 8 + 25 && (0 until 8).forall(i => bytes(i) == sig(i)),
       "not a PNG")
     var pos = 8
-    var width = -1; var height = -1; var colorType = -1
+    var width = -1; var height = -1; var colorType = -1; var depth = -1
     var interlaced = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -431,11 +435,15 @@ object MediaCodec {
           width = be32(bytes, body)
           height = be32(bytes, body + 4)
           require(width > 0 && height > 0, s"PNG: bad dimensions ${width}x$height")
-          require(bytes(body + 8) == 8,
-            s"PNG: only bit depth 8 supported, got ${bytes(body + 8)}")
+          depth = bytes(body + 8) & 0xff
           colorType = bytes(body + 9) & 0xff
           require(colorType == 0 || colorType == 2 || colorType == 3 || colorType == 6,
             s"PNG: only color types 0/2/3/6 supported, got $colorType")
+          // 16-bit (r12): gray and RGB — the scientific/archival profiles;
+          // 16-bit palette does not exist in the spec and 16-bit RGBA stays
+          // out of scope with the other alpha-bearing rarities
+          require(depth == 8 || (depth == 16 && (colorType == 0 || colorType == 2)),
+            s"PNG: bit depth $depth unsupported for color type $colorType")
           require(bytes(body + 10) == 0 && bytes(body + 11) == 0,
             "PNG: nonstandard compression/filter method")
           interlaced = (bytes(body + 12) & 0xff) == 1
@@ -452,10 +460,14 @@ object MediaCodec {
     }
     require(width > 0, "PNG: missing IHDR")
     val channels = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+    // bytes per pixel: the filter's "left/upper-left" offset is in BYTES
+    // (PNG spec: filters operate bytewise at the pixel stride), so every
+    // row-walk below strides bpp, not channels
+    val bpp = channels * (depth / 8)
     // Long math on hostile IHDR dims (the same guard every sibling decoder
     // carries): 65536×65536 RGBA must hit THIS reject, not wrap the raw /
     // rgb allocation sizes negative
-    require((width.toLong * channels + 1) * height <= Int.MaxValue &&
+    require((width.toLong * bpp + 1) * height <= Int.MaxValue &&
       width.toLong * height * 3 <= Int.MaxValue,
       s"PNG: image too large (${width}x$height, color type $colorType)")
     // Adam7 reduces to pass lists; non-interlaced is the 1-pass case.
@@ -470,7 +482,7 @@ object MediaCodec {
           (x0, y0, dx, dy, pw, ph)
         }
         .filter(p => p._5 > 0 && p._6 > 0)
-    val totalRaw = passes.map(p => p._6.toLong * (p._5.toLong * channels + 1)).sum
+    val totalRaw = passes.map(p => p._6.toLong * (p._5.toLong * bpp + 1)).sum
     require(totalRaw <= Int.MaxValue, "PNG: interlaced pixel stream too large")
     val raw = new Array[Byte](totalRaw.toInt)
     val inf = new java.util.zip.Inflater()
@@ -494,10 +506,10 @@ object MediaCodec {
     // per pass: unfilter in place (each filter references the PRIOR
     // reconstructed row OF THE SAME PASS), then scatter the pass's pixels
     // to their final (x0 + i·dx, y0 + r·dy) positions
-    val out = new Array[Byte](width * height * channels)
+    val out = new Array[Byte](width * height * bpp)
     var passBase = 0
     passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
-      val rowLen = pw * channels
+      val rowLen = pw * bpp
       var r = 0
       while (r < ph) {
         val base = passBase + r * (rowLen + 1)
@@ -505,9 +517,9 @@ object MediaCodec {
         var i = 0
         while (i < rowLen) {
           val x = raw(base + 1 + i) & 0xff
-          val a = if (i >= channels) raw(base + 1 + i - channels) & 0xff else 0 // left
+          val a = if (i >= bpp) raw(base + 1 + i - bpp) & 0xff else 0 // left
           val b = if (r > 0) raw(base - rowLen + i) & 0xff else 0 // up
-          val c = if (r > 0 && i >= channels) raw(base - rowLen + i - channels) & 0xff else 0
+          val c = if (r > 0 && i >= bpp) raw(base - rowLen + i - bpp) & 0xff else 0
           val recon = filter match {
             case 0 => x
             case 1 => x + a
@@ -524,10 +536,10 @@ object MediaCodec {
         }
         var px = 0
         while (px < pw) {
-          val dst = ((y0 + r * dy) * width + (x0 + px * dx)) * channels
+          val dst = ((y0 + r * dy) * width + (x0 + px * dx)) * bpp
           var ch = 0
-          while (ch < channels) {
-            out(dst + ch) = raw(base + 1 + px * channels + ch)
+          while (ch < bpp) {
+            out(dst + ch) = raw(base + 1 + px * bpp + ch)
             ch += 1
           }
           px += 1
@@ -539,13 +551,24 @@ object MediaCodec {
     val rgb = new Array[Byte](width * height * 3)
     var p = 0
     val n = width * height
+    // 16-bit samples (MSB first per spec) normalize to the 8-bit raster
+    // with the library's pinned truncating map v*255/65535 — exactly v/257
+    // since 65535 = 257·255, the same identity mm_real_decode16 pins for
+    // 16-bit PPM
+    def s16(off: Int): Byte =
+      ((((out(off) & 0xff) << 8) | (out(off + 1) & 0xff)) / 257).toByte
     while (p < n) {
-      val src = p * channels
+      val src = p * bpp
       colorType match {
-        case 2 | 6 =>
+        case 2 | 6 if depth == 8 =>
           rgb(3 * p) = out(src); rgb(3 * p + 1) = out(src + 1); rgb(3 * p + 2) = out(src + 2)
-        case 0 =>
+        case 2 =>
+          rgb(3 * p) = s16(src); rgb(3 * p + 1) = s16(src + 2); rgb(3 * p + 2) = s16(src + 4)
+        case 0 if depth == 8 =>
           rgb(3 * p) = out(src); rgb(3 * p + 1) = out(src); rgb(3 * p + 2) = out(src)
+        case 0 =>
+          val g = s16(src)
+          rgb(3 * p) = g; rgb(3 * p + 1) = g; rgb(3 * p + 2) = g
         case _ =>
           require(palette != null, "PNG: palette image without a PLTE chunk")
           val idx = out(src) & 0xff

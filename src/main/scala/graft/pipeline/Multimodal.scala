@@ -818,9 +818,9 @@ object Multimodal extends QueryModule {
   /** Hex of a constant PNG prefix (signature + IHDR chunk with its real
     * CRC) for an 8x8 bit-depth-8 image of the given color type.
     */
-  private def pngPrefixHex(colorType: Int, interlace: Int = 0): String = {
+  private def pngPrefixHex(colorType: Int, interlace: Int = 0, depth: Int = 8): String = {
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(8).putInt(8)
-      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+      .put(depth.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
       .put(interlace.toByte).array()
     val crc = new java.util.zip.CRC32()
     crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr)
@@ -850,31 +850,37 @@ object Multimodal extends QueryModule {
     * inflate anything: it recomputes banded luma straight from the
     * document bytes per parity. Map-only until the final sort.
     */
+  // stored-block zlib framing: 0x78 0x01, then BFINAL=1/BTYPE=00, LEN
+  // and ~LEN little-endian; IDAT length = 2 + 5 + raw + 4 (adler).
+  // Shared by the 8-bit (`mm_real_png`) and 16-bit (`mm_real_png16`)
+  // builders — the stored stream is format-agnostic byte plumbing, only
+  // the IHDR prefix and row geometry differ.
+  private def pngStoredSide(rows: Int, rowBytes: Int, prefixHex: String) = {
+    val n = rows * (rowBytes + 1)
+    val lenHex = "%02X%02X".format(n & 0xff, n >> 8)
+    val nlenHex = "%02X%02X".format(~n & 0xff, (~n >> 8) & 0xff)
+    val rawHex =
+      s"""array_join(transform(sequence(0, ${rows - 1}), r ->
+            concat('00', substring(h, r * ${rowBytes * 2} + 1, ${rowBytes * 2}))), '')"""
+    val byteAt = s"cast(conv(substring(h, i * 2 + 1, 2), 16, 10) as bigint)"
+    val s1 = s"(1 + aggregate(sequence(0, ${rows * rowBytes - 1}), 0L, (acc, i) -> acc + $byteAt)) % 65521"
+    // position of data byte i inside the raw stream: (i div rowBytes)
+    // rows of rowBytes+1 with the leading filter zero, then 1 + i mod
+    val w = s"($n - ((i div $rowBytes) * ${rowBytes + 1} + 1 + i % $rowBytes))"
+    val s2 = s"($n + aggregate(sequence(0, ${rows * rowBytes - 1}), 0L, (acc, i) -> acc + $w * $byteAt)) % 65521"
+    val adlerHex = s"lpad(hex(($s2) * 65536 + ($s1)), 8, '0')"
+    val zlibHex = s"concat('7801', '01$lenHex$nlenHex', $rawHex, $adlerHex)"
+    val idatLen = 2 + 5 + n + 4
+    s"""concat('$prefixHex',
+               lpad(hex($idatLen), 8, '0'), '49444154', $zlibHex,
+               lpad(hex(crc32(unhex(concat('49444154', $zlibHex)))), 8, '0'),
+               '0000000049454E44AE426082')"""
+  }
+
   def realPng(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // stored-block zlib framing: 0x78 0x01, then BFINAL=1/BTYPE=00, LEN
-    // and ~LEN little-endian; IDAT length = 2 + 5 + raw + 4 (adler)
-    def side(rows: Int, rowBytes: Int, prefixHex: String) = {
-      val n = rows * (rowBytes + 1)
-      val lenHex = "%02X%02X".format(n & 0xff, n >> 8)
-      val nlenHex = "%02X%02X".format(~n & 0xff, (~n >> 8) & 0xff)
-      val rawHex =
-        s"""array_join(transform(sequence(0, ${rows - 1}), r ->
-              concat('00', substring(h, r * ${rowBytes * 2} + 1, ${rowBytes * 2}))), '')"""
-      val byteAt = s"cast(conv(substring(h, i * 2 + 1, 2), 16, 10) as bigint)"
-      val s1 = s"(1 + aggregate(sequence(0, ${rows * rowBytes - 1}), 0L, (acc, i) -> acc + $byteAt)) % 65521"
-      // position of data byte i inside the raw stream: (i div rowBytes)
-      // rows of rowBytes+1 with the leading filter zero, then 1 + i mod
-      val w = s"($n - ((i div $rowBytes) * ${rowBytes + 1} + 1 + i % $rowBytes))"
-      val s2 = s"($n + aggregate(sequence(0, ${rows * rowBytes - 1}), 0L, (acc, i) -> acc + $w * $byteAt)) % 65521"
-      val adlerHex = s"lpad(hex(($s2) * 65536 + ($s1)), 8, '0')"
-      val zlibHex = s"concat('7801', '01$lenHex$nlenHex', $rawHex, $adlerHex)"
-      val idatLen = 2 + 5 + n + 4
-      s"""concat('$prefixHex',
-                 lpad(hex($idatLen), 8, '0'), '49444154', $zlibHex,
-                 lpad(hex(crc32(unhex(concat('49444154', $zlibHex)))), 8, '0'),
-                 '0000000049454E44AE426082')"""
-    }
+    def side(rows: Int, rowBytes: Int, prefixHex: String) =
+      pngStoredSide(rows, rowBytes, prefixHex)
     val clips = Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= PpmPixelBytes)
       .withColumn("h", expr("hex(cast(text as binary))"))
@@ -902,6 +908,49 @@ object Multimodal extends QueryModule {
                    CAST(CAST(CAST(3 * list_sum(list_transform(range(k * 8, (k + 1) * 8),
                        i -> ${byte("i")})) AS DOUBLE) / 6120.0 AS FLOAT) AS DOUBLE)
                  END AS luma_frac
+          FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
+        )
+        SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
+  }
+
+  /** `mm_real_png16`: 16-BIT grayscale PNG — the scientific/archival
+    * profile (VERDICT r11 #7). Spark builds a genuine depth-16 color-type-0
+    * PNG per document (8x8 pixels, 16 bytes per row — the document's first
+    * 128 bytes as MSB-first samples) through the same stored-deflate zlib
+    * framing and arithmetic Adler-32 as `mm_real_png`, differing only in
+    * the IHDR (depth 16, its own real CRC) and row geometry. The decoder
+    * must stride its filters at 2 bytes per pixel and normalize each
+    * sample with the pinned truncating map v·255/65535 (= v/257 exactly,
+    * since 65535 = 257·255 — the `mm_real_decode16` identity); the oracle
+    * recomputes banded luma from the same 2-byte groups in pure integer
+    * SQL. A stride, endianness, or normalization bug lands as a band
+    * mismatch; a checksum slip rejects the file. Map-only until the sort.
+    */
+  def realPng16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val clips = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= PpmPixelBytes)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"), lit("image").as("media_type"),
+        unhex(expr(pngStoredSide(8, 16, pngPrefixHex(0, depth = 16)))).as("payload"))
+    BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
+      .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
+      .select(col("doc_id"), col("band"),
+        col("f").cast("double").as("luma_frac"))
+      .orderBy("doc_id", "band")
+  }
+
+  private val realPng16Sql = {
+    def byte(off: String) = s"CAST('0x' || substring(h, ($off) * 2 + 1, 2) AS INT)"
+    // pixel j = bytes (2j, 2j+1) MSB-first; v8 = v16 // 257 exactly
+    val px = s"((${byte("2 * i")} * 256 + ${byte("2 * i + 1")}) // 257)"
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= $PpmPixelBytes
+        ), f AS (
+          SELECT doc_id, CAST(k AS INT) AS band,
+                 CAST(CAST(CAST(3 * list_sum(list_transform(range(k * 8, (k + 1) * 8),
+                     i -> $px)) AS DOUBLE) / 6120.0 AS FLOAT) AS DOUBLE) AS luma_frac
           FROM d, (SELECT unnest(range(0, $FeatureDim)) AS k)
         )
         SELECT doc_id, band, luma_frac FROM f ORDER BY doc_id, band"""
@@ -1676,6 +1725,7 @@ object Multimodal extends QueryModule {
     "mm_real_chroma422" -> (realChroma422 _),
     "mm_real_bmp" -> (realBmp _),
     "mm_real_png" -> (realPng _),
+    "mm_real_png16" -> (realPng16 _),
     "mm_real_png_adam7" -> (realPngAdam7 _),
     "mm_real_pbm" -> (realPbm _),
     "mm_real_adpcm" -> (realAdpcm _),
@@ -1704,6 +1754,7 @@ object Multimodal extends QueryModule {
     "mm_real_chroma422" -> realChroma422Sql,
     "mm_real_bmp" -> realBmpSql,
     "mm_real_png" -> realPngSql,
+    "mm_real_png16" -> realPng16Sql,
     "mm_real_png_adam7" -> realPngAdam7Sql,
     "mm_real_pbm" -> realPbmSql,
     "mm_real_adpcm" -> realAdpcmSql,

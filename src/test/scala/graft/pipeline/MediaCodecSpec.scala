@@ -668,7 +668,52 @@ class MediaCodecSpec extends SparkSpec {
       Seq(0, 5, 10, 1, 6, 11, 2, 7, 12).flatMap(i => pal.slice(3 * i, 3 * i + 3).toSeq))
   }
 
-  test("PNG decode: strict rejects (bad CRC, truncated zlib, 16-bit, geometry lies)") {
+  test("PNG decode: 16-bit gray against ImageIO's own writer; v*255/65535 normalization") {
+    // TYPE_USHORT_GRAY writes a genuine depth-16 color-type-0 PNG — the
+    // JDK as the independent production encoder, like the JPEG/GIF specs
+    val w = 6; val h = 3
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val samples = Array.tabulate(w * h)(i => (i * 4099 + 257) % 65536)
+    img.getRaster.setSamples(0, 0, w, h, 0, samples)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val got = MediaCodec.decodePng(bos.toByteArray)
+    assert(got.width == w && got.height == h)
+    // TYPE_USHORT_GRAY carries a linear-gray color space whose PNG encoding
+    // keeps the raw sample; each decodes to v/257 replicated across RGB
+    val expect = samples.flatMap { v => val g = (v / 257).toByte; Seq(g, g, g) }
+    assert(got.rgb.toSeq == expect.toSeq)
+  }
+
+  test("PNG decode: 16-bit filters stride two bytes per sample (gray + RGB, all filters)") {
+    val rnd = new scala.util.Random(43)
+    // gray 5x4: every filter type; left-neighbor now sits 2 bytes back
+    val gray16 = Array.fill(5 * 4 * 2)(rnd.nextInt(256).toByte)
+    val gotG = decodePng(png16(5, 4, 0, gray16, filters = r => r % 5))
+    val expG = (0 until 20).flatMap { p =>
+      val v = ((gray16(2 * p) & 0xff) << 8) | (gray16(2 * p + 1) & 0xff)
+      val g = (v / 257).toByte; Seq(g, g, g)
+    }
+    assert(gotG.rgb.toSeq == expG)
+    // RGB 3x3: stride is 6 bytes; a channels-stride bug shears the colors
+    val rgb16 = Array.fill(3 * 3 * 6)(rnd.nextInt(256).toByte)
+    val gotC = decodePng(png16(3, 3, 2, rgb16, filters = r => 4 - (r % 5)))
+    val expC = (0 until 27).map { s =>
+      (((rgb16(2 * s) & 0xff) << 8 | (rgb16(2 * s + 1) & 0xff)) / 257).toByte
+    }
+    assert(gotC.rgb.toSeq == expC)
+    // 16-bit palette does not exist in the spec -> named reject
+    val e = intercept[IllegalArgumentException](
+      decodePng(png16(2, 2, 3, Array.fill(8)(1.toByte))))
+    assert(e.getMessage.contains("bit depth"))
+  }
+
+  private def png16(width: Int, height: Int, colorType: Int, pixels: Array[Byte],
+      filters: Int => Int = _ => 0): Array[Byte] =
+    MediaCodecSpec.pngFile(width, height, colorType, pixels, filters, depth = 16)
+
+  test("PNG decode: strict rejects (bad CRC, truncated zlib, geometry lies)") {
     val px = Array.fill(2 * 2 * 3)(7.toByte)
     val good = png(2, 2, 2, px)
     assert(decodePng(good).rgb.toSeq == px.toSeq)
@@ -730,8 +775,8 @@ class MediaCodecSpec extends SparkSpec {
 object MediaCodecSpec {
   def pngFile(width: Int, height: Int, colorType: Int, pixels: Array[Byte],
       filters: Int => Int = _ => 0, palette: Array[Byte] = null,
-      interlaced: Boolean = false): Array[Byte] = {
-    val ch = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+      interlaced: Boolean = false, depth: Int = 8): Array[Byte] = {
+    val ch = (colorType match { case 2 => 3; case 6 => 4; case _ => 1 }) * (depth / 8)
     /** Forward-filter one sub-image's rows (the spec direction). */
     def filterRows(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val rowLen = w * ch
@@ -791,7 +836,7 @@ object MediaCodecSpec {
       b.array()
     }
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(width).putInt(height)
-      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+      .put(depth.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
       .put((if (interlaced) 1 else 0).toByte).array()
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
       chunk("IHDR", ihdr) ++
