@@ -100,86 +100,221 @@ object Zip extends QueryModule {
     var cd = cdOff.toInt
     var i = 0
     while (i < count) {
-      require(cd + 46 <= eocd && le32(bytes, cd) == 0x02014b50L,
-        s"zip: bad central-directory signature for entry $i")
-      val flags = le16(bytes, cd + 8)
-      require((flags & 0x1) == 0, s"zip: entry $i is encrypted")
-      val method = le16(bytes, cd + 10)
-      val crc = le32(bytes, cd + 16)
-      var csize = le32(bytes, cd + 20)
-      var usize = le32(bytes, cd + 24)
-      val nlen = le16(bytes, cd + 28)
-      val elen = le16(bytes, cd + 30)
-      val clen = le16(bytes, cd + 32)
-      var lho = le32(bytes, cd + 42)
-      val name = new String(bytes, cd + 46, nlen, java.nio.charset.StandardCharsets.UTF_8)
-      if (usize == 0xffffffffL || csize == 0xffffffffL || lho == 0xffffffffL) {
-        // ZIP64 extended-information extra field (id 0x0001): 8-byte values
-        // present ONLY for the fields whose 4-byte slot holds the sentinel,
-        // in spec order usize, csize, lho-offset
-        var x = cd + 46 + nlen
-        val xEnd = x + elen
-        var found = false
-        while (x + 4 <= xEnd && !found) {
-          val id = le16(bytes, x); val sz = le16(bytes, x + 2)
-          if (id == 0x0001) {
-            var q = x + 4
-            if (usize == 0xffffffffL) { usize = le64(bytes, q); q += 8 }
-            if (csize == 0xffffffffL) { csize = le64(bytes, q); q += 8 }
-            if (lho == 0xffffffffL) { lho = le64(bytes, q); q += 8 }
-            require(q <= x + 4 + sz && q <= xEnd,
-              s"zip: zip64 extra field too short in '$name'")
-            found = true
-          } else x += 4 + sz
-        }
-        require(found, s"zip: sentinel sizes with no zip64 extra field in '$name'")
-      }
-      // the format parses past 4 GiB, but a member must still land in one
-      // JVM byte array to decode here — the in-memory bound, not a ZIP64 gap
-      require(csize <= Int.MaxValue && usize <= Int.MaxValue,
-        s"zip: entry $i sizes exceed the in-memory decode bound")
-      if (!name.endsWith("/")) {
+      require(cd + 46 <= eocd, s"zip: central record $i overruns the directory")
+      val rec = parseCdRecord(bytes, cd, i)
+      if (!rec.name.endsWith("/")) {
         // local header: sizes/CRC here may be zeroed under flag bit 3 —
         // the central record above is authoritative, the LFH only frames
-        require(lho + 30 <= bytes.length && le32(bytes, lho.toInt) == 0x04034b50L,
-          s"zip: bad local-header signature for '$name'")
-        val l = lho.toInt
+        require(rec.lho + 30 <= bytes.length && le32(bytes, rec.lho.toInt) == 0x04034b50L,
+          s"zip: bad local-header signature for '${rec.name}'")
+        val l = rec.lho.toInt
         val dataOff = l + 30 + le16(bytes, l + 26) + le16(bytes, l + 28)
-        require(dataOff + csize <= bytes.length, s"zip: truncated data for '$name'")
-        val data = method match {
-          case 0 => // STORED
-            require(csize == usize, s"zip: stored entry '$name' with csize != usize")
-            java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + csize.toInt)
-          case 8 => // DEFLATE
-            val inf = new java.util.zip.Inflater(true)
-            inf.setInput(bytes, dataOff, csize.toInt)
-            val buf = new Array[Byte](usize.toInt)
-            var got = 0
-            try {
-              while (got < buf.length && !inf.finished()) {
-                val n = inf.inflate(buf, got, buf.length - got)
-                require(n > 0 || !inf.needsInput(), s"zip: truncated deflate in '$name'")
-                got += n
-              }
-            } catch {
-              case e: java.util.zip.DataFormatException =>
-                throw new IllegalArgumentException(s"zip: corrupt deflate in '$name': ${e.getMessage}")
-            } finally inf.end()
-            require(got == usize, s"zip: '$name' inflated to $got of $usize bytes")
-            buf
-          case m =>
-            throw new IllegalArgumentException(s"zip: unsupported compression method $m in '$name'")
-        }
-        val c = new java.util.zip.CRC32
-        c.update(data)
-        require(c.getValue == crc,
-          f"zip: CRC mismatch in '$name' (${c.getValue}%08x != $crc%08x)")
-        out += name -> data
+        require(dataOff + rec.csize <= bytes.length, s"zip: truncated data for '${rec.name}'")
+        out += rec.name -> decodeMember(rec, bytes, dataOff)
       }
-      cd += 46 + nlen + elen + clen
+      cd += rec.recLen
       i += 1
     }
     out.result()
+  }
+
+  /** One parsed central-directory record (ZIP64 sentinels resolved). */
+  private[operators] final case class CdRecord(name: String, method: Int,
+      crc: Long, csize: Long, usize: Long, lho: Long, recLen: Int)
+
+  /** Parse the central record at `pos` of `cd` (any buffer holding the
+    * directory — the whole archive for the in-memory walk, just the CD
+    * slab for the seekable file walk). Shared by both walks so the ZIP64
+    * sentinel/extra-field logic exists exactly once.
+    */
+  private def parseCdRecord(cd: Array[Byte], pos: Int, i: Int): CdRecord = {
+    require(le32(cd, pos) == 0x02014b50L,
+      s"zip: bad central-directory signature for entry $i")
+    val flags = le16(cd, pos + 8)
+    require((flags & 0x1) == 0, s"zip: entry $i is encrypted")
+    val method = le16(cd, pos + 10)
+    val crc = le32(cd, pos + 16)
+    var csize = le32(cd, pos + 20)
+    var usize = le32(cd, pos + 24)
+    val nlen = le16(cd, pos + 28)
+    val elen = le16(cd, pos + 30)
+    val clen = le16(cd, pos + 32)
+    var lho = le32(cd, pos + 42)
+    val name = new String(cd, pos + 46, nlen, java.nio.charset.StandardCharsets.UTF_8)
+    if (usize == 0xffffffffL || csize == 0xffffffffL || lho == 0xffffffffL) {
+      // ZIP64 extended-information extra field (id 0x0001): 8-byte values
+      // present ONLY for the fields whose 4-byte slot holds the sentinel,
+      // in spec order usize, csize, lho-offset
+      var x = pos + 46 + nlen
+      val xEnd = x + elen
+      var found = false
+      while (x + 4 <= xEnd && !found) {
+        val id = le16(cd, x); val sz = le16(cd, x + 2)
+        if (id == 0x0001) {
+          var q = x + 4
+          if (usize == 0xffffffffL) { usize = le64(cd, q); q += 8 }
+          if (csize == 0xffffffffL) { csize = le64(cd, q); q += 8 }
+          if (lho == 0xffffffffL) { lho = le64(cd, q); q += 8 }
+          require(q <= x + 4 + sz && q <= xEnd,
+            s"zip: zip64 extra field too short in '$name'")
+          found = true
+        } else x += 4 + sz
+      }
+      require(found, s"zip: sentinel sizes with no zip64 extra field in '$name'")
+    }
+    // the format parses past 4 GiB, but a MEMBER must still land in one
+    // JVM byte array to decode — the per-member in-memory bound (the
+    // seekable walk lifts the ARCHIVE-level bound, not this one)
+    require(csize <= Int.MaxValue && usize <= Int.MaxValue,
+      s"zip: entry $i sizes exceed the in-memory decode bound")
+    CdRecord(name, method, crc, csize, usize, lho, 46 + nlen + elen + clen)
+  }
+
+  /** Decode one member's payload from `raw` at `off` (STORED copy or raw
+    * DEFLATE), then verify the decompressed size AND CRC-32 against the
+    * central record. Shared by both walks.
+    */
+  private def decodeMember(rec: CdRecord, raw: Array[Byte], off: Int): Array[Byte] = {
+    val data = rec.method match {
+      case 0 => // STORED
+        require(rec.csize == rec.usize,
+          s"zip: stored entry '${rec.name}' with csize != usize")
+        java.util.Arrays.copyOfRange(raw, off, off + rec.csize.toInt)
+      case 8 => // DEFLATE
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(raw, off, rec.csize.toInt)
+        val buf = new Array[Byte](rec.usize.toInt)
+        var got = 0
+        try {
+          while (got < buf.length && !inf.finished()) {
+            val n = inf.inflate(buf, got, buf.length - got)
+            require(n > 0 || !inf.needsInput(), s"zip: truncated deflate in '${rec.name}'")
+            got += n
+          }
+        } catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(s"zip: corrupt deflate in '${rec.name}': ${e.getMessage}")
+        } finally inf.end()
+        require(got == rec.usize, s"zip: '${rec.name}' inflated to $got of ${rec.usize} bytes")
+        buf
+      case m =>
+        throw new IllegalArgumentException(s"zip: unsupported compression method $m in '${rec.name}'")
+    }
+    val c = new java.util.zip.CRC32
+    c.update(data)
+    require(c.getValue == rec.crc,
+      f"zip: CRC mismatch in '${rec.name}' (${c.getValue}%08x != ${rec.crc}%08x)")
+    data
+  }
+
+  /** [[entries]] for a FILE, by seek: reads the tail window (EOCD + up to
+    * the max comment + the ZIP64 locator), the EOCD64 record if present,
+    * the central-directory slab, and then ONE member's compressed bytes at
+    * a time — never the whole archive. This is the >4 GiB dataset-drop
+    * path the in-memory walk cannot serve: `binaryFile` caps a content
+    * column at 2 GiB and a byte-array walk needs the archive resident,
+    * while this walk needs O(tail + directory + one member) memory
+    * regardless of archive size. Members keep the per-member in-memory
+    * bound; the ARCHIVE-level bound is what this lifts.
+    *
+    * The returned iterator closes the stream when exhausted or on the
+    * first decode failure; callers that abandon it early must not exist
+    * (both call sites drain it).
+    */
+  def entriesFromFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Iterator[(String, Array[Byte])] = {
+    val len = fs.getFileStatus(path).getLen
+    require(len >= 22, s"zip: $path shorter than an EOCD record")
+    val in = fs.open(path)
+    def closeQuietly(): Unit = try in.close() catch { case _: Throwable => () }
+    try {
+      val tailLen = math.min(len, 22L + 0xffff + 20L).toInt
+      val tailBase = len - tailLen
+      val tail = new Array[Byte](tailLen)
+      in.readFully(tailBase, tail, 0, tailLen)
+      var eocd = -1
+      var p = tailLen - 22
+      while (eocd < 0 && p >= 0) {
+        if ((tail(p) & 0xff) == 0x50 && (tail(p + 1) & 0xff) == 0x4b &&
+          (tail(p + 2) & 0xff) == 0x05 && (tail(p + 3) & 0xff) == 0x06 &&
+          22 + le16(tail, p + 20) == tailLen - p) eocd = p
+        p -= 1
+      }
+      require(eocd >= 0, s"zip: no end-of-central-directory record in $path")
+      val loc = eocd - 20
+      val zip64 = loc >= 0 && le32(tail, loc) == 0x07064b50L
+      val (count, cdSize, cdOff) =
+        if (zip64) {
+          require(le32(tail, loc + 4) == 0 && le32(tail, loc + 16) == 1,
+            "zip: multi-disk zip64 archives unsupported")
+          val e64 = le64(tail, loc + 8)
+          require(e64 >= 0 && e64 + 56 <= tailBase + loc,
+            "zip: bad zip64 end-of-central-directory record")
+          val rec = new Array[Byte](56)
+          in.readFully(e64, rec, 0, 56)
+          require(le32(rec, 0) == 0x06064b50L,
+            "zip: bad zip64 end-of-central-directory record")
+          require(le32(rec, 16) == 0 && le32(rec, 20) == 0,
+            "zip: multi-disk zip64 archives unsupported")
+          val n = le64(rec, 24)
+          require(n == le64(rec, 32), "zip: zip64 disk/total entry count mismatch")
+          require(n <= Int.MaxValue, s"zip: zip64 entry count $n exceeds the in-memory bound")
+          val (sz, off) = (le64(rec, 40), le64(rec, 48))
+          require(off + sz <= e64, "zip: central directory overruns its zip64 EOCD")
+          (n.toInt, sz, off)
+        } else {
+          require(le16(tail, eocd + 4) == 0 && le16(tail, eocd + 6) == 0,
+            "zip: multi-disk archives unsupported")
+          val n = le16(tail, eocd + 10)
+          require(le16(tail, eocd + 8) == n, "zip: disk/total entry count mismatch")
+          require(n != 0xffff && le32(tail, eocd + 16) != 0xffffffffL,
+            "zip: sentinel EOCD fields with no zip64 locator")
+          val (sz, off) = (le32(tail, eocd + 12), le32(tail, eocd + 16))
+          require(off + sz <= tailBase + eocd, "zip: central directory overruns its EOCD")
+          (n, sz, off)
+        }
+      // one directory record is >= 46 bytes, so a 100 TB bucket's largest
+      // plausible directory (millions of members) still fits comfortably
+      require(cdSize <= Int.MaxValue, "zip: central directory exceeds the in-memory bound")
+      val cd = new Array[Byte](cdSize.toInt)
+      in.readFully(cdOff, cd, 0, cd.length)
+      val recs = {
+        val b = IndexedSeq.newBuilder[CdRecord]
+        var pos = 0
+        var i = 0
+        while (i < count) {
+          require(pos + 46 <= cd.length, s"zip: central record $i overruns the directory")
+          val r = parseCdRecord(cd, pos, i)
+          b += r
+          pos += r.recLen
+          i += 1
+        }
+        b.result()
+      }
+      val base = recs.iterator.filterNot(_.name.endsWith("/")).map { rec =>
+        val lfh = new Array[Byte](30)
+        require(rec.lho + 30 <= len, s"zip: local header of '${rec.name}' beyond EOF")
+        in.readFully(rec.lho, lfh, 0, 30)
+        require(le32(lfh, 0) == 0x04034b50L,
+          s"zip: bad local-header signature for '${rec.name}'")
+        val dataOff = rec.lho + 30 + le16(lfh, 26) + le16(lfh, 28)
+        require(dataOff + rec.csize <= len, s"zip: truncated data for '${rec.name}'")
+        val raw = new Array[Byte](rec.csize.toInt)
+        in.readFully(dataOff, raw, 0, raw.length)
+        rec.name -> decodeMember(rec, raw, 0)
+      }
+      new Iterator[(String, Array[Byte])] {
+        private var open = true
+        def hasNext: Boolean = {
+          val h = open && base.hasNext
+          if (open && !h) { open = false; closeQuietly() }
+          h
+        }
+        def next(): (String, Array[Byte]) =
+          try base.next()
+          catch { case e: Throwable => if (open) { open = false; closeQuietly() }; throw e }
+      }
+    } catch { case e: Throwable => closeQuietly(); throw e }
   }
 
   /** Zip files → `documents`-shaped rows: `.txt` members of a landing
@@ -212,6 +347,52 @@ object Zip extends QueryModule {
                   text.codePointCount(0, text.length).toLong)
             }
           }
+        }
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** [[docsFromFiles]] by PATH — the huge-archive front door. The
+    * binaryFile form ships each archive's bytes through the scan (capped
+    * at 2 GiB per file); this form parallelizes the path list and each
+    * task seek-walks its archives via [[entriesFromFile]], so a bucket of
+    * >4 GiB ZIP64 drops ingests with O(directory + one member) memory per
+    * task. Same doc_id scheme and row shape as [[docsFromFiles]]
+    * (parity-pinned in ZipSpec).
+    */
+  def docsFromPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.Buffer.empty[(Long, String)]
+    val it = fs.listFiles(root, false)
+    val idRe = "(?i)^([0-9]+)\\.zip$".r
+    while (it.hasNext) {
+      val f = it.next()
+      f.getPath.getName match {
+        case idRe(id) => files += ((id.toLong, f.getPath.toString))
+        case _ => () // landing dirs are never clean: skip non-archives
+      }
+    }
+    spark.createDataset(files.toSeq)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { ps =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        ps.flatMap { case (fileId, p) =>
+          require(fileId < (1L << 39),
+            s"zip file id $fileId exceeds the 2^39 doc_id file-slot space")
+          val path = new org.apache.hadoop.fs.Path(p)
+          entriesFromFile(path.getFileSystem(conf), path).zipWithIndex
+            .map { case (e, i) =>
+              require(i < (1 << 24),
+                s"zip file $fileId: member $i exceeds the 2^24 doc_id slot space")
+              (e, i)
+            }
+            .collect { case (((name, payload), i)) if name.endsWith(".txt") =>
+              val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+              ((fileId << 24) | i, text, "und", name,
+                text.codePointCount(0, text.length).toLong)
+            }
         }
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -272,19 +453,25 @@ object Zip extends QueryModule {
       s"'${le2(SliceLen) + le2(0) + le2(SliceLen) + le2(0) + le2(NameLen) + le2(0)}', " +
       s"hex(cast(${nameSql(prefix)} as binary)), ${dataHex(off)})"
 
-  def zipIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    def cdRec(prefix: String, off: Int, lhoOff: Int) =
-      s"concat('504B0102${le2(20)}$fixedMeta', ${le4(crcOf(off))}, " +
-        s"'${le2(SliceLen) + le2(0) + le2(SliceLen) + le2(0) + le2(NameLen) + le2(0) + le2(0) + le2(0) + le2(0)}00000000', " +
-        s"'${"%02X%02X%02X%02X".format(lhoOff & 0xff, (lhoOff >> 8) & 0xff, (lhoOff >> 16) & 0xff, lhoOff >>> 24)}', " +
-        s"hex(cast(${nameSql(prefix)} as binary)))"
+  private def cdRec(prefix: String, off: Int, lhoOff: Int) =
+    s"concat('504B0102${le2(20)}$fixedMeta', ${le4(crcOf(off))}, " +
+      s"'${le2(SliceLen) + le2(0) + le2(SliceLen) + le2(0) + le2(NameLen) + le2(0) + le2(0) + le2(0) + le2(0)}00000000', " +
+      s"'${"%02X%02X%02X%02X".format(lhoOff & 0xff, (lhoOff >> 8) & 0xff, (lhoOff >> 16) & 0xff, lhoOff >>> 24)}', " +
+      s"hex(cast(${nameSql(prefix)} as binary)))"
+
+  /** Hex SQL for the classic two-member STORED archive of a document. */
+  private lazy val classicZipHexSql: String = {
     val cdOff = 2 * LfhLen
     val eocd = "504B0506" + le2(0) + le2(0) + le2(2) + le2(2) +
       "%02X%02X%02X%02X".format((2 * CdRecLen) & 0xff, 0, 0, 0) +
       "%02X%02X%02X%02X".format(cdOff & 0xff, (cdOff >> 8) & 0xff, 0, 0) + le2(0)
-    val zipHex = s"concat(${lfh("d", 0)}, ${lfh("m", 16)}, " +
+    s"concat(${lfh("d", 0)}, ${lfh("m", 16)}, " +
       s"${cdRec("d", 0, 0)}, ${cdRec("m", 16, LfhLen)}, '$eocd')"
+  }
+
+  def zipIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val zipHex = classicZipHexSql
     val files = Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= NeedBytes)
       .withColumn("h", expr("hex(cast(text as binary))"))
@@ -329,8 +516,10 @@ object Zip extends QueryModule {
     * each member's name, size, and payload byte sum from the document
     * bytes per member slot, identical in shape to `zip_ingest`.
     */
-  def zip64Ingest(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** Hex SQL for the ZIP64 twin of [[classicZipHexSql]] — every size and
+    * offset routed through the sentinel-and-extra indirection.
+    */
+  private lazy val zip64ZipHexSql: String = {
     val sentinel = "FFFFFFFF"
     def cdRec64(prefix: String, off: Int, lhoOff: Int) =
       s"concat('504B0102${le2(45)}${le2(45) + fixedMeta.drop(4)}', ${le4(crcOf(off))}, " +
@@ -348,9 +537,14 @@ object Zip extends QueryModule {
     val locator = "504B0607" + "00000000" + le8(eocd64Off) + "01000000"
     val eocd = "504B0506" + le2(0) + le2(0) + "FFFF" + "FFFF" +
       sentinel + sentinel + le2(0)
-    val zipHex = s"concat(${lfh("d", 0)}, ${lfh("m", 16)}, " +
+    s"concat(${lfh("d", 0)}, ${lfh("m", 16)}, " +
       s"${cdRec64("d", 0, 0)}, ${cdRec64("m", 16, LfhLen)}, " +
       s"'$eocd64$locator$eocd')"
+  }
+
+  def zip64Ingest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val zipHex = zip64ZipHexSql
     val files = Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= NeedBytes)
       .withColumn("h", expr("hex(cast(text as binary))"))
@@ -366,6 +560,70 @@ object Zip extends QueryModule {
         }
       }
     }.toDF("doc_id", "entry_no", "name", "size_bytes", "payload_sum")
+      .select(col("doc_id"), col("entry_no").cast("int"), col("name"),
+        col("size_bytes").cast("int"), col("payload_sum"))
+      .orderBy("doc_id", "entry_no")
+  }
+
+  /** `zip_files_ingest`: the SEEKABLE archive walk pinned end to end
+    * through REAL files. Spark builds a parity-mixed bucket — even
+    * doc_ids a classic archive, odd a ZIP64 one (same two members either
+    * way, so ONE oracle covers both container shapes and the dispatch is
+    * decided by id, not content) — lands each as `<doc_id>.zip` through
+    * the task-side Hadoop FS (the bucket-write path a cluster job would
+    * use), and then ingests the bucket via [[entriesFromFile]]: path
+    * listing, tail-window EOCD scan, ZIP64 locator/EOCD64 seeks,
+    * central-directory slab read, per-member LFH seek + bounded read +
+    * CRC re-verify. The oracle recomputes every member's name, size, and
+    * byte sum from document bytes — a listing, seek-offset, tail-window,
+    * or locator bug lands as a missing row or a value mismatch. The walk
+    * itself is the >4 GiB-archive code path (`binaryFile` cannot carry
+    * that size class), exercised here at fixture scale.
+    */
+  def zipFilesIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.Scratch.dir("graft_zipfiles")
+    val payloads = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= NeedBytes)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"),
+        unhex(when(col("doc_id") % 2 === 0, expr(classicZipHexSql))
+          .otherwise(expr(zip64ZipHexSql))).as("payload"))
+    // land the bucket where the rows are: each task writes its archives
+    // through the Hadoop FS (local here, object storage on a cluster)
+    payloads.as[(Long, Array[Byte])].foreachPartition {
+      (rows: Iterator[(Long, Array[Byte])]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(conf)
+        rows.foreach { case (id, bytes) =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(root, s"$id.zip"), true)
+          try out.write(bytes) finally out.close()
+        }
+    }
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.Buffer.empty[(Long, String)]
+    val it = fs.listFiles(root, false)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (n.endsWith(".zip")) files += ((n.stripSuffix(".zip").toLong, f.getPath.toString))
+    }
+    spark.createDataset(files.toSeq)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { ps =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        ps.flatMap { case (id, p) =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          entriesFromFile(path.getFileSystem(conf), path).zipWithIndex
+            .map { case ((name, payload), i) =>
+              var sum = 0L
+              payload.foreach(b => sum += (b & 0xff))
+              (id, i, name, payload.length, sum)
+            }
+        }
+      }.toDF("doc_id", "entry_no", "name", "size_bytes", "payload_sum")
       .select(col("doc_id"), col("entry_no").cast("int"), col("name"),
         col("size_bytes").cast("int"), col("payload_sum"))
       .orderBy("doc_id", "entry_no")
@@ -392,12 +650,15 @@ object Zip extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zip_ingest" -> (zipIngest _),
     "zip64_ingest" -> (zip64Ingest _),
+    "zip_files_ingest" -> (zipFilesIngest _),
   )
 
   override def oracle: Map[String, String] = Map(
     "zip_ingest" -> zipIngestSql,
     // byte-identical member set by construction: the ZIP64 indirection
-    // changes the container records, not the members
+    // (and the parity-mixed file bucket) change the container records,
+    // not the members
     "zip64_ingest" -> zipIngestSql,
+    "zip_files_ingest" -> zipIngestSql,
   )
 }

@@ -135,6 +135,55 @@ class ZipSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("sentinel EOCD fields with no zip64 locator"))
   }
 
+  test("entriesFromFile: the seekable walk equals the in-memory walk (classic + zip64)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_zip_seek")
+    val classic = jdkZip(comment = "tail window must still find the EOCD")
+    val z64 = zip64Of("a.txt" -> "seekable member".getBytes("UTF-8"),
+      "b.bin" -> Array.tabulate(700)(i => (i * 13 + 1).toByte))
+    Files.write(Paths.get(dir.toString, "1.zip"), classic)
+    Files.write(Paths.get(dir.toString, "2.zip"), z64)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    def byPath(n: String) =
+      Zip.entriesFromFile(fs, new org.apache.hadoop.fs.Path(dir.toString, n))
+        .map { case (nm, d) => nm -> d.toSeq }.toSeq
+    assert(byPath("1.zip") == Zip.entries(classic).map { case (n, d) => n -> d.toSeq })
+    assert(byPath("2.zip") == Zip.entries(z64).map { case (n, d) => n -> d.toSeq })
+    // corruption through the file path rejects with the same named errors
+    val corrupt = classic.clone()
+    corrupt(30 + "a.txt".length + 2) = (corrupt(30 + "a.txt".length + 2) ^ 0x40).toByte
+    Files.write(Paths.get(dir.toString, "3.zip"), corrupt)
+    val e = intercept[IllegalArgumentException](byPath("3.zip"))
+    assert(e.getMessage.contains("zip:"))
+  }
+
+  test("docsFromPaths: the huge-archive front door matches docsFromFiles row for row") {
+    val spark = graft.SparkSpec.session
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_zip_paths")
+    def zipOf(members: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new ZipOutputStream(bos)
+      members.foreach { case (n, t) =>
+        z.putNextEntry(new ZipEntry(n)); z.write(t.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    Files.write(Paths.get(dir.toString, "5.zip"),
+      zipOf("readme.md" -> "skip", "one.txt" -> "erstes dokument",
+        "two.txt" -> "zweites dokument 😀"))
+    Files.write(Paths.get(dir.toString, "6.zip"),
+      zip64Of("z64.txt" -> "zip64 bucket member".getBytes("UTF-8")))
+    Files.write(Paths.get(dir.toString, "_SUCCESS"), Array.emptyByteArray)
+    Files.write(Paths.get(dir.toString, "notes.txt"), "not an archive".getBytes)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val byPath = rows(Zip.docsFromPaths(spark, dir.toString))
+    val byBytes = rows(Zip.docsFromFiles(
+      spark.read.format("binaryFile").option("pathGlobFilter", "*.zip").load(dir.toString)))
+    assert(byPath == byBytes && byPath.size == 3)
+  }
+
   test("dataset-drop front door: .zip archives stream through CorpusIngest like documents") {
     val spark = graft.SparkSpec.session
     import java.nio.file.{Files, Paths}
