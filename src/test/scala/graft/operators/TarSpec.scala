@@ -73,6 +73,48 @@ class TarSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Tar.entries(badOct))
   }
 
+  test("streaming walk equals the in-memory walk on all three physical shapes") {
+    val tar = ustar(Seq(("a.txt", a, '0'), ("dir/", Array.empty[Byte], '5'), ("b.bin", b, '0')))
+    def stream(bytes: Array[Byte]) =
+      Tar.readStream(new java.io.ByteArrayInputStream(bytes))
+        .map { case (n, d) => n -> d.toSeq }.toSeq
+    val want = Tar.entries(tar).map { case (n, d) => n -> d.toSeq }
+    assert(stream(tar) == want)
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(tar); g.close()
+    assert(stream(bos.toByteArray) == want)
+    assert(stream(com.github.luben.zstd.Zstd.compress(tar, 3)) == want)
+    // truncation mid-payload rejects loudly, never yields a short member
+    val cut = tar.take(512 + 10)
+    val e = intercept[IllegalArgumentException](stream(cut))
+    assert(e.getMessage.contains("truncated"))
+    // a missing zero-block tail rejects too
+    intercept[IllegalArgumentException](stream(tar.dropRight(600)))
+  }
+
+  test("docsFromPaths: the streaming front door matches docsFromFiles row for row") {
+    val spark = graft.SparkSpec.session
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_tar_paths")
+    val tar = ustar(Seq(("one.txt", "erstes dokument".getBytes("UTF-8"), '0'),
+      ("skip.bin", b, '0'), ("two.txt", "zweites dokument 😀".getBytes("UTF-8"), '0')))
+    Files.write(Paths.get(dir.toString, "5.tar"), tar)
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(ustar(Seq(("three.txt", "a gzipped tar member".getBytes("UTF-8"), '0')))); g.close()
+    Files.write(Paths.get(dir.toString, "6.tar.gz"), bos.toByteArray)
+    Files.write(Paths.get(dir.toString, "7.tar.zst"),
+      com.github.luben.zstd.Zstd.compress(
+        ustar(Seq(("four.txt", "a zstd tar member".getBytes("UTF-8"), '0'))), 3))
+    Files.write(Paths.get(dir.toString, "_SUCCESS"), Array.emptyByteArray)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val byPath = rows(Tar.docsFromPaths(spark, dir.toString))
+    val byBytes = rows(Tar.docsFromFiles(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar*").load(dir.toString)))
+    assert(byPath == byBytes && byPath.size == 4)
+  }
+
   test("docsFromFiles: .txt entries become documents; doc_id = fileId<<24 | index") {
     val spark = graft.SparkSpec.session
     import java.nio.file.{Files, Paths}
