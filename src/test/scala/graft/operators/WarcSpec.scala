@@ -144,4 +144,47 @@ class WarcSpec extends SparkSpec {
       Warc.records("WARC/1.0\r\nContent-Length: abc\r\n\r\n".getBytes("US-ASCII")))
     assert(nonNum.getMessage.contains("non-numeric Content-Length"))
   }
+
+  test("streaming record walk equals the in-memory walk (plain + gzip-per-record)") {
+    val payload = Array.tabulate(700)(i => (i * 11 + 2).toByte) // binary payload
+    def rec(typ: String, p: Array[Byte]) =
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nContent-Length: ${p.length}\r\n\r\n"
+        .getBytes("US-ASCII") ++ p ++ "\r\n\r\n".getBytes
+    val r1 = rec("warcinfo", "info payload".getBytes("US-ASCII"))
+    val r2 = rec("response", payload)
+    val file = r1 ++ r2
+    def stream(bytes: Array[Byte]) =
+      Warc.readStreamRecords(new java.io.ByteArrayInputStream(bytes))
+        .map(r => (r.headers("WARC-Type"), r.payload.toSeq)).toSeq
+    val want = Warc.read(file).map(r => (r.headers("WARC-Type"), r.payload.toSeq))
+    assert(stream(file) == want)
+    assert(stream(gzip(r1) ++ gzip(r2)) == want) // per-record members, incremental
+    // truncated payload and missing separator reject mid-stream
+    intercept[IllegalArgumentException](stream(file.dropRight(6)))
+    intercept[IllegalArgumentException](
+      stream("WARC/1.0\r\nContent-Length: abc\r\n\r\n".getBytes("US-ASCII")))
+  }
+
+  test("docsFromPaths: the streaming front door matches docsFromFiles row for row") {
+    val spark = graft.SparkSpec.session
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_warc_paths")
+    def rec(headers: String, text: String) = {
+      val p = text.getBytes("UTF-8")
+      s"WARC/1.0\r\n${headers}Content-Length: ${p.length}\r\n\r\n"
+        .getBytes("US-ASCII") ++ p ++ "\r\n\r\n".getBytes
+    }
+    val f5 = rec("WARC-Type: warcinfo\r\n", "crawl info") ++
+      rec("WARC-Type: response\r\nWARC-Target-URI: http://a/\r\n" +
+        "WARC-Identified-Content-Language: deu\r\n", "erstes dokument 😀")
+    Files.write(Paths.get(dir.toString, "5.warc"), f5)
+    val f6 = rec("WARC-Type: response\r\nWARC-Target-URI: http://b/\r\n", "a gzipped doc")
+    Files.write(Paths.get(dir.toString, "6.warc.gz"), gzip(f6))
+    Files.write(Paths.get(dir.toString, "_SUCCESS"), Array.emptyByteArray)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val byPath = rows(Warc.docsFromPaths(spark, dir.toString))
+    val byBytes = rows(Warc.docsFromFiles(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(dir.toString)))
+    assert(byPath == byBytes && byPath.size == 2)
+  }
 }
