@@ -317,8 +317,8 @@ object Tar extends QueryModule {
     * from the document bytes per entry slot, so a framing, checksum, or
     * offset bug lands as a value mismatch or a missing row.
     */
-  /** Hex SQL for the fixture archive (two ustar entries + zero tail). */
-  private lazy val tarHexSql: String = {
+  /** Hex SQL for one document's two ustar entries (NO tail — groupable). */
+  private lazy val tarPairHexSql: String = {
     // constant header tail after the name field (offsets 100..512), with
     // the checksum field blanked — its real bytes are spliced per row
     val mode = fixed("0000644\u0000")
@@ -348,8 +348,12 @@ object Tar extends QueryModule {
     }
     val e1 = entry("concat('doc', doc_id, '.txt')", 0)
     val e2 = entry("concat('meta', doc_id, '.bin')", 16)
-    s"concat($e1, $e2, '${"00" * 1024}')"
+    s"concat($e1, $e2)"
   }
+
+  /** [[tarPairHexSql]] + the two-zero-block tail: one complete archive. */
+  private lazy val tarHexSql: String =
+    s"concat($tarPairHexSql, '${"00" * 1024}')"
 
   def tarIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -374,45 +378,80 @@ object Tar extends QueryModule {
       .orderBy("doc_id", "entry_no")
   }
 
+  /** Gzip member (stored-deflate) over `rawHex`, a CONSTANT-length blob
+    * of `n` bytes — constant framing, real CRC-32/ISIZE (the `warc_ingest`
+    * construction).
+    */
+  private def gzMemberHex(rawHex: String, n: Int): String = {
+    val lenHex = "%02X%02X".format(n & 0xff, n >> 8)
+    val nlenHex = "%02X%02X".format(~n & 0xff, (~n >> 8) & 0xff)
+    val isizeHex = "%02X%02X%02X%02X".format(
+      n & 0xff, (n >> 8) & 0xff, (n >> 16) & 0xff, (n >> 24) & 0xff)
+    val crcBe = s"lpad(hex(crc32(unhex($rawHex))), 8, '0')"
+    val crcLe = s"concat(substring($crcBe, 7, 2), substring($crcBe, 5, 2), " +
+      s"substring($crcBe, 3, 2), substring($crcBe, 1, 2))"
+    s"concat('1F8B0800000000000003', '01$lenHex$nlenHex', $rawHex, $crcLe, '$isizeHex')"
+  }
+
+  /** Constant gzip member holding the 1024-byte two-zero-block tail. */
+  private lazy val gzTailHex: String = {
+    val zeros = new Array[Byte](1024)
+    val crc = new java.util.zip.CRC32(); crc.update(zeros)
+    val v = crc.getValue
+    val crcLe = "%02X%02X%02X%02X".format(
+      v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    // stored block: BFINAL|stored, LEN=1024 LE (00 04), NLEN=~1024 LE (FF FB)
+    "1F8B0800000000000003" + "010004FFFB" + "00" * 1024 + crcLe + "00040000"
+  }
+
+  /** Documents per fixture archive: realistic multi-member bundles AND two
+    * orders of magnitude fewer file creations than one-archive-per-doc
+    * (the r12 first cut wrote ~10k tiny files per run and spent ~50 s in
+    * local-FS overhead per query).
+    */
+  private val DocsPerArchive = 64
+
   /** `tar_files_ingest`: the STREAMING walk pinned end to end through
-    * REAL files. Spark builds a parity-mixed bucket — even doc_ids the
-    * plain fixture tar, odd the SAME tar wrapped in a SQL-built genuine
-    * gzip member (stored-deflate frame, real CRC-32 + ISIZE trailer: the
-    * `warc_ingest` construction over the whole 3072-byte archive, so the
-    * streaming `GZIPInputStream` leg is load-bearing) — lands each as
-    * `<doc_id>.tar[.gz]` through the task-side Hadoop FS, and re-ingests
-    * the bucket by path: magic-sniffed [[readStream]], incremental
-    * decompress, header checksums, zero-block tail. One oracle covers
-    * both physical shapes; a sniff, streaming-inflate, framing, or
-    * listing bug lands as a missing row or a value mismatch.
+    * REAL files, at the realistic grain — each landed archive bundles
+    * [[DocsPerArchive]] documents' entry pairs (identity travels in the
+    * ENTRY NAMES, `doc<id>.txt` / `meta<id>.bin`, the way real bundles
+    * carry it), grouped by parity so even-group files are plain `.tar`
+    * and odd-group files are `.tar.gz` whose gzip stream is one
+    * stored-deflate member PER DOCUMENT plus a constant tail member —
+    * real multi-member gzip the streaming `GZIPInputStream` leg must
+    * concatenate (every member CRC verified). Landed through the
+    * task-side Hadoop FS, listed, and re-ingested by path via
+    * [[readStream]]; the oracle recomputes every entry's name, size, and
+    * byte sum from document bytes — a grouping, member-boundary,
+    * streaming-inflate, or name-attribution bug lands as a missing row
+    * or a value mismatch.
     */
   def tarFilesIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = graft.Scratch.dir("graft_tarfiles")
-    val n = 2 * 512 * 3 // 3072-byte archive, constant -> constant gzip framing
-    val lenLe = "%02X%02X".format(n & 0xff, n >> 8)
-    val nlenLe = "%02X%02X".format(~n & 0xff, (~n >> 8) & 0xff)
-    val isizeLe = "%02X%02X%02X%02X".format(
-      n & 0xff, (n >> 8) & 0xff, (n >> 16) & 0xff, n >>> 24)
-    val gzHex =
-      s"""concat('1F8B0800000000000003', '01$lenLe$nlenLe', $tarHexSql,
-             concat(substring(lpad(hex(crc32(unhex($tarHexSql))), 8, '0'), 7, 2),
-                    substring(lpad(hex(crc32(unhex($tarHexSql))), 8, '0'), 5, 2),
-                    substring(lpad(hex(crc32(unhex($tarHexSql))), 8, '0'), 3, 2),
-                    substring(lpad(hex(crc32(unhex($tarHexSql))), 8, '0'), 1, 2)),
-             '$isizeLe')"""
-    val payloads = Tables.documents(spark, sfDir)
+    val pairLen = 2 * 1024 // two (header + one data block) entries
+    val grouped = Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= NeedBytes)
       .withColumn("h", expr("hex(cast(text as binary))"))
-      .select(col("doc_id"),
-        when(col("doc_id") % 2 === 0, lit(".tar")).otherwise(lit(".tar.gz")).as("ext"),
-        unhex(when(col("doc_id") % 2 === 0, expr(tarHexSql))
-          .otherwise(expr(gzHex))).as("payload"))
-    payloads.as[(Long, String, Array[Byte])].foreachPartition {
+      .select(col("doc_id"), (col("doc_id") % 2).as("p"),
+        expr(s"doc_id div ${2 * DocsPerArchive}").as("g"),
+        when(col("doc_id") % 2 === 0, expr(tarPairHexSql))
+          .otherwise(expr(gzMemberHex(tarPairHexSql, pairLen))).as("ph"))
+      .groupBy("p", "g")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(doc_id, ph))), x -> x.ph), '')")
+        .as("body"))
+      .select((col("g") * 2 + col("p")).as("fid"),
+        when(col("p") === 0, lit(".tar")).otherwise(lit(".tar.gz")).as("ext"),
+        unhex(concat(col("body"),
+          when(col("p") === 0, lit("00" * 1024)).otherwise(lit(gzTailHex)))).as("payload"))
+    grouped.as[(Long, String, Array[Byte])].foreachPartition {
       (rows: Iterator[(Long, String, Array[Byte])]) =>
         val conf = new org.apache.hadoop.conf.Configuration()
         val root = new org.apache.hadoop.fs.Path(dir)
-        val fs = root.getFileSystem(conf)
+        // raw local FS for the fixture landing: the checksummed local FS
+        // creates a .crc twin per file, doubling small-file creations —
+        // a local-test artifact, not a production path
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf).getRaw
         rows.foreach { case (id, ext, bytes) =>
           val out = fs.create(new org.apache.hadoop.fs.Path(root, s"$id$ext"), true)
           try out.write(bytes) finally out.close()
@@ -420,28 +459,28 @@ object Tar extends QueryModule {
     }
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.Buffer.empty[(Long, String)]
+    val files = scala.collection.mutable.Buffer.empty[String]
     val it = fs.listFiles(root, false)
-    val idRe = "^([0-9]+)\\.tar(\\.gz)?$".r
     while (it.hasNext) {
       val f = it.next()
-      f.getPath.getName match {
-        case idRe(id, _) => files += ((id.toLong, f.getPath.toString))
-        case _ => ()
-      }
+      if (f.getPath.getName.matches("^[0-9]+\\.tar(\\.gz)?$"))
+        files += f.getPath.toString
     }
+    val nameRe = "^(doc|meta)([0-9]+)\\.(txt|bin)$".r
     spark.createDataset(files.toSeq)
       .repartition(math.max(1, math.min(files.size, 32)))
       .mapPartitions { ps =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        ps.flatMap { case (id, p) =>
+        ps.flatMap { p =>
           val path = new org.apache.hadoop.fs.Path(p)
           val in = path.getFileSystem(conf).open(path)
-          closeOnExhaust(readStream(in), in).zipWithIndex.map {
-            case ((name, payload), i) =>
-              var sum = 0L
-              payload.foreach(b => sum += (b & 0xff))
-              (id, i, name, payload.length, sum)
+          closeOnExhaust(readStream(in), in).map { case (name, payload) =>
+            val m = nameRe.findFirstMatchIn(name).getOrElse(
+              throw new IllegalArgumentException(s"tar fixture: unattributable entry '$name'"))
+            var sum = 0L
+            payload.foreach(b => sum += (b & 0xff))
+            (m.group(2).toLong, if (m.group(1) == "doc") 0 else 1,
+              name, payload.length, sum)
           }
         }
       }.toDF("doc_id", "entry_no", "name", "size_bytes", "payload_sum")

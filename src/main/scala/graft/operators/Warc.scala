@@ -467,30 +467,63 @@ object Warc extends QueryModule {
     }
 
   /** `warc_files_ingest`: the STREAMING record walk pinned end to end
-    * through REAL landed crawl files — `warc_ingest`'s parity corpus
-    * (plain for even doc_ids, gzip-PER-RECORD stored-deflate members with
-    * real CRC/ISIZE for odd — the Common Crawl physical shape) written as
-    * `<doc_id>.warc[.gz]` through the task-side Hadoop FS and re-ingested
-    * by path: listing, magic sniff, incremental member inflate, streaming
-    * header/Content-Length framing. One oracle covers both shapes; a
-    * sniff, framing, streaming-inflate, or listing bug lands as a missing
-    * row or a value mismatch.
+    * through REAL landed crawl files, at the realistic grain — each
+    * landed file bundles [[DocsPerFile]] documents' record pairs
+    * (identity travels in a `WARC-Record-ID: <urn:graft:%012d>` header,
+    * the way real crawls attribute records — zero-padded so every record
+    * length stays constant and the gzip framing stays compile-time).
+    * Files group by parity: even-group files are PLAIN multi-record
+    * `.warc`, odd-group files are `.warc.gz` with one stored-deflate
+    * member PER RECORD (real CRC-32/ISIZE — the Common Crawl physical
+    * shape, concatenated incrementally by the streaming
+    * `GZIPInputStream`). Landed through the task-side Hadoop FS and
+    * re-ingested by path via [[readStreamRecords]]; the oracle recomputes
+    * every record's type, length, and byte sum from document bytes — a
+    * grouping, member-boundary, attribution, or framing bug lands as a
+    * missing row or a value mismatch.
     */
+  private val DocsPerFile = 64
+
+  private val IdTag = "<urn:graft:"
+
   def warcFilesIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = graft.Scratch.dir("graft_warcfiles")
-    val payloads = Tables.documents(spark, sfDir)
+    val idHex = "hex(cast(lpad(cast(doc_id as string), 12, '0') as binary))"
+    def recId(typeAndExtra: String, len: Int, from: Int): (String, Int) = {
+      val hdrA = s"WARC/1.0\r\n$typeAndExtra" + s"WARC-Record-ID: $IdTag"
+      val hdrB = s">\r\nContent-Length: $len\r\n\r\n"
+      val hex = s"concat('${hexOf(hdrA)}', $idHex, '${hexOf(hdrB)}', " +
+        s"substring(h, ${from * 2} + 1, ${len * 2}), '0D0A0D0A')"
+      (hex, hdrA.length + 12 + hdrB.length + len + 4)
+    }
+    val (r1, n1) = recId("WARC-Type: warcinfo\r\n", InfoLen, 0)
+    val (r2, n2) = recId(
+      "WARC-Type: response\r\nWARC-Target-URI: http://example.com/doc\r\n",
+      RespLen, InfoLen)
+    val pairPlain = s"concat($r1, $r2)"
+    val pairGz = s"concat(${gzMemberHex(r1, n1)}, ${gzMemberHex(r2, n2)})"
+    val grouped = Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= NeedBytes)
       .withColumn("h", expr("hex(cast(text as binary))"))
-      .select(col("doc_id"),
-        when(col("doc_id") % 2 === 0, lit(".warc")).otherwise(lit(".warc.gz")).as("ext"),
-        when(col("doc_id") % 2 === 0, expr(plainWarcSql))
-          .otherwise(expr(gzWarcSql)).as("payload"))
-    payloads.as[(Long, String, Array[Byte])].foreachPartition {
+      .select(col("doc_id"), (col("doc_id") % 2).as("p"),
+        expr(s"doc_id div ${2 * DocsPerFile}").as("g"),
+        when(col("doc_id") % 2 === 0, expr(pairPlain))
+          .otherwise(expr(pairGz)).as("ph"))
+      .groupBy("p", "g")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(doc_id, ph))), x -> x.ph), '')")
+        .as("body"))
+      .select((col("g") * 2 + col("p")).as("fid"),
+        when(col("p") === 0, lit(".warc")).otherwise(lit(".warc.gz")).as("ext"),
+        unhex(col("body")).as("payload"))
+    grouped.as[(Long, String, Array[Byte])].foreachPartition {
       (rows: Iterator[(Long, String, Array[Byte])]) =>
         val conf = new org.apache.hadoop.conf.Configuration()
         val root = new org.apache.hadoop.fs.Path(dir)
-        val fs = root.getFileSystem(conf)
+        // raw local FS for the fixture landing: the checksummed local FS
+        // creates a .crc twin per file, doubling small-file creations —
+        // a local-test artifact, not a production path
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf).getRaw
         rows.foreach { case (id, ext, bytes) =>
           val out = fs.create(new org.apache.hadoop.fs.Path(root, s"$id$ext"), true)
           try out.write(bytes) finally out.close()
@@ -498,28 +531,31 @@ object Warc extends QueryModule {
     }
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.Buffer.empty[(Long, String)]
+    val files = scala.collection.mutable.Buffer.empty[String]
     val it = fs.listFiles(root, false)
-    val idRe = "^([0-9]+)\\.warc(\\.gz)?$".r
     while (it.hasNext) {
       val f = it.next()
-      f.getPath.getName match {
-        case idRe(id, _) => files += ((id.toLong, f.getPath.toString))
-        case _ => ()
-      }
+      if (f.getPath.getName.matches("^[0-9]+\\.warc(\\.gz)?$"))
+        files += f.getPath.toString
     }
+    val idRe = java.util.regex.Pattern.quote(IdTag) + "([0-9]+)>"
+    val idR = idRe.r
     spark.createDataset(files.toSeq)
       .repartition(math.max(1, math.min(files.size, 32)))
       .mapPartitions { ps =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        ps.flatMap { case (id, p) =>
+        ps.flatMap { p =>
           val path = new org.apache.hadoop.fs.Path(p)
           val in = path.getFileSystem(conf).open(path)
-          closeOnExhaust(readStreamRecords(in), in).zipWithIndex.map {
-            case (r, i) =>
-              var sum = 0L
-              r.payload.foreach(b => sum += (b & 0xff))
-              (id, i, r.headers("WARC-Type"), r.payload.length, sum)
+          closeOnExhaust(readStreamRecords(in), in).map { r =>
+            val id = r.headers.get("WARC-Record-ID")
+              .flatMap(v => idR.findFirstMatchIn(v).map(_.group(1).toLong))
+              .getOrElse(throw new IllegalArgumentException(
+                s"warc fixture: unattributable record ${r.headers}"))
+            var sum = 0L
+            r.payload.foreach(b => sum += (b & 0xff))
+            (id, if (r.headers("WARC-Type") == "warcinfo") 0 else 1,
+              r.headers("WARC-Type"), r.payload.length, sum)
           }
         }
       }.toDF("doc_id", "record_no", "warc_type", "content_length", "payload_sum")
@@ -528,9 +564,143 @@ object Warc extends QueryModule {
       .orderBy("doc_id", "record_no")
   }
 
+  /** One parsed HTTP response from a WARC `response` record's payload. */
+  final case class HttpResponse(status: Int, headers: Map[String, String],
+      body: Array[Byte])
+
+  /** Split a WARC `response` payload into its HTTP status line, headers,
+    * and body — what a crawl record actually contains (the WET-generation
+    * step sits between the record walk and every text operator). Same
+    * CRLF line grammar as the record walk; the body is the remainder of
+    * the payload (the WARC Content-Length frames it — HTTP
+    * Content-Length/chunking never re-frames inside a record).
+    */
+  def httpSplit(payload: Array[Byte]): HttpResponse = {
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos + 1 < payload.length && !(payload(pos) == '\r' && payload(pos + 1) == '\n'))
+        pos += 1
+      require(pos + 1 < payload.length, s"http: unterminated header line at byte $start")
+      val s = new String(payload, start, pos - start, "US-ASCII")
+      pos += 2
+      s
+    }
+    val status = line()
+    require(status.startsWith("HTTP/"), s"http: bad status line '$status'")
+    val parts = status.split(" ", 3)
+    require(parts.length >= 2, s"http: bad status line '$status'")
+    val code =
+      try parts(1).toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"http: non-numeric status in '$status'")
+      }
+    var headers = Map.empty[String, String]
+    var h = line()
+    while (h.nonEmpty) {
+      val i = h.indexOf(':')
+      require(i > 0, s"http: malformed header line '$h'")
+      headers += (h.substring(0, i).trim.toLowerCase -> h.substring(i + 1).trim)
+      h = line()
+    }
+    HttpResponse(code, headers,
+      java.util.Arrays.copyOfRange(payload, pos, payload.length))
+  }
+
+  /** The declared charset of an HTTP response, lowercased; UTF-8 when the
+    * Content-Type names none (the HTML5 default).
+    */
+  def httpCharset(headers: Map[String, String]): String =
+    headers.get("content-type")
+      .flatMap(ct => "charset=([A-Za-z0-9_\\-]+)".r.findFirstMatchIn(ct).map(_.group(1)))
+      .getOrElse("utf-8").toLowerCase
+
+  private val HttpBodyLen = 96
+  private val HttpBodyFrom = 16
+
+  private def httpHdr(charset: String): String =
+    s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=$charset\r\nServer: graft\r\n\r\n"
+
+  /** `warc_http_extract`: what sits INSIDE a crawl's `response` records —
+    * a full HTTP response — split and charset-decoded for real. Spark
+    * builds a genuine single-record WARC file per document whose payload
+    * is a real HTTP response: status line, Content-Type with an explicit
+    * charset, and a 96-byte body sliced from the document's bytes, masked
+    * per parity into the declared charset's domain (even doc_ids
+    * `(b & 0x7f) | 1` → US-ASCII; odd `b | 1` → ISO-8859-1 with the high
+    * half live — the OR keeps NUL out of both engines' string domains).
+    * The walk parses the WARC record, splits the HTTP response
+    * ([[httpSplit]]), dispatches the charset FROM THE HEADER
+    * ([[httpCharset]]), and decodes the body; the oracle recomputes the
+    * decoded text's md5 byte-for-byte in SQL (ISO-8859-1 decode is
+    * `chr(b)` per byte — one codepoint per byte — and DuckDB's `md5`
+    * hashes the UTF-8 re-encoding, exactly what Spark's
+    * `md5(cast(text as binary))` hashes). A split, charset-dispatch, or
+    * decode bug lands as a digest mismatch; malformed framing rejects
+    * into a missing row. The web is not UTF-8 — this is the leg that
+    * keeps non-UTF-8 corpora honest.
+    */
+  def warcHttpExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def bodyHex(mask: String) =
+      s"""array_join(transform(sequence(0, ${HttpBodyLen - 1}), i ->
+            lpad(hex($mask), 2, '0')), '')"""
+    val byteAt =
+      s"cast(conv(substring(h, ($HttpBodyFrom + i) * 2 + 1, 2), 16, 10) as int)"
+    def fileHex(charset: String, mask: String) = {
+      val hdr = httpHdr(charset)
+      val contentLen = hdr.length + HttpBodyLen
+      val warcHdr = "WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://example.com/doc\r\nContent-Length: $contentLen\r\n\r\n"
+      s"concat('${hexOf(warcHdr)}', '${hexOf(hdr)}', ${bodyHex(mask)}, '0D0A0D0A')"
+    }
+    val even = fileHex("US-ASCII", s"(($byteAt & 127) | 1)")
+    val odd = fileHex("ISO-8859-1", s"($byteAt | 1)")
+    val files = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= HttpBodyFrom + HttpBodyLen)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"),
+        unhex(when(col("doc_id") % 2 === 0, expr(even)).otherwise(expr(odd)))
+          .as("payload"))
+    files.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.iterator.flatMap { case (id, bytes) =>
+          records(bytes).collect {
+            case r if r.headers.get("WARC-Type").contains("response") =>
+              val http = httpSplit(r.payload)
+              val cs = httpCharset(http.headers)
+              val text = new String(http.body, java.nio.charset.Charset.forName(cs))
+              (id, http.status, cs, text,
+                text.codePointCount(0, text.length).toLong)
+          }
+        }
+      }
+    }.toDF("doc_id", "status", "charset", "text", "n_chars")
+      .select(col("doc_id"), col("status"), col("charset"),
+        expr("md5(cast(text as binary))").as("text_md5"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val warcHttpExtractSql = {
+    val byteAt = s"CAST('0x' || substring(h, ($HttpBodyFrom + i) * 2 + 1, 2) AS INT)"
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents
+          WHERE octet_length(encode(text)) >= ${HttpBodyFrom + HttpBodyLen}
+        )
+        SELECT doc_id, CAST(200 AS INT) AS status,
+               CASE WHEN doc_id % 2 = 0 THEN 'us-ascii' ELSE 'iso-8859-1' END AS charset,
+               md5(list_aggregate(list_transform(range(0, $HttpBodyLen), i ->
+                 chr(CASE WHEN doc_id % 2 = 0 THEN ($byteAt & 127) | 1
+                          ELSE $byteAt | 1 END)), 'string_agg', '')) AS text_md5,
+               CAST($HttpBodyLen AS BIGINT) AS n_chars
+        FROM d ORDER BY doc_id"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_ingest" -> (warcIngest _),
     "warc_files_ingest" -> (warcFilesIngest _),
+    "warc_http_extract" -> (warcHttpExtract _),
     "docs_gunzip_roundtrip" -> (gunzipRoundtrip _),
   )
 
@@ -539,6 +709,7 @@ object Warc extends QueryModule {
     // byte-identical record set by construction: the physical shape is
     // decided by doc_id parity in both rows
     "warc_files_ingest" -> warcIngestSql,
+    "warc_http_extract" -> warcHttpExtractSql,
     "docs_gunzip_roundtrip" -> gunzipRoundtripSql,
   )
 }

@@ -165,6 +165,32 @@ class WarcSpec extends SparkSpec {
       stream("WARC/1.0\r\nContent-Length: abc\r\n\r\n".getBytes("US-ASCII")))
   }
 
+  test("httpSplit: status line, headers, body; charset dispatch; rejects") {
+    val body = Array[Byte](72, -28, -1, 10, 1) // 0x48 0xE4 0xFF 0x0A 0x01
+    val payload = ("HTTP/1.1 301 Moved Permanently\r\nLocation: http://e/\r\n" +
+      "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n").getBytes("US-ASCII") ++ body
+    val r = Warc.httpSplit(payload)
+    assert(r.status == 301)
+    assert(r.headers("location") == "http://e/")
+    assert(r.body.toSeq == body.toSeq)
+    // charset comes from the header; decode is latin-1 = byte -> codepoint
+    assert(Warc.httpCharset(r.headers) == "iso-8859-1")
+    val text = new String(r.body, "ISO-8859-1")
+    assert(text.map(_.toInt) == Seq(0x48, 0xE4, 0xFF, 0x0A, 0x01))
+    // no charset -> the HTML5 default
+    assert(Warc.httpCharset(Map("content-type" -> "text/html")) == "utf-8")
+    assert(Warc.httpCharset(Map.empty) == "utf-8")
+    // rejects: no status line, malformed header, unterminated headers
+    intercept[IllegalArgumentException](
+      Warc.httpSplit("hello world\r\n\r\n".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Warc.httpSplit("HTTP/1.1 200 OK\r\nbroken\r\n\r\n".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Warc.httpSplit("HTTP/1.1 200 OK\r\nA: b\r\n".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Warc.httpSplit("HTTP/1.1 abc OK\r\n\r\n".getBytes("US-ASCII")))
+  }
+
   test("docsFromPaths: the streaming front door matches docsFromFiles row for row") {
     val spark = graft.SparkSpec.session
     import java.nio.file.{Files, Paths}
