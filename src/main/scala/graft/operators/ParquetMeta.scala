@@ -35,11 +35,16 @@ object ParquetMeta extends QueryModule {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = scala.collection.mutable.Buffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath.toString
-    }
+    // listStatus recursion, NOT listFiles: LocatedFileStatus eagerly
+    // loads each file's permissions, which on a local FS without the
+    // native-hadoop library forks a shell process per file — a serial
+    // driver-side loop, the exact failure mode this walk exists to avoid
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) files += st.getPath.toString
+      }
+    walk(root)
     val paths = spark.createDataset(files.toSeq)
       .repartition(math.max(1, math.min(files.size, 32)))
     paths.mapPartitions { ps =>
@@ -101,11 +106,16 @@ object ParquetMeta extends QueryModule {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = scala.collection.mutable.Buffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath.toString
-    }
+    // listStatus recursion, NOT listFiles: LocatedFileStatus eagerly
+    // loads each file's permissions, which on a local FS without the
+    // native-hadoop library forks a shell process per file — a serial
+    // driver-side loop, the exact failure mode this walk exists to avoid
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) files += st.getPath.toString
+      }
+    walk(root)
     val paths = spark.createDataset(files.toSeq)
       .repartition(math.max(1, math.min(files.size, 32)))
     paths.mapPartitions { ps =>

@@ -256,10 +256,11 @@ object Tar extends QueryModule {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = scala.collection.mutable.Buffer.empty[(Long, String)]
-    val it = fs.listFiles(root, false)
+    // listStatus, NOT listFiles: LocatedFileStatus eagerly loads each
+    // file's permissions — on a local FS without the native-hadoop
+    // library that forks a shell process per file, a serial driver loop
     val idRe = "(?i)^([0-9]+)\\.tar(\\.gz|\\.zst)?$".r
-    while (it.hasNext) {
-      val f = it.next()
+    fs.listStatus(root).foreach { f =>
       f.getPath.getName match {
         case idRe(id, _) => files += ((id.toLong, f.getPath.toString))
         case _ => () // landing dirs are never clean: skip non-archives
@@ -430,13 +431,17 @@ object Tar extends QueryModule {
     import spark.implicits._
     val dir = graft.Scratch.dir("graft_tarfiles")
     val pairLen = 2 * 1024 // two (header + one data block) entries
-    val grouped = Tables.documents(spark, sfDir)
-      .filter(octet_length(col("text")) >= NeedBytes)
+    // one parity leg per PROJECTION, unioned — a single when/otherwise
+    // carrying both archive-hex trees overflows whole-stage codegen into
+    // interpreted evaluation (see the zip fixture's measured 30x)
+    def leg(parity: Int, hexSql: String) = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= NeedBytes && col("doc_id") % 2 === parity)
       .withColumn("h", expr("hex(cast(text as binary))"))
       .select(col("doc_id"), (col("doc_id") % 2).as("p"),
         expr(s"doc_id div ${2 * DocsPerArchive}").as("g"),
-        when(col("doc_id") % 2 === 0, expr(tarPairHexSql))
-          .otherwise(expr(gzMemberHex(tarPairHexSql, pairLen))).as("ph"))
+        expr(hexSql).as("ph"))
+    val grouped = leg(0, tarPairHexSql)
+      .unionByName(leg(1, gzMemberHex(tarPairHexSql, pairLen)))
       .groupBy("p", "g")
       .agg(expr("array_join(transform(array_sort(collect_list(struct(doc_id, ph))), x -> x.ph), '')")
         .as("body"))
@@ -446,23 +451,19 @@ object Tar extends QueryModule {
           when(col("p") === 0, lit("00" * 1024)).otherwise(lit(gzTailHex)))).as("payload"))
     grouped.as[(Long, String, Array[Byte])].foreachPartition {
       (rows: Iterator[(Long, String, Array[Byte])]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val root = new org.apache.hadoop.fs.Path(dir)
-        // raw local FS for the fixture landing: the checksummed local FS
-        // creates a .crc twin per file, doubling small-file creations —
-        // a local-test artifact, not a production path
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf).getRaw
+        // java.nio writes: Hadoop's local FS without the native library
+        // forks a chmod PROCESS per created file (~5 ms each — measured
+        // 34 s for 6.1k fixture files); the landing dir is task-local
+        // scratch, so plain file IO is the honest tool here
         rows.foreach { case (id, ext, bytes) =>
-          val out = fs.create(new org.apache.hadoop.fs.Path(root, s"$id$ext"), true)
-          try out.write(bytes) finally out.close()
+          java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$id$ext"), bytes)
         }
     }
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = scala.collection.mutable.Buffer.empty[String]
-    val it = fs.listFiles(root, false)
-    while (it.hasNext) {
-      val f = it.next()
+    // listStatus, not listFiles — see docsFromPaths
+    fs.listStatus(root).foreach { f =>
       if (f.getPath.getName.matches("^[0-9]+\\.tar(\\.gz)?$"))
         files += f.getPath.toString
     }

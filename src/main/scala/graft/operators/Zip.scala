@@ -365,10 +365,13 @@ object Zip extends QueryModule {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = scala.collection.mutable.Buffer.empty[(Long, String)]
-    val it = fs.listFiles(root, false)
+    // listStatus, NOT listFiles: LocatedFileStatus eagerly loads each
+    // file's permissions, which on a local FS without the native-hadoop
+    // library forks a shell PROCESS per file — a serial driver-side loop
+    // measured at ~25 s for 6k files. listStatus materializes no
+    // permissions for the fields used here.
     val idRe = "(?i)^([0-9]+)\\.zip$".r
-    while (it.hasNext) {
-      val f = it.next()
+    fs.listStatus(root).foreach { f =>
       f.getPath.getName match {
         case idRe(id) => files += ((id.toLong, f.getPath.toString))
         case _ => () // landing dirs are never clean: skip non-archives
@@ -460,7 +463,7 @@ object Zip extends QueryModule {
       s"hex(cast(${nameSql(prefix)} as binary)))"
 
   /** Hex SQL for the classic two-member STORED archive of a document. */
-  private lazy val classicZipHexSql: String = {
+  private[graft] lazy val classicZipHexSql: String = {
     val cdOff = 2 * LfhLen
     val eocd = "504B0506" + le2(0) + le2(0) + le2(2) + le2(2) +
       "%02X%02X%02X%02X".format((2 * CdRecLen) & 0xff, 0, 0, 0) +
@@ -519,7 +522,7 @@ object Zip extends QueryModule {
   /** Hex SQL for the ZIP64 twin of [[classicZipHexSql]] — every size and
     * offset routed through the sentinel-and-extra indirection.
     */
-  private lazy val zip64ZipHexSql: String = {
+  private[graft] lazy val zip64ZipHexSql: String = {
     val sentinel = "FFFFFFFF"
     def cdRec64(prefix: String, off: Int, lhoOff: Int) =
       s"concat('504B0102${le2(45)}${le2(45) + fixedMeta.drop(4)}', ${le4(crcOf(off))}, " +
@@ -587,33 +590,36 @@ object Zip extends QueryModule {
     // FILE, so population size buys nothing — the r12 first cut landed one
     // archive per document and spent ~50 s/run on 10k tiny-file local-FS
     // overhead. The oracle applies the identical predicate.
-    val payloads = Tables.documents(spark, sfDir)
-      .filter(octet_length(col("text")) >= NeedBytes && col("doc_id") % 16 < 2)
+    // one parity leg per PROJECTION, unioned — a single when/otherwise
+    // carrying BOTH archive-hex expression trees overflows whole-stage
+    // codegen into interpreted evaluation (measured at the sf1 probe:
+    // ~30 s vs ~1 s for the same work as two compiled projections)
+    def leg(parity: Int, hexSql: String) = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= NeedBytes &&
+        col("doc_id") % 16 < 2 && col("doc_id") % 2 === parity)
       .withColumn("h", expr("hex(cast(text as binary))"))
-      .select(col("doc_id"),
-        unhex(when(col("doc_id") % 2 === 0, expr(classicZipHexSql))
-          .otherwise(expr(zip64ZipHexSql))).as("payload"))
+      .select(col("doc_id"), unhex(expr(hexSql)).as("payload"))
+    val payloads = leg(0, classicZipHexSql).unionByName(leg(1, zip64ZipHexSql))
+      // the landing write has no shuffle upstream, so without this the
+      // whole bucket writes from few scan tasks
+      .repartition(spark.sparkContext.defaultParallelism)
     // land the bucket where the rows are: each task writes its archives
     // through the Hadoop FS (local here, object storage on a cluster)
     payloads.as[(Long, Array[Byte])].foreachPartition {
       (rows: Iterator[(Long, Array[Byte])]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val root = new org.apache.hadoop.fs.Path(dir)
-        // raw local FS for the fixture landing: the checksummed local FS
-        // creates a .crc twin per file, doubling small-file creations —
-        // a local-test artifact, not a production path
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf).getRaw
+        // java.nio writes: Hadoop's local FS without the native library
+        // forks a chmod PROCESS per created file (~5 ms each — measured
+        // 34 s for 6.1k fixture files); the landing dir is task-local
+        // scratch, so plain file IO is the honest tool here
         rows.foreach { case (id, bytes) =>
-          val out = fs.create(new org.apache.hadoop.fs.Path(root, s"$id.zip"), true)
-          try out.write(bytes) finally out.close()
+          java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$id.zip"), bytes)
         }
     }
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = scala.collection.mutable.Buffer.empty[(Long, String)]
-    val it = fs.listFiles(root, false)
-    while (it.hasNext) {
-      val f = it.next()
+    // listStatus, not listFiles — see docsFromPaths
+    fs.listStatus(root).foreach { f =>
       val n = f.getPath.getName
       if (n.endsWith(".zip")) files += ((n.stripSuffix(".zip").toLong, f.getPath.toString))
     }
