@@ -586,17 +586,12 @@ object Zip extends QueryModule {
   def zipFilesIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = graft.Scratch.dir("graft_zipfiles")
-    // a 1-in-8 id sample (keeping both parities): the walk is pinned per
-    // FILE, so population size buys nothing — the r12 first cut landed one
-    // archive per document and spent ~50 s/run on 10k tiny-file local-FS
-    // overhead. The oracle applies the identical predicate.
     // one parity leg per PROJECTION, unioned — a single when/otherwise
     // carrying BOTH archive-hex expression trees overflows whole-stage
     // codegen into interpreted evaluation (measured at the sf1 probe:
     // ~30 s vs ~1 s for the same work as two compiled projections)
     def leg(parity: Int, hexSql: String) = Tables.documents(spark, sfDir)
-      .filter(octet_length(col("text")) >= NeedBytes &&
-        col("doc_id") % 16 < 2 && col("doc_id") % 2 === parity)
+      .filter(octet_length(col("text")) >= NeedBytes && col("doc_id") % 2 === parity)
       .withColumn("h", expr("hex(cast(text as binary))"))
       .select(col("doc_id"), unhex(expr(hexSql)).as("payload"))
     val payloads = leg(0, classicZipHexSql).unionByName(leg(1, zip64ZipHexSql))
@@ -678,8 +673,6 @@ object Zip extends QueryModule {
     // (and the parity-mixed file bucket) change the container records,
     // not the members
     "zip64_ingest" -> zipIngestSql,
-    "zip_files_ingest" -> zipIngestSql.replace(
-      s"WHERE octet_length(encode(text)) >= $NeedBytes",
-      s"WHERE octet_length(encode(text)) >= $NeedBytes AND doc_id % 16 < 2"),
+    "zip_files_ingest" -> zipIngestSql,
   )
 }
