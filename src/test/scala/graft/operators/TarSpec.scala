@@ -93,6 +93,33 @@ class TarSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](stream(tar.dropRight(600)))
   }
 
+  test("streaming-walk property: random entry mixes agree with the in-memory walk on all shapes") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 25) {
+      val entries = (0 until (1 + rnd.nextInt(6))).map { i =>
+        val typ = rnd.nextInt(4) match {
+          case 0 => '5' // directory
+          case 1 => '2' // symlink-ish special, skipped by typeflag
+          case _ => '0'
+        }
+        val n = if (typ == '5') 0 else rnd.nextInt(1400) // crosses block bounds
+        (s"e${trial}_$i${if (typ == '5') "/" else ""}", Array.fill(n)(rnd.nextInt(256).toByte), typ)
+      }
+      val tar = ustar(entries)
+      val want = Tar.entries(tar).map { case (n, d) => n -> d.toSeq }
+      def stream(bytes: Array[Byte]) =
+        Tar.readStream(new java.io.ByteArrayInputStream(bytes))
+          .map { case (n, d) => n -> d.toSeq }.toSeq
+      assert(stream(tar) == want, s"plain stream diverged on trial $trial")
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(tar); g.close()
+      assert(stream(bos.toByteArray) == want, s"gzip stream diverged on trial $trial")
+      assert(stream(com.github.luben.zstd.Zstd.compress(tar, 1)) == want,
+        s"zstd stream diverged on trial $trial")
+    }
+  }
+
   test("docsFromPaths: the streaming front door matches docsFromFiles row for row") {
     val spark = graft.SparkSpec.session
     import java.nio.file.{Files, Paths}

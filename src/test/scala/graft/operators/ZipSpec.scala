@@ -118,6 +118,35 @@ class ZipSpec extends AnyFunSuite {
     } finally { zf.close(); java.nio.file.Files.delete(f) }
   }
 
+  test("zip64 property: random member sets round-trip through entries, the seekable walk, and the JDK") {
+    val rnd = new scala.util.Random(47)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    for (trial <- 1 to 25) {
+      val members = (0 until (1 + rnd.nextInt(6))).map { i =>
+        val n = rnd.nextInt(2000)
+        (s"m${trial}_$i.bin", Array.fill(n)(rnd.nextInt(256).toByte))
+      }
+      val zip = zip64Of(members: _*)
+      val want = members.map { case (n, d) => n -> d.toSeq }
+      assert(Zip.entries(zip).map { case (n, d) => n -> d.toSeq } == want,
+        s"in-memory walk diverged on trial $trial")
+      val f = java.nio.file.Files.createTempFile(s"graft_z64p$trial", ".zip")
+      java.nio.file.Files.write(f, zip)
+      try {
+        assert(Zip.entriesFromFile(fs, new org.apache.hadoop.fs.Path(f.toString))
+          .map { case (n, d) => n -> d.toSeq }.toSeq == want,
+          s"seekable walk diverged on trial $trial")
+        val zf = new java.util.zip.ZipFile(f.toFile)
+        try {
+          import scala.jdk.CollectionConverters._
+          val jdk = zf.entries().asScala
+            .map(e => e.getName -> zf.getInputStream(e).readAllBytes().toSeq).toSeq
+          assert(jdk == want, s"JDK reader diverged on trial $trial")
+        } finally zf.close()
+      } finally java.nio.file.Files.delete(f)
+    }
+  }
+
   test("zip64 rejects: multi-disk locator, corrupt EOCD64, sentinels without locator") {
     val zip = zip64Of("a.txt" -> "payload".getBytes("UTF-8"))
     val locOff = zip.length - 22 - 20
