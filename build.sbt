@@ -34,4 +34,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bimodality on fuzzy_name_neighbors_d2/fuzzy_qgram_docs (bench env
   // block measured 166m used at run end WITH flushing available).
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // ad-hoc JVM A/B switch for forked runs (e.g. the r13 slow-mode probes:
+  // GRAFT_JVM_OPTS="-XX:-DontCompileHugeMethods" sbt "runMain graft.CodegenProbe ...")
+  sys.env.get("GRAFT_JVM_OPTS").toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

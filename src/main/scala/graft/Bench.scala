@@ -62,6 +62,54 @@ object Bench {
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** COMMITTED heap MB — the r12 slow-first-pass culprit's fingerprint.
+    * The mode was reproduced and isolated this round: with the driver's
+    * ~90 GB `-Xmx` (builder JVMs run 8 GB), G1 starts at a small committed
+    * heap and the first allocation-heavy query pays the kernel's lazy
+    * page-commit/zero for tens of GB of heap growth mid-query —
+    * `fuzzy_name_neighbors_d2` measured 52 s/1137 CPU-s at `-Xmx90g`
+    * vs 14 s/198 at `-Xmx8g` on the same commit, and `-Xms90g
+    * -XX:+AlwaysPreTouch` (commit+zero at startup) restored the 8 GB
+    * timing exactly. Committed-heap growth during a slow pass is therefore
+    * the field that NAMES the mode in the artifact.
+    */
+  private def committedHeapMb(): Double =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getCommitted / 1e6
+
+  /** Pre-commit the heap before anything is timed: allocate-and-retain
+    * ~70% of `-Xmx` in 64 MB chunks across threads (array allocation
+    * zeroes, so every page is touched), then release. Forces G1 to expand
+    * and the kernel to commit+zero the pages ONCE, during warmup, instead
+    * of inside whichever query first allocates hard — the measured 4-15x
+    * pass-1 CPU inflation under the driver's large-heap JVM. Idempotent
+    * and cheap when `-Xms`/`AlwaysPreTouch` already did the work (the
+    * allocation then recycles already-committed pages).
+    */
+  private def preTouchHeap(): (Double, Double, Double) = {
+    val before = committedHeapMb()
+    val t0 = System.nanoTime()
+    val target = (Runtime.getRuntime.maxMemory * 0.7).toLong
+    val chunk = 64 << 20
+    val nChunks = (target / chunk).toInt
+    val held = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+    val nThreads = math.min(8, Runtime.getRuntime.availableProcessors)
+    val idx = new java.util.concurrent.atomic.AtomicInteger()
+    val threads = (0 until nThreads).map { _ =>
+      val t = new Thread(() => {
+        var i = idx.getAndIncrement()
+        while (i < nChunks) {
+          held.add(new Array[Byte](chunk))
+          i = idx.getAndIncrement()
+        }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    held.clear()
+    ((System.nanoTime() - t0) / 1e9, before, committedHeapMb())
+  }
+
   /** Cumulative task-metric counters fed by a [[SparkListener]]; Bench
     * snapshots deltas around each timed query. `busy` is summed executor
     * run time (includes time blocked in I/O), so comparing it against the
@@ -95,16 +143,20 @@ object Bench {
     (math.round(v * scale) / scale).toString
   }
 
-  /** One timed invocation's resource profile. All seconds; bytes in MB. */
+  /** One timed invocation's resource profile. All seconds; bytes in MB.
+    * `heapGrowMb`: committed-heap growth during the run — the lazy
+    * page-commit stall's signature (see [[committedHeapMb]]).
+    */
   private[graft] final case class RunMetrics(wall: Double, gc: Double, cpu: Double,
       busy: Double, inputMb: Double, shuffleMb: Double, spillMb: Double,
-      tasks: Long, builds: Long, jit: Double = 0.0, load: Double = -1.0) {
+      tasks: Long, builds: Long, jit: Double = 0.0, load: Double = -1.0,
+      heapGrowMb: Double = 0.0) {
     def json: String =
       s"""{"wall":${num(wall, 3)},"gc":${num(gc, 3)},"cpu":${num(cpu, 3)},""" +
         s""""busy":${num(busy, 3)},"input_mb":${num(inputMb, 1)},""" +
         s""""shuffle_mb":${num(shuffleMb, 1)},"spill_mb":${num(spillMb, 1)},""" +
         s""""tasks":$tasks,"builds":$builds,"jit":${num(jit, 3)},""" +
-        s""""load":${num(load, 2)}}"""
+        s""""load":${num(load, 2)},"heap_grow_mb":${num(heapGrowMb, 0)}}"""
   }
 
   /** Mechanical attribution of the EXCESS wall time in a divergent pair:
@@ -137,12 +189,30 @@ object Bench {
     s.size >= 2 && pairDiverges(s(0), s(1))
   }
 
+  /** Is a tie-break sample's one-time-build count comparable to its pass-2
+    * run's? FEWER builds means the sample found memos warm that pass 2 had
+    * to compute — it did strictly less work, so its time cannot corroborate
+    * anything: reject. MORE builds means a fresh-reset retry also rebuilt
+    * upstream memos its in-pass run inherited (r12's `graph_pagerank` false
+    * divergent: retry builds=2 vs in-pass 1) — a strict WORK SUPERSET, so
+    * its wall time is an upper bound on the comparable cost and accepting
+    * it can only be conservative: a superset run landing near the fast pass
+    * is genuine corroboration, and a slow superset run corroborates
+    * nothing (min/sort ignore it). Equality stays trivially comparable.
+    */
+  private[graft] def tiebreakComparable(sampleBuilds: Long, expectedBuilds: Long): Boolean =
+    sampleBuilds >= expectedBuilds
+
   private[graft] def classifyStall(slow: RunMetrics, fast: RunMetrics): String = {
     val excess = slow.wall - fast.wall
     val gcExcess = slow.gc - fast.gc
     val busyExcess = slow.busy - fast.busy
     val cpuExcess = slow.cpu - fast.cpu
-    if (gcExcess > 0.5 * excess) "gc"
+    // checked first: multi-GB committed-heap growth during the slow pass is
+    // the measured r12 mode (lazy page commit under a large -Xmx) and also
+    // burns real CPU, which would otherwise misattribute as executor-cpu
+    if (slow.heapGrowMb - fast.heapGrowMb > 2048) "heap-commit"
+    else if (gcExcess > 0.5 * excess) "gc"
     else if (busyExcess < 0.2 * excess) "driver-or-scheduler"
     else if (cpuExcess < 0.3 * busyExcess) "io-or-contention"
     else "executor-cpu"
@@ -156,6 +226,13 @@ object Bench {
     // whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().collect()
+    // ... and so does the kernel's lazy heap commit under a large -Xmx
+    // (the r12 driver-JVM slow-first-pass mode, reproduced + isolated at
+    // -Xmx90g this round): commit+zero the heap here, untimed, once
+    val (preTouchSec, committedBefore, committedAfter) = preTouchHeap()
+    System.err.println(
+      f"[bench] heap pre-touch: ${committedBefore}%.0f -> ${committedAfter}%.0f MB " +
+        f"committed in ${preTouchSec}%.1f s")
     // DAG order, not alphabetical: consumers of memoized upstream stages run
     // AFTER their producers (exactly how a production pipeline schedules —
     // pair tables are built by the pair queries, then resolution/recall
@@ -202,6 +279,7 @@ object Bench {
       val b0 = TaskCounters.busyMs.get; val i0 = TaskCounters.inputBytes.get
       val s0 = TaskCounters.shuffleBytes.get; val p0 = TaskCounters.spillBytes.get
       val k0 = TaskCounters.tasks.get; val u0 = Scratch.buildsCount
+      val h0 = committedHeapMb()
       val t0 = System.nanoTime()
       // a failed query must surface as an error in the JSON, never as a
       // fast-looking time
@@ -215,7 +293,8 @@ object Bench {
         (TaskCounters.shuffleBytes.get - s0) / 1e6,
         (TaskCounters.spillBytes.get - p0) / 1e6,
         TaskCounters.tasks.get - k0, Scratch.buildsCount - u0,
-        jitSeconds() - j0, loadAvg()), err)
+        jitSeconds() - j0, loadAvg(),
+        math.max(committedHeapMb() - h0, 0.0)), err)
     }
 
     // (metrics, error, steady-state wall) per query. `steadySample`: when a
@@ -291,7 +370,7 @@ object Bench {
       spark.catalog.clearCache()
       Scratch.sweepEphemeral()
       val (m2, _, _) = pass2(name)
-      if (e3.isEmpty && m3.builds == m2.builds) Some(name -> m3)
+      if (e3.isEmpty && tiebreakComparable(m3.builds, m2.builds)) Some(name -> m3)
       else {
         System.err.println(
           f"[bench] tiebreak sample REJECTED for $name (attempt $attempt): " +
@@ -409,6 +488,9 @@ object Bench {
     val env =
       s"""{"cpus":${Runtime.getRuntime.availableProcessors},""" +
         s""""heap_max_mb":${num(Runtime.getRuntime.maxMemory / 1e6, 0)},""" +
+        s""""heap_committed_end_mb":${num(committedHeapMb(), 0)},""" +
+        s""""pretouch_sec":${num(preTouchSec, 1)},""" +
+        s""""pretouch_committed_mb":${num(committedAfter - committedBefore, 0)},""" +
         s""""code_cache_used_mb":${num(ccUsed, 1)},"code_cache_max_mb":${num(ccMax, 1)},""" +
         s""""jit_total_sec":${num(jitSeconds(), 1)},"gc_total_sec":${num(gcSeconds(), 1)},""" +
         s""""load_avg_end":${num(loadAvg(), 2)}}"""

@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.ZstdInflate.description)
     ext.injectFunction(functions.ZstdDeflate.description)
     ext.injectFunction(functions.NfcNormalize.description)
+    ext.injectFunction(functions.ByteStats.entropyDescription)
+    ext.injectFunction(functions.ByteStats.distinctDescription)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => new PushLeftFilterThroughAsOf)
     ext.injectOptimizerRule(_ => new EliminateRedundantLeftJoin)

@@ -187,13 +187,92 @@ object Cleaning extends QueryModule {
         FROM d ORDER BY doc_id"""
   }
 
+  /** UTF-8-as-Latin-1 mojibake signature: a would-be UTF-8 lead byte
+    * (0xC2-0xF4) decoded as a Latin-1 char, followed by a would-be
+    * continuation byte (0x80-0xBF) decoded likewise — the "Ã©" shape. Plain
+    * Latin-1 prose essentially never puts a C1-control/NBSP-range char
+    * right after an accented capital, so the signature is the standard
+    * cheap detector (cf. ftfy's heuristics).
+    */
+  private val MojibakeSig = "[\u00C2-\u00F4][\u0080-\u00BF]"
+  private val NonLatin1 = "[^\u0000-\u00FF]"
+
+  /** Repair the classic UTF-8-read-as-Latin-1 double encoding ("Ã©" -> "é").
+    *
+    * Guarded three ways before it rewrites anything: the mojibake signature
+    * must be present, every char must be Latin-1-representable (a char past
+    * U+00FF cannot have come from a Latin-1 misdecode), and the recovered
+    * byte sequence must be valid UTF-8 (`is_valid_utf8` — Spark 4 native).
+    * The recovery itself is two native codegen'd steps: `encode(c,
+    * 'ISO-8859-1')` maps each char back to the byte it was misdecoded from,
+    * and the binary->string cast reinterprets those bytes as UTF-8 (Spark's
+    * cast is a zero-copy reinterpret, which is exactly what's wanted — the
+    * validity gate has already run). Map-only, no UDFs, stays inside
+    * whole-stage codegen.
+    */
+  def repairMojibake(c: Column): Column = {
+    val candidate = encode(c, "ISO-8859-1").cast("string")
+    when(c.rlike(MojibakeSig) && !c.rlike(NonLatin1) &&
+        call_function("is_valid_utf8", candidate), candidate)
+      .otherwise(c)
+  }
+
+  /** `text_mojibake_repair`: parity corpus — both engines build accented
+    * text from the (ASCII) corpus with `replace(.., 'e'/'a', chr(233)/
+    * chr(224))`; even doc_ids then get the MOJIBAKE form as input (Spark
+    * derives it with a real charset round-trip, `decode(utf8-bytes,
+    * 'ISO-8859-1')`; the oracle builds the identical string with two
+    * replaces, since the only non-ASCII chars are the two planted ones) and
+    * odd doc_ids get the clean accented form. [[repairMojibake]] must fix
+    * every even leg back to the accented original and pass every odd leg
+    * through untouched — so `out` is ALWAYS the accented text, and the
+    * oracle can state the expected digest without being able to decode
+    * charsets at all (the masked-fixture pattern).
+    */
+  def mojibakeRepairQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("acc", expr("replace(replace(text, 'e', chr(233)), 'a', chr(224))"))
+      .withColumn("input",
+        when(col("doc_id") % 2 === 0,
+          expr("decode(cast(acc AS binary), 'ISO-8859-1')"))
+          .otherwise(col("acc")))
+      .withColumn("out", repairMojibake(col("input")))
+      .select(col("doc_id"),
+        (col("out") =!= col("input")).as("was_repaired"),
+        (length(col("input")) - length(col("out"))).cast("long").as("n_fixed"),
+        length(col("out")).cast("long").as("out_len"),
+        expr("md5(cast(out AS binary))").as("digest"))
+      .orderBy("doc_id")
+
+  private val mojibakeRepairSql =
+    """WITH a AS (
+         SELECT doc_id,
+                replace(replace(text, 'e', chr(233)), 'a', chr(224)) AS acc
+         FROM documents
+       ), i AS (
+         SELECT doc_id, acc,
+                CASE WHEN doc_id % 2 = 0
+                     THEN replace(replace(acc, chr(233), chr(195) || chr(169)),
+                                  chr(224), chr(195) || chr(160))
+                     ELSE acc END AS input
+         FROM a
+       )
+       SELECT doc_id,
+              (doc_id % 2 = 0 AND input <> acc) AS was_repaired,
+              CAST(length(input) - length(acc) AS BIGINT) AS n_fixed,
+              CAST(length(acc) AS BIGINT) AS out_len,
+              md5(acc) AS digest
+       FROM i ORDER BY doc_id"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_c4_filter" -> (c4FilterQuery _),
     "text_pii_redact" -> (piiRedactQuery _),
+    "text_mojibake_repair" -> (mojibakeRepairQuery _),
   )
 
   override def oracle: Map[String, String] = Map(
     "text_c4_filter" -> c4FilterSql,
     "text_pii_redact" -> piiRedactSql,
+    "text_mojibake_repair" -> mojibakeRepairSql,
   )
 }

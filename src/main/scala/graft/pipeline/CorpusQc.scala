@@ -953,6 +953,94 @@ object CorpusQc extends QueryModule {
                            (a, x) -> a + x) AS chisq
         FROM terms GROUP BY lang ORDER BY lang"""
 
+  /** Byte-entropy keep-band, milli-bits/byte: natural prose sits ~3500-5000;
+    * below [[EntropyLowMilli]] is a repetition flood / boilerplate wall,
+    * above [[EntropyHighMilli]] is random-or-compressed bytes pasted as text
+    * (cf. the entropy screens in CCNet/Gopher-style curation).
+    */
+  val EntropyLowMilli = 2500L
+  val EntropyHighMilli = 5800L
+
+  /** `text_entropy_quality`: per-doc byte-histogram Shannon entropy +
+    * alphabet width + keep flag — the cheap quality screens that run before
+    * any tokenization. One map-only scan: both signals are native
+    * codegen'd expressions ([[graft.functions.ByteEntropyMilli]],
+    * [[graft.functions.ByteDistinctCount]]) so at 100 TB this is a
+    * projection on the corpus scan, never an explode-per-byte shuffle (the
+    * oracle twin, which has no custom functions, pays exactly that unnest —
+    * the 3-line SQL is the spec, the expression is the scale path).
+    */
+  def entropyQuality(spark: SparkSession, sfDir: String): DataFrame =
+    entropyQualityOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  /** Per-doc core of [[entropyQuality]] — unordered, streaming-safe. */
+  def entropyQualityOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        expr("octet_length(text)").cast("long").as("n_bytes"),
+        expr("byte_distinct_count(text)").as("n_distinct_bytes"),
+        expr("byte_entropy_milli(text)").as("entropy_milli"))
+      .withColumn("keep",
+        col("entropy_milli").between(EntropyLowMilli, EntropyHighMilli))
+
+  private val entropyQualitySql =
+    s"""WITH b AS (
+          SELECT doc_id, upper(hex(encode(text))) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents WHERE length(text) > 0
+        ), e AS (
+          SELECT doc_id, n, substring(h, CAST(i * 2 + 1 AS INT), 2) AS byte
+          FROM (SELECT doc_id, n, unnest(range(0, n)) AS i, h FROM b) t
+        ), c AS (
+          SELECT doc_id, n, byte, COUNT(*) AS c FROM e GROUP BY 1, 2, 3
+        ), s AS (
+          -- terms summed in ascending byte order: float sums are
+          -- order-sensitive and the Spark expression adds b = 0x00..0xFF
+          SELECT doc_id, any_value(n) AS n_bytes,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+                 list_aggregate(
+                   list(CASE WHEN c > 1 THEN c * ln(CAST(c AS DOUBLE))
+                             ELSE 0.0e0 END ORDER BY byte), 'sum') AS s
+          FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, n_distinct_bytes,
+               CAST(floor(1000.0 * (ln(CAST(n_bytes AS DOUBLE)) - s / n_bytes)
+                          / ln(2.0e0)) AS BIGINT) AS entropy_milli,
+               CAST(floor(1000.0 * (ln(CAST(n_bytes AS DOUBLE)) - s / n_bytes)
+                          / ln(2.0e0)) AS BIGINT)
+                 BETWEEN $EntropyLowMilli AND $EntropyHighMilli AS keep
+        FROM s ORDER BY doc_id"""
+
+  /** `text_compress_ratio`: per-doc Zstandard compression ratio — the
+    * second classic cheap quality signal (a real entropy coder sees
+    * LONG-RANGE redundancy the byte histogram cannot: a page of repeated
+    * paragraphs has high byte entropy but compresses to nothing). Flags:
+    * ratio below [[CompressRatioMin]] = boilerplate/repetition;
+    * above [[CompressRatioMax]] = binary-in-text. DuckDB has no zstd
+    * scalar, so this row takes the rows-only check; the planted
+    * low/high-entropy fixtures in CorpusQcSpec pin the thresholds.
+    */
+  val CompressRatioMin = 0.25
+  val CompressRatioMax = 0.95
+
+  def compressRatio(spark: SparkSession, sfDir: String): DataFrame =
+    compressRatioOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  def compressRatioOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        expr("octet_length(text)").cast("long").as("n_bytes"),
+        expr("octet_length(zstd_deflate(cast(text AS binary)))")
+          .cast("long").as("n_zstd_bytes"))
+      // frame overhead (~13 B magic/header/checksum) dominates tiny docs;
+      // subtract it so the ratio measures the payload's coded size
+      .withColumn("ratio",
+        expr("CAST(greatest(n_zstd_bytes - 13, 1) AS DOUBLE) / n_bytes"))
+      .withColumn("keep",
+        col("ratio").between(CompressRatioMin, CompressRatioMax))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (repetition _),
     "corpus_snapshot_drift" -> (snapshotDrift _),
@@ -965,6 +1053,8 @@ object CorpusQc extends QueryModule {
     "corpus_source_overlap_kmv" -> (sourceOverlapKmv _),
     "corpus_dataset_card" -> (datasetCard _),
     "corpus_dataset_card_kmv" -> (datasetCardKmv _),
+    "text_entropy_quality" -> (entropyQuality _),
+    "text_compress_ratio" -> (compressRatio _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -979,5 +1069,8 @@ object CorpusQc extends QueryModule {
     "corpus_source_overlap_kmv" -> sourceOverlapKmvSql,
     "corpus_dataset_card" -> datasetCardSql,
     "corpus_dataset_card_kmv" -> datasetCardKmvSql,
+    "text_entropy_quality" -> entropyQualitySql,
+    // text_compress_ratio: DuckDB has no zstd scalar — rows-only check;
+    // thresholds are fixture-pinned in CorpusQcSpec
   )
 }

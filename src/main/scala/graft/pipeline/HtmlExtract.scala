@@ -148,13 +148,115 @@ object HtmlExtract extends QueryModule {
               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
        FROM hosts GROUP BY host ORDER BY host"""
 
+  /** Two-level public suffixes the registrable-domain heuristic knows. A
+    * fixed table standing in for the (large, versioned) Public Suffix List:
+    * the OPERATOR shape is the deliverable — at production scale the table
+    * is a broadcast lookup refreshed with the PSL, the expression chain is
+    * identical.
+    */
+  val TwoLevelSuffixes: Seq[String] =
+    Seq("co.uk", "gov.uk", "com.au", "ac.jp", "co.jp", "com.br")
+
+  /** Registrable domain (eTLD+1) of a host column: last two labels, or last
+    * three when the trailing two form a known two-level suffix
+    * ("a.b.co.uk" -> "b.co.uk", "a.b.com" -> "b.com"). Native split /
+    * element_at / isin — map-only, codegen'd.
+    */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), last2)
+    when(n >= 3 && last2.isin(TwoLevelSuffixes: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** Max documents kept per registrable domain — the standard crawl-curation
+    * cap that stops one boilerplate-heavy site from dominating a corpus.
+    */
+  val HostCap = 5
+
+  /** Registrable domains excluded outright (spam / tracker farms in a real
+    * crawl; fixture names here).
+    */
+  val BlockedDomains: Seq[String] = Seq("s3.com", "s5.co.uk", "s2.ac.jp")
+
+  /** Shared Spark/DuckDB SQL fragment: each document's crawl URL. Multi-label
+    * hosts rotate through sub-label, site, and an 8-way suffix mix (4 plain
+    * TLDs + 4 two-level suffixes) so the registrable-domain branch takes
+    * both paths corpus-wide.
+    */
+  private val urlSqlFragment =
+    """'https://w' || (doc_id % 3) || '.s' || (doc_id % 7) || '.' ||
+       CASE CAST(doc_id % 8 AS INT)
+         WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net' WHEN 3 THEN 'io'
+         WHEN 4 THEN 'co.uk' WHEN 5 THEN 'com.au' WHEN 6 THEN 'gov.uk'
+         ELSE 'ac.jp' END || '/p/' || doc_id"""
+
+  /** `html_host_caps`: the crawl host-hygiene chain — parse each document's
+    * URL to a host (`parse_url`, pinned by the oracle recomputing the host
+    * from the URL formula), reduce to the registrable domain
+    * ([[registrableDomain]]), drop blocklisted domains with a broadcast
+    * LEFT ANTI join, and cap survivors at [[HostCap]] docs per domain
+    * (first-crawled wins: rank by doc_id). The rank-filter compiles to
+    * Spark's WindowGroupLimit two-phase top-k — partial limit map-side,
+    * final limit after the domain-grain shuffle — so at 100 TB the shuffle
+    * carries AT MOST `HostCap + 1` rows per domain per mapper, never the
+    * whole crawl.
+    */
+  def hostCaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocked = spark.createDataFrame(
+      BlockedDomains.map(Tuple1(_))).toDF("regdom")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(urlSqlFragment).as("url"))
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .withColumn("regdom", registrableDomain(col("host")))
+      .join(broadcast(blocked), Seq("regdom"), "left_anti")
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("regdom").orderBy("doc_id"))
+          .cast("long"))
+      .filter(col("rk") <= HostCap)
+      .select("doc_id", "host", "regdom", "rk")
+      .orderBy("doc_id")
+  }
+
+  private val hostCapsSql = {
+    val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
+    s"""WITH u AS (
+          SELECT doc_id, $urlSqlFragment AS url FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 regexp_extract(url, 'https://([^/]+)/', 1) AS host
+          FROM u
+        ), r AS (
+          SELECT doc_id, host,
+                 CASE WHEN len(string_split(host, '.')) >= 3
+                       AND array_to_string(string_split(host, '.')[-2:], '.')
+                           IN (${TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")})
+                      THEN array_to_string(string_split(host, '.')[-3:], '.')
+                      ELSE array_to_string(string_split(host, '.')[-2:], '.') END
+                   AS regdom
+          FROM h
+        ), k AS (
+          SELECT doc_id, host, regdom,
+                 row_number() OVER (PARTITION BY regdom ORDER BY doc_id) AS rk
+          FROM r WHERE regdom NOT IN ($blocked)
+        )
+        SELECT doc_id, host, regdom, CAST(rk AS BIGINT) AS rk
+        FROM k WHERE rk <= $HostCap ORDER BY doc_id"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "html_text_extract" -> (textExtract _),
     "html_link_hosts" -> (linkHosts _),
+    "html_host_caps" -> (hostCaps _),
   )
 
   override def oracle: Map[String, String] = Map(
     "html_text_extract" -> textExtractSql,
     "html_link_hosts" -> linkHostsSql,
+    "html_host_caps" -> hostCapsSql,
   )
 }

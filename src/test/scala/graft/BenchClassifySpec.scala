@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * per-pass profiles shaped like the stalls it exists to attribute.
   */
 class BenchClassifySpec extends AnyFunSuite {
-  private def m(wall: Double, gc: Double = 0, cpu: Double = 0, busy: Double = 0) =
-    Bench.RunMetrics(wall, gc, cpu, busy, 0, 0, 0, 0, 0)
+  private def m(wall: Double, gc: Double = 0, cpu: Double = 0, busy: Double = 0,
+      heapGrow: Double = 0) =
+    Bench.RunMetrics(wall, gc, cpu, busy, 0, 0, 0, 0, 0, heapGrowMb = heapGrow)
 
   test("collector time eating the excess classifies as gc") {
     // slow pass: +10s wall, +6s GC
@@ -33,6 +34,26 @@ class BenchClassifySpec extends AnyFunSuite {
     // the excess was real on-core compute (JIT warmup, plan change)
     assert(Bench.classifyStall(m(12, cpu = 58, busy = 68),
       m(2, cpu = 18, busy = 28)) == "executor-cpu")
+  }
+
+  test("multi-GB committed-heap growth during the slow pass classifies as heap-commit, before executor-cpu") {
+    // the r12 driver mode: hot executors, matching process CPU, BUT the
+    // slow pass grew the committed heap by tens of GB (lazy page commit)
+    assert(Bench.classifyStall(m(57, cpu = 1247, busy = 1718, heapGrow = 40000),
+      m(5, cpu = 84, busy = 92, heapGrow = 100)) == "heap-commit")
+    // without the heap growth the same profile stays executor-cpu
+    assert(Bench.classifyStall(m(57, cpu = 1247, busy = 1718, heapGrow = 500),
+      m(5, cpu = 84, busy = 92)) == "executor-cpu")
+  }
+
+  test("tie-break comparability: equal or superset build ownership is comparable, subset is not") {
+    assert(Bench.tiebreakComparable(1, 1))
+    assert(Bench.tiebreakComparable(2, 1),
+      "a fresh-reset retry that also rebuilt upstream memos did a work " +
+        "SUPERSET: its time is an upper bound, accepting it is conservative " +
+        "(the r12 graph_pagerank false divergent)")
+    assert(!Bench.tiebreakComparable(0, 1),
+      "a sample that found memos warm did LESS work — its fast time proves nothing")
   }
 
   test("pair divergence needs BOTH the ratio and the absolute floor") {

@@ -107,6 +107,36 @@ class DocsGuardSpec extends AnyFunSuite {
         drifted.mkString("\n  "))
   }
 
+  /** Registry-size-independent throughput anchor (VERDICT r12 #8): the
+    * absolute bench total grows ~0.6 s per added query, so any gate on the
+    * raw total eventually measures the registry's SIZE, not the engine.
+    * COVERAGE.md therefore also records the normalized figure, and this
+    * guard checks it against `bench_result.json`'s total / query count.
+    */
+  test("COVERAGE.md per-query normalized total anchor is within 2x of bench_result.json") {
+    val cov = new String(java.nio.file.Files.readAllBytes(repoFile("COVERAGE.md")), "UTF-8")
+    val re = """Per-query normalized total anchor: \*\*([0-9.]+)\*\* s/query""".r
+    val documented = re.findFirstMatchIn(cov)
+      .getOrElse(fail("COVERAGE.md lost its per-query normalized total anchor line"))
+      .group(1).toDouble
+    val benchPath = repoFile("bench_result.json")
+    assume(java.nio.file.Files.exists(benchPath), "no bench_result.json to check against")
+    val bench = new String(java.nio.file.Files.readAllBytes(benchPath), "UTF-8")
+    assume(bench.contains("\"sf\":\"/root/testdata/sf0.1\""),
+      "bench_result.json is not an sf0.1 run; the anchor is an sf0.1 number — not checked")
+    val total = """"value":([0-9.eE+-]+)""".r.findFirstMatchIn(bench)
+      .getOrElse(fail("bench_result.json has no total value")).group(1).toDouble
+    val qIdx = bench.indexOf(""""queries":{""")
+    assert(qIdx >= 0, "bench_result.json has no queries map")
+    val nQueries = """"([a-z0-9_]+)":""".r
+      .findAllMatchIn(bench.drop(qIdx).takeWhile(_ != '}')).size - 1 // minus the "queries" key itself
+    assert(nQueries > 0)
+    val measured = total / nQueries
+    assert(measured < documented * 2 && measured > documented / 2,
+      f"normalized total drifted: documented $documented%.2f s/query vs " +
+        f"measured $measured%.3f s/query ($total%.1f s / $nQueries queries)")
+  }
+
   /** Gate-count freshness (VERDICT r11 #5): the TOPMOST "Full-registry 10x
     * gate" section claims to describe the current registry — r11 shipped
     * with it reading 197/197 against a 218-query registry because nothing

@@ -470,6 +470,28 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"register max must map-side combine (256-value state per partition):\n$p")
   }
 
+  test("host caps: two-phase WindowGroupLimit and broadcast anti-join for the blocklist") {
+    val p = planOf("html_host_caps")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-domain cap must be the partial/final group-limit shape, not a full window sort:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the fixed blocklist must broadcast, never shuffle the crawl side:\n$p")
+    assert(p.contains("LeftAnti"), s"blocklist exclusion must be an anti-join:\n$p")
+  }
+
+  test("entropy/compress quality signals are map-only projections over one scan") {
+    Seq("text_entropy_quality", "text_compress_ratio").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("HashAggregate"), s"$q must not aggregate per byte:\n$p")
+      assert(!p.contains("Generate"), s"$q must not explode per byte:\n$p")
+      // exactly one exchange: the final orderBy's range partitioning
+      // (formatted explain names each node once in the detail section)
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+        s"$q has extra shuffles:\n$p")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively

@@ -53,4 +53,28 @@ class CleaningSpec extends SparkSpec {
     assert(pii("+12-345-6789") == "<PHONE>")
     assert(pii("v1.2-3 semver and 10-20-30 dates stay") == "v1.2-3 semver and 10-20-30 dates stay")
   }
+
+  private def moji(text: String): String =
+    Seq(text).toDF("t").select(Cleaning.repairMojibake(col("t"))).as[String].head()
+
+  test("repairMojibake: fixes the classic double encoding, NBSP continuation included") {
+    // "Caf\u00e9" whose UTF-8 bytes (43 61 66 C3 A9) were misread as Latin-1
+    assert(moji("Caf\u00c3\u00a9 bar") == "Caf\u00e9 bar")
+    // "\u00e0" (C3 A0): continuation byte A0 decodes to NBSP, not a letter
+    assert(moji("voil\u00c3\u00a0!") == "voil\u00e0!")
+    // 3-byte sequence: EURO SIGN (E2 82 AC) misread as three Latin-1 chars
+    assert(moji("price \u00e2\u0082\u00ac5.") == "price \u20ac5.")
+  }
+
+  test("repairMojibake: passthrough guards - no signature, non-Latin-1, invalid recovery") {
+    assert(moji("plain ascii stays.") == "plain ascii stays.")
+    // genuinely accented text: e-acute followed by ASCII never matches the
+    // lead+continuation signature, so it is NOT "repaired" into garbage
+    assert(moji("Caf\u00e9 r\u00e9el") == "Caf\u00e9 r\u00e9el")
+    // a char past U+00FF can't come from a Latin-1 misdecode: passthrough
+    assert(moji("\u00c3\u00a9 with \u4e2d text") == "\u00c3\u00a9 with \u4e2d text")
+    // signature present but the recovered bytes are invalid UTF-8
+    // (C3 A9 is fine, the stray FF is not): passthrough, no data loss
+    assert(moji("x \u00c3\u00a9\u00ff y") == "x \u00c3\u00a9\u00ff y")
+  }
 }

@@ -183,4 +183,42 @@ class CorpusQcSpec extends SparkSpec {
     assert(got("st")._5 == 0.0)
     assert(math.abs(got("dr")._5 - 80.0) < 1e-9)
   }
+
+  test("entropyQuality: planted low/normal/high-entropy docs land on the right side of the band") {
+    val d = Files.createTempDirectory("graft_entropy_fixture").toString
+    // 94 distinct printable ASCII chars, repeated: H = log2(94) ~ 6.55 b/B
+    val wide = (0 until 4).flatMap(_ => (33 to 126).map(_.toChar)).mkString
+    write(d, Seq(
+      (1L, "a" * 300, "en", "s"),                       // H = 0: flood
+      (2L, ("ab" * 150), "en", "s"),                    // H = 1 bit/byte
+      (3L, "The quick brown fox jumps over the lazy dog. " * 8, "en", "s"),
+      (4L, wide, "en", "s")))                           // H ~ 6.55: binary-ish
+    val got = CorpusQc.entropyQuality(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got(1L) == ((300L, 1L, 0L, false)))          // flood: entropy 0, dropped
+    val (n2, d2, e2, k2) = got(2L)
+    assert(n2 == 300L && d2 == 2L && (e2 == 999L || e2 == 1000L) && !k2)
+    val (_, _, e3, k3) = got(3L)                        // prose: inside the band
+    assert(e3 > 3500L && e3 < 5000L && k3, s"prose entropy $e3")
+    val (_, d4, e4, k4) = got(4L)                       // uniform wide alphabet
+    assert(d4 == 94L && e4 > 6500L && e4 < 6560L && !k4, s"wide entropy $e4")
+  }
+
+  test("compressRatio: repetition compresses away, hash-noise does not") {
+    val d = Files.createTempDirectory("graft_zratio_fixture").toString
+    // 512 hex chars of md5 output: ~4 bits/char, structureless at zstd's
+    // match lengths -> stays near ceil; repeated sentence -> tiny
+    val noise = (0 until 16).map(i => s"nz$i".hashCode.toHexString).mkString.take(512)
+    write(d, Seq(
+      (1L, "All work and no play makes Jack a dull boy. " * 40, "en", "s"),
+      (2L, noise + noise.reverse, "en", "s")))
+    val got = CorpusQc.compressRatio(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    val (r1, k1) = got(1L)
+    assert(r1 < CorpusQc.CompressRatioMin && !k1, s"repetition ratio $r1")
+    val (r2, k2) = got(2L)
+    assert(r2 > CorpusQc.CompressRatioMin && k2, s"noise ratio $r2")
+    assert(r1 < r2)
+  }
 }

@@ -44,4 +44,19 @@ class HtmlExtractSpec extends SparkSpec {
     assert(links(page).toSet == Set("http://a/1", "http://a/2", "http://b/3"))
     assert(links("<p>no anchors here</p>").isEmpty)
   }
+
+  private def regdom(host: String): String =
+    Seq(host).toDF("h").select(HtmlExtract.registrableDomain(col("h"))).as[String].head()
+
+  test("registrableDomain: two-level suffixes take three labels, plain TLDs take two") {
+    assert(regdom("www.example.com") == "example.com")
+    assert(regdom("a.b.c.example.com") == "example.com")
+    assert(regdom("news.bbc.co.uk") == "bbc.co.uk")
+    assert(regdom("deep.sub.site.gov.uk") == "site.gov.uk")
+    assert(regdom("example.com") == "example.com")
+    // the host IS a two-level suffix: nothing above it to register — the
+    // heuristic hands back the last two labels (PSL would reject outright)
+    assert(regdom("co.uk") == "co.uk")
+    assert(regdom("localhost") == "localhost")
+  }
 }
