@@ -34,6 +34,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bimodality on fuzzy_name_neighbors_d2/fuzzy_qgram_docs (bench env
   // block measured 166m used at run end WITH flushing available).
   "-XX:ReservedCodeCacheSize=512m",
+  // Keep G1 from UNCOMMITTING heap it has expanded into: the r13 bench
+  // pre-touch (Bench.preTouchHeap) commits the heap during warmup, but at
+  // the default MaxHeapFreeRatio=70 G1 hands the pages back to the kernel
+  // as soon as the warmup ballast dies, and the first allocation-heavy
+  // query re-pays lazy page commit/zero (measured: graph_pagerank pass1
+  // 17 s with heap_grow_mb=3523 — down from 44.7 s unpre-touched, but not
+  // gone until the commit sticks). Harmless at small -Xmx: the committed
+  // heap simply stays at its high-water mark.
+  "-XX:MaxHeapFreeRatio=100",
 ) ++
   // ad-hoc JVM A/B switch for forked runs (e.g. the r13 slow-mode probes:
   // GRAFT_JVM_OPTS="-XX:-DontCompileHugeMethods" sbt "runMain graft.CodegenProbe ...")

@@ -89,11 +89,18 @@ object Bench {
   private def preTouchHeap(): (Double, Double, Double) = {
     val before = committedHeapMb()
     val t0 = System.nanoTime()
-    val target = (Runtime.getRuntime.maxMemory * 0.7).toLong
+    // capped: the sf0.1 suite's measured high-water committed heap is
+    // ~21 GB, while touching the full 94 GB of a driver-sized -Xmx cost
+    // 80-233 s of warmup (page-cache eviction pressure). 32 GB covers the
+    // suite's real footprint with headroom; growth past the cap is lazy
+    // again but now NAMED per-run by heap_grow_mb / the heap-commit stall
+    // class, and -XX:MaxHeapFreeRatio=100 (build.sbt) keeps whatever has
+    // been committed from being handed back mid-run.
+    val target = math.min((Runtime.getRuntime.maxMemory * 0.7).toLong, 32L << 30)
     val chunk = 64 << 20
     val nChunks = (target / chunk).toInt
     val held = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
-    val nThreads = math.min(8, Runtime.getRuntime.availableProcessors)
+    val nThreads = math.min(16, Runtime.getRuntime.availableProcessors)
     val idx = new java.util.concurrent.atomic.AtomicInteger()
     val threads = (0 until nThreads).map { _ =>
       val t = new Thread(() => {

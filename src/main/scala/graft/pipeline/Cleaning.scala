@@ -264,15 +264,94 @@ object Cleaning extends QueryModule {
               md5(acc) AS digest
        FROM i ORDER BY doc_id"""
 
+  /** Corpus-wide exact line deduplication (the RefinedWeb/Gopher boilerplate
+    * pass): a line survives only at its globally FIRST occurrence
+    * (min (doc_id, position)), so navigation bars, cookie banners, and
+    * copyright footers repeated across a crawl collapse to one instance
+    * while unique prose is untouched. Returns per-doc
+    * (doc_id, n_lines, n_kept, digest-of-cleaned-text).
+    *
+    * Shape at 100 TB: two shuffles and nothing else. The key insight is
+    * that the surviving (doc, pos, line) rows ARE the per-line group
+    * minimums of the single integer key `k = doc_id * maxLines + pos` — so
+    * the first-occurrence pass is one `groupBy(line).agg(min(k))` whose
+    * partial min combines MAP-SIDE (the wire carries one row per distinct
+    * line per mapper; boilerplate is by definition few distinct lines), and
+    * (doc_id, pos) come back out of `k` arithmetically, no join against the
+    * full line set. The second shuffle reassembles at doc grain.
+    */
+  def dedupLinesOf(docs: DataFrame, page: Column, maxLines: Int = 8): DataFrame = {
+    val kept = docs
+      .select(col("doc_id"), posexplode(split(page, "\n")).as(Seq("pos", "line")))
+      .select(col("line"),
+        (col("doc_id") * maxLines + col("pos")).as("k"))
+      .groupBy("line").agg(min("k").as("k"))
+      .select(col("line"), expr(s"k div $maxLines").as("doc_id"),
+        expr(s"k % $maxLines").as("pos"))
+    docs.select("doc_id")
+      .join(
+        kept.groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("cleaned")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        expr("md5(cast(coalesce(cleaned, '') AS binary))").as("digest"))
+  }
+
+  /** `text_line_dedup`: fixture pages plant two boilerplate lines around
+    * each document — one corpus-global nav line and one 4-way-shared
+    * footer — so the pass must keep each exactly once corpus-wide, keep
+    * unique document text everywhere EXCEPT the corpus's planted exact-dup
+    * docs (whose text line dedups too, same as production), and reassemble
+    * the rest in order. The oracle runs the same reduction in SQL from a
+    * 3-row UNION per doc (positions are the fixture constants), so
+    * first-occurrence choice, ordering, and reassembly all pin.
+    */
+  def lineDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val page = concat_ws("\n",
+      lit("Home | About | Contact"),
+      col("text"),
+      concat(lit("Copyright "), col("doc_id") % 4, lit(" example.com")))
+    dedupLinesOf(Tables.documents(spark, sfDir), page)
+      .withColumn("n_lines", lit(3L))
+      .select("doc_id", "n_lines", "n_kept", "digest")
+      .orderBy("doc_id")
+  }
+
+  private val lineDedupSql =
+    """WITH l AS (
+         SELECT doc_id, 0 AS pos, 'Home | About | Contact' AS line FROM documents
+         UNION ALL SELECT doc_id, 1, text FROM documents
+         UNION ALL SELECT doc_id, 2, 'Copyright ' || (doc_id % 4) || ' example.com'
+           FROM documents
+       ), f AS (
+         SELECT line, min(doc_id * 8 + pos) AS first_k FROM l GROUP BY line
+       ), k AS (
+         SELECT l.doc_id, l.pos, l.line FROM l JOIN f USING (line)
+         WHERE l.doc_id * 8 + l.pos = f.first_k
+       ), r AS (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS cleaned
+         FROM k GROUP BY doc_id
+       )
+       SELECT d.doc_id, CAST(3 AS BIGINT) AS n_lines,
+              COALESCE(r.n_kept, 0) AS n_kept,
+              md5(COALESCE(r.cleaned, '')) AS digest
+       FROM documents d LEFT JOIN r USING (doc_id) ORDER BY doc_id"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_c4_filter" -> (c4FilterQuery _),
     "text_pii_redact" -> (piiRedactQuery _),
     "text_mojibake_repair" -> (mojibakeRepairQuery _),
+    "text_line_dedup" -> (lineDedupQuery _),
   )
 
   override def oracle: Map[String, String] = Map(
     "text_c4_filter" -> c4FilterSql,
     "text_pii_redact" -> piiRedactSql,
     "text_mojibake_repair" -> mojibakeRepairSql,
+    "text_line_dedup" -> lineDedupSql,
   )
 }

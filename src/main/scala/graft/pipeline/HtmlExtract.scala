@@ -248,15 +248,85 @@ object HtmlExtract extends QueryModule {
         FROM k WHERE rk <= $HostCap ORDER BY doc_id"""
   }
 
+  /** Tracking query parameters dropped by [[canonicalizeUrl]]. */
+  private val TrackingParams = "(utm_[^=&]*|gclid|fbclid|msclkid)"
+
+  /** Crawl URL canonicalization — the dedup-key normalizer every crawl
+    * pipeline runs so `HTTP://WWW.X.COM:80/a//b?utm_source=y&b=2&a=1#frag`
+    * and `http://www.x.com/a/b?a=1&b=2` count as ONE page:
+    * scheme/host lowercased, fragment dropped, default ports stripped
+    * (:80 for http, :443 for https), duplicate path slashes collapsed, a
+    * trailing `/index.html` reduced to `/`, tracking params (the utm_
+    * family, gclid, fbclid, msclkid) dropped, surviving query params
+    * sorted.
+    * A fixed chain of native regexp/array functions — map-only, codegen'd,
+    * no UDFs; the dedup/count that follows keys on the result.
+    */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(host0, ":80\\b", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443\\b", ""))
+      .otherwise(host0)
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)", 1)
+    val path0 = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/{2,}", "/")
+    val path1 = when(path0 === "", lit("/")).otherwise(path0)
+    // `$` is safe here: the operator's regexes run only on the Spark side
+    // (the oracle reconstructs expected strings by formula), and a URL
+    // path has no embedded newline for Java's `$` to stop at
+    val path = regexp_replace(path1, "/index\\.html$", "/")
+    val query = regexp_extract(rest, "\\?(.*)", 1)
+    val keptParams = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(s"^$TrackingParams=")))
+    val queryOut = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, queryOut)
+  }
+
+  /** `url_canonicalize`: fixture URLs plant every noise class the
+    * canonicalizer handles (mixed-case scheme/host, default ports, doubled
+    * slashes, index.html tails, utm/gclid params, unsorted params,
+    * fragments), keyed by doc_id. The oracle never runs the canonicalizer:
+    * it CONSTRUCTS the expected canonical string from the same doc_id
+    * formulas — so a missed rule, an over-eager strip, or a sort bug lands
+    * as a string mismatch on the exact row class that exercises that rule.
+    */
+  def urlCanonicalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val noisy = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("HttpS")),
+      lit("://WWW.Site"), col("doc_id") % 5, lit(".COM"),
+      when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+      lit("/a//b"),
+      when(col("doc_id") % 3 === 0, lit("/index.html"))
+        .otherwise(concat(lit("/page"), col("doc_id"))),
+      lit("?utm_source=x&b="), col("doc_id") % 7, lit("&a=1"),
+      when(col("doc_id") % 4 === 0, lit("&gclid=abc")).otherwise(lit("")),
+      lit("#frag"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), canonicalizeUrl(noisy).as("canon"))
+      .orderBy("doc_id")
+  }
+
+  private val urlCanonicalizeSql =
+    """SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+                || '://www.site' || (doc_id % 5) || '.com/a/b'
+                || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '/page' || doc_id END
+                || '?a=1&b=' || (doc_id % 7) AS canon
+       FROM documents ORDER BY doc_id"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "html_text_extract" -> (textExtract _),
     "html_link_hosts" -> (linkHosts _),
     "html_host_caps" -> (hostCaps _),
+    "url_canonicalize" -> (urlCanonicalize _),
   )
 
   override def oracle: Map[String, String] = Map(
     "html_text_extract" -> textExtractSql,
     "html_link_hosts" -> linkHostsSql,
     "html_host_caps" -> hostCapsSql,
+    "url_canonicalize" -> urlCanonicalizeSql,
   )
 }

@@ -54,6 +54,23 @@ class CleaningSpec extends SparkSpec {
     assert(pii("v1.2-3 semver and 10-20-30 dates stay") == "v1.2-3 semver and 10-20-30 dates stay")
   }
 
+  test("dedupLinesOf: global first occurrence wins, order preserved, empty docs survive the join") {
+    val docs = Seq(
+      (0L, "nav\nalpha\nfooter"),
+      (1L, "nav\nbeta\nfooter"),   // nav+footer dup away, beta stays
+      (2L, "nav\nalpha\nfooter"),  // everything dups away -> 0 kept
+      (3L, "gamma\nnav\ndelta")    // interior dup: gamma+delta keep their order
+    ).toDF("doc_id", "text")
+    val got = Cleaning.dedupLinesOf(docs, col("text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0L) == ((3L, md5("nav\nalpha\nfooter"))))
+    assert(got(1L) == ((1L, md5("beta"))))
+    assert(got(2L) == ((0L, md5(""))))
+    assert(got(3L) == ((2L, md5("gamma\ndelta"))))
+  }
+
   private def moji(text: String): String =
     Seq(text).toDF("t").select(Cleaning.repairMojibake(col("t"))).as[String].head()
 

@@ -45,6 +45,24 @@ class HtmlExtractSpec extends SparkSpec {
     assert(links("<p>no anchors here</p>").isEmpty)
   }
 
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(HtmlExtract.canonicalizeUrl(col("u"))).as[String].head()
+
+  test("canonicalizeUrl: case, ports, slashes, index.html, tracking params, sort, fragment") {
+    assert(canon("HTTP://WWW.X.COM:80/a//b?utm_source=y&b=2&a=1#frag")
+      == "http://www.x.com/a/b?a=1&b=2")
+    assert(canon("https://x.com:443/p/index.html") == "https://x.com/p/")
+    // non-default ports survive; :8080 must not lose its ':80' prefix
+    assert(canon("http://x.com:8080/a") == "http://x.com:8080/a")
+    // :443 is NOT default for http; :80 not for https
+    assert(canon("http://x.com:443/a") == "http://x.com:443/a")
+    // no path -> '/', no surviving params -> no '?'
+    assert(canon("http://X.com?utm_campaign=z&gclid=1") == "http://x.com/")
+    assert(canon("https://a.b/c?fbclid=x&msclkid=y") == "https://a.b/c")
+    // index.html only strips as a whole trailing segment
+    assert(canon("http://x.com/index.html.bak") == "http://x.com/index.html.bak")
+  }
+
   private def regdom(host: String): String =
     Seq(host).toDF("h").select(HtmlExtract.registrableDomain(col("h"))).as[String].head()
 
