@@ -395,6 +395,10 @@ object CorpusQc extends QueryModule {
     val stop = graft.operators.TextStats.stopWords.map(w => s"'$w'").mkString(", ")
     docs.select(
         col("doc_id"), col("source"), col("lang"),
+        // text rides along for composers that add more map-only signals on
+        // the same scan (html_domain_scorecard's entropy column); consumers
+        // that don't touch it get it column-pruned for free
+        col("text"),
         md5(col("text")).as("fp"),
         length(col("text")).cast("long").as("n_chars"),
         expr("length(regexp_replace(text, '[^a-zA-Z]', ''))").as("alpha_chars"),
@@ -984,17 +988,22 @@ object CorpusQc extends QueryModule {
       .withColumn("keep",
         col("entropy_milli").between(EntropyLowMilli, EntropyHighMilli))
 
-  private val entropyQualitySql =
-    s"""WITH b AS (
+  /** DuckDB subquery producing per-doc (doc_id, n_bytes, n_distinct_bytes,
+    * entropy_milli) — the oracle twin of the `byte_entropy_milli` /
+    * `byte_distinct_count` expressions, shared by `text_entropy_quality`
+    * and `html_domain_scorecard`.
+    */
+  private[pipeline] val entropyPerDocSql =
+    """(WITH eb AS (
           SELECT doc_id, upper(hex(encode(text))) AS h,
                  octet_length(encode(text)) AS n
           FROM documents WHERE length(text) > 0
-        ), e AS (
+        ), ee AS (
           SELECT doc_id, n, substring(h, CAST(i * 2 + 1 AS INT), 2) AS byte
-          FROM (SELECT doc_id, n, unnest(range(0, n)) AS i, h FROM b) t
-        ), c AS (
-          SELECT doc_id, n, byte, COUNT(*) AS c FROM e GROUP BY 1, 2, 3
-        ), s AS (
+          FROM (SELECT doc_id, n, unnest(range(0, n)) AS i, h FROM eb) t
+        ), ec AS (
+          SELECT doc_id, n, byte, COUNT(*) AS c FROM ee GROUP BY 1, 2, 3
+        ), es AS (
           -- terms summed in ascending byte order: float sums are
           -- order-sensitive and the Spark expression adds b = 0x00..0xFF
           SELECT doc_id, any_value(n) AS n_bytes,
@@ -1002,15 +1011,42 @@ object CorpusQc extends QueryModule {
                  list_aggregate(
                    list(CASE WHEN c > 1 THEN c * ln(CAST(c AS DOUBLE))
                              ELSE 0.0e0 END ORDER BY byte), 'sum') AS s
-          FROM c GROUP BY doc_id
+          FROM ec GROUP BY doc_id
         )
         SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, n_distinct_bytes,
                CAST(floor(1000.0 * (ln(CAST(n_bytes AS DOUBLE)) - s / n_bytes)
-                          / ln(2.0e0)) AS BIGINT) AS entropy_milli,
-               CAST(floor(1000.0 * (ln(CAST(n_bytes AS DOUBLE)) - s / n_bytes)
-                          / ln(2.0e0)) AS BIGINT)
-                 BETWEEN $EntropyLowMilli AND $EntropyHighMilli AS keep
-        FROM s ORDER BY doc_id"""
+                          / ln(2.0e0)) AS BIGINT) AS entropy_milli
+        FROM es)"""
+
+  /** DuckDB subquery producing per-doc (doc_id, n_chars, n_tokens, q, qb)
+    * — the doc-grain quality formula shared by the source-grain rows and
+    * `html_domain_scorecard`.
+    */
+  private[pipeline] def qualityPerDocSql: String = {
+    val stop = graft.operators.TextStats.stopWords.map(w => s"'$w'").mkString(", ")
+    raw"""(WITH qf AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+                 len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                 len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                     w -> w IN ($stop))) AS stop_tokens
+          FROM documents
+        ), qr AS (
+          SELECT doc_id, n_chars, n_tokens,
+                 0.5 * (CAST(alpha_chars AS DOUBLE) / n_chars)
+                   + 0.3 * (1.0 - CAST(stop_tokens AS DOUBLE) / n_tokens)
+                   + 0.2 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS q
+          FROM qf WHERE n_tokens > 0 AND n_chars > 0
+        )
+        SELECT doc_id, n_chars, n_tokens, q,
+               CAST(least(greatest(floor(q * $QBuckets), 0), ${QBuckets - 1}) AS BIGINT) AS qb
+        FROM qr)"""
+  }
+
+  private val entropyQualitySql =
+    s"""SELECT doc_id, n_bytes, n_distinct_bytes, entropy_milli,
+               entropy_milli BETWEEN $EntropyLowMilli AND $EntropyHighMilli AS keep
+        FROM $entropyPerDocSql e ORDER BY doc_id"""
 
   /** `text_compress_ratio`: per-doc Zstandard compression ratio — the
     * second classic cheap quality signal (a real entropy coder sees

@@ -316,11 +316,84 @@ object HtmlExtract extends QueryModule {
                 || '?a=1&b=' || (doc_id % 7) AS canon
        FROM documents ORDER BY doc_id"""
 
+  /** `html_domain_scorecard`: the per-registrable-domain curation table a
+    * crawl release actually filters on (the RefinedWeb-style domain pass):
+    * doc volume, how far past the per-domain cap the domain runs, total
+    * bytes, and three quality legs — entropy-band drops, low-quality-score
+    * docs, and the bucketed mean quality — with blocklisted domains
+    * excluded up front. EVERY per-doc signal is a map-only column on ONE
+    * scan ([[CorpusQc.qualityFeaturesOf]] keeps `text` so the entropy
+    * expression rides the same projection); the only shuffle is the final
+    * domain-grain aggregate (plus the tiny broadcast anti-join). The
+    * oracle recomputes each leg from the shared per-doc SQL fragments the
+    * standalone rows already pin, joined at doc grain.
+    */
+  def domainScorecard(spark: SparkSession, sfDir: String): DataFrame = {
+    val blocked = spark.createDataFrame(
+      BlockedDomains.map(Tuple1(_))).toDF("regdom")
+    CorpusQc.qualityFeaturesOf(Tables.documents(spark, sfDir))
+      .withColumn("regdom",
+        registrableDomain(expr(s"parse_url($urlSqlFragment, 'HOST')")))
+      .withColumn("em", expr("byte_entropy_milli(text)"))
+      .join(broadcast(blocked), Seq("regdom"), "left_anti")
+      .groupBy("regdom")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("octet_length(text)")).cast("long").as("total_bytes"),
+        sum(when(expr(
+          s"em BETWEEN ${CorpusQc.EntropyLowMilli} AND ${CorpusQc.EntropyHighMilli}"),
+          0L).otherwise(1L)).as("n_entropy_drop"),
+        sum(when(col("q") < CorpusQc.LowQuality, 1L).otherwise(0L)).as("n_low_quality"),
+        sum(expr("2 * qb + 1")).as("qnum"))
+      .select(col("regdom"), col("n_docs"),
+        greatest(col("n_docs") - HostCap, lit(0L)).as("n_over_cap"),
+        col("total_bytes"), col("n_entropy_drop"), col("n_low_quality"),
+        expr(s"CAST(qnum AS DOUBLE) / (${2 * CorpusQc.QBuckets} * n_docs)")
+          .as("mean_quality_bucketed"))
+      .orderBy("regdom")
+  }
+
+  private def domainScorecardSql: String = {
+    val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
+    s"""WITH u AS (
+          SELECT doc_id, $urlSqlFragment AS url FROM documents
+        ), h AS (
+          SELECT doc_id, regexp_extract(url, 'https://([^/]+)/', 1) AS host FROM u
+        ), r AS (
+          SELECT doc_id,
+                 CASE WHEN len(string_split(host, '.')) >= 3
+                       AND array_to_string(string_split(host, '.')[-2:], '.')
+                           IN (${TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")})
+                      THEN array_to_string(string_split(host, '.')[-3:], '.')
+                      ELSE array_to_string(string_split(host, '.')[-2:], '.') END
+                   AS regdom
+          FROM h
+        ), q AS (SELECT * FROM ${CorpusQc.qualityPerDocSql} qq),
+        e AS (SELECT * FROM ${CorpusQc.entropyPerDocSql} ee),
+        j AS (
+          SELECT r.regdom, q.n_chars, q.q, q.qb, e.n_bytes, e.entropy_milli
+          FROM r JOIN q USING (doc_id) JOIN e USING (doc_id)
+          WHERE r.regdom NOT IN ($blocked)
+        )
+        SELECT regdom, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(greatest(COUNT(*) - $HostCap, 0) AS BIGINT) AS n_over_cap,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(CASE WHEN entropy_milli BETWEEN ${CorpusQc.EntropyLowMilli}
+                     AND ${CorpusQc.EntropyHighMilli} THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_entropy_drop,
+               CAST(SUM(CASE WHEN q < ${CorpusQc.LowQuality} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_low_quality,
+               CAST(SUM(2 * qb + 1) AS DOUBLE) / (${2 * CorpusQc.QBuckets} * COUNT(*))
+                 AS mean_quality_bucketed
+        FROM j GROUP BY regdom ORDER BY regdom"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "html_text_extract" -> (textExtract _),
     "html_link_hosts" -> (linkHosts _),
     "html_host_caps" -> (hostCaps _),
     "url_canonicalize" -> (urlCanonicalize _),
+    "html_domain_scorecard" -> (domainScorecard _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -328,5 +401,6 @@ object HtmlExtract extends QueryModule {
     "html_link_hosts" -> linkHostsSql,
     "html_host_caps" -> hostCapsSql,
     "url_canonicalize" -> urlCanonicalizeSql,
+    "html_domain_scorecard" -> domainScorecardSql,
   )
 }

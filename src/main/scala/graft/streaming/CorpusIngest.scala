@@ -69,6 +69,11 @@ object CorpusIngest {
         .write.mode("overwrite").parquet(s"$outDir/dups/batch_id=$batchId")
       graft.pipeline.TrainPrep.chunkDocsOf(batch)
         .write.mode("overwrite").parquet(s"$outDir/chunks/batch_id=$batchId")
+      // the r13 cheap quality screens (byte entropy + alphabet width) are
+      // per-doc map-only expressions, so the streaming twin IS the batch
+      // operator applied to the micro-batch — no state, no watermark
+      CorpusQc.entropyQualityOf(batch)
+        .write.mode("overwrite").parquet(s"$outDir/screens/batch_id=$batchId")
     }
 
   def start(docStream: DataFrame, sfDir: String, outDir: String,

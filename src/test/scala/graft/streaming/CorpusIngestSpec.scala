@@ -52,6 +52,8 @@ class CorpusIngestSpec extends SparkSpec {
     assert(streamedDups.nonEmpty, "fixture should contain planted near-dups")
     assert(rows(landed("chunks")) ==
       rows(graft.pipeline.TrainPrep.chunkDocsOf(batchDocs)))
+    assert(rows(landed("screens")) == rows(CorpusQc.entropyQualityOf(batchDocs)))
+    assert(rows(landed("screens")).nonEmpty)
 
     // crash replay: re-running a committed batch overwrites, never appends
     val before = (rows(landed("qc")), rows(landed("contam")),
