@@ -283,8 +283,14 @@ object Cleaning extends QueryModule {
   def dedupLinesOf(docs: DataFrame, page: Column, maxLines: Int = 8): DataFrame = {
     val kept = docs
       .select(col("doc_id"), posexplode(split(page, "\n")).as(Seq("pos", "line")))
+      // a page with >= maxLines lines would alias another doc's key space —
+      // fail loudly instead of silently mis-deduping (raise_error sits in a
+      // non-taken branch: zero cost until the contract is violated)
       .select(col("line"),
-        (col("doc_id") * maxLines + col("pos")).as("k"))
+        (col("doc_id") * maxLines +
+          when(col("pos") < maxLines, col("pos"))
+            .otherwise(expr(s"raise_error('dedupLinesOf: page has >= $maxLines lines; " +
+              "raise maxLines')"))).as("k"))
       .groupBy("line").agg(min("k").as("k"))
       .select(col("line"), expr(s"k div $maxLines").as("doc_id"),
         expr(s"k % $maxLines").as("pos"))

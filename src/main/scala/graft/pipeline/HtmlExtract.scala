@@ -388,12 +388,84 @@ object HtmlExtract extends QueryModule {
         FROM j GROUP BY regdom ORDER BY regdom"""
   }
 
+  /** Robots-style disallow rules: (registrable domain, path prefix). A
+    * fixed fixture table standing in for parsed robots.txt records — the
+    * OPERATOR (broadcast anti-join on domain + prefix match) is the
+    * deliverable; production swaps in the fetched rule set.
+    */
+  val RobotsRules: Seq[(String, String)] = Seq(
+    ("s1.com", "/private"), ("s2.org", "/private"), ("s4.ac.jp", "/tmp"))
+
+  /** Drop pages a disallow rule covers: LEFT ANTI join on
+    * `same registrable domain AND path startsWith prefix`. The rule set is
+    * dimension-sized (robots records for the crawled domains), so it
+    * BROADCASTS and the page side never shuffles — at 100 TB this is a
+    * map-only filter with a lookup table, the same shape the blocklist
+    * uses, extended with the prefix predicate in the join condition.
+    */
+  def robotsFilter(pages: DataFrame, rules: DataFrame): DataFrame =
+    pages.join(broadcast(rules),
+      pages("regdom") === rules("rule_regdom") &&
+        pages("path").startsWith(rules("path_prefix")),
+      "left_anti")
+
+  /** Shared Spark/DuckDB fragment: each doc's crawl path — 3-way cycle
+    * coprime to the host fragment's mod-7/mod-8 keys, so every
+    * (domain, path-class) combination occurs and each disallow rule has
+    * real matches to drop.
+    */
+  private val pathSqlFragment =
+    """CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN '/public/a' || doc_id
+         WHEN 1 THEN '/private/b' || doc_id
+         ELSE '/tmp/c' || doc_id END"""
+
+  /** `html_robots_filter`: the allowed-page manifest after the disallow
+    * rules run — completing the crawl-hygiene chain (canonicalize →
+    * blocklist → robots → per-domain caps). The oracle recomputes domain
+    * and path from the doc_id formulas and applies the rule table as
+    * explicit predicates, so a join-condition bug (prefix vs contains,
+    * domain vs host) surfaces as extra or missing rows.
+    */
+  def robotsFilterQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val rules = spark.createDataFrame(RobotsRules).toDF("rule_regdom", "path_prefix")
+    val pages = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        registrableDomain(expr(s"parse_url($urlSqlFragment, 'HOST')")).as("regdom"),
+        expr(pathSqlFragment).as("path"))
+    robotsFilter(pages, rules).orderBy("doc_id")
+  }
+
+  private def robotsFilterSql = {
+    val disallow = RobotsRules.map { case (d, p) =>
+      s"(regdom = '$d' AND starts_with(path, '$p'))"
+    }.mkString(" OR ")
+    s"""WITH u AS (
+          SELECT doc_id, $urlSqlFragment AS url, $pathSqlFragment AS path
+          FROM documents
+        ), h AS (
+          SELECT doc_id, path, regexp_extract(url, 'https://([^/]+)/', 1) AS host FROM u
+        ), r AS (
+          SELECT doc_id, path,
+                 CASE WHEN len(string_split(host, '.')) >= 3
+                       AND array_to_string(string_split(host, '.')[-2:], '.')
+                           IN (${TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")})
+                      THEN array_to_string(string_split(host, '.')[-3:], '.')
+                      ELSE array_to_string(string_split(host, '.')[-2:], '.') END
+                   AS regdom
+          FROM h
+        )
+        SELECT doc_id, regdom, path FROM r
+        WHERE NOT ($disallow) ORDER BY doc_id"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "html_text_extract" -> (textExtract _),
     "html_link_hosts" -> (linkHosts _),
     "html_host_caps" -> (hostCaps _),
     "url_canonicalize" -> (urlCanonicalize _),
     "html_domain_scorecard" -> (domainScorecard _),
+    "html_robots_filter" -> (robotsFilterQuery _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -402,5 +474,6 @@ object HtmlExtract extends QueryModule {
     "html_host_caps" -> hostCapsSql,
     "url_canonicalize" -> urlCanonicalizeSql,
     "html_domain_scorecard" -> domainScorecardSql,
+    "html_robots_filter" -> robotsFilterSql,
   )
 }
