@@ -388,6 +388,60 @@ object HtmlExtract extends QueryModule {
         FROM j GROUP BY regdom ORDER BY regdom"""
   }
 
+  /** Generic anchor harvest: every `<a ...>inner</a>` element as a
+    * (url, anchor_text) struct — the web-graph feature CRAWL quality
+    * models key on (anchor text pointing AT a page is independent
+    * evidence about it). Element extraction is one codegen'd
+    * `regexp_extract_all`; the per-element href/text projection is a
+    * `transform` lambda (fine off the hot path: anchors are a tiny
+    * fraction of page bytes, and the lambda is still native expressions,
+    * no UDF). Inner markup is stripped, whitespace collapsed.
+    */
+  def anchorTexts(c: Column): Column =
+    transform(
+      regexp_extract_all(c,
+        lit("(?is)<a\\s[^>]*?href=(?:\"[^\"]*\"|'[^']*')[^>]*>.*?</a\\s*>"), lit(0)),
+      a => {
+        val dq = regexp_extract(a, "(?is)href=\"([^\"]*)\"", 1)
+        val sq = regexp_extract(a, "(?is)href='([^']*)'", 1)
+        val inner = regexp_extract(a, "(?is)>(.*)</a\\s*>$", 1)
+        struct(
+          when(dq =!= "", dq).otherwise(sq).as("url"),
+          trim(regexp_replace(regexp_replace(inner, "(?s)<[^>]*>", " "),
+            "[ \\t\\n\\r]+", " ")).as("text"))
+      })
+
+  /** `html_anchor_texts`: the per-(host, anchor-text) link profile over the
+    * fixture pages — what feeds anchor-text quality features and anchor
+    * language models. The oracle recomputes membership from the link
+    * formulas (three absolute links per doc with fixed texts; the relative
+    * link resolves to NULL host and must be dropped), so element-boundary
+    * bugs (greedy `.*` eating to the LAST `</a>`, quote-style misses,
+    * inner-markup leaks) land as count or grouping mismatches.
+    */
+  def anchorTextsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("a", explode(anchorTexts(pageOf(links = true))))
+      .withColumn("host", expr("parse_url(a.url, 'HOST')"))
+      .filter(col("host").isNotNull)
+      .groupBy(col("host"), col("a.text").as("anchor_text"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("host", "anchor_text")
+
+  private val anchorTextsSql =
+    """WITH a AS (
+         SELECT doc_id, 'h' || (doc_id % 7) || '.example.com' AS host, 'first' AS anchor_text
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 'h' || ((doc_id + 1) % 7) || '.example.org', 'second' FROM documents
+         UNION ALL
+         SELECT doc_id, 'h' || (doc_id % 7) || '.example.com', 'again' FROM documents
+       )
+       SELECT host, anchor_text, CAST(COUNT(*) AS BIGINT) AS n_links,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM a GROUP BY host, anchor_text ORDER BY host, anchor_text"""
+
   /** Robots-style disallow rules: (registrable domain, path prefix). A
     * fixed fixture table standing in for parsed robots.txt records — the
     * OPERATOR (broadcast anti-join on domain + prefix match) is the
@@ -466,6 +520,7 @@ object HtmlExtract extends QueryModule {
     "url_canonicalize" -> (urlCanonicalize _),
     "html_domain_scorecard" -> (domainScorecard _),
     "html_robots_filter" -> (robotsFilterQuery _),
+    "html_anchor_texts" -> (anchorTextsQuery _),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -475,5 +530,6 @@ object HtmlExtract extends QueryModule {
     "url_canonicalize" -> urlCanonicalizeSql,
     "html_domain_scorecard" -> domainScorecardSql,
     "html_robots_filter" -> robotsFilterSql,
+    "html_anchor_texts" -> anchorTextsSql,
   )
 }

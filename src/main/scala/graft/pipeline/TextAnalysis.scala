@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryModule, Tables}
@@ -1094,7 +1094,84 @@ object TextAnalysis extends QueryModule {
               md5(nfc_normalize(dec)) AS digest
        FROM d ORDER BY doc_id"""
 
+  /** Unicode script classes for [[scriptProfile]], as Java-and-RE2-common
+    * codepoint ranges (`\x{...}` spans — `\u` escapes are Java-only, and
+    * `\p{Script=...}` classes drift across Unicode versions between
+    * engines; explicit ranges cannot). Each is (name, char-class body).
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    ("ascii_letter", "A-Za-z"),
+    ("latin_ext", "\\x{00C0}-\\x{024F}"),
+    ("greek", "\\x{0370}-\\x{03FF}"),
+    ("cyrillic", "\\x{0400}-\\x{04FF}"),
+    ("cjk", "\\x{4E00}-\\x{9FFF}"),
+    ("digit", "0-9"))
+
+  /** `text_script_profile`: per-doc Unicode-script mix — the signal a
+    * multilingual pipeline routes on BEFORE n-gram language ID is
+    * meaningful (lang-id profiles are per-script; a doc that is 40% CJK
+    * bytes shouldn't be scored against Latin-alphabet profiles at all).
+    * Counts per script class + the dominant class (ties break by the
+    * fixed class order). The fixture plants non-Latin scripts by doc_id
+    * formula (the corpus is ASCII): 'e'->'é' puts Latin-ext everywhere,
+    * and a mod-3 cycle appends Cyrillic / Greek+CJK tails — so every
+    * class is exercised and the oracle runs the IDENTICAL explicit-range
+    * regexes (one more Java-vs-RE2 agreement pin, like the PII row).
+    * Map-only: each count is one codegen'd regexp_replace + length.
+    */
+  def scriptProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    // Column API on purpose, twice over: Spark's `chr()` is byte-mod-256
+    // (codepoints past 255 can't be built with it), and Spark SQL string
+    // literals process backslash escapes (which would eat the `\x{...}`
+    // regex spans). Scala literals + functions.* bypass both parsers.
+    val planted = concat(expr("replace(text, 'e', chr(233))"),
+      when(col("doc_id") % 3 === 1, lit(" \u041F\u0440\u0438\u0432"))
+        .when(col("doc_id") % 3 === 2, lit(" \u03B1\u03B2\u4E2D\u6587"))
+        .otherwise(lit("")))
+    val counts = ScriptClasses.map { case (name, cls) =>
+      length(regexp_replace(col("s"), s"[^$cls]", "")).cast("long").as(s"n_$name")
+    }
+    val dominant = ScriptClasses.map(_._1).foldRight(lit("none"): Column) {
+      case (name, acc) =>
+        when(col(s"n_$name") >= ScriptClasses.map(c => col(s"n_${c._1}"))
+          .reduce((a, b) => greatest(a, b)) && col(s"n_$name") > 0, name)
+          .otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .withColumn("s", planted)
+      .select(col("doc_id") +: counts: _*)
+      .withColumn("dominant", dominant)
+      .orderBy("doc_id")
+  }
+
+  private val scriptProfileSql = {
+    val counts = ScriptClasses.map { case (name, cls) =>
+      s"CAST(length(regexp_replace(s, '[^$cls]', '', 'g')) AS BIGINT) AS n_$name"
+    }.mkString(",\n                 ")
+    // dominant: first class (in fixed order) whose count equals the max
+    // and is > 0 — identical to the Spark fold
+    val maxExpr = ScriptClasses.map(c => s"n_${c._1}").reduce((a, b) => s"greatest($a, $b)")
+    val dominant = ScriptClasses.map(_._1).foldRight("'none'") { case (name, acc) =>
+      s"CASE WHEN n_$name >= $maxExpr AND n_$name > 0 THEN '$name' ELSE $acc END"
+    }
+    s"""WITH p AS (
+          SELECT doc_id,
+                 replace(text, 'e', chr(233)) ||
+                 CASE CAST(doc_id % 3 AS INT)
+                   WHEN 1 THEN ' ' || chr(1055) || chr(1088) || chr(1080) || chr(1074)
+                   WHEN 2 THEN ' ' || chr(945) || chr(946) || chr(20013) || chr(25991)
+                   ELSE '' END AS s
+          FROM documents
+        ), c AS (
+          SELECT doc_id, $counts FROM p
+        )
+        SELECT doc_id, n_ascii_letter, n_latin_ext, n_greek, n_cyrillic,
+               n_cjk, n_digit, $dominant AS dominant
+        FROM c ORDER BY doc_id"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_script_profile" -> (scriptProfile _),
     "text_nfc_normalize" -> (nfcNormalizeDocs _),
     "text_lang_id" -> (langId _),
     "text_langid_confusion" -> (langIdConfusion _),
@@ -1114,6 +1191,7 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "text_script_profile" -> scriptProfileSql,
     "text_nfc_normalize" -> nfcNormalizeSql,
     "text_lang_id" -> langIdSql,
     "text_langid_confusion" -> langIdConfusionSql,

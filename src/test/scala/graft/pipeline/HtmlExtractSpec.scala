@@ -45,6 +45,20 @@ class HtmlExtractSpec extends SparkSpec {
     assert(links("<p>no anchors here</p>").isEmpty)
   }
 
+  private def anchors(html: String): Seq[(String, String)] =
+    Seq(html).toDF("h").select(HtmlExtract.anchorTexts(col("h")))
+      .as[Seq[(String, String)]].head()
+
+  test("anchorTexts: element boundaries, quote styles, inner markup stripped") {
+    val page = """<a href="http://a/1">first</a> gap <a title='t' href='http://b/2'>has <b>bold</b>
+                 | and  spaces</a><a class="k" href="http://c/3"><img src="x"></a>""".stripMargin
+    assert(anchors(page) == Seq(
+      ("http://a/1", "first"),
+      ("http://b/2", "has bold and spaces"),
+      ("http://c/3", "")))
+    assert(anchors("<p>none</p>").isEmpty)
+  }
+
   private def canon(url: String): String =
     Seq(url).toDF("u").select(HtmlExtract.canonicalizeUrl(col("u"))).as[String].head()
 
