@@ -187,6 +187,11 @@ object HtmlExtract extends QueryModule {
     * TLDs + 4 two-level suffixes) so the registrable-domain branch takes
     * both paths corpus-wide.
     */
+  /** Exposed for the streaming admission cap, which derives the identical
+    * domain key ([[graft.streaming.CorpusIngest.domainCappedStream]]).
+    */
+  private[graft] def urlSql: String = urlSqlFragment
+
   private val urlSqlFragment =
     """'https://w' || (doc_id % 3) || '.s' || (doc_id % 7) || '.' ||
        CASE CAST(doc_id % 8 AS INT)
@@ -205,11 +210,18 @@ object HtmlExtract extends QueryModule {
     * carries AT MOST `HostCap + 1` rows per domain per mapper, never the
     * whole crawl.
     */
-  def hostCaps(spark: SparkSession, sfDir: String): DataFrame = {
+  def hostCaps(spark: SparkSession, sfDir: String): DataFrame =
+    hostCapsOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  /** Batch core of [[hostCaps]] — unordered; also the convergence twin the
+    * STREAMING admission cap is tested against
+    * ([[graft.streaming.CorpusIngest.domainCappedStream]]).
+    */
+  def hostCapsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val blocked = spark.createDataFrame(
+    val blocked = docs.sparkSession.createDataFrame(
       BlockedDomains.map(Tuple1(_))).toDF("regdom")
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), expr(urlSqlFragment).as("url"))
       .withColumn("host", expr("parse_url(url, 'HOST')"))
       .withColumn("regdom", registrableDomain(col("host")))
@@ -219,7 +231,6 @@ object HtmlExtract extends QueryModule {
           .cast("long"))
       .filter(col("rk") <= HostCap)
       .select("doc_id", "host", "regdom", "rk")
-      .orderBy("doc_id")
   }
 
   private val hostCapsSql = {

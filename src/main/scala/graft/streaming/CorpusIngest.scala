@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.pipeline.{CorpusQc, Dedup}
+import graft.pipeline.{CorpusQc, Dedup, HtmlExtract}
+
+/** One admitted document of [[CorpusIngest.domainCappedStream]]. */
+case class DomainAdmit(doc_id: Long, regdom: String)
 
 /** Streaming corpus ingestion — the LLM-data front door, end to end:
   * arriving documents are QC'd (repetition flags), checked for benchmark
@@ -48,6 +51,52 @@ object CorpusIngest {
     * dedup belongs to the batch band-index probe (`probeBatch`), which this
     * stage feeds.
     */
+  /** Streaming per-domain admission cap — the stateful twin of the batch
+    * `html_host_caps` pass: at most `cap` documents per registrable domain
+    * are admitted ACROSS the stream's lifetime, first-come (within a
+    * micro-batch, lowest doc_id first, so a batch replay admits the same
+    * rows). Blocklisted domains are dropped by the same broadcast anti-join
+    * the batch pass uses (a stream-static join — map-only on the stream
+    * side).
+    *
+    * State is ONE Long per domain (the admitted count) with no timeout —
+    * the honest shape for a crawl quota: domains-seen is the corpus's
+    * domain cardinality, kilobytes per million domains, and a quota that
+    * "expires" would readmit what it exists to exclude. This is the
+    * `flatMapGroupsWithState` slot where the stateful machinery genuinely
+    * pays for itself: a `dropDuplicates`-style operator cannot COUNT, and
+    * a windowed agg cannot EMIT the admitted rows.
+    *
+    * Convergence contract (CorpusIngestSpec): when documents arrive in
+    * doc_id order (batch boundaries anywhere), the admitted set equals the
+    * batch pass's kept set exactly; out-of-order arrival degrades to
+    * first-ARRIVED-wins, the production semantics of a live quota.
+    */
+  def domainCappedStream(docStream: DataFrame,
+      cap: Int = HtmlExtract.HostCap): Dataset[DomainAdmit] = {
+    import org.apache.spark.sql.functions._
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val blocked = spark.createDataFrame(
+      HtmlExtract.BlockedDomains.map(Tuple1(_))).toDF("regdom")
+    docStream
+      .select(col("doc_id"),
+        HtmlExtract.registrableDomain(
+          expr(s"parse_url(${HtmlExtract.urlSql}, 'HOST')")).as("regdom"))
+      .join(broadcast(blocked), Seq("regdom"), "left_anti")
+      .as[DomainAdmit]
+      .groupByKey(_.regdom)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[DomainAdmit],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, cap - admitted).toInt
+          val take = rows.toSeq.sortBy(_.doc_id).take(room)
+          if (take.nonEmpty) state.update(admitted + take.size)
+          take.iterator
+      }
+  }
+
   def dedupedStream(docStream: DataFrame, horizon: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.functions._
     docStream

@@ -113,6 +113,38 @@ class CorpusIngestSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$stateDir/percentile")) == batch)
   }
 
+  test("streaming domain cap converges to the batch host-caps pass and keeps counting across batches") {
+    val src = MemoryStream[Doc]
+    val admittedStream = CorpusIngest.domainCappedStream(src.toDF)
+    val q = admittedStream.writeStream.queryName("domain_cap")
+      .outputMode("append").format("memory").start()
+    val (a, b) = newDocs.splitAt(newDocs.size / 2)
+    try {
+      src.addData(a: _*); q.processAllAvailable()
+      src.addData(b: _*); q.processAllAvailable()
+      // replaying already-admitted docs must NOT widen the quota usage
+      // beyond the cap for any domain (a live quota counts arrivals)
+      src.addData(a.take(5): _*); q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("domain_cap")
+    val perDomain = admitted.groupBy("regdom").count()
+      .as[(String, Long)].collect().toMap
+    assert(perDomain.values.forall(_ <= graft.pipeline.HtmlExtract.HostCap),
+      s"some domain exceeded the cap: $perDomain")
+    // the first two batches arrived in doc_id order, so before the replay
+    // the admitted set equals the batch pass exactly
+    val batchKept = graft.pipeline.HtmlExtract.hostCapsOf(newDocs.toDF())
+      .select("doc_id").as[Long].collect().toSet
+    val streamedFirstTwo = admitted
+      .select("doc_id").as[Long].collect().toSet
+      .intersect(newDocs.map(_.doc_id).toSet)
+    assert(batchKept.subsetOf(streamedFirstTwo),
+      "every batch-kept doc must be admitted by the stream")
+    assert(perDomain.keySet.intersect(
+      graft.pipeline.HtmlExtract.BlockedDomains.toSet).isEmpty,
+      "blocklisted domains must never be admitted")
+  }
+
   test("watermarked ingest dedup: duplicates dropped inside the horizon, state evicted past it") {
     def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $hhmm:00")
     val src = MemoryStream[(Long, String, java.sql.Timestamp)]
