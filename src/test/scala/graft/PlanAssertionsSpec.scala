@@ -492,6 +492,37 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup: first-occurrence reduction combines map-side, one line-grain exchange") {
+    val p = planOf("text_line_dedup")
+    // partial_min under the line exchange = the survivors ARE the group
+    // aggregates; without it every line row crosses the wire
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"line dedup must map-side combine the min(k) reduction:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"line dedup must not join the full line set back:\n$p")
+  }
+
+  test("robots filter and mojibake repair stay map-only on the corpus side") {
+    val robots = planOf("html_robots_filter")
+    assert(robots.contains("LeftAnti") && robots.contains("BroadcastExchange"),
+      s"robots rules must broadcast-anti, never shuffle the crawl:\n$robots")
+    assert(!robots.contains("SortMergeJoin"), s"robots rules shuffled the crawl:\n$robots")
+    val moji = planOf("text_mojibake_repair")
+    assert(!moji.contains("Join") && !moji.contains("HashAggregate") &&
+      "\\(\\d+\\) Exchange".r.findAllIn(moji).size == 1,
+      s"mojibake repair must be a map-only projection + one sort exchange:\n$moji")
+    spark.catalog.clearCache()
+  }
+
+  test("domain scorecard: ONE corpus scan, zero doc-grain joins, one domain-grain exchange") {
+    val p = planOf("html_domain_scorecard")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"every per-doc signal must ride one scan:\n$p")
+    assert(p.contains("LeftAnti"), s"blocklist must be an anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"scorecard must not join per-doc frames (columns, not joins):\n$p")
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
