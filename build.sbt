@@ -23,10 +23,29 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked-JVM heap: SPARK_DRIVER_MEM, CLAMPED at 30g. Measured r14 (CodegenProbe,
+// sf0.1 steady-state, same commit — the four-config table is in COVERAGE.md):
+// at -Xmx90g the largest string/hash-CPU plans run 2-13x slower STEADY
+// (graph_pagerank 21-81 s / 170-630 CPU-s vs 2.8 s at 30g; fuzzy_qgram_docs
+// 27 s vs 3.5 s) — real CPU inflation, not GC/JIT/commit (all measured flat).
+// Compressed oops are RULED OUT: -Xmx33g (oops off, young ~20 GiB) matches the
+// 8g builder exactly. The mode needs the genuinely huge heap — at 90g G1's
+// ergonomic young gen reaches 54 GiB and regions grow to 32 MiB, and even
+// -XX:MaxNewSize=2g there only makes it chaotic (8-81 s swings). Every probe
+// at <= 33g lands at builder numbers; the suite's high-water committed heap is
+// ~21 GB, so 30g keeps full headroom. Production guidance agrees: Spark
+// driver/executor heaps are sized 8-32 GB for exactly these reasons. Override
+// knowingly via GRAFT_JVM_OPTS (last -Xmx wins).
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${
+    val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    scala.util.Try(raw.toLowerCase.stripSuffix("g").toInt).toOption match {
+      case Some(n) if n > 30 => "30g"
+      case _ => raw
+    }
+  }",
   // A 200+-query whole-stage-codegen run compiles thousands of generated
   // classes; at the JVM-default 240m the code cache runs hot and under
   // flushing pressure the most string-CPU-bound stages can end up

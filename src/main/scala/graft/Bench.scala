@@ -95,8 +95,13 @@ object Bench {
     // suite's real footprint with headroom; growth past the cap is lazy
     // again but now NAMED per-run by heap_grow_mb / the heap-commit stall
     // class, and -XX:MaxHeapFreeRatio=100 (build.sbt) keeps whatever has
-    // been committed from being handed back mid-run.
-    val target = math.min((Runtime.getRuntime.maxMemory * 0.7).toLong, 32L << 30)
+    // been committed from being handed back mid-run. Sized from current
+    // HEADROOM, not raw -Xmx: the ballast rides on top of the warm
+    // session's live set, and 0.7 * maxMemory + a large live set could
+    // drive G1 into full-GC thrash on a small heap.
+    val rt = Runtime.getRuntime
+    val headroom = math.max(0L, rt.maxMemory - (rt.totalMemory - rt.freeMemory))
+    val target = math.min((headroom * 0.7).toLong, 32L << 30)
     val chunk = 64 << 20
     val nChunks = (target / chunk).toInt
     val held = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
@@ -195,6 +200,23 @@ object Bench {
     val s = ok.sorted
     s.size >= 2 && pairDiverges(s(0), s(1))
   }
+
+  /** A CHRONOLOGICALLY monotone-decreasing sample train with contracting
+    * steps is warm-up converging on a floor, not divergence — the r13
+    * `events_props_json` false positive (5.79 → 1.59 → 0.39 s: pure JIT
+    * warm-up decay, which pairwise corroboration can never match because
+    * every new sample beats every previous one). Two conditions:
+    *   - strictly decreasing: each sample faster than the last;
+    *   - contracting gaps: each successive drop at most 3/4 of the previous
+    *     one — the geometric signature of convergence to a stable floor. A
+    *     LINEAR decrease (gaps not shrinking) stays divergent: nothing says
+    *     the next sample wouldn't keep falling, so the best is still a hope.
+    * Needs >= 3 samples; a pair cannot show a decay shape at all.
+    */
+  private[graft] def monotoneDecay(chron: Seq[Double]): Boolean =
+    chron.size >= 3 &&
+      chron.sliding(2).forall { case Seq(a, b) => b < a } &&
+      chron.sliding(3).forall { case Seq(a, b, c) => (b - c) <= 0.75 * (a - b) }
 
   /** Is a tie-break sample's one-time-build count comparable to its pass-2
     * run's? FEWER builds means the sample found memos warm that pass 2 had
@@ -434,7 +456,9 @@ object Bench {
         .collect { case (t, None) => t }
       val best = if (ok.nonEmpty) ok.min else math.min(m1.wall, m2.wall)
       val err = if (ok.nonEmpty) None else e1.orElse(e2)
-      val divergent = err.isEmpty && uncorroborated(ok)
+      // `ok` is chronological (pass1, pass2, tie-break), so a monotone
+      // contracting decay across it is recognizable warm-up, not divergence
+      val divergent = err.isEmpty && uncorroborated(ok) && !monotoneDecay(ok)
       (name, best, m1, m2, m3, err, divergent, steady)
     }
     val diverged = results.collect { case (n, _, m1, m2, m3, _, true, _) => (n, m1, m2, m3) }
@@ -479,9 +503,13 @@ object Bench {
       case (n, _, m1, m2, m3, None, _, _) if pairDiverges(m1.wall, m2.wall) =>
         val all = Seq(m1, m2) ++ m3
         val slow = all.maxBy(_.wall); val fast = all.minBy(_.wall)
+        // a train the acceptance rule recognized as warm-up convergence
+        // names itself in the artifact instead of borrowing a stall class
+        val cls = if (monotoneDecay(all.map(_.wall))) "warmup-decay"
+                  else classifyStall(slow, fast)
         jstr(n) + ":" + s"""{"pass1":${m1.json},"pass2":${m2.json},""" +
           m3.map(m => s""""pass3":${m.json},""").getOrElse("") +
-          s""""stall_class":${jstr(classifyStall(slow, fast))}}"""
+          s""""stall_class":${jstr(cls)}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // JVM-instance fingerprint: the r11 d2 cold cost was bimodal ACROSS

@@ -37,6 +37,8 @@ object SparkEntry {
     pipeline.Multimodal,
     pipeline.TextAnalysis,
     pipeline.HtmlExtract,
+    pipeline.RobotsTxt,
+    pipeline.MainContent,
     pipeline.Cleaning,
     pipeline.BpeTokenizer,
     pipeline.TrainPrep,

@@ -90,8 +90,13 @@ object ByteStats {
       if (c > 1) sum += c * math.log(c.toDouble) // ln(1) == 0: skip c == 1
       b += 1
     }
-    // H = (ln n - (1/n) * sum c ln c) / ln 2
-    math.floor(1000.0 * (math.log(n.toDouble) - sum / n) / Ln2).toLong
+    // H = (ln n - (1/n) * sum c ln c) / ln 2. Clamped at 0: for a
+    // single-distinct-byte document (ln n - (n ln n)/n == 0 exactly in real
+    // math) the floating sum can land one ulp ABOVE ln n, and floor of that
+    // tiny negative would return -1, breaking the documented [0, 8000]
+    // bound (the DuckDB twin mirrors the clamp with greatest(0, ...)).
+    math.max(0L,
+      math.floor(1000.0 * (math.log(n.toDouble) - sum / n) / Ln2).toLong)
   }
 
   def distinctCount(s: UTF8String): Long = {

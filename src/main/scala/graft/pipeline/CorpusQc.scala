@@ -1013,9 +1013,13 @@ object CorpusQc extends QueryModule {
                              ELSE 0.0e0 END ORDER BY byte), 'sum') AS s
           FROM ec GROUP BY doc_id
         )
+        -- greatest(0, ...) mirrors the Spark expression's clamp: a
+        -- single-distinct-byte doc's sum can land one ulp above ln(n) and
+        -- floor of the tiny negative would emit -1, off the [0, 8000] bound
         SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, n_distinct_bytes,
-               CAST(floor(1000.0 * (ln(CAST(n_bytes AS DOUBLE)) - s / n_bytes)
-                          / ln(2.0e0)) AS BIGINT) AS entropy_milli
+               greatest(CAST(0 AS BIGINT),
+                 CAST(floor(1000.0 * (ln(CAST(n_bytes AS DOUBLE)) - s / n_bytes)
+                            / ln(2.0e0)) AS BIGINT)) AS entropy_milli
         FROM es)"""
 
   /** DuckDB subquery producing per-doc (doc_id, n_chars, n_tokens, q, qb)

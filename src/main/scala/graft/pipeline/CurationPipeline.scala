@@ -62,10 +62,14 @@ object CurationPipeline extends QueryModule {
 
   /** The actual feature plan (package-visible so PlanAssertionsSpec can
     * audit its single corpus scan — the registered query's own plan reads
-    * the memo).
+    * the memo). `text` rides along inside [[CorpusQc.qualityFeaturesOf]]
+    * for same-scan composers (`html_domain_scorecard`'s entropy column) but
+    * is dropped BEFORE the memo write: persisting it would copy the entire
+    * corpus text into the curation scratch table — at 100 TB that turns a
+    * KB-per-doc feature memo into a second corpus.
     */
   private[graft] def featuresCompute(spark: SparkSession, sfDir: String): DataFrame =
-    CorpusQc.qualityFeaturesOf(Tables.documents(spark, sfDir))
+    CorpusQc.qualityFeaturesOf(Tables.documents(spark, sfDir)).drop("text")
 
   def curatedManifest(spark: SparkSession, sfDir: String): DataFrame = {
     val f = feats(spark, sfDir)

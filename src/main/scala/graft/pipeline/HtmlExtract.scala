@@ -277,8 +277,11 @@ object HtmlExtract extends QueryModule {
     val noFrag = regexp_replace(c, "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
-    val host = when(scheme === "http", regexp_replace(host0, ":80\\b", ""))
-      .when(scheme === "https", regexp_replace(host0, ":443\\b", ""))
+    // default-port strip is anchored to the END of the authority — a
+    // `\b`-bounded match could fire on a pathological authority containing
+    // ":80." mid-string (":8080" was already safe: 0→8 is not a boundary)
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
       .otherwise(host0)
     val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)", 1)
     val path0 = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/{2,}", "/")
@@ -292,7 +295,12 @@ object HtmlExtract extends QueryModule {
       p => p =!= "" && !p.rlike(s"^$TrackingParams=")))
     val queryOut = when(size(keptParams) > 0,
       concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
-    concat(scheme, lit("://"), host, path, queryOut)
+    // non-absolute inputs (scheme-relative `//cdn...`, bare paths, garbage)
+    // pass through UNCHANGED: without a scheme every extract above returns
+    // "" and the rewrite would collapse them all to a constant-prefix
+    // "://..." string, merging distinct URLs into one dedup key
+    when(scheme === "", c)
+      .otherwise(concat(scheme, lit("://"), host, path, queryOut))
   }
 
   /** `url_canonicalize`: fixture URLs plant every noise class the
@@ -314,17 +322,29 @@ object HtmlExtract extends QueryModule {
       lit("?utm_source=x&b="), col("doc_id") % 7, lit("&a=1"),
       when(col("doc_id") % 4 === 0, lit("&gclid=abc")).otherwise(lit("")),
       lit("#frag"), col("doc_id"))
+    // every 11th (offset 3) row is a scheme-relative URL: the canonicalizer
+    // must pass it through UNCHANGED (case, doubled slash, params, fragment
+    // all preserved) — the oracle reconstructs the raw string verbatim, so
+    // any rewrite of a non-absolute input lands as a mismatch on this leg
+    val relative = concat(lit("//CDN.Site"), col("doc_id") % 5,
+      lit(".com/Asset//"), col("doc_id"), lit("?b=2&a=1#frag"))
+    val input = when(col("doc_id") % 11 === 3, relative).otherwise(noisy)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), canonicalizeUrl(noisy).as("canon"))
+      .select(col("doc_id"), canonicalizeUrl(input).as("canon"))
       .orderBy("doc_id")
   }
 
   private val urlCanonicalizeSql =
     """SELECT doc_id,
-              CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+              CASE WHEN doc_id % 11 = 3 THEN
+                '//CDN.Site' || (doc_id % 5) || '.com/Asset//' || doc_id
+                  || '?b=2&a=1#frag'
+              ELSE
+                CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
                 || '://www.site' || (doc_id % 5) || '.com/a/b'
                 || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '/page' || doc_id END
-                || '?a=1&b=' || (doc_id % 7) AS canon
+                || '?a=1&b=' || (doc_id % 7)
+              END AS canon
        FROM documents ORDER BY doc_id"""
 
   /** `html_domain_scorecard`: the per-registrable-domain curation table a

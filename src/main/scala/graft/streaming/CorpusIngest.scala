@@ -91,7 +91,22 @@ object CorpusIngest {
          state: org.apache.spark.sql.streaming.GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
           val room = math.max(0L, cap - admitted).toInt
-          val take = rows.toSeq.sortBy(_.doc_id).take(room)
+          // keep only the `room` smallest doc_ids with a bounded max-heap —
+          // O(batch·log cap) time, O(cap) executor memory. Materializing and
+          // sorting the whole (domain, micro-batch) group buffered an
+          // unbounded number of documents for a cap of 5: a hot domain's
+          // first batch at crawl scale is exactly the group that explodes.
+          val take =
+            if (room == 0) Seq.empty[DomainAdmit]
+            else {
+              val heap = new scala.collection.mutable.PriorityQueue[DomainAdmit]()(
+                Ordering.by(_.doc_id))
+              rows.foreach { r =>
+                if (heap.size < room) heap.enqueue(r)
+                else if (r.doc_id < heap.head.doc_id) { heap.dequeue(); heap.enqueue(r) }
+              }
+              heap.dequeueAll.reverse // ascending doc_id: deterministic admit order
+            }
           if (take.nonEmpty) state.update(admitted + take.size)
           take.iterator
       }

@@ -73,4 +73,20 @@ class BenchClassifySpec extends AnyFunSuite {
     assert(!Bench.uncorroborated(Seq(2.0)), "a single sample cannot diverge")
     assert(!Bench.uncorroborated(Seq.empty))
   }
+
+  test("a monotone contracting decay train is warm-up, not divergence") {
+    // the r13 events_props_json false positive: pure JIT warm-up decay —
+    // every sample beats the last, gaps contract toward the floor
+    assert(Bench.monotoneDecay(Seq(5.79, 1.59, 0.39)))
+    // geometric decay with more samples still qualifies
+    assert(Bench.monotoneDecay(Seq(8.0, 4.0, 2.2, 1.4)))
+    // a LINEAR fall (gaps not contracting) proves no floor: stays divergent
+    assert(!Bench.monotoneDecay(Seq(10.0, 7.0, 4.0)))
+    // any increase breaks the decay read — this is the classic stall shape
+    assert(!Bench.monotoneDecay(Seq(1.0, 5.0, 0.9)))
+    assert(!Bench.monotoneDecay(Seq(5.0, 1.0, 1.2)))
+    // a pair cannot show a decay shape
+    assert(!Bench.monotoneDecay(Seq(5.0, 1.0)))
+    assert(!Bench.monotoneDecay(Seq.empty))
+  }
 }

@@ -523,6 +523,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"scorecard must not join per-doc frames (columns, not joins):\n$p")
   }
 
+  test("robots PARSER output broadcasts into the page decision; main content stays map-only") {
+    // the parsed rule table is domain-grain: it may shuffle internally
+    // (windows over dimension-sized robots payloads), but its join INTO the
+    // page corpus must broadcast — the crawl side never exchanges for it
+    val robots = planOf("html_robots_parsed")
+    assert(robots.contains("BroadcastExchange"),
+      s"parsed rules must broadcast into the page side:\n$robots")
+    assert(!robots.contains("SortMergeJoin"),
+      s"the page corpus shuffled for the rules join:\n$robots")
+    val mc = planOf("html_main_content")
+    assert(!mc.contains("Join") && !mc.contains("HashAggregate") &&
+      "\\(\\d+\\) Exchange".r.findAllIn(mc).size == 1,
+      s"main-content extraction must be a map-only projection + one sort exchange:\n$mc")
+    spark.catalog.clearCache()
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
