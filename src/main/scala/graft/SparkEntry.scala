@@ -40,6 +40,8 @@ object SparkEntry {
     pipeline.RobotsTxt,
     pipeline.MainContent,
     pipeline.Cleaning,
+    pipeline.GopherFilter,
+    pipeline.LuhnPii,
     pipeline.BpeTokenizer,
     pipeline.TrainPrep,
     pipeline.CorpusQc,

@@ -532,10 +532,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"parsed rules must broadcast into the page side:\n$robots")
     assert(!robots.contains("SortMergeJoin"),
       s"the page corpus shuffled for the rules join:\n$robots")
-    val mc = planOf("html_main_content")
-    assert(!mc.contains("Join") && !mc.contains("HashAggregate") &&
-      "\\(\\d+\\) Exchange".r.findAllIn(mc).size == 1,
-      s"main-content extraction must be a map-only projection + one sort exchange:\n$mc")
+    Seq("html_main_content", "text_gopher_filter", "text_pii_luhn").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+        "\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+        s"$q must be a map-only projection + one sort exchange:\n$p")
+    }
     spark.catalog.clearCache()
   }
 
