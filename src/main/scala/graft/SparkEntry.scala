@@ -33,6 +33,7 @@ object SparkEntry {
     operators.Sketches,
     pipeline.Dedup,
     pipeline.SimilaritySearch,
+    pipeline.PqSearch,
     pipeline.Whitening,
     pipeline.Multimodal,
     pipeline.TextAnalysis,
@@ -41,6 +42,8 @@ object SparkEntry {
     pipeline.MainContent,
     pipeline.Cleaning,
     pipeline.GopherFilter,
+    pipeline.GopherRepetition,
+    pipeline.CodeQuality,
     pipeline.LuhnPii,
     pipeline.BpeTokenizer,
     pipeline.TrainPrep,

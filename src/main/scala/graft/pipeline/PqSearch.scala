@@ -1,0 +1,392 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Scratch, Tables}
+
+/** Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+  * for Nearest Neighbor Search") — the compression leg of the ANN family
+  * next to brute / LSH / IVF / IVF-trained: every embedding is encoded as
+  * [[M]] sub-codes of log2([[CodesK]]) bits (here 16 × 4 bits = 64 bits —
+  * a 16× compression of the 64-float vector), search runs over the CODES
+  * with asymmetric distance computation (ADC: per-query lookup tables of
+  * query-subvector-to-codeword distances, candidate distance = sum of 16
+  * table lookups, no raw vector touched), and the ADC shortlist of
+  * [[Shortlist]] is re-ranked with exact cosine over raw vectors — the
+  * standard two-stage PQ serving shape.
+  *
+  * Training is the trained-IVF pattern applied PER SUBSPACE: spherical
+  * (unit-vector) subvectors, seeds = the md5-draw-first-16 vectors of the
+  * same stratified training sample the IVF quantizer uses, [[LloydRounds]]
+  * assign→mean rounds with sorted-fold means — bit-reproducible doubles,
+  * so codes, ADC distances, shortlists, and recall agree with the DuckDB
+  * oracle exactly. Empty cells keep their seed codeword.
+  *
+  * Scale design (100 TB): training cost ∝ the bounded sample (≤ 250 rows
+  * × 256 codewords per round); ENCODING is one broadcast fan-out + a
+  * (vec_id, m)-keyed argmin over the corpus — map-shaped, the memoized
+  * codes table IS the shipped index artifact at 8 bytes/vector (codes
+  * travel as a 16-hex-char string in the oracle-checked row; the packed
+  * form is the same 64 bits); ADC scans the CODES table with the ≤ 20×256
+  * query tables broadcast, never the raw corpus; only the
+  * [[Shortlist]]·queries re-rank rows read raw vectors. Recall@10 is
+  * measured by `similarity_pq_recall` (0.925 at sf0.1 / 2000 vectors with
+  * the shipped knobs) — the knob rule is the IVF one: recall too low →
+  * raise [[Shortlist]] or CodesK.
+  *
+  * Reference context: the reference engine has no vector ops — this is
+  * the §2.11 extension surface (SURVEY.md §7.2 step 6) over `embeddings`.
+  */
+object PqSearch extends QueryModule {
+
+  /** Subspaces × dims per subspace = [[Similarity.Dim]]. */
+  val M = 16
+  val SubDim = 4
+
+  /** Codewords per subspace (4-bit codes). */
+  val CodesK = 16
+
+  /** Lloyd rounds per subspace (fixed, bounds plan depth — IVF pattern). */
+  val LloydRounds = 2
+
+  /** ADC shortlist size re-ranked exactly (recall knob). Sized on the
+    * sf0.1 fixture: 100 measured recall@10 = 0.795 at 2000 vectors; 200
+    * restores ≥ 0.9. The production rule is the IVF one — shortlist is
+    * the recall/IO trade (raw-vector reads per query) and grows like
+    * O(corpus^~0.5) on clustered embeddings, re-measured by
+    * `similarity_pq_recall` after any retune.
+    */
+  val Shortlist = 200
+
+  import SimilaritySearch.{K, NumQueries}
+
+  /** (vec_id, m, sub): the corpus unit vectors split into M subvectors —
+    * map-only explode, reused by training, encoding, and query tables.
+    */
+  private def subvectors(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(1, $M), mm -> slice(v, $SubDim * (mm - 1) + 1, $SubDim))"))
+        .as(Seq("p", "sub")))
+      .select(col("vec_id"), (col("p") + 1).as("m"), col("sub"))
+
+  /** Seed codebook (m, cid, cent): subvectors of the 16 md5-draw-first
+    * sample vectors (cid = draw rank − 1). The global row_number runs over
+    * the ≤ 10·quota-row TRAINING SAMPLE — an artifact-grain relation, not
+    * the corpus — so the one-task window is bounded by construction.
+    */
+  private def pqSeeds(spark: SparkSession, sfDir: String): DataFrame =
+    SimilaritySearch.trainingSample(spark, sfDir)
+      .withColumn("draw", md5(concat(lit("ivf:"), col("vec_id").cast("string"))))
+      .withColumn("rn", row_number().over(Window.orderBy("draw", "vec_id")))
+      .filter(col("rn") <= CodesK)
+      .select((col("rn") - 1).cast("int").as("cid"), col("v"))
+      .select(col("cid"),
+        posexplode(expr(
+          s"transform(sequence(1, $M), mm -> slice(v, $SubDim * (mm - 1) + 1, $SubDim))"))
+          .as(Seq("p", "cent")))
+      .select((col("p") + 1).as("m"), col("cid"), col("cent"))
+
+  /** Nearest codeword per (vector, subspace) by ‖c‖² − 2·sub·c, ties to
+    * the smaller cid — broadcast ×(M·CodesK) fan-out, (vec_id, m) argmin.
+    */
+  private def assignSub(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents.withColumn("cn2", expr("vec_dot(cent, cent)"))), "m")
+      .withColumn("score", col("cn2") - lit(2) * expr("vec_dot(sub, cent)"))
+      .select(col("vec_id"), col("m"), struct(col("score"), col("cid")).as("sc"))
+      .groupBy("vec_id", "m").agg(min("sc").as("sc"))
+      .select(col("vec_id"), col("m"), col("sc.cid").as("cid"), col("sc.score").as("score"))
+
+  /** Lloyd-trained per-subspace codebooks over the stratified sample. */
+  private def pqCodebook(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#pqcb#$M#$CodesK#$LloydRounds") {
+      val sample = SimilaritySearch.trainingSample(spark, sfDir)
+      val subs = subvectors(sample.select(col("vec_id"), col("v")))
+      var cents = pqSeeds(spark, sfDir)
+      for (_ <- 1 to LloydRounds) {
+        val means = assignSub(subs, cents)
+          .join(subs, Seq("vec_id", "m"))
+          .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("d", "x")))
+          .groupBy("m", "cid", "d")
+          .agg((expr("sorted_sum(CAST(x AS DOUBLE))") / count(lit(1))).as("mc"))
+          .groupBy("m", "cid")
+          .agg(expr("transform(array_sort(collect_list(struct(d, mc))), s -> s.mc)")
+            .as("mcent"))
+        cents = pqSeeds(spark, sfDir)
+          .join(means, Seq("m", "cid"), "left")
+          .select(col("m"), col("cid"), coalesce(col("mcent"), col("cent")).as("cent"))
+      }
+      cents
+    }
+
+  /** (vec_id, codes array<int>[M], pq_code hex string, recon_err): the
+    * encoded corpus — the 8-byte-per-vector index artifact, memoized.
+    * recon_err = Σ_m ‖sub_m − codeword‖² via sorted_sum (bit-stable).
+    */
+  private def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#pqcodes#$M#$CodesK#$LloydRounds") {
+      val corpus = SimilaritySearch.unitVectors(spark, sfDir).select("vec_id", "v")
+      val subs = subvectors(corpus)
+      val um2 = subs.select(col("vec_id"), col("m"),
+        expr("vec_dot(sub, sub)").as("um2"))
+      assignSub(subs, pqCodebook(spark, sfDir))
+        .join(um2, Seq("vec_id", "m"))
+        .groupBy("vec_id")
+        .agg(
+          expr("transform(array_sort(collect_list(struct(m, cid))), s -> s.cid)")
+            .as("codes"),
+          expr("""array_join(transform(array_sort(collect_list(struct(m, cid))),
+                    s -> substr('0123456789abcdef', s.cid + 1, 1)), '')""")
+            .as("pq_code"),
+          expr("sorted_sum(score + um2)").as("recon_err"))
+    }
+
+  /** `emb_pq_codes`: the encoded corpus as oracle rows. */
+  def pqCodesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodes(spark, sfDir)
+      .select("vec_id", "pq_code", "recon_err")
+      .orderBy("vec_id")
+
+  /** Per-query ADC tables: (qid, qtab array<array<double>>[M][CodesK]) —
+    * qtab[m][cid+1] = ‖q_m − c_{m,cid}‖², built from two bounded sorted
+    * aggregates over the 20×M×CodesK fan-out and broadcast into the scan.
+    */
+  private def queryTables(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = SimilaritySearch.unitVectors(spark, sfDir)
+      .filter(col("vec_id") < NumQueries).select("vec_id", "v")
+    subvectors(q)
+      .join(broadcast(pqCodebook(spark, sfDir)
+        .withColumn("cn2", expr("vec_dot(cent, cent)"))), "m")
+      .withColumn("qdist",
+        col("cn2") - lit(2) * expr("vec_dot(sub, cent)") + expr("vec_dot(sub, sub)"))
+      .groupBy(col("vec_id").as("qid"), col("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(cid, qdist))), s -> s.qdist)")
+        .as("tab"))
+      .groupBy("qid")
+      .agg(expr("transform(array_sort(collect_list(struct(m, tab))), s -> s.tab)")
+        .as("qtab"))
+  }
+
+  /** Fixed m-order ADC sum — left-to-right over the M lookups, so the
+    * double matches the oracle's `ORDER BY m` fold exactly.
+    */
+  private val adcExpr: String =
+    (1 to M).map(m =>
+      s"element_at(element_at(qtab, $m), element_at(codes, $m) + 1)")
+      .mkString(" + ")
+
+  /** ADC shortlist, exact-cosine re-rank: the two-stage PQ search. */
+  private def pqRanked(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#pqtopk#$M#$CodesK#$LloydRounds#$Shortlist#$K#$NumQueries") {
+      val shortlist = pqCodes(spark, sfDir).select("vec_id", "codes")
+        .crossJoin(broadcast(queryTables(spark, sfDir)))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc", expr(adcExpr))
+        .withColumn("srn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))))
+        .filter(col("srn") <= Shortlist)
+        .select("qid", "vec_id")
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      shortlist
+        .join(e, "vec_id")
+        .join(broadcast(q), "qid")
+        .withColumn("cosine", expr("vec_dot(qv, v)") / (col("qn") * col("nrm")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id")))
+          .cast("long"))
+        .filter(col("rnk") <= K)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
+    }
+
+  /** `similarity_topk_pq`: the re-ranked PQ top-k (brute schema). */
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    pqRanked(spark, sfDir).orderBy("qid", "rnk")
+
+  /** `similarity_pq_recall`: recall@K vs brute + the compression facts —
+    * candidate volume (Shortlist·queries vs the brute corpus scan) and
+    * mean reconstruction error.
+    */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = SimilaritySearch.bruteRanked(spark, sfDir).select("qid", "neighbor_id")
+    val pq = pqRanked(spark, sfDir).select("qid", "neighbor_id")
+      .withColumn("hit", lit(1L))
+    val recall = brute.join(pq, Seq("qid", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall_at_k"))
+    val err = pqCodes(spark, sfDir)
+      .agg((expr("sorted_sum(recon_err)") / count(lit(1))).as("mean_recon_err"),
+        count(lit(1)).as("n_vectors"))
+    recall.crossJoin(err) // 1 row each
+  }
+
+  // ---- DuckDB mirror ----
+
+  private def subDuck(v: String, m: String): String =
+    s"$v[$SubDim*($m-1)+1 : $SubDim*$m]"
+
+  /** Unit-vector + sample + seed + Lloyd CTE chain ending in codebook
+    * relation `pc$LloydRounds` (m, cid, cent) — the per-subspace twin of
+    * the trained-IVF chain.
+    */
+  private def pqChainDuck: String = {
+    def asgCte(name: String, centsRel: String) =
+      s"""$name AS (
+            SELECT vec_id, m, cid, score FROM (
+              SELECT t.vec_id, c.m, c.cid,
+                     ${Similarity.dotDuck("c.cent", "c.cent")}
+                       - 2 * ${Similarity.dotDuck(subDuck("t.vn", "c.m"), "c.cent")} AS score,
+                     row_number() OVER (PARTITION BY t.vec_id, c.m ORDER BY
+                       ${Similarity.dotDuck("c.cent", "c.cent")}
+                         - 2 * ${Similarity.dotDuck(subDuck("t.vn", "c.m"), "c.cent")},
+                       c.cid) AS rn
+              FROM ts t CROSS JOIN $centsRel c) WHERE rn = 1
+          )"""
+    def centCte(asg: String, mname: String, cname: String) =
+      s"""$mname AS (
+            SELECT m, cid, d,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_sort(list(CAST(x AS DOUBLE)))), (acc, p) -> acc + p)
+                     / COUNT(*) AS mc
+            FROM (SELECT a.m, a.cid, g.i AS d, t.vn[$SubDim*(a.m-1) + g.i] AS x
+                  FROM $asg a JOIN ts t USING (vec_id),
+                       (SELECT unnest(range(1, ${SubDim + 1})) AS i) g)
+            GROUP BY m, cid, d
+          ), $cname AS (
+            SELECT s.m, s.cid, COALESCE(mm.cent, s.cent) AS cent
+            FROM pseeds s LEFT JOIN
+              (SELECT m, cid, list(mc ORDER BY d) AS cent FROM $mname GROUP BY m, cid) mm
+              USING (m, cid)
+          )"""
+    val base =
+      s"""e AS (
+            SELECT vec_id, label, embedding AS v, nrm,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS vn
+            FROM (SELECT vec_id, label, embedding,
+                         ${Similarity.normDuck("embedding")} AS nrm
+                  FROM embeddings)
+          ), ts AS (
+            SELECT vec_id, vn FROM (
+              SELECT vec_id, vn,
+                     row_number() OVER (PARTITION BY label
+                       ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) AS srn
+              FROM e) WHERE srn <= ${SimilaritySearch.TrainQuota}
+          ), pseeds AS (
+            SELECT g.m, s.cid, ${subDuck("s.vn", "g.m")} AS cent
+            FROM (SELECT CAST(rn - 1 AS INT) AS cid, vn FROM (
+                    SELECT vn, row_number() OVER (ORDER BY
+                      md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                    FROM ts) WHERE rn <= $CodesK) s,
+                 (SELECT unnest(range(1, ${M + 1})) AS m) g
+          )"""
+    val rounds = (1 to LloydRounds).map { r =>
+      val prev = if (r == 1) "pseeds" else s"pc${r - 1}"
+      asgCte(s"pa$r", prev) + ", " + centCte(s"pa$r", s"pm$r", s"pc$r")
+    }
+    (base +: rounds).mkString(", ")
+  }
+
+  private def codebookRel = s"pc$LloydRounds"
+
+  /** Corpus encoding CTEs: per-(vec, m) argmin `paf`, per-vec codes. */
+  private def codesChainDuck: String =
+    s"""$pqChainDuck, paf AS (
+          SELECT vec_id, m, cid, score FROM (
+            SELECT e.vec_id, c.m, c.cid,
+                   ${Similarity.dotDuck("c.cent", "c.cent")}
+                     - 2 * ${Similarity.dotDuck(subDuck("e.vn", "c.m"), "c.cent")} AS score,
+                   row_number() OVER (PARTITION BY e.vec_id, c.m ORDER BY
+                     ${Similarity.dotDuck("c.cent", "c.cent")}
+                       - 2 * ${Similarity.dotDuck(subDuck("e.vn", "c.m"), "c.cent")},
+                     c.cid) AS rn
+            FROM e CROSS JOIN $codebookRel c) WHERE rn = 1
+        ), pcodes AS (
+          SELECT p.vec_id,
+                 list(p.cid ORDER BY p.m) AS codes,
+                 string_agg(substr('0123456789abcdef', p.cid + 1, 1), ''
+                   ORDER BY p.m) AS pq_code,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_sort(list(p.score + ${Similarity.dotDuck(subDuck("e.vn", "p.m"), subDuck("e.vn", "p.m"))}))),
+                   (acc, x) -> acc + x) AS recon_err
+          FROM paf p JOIN e USING (vec_id)
+          GROUP BY p.vec_id
+        )"""
+
+  private def pqCodesSql: String =
+    s"""WITH $codesChainDuck
+        SELECT vec_id, pq_code, recon_err FROM pcodes ORDER BY vec_id"""
+
+  /** ADC + re-rank CTEs ending in the ranked relation `rr`. */
+  private def topkChainDuck: String =
+    s"""$codesChainDuck, qd AS (
+          SELECT e.vec_id AS qid, c.m, c.cid,
+                 ${Similarity.dotDuck("c.cent", "c.cent")}
+                   - 2 * ${Similarity.dotDuck(subDuck("e.vn", "c.m"), "c.cent")}
+                   + ${Similarity.dotDuck(subDuck("e.vn", "c.m"), subDuck("e.vn", "c.m"))} AS qdist
+          FROM e CROSS JOIN $codebookRel c
+          WHERE e.vec_id < $NumQueries
+        ), adc AS (
+          SELECT q.qid, x.vec_id,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(q.qdist ORDER BY q.m)), (acc, p) -> acc + p) AS adc
+          FROM paf x
+          JOIN qd q ON q.m = x.m AND q.cid = x.cid
+          WHERE x.vec_id <> q.qid
+          GROUP BY q.qid, x.vec_id
+        ), sl AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS srn
+            FROM adc) WHERE srn <= $Shortlist
+        ), rr AS (
+          SELECT s.qid, e.vec_id, ${Similarity.dotDuck("q.v", "e.v")} / (q.nrm * e.nrm) AS cosine,
+                 row_number() OVER (PARTITION BY s.qid ORDER BY
+                   ${Similarity.dotDuck("q.v", "e.v")} / (q.nrm * e.nrm) DESC, e.vec_id) AS rnk
+          FROM sl s JOIN e ON e.vec_id = s.vec_id
+                    JOIN e q ON q.vec_id = s.qid
+        )"""
+
+  private def pqTopKSql: String =
+    s"""WITH $topkChainDuck
+        SELECT qid, rnk, vec_id AS neighbor_id, cosine
+        FROM rr WHERE rnk <= $K ORDER BY qid, rnk"""
+
+  private def pqRecallSql: String =
+    s"""WITH $topkChainDuck,
+             pq AS (SELECT qid, vec_id AS neighbor_id FROM rr WHERE rnk <= $K),
+             brute AS (SELECT qid, neighbor_id FROM (${SimilaritySearch.bruteSql})),
+             rec AS (
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+                      CAST(SUM(CASE WHEN p.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                      CAST(SUM(CASE WHEN p.qid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                        / COUNT(*) AS recall_at_k
+               FROM brute b LEFT JOIN pq p
+                 ON b.qid = p.qid AND b.neighbor_id = p.neighbor_id
+             ), err AS (
+               SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_sort(list(recon_err))), (acc, x) -> acc + x)
+                        / COUNT(*) AS mean_recon_err,
+                      CAST(COUNT(*) AS BIGINT) AS n_vectors
+               FROM pcodes
+             )
+        SELECT * FROM rec CROSS JOIN err"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq_codes" -> (pqCodesQuery _),
+    "similarity_topk_pq" -> (pqTopK _),
+    "similarity_pq_recall" -> (pqRecall _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "emb_pq_codes" -> pqCodesSql,
+    "similarity_topk_pq" -> pqTopKSql,
+    "similarity_pq_recall" -> pqRecallSql,
+  )
+}

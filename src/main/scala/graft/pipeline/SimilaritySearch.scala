@@ -90,7 +90,7 @@ object SimilaritySearch extends QueryModule {
         .withColumn("cosine", expr("vec_dot(qv, v)") / (col("qn") * col("nrm"))))
   }
 
-  private def bruteRanked(spark: SparkSession, sfDir: String): DataFrame =
+  private[pipeline] def bruteRanked(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#simbrute#$K#$NumQueries") {
       bruteCompute(spark, sfDir)
     }
@@ -98,7 +98,7 @@ object SimilaritySearch extends QueryModule {
   def bruteTopK(spark: SparkSession, sfDir: String): DataFrame =
     bruteRanked(spark, sfDir).orderBy("qid", "rnk")
 
-  private val bruteSql =
+  private[pipeline] val bruteSql =
     s"""WITH e AS (
           SELECT vec_id, embedding AS v,
                  ${Similarity.normDuck("embedding")} AS nrm
@@ -326,7 +326,7 @@ object SimilaritySearch extends QueryModule {
     * loses recall on this fixture). Scoring keeps the raw vectors + norms;
     * `label` rides along as the stratum key for the training draw.
     */
-  private def unitVectors(spark: SparkSession, sfDir: String): DataFrame =
+  private[pipeline] def unitVectors(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#simunit") {
       // memoized: every Lloyd round's assignment + means, the corpus
       // assignment, and the probe side all consume this frame — the norm
@@ -352,7 +352,7 @@ object SimilaritySearch extends QueryModule {
     * the corpus — at 100 TB the quantizer trains on a bounded sample while
     * assignment (one map-only pass) still covers every vector.
     */
-  private def trainingSample(spark: SparkSession, sfDir: String): DataFrame =
+  private[pipeline] def trainingSample(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#simtrainsample#$TrainQuota") {
       unitVectors(spark, sfDir)
         .withColumn("draw", md5(concat(lit("ivf:"), col("vec_id").cast("string"))))
