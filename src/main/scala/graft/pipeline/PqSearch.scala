@@ -177,9 +177,11 @@ object PqSearch extends QueryModule {
       s"element_at(element_at(qtab, $m), element_at(codes, $m) + 1)")
       .mkString(" + ")
 
-  /** ADC shortlist, exact-cosine re-rank: the two-stage PQ search. */
-  private def pqRanked(spark: SparkSession, sfDir: String): DataFrame =
-    Scratch.memoize(spark, s"$sfDir#pqtopk#$M#$CodesK#$LloydRounds#$Shortlist#$K#$NumQueries") {
+  /** ADC shortlist, exact-cosine re-rank: the two-stage PQ search.
+    * (package-visible so PlanAssertionsSpec can audit the computation —
+    * the registered query's own plan is a scan of the memo.)
+    */
+  private[graft] def pqRankedCompute(spark: SparkSession, sfDir: String): DataFrame = {
       val shortlist = pqCodes(spark, sfDir).select("vec_id", "codes")
         .crossJoin(broadcast(queryTables(spark, sfDir)))
         .filter(col("vec_id") =!= col("qid"))
@@ -202,6 +204,11 @@ object PqSearch extends QueryModule {
           .cast("long"))
         .filter(col("rnk") <= K)
         .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  private def pqRanked(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#pqtopk#$M#$CodesK#$LloydRounds#$Shortlist#$K#$NumQueries") {
+      pqRankedCompute(spark, sfDir)
     }
 
   /** `similarity_topk_pq`: the re-ranked PQ top-k (brute schema). */

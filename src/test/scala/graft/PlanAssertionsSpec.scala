@@ -541,6 +541,33 @@ class PlanAssertionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("repetition and code-quality screens are map-only projections over one scan") {
+    // every metric is a per-document array computation (let-bound lambda
+    // intermediates, no helper columns to re-derive): no join, no explode,
+    // no per-gram aggregate — one exchange for the output orderBy
+    Seq("text_gopher_repetition", "code_quality_filter").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+        !p.contains("Generate") &&
+        "\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+        s"$q must be a map-only projection + one sort exchange:\n$p")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("PQ search: ADC scans codes with broadcast query tables, two-phase shortlist, no corpus SMJ") {
+    // the registered queries scan the memo; audit the computation
+    val p = pipeline.PqSearch.pqRankedCompute(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastExchange"),
+      s"query tables and the re-rank query side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the ADC shortlist must run as partial/final group-limit, not a full sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the ADC fan-out must be the broadcast nested-loop of 20 query rows:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
