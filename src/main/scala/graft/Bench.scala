@@ -286,6 +286,12 @@ object Bench {
       "dedup_cosine_lsh" -> 1,
       // consumes the IVF cell-assignment memo similarity_topk_ivf builds
       "dedup_semantic" -> 1,
+      // consumes the PQ top-k memo similarity_topk_pq builds (alphabetical
+      // order would run the recall row first and land the build on it)
+      "similarity_pq_recall" -> 1,
+      // consumes the trained-weights memo text_classifier_train builds
+      // (same alphabetical hazard: 'score' < 'train')
+      "text_classifier_score" -> 1,
       // consumes the component-label memo dedup_components builds (which
       // itself consumes the rank-0 pair memos) — rank 2 so each stage's
       // cost lands on the query that owns it, not on whichever name sorts

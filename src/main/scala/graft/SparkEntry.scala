@@ -44,6 +44,7 @@ object SparkEntry {
     pipeline.GopherFilter,
     pipeline.GopherRepetition,
     pipeline.CodeQuality,
+    pipeline.TextClassifier,
     pipeline.LuhnPii,
     pipeline.BpeTokenizer,
     pipeline.TrainPrep,

@@ -568,6 +568,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("classifier: training is one bucket-grain aggregate, scoring broadcasts the model") {
+    val train = pipeline.TextClassifier.weightsCompute(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!train.contains("SortMergeJoin"),
+      s"the 64-row densify join must broadcast, never shuffle the sums:\n$train")
+    val score = planOf("text_classifier_score")
+    assert(score.contains("BroadcastExchange"),
+      s"the model and its scalar stats must broadcast into the feature scan:\n$score")
+    assert(!score.contains("SortMergeJoin"),
+      s"scoring must not shuffle the corpus for the model join:\n$score")
+    spark.catalog.clearCache()
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
