@@ -45,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.Gunzip.description)
     ext.injectFunction(functions.ZstdInflate.description)
     ext.injectFunction(functions.ZstdDeflate.description)
+    ext.injectFunction(functions.Lz4Inflate.description)
+    ext.injectFunction(functions.Lz4Deflate.description)
     ext.injectFunction(functions.NfcNormalize.description)
     ext.injectFunction(functions.ByteStats.entropyDescription)
     ext.injectFunction(functions.ByteStats.distinctDescription)

@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Tar,
     operators.Zip,
     operators.ZstdCorpus,
+    operators.Lz4Corpus,
     operators.ParquetMeta,
     operators.Sketches,
     pipeline.Dedup,
