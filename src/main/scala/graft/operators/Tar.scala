@@ -174,6 +174,9 @@ object Tar extends QueryModule {
     else if ((head(0) & 0xff) == 0x28 && (head(1) & 0xff) == 0xb5 &&
       (head(2) & 0xff) == 0x2f && (head(3) & 0xff) == 0xfd)
       entriesFromStream(new com.github.luben.zstd.ZstdInputStream(pb))
+    else if ((head(0) & 0xff) == 0x04 && (head(1) & 0xff) == 0x22 &&
+      (head(2) & 0xff) == 0x4d && (head(3) & 0xff) == 0x18)
+      entriesFromStream(new net.jpountz.lz4.LZ4FrameInputStream(pb, false))
     else entriesFromStream(pb)
   }
 
@@ -181,7 +184,9 @@ object Tar extends QueryModule {
     * [[graft.functions.Gunzip]] verifies and concatenates), zstd
     * (`.tar.zst`, the shape modern corpus bundles ship;
     * [[graft.functions.ZstdInflate]] with its multi-frame cat
-    * semantics), or plain — sniffed by magic, never by name.
+    * semantics), lz4 (`.tar.lz4`, the fast-decode snapshot shape;
+    * [[graft.functions.Lz4Inflate]], same cat semantics), or plain —
+    * sniffed by magic, never by name.
     */
   def read(bytes: Array[Byte]): IndexedSeq[(String, Array[Byte])] =
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
@@ -189,6 +194,9 @@ object Tar extends QueryModule {
     else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
       (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd)
       entries(graft.functions.ZstdInflate.inflate(bytes))
+    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x04 && (bytes(1) & 0xff) == 0x22 &&
+      (bytes(2) & 0xff) == 0x4d && (bytes(3) & 0xff) == 0x18)
+      entries(graft.functions.Lz4Inflate.inflate(bytes))
     else entries(bytes)
 
   /** Tar files → `documents`-shaped rows: `.txt` entries of a landing

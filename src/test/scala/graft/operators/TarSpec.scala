@@ -62,6 +62,16 @@ class TarSpec extends AnyFunSuite {
     assert(Tar.read(zst)(0)._2.toSeq == a.toSeq)
   }
 
+  test("read composes with lz4_inflate: a .tar.lz4 parses identically, both walks") {
+    val tar = ustar(Seq(("a.txt", a, '0')))
+    val lz4 = graft.functions.Lz4Deflate.deflate(tar)
+    assert(Tar.read(lz4).map(_._1) == IndexedSeq("a.txt"))
+    assert(Tar.read(lz4)(0)._2.toSeq == a.toSeq)
+    val streamed = Tar.readStream(new java.io.ByteArrayInputStream(lz4))
+      .map { case (n, d) => n -> d.toSeq }.toSeq
+    assert(streamed == Tar.entries(tar).map { case (n, d) => n -> d.toSeq })
+  }
+
   test("rejects: flipped checksum, truncated data, missing zero-block tail, bad octal") {
     val tar = ustar(Seq(("a.txt", a, '0')))
     val badChk = tar.clone(); badChk(0) = 'z' // name change breaks the checksum
