@@ -27,7 +27,8 @@ class DocsGuardSpec extends AnyFunSuite {
     */
   private val columnAllowlist = Set("customer_name",
     "zip_with",      // Spark builtin function cited in PLANS prose, not a query
-    "zstd_inflate", "zstd_deflate")  // graft's injected SQL functions, cited as functions
+    "zstd_inflate", "zstd_deflate",
+    "lz4_inflate", "lz4_deflate")  // graft's injected SQL functions, cited as functions
 
   private def repoFile(name: String): java.nio.file.Path = {
     val p = java.nio.file.Paths.get(name)
