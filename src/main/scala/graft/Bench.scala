@@ -289,6 +289,8 @@ object Bench {
       // consumes the PQ top-k memo similarity_topk_pq builds (alphabetical
       // order would run the recall row first and land the build on it)
       "similarity_pq_recall" -> 1,
+      // consumes the trained-cell corpus assignment similarity_topk_ivf_trained builds
+      "emb_cluster_sample" -> 1,
       // consumes the trained-weights memo text_classifier_train builds
       // (same alphabetical hazard: 'score' < 'train')
       "text_classifier_score" -> 1,

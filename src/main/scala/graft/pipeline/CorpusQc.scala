@@ -191,6 +191,48 @@ object CorpusQc extends QueryModule {
                  AS contaminated
         FROM o WHERE n_overlap > 0 ORDER BY doc_id"""
 
+  /** `train_bloom_decontaminate`: the bloom-prescreened exact-hit
+    * decontamination — the GPT-3-style "drop any training document that
+    * shares an n-gram with the eval set" pass, in the shape that survives
+    * a benchmark-shingle set TOO BIG TO BROADCAST (eval + held-out data at
+    * release scale): a [[graft.operators.BloomJoin.keyBloom]] membership
+    * sketch of the benchmark shingles prescreens the corpus shingle
+    * stream MAP-SIDE (`might_contain`, ~1% false positives), and only the
+    * surviving suspects shuffle into the exact verify join — forced
+    * `hint("merge")` to pin the too-big-to-broadcast plan at fixture
+    * scale. Bloom admits no false negatives, so the exact-hit output is
+    * bit-identical to a full exact join and the oracle never sees a bloom
+    * bit. Output = the drop list: every training doc with ≥ 1 exact
+    * shingle hit and its hit count (any-hit removal, the published rule;
+    * `text_contamination` keeps the ratio-thresholded broadcast-exact
+    * form for benchmark sets that DO fit).
+    */
+  def bloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val bench = benchShingles(spark, sfDir)
+    val bloom = graft.operators.BloomJoin.keyBloom(bench, col("h"), 8192L, 131072L)
+    val train = Tables.documents(spark, sfDir).filter(col("doc_id") % BenchMod =!= 0)
+    graft.operators.BloomJoin.semiFilter(shingleRows(train), col("h"), bloom)
+      .join(bench.hint("merge"), Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  private val bloomDecontaminateSql =
+    s"""WITH t AS (
+          SELECT doc_id, ${Dedup.rawTokensDuck} AS t FROM documents
+          WHERE len(${Dedup.rawTokensDuck}) >= ${Dedup.ShingleN}
+        ), sh AS (
+          SELECT doc_id, ${Dedup.hash60Duck("s")} AS h
+          FROM (SELECT doc_id, unnest(${Dedup.shinglesOfTDuck}) AS s FROM t)
+        ), bench AS (
+          SELECT DISTINCT h FROM sh WHERE doc_id % $BenchMod = 0
+        )
+        SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM sh JOIN bench USING (h)
+        WHERE sh.doc_id % $BenchMod <> 0
+        GROUP BY 1 ORDER BY 1"""
+
   /** `mix_weights`: temperature-scaled language mixture (α = 0.5 — i.e.
     * sampling weight ∝ √tokens, the standard up-weighting of low-resource
     * languages). α = 0.5 specifically because sqrt is IEEE-exactly-rounded
@@ -1086,6 +1128,7 @@ object CorpusQc extends QueryModule {
     "corpus_snapshot_drift" -> (snapshotDrift _),
     "corpus_snapshot_diff" -> (snapshotDiff _),
     "text_contamination" -> (contamination _),
+    "train_bloom_decontaminate" -> (bloomDecontaminate _),
     "mix_weights" -> (mixWeights _),
     "mix_materialize" -> (mixMaterialize _),
     "corpus_source_report" -> (sourceReport _),
@@ -1102,6 +1145,7 @@ object CorpusQc extends QueryModule {
     "corpus_snapshot_drift" -> snapshotDriftSql,
     "corpus_snapshot_diff" -> snapshotDiffSql,
     "text_contamination" -> contaminationSql,
+    "train_bloom_decontaminate" -> bloomDecontaminateSql,
     "mix_weights" -> mixWeightsSql,
     "mix_materialize" -> mixMaterializeSql,
     "corpus_source_report" -> sourceReportSql,

@@ -1572,7 +1572,44 @@ object SimilaritySearch extends QueryModule {
         FROM roster r LEFT JOIN pair_stats p ON r.label = p.label
         ORDER BY r.label"""
 
+  /** Per-cell sample quota for [[clusterSample]]. */
+  val ClusterSampleQuota = 8
+
+  /** `emb_cluster_sample`: cluster-balanced diversity sampling — the
+    * SemDeDup-family move a curated pre-training subset uses so one dense
+    * region of embedding space cannot dominate the draw: assign the
+    * corpus to the Lloyd-TRAINED cells (the memoized [[trainedIvfCorpus]]
+    * artifact, shared with the trained-IVF search), then take exactly
+    * [[ClusterSampleQuota]] vectors per cell in md5 order (the
+    * `docs_stratified_sample` pure-row-function draw, so the oracle
+    * enumerates the same sample). The quota filter runs as the two-phase
+    * WindowGroupLimit — per-task heaps before the one cell exchange —
+    * so at 100 TB only ~quota rows per cell per task cross the wire,
+    * never the corpus.
+    */
+  def clusterSample(spark: SparkSession, sfDir: String): DataFrame =
+    trainedIvfCorpus(spark, sfDir)
+      .select(col("vec_id"), col("bucket"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bucket").orderBy(
+          md5(concat(lit("cs:"), col("vec_id").cast("string"))), col("vec_id")))
+        .cast("long"))
+      .filter(col("rn") <= ClusterSampleQuota)
+      .select(col("bucket"), col("rn"), col("vec_id"))
+      .orderBy("bucket", "rn")
+
+  private def clusterSampleSql: String =
+    s"""WITH $trainedChainDuck
+        SELECT cid AS bucket, rn, vec_id FROM (
+          SELECT af.cid, af.vec_id,
+                 row_number() OVER (PARTITION BY af.cid ORDER BY
+                   md5('cs:' || CAST(af.vec_id AS VARCHAR)), af.vec_id) AS rn
+          FROM af)
+        WHERE rn <= $ClusterSampleQuota
+        ORDER BY bucket, rn"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cluster_sample" -> (clusterSample _),
     "similarity_probe_incremental" -> (probeIncremental _),
     "emb_knn_label_agreement" -> (knnLabelAgreement _),
     "emb_snapshot_drift" -> (embSnapshotDrift _),
@@ -1592,6 +1629,7 @@ object SimilaritySearch extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "emb_cluster_sample" -> clusterSampleSql,
     "similarity_probe_incremental" -> probeIncrementalSql,
     "emb_knn_label_agreement" -> knnLabelAgreementSql,
     "emb_snapshot_drift" -> embSnapshotDriftSql,

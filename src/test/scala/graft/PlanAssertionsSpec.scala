@@ -581,6 +581,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bloom decontamination prescreens map-side and verifies on a merge join") {
+    val p = planOf("train_bloom_decontaminate")
+    assert(p.contains("might_contain"),
+      s"the corpus shingle stream must be bloom-prescreened before any shuffle:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"the exact verify must stay the too-big-to-broadcast merge join:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("cluster sample runs as two-phase WindowGroupLimit over the trained-cell memo") {
+    val p = planOf("emb_cluster_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-cell quota must be partial/final group-limit, not a full sort:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("no registered query collects to the driver in its plan") {
     // CollectLimit appears only for show()-style paths; registered queries
     // must sort/aggregate distributively
