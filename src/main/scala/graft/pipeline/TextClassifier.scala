@@ -101,14 +101,21 @@ object TextClassifier extends QueryModule {
   def trainQuery(spark: SparkSession, sfDir: String): DataFrame =
     model(spark, sfDir).orderBy("bucket")
 
-  /** The scoring core over explicit feature/model frames. */
-  private[pipeline] def scoreOf(feats: DataFrame, m: DataFrame): DataFrame = {
+  /** Class sizes of a feature relation — with the model sums, the other
+    * half of the shipped artifact (serving needs the TRAINING corpus's
+    * n⁺/n⁻, not the scored batch's).
+    */
+  private[pipeline] def countsOf(feats: DataFrame): DataFrame =
+    feats.select("doc_id", "y").distinct().agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("y") === -1, 1L).otherwise(0L)).as("n_neg"))
+
+  /** The scoring core over explicit feature / model / class-size frames. */
+  private[pipeline] def scoreOf(feats: DataFrame, m: DataFrame,
+                                counts: DataFrame): DataFrame = {
     val stats = m.agg(
       expr("sum(s_pos * s_pos)").as("norm2_pos"),
       expr("sum(s_neg * s_neg)").as("norm2_neg"))
-    val counts = feats.select("doc_id", "y").distinct().agg(
-      sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
-      sum(when(col("y") === -1, 1L).otherwise(0L)).as("n_neg"))
     feats
       .join(broadcast(m), "bucket")
       .groupBy("doc_id", "y")
@@ -129,7 +136,17 @@ object TextClassifier extends QueryModule {
     * verdict, correctness.
     */
   def scoreQuery(spark: SparkSession, sfDir: String): DataFrame =
-    scoreOf(features(spark, sfDir), model(spark, sfDir)).orderBy("doc_id")
+    scoreOf(features(spark, sfDir), model(spark, sfDir),
+      countsOf(features(spark, sfDir))).orderBy("doc_id")
+
+  /** Score an arbitrary (doc_id, text) batch against the TRAINED
+    * artifact (model sums + training-corpus class sizes) — the serving
+    * form the streaming ingest runs per micro-batch
+    * ([[graft.streaming.CorpusIngest.batchWriter]]).
+    */
+  def scoreBatch(spark: SparkSession, sfDir: String, batch: DataFrame): DataFrame =
+    scoreOf(featuresOf(batch), model(spark, sfDir),
+      countsOf(features(spark, sfDir)))
 
   // ---- DuckDB mirror ----
 

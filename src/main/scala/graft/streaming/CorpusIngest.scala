@@ -138,6 +138,12 @@ object CorpusIngest {
       // operator applied to the micro-batch — no state, no watermark
       CorpusQc.entropyQualityOf(batch)
         .write.mode("overwrite").parquet(s"$outDir/screens/batch_id=$batchId")
+      // r14: score every admitted document against the TRAINED classifier
+      // artifact (model sums + training-corpus class sizes, both static
+      // memos) — the serve-the-shipped-model stage; the micro-batch only
+      // contributes features, never the model
+      graft.pipeline.TextClassifier.scoreBatch(spark, sfDir, batch)
+        .write.mode("overwrite").parquet(s"$outDir/model_scores/batch_id=$batchId")
     }
 
   def start(docStream: DataFrame, sfDir: String, outDir: String,

@@ -31,7 +31,7 @@ class TextClassifierSpec extends SparkSpec {
   test("hand-traced verdicts: exact dots, cross-multiplied decision, both correct") {
     val feats = TextClassifier.featuresOf(docs)
     val m = TextClassifier.trainOf(spark, feats)
-    val s = TextClassifier.scoreOf(feats, m)
+    val s = TextClassifier.scoreOf(feats, m, TextClassifier.countsOf(feats))
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
     assert(s(2L) == ((1L, 11L, 1L, true, true)), s"got $s")
@@ -46,7 +46,7 @@ class TextClassifierSpec extends SparkSpec {
     // an exact tie instead from two empty-ish docs is impossible with
     // planted markers, so assert the strict-< rule on the formula level:
     val feats = TextClassifier.featuresOf(Seq((2L, "aa"), (3L, "aa")).toDF("doc_id", "text"))
-    val s = TextClassifier.scoreOf(feats, TextClassifier.trainOf(spark, feats))
+    val s = TextClassifier.scoreOf(feats, TextClassifier.trainOf(spark, feats), TextClassifier.countsOf(feats))
       .collect().map(r => r.getLong(0) -> (r.getBoolean(4), r.getBoolean(5))).toMap
     assert(s(2L) == ((true, true)) && s(3L) == ((false, true)), s"got $s")
   }

@@ -54,6 +54,12 @@ class CorpusIngestSpec extends SparkSpec {
       rows(graft.pipeline.TrainPrep.chunkDocsOf(batchDocs)))
     assert(rows(landed("screens")) == rows(CorpusQc.entropyQualityOf(batchDocs)))
     assert(rows(landed("screens")).nonEmpty)
+    // the classifier stage serves the static trained artifact: streamed
+    // scores equal the batch operator over the same docs, and agree with
+    // the oracle-checked per-corpus query on the overlap
+    assert(rows(landed("model_scores")) ==
+      rows(graft.pipeline.TextClassifier.scoreBatch(spark, Sf0001, batchDocs)))
+    assert(rows(landed("model_scores")).nonEmpty)
 
     // crash replay: re-running a committed batch overwrites, never appends
     val before = (rows(landed("qc")), rows(landed("contam")),
