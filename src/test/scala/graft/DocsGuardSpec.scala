@@ -28,7 +28,9 @@ class DocsGuardSpec extends AnyFunSuite {
   private val columnAllowlist = Set("customer_name",
     "zip_with",      // Spark builtin function cited in PLANS prose, not a query
     "zstd_inflate", "zstd_deflate",
-    "lz4_inflate", "lz4_deflate")  // graft's injected SQL functions, cited as functions
+    "lz4_inflate", "lz4_deflate",
+    // Spark built-in SQL functions, cited as functions
+    "bloom_filter_agg", "might_contain")
 
   private def repoFile(name: String): java.nio.file.Path = {
     val p = java.nio.file.Paths.get(name)
