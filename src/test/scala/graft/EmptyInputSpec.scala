@@ -51,7 +51,13 @@ class EmptyInputSpec extends AnyFunSuite {
     "corpus_snapshot_drift",
     "emb_covariance_q", "emb_quantization_clipped", "emb_label_centroids",
     "emb_topk_quantized", "emb_whitened_check", "emb_knn_label_agreement",
-    "emb_snapshot_drift")
+    "emb_snapshot_drift",
+    // r14 family
+    "text_gopher_filter", "text_gopher_repetition", "code_quality_filter",
+    "text_pii_luhn", "lz4_ingest", "docs_lz4_roundtrip",
+    "train_bloom_decontaminate", "text_classifier_train", "text_classifier_score",
+    "emb_pq_codes", "similarity_topk_pq", "similarity_pq_recall",
+    "emb_cluster_sample")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else
@@ -61,7 +67,11 @@ class EmptyInputSpec extends AnyFunSuite {
     // the compression curve is one GLOBAL-aggregate row per merge round
     "text_bpe_apply" -> (BpeTokenizer.BpeRounds + 1).toLong,
     // one global-aggregate row per packing strategy
-    "pack_compare" -> 2L)
+    "pack_compare" -> 2L,
+    // the model relation is densified to all buckets even with no corpus
+    "text_classifier_train" -> graft.pipeline.TextClassifier.Buckets.toLong,
+    // recall row: one global-aggregate row (all-NULL metrics on empty)
+    "similarity_pq_recall" -> 1L)
 
   test("documents-family queries return empty on an empty corpus, never throw") {
     docQueries.foreach { name =>
