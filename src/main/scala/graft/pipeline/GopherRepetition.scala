@@ -32,7 +32,9 @@ import graft.{QueryModule, Tables}
   * pattern (`text_c4_filter`, `text_mojibake_repair`): BOTH engines
   * reflow the document's tokens into 8-word lines, append doc_id-keyed
   * duplicate lines (doc_id%3: lines 1 and 2 again — a whole duplicate
-  * paragraph when the base line count is even; doc_id%5: line 1 again),
+  * paragraph when the base line count is even; doc_id%5: line 1 again;
+  * both plants are `slice`-bounded so sub-2-line documents degrade to
+  * shorter plants identically in both engines, never a NULL element),
   * and pair consecutive lines into paragraphs. The planted repeats also
   * flow into the word stream, making the 5..10-gram coverage signals
   * non-trivial; the oracle recomputes everything independently with
@@ -147,9 +149,9 @@ object GopherRepetition extends QueryModule {
               i -> array_join(slice(w0, $WordsPerLine * (i - 1) + 1, $WordsPerLine), ' ')))"""))
       .withColumn("ll", expr(
         """concat(base,
-             CASE WHEN doc_id % 3 = 0 THEN array(element_at(base, 1), element_at(base, 2))
+             CASE WHEN doc_id % 3 = 0 THEN slice(base, 1, 2)
                   ELSE CAST(array() AS ARRAY<STRING>) END,
-             CASE WHEN doc_id % 5 = 0 THEN array(element_at(base, 1))
+             CASE WHEN doc_id % 5 = 0 THEN slice(base, 1, 1)
                   ELSE CAST(array() AS ARRAY<STRING>) END)"""))
       .withColumn("paras", expr(
         s"""IF(size(ll) < 1, CAST(array() AS ARRAY<STRING>),
@@ -239,8 +241,8 @@ object GopherRepetition extends QueryModule {
           FROM d
         ), pg AS (
           SELECT doc_id,
-            base || (CASE WHEN doc_id % 3 = 0 THEN [base[1], base[2]] ELSE CAST([] AS VARCHAR[]) END)
-                 || (CASE WHEN doc_id % 5 = 0 THEN [base[1]] ELSE CAST([] AS VARCHAR[]) END) AS ll
+            base || (CASE WHEN doc_id % 3 = 0 THEN base[1:least(2, len(base))] ELSE CAST([] AS VARCHAR[]) END)
+                 || (CASE WHEN doc_id % 5 = 0 THEN base[1:least(1, len(base))] ELSE CAST([] AS VARCHAR[]) END) AS ll
           FROM b
         ), m AS (
           SELECT doc_id, ll,

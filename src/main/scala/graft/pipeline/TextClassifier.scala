@@ -26,8 +26,11 @@ import graft.{QueryModule, Scratch, Tables}
   * ‖x−S⁺/n⁺‖² < ‖x−S⁻/n⁻‖² cross-multiplied by n⁺²·n⁻² —
   * `n⁻²(‖S⁺‖² − 2n⁺·x·S⁺) < n⁺²(‖S⁻‖² − 2n⁻·x·S⁻)` — all-integer, so
   * training, scoring, and the verdict are bit-stable across engines
-  * with no doubles anywhere (max |term| ≈ 1.8e16 at sf0.1 — 500×
-  * BIGINT headroom; a 100 TB run lifts the comparison to DECIMAL(38,0)).
+  * with no doubles anywhere. The comparison terms grow ~quartically
+  * with corpus size (≈1.8e16 at sf0.1 — only ~500× BIGINT headroom),
+  * so the verdict comparison itself runs in DECIMAL(38,0) (DuckDB:
+  * HUGEINT) — exact to ~1e38, safe past 100 TB; the shipped model,
+  * dots, and counts stay BIGINT.
   *
   * Features: token counts hashed into [[Buckets]] buckets (md5 → 60-bit
   * int, MASKED — `& 63`, never `% 64`, per the signed-modulo hazard).
@@ -124,8 +127,15 @@ object TextClassifier extends QueryModule {
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(counts))
       .withColumn("predicted_pos", expr(
-        """n_neg * n_neg * (norm2_pos - 2 * n_pos * dot_pos)
-           < n_pos * n_pos * (norm2_neg - 2 * n_neg * dot_neg)"""))
+        // The cross-multiplied terms grow ~quartically with corpus size
+        // (n² · dot); BIGINT would wrap silently past ~sf1. Evaluate the
+        // comparison in DECIMAL(38,0) — exact to 1e38, ~20 orders past
+        // the sf0.1 magnitudes (DuckDB twin uses HUGEINT, exact to
+        // 1.7e38); dots/model stay BIGINT.
+        """cast(n_neg as decimal(38,0)) * n_neg
+             * (cast(norm2_pos as decimal(38,0)) - 2 * cast(n_pos as decimal(38,0)) * dot_pos)
+           < cast(n_pos as decimal(38,0)) * n_pos
+             * (cast(norm2_neg as decimal(38,0)) - 2 * cast(n_neg as decimal(38,0)) * dot_neg)"""))
       .select(col("doc_id"), col("y").as("y_true"),
         col("dot_pos"), col("dot_neg"), col("predicted_pos"),
         (col("predicted_pos") === (col("y") === 1)).as("correct"))
@@ -197,10 +207,10 @@ object TextClassifier extends QueryModule {
           GROUP BY f.doc_id, f.y
         )
         SELECT doc_id, CAST(y AS BIGINT) AS y_true, dot_pos, dot_neg,
-               (n_neg * n_neg * (norm2_pos - 2 * n_pos * dot_pos)
-                < n_pos * n_pos * (norm2_neg - 2 * n_neg * dot_neg)) AS predicted_pos,
-               ((n_neg * n_neg * (norm2_pos - 2 * n_pos * dot_pos)
-                 < n_pos * n_pos * (norm2_neg - 2 * n_neg * dot_neg)) = (y = 1)) AS correct
+               (CAST(n_neg AS HUGEINT) * n_neg * (CAST(norm2_pos AS HUGEINT) - 2 * CAST(n_pos AS HUGEINT) * dot_pos)
+                < CAST(n_pos AS HUGEINT) * n_pos * (CAST(norm2_neg AS HUGEINT) - 2 * CAST(n_neg AS HUGEINT) * dot_neg)) AS predicted_pos,
+               ((CAST(n_neg AS HUGEINT) * n_neg * (CAST(norm2_pos AS HUGEINT) - 2 * CAST(n_pos AS HUGEINT) * dot_pos)
+                 < CAST(n_pos AS HUGEINT) * n_pos * (CAST(norm2_neg AS HUGEINT) - 2 * CAST(n_neg AS HUGEINT) * dot_neg)) = (y = 1)) AS correct
         FROM dots CROSS JOIN stats CROSS JOIN counts
         ORDER BY doc_id"""
 
