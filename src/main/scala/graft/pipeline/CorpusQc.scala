@@ -1099,15 +1099,52 @@ object CorpusQc extends QueryModule {
     * LONG-RANGE redundancy the byte histogram cannot: a page of repeated
     * paragraphs has high byte entropy but compresses to nothing). Flags:
     * ratio below [[CompressRatioMin]] = boilerplate/repetition;
-    * above [[CompressRatioMax]] = binary-in-text. DuckDB has no zstd
-    * scalar, so this row takes the rows-only check; the planted
-    * low/high-entropy fixtures in CorpusQcSpec pin the thresholds.
+    * above [[CompressRatioMax]] = binary-in-text.
+    *
+    * Oracle design — codec split from gate: DuckDB has no zstd scalar, so
+    * the CODEC cannot have a SQL twin (it is pinned by
+    * `docs_zstd_roundtrip`'s real-frame md5 round-trip and CorpusQcSpec's
+    * planted fixtures). What CAN be cross-checked is everything built ON
+    * the coded lengths: the query additionally materializes the
+    * per-digest `zstd_deflate` length as a parquet artifact under
+    * [[LensRoot]] (SF-tagged subdir), and the ORACLE joins documents to
+    * that artifact by md5 digest to recompute n_bytes, the
+    * overhead-corrected ratio, and the keep verdict independently — rows,
+    * schema, the IEEE division, and the threshold decision all
+    * hash-verified (zstd is deterministic, so the digest-grain lengths
+    * agree exactly with the in-plan ones). The QUERY itself stays the
+    * map-only single-scan screen — the artifact is the oracle harness's
+    * side-channel, not part of the operator plan; a stale or missing
+    * artifact fails loudly through the oracle's inner join dropping rows.
     */
   val CompressRatioMin = 0.25
   val CompressRatioMax = 0.95
 
-  def compressRatio(spark: SparkSession, sfDir: String): DataFrame =
+  /** Root of the materialized digest→coded-length artifacts (one subdir
+    * per SF tag; the oracle reads the glob and joins on digest).
+    */
+  val LensRoot = "/tmp/graft_oracle_feed/zstd_lens"
+
+  private def lensDir(sfDir: String): String =
+    s"$LensRoot/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")}"
+
+  /** The Spark-computed codec leg the oracle consumes: one coded length
+    * per distinct text digest (zstd is deterministic, so the digest grain
+    * is exact).
+    */
+  private[pipeline] def compressLensOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .select(md5(col("text").cast("binary")).as("digest"),
+        expr("octet_length(zstd_deflate(cast(text AS binary)))")
+          .cast("long").as("n_zstd_bytes"))
+      .distinct()
+
+  def compressRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    compressLensOf(Tables.documents(spark, sfDir))
+      .write.mode("overwrite").parquet(lensDir(sfDir))
     compressRatioOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+  }
 
   def compressRatioOf(docs: DataFrame): DataFrame =
     docs
@@ -1122,6 +1159,22 @@ object CorpusQc extends QueryModule {
         expr("CAST(greatest(n_zstd_bytes - 13, 1) AS DOUBLE) / n_bytes"))
       .withColumn("keep",
         col("ratio").between(CompressRatioMin, CompressRatioMax))
+
+  private val compressRatioSql =
+    s"""WITH lens AS (
+          SELECT DISTINCT digest, n_zstd_bytes
+          FROM '$LensRoot/*/*.parquet'
+        ), d AS (
+          SELECT doc_id, md5(text) AS digest,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents WHERE length(text) > 0
+        )
+        SELECT doc_id, n_bytes, n_zstd_bytes,
+               CAST(greatest(n_zstd_bytes - 13, 1) AS DOUBLE) / n_bytes AS ratio,
+               (CAST(greatest(n_zstd_bytes - 13, 1) AS DOUBLE) / n_bytes)
+                 BETWEEN $CompressRatioMin AND $CompressRatioMax AS keep
+        FROM d JOIN lens USING (digest)
+        ORDER BY doc_id"""
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (repetition _),
@@ -1154,7 +1207,10 @@ object CorpusQc extends QueryModule {
     "corpus_dataset_card" -> datasetCardSql,
     "corpus_dataset_card_kmv" -> datasetCardKmvSql,
     "text_entropy_quality" -> entropyQualitySql,
-    // text_compress_ratio: DuckDB has no zstd scalar — rows-only check;
-    // thresholds are fixture-pinned in CorpusQcSpec
+    // text_compress_ratio: the codec has no DuckDB twin (pinned by
+    // docs_zstd_roundtrip); the gate IS cross-checked — the oracle joins
+    // the Spark-materialized digest→length artifact and recomputes the
+    // ratio and verdict independently
+    "text_compress_ratio" -> compressRatioSql,
   )
 }
