@@ -112,6 +112,35 @@ object CorpusIngest {
       }
   }
 
+  /** Robots admission at the streaming front door — the streamed twin of
+    * the batch `html_robots_parsed` chain: admission rules are DERIVED
+    * from parsed robots.txt payloads ([[graft.pipeline.RobotsTxt.parsedRules]],
+    * RFC 9309 grammar + group selection) and applied with the §2.2.2
+    * longest-match decision ([[RobotsTxt.robotsDecide]]). The robots
+    * corpus is a STATIC domain-grain relation (refreshed per crawl, tiny
+    * next to the page stream), so the parsed per-domain rule arrays
+    * aggregate once and BROADCAST into every micro-batch — a
+    * stream-static left join; the page stream stays map-only, no state,
+    * no watermark. Each document's (regdom, path) derives from its
+    * `source` URL — the field the WARC/JSONL front doors fill from the
+    * crawl's own attribution headers.
+    *
+    * Replaces the pre-parse fixture rule table in the streaming path:
+    * the stream now consumes the same derived rules as the batch pass
+    * (CorpusIngestSpec pins stream/batch convergence of the admitted
+    * set).
+    */
+  def robotsAdmittedStream(docStream: DataFrame, robots: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pages = docStream
+      .withColumn("regdom", HtmlExtract.registrableDomain(
+        expr("parse_url(source, 'HOST')")))
+      .withColumn("path", coalesce(expr("parse_url(source, 'PATH')"), lit("/")))
+    graft.pipeline.RobotsTxt.robotsDecide(pages,
+        graft.pipeline.RobotsTxt.parsedRules(robots))
+      .drop("regdom", "path")
+  }
+
   def dedupedStream(docStream: DataFrame, horizon: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.functions._
     docStream

@@ -151,6 +151,42 @@ class CorpusIngestSpec extends SparkSpec {
       "blocklisted domains must never be admitted")
   }
 
+  test("robots admission derives from PARSED payloads and converges stream-to-batch") {
+    // two domains' robots.txt, exercising grammar + longest-match through
+    // the streaming path: s0.com disallows /private but allows
+    // /private/open (the override a flat prefix filter cannot express);
+    // s1.com addresses only OtherBot, so every page of it is admitted
+    val robots = Seq(
+      ("s0.com", "User-agent: *\nDisallow: /private\nAllow: /private/open"),
+      ("s1.com", "User-agent: OtherBot\nDisallow: /")
+    ).toDF("regdom", "robots_txt")
+    def doc(id: Long, host: String, path: String) =
+      Doc(id, s"doc $id body", "en", s"https://$host$path", 10L)
+    val docs = Seq(
+      doc(1, "w1.s0.com", "/public/a"),
+      doc(2, "w1.s0.com", "/private/b"),
+      doc(3, "w2.s0.com", "/private/open/c"),
+      doc(4, "w1.s1.com", "/private/d"),
+      doc(5, "w1.s1.com", "/anything"))
+    val src = MemoryStream[Doc]
+    val q = CorpusIngest.robotsAdmittedStream(src.toDF, robots)
+      .writeStream.queryName("robots_admit")
+      .outputMode("append").format("memory").start()
+    val (a, b) = docs.splitAt(2)
+    try {
+      src.addData(a: _*); q.processAllAvailable()
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("robots_admit")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(1L, 3L, 4L, 5L),
+      s"longest-match admission wrong through the stream: $streamed")
+    // the batch twin is the SAME derived-rules chain on the same rows
+    val batch = CorpusIngest.robotsAdmittedStream(docs.toDF(), robots)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch, "stream and batch admission diverge")
+  }
+
   test("watermarked ingest dedup: duplicates dropped inside the horizon, state evicted past it") {
     def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $hhmm:00")
     val src = MemoryStream[(Long, String, java.sql.Timestamp)]
