@@ -30,6 +30,7 @@ object SparkEntry {
     operators.Zip,
     operators.ZstdCorpus,
     operators.Lz4Corpus,
+    operators.Jsonl,
     operators.ParquetMeta,
     operators.Sketches,
     pipeline.Dedup,
@@ -40,6 +41,7 @@ object SparkEntry {
     pipeline.TextAnalysis,
     pipeline.HtmlExtract,
     pipeline.RobotsTxt,
+    pipeline.Sitemaps,
     pipeline.MainContent,
     pipeline.Cleaning,
     pipeline.GopherFilter,

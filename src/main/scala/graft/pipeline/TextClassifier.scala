@@ -158,7 +158,188 @@ object TextClassifier extends QueryModule {
     scoreOf(featuresOf(batch), model(spark, sfDir),
       countsOf(features(spark, sfDir)))
 
+  // ---- multi-class twin: learned lang-id over hashed char n-grams ----
+
+  /** Char-n-gram buckets for the multi-class model (masked, power of 2). */
+  val NgramBuckets = 256
+
+  /** The class universe (sorted — CASE-arm order is the argmin tie-break,
+    * mirrored exactly in the oracle).
+    */
+  val Langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Planted per-class marker copies (the learnable margin — the corpus
+    * text is synthetic English-ish regardless of the lang label, so like
+    * the binary classifier's parity labels the class signal is planted:
+    * ` xq<lang>z` ×3 appended before gramming; `xq…z` trigrams cannot
+    * occur in the `[a-z ]` corpus).
+    */
+  val LangMarkerCopies = 3
+
+  /** fastText-shape features (Joulin et al. 2016: hashed character
+    * n-grams): char 3-grams of the lowercased text + planted marker,
+    * hashed into [[NgramBuckets]] masked buckets. Guarded for sub-3-char
+    * inputs (Spark's descending `sequence(1, 0)` hazard).
+    */
+  private[pipeline] def ngramFeaturesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), expr(
+        s"concat(lower(text), repeat(concat(' xq', lang, 'z'), $LangMarkerCopies))").as("s"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """IF(length(s) < 3, CAST(array() AS ARRAY<STRING>),
+            transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)))"""))
+        .as("g"))
+      .withColumn("bucket", expr(
+        s"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) & ${NgramBuckets - 1}"))
+      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt"))
+
+  private def ngramFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#clsngram#$NgramBuckets#$LangMarkerCopies") {
+      ngramFeaturesOf(Tables.documents(spark, sfDir))
+    }
+
+  /** Per-class centroid SUMS per bucket plus the class size — ONE
+    * (lang, bucket)-grain aggregate, densified to |Langs|·[[NgramBuckets]]
+    * rows; the whole multi-class model artifact.
+    */
+  private[graft] def multiTrainOf(spark: SparkSession, feats: DataFrame): DataFrame = {
+    val langDim = spark.createDataFrame(Langs.map(Tuple1(_))).toDF("lang")
+    val grid = langDim.crossJoin(
+      spark.range(0L, NgramBuckets.toLong).select(col("id").as("bucket")))
+    val sums = feats.groupBy("lang", "bucket").agg(sum(col("cnt")).as("s0"))
+    val counts = feats.select("doc_id", "lang").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("n0"))
+    grid.join(sums, Seq("lang", "bucket"), "left")
+      .join(counts, Seq("lang"), "left")
+      .select(col("lang"), col("bucket"),
+        coalesce(col("s0"), lit(0L)).as("s"),
+        coalesce(col("n0"), lit(0L)).as("n"))
+  }
+
+  private def multiModel(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.memoize(spark, s"$sfDir#clsmodel_multi#$NgramBuckets#$LangMarkerCopies") {
+      multiTrainOf(spark, ngramFeatures(spark, sfDir))
+    }
+
+  /** `text_classifier_multi`: the multi-class model relation. */
+  def multiTrainQuery(spark: SparkSession, sfDir: String): DataFrame =
+    multiModel(spark, sfDir).orderBy("lang", "bucket")
+
+  /** `text_langid_learned`: every document scored against the multi-class
+    * nearest-centroid model — the LEARNED language identifier next to the
+    * X11 marker-word heuristic. Per-class squared distance compared
+    * division-free and pairwise: class c beats o iff
+    * `a_c·n_o² ≤ a_o·n_c²` with `a_c = n_c·(‖S_c‖² − 2·n_c·x·S_c)`…
+    * rearranged to avoid any division — evaluated in DECIMAL(38,0)
+    * (DuckDB: HUGEINT; the binary classifier's headroom discipline), so
+    * verdicts are bit-stable. Tie-break = class order (first minimal arm
+    * wins), mirroring the heuristic's CASE-arm discipline.
+    */
+  def multiScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
+    multiScoreOf(ngramFeatures(spark, sfDir), multiModel(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** The multi-class scoring core over explicit feature/model frames —
+    * the testable form.
+    */
+  private[pipeline] def multiScoreOf(feats: DataFrame, m: DataFrame): DataFrame = {
+    // per-class constants: ||S_c||^2 and n_c, pivoted to one 1-row frame
+    val stats = m.groupBy().agg(
+      Langs.map(l => sum(when(col("lang") === l, col("s") * col("s")).otherwise(0L))
+        .as(s"norm2_$l")).head,
+      (Langs.map(l => sum(when(col("lang") === l, col("s") * col("s")).otherwise(0L))
+        .as(s"norm2_$l")).tail ++
+        Langs.map(l => max(when(col("lang") === l, col("n"))).as(s"n_$l"))): _*)
+    // per-doc per-class dots in one aggregate over the bucket join
+    val byLang = Langs.map { l =>
+      sum(when(col("lang_m") === l, col("cnt") * col("s")).otherwise(0L)).as(s"dot_$l")
+    }
+    val dots = feats
+      .join(broadcast(m.withColumnRenamed("lang", "lang_m")), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(byLang.head, byLang.tail: _*)
+    // a_c = norm2_c - 2 n_c dot_c (exact BIGINT-scale, lifted to DECIMAL);
+    // c beats o iff a_c * n_o^2 <= a_o * n_c^2 (first minimal arm wins)
+    def a(l: String) =
+      s"(cast(norm2_$l as decimal(38,0)) - 2 * cast(n_$l as decimal(38,0)) * dot_$l)"
+    // an empty class (n_c = 0) must be ineligible: its a_c is 0 and the
+    // cross-multiplied comparison degenerates to 0 <= 0 against everyone,
+    // so without the guard the FIRST empty class would always win
+    val pred = Langs.foldRight("CAST(NULL AS STRING)") { (c, rest) =>
+      val beatsAll = Langs.filter(_ != c)
+        .map(o => s"(n_$o = 0 OR ${a(c)} * n_$o * n_$o <= ${a(o)} * n_$c * n_$c)")
+        .mkString(" AND ")
+      s"CASE WHEN n_$c > 0 AND $beatsAll THEN '$c' ELSE $rest END"
+    }
+    dots.crossJoin(broadcast(stats))
+      .withColumn("lang_pred", expr(pred))
+      .select(col("doc_id"), col("lang"),
+        col("lang_pred"), (col("lang_pred") === col("lang")).as("correct"))
+  }
+
   // ---- DuckDB mirror ----
+
+  private def multiFeatsDuck: String =
+    s"""mf AS (
+          SELECT doc_id, lang,
+                 CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) & ${NgramBuckets - 1}
+                   AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (
+            SELECT doc_id, lang, unnest(list_transform(
+                     range(1, greatest(length(s) - 1, 1)),
+                     i -> substring(s, i, 3))) AS g
+            FROM (SELECT doc_id, lang,
+                         lower(text) || repeat(' xq' || lang || 'z', $LangMarkerCopies) AS s
+                  FROM documents)
+          )
+          GROUP BY 1, 2, 3
+        ), mm AS (
+          SELECT g.lang, g.bucket,
+                 CAST(COALESCE(f.s, 0) AS BIGINT) AS s,
+                 CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+          FROM (SELECT l.lang, b.bucket
+                FROM (SELECT unnest(${Langs.map(l => s"'$l'").mkString("[", ", ", "]")}) AS lang) l,
+                     (SELECT unnest(range(0, $NgramBuckets)) AS bucket) b) g
+          LEFT JOIN (SELECT lang, bucket, SUM(cnt) AS s FROM mf GROUP BY 1, 2) f
+            USING (lang, bucket)
+          LEFT JOIN (SELECT lang, COUNT(DISTINCT doc_id) AS n FROM mf GROUP BY 1) c
+            USING (lang)
+        )"""
+
+  private def multiTrainSql: String =
+    s"""WITH $multiFeatsDuck
+        SELECT lang, bucket, s, n FROM mm ORDER BY lang, bucket"""
+
+  private def multiScoreSql: String = {
+    def a(l: String) =
+      s"(CAST(norm2_$l AS HUGEINT) - 2 * CAST(n_$l AS HUGEINT) * dot_$l)"
+    // same empty-class guard as the Spark side (see multiScoreQuery)
+    val pred = Langs.foldRight("CAST(NULL AS VARCHAR)") { (c, rest) =>
+      val beatsAll = Langs.filter(_ != c)
+        .map(o => s"(n_$o = 0 OR ${a(c)} * n_$o * n_$o <= ${a(o)} * n_$c * n_$c)")
+        .mkString(" AND ")
+      s"CASE WHEN n_$c > 0 AND $beatsAll THEN '$c' ELSE $rest END"
+    }
+    s"""WITH $multiFeatsDuck, st AS (
+          SELECT ${Langs.map(l =>
+            s"CAST(SUM(CASE WHEN lang = '$l' THEN s * s ELSE 0 END) AS BIGINT) AS norm2_$l, " +
+            s"CAST(MAX(CASE WHEN lang = '$l' THEN n END) AS BIGINT) AS n_$l").mkString(", ")}
+          FROM mm
+        ), dt AS (
+          SELECT f.doc_id, f.lang,
+                 ${Langs.map(l =>
+                   s"CAST(SUM(CASE WHEN m.lang = '$l' THEN f.cnt * m.s ELSE 0 END) AS BIGINT) AS dot_$l")
+                   .mkString(", ")}
+          FROM mf f JOIN mm m ON f.bucket = m.bucket
+          GROUP BY f.doc_id, f.lang
+        )
+        SELECT doc_id, lang, $pred AS lang_pred, ($pred) = lang AS correct
+        FROM dt CROSS JOIN st
+        ORDER BY doc_id"""
+  }
+
+  // ---- binary-classifier DuckDB mirror ----
 
   private def featsDuck: String =
     s"""t AS (
@@ -217,10 +398,14 @@ object TextClassifier extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_classifier_train" -> (trainQuery _),
     "text_classifier_score" -> (scoreQuery _),
+    "text_classifier_multi" -> (multiTrainQuery _),
+    "text_langid_learned" -> (multiScoreQuery _),
   )
 
   override def oracle: Map[String, String] = Map(
     "text_classifier_train" -> trainSql,
     "text_classifier_score" -> scoreSql,
+    "text_classifier_multi" -> multiTrainSql,
+    "text_langid_learned" -> multiScoreSql,
   )
 }

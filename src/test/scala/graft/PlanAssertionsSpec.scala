@@ -464,6 +464,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("zstd_inflate"), s"native expression missing from the plan:\n$p")
   }
 
+  test("jsonl ingest: build, inflate, line-split, and from_json in one declarative plan") {
+    // the whole batch front door is plan-resident: codec dispatch + line
+    // posexplode + JSON parse with no typed boundary, and the only
+    // Exchange is the output sort's range partitioning — at 100 TB the
+    // landing path is file-parallel map work, never a shuffle
+    val p = planOf("jsonl_ingest")
+    assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"),
+      s"jsonl_ingest crossed a typed boundary:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"jsonl_ingest hash-shuffles:\n$p")
+    assert(p.contains("from_json"), s"declared-schema JSON parse missing:\n$p")
+    assert(p.contains("lz4_inflate") && p.contains("zstd_inflate") && p.contains("gunzip"),
+      s"codec dispatch legs missing from the plan:\n$p")
+  }
+
+  test("sitemap coverage: declared-schema XML parse, equi-joins only (no cartesian)") {
+    val p = planOf("sitemap_coverage")
+    assert(p.contains("from_xml"), s"native XML parse missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"sitemap joins must stay keyed (url / (regdom, loc)):\n$p")
+  }
+
   test("hll registers combine map-side: partial_max under the bucket exchange") {
     val p = planOf("sketch_hll_distinct")
     assert(p.contains("partial_max") || p.contains("partial max"),
@@ -576,6 +597,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val score = planOf("text_classifier_score")
     assert(score.contains("BroadcastExchange"),
       s"the model and its scalar stats must broadcast into the feature scan:\n$score")
+    assert(!score.contains("SortMergeJoin"),
+      s"scoring must not shuffle the corpus for the model join:\n$score")
+    spark.catalog.clearCache()
+  }
+
+  test("multi-class classifier: model and stats broadcast, corpus never shuffles for the join") {
+    val score = planOf("text_langid_learned")
+    assert(score.contains("BroadcastExchange"),
+      s"the 5x256 model and its 1-row stats must broadcast:\n$score")
     assert(!score.contains("SortMergeJoin"),
       s"scoring must not shuffle the corpus for the model join:\n$score")
     spark.catalog.clearCache()

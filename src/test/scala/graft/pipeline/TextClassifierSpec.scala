@@ -50,4 +50,42 @@ class TextClassifierSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getBoolean(4), r.getBoolean(5))).toMap
     assert(s(2L) == ((true, true)) && s(3L) == ((false, true)), s"got $s")
   }
+
+  // ---- multi-class (learned lang-id) ----
+
+  test("multi-class: identical text, marker-separated — each doc predicted its own class") {
+    val docs = Seq(
+      (10L, "shared body words", "en"),
+      (11L, "shared body words", "fr"),
+      (12L, "shared body words", "zh")).toDF("doc_id", "text", "lang")
+    val feats = TextClassifier.ngramFeaturesOf(docs)
+    val m = TextClassifier.multiTrainOf(spark, feats)
+    // model shape: |Langs| x NgramBuckets densified, class sizes exact
+    assert(m.count() == TextClassifier.Langs.size.toLong * TextClassifier.NgramBuckets)
+    val n = m.select("lang", "n").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n == Map("en" -> 1L, "fr" -> 1L, "zh" -> 1L, "de" -> 0L, "es" -> 0L), s"got $n")
+    val s = TextClassifier.multiScoreOf(feats, m)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getBoolean(3))).toSet
+    assert(s == Set((10L, "en", true), (11L, "fr", true), (12L, "zh", true)), s"got $s")
+  }
+
+  test("multi-class: an EMPTY class never wins (n=0 eligibility guard)") {
+    // only 'fr' is populated; without the n_c > 0 guard the first class
+    // in order ('de', empty) would win every comparison 0 <= 0
+    val docs = Seq((20L, "lone document", "fr")).toDF("doc_id", "text", "lang")
+    val feats = TextClassifier.ngramFeaturesOf(docs)
+    val s = TextClassifier.multiScoreOf(feats, TextClassifier.multiTrainOf(spark, feats))
+      .collect().map(r => (r.getString(2), r.getBoolean(3))).toSeq
+    assert(s == Seq(("fr", true)), s"got $s")
+  }
+
+  test("multi-class: sub-3-char text grams to marker-only features, still classified") {
+    val docs = Seq((30L, "ab", "es")).toDF("doc_id", "text", "lang")
+    val s = TextClassifier.multiScoreOf(
+      TextClassifier.ngramFeaturesOf(docs),
+      TextClassifier.multiTrainOf(spark, TextClassifier.ngramFeaturesOf(docs)))
+      .collect().map(r => r.getString(2)).toSeq
+    assert(s == Seq("es"))
+  }
 }
