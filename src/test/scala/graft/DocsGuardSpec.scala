@@ -173,4 +173,21 @@ class DocsGuardSpec extends AnyFunSuite {
           s"(renamed or deleted?): ${stale.toSeq.sorted.mkString(", ")}")
     }
   }
+
+  /** The REVERSE direction (r14 verdict #2): registry→docs. Every
+    * registered query must be cited (backticked) in SURVEY.md or
+    * COVERAGE.md — a new query landing with no inventory row is the
+    * documentation drift this guard exists to stop
+    * (`emb_quantization_report` was the undocumented instance).
+    */
+  test("every registered query is inventoried in SURVEY.md or COVERAGE.md") {
+    val docs = Seq("SURVEY.md", "COVERAGE.md").map { d =>
+      new String(java.nio.file.Files.readAllBytes(repoFile(d)), "UTF-8")
+    }
+    val cited = docs.flatMap(t => token.findAllMatchIn(t).map(_.group(1))).toSet
+    val uncited = names.diff(cited)
+    assert(uncited.isEmpty,
+      "registered queries with no SURVEY/COVERAGE inventory row: " +
+        uncited.toSeq.sorted.mkString(", "))
+  }
 }
