@@ -90,6 +90,24 @@ object RobotsTxt extends QueryModule {
         (col("key") === "allow").as("allow"))
   }
 
+  /** Parse the `Sitemap:` directive (RFC 9309 §2.3 "Other records";
+    * sitemaps.org's discovery mechanism) from (regdom, robots_txt)
+    * payloads: case-insensitive key, group-INDEPENDENT (a Sitemap line
+    * belongs to the file, not to any User-agent group — it is collected
+    * even before the first group or inside a foreign bot's group), same
+    * comment/whitespace tolerance as the rule grammar. Output
+    * (regdom, sitemap_url) — the crawl's entry points into the X122
+    * sitemap ingestion.
+    */
+  def sitemapLocs(robots: DataFrame): DataFrame =
+    robots.select(col("regdom"),
+      explode(split(col("robots_txt"), "\n")).as("raw"))
+      .withColumn("clean", regexp_replace(col("raw"), "#.*", ""))
+      .filter(lower(wsTrim(regexp_extract(col("clean"), "^([^:]+):", 1))) === "sitemap")
+      .select(col("regdom"),
+        wsTrim(regexp_extract(col("clean"), "^[^:]+:(.*)$", 1)).as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+
   /** RFC 9309 §2.2.2 longest-match decision over a parsed rule table:
     * pages keep rows whose path's longest matching prefix rule is an Allow
     * (ties at equal length resolve to Allow; no match means allowed). The
@@ -145,9 +163,22 @@ object RobotsTxt extends QueryModule {
       .otherwise(concat(dKey, lit(": /private\t# stay away")))
     val tail = when(k % 2 === 1, lit("\n\nUser-agent: *\nDisallow: /"))
       .otherwise(lit(""))
+    // Sitemap directives (RFC 9309 §2.3): one PRE-GROUP (must be
+    // collected though it belongs to no group, and the rule parser must
+    // keep IGNORING it), key case cycling, inline comment for k%3==2,
+    // and a second one at the very END — after/inside the last group —
+    // for k%3==0 (group-independence)
+    val sm1 = concat(
+      when(k % 2 === 0, lit("SITEMAP")).otherwise(lit("Sitemap")),
+      lit(": https://maps"), k, lit(".example/one.xml"),
+      when(k % 3 === 2, lit("\t# find me")).otherwise(lit("")))
+    val sm2 = when(k % 3 === 0,
+      concat(lit("\nSitemap: https://maps"), k, lit(".example/two.xml")))
+      .otherwise(lit(""))
     concat(
-      lit("# robots fixture\n\nUser-agent: OtherBot\nDisallow: /\n\n"),
-      ours, lit("\n"), rules, tail)
+      lit("# robots fixture\n"), sm1,
+      lit("\n\nUser-agent: OtherBot\nDisallow: /\n\n"),
+      ours, lit("\n"), rules, tail, sm2)
   }
 
   /** Each doc's crawl path — a 4-way cycle so the Allow-over-Disallow
@@ -183,16 +214,7 @@ object RobotsTxt extends QueryModule {
     // built by the same s<k>.<suffix_j> formula the URL fragment uses; the
     // PAGE side still goes through the real parse_url + registrableDomain
     // chain, so the two meet only if that chain is right)
-    val suffix = expr(
-      """CASE CAST(j AS INT)
-           WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net' WHEN 3 THEN 'io'
-           WHEN 4 THEN 'co.uk' WHEN 5 THEN 'com.au' WHEN 6 THEN 'gov.uk'
-           ELSE 'ac.jp' END""")
-    val domains = docs
-      .select((col("doc_id") % 7).as("k"), (col("doc_id") % 8).as("j"))
-      .distinct()
-      .select(concat(lit("s"), col("k"), lit("."), suffix).as("regdom"),
-        robotsPayload(col("k")).as("robots_txt"))
+    val domains = fixtureDomains(spark, sfDir).select("regdom", "robots_txt")
     robotsDecide(pages, parsedRules(domains))
       .select("doc_id", "regdom", "path")
       .orderBy("doc_id")
@@ -225,11 +247,54 @@ object RobotsTxt extends QueryModule {
         ORDER BY doc_id"""
   }
 
+  /** The domain universe + payload fixture shared by both queries. */
+  private def fixtureDomains(spark: SparkSession, sfDir: String): DataFrame = {
+    val suffix = expr(
+      """CASE CAST(j AS INT)
+           WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net' WHEN 3 THEN 'io'
+           WHEN 4 THEN 'co.uk' WHEN 5 THEN 'com.au' WHEN 6 THEN 'gov.uk'
+           ELSE 'ac.jp' END""")
+    Tables.documents(spark, sfDir)
+      .select((col("doc_id") % 7).as("k"), (col("doc_id") % 8).as("j"))
+      .distinct()
+      .select(col("k"), concat(lit("s"), col("k"), lit("."), suffix).as("regdom"),
+        robotsPayload(col("k")).as("robots_txt"))
+  }
+
+  /** `robots_sitemap_locs`: the crawl's sitemap DISCOVERY step — parse
+    * every `Sitemap:` directive out of the per-domain robots payloads
+    * ([[sitemapLocs]]: pre-group and end-of-file placements, key case,
+    * inline comments). The oracle reconstructs the expected (regdom, url)
+    * rows from the planting formulas without parsing.
+    */
+  def sitemapLocsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    sitemapLocs(fixtureDomains(spark, sfDir).select("regdom", "robots_txt"))
+      .orderBy("regdom", "sitemap_url")
+
+  private def sitemapLocsSql =
+    s"""WITH d AS (
+          SELECT DISTINCT doc_id % 7 AS k, doc_id % 8 AS j FROM documents
+        ), u AS (
+          SELECT k, 's' || k || '.' ||
+                 CASE CAST(j AS INT)
+                   WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net' WHEN 3 THEN 'io'
+                   WHEN 4 THEN 'co.uk' WHEN 5 THEN 'com.au' WHEN 6 THEN 'gov.uk'
+                   ELSE 'ac.jp' END AS regdom
+          FROM d
+        ), sm AS (
+          SELECT regdom, 'https://maps' || k || '.example/one.xml' AS sitemap_url FROM u
+          UNION ALL
+          SELECT regdom, 'https://maps' || k || '.example/two.xml' FROM u WHERE k % 3 = 0
+        )
+        SELECT regdom, sitemap_url FROM sm ORDER BY regdom, sitemap_url"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "html_robots_parsed" -> (robotsParsedQuery _),
+    "robots_sitemap_locs" -> (sitemapLocsQuery _),
   )
 
   override def oracle: Map[String, String] = Map(
     "html_robots_parsed" -> robotsParsedSql,
+    "robots_sitemap_locs" -> sitemapLocsSql,
   )
 }

@@ -181,13 +181,23 @@ object TextClassifier extends QueryModule {
     * hashed into [[NgramBuckets]] masked buckets. Guarded for sub-3-char
     * inputs (Spark's descending `sequence(1, 0)` hazard).
     */
-  private[pipeline] def ngramFeaturesOf(docs: DataFrame): DataFrame =
+  private[graft] def ngramFeaturesOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("lang"), expr(
-        s"concat(lower(text), repeat(concat(' xq', lang, 'z'), $LangMarkerCopies))").as("s"))
+      // two performance constraints meet here: (a) `substring(s, i, 3)`
+      // on a UTF8String is O(i) — per-gram substring makes the pass
+      // O(L²) per document (measured 50 s at the sf1 probe) — so the
+      // string is split to a char array ONCE and each gram is three O(1)
+      // element reads; (b) the char array must be LET-BOUND as a lambda
+      // variable via the single-element transform array, or
+      // CollapseProject inlines the split into the gram lambda and
+      // re-evaluates it per gram (see GopherRepetition.dupGramCoverage)
       .select(col("doc_id"), col("lang"), explode(expr(
-        """IF(length(s) < 3, CAST(array() AS ARRAY<STRING>),
-            transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)))"""))
+        s"""element_at(transform(
+              array(split(concat(lower(text), repeat(concat(' xq', lang, 'z'), $LangMarkerCopies)), '')),
+              cs -> IF(size(cs) < 3, CAST(array() AS ARRAY<STRING>),
+                      transform(sequence(1, size(cs) - 2),
+                        i -> concat(element_at(cs, i), element_at(cs, i + 1),
+                                    element_at(cs, i + 2))))), 1)"""))
         .as("g"))
       .withColumn("bucket", expr(
         s"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) & ${NgramBuckets - 1}"))

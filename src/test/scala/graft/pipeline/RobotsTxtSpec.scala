@@ -114,4 +114,25 @@ class RobotsTxtSpec extends SparkSpec {
       ("s1.org", "/private/open", true),
       ("s2.net", "/private", false))) // k=2: inline-comment disallow only
   }
+
+  test("Sitemap directive: group-independent, case-insensitive, comment/ws tolerant") {
+    val doms = Seq(
+      // pre-group placement + uppercase key + trailing comment
+      ("a.com", "# hi\nSITEMAP: https://a.com/sm.xml\t# note\nUser-agent: *\nDisallow: /x"),
+      // end-of-file placement inside a foreign bot's group + CRLF + spaces
+      ("b.com", "User-agent: OtherBot\r\nDisallow: /\r\nSitemap:   https://b.com/s1.xml  \r\nsitemap: https://b.com/s2.xml"),
+      // no directive at all; an empty value contributes nothing
+      ("c.com", "User-agent: *\nDisallow: /y\nSitemap:")
+    ).toDF("regdom", "robots_txt")
+    val locs = RobotsTxt.sitemapLocs(doms)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(locs == Set(
+      ("a.com", "https://a.com/sm.xml"),
+      ("b.com", "https://b.com/s1.xml"),
+      ("b.com", "https://b.com/s2.xml")))
+    // and the RULE parser keeps ignoring the directive lines entirely
+    val rules = RobotsTxt.parsedRules(doms)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rules == Set(("a.com", "/x"), ("c.com", "/y")))
+  }
 }
