@@ -57,7 +57,12 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_pii_luhn", "lz4_ingest", "docs_lz4_roundtrip",
     "train_bloom_decontaminate", "text_classifier_train", "text_classifier_score",
     "emb_pq_codes", "similarity_topk_pq", "similarity_pq_recall",
-    "emb_cluster_sample")
+    "emb_cluster_sample",
+    // r15 family (jsonl_* build their fixture FROM documents, so an empty
+    // corpus means zero files land and the walks must return empty)
+    "jsonl_ingest", "jsonl_files_ingest", "sitemap_coverage",
+    "robots_sitemap_locs", "text_compress_ratio",
+    "text_classifier_multi", "text_langid_learned")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else
@@ -71,7 +76,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // the model relation is densified to all buckets even with no corpus
     "text_classifier_train" -> graft.pipeline.TextClassifier.Buckets.toLong,
     // recall row: one global-aggregate row (all-NULL metrics on empty)
-    "similarity_pq_recall" -> 1L)
+    "similarity_pq_recall" -> 1L,
+    // the multi-class model is densified to the full langs x buckets grid
+    "text_classifier_multi" -> (graft.pipeline.TextClassifier.Langs.size.toLong *
+      graft.pipeline.TextClassifier.NgramBuckets))
 
   test("documents-family queries return empty on an empty corpus, never throw") {
     docQueries.foreach { name =>
