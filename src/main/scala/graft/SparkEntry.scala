@@ -38,6 +38,7 @@ object SparkEntry {
     pipeline.PqSearch,
     pipeline.Whitening,
     pipeline.Multimodal,
+    pipeline.Exif,
     pipeline.TextAnalysis,
     pipeline.HtmlExtract,
     pipeline.RobotsTxt,

@@ -62,7 +62,7 @@ class EmptyInputSpec extends AnyFunSuite {
     // corpus means zero files land and the walks must return empty)
     "jsonl_ingest", "jsonl_files_ingest", "sitemap_coverage",
     "robots_sitemap_locs", "text_compress_ratio",
-    "text_classifier_multi", "text_langid_learned")
+    "text_classifier_multi", "text_langid_learned", "mm_real_exif")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else

@@ -435,7 +435,7 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // partitioning; a hashpartitioning would mean an accidental shuffle
     for (name <- Seq("html_text_extract", "text_c4_filter", "text_pii_redact",
         "tar_ingest", "mm_real_gif", "mm_real_jpeg", "zip_ingest", "zip64_ingest",
-        "zstd_ingest",
+        "zstd_ingest", "mm_real_exif",
         "mm_real_jpeg_prog", "mm_real_png_adam7", "mm_real_pbm", "mm_real_adpcm",
         "mm_real_g711", "docs_zstd_roundtrip")) {
       val p = planOf(name)
