@@ -38,8 +38,6 @@ object Jsonl extends QueryModule {
     StructField("lang", StringType),
     StructField("url", StringType)))
 
-  private val LineSchemaDdl = "id STRING, text STRING, lang STRING, url STRING"
-
   /** Extension-dispatched inflate — the same fragment [[docsFromFiles]]
     * and `jsonl_ingest` route through, so the parity query pins the
     * production dispatch. `ext` is '' | '.gz' | '.zst' | '.lz4'.
@@ -103,47 +101,15 @@ object Jsonl extends QueryModule {
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
       .load(dir))
 
-  /** Close `in` when the wrapped iterator exhausts or first fails. */
-  private def closeOnExhaust[T](it: Iterator[T], in: java.io.Closeable): Iterator[T] =
-    new Iterator[T] {
-      private var open = true
-      def hasNext: Boolean = {
-        val h = open && it.hasNext
-        if (open && !h) { open = false; in.close() }
-        h
-      }
-      def next(): T =
-        try it.next()
-        catch { case e: Throwable => if (open) { open = false; in.close() }; throw e }
-    }
-
   /** Magic-sniffed streaming line reader: wrap `in` with the matching
-    * incremental decompressor (GZIPInputStream / ZstdInputStream /
-    * LZ4FrameInputStream — the [[Tar.readStream]] dispatch) and iterate
-    * non-empty UTF-8 lines one at a time. Never dispatches on file name.
+    * incremental decompressor ([[Streams.sniffed]] — the shared
+    * gzip/zstd/lz4 dispatch) and iterate non-empty UTF-8 lines one at a
+    * time. Never dispatches on file name.
     */
   def lines(in: java.io.InputStream): Iterator[String] = {
-    val pb = new java.io.PushbackInputStream(in, 4)
-    val head = new Array[Byte](4)
-    var got = 0
-    var n = 0
-    while (got < 4 && n >= 0) {
-      n = pb.read(head, got, 4 - got)
-      if (n > 0) got += n
-    }
-    pb.unread(head, 0, got)
-    val plain: java.io.InputStream =
-      if (got >= 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b)
-        new java.util.zip.GZIPInputStream(pb, 64 * 1024)
-      else if (got >= 4 && (head(0) & 0xff) == 0x28 && (head(1) & 0xff) == 0xb5 &&
-        (head(2) & 0xff) == 0x2f && (head(3) & 0xff) == 0xfd)
-        new com.github.luben.zstd.ZstdInputStream(pb)
-      else if (got >= 4 && (head(0) & 0xff) == 0x04 && (head(1) & 0xff) == 0x22 &&
-        (head(2) & 0xff) == 0x4d && (head(3) & 0xff) == 0x18)
-        new net.jpountz.lz4.LZ4FrameInputStream(pb, false)
-      else pb
     val r = new java.io.BufferedReader(
-      new java.io.InputStreamReader(plain, java.nio.charset.StandardCharsets.UTF_8),
+      new java.io.InputStreamReader(Streams.sniffed(in),
+        java.nio.charset.StandardCharsets.UTF_8),
       64 * 1024)
     Iterator.continually(r.readLine()).takeWhile(_ != null).filter(_.nonEmpty)
   }
@@ -192,7 +158,7 @@ object Jsonl extends QueryModule {
             s"jsonl file id $fileId exceeds the 2^39 doc_id file-slot space")
           val path = new org.apache.hadoop.fs.Path(p)
           val in = path.getFileSystem(conf).open(path)
-          closeOnExhaust(lines(in), in).zipWithIndex.map { case (l, i) =>
+          Streams.closeOnExhaust(lines(in), in).zipWithIndex.map { case (l, i) =>
             require(i < (1 << 24),
               s"jsonl file $fileId: line $i exceeds the 2^24 doc_id slot space")
             val (text, lang, url) = parseLine(l)

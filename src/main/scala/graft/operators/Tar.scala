@@ -153,32 +153,12 @@ object Tar extends QueryModule {
     }
 
   /** [[read]]'s streaming twin: sniff the magic from the stream head and
-    * wrap with the matching streaming decompressor — `GZIPInputStream`
-    * (multi-member concat, per-member CRC verified by the JDK) or
-    * `ZstdInputStream` (frame loop, content checksums verified natively)
-    * — then run the streaming walk. Never dispatches on file name.
+    * wrap with the matching streaming decompressor ([[Streams.sniffed]] —
+    * the shared gzip/zstd/lz4 dispatch), then run the streaming walk.
+    * Never dispatches on file name.
     */
-  def readStream(in: java.io.InputStream): Iterator[(String, Array[Byte])] = {
-    val pb = new java.io.PushbackInputStream(in, 4)
-    val head = new Array[Byte](4)
-    var got = 0
-    var n = 0
-    while (got < 4 && n >= 0) {
-      n = pb.read(head, got, 4 - got)
-      if (n > 0) got += n
-    }
-    pb.unread(head, 0, got)
-    require(got == 4, "tar: stream shorter than any container magic")
-    if ((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b)
-      entriesFromStream(new java.util.zip.GZIPInputStream(pb, 64 * 1024))
-    else if ((head(0) & 0xff) == 0x28 && (head(1) & 0xff) == 0xb5 &&
-      (head(2) & 0xff) == 0x2f && (head(3) & 0xff) == 0xfd)
-      entriesFromStream(new com.github.luben.zstd.ZstdInputStream(pb))
-    else if ((head(0) & 0xff) == 0x04 && (head(1) & 0xff) == 0x22 &&
-      (head(2) & 0xff) == 0x4d && (head(3) & 0xff) == 0x18)
-      entriesFromStream(new net.jpountz.lz4.LZ4FrameInputStream(pb, false))
-    else entriesFromStream(pb)
-  }
+  def readStream(in: java.io.InputStream): Iterator[(String, Array[Byte])] =
+    entriesFromStream(Streams.sniffed(in))
 
   /** Parse a tar in any physical shape — gzip (any member layout;
     * [[graft.functions.Gunzip]] verifies and concatenates), zstd
@@ -236,22 +216,6 @@ object Tar extends QueryModule {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
-  /** Close `in` when the wrapped iterator exhausts or first fails — the
-    * task-side stream hygiene for the path walks (both call sites drain).
-    */
-  private def closeOnExhaust[T](it: Iterator[T], in: java.io.Closeable): Iterator[T] =
-    new Iterator[T] {
-      private var open = true
-      def hasNext: Boolean = {
-        val h = open && it.hasNext
-        if (open && !h) { open = false; in.close() }
-        h
-      }
-      def next(): T =
-        try it.next()
-        catch { case e: Throwable => if (open) { open = false; in.close() }; throw e }
-    }
-
   /** [[docsFromFiles]] by PATH — the huge-tarball front door: the path
     * list parallelizes and each task STREAMS its archives through
     * [[readStream]] (plain/gzip/zstd all incremental), so a bucket of
@@ -283,7 +247,7 @@ object Tar extends QueryModule {
             s"tar file id $fileId exceeds the 2^39 doc_id file-slot space")
           val path = new org.apache.hadoop.fs.Path(p)
           val in = path.getFileSystem(conf).open(path)
-          closeOnExhaust(readStream(in), in).zipWithIndex
+          Streams.closeOnExhaust(readStream(in), in).zipWithIndex
             .map { case (e, i) =>
               require(i < (1 << 24),
                 s"tar file $fileId: entry $i exceeds the 2^24 doc_id slot space")
@@ -483,7 +447,7 @@ object Tar extends QueryModule {
         ps.flatMap { p =>
           val path = new org.apache.hadoop.fs.Path(p)
           val in = path.getFileSystem(conf).open(path)
-          closeOnExhaust(readStream(in), in).map { case (name, payload) =>
+          Streams.closeOnExhaust(readStream(in), in).map { case (name, payload) =>
             val m = nameRe.findFirstMatchIn(name).getOrElse(
               throw new IllegalArgumentException(s"tar fixture: unattributable entry '$name'"))
             var sum = 0L

@@ -434,7 +434,7 @@ object Warc extends QueryModule {
             s"WARC file id $fileId exceeds the 2^39 doc_id file-slot space")
           val path = new org.apache.hadoop.fs.Path(p)
           val in = path.getFileSystem(conf).open(path)
-          closeOnExhaust(readStreamRecords(in), in).zipWithIndex
+          Streams.closeOnExhaust(readStreamRecords(in), in).zipWithIndex
             .map { case (r, i) =>
               require(i < (1 << 24),
                 s"WARC file $fileId: record $i exceeds the 2^24 doc_id slot space")
@@ -452,20 +452,6 @@ object Warc extends QueryModule {
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
-
-  /** Close `in` when the wrapped iterator exhausts or first fails. */
-  private def closeOnExhaust[T](it: Iterator[T], in: java.io.Closeable): Iterator[T] =
-    new Iterator[T] {
-      private var open = true
-      def hasNext: Boolean = {
-        val h = open && it.hasNext
-        if (open && !h) { open = false; in.close() }
-        h
-      }
-      def next(): T =
-        try it.next()
-        catch { case e: Throwable => if (open) { open = false; in.close() }; throw e }
-    }
 
   /** `warc_files_ingest`: the STREAMING record walk pinned end to end
     * through REAL landed crawl files, at the realistic grain — each
@@ -547,7 +533,7 @@ object Warc extends QueryModule {
         ps.flatMap { p =>
           val path = new org.apache.hadoop.fs.Path(p)
           val in = path.getFileSystem(conf).open(path)
-          closeOnExhaust(readStreamRecords(in), in).map { r =>
+          Streams.closeOnExhaust(readStreamRecords(in), in).map { r =>
             val id = r.headers.get("WARC-Record-ID")
               .flatMap(v => idR.findFirstMatchIn(v).map(_.group(1).toLong))
               .getOrElse(throw new IllegalArgumentException(

@@ -157,6 +157,17 @@ object HtmlExtract extends QueryModule {
   val TwoLevelSuffixes: Seq[String] =
     Seq("co.uk", "gov.uk", "com.au", "ac.jp", "co.jp", "com.br")
 
+  /** DuckDB twin of [[registrableDomain]] over a host SQL expression —
+    * the shared oracle fragment (used by the host-hygiene, robots, and
+    * sitemap oracles).
+    */
+  private[pipeline] def regdomDuck(host: String): String =
+    s"""CASE WHEN len(string_split($host, '.')) >= 3
+              AND array_to_string(string_split($host, '.')[-2:], '.')
+                  IN (${TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")})
+             THEN array_to_string(string_split($host, '.')[-3:], '.')
+             ELSE array_to_string(string_split($host, '.')[-2:], '.') END"""
+
   /** Registrable domain (eTLD+1) of a host column: last two labels, or last
     * three when the trailing two form a known two-level suffix
     * ("a.b.co.uk" -> "b.co.uk", "a.b.com" -> "b.com"). Native split /

@@ -220,8 +220,7 @@ object RobotsTxt extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private def robotsParsedSql = {
-    val suffixes = HtmlExtract.TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+  private def robotsParsedSql =
     s"""WITH u AS (
           SELECT doc_id, ${HtmlExtract.urlSql} AS url, $path4SqlFragment AS path,
                  doc_id % 7 AS k, doc_id % 4 AS m
@@ -231,13 +230,7 @@ object RobotsTxt extends QueryModule {
                  regexp_extract(url, 'https://([^/]+)/', 1) AS host
           FROM u
         ), r AS (
-          SELECT doc_id, path, k, m,
-                 CASE WHEN len(string_split(host, '.')) >= 3
-                       AND array_to_string(string_split(host, '.')[-2:], '.')
-                           IN ($suffixes)
-                      THEN array_to_string(string_split(host, '.')[-3:], '.')
-                      ELSE array_to_string(string_split(host, '.')[-2:], '.') END
-                   AS regdom
+          SELECT doc_id, path, k, m, ${HtmlExtract.regdomDuck("host")} AS regdom
           FROM h
         )
         SELECT doc_id, regdom, path FROM r
@@ -245,7 +238,6 @@ object RobotsTxt extends QueryModule {
            OR m IN (0, 3)             -- /public, /docs: no prefix matches
            OR (k % 3 = 1 AND m = 2)   -- Allow /private/open out-lengths Disallow /private
         ORDER BY doc_id"""
-  }
 
   /** The domain universe + payload fixture shared by both queries. */
   private def fixtureDomains(spark: SparkSession, sfDir: String): DataFrame = {

@@ -44,7 +44,11 @@ object Sitemaps extends QueryModule {
     * FETCHED SET by loc (the crawler fetched them too), one level deep: a
     * child that is itself an index rejects loudly (the protocol allows
     * nesting; this engine's contract is the common one-level shape, and a
-    * silent drop would undercount coverage).
+    * silent drop would undercount coverage). MALFORMED XML, by contrast,
+    * contributes nothing (from_xml's permissive null): broken sitemaps
+    * are routine in a real crawl, and unlike the document front doors the
+    * loss stays VISIBLE — a dropped sitemap surfaces as crawled-only
+    * inflation in the coverage audit (contract pinned in SitemapsSpec).
     */
   def parseSitemaps(payloads: DataFrame): DataFrame = {
     val parsed = payloads.select(col("regdom"), col("loc"), col("is_root"),
@@ -117,7 +121,7 @@ object Sitemaps extends QueryModule {
         col("doc_id"))
       .select(concat(lit("s"), col("k"), lit("."), suffix).as("regdom"),
         col("child"), col("entry"), col("doc_id"))
-    val extras = domains.select(col("k"), col("regdom"),
+    val extras = domains.select(col("regdom"),
       explode(expr(s"sequence(0, ${ExtrasPerDomain - 1})")).as("i"))
       .select(col("regdom"), (col("i") % 2).as("child"),
         concat(lit("<url><loc>https://"), col("regdom"), lit("/extra/"),
@@ -174,8 +178,7 @@ object Sitemaps extends QueryModule {
       .orderBy("regdom")
   }
 
-  private def sitemapCoverageSql = {
-    val suffixes = HtmlExtract.TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+  private def sitemapCoverageSql =
     s"""WITH u AS (
           SELECT doc_id, ${HtmlExtract.urlSql} AS url, doc_id % 5 AS m5
           FROM documents
@@ -184,13 +187,7 @@ object Sitemaps extends QueryModule {
                  regexp_extract(url, 'https://([^/]+)/', 1) AS host
           FROM u
         ), r AS (
-          SELECT doc_id, m5,
-                 CASE WHEN len(string_split(host, '.')) >= 3
-                       AND array_to_string(string_split(host, '.')[-2:], '.')
-                           IN ($suffixes)
-                      THEN array_to_string(string_split(host, '.')[-3:], '.')
-                      ELSE array_to_string(string_split(host, '.')[-2:], '.') END
-                   AS regdom
+          SELECT doc_id, m5, ${HtmlExtract.regdomDuck("host")} AS regdom
           FROM h
         )
         SELECT regdom,
@@ -202,7 +199,6 @@ object Sitemaps extends QueryModule {
                CAST(COUNT(*) AS BIGINT) AS n_crawled,
                MIN(CASE WHEN m5 <> 4 THEN $lastmodSql END) AS min_lastmod
         FROM r GROUP BY regdom ORDER BY regdom"""
-  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sitemap_coverage" -> (sitemapCoverage _),

@@ -254,12 +254,11 @@ object TextClassifier extends QueryModule {
     */
   private[pipeline] def multiScoreOf(feats: DataFrame, m: DataFrame): DataFrame = {
     // per-class constants: ||S_c||^2 and n_c, pivoted to one 1-row frame
-    val stats = m.groupBy().agg(
+    val statAggs =
       Langs.map(l => sum(when(col("lang") === l, col("s") * col("s")).otherwise(0L))
-        .as(s"norm2_$l")).head,
-      (Langs.map(l => sum(when(col("lang") === l, col("s") * col("s")).otherwise(0L))
-        .as(s"norm2_$l")).tail ++
-        Langs.map(l => max(when(col("lang") === l, col("n"))).as(s"n_$l"))): _*)
+        .as(s"norm2_$l")) ++
+        Langs.map(l => max(when(col("lang") === l, col("n"))).as(s"n_$l"))
+    val stats = m.groupBy().agg(statAggs.head, statAggs.tail: _*)
     // per-doc per-class dots in one aggregate over the bucket join
     val byLang = Langs.map { l =>
       sum(when(col("lang_m") === l, col("cnt") * col("s")).otherwise(0L)).as(s"dot_$l")

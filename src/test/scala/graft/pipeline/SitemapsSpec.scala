@@ -50,6 +50,19 @@ class SitemapsSpec extends SparkSpec {
       ("a.com", "https://a.com/sm0.xml", false, nested)))
   }
 
+  test("malformed XML contributes nothing — the lenient crawl contract (loss is VISIBLE in coverage)") {
+    // broken sitemaps are routine in a real crawl; unlike the document
+    // front doors (where a silent drop is invisible data loss), a dropped
+    // sitemap surfaces as crawled-only inflation in the coverage audit,
+    // so the lenient skip is the production-sane contract — pinned here
+    val good = "<urlset><url><loc>https://a.com/ok</loc></url></urlset>"
+    assert(parse(
+      ("a.com", "https://a.com/sitemap.xml", true, "<urlset><url><loc>broken"),
+      ("b.com", "https://b.com/sitemap.xml", true, "not xml at all"),
+      ("c.com", "https://c.com/sitemap.xml", true, good.replace("a.com", "c.com"))) ==
+      Set(("c.com", "https://c.com/ok", None)))
+  }
+
   test("child resolution is domain-scoped: another domain's same loc does not leak") {
     val idx = "<sitemapindex><sitemap><loc>https://shared/sm.xml</loc></sitemap></sitemapindex>"
     val smB = "<urlset><url><loc>https://b.com/z</loc></url></urlset>"
