@@ -116,18 +116,20 @@ object Jsonl extends QueryModule {
 
   /** One parsed line, Jackson-strict — the task-side twin of the in-plan
     * `from_json` FAILFAST + text-required contract (parity pinned in
-    * JsonlSpec). Jackson is Spark's own bundled JSON machinery.
+    * JsonlSpec). Scalar coercion matches `from_json`'s measured behavior
+    * exactly: a JSON number/boolean in a string field renders as its
+    * token text; a JSON null is an absent value (so a null `text`
+    * rejects, a null `lang`/`url` takes the default). Jackson is Spark's
+    * own bundled JSON machinery.
     */
   private def parseLine(line: String): (String, String, String) = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     require(node != null && node.isObject, s"jsonl: line is not a JSON object")
-    val text = node.get("text")
-    require(text != null && text.isTextual, "jsonl: object has no text field")
-    def opt(f: String, dflt: String) = {
-      val v = node.get(f)
-      if (v != null && v.isTextual) v.asText() else dflt
-    }
-    (text.asText(), opt("lang", "und"), opt("url", "unknown"))
+    def scalar(f: String): Option[String] = Option(node.get(f))
+      .filter(v => v.isValueNode && !v.isNull).map(_.asText())
+    val text = scalar("text")
+    require(text.isDefined, "jsonl: object has no text field")
+    (text.get, scalar("lang").getOrElse("und"), scalar("url").getOrElse("unknown"))
   }
 
   /** [[docsFromFiles]] by PATH — the huge-drop front door: each task

@@ -138,6 +138,10 @@ object Exif extends QueryModule {
       require(u8(b, pos) == 0xff, s"exif: jpeg marker framing lost at $pos")
       val marker = u8(b, pos + 1)
       require(marker != 0xd9 && marker != 0xda, "exif: no Exif APP1 before image data")
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        // TEM/RSTn are standalone — no length field
+        pos += 2
+      } else {
       val len = (u8(b, pos + 2) << 8) | u8(b, pos + 3)
       require(len >= 2 && pos + 2 + len <= b.length, s"exif: segment at $pos truncated")
       if (marker == 0xe1 && len >= 8 &&
@@ -145,6 +149,7 @@ object Exif extends QueryModule {
         b(pos + 7) == 'f' && b(pos + 8) == 0 && b(pos + 9) == 0)
         return java.util.Arrays.copyOfRange(b, pos + 10, pos + 2 + len)
       pos += 2 + len
+      }
     }
     throw new IllegalArgumentException("exif: no Exif APP1 segment found")
   }

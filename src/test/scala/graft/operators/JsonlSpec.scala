@@ -87,6 +87,21 @@ class JsonlSpec extends SparkSpec {
     assert(Jsonl.docsFromPaths(spark, dir).count() == 2)
   }
 
+  test("scalar coercion parity: numeric text/lang coerce to token text in BOTH paths; null text rejects") {
+    // from_json renders a JSON number in a string field as its token text
+    // (measured FAILFAST behavior); the Jackson walk must match exactly
+    val body = ("""{"id":"1","text":123,"lang":7}""" + "\n").getBytes("UTF-8")
+    val dir = bucket("70.jsonl" -> body)
+    for (df <- Seq(Jsonl.docsFromFiles(binaryFiles(dir)), Jsonl.docsFromPaths(spark, dir))) {
+      val r = df.collect().head
+      assert(r.getString(1) == "123" && r.getString(2) == "7")
+    }
+    val nullText = ("""{"id":"2","text":null}""" + "\n").getBytes("UTF-8")
+    val d2 = bucket("71.jsonl" -> nullText)
+    intercept[Exception](Jsonl.docsFromFiles(binaryFiles(d2)).collect())
+    intercept[Exception](Jsonl.docsFromPaths(spark, d2).collect())
+  }
+
   test("reject matrix: malformed JSON and missing text throw in both paths") {
     val badJson = (line(1, "fine") + "\n" + """{"id":"2","text": not-json}""" + "\n")
       .getBytes("UTF-8")

@@ -73,6 +73,13 @@ class ExifSpec extends AnyFunSuite {
     assert(m.bigEndian && m.make == "Canon" && m.pixelX == 8192L)
   }
 
+  test("standalone markers (TEM) before APP1 have no length field and are skipped") {
+    val wrapped = jpegWrap(tiff(big = false, sample._1, sample._2, sample._3, sample._4, sample._5))
+    // splice a standalone TEM marker right after SOI
+    val spliced = wrapped.take(2) ++ Array[Byte](0xff.toByte, 0x01) ++ wrapped.drop(2)
+    assert(Exif.parse(spliced).make == "Canon")
+  }
+
   test("ASCII values stop at the first NUL inside the declared count (padding)") {
     // rebuild make with declared count 12 (NUL-padded) via the fixture's own query path:
     // easiest honest check — a make whose count includes padding parses to the short string
