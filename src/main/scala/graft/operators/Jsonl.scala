@@ -59,9 +59,9 @@ object Jsonl extends QueryModule {
   def docsFromFiles(files: DataFrame): DataFrame =
     files
       .select(
-        expr("try_cast(regexp_extract(path, '(?i)([0-9]+)\\\\.jsonl(\\\\.gz|\\\\.zst|\\\\.lz4)?$', 1) as long)")
+        expr("try_cast(regexp_extract(path, '(?i)(?:^|/)([0-9]+)\\\\.jsonl(\\\\.gz|\\\\.zst|\\\\.lz4)?$', 1) as long)")
           .as("file_id"),
-        expr("lower(regexp_extract(path, '(?i)[0-9]+\\\\.jsonl((\\\\.gz|\\\\.zst|\\\\.lz4)?)$', 1))")
+        expr("lower(regexp_extract(path, '(?i)(?:^|/)[0-9]+\\\\.jsonl((\\\\.gz|\\\\.zst|\\\\.lz4)?)$', 1))")
           .as("ext"),
         col("content"))
       .filter(col("file_id").isNotNull)
@@ -132,27 +132,19 @@ object Jsonl extends QueryModule {
     (text.get, scalar("lang").getOrElse("und"), scalar("url").getOrElse("unknown"))
   }
 
-  /** [[docsFromFiles]] by PATH — the huge-drop front door: each task
-    * STREAMS its files through [[lines]] (gzip/zstd/lz4 all incremental),
-    * so a bucket of larger-than-memory `.jsonl.zst` drops ingests with
-    * O(one line) memory per task. Same doc_id scheme and row shape as
+  /** [[docsFromFiles]] by PATH — the huge-drop front door: the bucket
+    * lists DISTRIBUTED via [[Streams.dropTasks]] (driver pays one
+    * root-level `listStatus`; sharded prefix subdirs walk inside tasks,
+    * so drops any depth down are ingested too — the binaryFile scan only
+    * recurses partition-style dirs), then each task STREAMS its
+    * files through [[lines]] (gzip/zstd/lz4 all incremental), so a
+    * bucket of larger-than-memory `.jsonl.zst` drops ingests with O(one
+    * line) memory per task. Same doc_id scheme and row shape as
     * [[docsFromFiles]] (parity-pinned in JsonlSpec).
     */
   def docsFromPaths(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.Buffer.empty[(Long, String)]
-    // listStatus, not listFiles — see Tar.docsFromPaths
-    val idRe = "(?i)^([0-9]+)\\.jsonl(\\.gz|\\.zst|\\.lz4)?$".r
-    fs.listStatus(root).foreach { f =>
-      f.getPath.getName match {
-        case idRe(id, _) => files += ((id.toLong, f.getPath.toString))
-        case _ => () // landing dirs are never clean: skip non-drops
-      }
-    }
-    spark.createDataset(files.toSeq)
-      .repartition(math.max(1, math.min(files.size, 32)))
+    Streams.dropTasks(spark, dir, "(?i)^([0-9]+)\\.jsonl(\\.gz|\\.zst|\\.lz4)?$")
       .mapPartitions { ps =>
         val conf = new org.apache.hadoop.conf.Configuration()
         ps.flatMap { case (fileId, p) =>

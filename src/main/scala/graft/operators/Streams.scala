@@ -1,11 +1,84 @@
 package graft.operators
 
+import org.apache.spark.sql.{Dataset, SparkSession}
+
 /** Shared task-side stream plumbing for the container/drop front doors
   * (WARC/TAR/ZIP/JSONL): the magic-sniffed incremental decompressor
-  * dispatch and the close-on-exhaust iterator wrapper. One definition —
-  * the walks themselves stay format-specific.
+  * dispatch, the close-on-exhaust iterator wrapper, and the DISTRIBUTED
+  * landing-bucket lister every path-walk front door routes through. One
+  * definition — the walks themselves stay format-specific.
   */
 private[graft] object Streams {
+
+  /** Distributed landing-bucket listing: every `<id><ext>` drop file under
+    * `dir` as `(id, path)`, with the driver paying exactly ONE
+    * `listStatus` at the root — O(direct children), never O(files).
+    * Root-level children split into drop files (matched in hand) and
+    * subdirectories; each subdirectory's full recursive walk runs INSIDE
+    * a task via a lazy `listStatusIterator` chain (O(one listing page) of
+    * task memory), so a crawl-scale bucket — 10⁶–10⁷ files sharded into
+    * prefix dirs, the layout every real landing zone uses — lists at
+    * cluster parallelism instead of serially on the driver.
+    *
+    * `fileRe` must FULL-match the drop file NAME with group 1 the numeric
+    * file id; non-matching names are skipped silently (landing dirs are
+    * never clean). `listStatus`/`listStatusIterator`, NOT `listFiles`:
+    * LocatedFileStatus eagerly loads each file's permissions, which on a
+    * local FS without the native-hadoop library forks a shell process per
+    * file (measured ~25 s for 6k files).
+    */
+  def listDrops(spark: SparkSession, dir: String, fileRe: String): Dataset[(Long, String)] = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val re = fileRe.r
+    val subDirs = scala.collection.mutable.Buffer.empty[String]
+    val rootFiles = scala.collection.mutable.Buffer.empty[(Long, String)]
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory) subDirs += st.getPath.toString
+      else st.getPath.getName match {
+        case re(id, _*) => rootFiles += ((id.toLong, st.getPath.toString))
+        case _ => ()
+      }
+    }
+    val atRoot = spark.createDataset(rootFiles.toSeq)
+    if (subDirs.isEmpty) atRoot
+    else atRoot.union(
+      spark.createDataset(subDirs.toSeq)
+        .repartition(math.max(1, math.min(subDirs.size,
+          4 * spark.sparkContext.defaultParallelism)))
+        .flatMap { d =>
+          val re2 = fileRe.r
+          val p = new org.apache.hadoop.fs.Path(d)
+          val dfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          def walk(q: org.apache.hadoop.fs.Path): Iterator[org.apache.hadoop.fs.FileStatus] = {
+            val it = dfs.listStatusIterator(q)
+            new Iterator[org.apache.hadoop.fs.FileStatus] {
+              def hasNext: Boolean = it.hasNext
+              def next(): org.apache.hadoop.fs.FileStatus = it.next()
+            }.flatMap(st =>
+              if (st.isDirectory) walk(st.getPath) else Iterator.single(st))
+          }
+          walk(p).flatMap { st =>
+            st.getPath.getName match {
+              case re2(id, _*) => Iterator.single((id.toLong, st.getPath.toString))
+              case _ => Iterator.empty
+            }
+          }
+        })
+  }
+
+  /** [[listDrops]] round-robined into walk tasks at 4× cluster
+    * parallelism — proportional to the CLUSTER, not a constant cap: the
+    * shuffle carries only (id, path) tuples, empty partitions on a small
+    * bucket cost scheduling noise, and a crawl-scale bucket fans its
+    * per-file walks across every executor. All four path-walk front
+    * doors (JSONL/TAR/ZIP/WARC) and the `*_files_ingest` re-ingests
+    * route through here.
+    */
+  def dropTasks(spark: SparkSession, dir: String, fileRe: String): Dataset[(Long, String)] =
+    listDrops(spark, dir, fileRe)
+      .repartition(4 * spark.sparkContext.defaultParallelism)
 
   /** Sniff the stream head and wrap with the matching INCREMENTAL
     * decompressor — `GZIPInputStream` (multi-member concat, per-member

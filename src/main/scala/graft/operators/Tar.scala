@@ -189,7 +189,7 @@ object Tar extends QueryModule {
     import files.sparkSession.implicits._
     files
       .select(
-        expr("try_cast(regexp_extract(path, '(?i)([0-9]+)\\\\.tar(\\\\.gz|\\\\.zst)?$', 1) as long)")
+        expr("try_cast(regexp_extract(path, '(?i)(?:^|/)([0-9]+)\\\\.tar(\\\\.gz|\\\\.zst)?$', 1) as long)")
           .as("file_id"),
         col("content"))
       .filter(col("file_id").isNotNull)
@@ -216,30 +216,18 @@ object Tar extends QueryModule {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
-  /** [[docsFromFiles]] by PATH — the huge-tarball front door: the path
-    * list parallelizes and each task STREAMS its archives through
-    * [[readStream]] (plain/gzip/zstd all incremental), so a bucket of
-    * larger-than-memory `.tar.zst` corpus bundles ingests with O(one
-    * member) memory per task. Same doc_id scheme and row shape as
-    * [[docsFromFiles]] (parity-pinned in TarSpec).
+  /** [[docsFromFiles]] by PATH — the huge-tarball front door: the bucket
+    * lists DISTRIBUTED via [[Streams.dropTasks]] (one root `listStatus`
+    * on the driver, sharded prefix subdirs walked inside tasks) and each
+    * task STREAMS its archives through [[readStream]] (plain/gzip/zstd
+    * all incremental), so a bucket of larger-than-memory `.tar.zst`
+    * corpus bundles ingests with O(one member) memory per task. Same
+    * doc_id scheme and row shape as [[docsFromFiles]] (parity-pinned in
+    * TarSpec).
     */
   def docsFromPaths(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.Buffer.empty[(Long, String)]
-    // listStatus, NOT listFiles: LocatedFileStatus eagerly loads each
-    // file's permissions — on a local FS without the native-hadoop
-    // library that forks a shell process per file, a serial driver loop
-    val idRe = "(?i)^([0-9]+)\\.tar(\\.gz|\\.zst)?$".r
-    fs.listStatus(root).foreach { f =>
-      f.getPath.getName match {
-        case idRe(id, _) => files += ((id.toLong, f.getPath.toString))
-        case _ => () // landing dirs are never clean: skip non-archives
-      }
-    }
-    spark.createDataset(files.toSeq)
-      .repartition(math.max(1, math.min(files.size, 32)))
+    Streams.dropTasks(spark, dir, "(?i)^([0-9]+)\\.tar(\\.gz|\\.zst)?$")
       .mapPartitions { ps =>
         val conf = new org.apache.hadoop.conf.Configuration()
         ps.flatMap { case (fileId, p) =>
@@ -431,20 +419,11 @@ object Tar extends QueryModule {
           java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$id$ext"), bytes)
         }
     }
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.Buffer.empty[String]
-    // listStatus, not listFiles — see docsFromPaths
-    fs.listStatus(root).foreach { f =>
-      if (f.getPath.getName.matches("^[0-9]+\\.tar(\\.gz)?$"))
-        files += f.getPath.toString
-    }
     val nameRe = "^(doc|meta)([0-9]+)\\.(txt|bin)$".r
-    spark.createDataset(files.toSeq)
-      .repartition(math.max(1, math.min(files.size, 32)))
+    Streams.dropTasks(spark, dir, "^([0-9]+)\\.tar(\\.gz)?$")
       .mapPartitions { ps =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        ps.flatMap { p =>
+        ps.flatMap { case (_, p) =>
           val path = new org.apache.hadoop.fs.Path(p)
           val in = path.getFileSystem(conf).open(path)
           Streams.closeOnExhaust(readStream(in), in).map { case (name, payload) =>

@@ -361,7 +361,7 @@ object Warc extends QueryModule {
     import files.sparkSession.implicits._
     files
       .select(
-        expr("try_cast(regexp_extract(path, '(?i)([0-9]+)\\\\.warc(\\\\.gz)?$', 1) as long)")
+        expr("try_cast(regexp_extract(path, '(?i)(?:^|/)([0-9]+)\\\\.warc(\\\\.gz)?$', 1) as long)")
           .as("file_id"),
         col("content"))
       .filter(col("file_id").isNotNull)
@@ -403,30 +403,18 @@ object Warc extends QueryModule {
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
       .load(dir))
 
-  /** [[docsFromFiles]] by PATH — the huge-segment front door: each task
-    * STREAMS its crawl files through [[readStreamRecords]] (per-record
-    * gzip members inflate incrementally), so full-size Common Crawl
-    * segments ingest with O(one record) memory per task. Same doc_id
-    * scheme and row shape as [[docsFromFiles]] (parity-pinned in
-    * WarcSpec).
+  /** [[docsFromFiles]] by PATH — the huge-segment front door: the bucket
+    * lists DISTRIBUTED via [[Streams.dropTasks]] (one root `listStatus`
+    * on the driver, sharded prefix subdirs walked inside tasks) and each
+    * task STREAMS its crawl files through [[readStreamRecords]]
+    * (per-record gzip members inflate incrementally), so full-size
+    * Common Crawl segments ingest with O(one record) memory per task.
+    * Same doc_id scheme and row shape as [[docsFromFiles]]
+    * (parity-pinned in WarcSpec).
     */
   def docsFromPaths(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.Buffer.empty[(Long, String)]
-    // listStatus, NOT listFiles: LocatedFileStatus eagerly loads each
-    // file's permissions — on a local FS without the native-hadoop
-    // library that forks a shell process per file, a serial driver loop
-    val idRe = "(?i)^([0-9]+)\\.warc(\\.gz)?$".r
-    fs.listStatus(root).foreach { f =>
-      f.getPath.getName match {
-        case idRe(id, _) => files += ((id.toLong, f.getPath.toString))
-        case _ => () // landing dirs are never clean: skip non-archives
-      }
-    }
-    spark.createDataset(files.toSeq)
-      .repartition(math.max(1, math.min(files.size, 32)))
+    Streams.dropTasks(spark, dir, "(?i)^([0-9]+)\\.warc(\\.gz)?$")
       .mapPartitions { ps =>
         val conf = new org.apache.hadoop.conf.Configuration()
         ps.flatMap { case (fileId, p) =>
@@ -516,21 +504,12 @@ object Warc extends QueryModule {
           java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$id$ext"), bytes)
         }
     }
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.Buffer.empty[String]
-    // listStatus, not listFiles — see docsFromPaths
-    fs.listStatus(root).foreach { f =>
-      if (f.getPath.getName.matches("^[0-9]+\\.warc(\\.gz)?$"))
-        files += f.getPath.toString
-    }
     val idRe = java.util.regex.Pattern.quote(IdTag) + "([0-9]+)>"
     val idR = idRe.r
-    spark.createDataset(files.toSeq)
-      .repartition(math.max(1, math.min(files.size, 32)))
+    Streams.dropTasks(spark, dir, "^([0-9]+)\\.warc(\\.gz)?$")
       .mapPartitions { ps =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        ps.flatMap { p =>
+        ps.flatMap { case (_, p) =>
           val path = new org.apache.hadoop.fs.Path(p)
           val in = path.getFileSystem(conf).open(path)
           Streams.closeOnExhaust(readStreamRecords(in), in).map { r =>

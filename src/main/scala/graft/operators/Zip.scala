@@ -325,7 +325,7 @@ object Zip extends QueryModule {
     import files.sparkSession.implicits._
     files
       .select(
-        expr("try_cast(regexp_extract(path, '(?i)([0-9]+)\\\\.zip$', 1) as long)")
+        expr("try_cast(regexp_extract(path, '(?i)(?:^|/)([0-9]+)\\\\.zip$', 1) as long)")
           .as("file_id"),
         col("content"))
       .filter(col("file_id").isNotNull)
@@ -362,23 +362,10 @@ object Zip extends QueryModule {
     */
   def docsFromPaths(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.Buffer.empty[(Long, String)]
-    // listStatus, NOT listFiles: LocatedFileStatus eagerly loads each
-    // file's permissions, which on a local FS without the native-hadoop
-    // library forks a shell PROCESS per file — a serial driver-side loop
-    // measured at ~25 s for 6k files. listStatus materializes no
-    // permissions for the fields used here.
-    val idRe = "(?i)^([0-9]+)\\.zip$".r
-    fs.listStatus(root).foreach { f =>
-      f.getPath.getName match {
-        case idRe(id) => files += ((id.toLong, f.getPath.toString))
-        case _ => () // landing dirs are never clean: skip non-archives
-      }
-    }
-    spark.createDataset(files.toSeq)
-      .repartition(math.max(1, math.min(files.size, 32)))
+    // distributed listing — Streams.dropTasks: one root listStatus on
+    // the driver, sharded prefix subdirs walked inside tasks, walk
+    // parallelism 4× the cluster instead of a constant cap
+    Streams.dropTasks(spark, dir, "(?i)^([0-9]+)\\.zip$")
       .mapPartitions { ps =>
         val conf = new org.apache.hadoop.conf.Configuration()
         ps.flatMap { case (fileId, p) =>
@@ -610,16 +597,7 @@ object Zip extends QueryModule {
           java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$id.zip"), bytes)
         }
     }
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.Buffer.empty[(Long, String)]
-    // listStatus, not listFiles — see docsFromPaths
-    fs.listStatus(root).foreach { f =>
-      val n = f.getPath.getName
-      if (n.endsWith(".zip")) files += ((n.stripSuffix(".zip").toLong, f.getPath.toString))
-    }
-    spark.createDataset(files.toSeq)
-      .repartition(math.max(1, math.min(files.size, 32)))
+    Streams.dropTasks(spark, dir, "^([0-9]+)\\.zip$")
       .mapPartitions { ps =>
         val conf = new org.apache.hadoop.conf.Configuration()
         // raw local FS: each positioned read on the CHECKSUMMED local FS
