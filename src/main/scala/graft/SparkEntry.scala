@@ -31,6 +31,7 @@ object SparkEntry {
     operators.ZstdCorpus,
     operators.Lz4Corpus,
     operators.Jsonl,
+    operators.Pdf,
     operators.ParquetMeta,
     operators.Sketches,
     pipeline.Dedup,

@@ -1,0 +1,851 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** PDF text extraction — the other dominant text-bearing LLM-corpus
+  * landing format next to HTML/WARC/JSONL. A pure-JVM walk of the
+  * public ISO 32000-1 grammar: header check, classic `xref` table
+  * (+`/Prev` incremental-update chain), trailer, page-tree walk in
+  * `/Kids` order, per-page `/Contents` streams (raw or `/FlateDecode`
+  * via `java.util.zip.Inflater` — the in-tree raw/zlib sniff proven in
+  * [[Zip]]), and the text-showing content operators
+  * (`Tj`/`'`/`"`/`TJ`, line advances `Td`/`TD`/`T*`). Reference twin:
+  * the S2 opaque-files-in/rows-out scan (`q3_json_processing.py:25-29`)
+  * — the landing format changes, the contract does not.
+  *
+  * Loud-reject discipline (the [[graft.pipeline.Exif]] style): anything
+  * outside the supported profile throws with a named reason — encrypted
+  * documents, cross-reference STREAMS (PDF 1.5 compressed xref),
+  * filters other than FlateDecode, `/DecodeParms` predictors, inline
+  * images (`BI` — binary payload breaks the token grammar), malformed
+  * strings/offsets/checked keywords — never a silent empty result.
+  */
+object Pdf extends QueryModule {
+
+  // ---------------------------------------------------------------
+  // Object model
+  // ---------------------------------------------------------------
+
+  sealed trait PVal
+  final case class PNum(v: Double) extends PVal {
+    def int: Long = {
+      require(v == math.rint(v), s"pdf: expected integer, got $v")
+      v.toLong
+    }
+  }
+  final case class PName(v: String) extends PVal
+  final case class PStr(bytes: Array[Byte]) extends PVal
+  final case class PArr(items: Vector[PVal]) extends PVal
+  final case class PDict(m: Map[String, PVal]) extends PVal
+  final case class PRef(num: Long, gen: Int) extends PVal
+  final case class PBool(b: Boolean) extends PVal
+  case object PNull extends PVal
+  /** A bare keyword/operator token (content streams only). */
+  final case class POp(op: String) extends PVal
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"pdf: $msg")
+
+  private def isWs(b: Byte): Boolean =
+    b == 0 || b == 9 || b == 10 || b == 12 || b == 13 || b == 32
+  private def isDelim(b: Byte): Boolean =
+    b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
+      b == '{' || b == '}' || b == '/' || b == '%'
+
+  /** Token/value reader over a byte region — shared by the document
+    * grammar and the content-stream grammar (`ops = true` additionally
+    * yields bare operator tokens instead of rejecting unknown keywords).
+    */
+  private final class Lexer(val bytes: Array[Byte], var pos: Int, ops: Boolean) {
+
+    def atEnd: Boolean = { skipWs(); pos >= bytes.length }
+
+    def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        while (pos < bytes.length && isWs(bytes(pos))) pos += 1
+        if (pos < bytes.length && bytes(pos) == '%') {
+          while (pos < bytes.length && bytes(pos) != '\n' && bytes(pos) != '\r') pos += 1
+        } else go = false
+      }
+    }
+
+    private def bareToken(): String = {
+      val start = pos
+      while (pos < bytes.length && !isWs(bytes(pos)) && !isDelim(bytes(pos))) pos += 1
+      require(pos > start, s"pdf: empty token at byte $start")
+      new String(bytes, start, pos - start, "US-ASCII")
+    }
+
+    /** Does the (already ws-skipped) position start this exact keyword? */
+    def peekKeyword(kw: String): Boolean = {
+      skipWs()
+      if (pos + kw.length > bytes.length) return false
+      var i = 0
+      while (i < kw.length) {
+        if (bytes(pos + i) != kw.charAt(i)) return false
+        i += 1
+      }
+      val after = pos + kw.length
+      after >= bytes.length || isWs(bytes(after)) || isDelim(bytes(after))
+    }
+
+    def expectKeyword(kw: String): Unit = {
+      if (!peekKeyword(kw)) fail(s"expected '$kw' at byte $pos")
+      pos += kw.length
+    }
+
+    private def name(): PName = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (pos < bytes.length && !isWs(bytes(pos)) && !isDelim(bytes(pos))) {
+        if (bytes(pos) == '#') {
+          require(pos + 2 < bytes.length, "pdf: truncated #xx name escape")
+          sb.append(Integer.parseInt(
+            new String(bytes, pos + 1, 2, "US-ASCII"), 16).toChar)
+          pos += 3
+        } else { sb.append(bytes(pos).toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def literalString(): PStr = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (depth > 0) {
+        require(pos < bytes.length, "pdf: unterminated literal string")
+        val b = bytes(pos)
+        if (b == '\\') {
+          require(pos + 1 < bytes.length, "pdf: dangling backslash in string")
+          pos += 1
+          bytes(pos) match {
+            case 'n' => out.write('\n'); pos += 1
+            case 'r' => out.write('\r'); pos += 1
+            case 't' => out.write('\t'); pos += 1
+            case 'b' => out.write('\b'); pos += 1
+            case 'f' => out.write('\f'); pos += 1
+            case '(' => out.write('('); pos += 1
+            case ')' => out.write(')'); pos += 1
+            case '\\' => out.write('\\'); pos += 1
+            case '\r' => // line continuation: \CR or \CRLF vanish
+              pos += 1
+              if (pos < bytes.length && bytes(pos) == '\n') pos += 1
+            case '\n' => pos += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0
+              var k = 0
+              while (k < 3 && pos < bytes.length &&
+                bytes(pos) >= '0' && bytes(pos) <= '7') {
+                v = v * 8 + (bytes(pos) - '0'); pos += 1; k += 1
+              }
+              out.write(v & 0xff)
+            case other => out.write(other); pos += 1 // spec: backslash ignored
+          }
+        } else if (b == '(') { depth += 1; out.write(b); pos += 1 }
+        else if (b == ')') {
+          depth -= 1
+          if (depth > 0) out.write(b)
+          pos += 1
+        } else if (b == '\r') {
+          // spec: any EOL inside a string reads as LF
+          out.write('\n'); pos += 1
+          if (pos < bytes.length && bytes(pos) == '\n') pos += 1
+        } else { out.write(b); pos += 1 }
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def hexString(): PStr = {
+      pos += 1 // '<'
+      val sb = new StringBuilder
+      while (pos < bytes.length && bytes(pos) != '>') {
+        val b = bytes(pos)
+        if (!isWs(b)) {
+          val c = b.toChar
+          require(
+            (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'),
+            s"pdf: non-hex char '$c' in hex string")
+          sb.append(c)
+        }
+        pos += 1
+      }
+      require(pos < bytes.length, "pdf: unterminated hex string")
+      pos += 1 // '>'
+      if (sb.length % 2 == 1) sb.append('0')
+      val out = new Array[Byte](sb.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = Integer.parseInt(sb.substring(2 * i, 2 * i + 2), 16).toByte
+        i += 1
+      }
+      PStr(out)
+    }
+
+    private def number(): PNum = {
+      val start = pos
+      if (bytes(pos) == '+' || bytes(pos) == '-') pos += 1
+      while (pos < bytes.length &&
+        ((bytes(pos) >= '0' && bytes(pos) <= '9') || bytes(pos) == '.')) pos += 1
+      val s = new String(bytes, start, pos - start, "US-ASCII")
+      require(s.nonEmpty && s != "+" && s != "-" && s != ".",
+        s"pdf: malformed number at byte $start")
+      PNum(s.toDouble)
+    }
+
+    def parseDict(): PDict = {
+      pos += 2 // '<<'
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, PVal]
+      skipWs()
+      while (!(pos + 1 < bytes.length && bytes(pos) == '>' && bytes(pos + 1) == '>')) {
+        require(pos < bytes.length, "pdf: unterminated dictionary")
+        require(bytes(pos) == '/', s"pdf: dictionary key is not a name at byte $pos")
+        val k = name().v
+        val v = parseValue()
+        if (v != PNull) m(k) = v
+        skipWs()
+      }
+      pos += 2
+      PDict(m.toMap)
+    }
+
+    /** One object-grammar value. In `ops` mode bare tokens come back as
+      * [[POp]] so the content walk can act on operators.
+      */
+    def parseValue(): PVal = {
+      skipWs()
+      require(pos < bytes.length, "pdf: unexpected end of input")
+      bytes(pos) match {
+        case '/' => name()
+        case '(' => literalString()
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PVal]
+          skipWs()
+          require(pos < bytes.length, "pdf: unterminated array")
+          while (bytes(pos) != ']') {
+            items += parseValue()
+            skipWs()
+            require(pos < bytes.length, "pdf: unterminated array")
+          }
+          pos += 1
+          PArr(items.result())
+        case '<' =>
+          if (pos + 1 < bytes.length && bytes(pos + 1) == '<') parseDict()
+          else hexString()
+        case b if (b >= '0' && b <= '9') || b == '+' || b == '-' || b == '.' =>
+          val n = number()
+          // `int int R` is an indirect reference — shift-reduce with rollback
+          if (n.v >= 0 && n.v == math.rint(n.v)) {
+            val save = pos
+            skipWs()
+            if (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+              val g = number()
+              if (g.v >= 0 && g.v == math.rint(g.v) && peekKeyword("R")) {
+                pos += 1
+                return PRef(n.int, g.int.toInt)
+              }
+            }
+            pos = save
+          }
+          n
+        case _ =>
+          val t = bareToken()
+          t match {
+            case "true" => PBool(true)
+            case "false" => PBool(false)
+            case "null" => PNull
+            case other if ops => POp(other)
+            case other => fail(s"unexpected keyword '$other' at byte $pos")
+          }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Document walk
+  // ---------------------------------------------------------------
+
+  /** One loaded document: xref map, trailer, object cache. */
+  final class Document(bytes: Array[Byte]) {
+    require(bytes.length >= 16, "pdf: file shorter than any PDF")
+    require(new String(bytes, 0, 5, "US-ASCII") == "%PDF-",
+      "pdf: missing %PDF- header")
+
+    private val xref = scala.collection.mutable.LongMap.empty[Long]
+    private var root: PRef = _
+
+    locally {
+      // locate the LAST `startxref` in the tail — incremental updates
+      // append, so the newest table is the one nearest the end
+      val tailFrom = math.max(0, bytes.length - 2048)
+      val tail = new String(bytes, tailFrom, bytes.length - tailFrom, "ISO-8859-1")
+      val at = tail.lastIndexOf("startxref")
+      require(at >= 0, "pdf: no startxref in the file tail")
+      val lx = new Lexer(bytes, tailFrom + at, ops = false)
+      lx.expectKeyword("startxref")
+      var off = lx.parseValue().asInstanceOf[PNum].int
+      var hops = 0
+      var rootSeen = false
+      while (off >= 0) {
+        require(hops < 16, "pdf: /Prev chain longer than 16 updates")
+        require(off < bytes.length, s"pdf: xref offset $off beyond EOF")
+        val x = new Lexer(bytes, off.toInt, ops = false)
+        if (!x.peekKeyword("xref"))
+          fail("cross-reference stream (PDF 1.5 compressed xref) unsupported")
+        x.expectKeyword("xref")
+        x.skipWs()
+        while (!x.peekKeyword("trailer")) {
+          val start = x.parseValue().asInstanceOf[PNum].int
+          val count = x.parseValue().asInstanceOf[PNum].int
+          var i = 0L
+          while (i < count) {
+            x.skipWs()
+            require(x.pos + 18 <= bytes.length, "pdf: truncated xref entry")
+            val entry = new String(bytes, x.pos, 18, "US-ASCII")
+            require(entry.matches("[0-9]{10} [0-9]{5} [fn]"),
+              s"pdf: malformed xref entry '$entry'")
+            // newest table wins: earlier (newer) updates were loaded first
+            if (entry.charAt(17) == 'n' && !xref.contains(start + i))
+              xref(start + i) = entry.substring(0, 10).toLong
+            x.pos += 18
+            i += 1
+          }
+          x.skipWs()
+        }
+        x.expectKeyword("trailer")
+        val tr = x.parseValue().asInstanceOf[PDict]
+        if (tr.m.contains("Encrypt")) fail("encrypted document unsupported")
+        if (!rootSeen) tr.m.get("Root") match {
+          case Some(r: PRef) => root = r; rootSeen = true
+          case Some(_) => fail("/Root is not an indirect reference")
+          case None => () // an update trailer may omit it; /Prev must supply
+        }
+        off = tr.m.get("Prev") match {
+          case Some(p: PNum) => hops += 1; p.int
+          case None => -1L
+          case Some(_) => fail("/Prev is not an integer")
+        }
+      }
+      require(rootSeen, "pdf: no /Root in any trailer")
+    }
+
+    private val cache = scala.collection.mutable.LongMap.empty[(PVal, Option[Array[Byte]])]
+    private val resolving = scala.collection.mutable.Set.empty[Long]
+
+    /** Parse object `num` at its xref offset: value + raw stream bytes.
+      * Manual cache check — resolving an indirect /Length re-enters this
+      * method mid-insert, which `getOrElseUpdate` does not tolerate.
+      */
+    def obj(num: Long): (PVal, Option[Array[Byte]]) = cache.get(num).getOrElse {
+      require(!resolving.contains(num), s"pdf: circular reference through object $num")
+      resolving += num
+      val computed = try {
+        val off = xref.getOrElse(num, fail(s"object $num not in xref"))
+        val lx = new Lexer(bytes, off.toInt, ops = false)
+        val n2 = lx.parseValue().asInstanceOf[PNum].int
+        require(n2 == num, s"pdf: xref points object $num at object $n2")
+        lx.parseValue().asInstanceOf[PNum] // generation
+        lx.expectKeyword("obj")
+        val v = lx.parseValue()
+        lx.skipWs()
+        if (lx.peekKeyword("stream")) {
+          val d = v match {
+            case d: PDict => d
+            case _ => fail("stream object without a dictionary")
+          }
+          lx.pos += "stream".length
+          // spec: `stream` is followed by CRLF or LF, never CR alone
+          if (lx.pos < bytes.length && bytes(lx.pos) == '\r') lx.pos += 1
+          require(lx.pos < bytes.length && bytes(lx.pos) == '\n',
+            "pdf: 'stream' keyword not followed by an end-of-line")
+          lx.pos += 1
+          val len = resolveInt(d.m.getOrElse("Length", fail("stream without /Length")))
+          require(lx.pos + len <= bytes.length,
+            s"pdf: stream of length $len runs past EOF")
+          val data = java.util.Arrays.copyOfRange(bytes, lx.pos, lx.pos + len.toInt)
+          lx.pos += len.toInt
+          lx.expectKeyword("endstream")
+          (v, Some(data))
+        } else {
+          lx.expectKeyword("endobj")
+          (v, None)
+        }
+      } finally resolving -= num
+      cache(num) = computed
+      computed
+    }
+
+    def resolve(v: PVal): PVal = v match {
+      case PRef(n, _) => resolve(obj(n)._1)
+      case other => other
+    }
+
+    def resolveInt(v: PVal): Long = resolve(v) match {
+      case n: PNum => n.int
+      case other => fail(s"expected integer, got $other")
+    }
+
+    private def dictOf(v: PVal, what: String): PDict = resolve(v) match {
+      case d: PDict => d
+      case other => fail(s"$what is not a dictionary (got $other)")
+    }
+
+    /** The page objects in document order — `/Kids` walked depth-first. */
+    def pages(): Vector[PDict] = {
+      val catalog = dictOf(root, "/Root")
+      val out = Vector.newBuilder[PDict]
+      var seen = 0
+      def walk(node: PVal, depth: Int): Unit = {
+        require(depth < 64, "pdf: page tree deeper than 64 levels")
+        val d = dictOf(node, "page-tree node")
+        d.m.get("Type") match {
+          case Some(PName("Pages")) =>
+            resolve(d.m.getOrElse("Kids", fail("/Pages node without /Kids"))) match {
+              case PArr(kids) => kids.foreach(walk(_, depth + 1))
+              case other => fail(s"/Kids is not an array (got $other)")
+            }
+          case Some(PName("Page")) =>
+            seen += 1
+            require(seen <= 1000000, "pdf: more than 1e6 pages")
+            out += d
+          case other => fail(s"page-tree node of type $other")
+        }
+      }
+      walk(catalog.m.getOrElse("Pages", fail("catalog without /Pages")), 0)
+      out.result()
+    }
+
+    /** Decoded content bytes of one page — multiple `/Contents` streams
+      * concatenate with a newline (the spec treats them as one stream
+      * split at token boundaries).
+      */
+    def pageContent(page: PDict): Array[Byte] = {
+      def one(ref: PVal): Array[Byte] = {
+        val num = ref match {
+          case PRef(n, _) => n
+          case other => fail(s"/Contents element is not a reference (got $other)")
+        }
+        val (v, data) = obj(num)
+        val d = v match {
+          case d: PDict => d
+          case other => fail(s"content object is not a stream (got $other)")
+        }
+        val raw = data.getOrElse(fail("content object has no stream data"))
+        if (d.m.contains("DecodeParms"))
+          fail("/DecodeParms (predictors) unsupported")
+        resolve(d.m.getOrElse("Filter", PNull)) match {
+          case PNull => raw
+          case PName("FlateDecode") => inflate(raw)
+          case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
+          case other => fail(s"filter $other unsupported (FlateDecode only)")
+        }
+      }
+      resolve(page.m.getOrElse("Contents", PNull)) match {
+        case PNull => Array.emptyByteArray // a blank page is legal
+        case PArr(items) =>
+          val parts = items.map(one)
+          val out = new java.io.ByteArrayOutputStream()
+          parts.zipWithIndex.foreach { case (p, i) =>
+            if (i > 0) out.write('\n')
+            out.write(p)
+          }
+          out.toByteArray
+        case _: PDict =>
+          // /Contents must be indirect so the stream can be parsed standalone
+          one(page.m("Contents"))
+        case other => fail(s"/Contents of unexpected type $other")
+      }
+    }
+  }
+
+  /** FlateDecode: the spec says zlib (RFC 1950), but raw-deflate streams
+    * exist in the wild — sniff the CMF/FLG pair (method 8, checksum
+    * divisible by 31) and fall back to raw mode, the [[Zip]] dual-mode
+    * Inflater discipline. Corrupt data rejects loudly.
+    */
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val zlib = data.length >= 2 && (data(0) & 0x0f) == 8 &&
+      ((((data(0) & 0xff) << 8) | (data(1) & 0xff)) % 31 == 0)
+    val inf = new java.util.zip.Inflater(!zlib)
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              fail(s"corrupt FlateDecode stream: ${e.getMessage}")
+          }
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput()) fail("truncated FlateDecode stream")
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  // ---------------------------------------------------------------
+  // Content-stream text walk
+  // ---------------------------------------------------------------
+
+  private def decodeString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      new String(b, 2, b.length - 2, "UTF-16BE")
+    else new String(b, "ISO-8859-1") // PDFDocEncoding ≈ Latin-1 in the text range
+
+  /** Text shown by one decoded content stream: `Tj`/`'`/`"` and `TJ`
+    * emit onto the current line; `Td`/`TD`/`T*`/`'`/`"` start a new
+    * line; `BT`/`ET` flush. Positioning numbers inside `TJ` arrays are
+    * kerning, not text. Inline images (`BI`) reject loudly — their
+    * binary payload is not tokenizable.
+    */
+  def textOf(content: Array[Byte]): String = {
+    val lx = new Lexer(content, 0, ops = true)
+    val operands = scala.collection.mutable.ArrayBuffer.empty[PVal]
+    val lines = Vector.newBuilder[String]
+    val line = new StringBuilder
+    def newline(): Unit =
+      if (line.nonEmpty) { lines += line.toString; line.clear() }
+    def show(v: PVal): Unit = v match {
+      case PStr(b) => line.append(decodeString(b))
+      case other => fail(s"text operator on non-string operand $other")
+    }
+    while (!lx.atEnd) {
+      lx.parseValue() match {
+        case POp(op) =>
+          op match {
+            case "Tj" =>
+              require(operands.nonEmpty, "pdf: Tj without an operand")
+              show(operands.last)
+            case "'" =>
+              require(operands.nonEmpty, "pdf: ' without an operand")
+              newline(); show(operands.last)
+            case "\"" =>
+              require(operands.length >= 3, "pdf: \" without 3 operands")
+              newline(); show(operands.last)
+            case "TJ" =>
+              operands.lastOption match {
+                case Some(PArr(items)) =>
+                  items.foreach { case s: PStr => show(s); case _: PNum => (); case other =>
+                    fail(s"TJ array holds $other") }
+                case other => fail(s"TJ without an array operand (got $other)")
+              }
+            case "Td" | "TD" | "T*" => newline()
+            case "BT" | "ET" => newline()
+            case "BI" => fail("inline image (BI) unsupported")
+            case _ => () // every other operator is graphics state — no text
+          }
+          operands.clear()
+        case v => operands += v
+      }
+    }
+    newline()
+    val all = lines.result()
+    all.mkString("\n")
+  }
+
+  /** Per-page extracted text, in document page order. */
+  def extractPages(pdf: Array[Byte]): Vector[String] = {
+    val doc = new Document(pdf)
+    doc.pages().map(p => textOf(doc.pageContent(p)))
+  }
+
+  /** Whole-document text: pages joined with a newline. */
+  def extractText(pdf: Array[Byte]): String = extractPages(pdf).mkString("\n")
+
+  // ---------------------------------------------------------------
+  // Writer (fixtures + pdf_files_ingest landing)
+  // ---------------------------------------------------------------
+
+  /** Build a real single-xref PDF with one page per entry; each page
+    * shows its lines as literal-string `Tj` runs separated by `Td` line
+    * advances. `flate` wraps every content stream in a REAL
+    * `java.util.zip.Deflater` zlib stream (dynamic Huffman — the leg the
+    * SQL-emitted stored-block fixture cannot reach). ASCII-only input
+    * (the callers feed hex/digits); offsets are computed while emitting,
+    * so the writer is exact by construction.
+    */
+  def buildPdf(pages: Seq[Seq[String]], flate: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val offsets = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    w("%PDF-1.4\n")
+    val nPages = pages.length
+    // object numbering: 1 catalog, 2 pages, 3 font, then per page i:
+    // 4+2i page, 5+2i content
+    def pageObj(i: Int) = 4 + 2 * i
+    def contObj(i: Int) = 5 + 2 * i
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = out.size()
+      w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2) {
+      val kids = (0 until nPages).map(i => s"${pageObj(i)} 0 R").mkString(" ")
+      w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n")
+    }
+    obj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      obj(pageObj(i))(w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${contObj(i)} 0 R >>\n"))
+      val body = new StringBuilder("BT /F1 12 Tf 72 720 Td ")
+      lines.zipWithIndex.foreach { case (l, j) =>
+        if (j > 0) body.append(" 0 -14 Td ")
+        body.append(s"($l) Tj")
+      }
+      body.append(" ET")
+      val raw = body.toString.getBytes("US-ASCII")
+      val data = if (!flate) raw else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val bo = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+        d.end()
+        bo.toByteArray
+      }
+      obj(contObj(i)) {
+        val filter = if (flate) " /Filter /FlateDecode" else ""
+        w(s"<< /Length ${data.length}$filter >>\nstream\n")
+        out.write(data)
+        w("\nendstream\n")
+      }
+    }
+    val xrefAt = out.size()
+    val nObjs = 3 + 2 * nPages
+    w(s"xref\n0 ${nObjs + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to nObjs).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // pdf_text_extract: the SQL-emitted fixture, raw + FlateDecode legs
+  // ---------------------------------------------------------------
+
+  /** Fixture geometry: line 1 shows hex of text bytes [0,48) via a
+    * literal-string `Tj`; line 2 shows hex of bytes [16,64) — the first
+    * 48 hex chars as a literal string and the next 48 as a PDF HEX
+    * string — inside one `TJ` array with a kerning number between, so
+    * both string syntaxes and the kerning-skip are load-bearing.
+    */
+  private val NeedBytes = 64
+  private val L1Hex = 96 // hex chars shown on line 1
+  private val H1Hex = 48 // literal piece of line 2
+  private val H2Hex = 48 // hex-string piece of line 2
+
+  private val ContentPre = "BT /F1 12 Tf 72 720 Td ("
+  private val ContentMid1 = ") Tj 0 -14 Td [("
+  private val ContentMid2 = ") -120 <"
+  private val ContentPost = ">] TJ ET"
+
+  /** Raw content-stream length: literal pieces count their own chars;
+    * the PDF hex string carries 2 file chars per shown char.
+    */
+  private val RawLen = ContentPre.length + L1Hex + ContentMid1.length + H1Hex +
+    ContentMid2.length + 2 * H2Hex + ContentPost.length
+  private val ZlibLen = RawLen + 11 // 2 CMF/FLG + 5 stored header + 4 adler
+
+  private def hexOf(s: String): String =
+    s.getBytes("US-ASCII").map("%02X".format(_)).mkString
+
+  /** Constant skeleton around the content stream: (hexA, hexB) with the
+    * stream data spliced between. Offsets accumulate while building, so
+    * the xref is exact by construction — same discipline as [[buildPdf]]
+    * but emitted as compile-time hex for the SQL fixture.
+    */
+  private def skeleton(dataLen: Int, lengthField: String): (String, String) = {
+    val objs = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    val a = new StringBuilder
+    def add(num: Int, s: String): Unit = { objs(num) = a.length; a.append(s) }
+    a.append("%PDF-1.4\n")
+    add(1, "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    add(2, "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    add(3, "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    add(4, "4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    add(5, s"5 0 obj\n<< /Length $lengthField >>\nstream\n")
+    val b = new StringBuilder
+    val bBase = a.length + dataLen
+    b.append("\nendstream\nendobj\n")
+    objs(6) = bBase + b.length
+    b.append(s"6 0 obj\n$dataLen\nendobj\n")
+    val xrefAt = bBase + b.length
+    b.append("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(n => b.append(f"${objs(n)}%010d 00000 n \n"))
+    b.append(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    (hexOf(a.toString), hexOf(b.toString))
+  }
+
+  /** SQL fragment: hex of the raw content stream for the current row
+    * (column `h` = hex of the document bytes). Literal pieces splice the
+    * shown hex chars as ASCII (hex-of-hex); the PDF hex string carries
+    * hex-of-hex-of-hex — each layer is just `hex(cast(_ as binary))`.
+    */
+  private val contentHexSql = {
+    def ascii(sql: String) = s"hex(cast($sql as binary))"
+    s"concat('${hexOf(ContentPre)}', ${ascii("substring(h, 1, 96)")}, " +
+      s"'${hexOf(ContentMid1)}', ${ascii("substring(h, 33, 48)")}, " +
+      s"'${hexOf(ContentMid2)}', ${ascii(ascii("substring(h, 81, 48)"))}, " +
+      s"'${hexOf(ContentPost)}')"
+  }
+
+  /** zlib wrapper in SQL: 78 01, one stored block, Adler-32 computed
+    * arithmetically over the content bytes (the [[graft.pipeline.Multimodal]]
+    * prefix-sum identity: s1 = 1+Σb, s2 = n+Σ(n−j)·b_j, both mod 65521).
+    */
+  private val zlibHexSql = {
+    val n = RawLen
+    val lenHex = "%02X%02X".format(n & 0xff, n >> 8)
+    val nlenHex = "%02X%02X".format(~n & 0xff, (~n >> 8) & 0xff)
+    val byteAt = "cast(conv(substring(ch, i * 2 + 1, 2), 16, 10) as bigint)"
+    val s1 = s"(1 + aggregate(sequence(0, ${n - 1}), 0L, (acc, i) -> acc + $byteAt)) % 65521"
+    val s2 = s"($n + aggregate(sequence(0, ${n - 1}), 0L, (acc, i) -> acc + ($n - i) * $byteAt)) % 65521"
+    s"concat('7801', '01$lenHex$nlenHex', ch, lpad(hex(($s2) * 65536 + ($s1)), 8, '0'))"
+  }
+
+  /** `pdf_text_extract`: the PDF landing format parsed END TO END. Spark
+    * BUILDS a genuine one-page PDF per document in pure SQL — constant
+    * object layout, exact xref offsets, indirect `/Length` on the flate
+    * leg — and parses it back through the PRODUCTION walk
+    * ([[extractPages]]): header, xref, trailer, page tree, content
+    * decode, text operators. Even doc_ids carry a raw content stream
+    * with a direct `/Length`; odd doc_ids a REAL zlib FlateDecode stream
+    * (stored block, arithmetic Adler-32) with `/Length` behind an
+    * indirect reference — so both length paths and both codec paths are
+    * load-bearing. The oracle recomputes the shown text (two lines of
+    * document-byte hex) straight from the bytes; an offset, filter,
+    * string-escape, kerning, or page-walk bug lands as a value mismatch
+    * or a loud reject. One leg per projection, unioned (the measured
+    * WARC codegen lesson).
+    */
+  def pdfTextExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (rawA, rawB) = skeleton(RawLen, RawLen.toString)
+    val (flA, flB) = skeleton(ZlibLen, "6 0 R /Filter /FlateDecode")
+    def leg(parity: Int, hexA: String, hexB: String, dataHex: String) =
+      Tables.documents(spark, sfDir)
+        .filter(octet_length(col("text")) >= NeedBytes && col("doc_id") % 2 === parity)
+        .withColumn("h", expr("hex(cast(text as binary))"))
+        .withColumn("ch", expr(contentHexSql))
+        .select(col("doc_id"),
+          unhex(concat(lit(hexA), expr(dataHex), lit(hexB))).as("payload"))
+    val framed = leg(0, rawA, rawB, "ch").unionByName(leg(1, flA, flB, zlibHexSql))
+    framed.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val pages = extractPages(payload)
+        require(pages.length == 1, s"pdf fixture $id: expected 1 page, got ${pages.length}")
+        (id, pages.head)
+      })
+      .toDF("doc_id", "page_text")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("raw")).otherwise(lit("flate")).as("codec"),
+        col("page_text"))
+      .orderBy("doc_id")
+  }
+
+  private val pdfTextExtractSql =
+    s"""SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'raw' ELSE 'flate' END AS codec,
+               substring(h, 1, 96) || chr(10) || substring(h, 33, 96) AS page_text
+        FROM (SELECT doc_id, hex(encode(text)) AS h FROM documents
+              WHERE octet_length(encode(text)) >= $NeedBytes)
+        ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------
+  // pdf_files_ingest: real landed PDFs through the path walk
+  // ---------------------------------------------------------------
+
+  /** Documents per landed PDF — one PAGE per document, so the page-tree
+    * walk and page ordering are load-bearing at a realistic grain.
+    */
+  private val DocsPerFile = 64
+
+  /** `pdf_files_ingest`: REAL landed PDFs re-ingested by path. Each file
+    * bundles [[DocsPerFile]] documents as pages (line 1 the zero-padded
+    * doc id, line 2 hex of the document's first 24 chars); odd files
+    * compress every content stream with a REAL `Deflater` zlib (dynamic
+    * Huffman — the leg the SQL stored-block fixture cannot reach), even
+    * files stay raw. Landed via task-side file IO, listed back through
+    * the DISTRIBUTED [[Streams.dropTasks]] walk, and parsed by the
+    * production [[extractPages]] — so multi-page layout, the xref the
+    * writer computes, real inflate, and page order are all pinned by the
+    * oracle's pure-formula recompute.
+    */
+  def pdfFilesIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.Scratch.dir("graft_pdffiles")
+    // line 2 carries a constant 'H' sentinel before the hex so an
+    // empty-text document still shows a non-empty second line (the text
+    // walk suppresses all-empty lines by design)
+    val grouped = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("doc_id") % 2).as("c"),
+        expr(s"doc_id div ${2 * DocsPerFile}").as("g"),
+        expr("lpad(cast(doc_id as string), 12, '0')").as("l1"),
+        expr("concat('H', hex(encode(substring(text, 1, 24), 'UTF-8')))").as("l2"))
+      .groupBy("c", "g")
+      .agg(expr("transform(array_sort(collect_list(struct(doc_id, l1, l2))), " +
+        "x -> named_struct('_1', x.l1, '_2', x.l2))").as("pages"))
+      .select((col("g") * 2 + col("c")).as("fid"), col("c"), col("pages"))
+    grouped.as[(Long, Long, Seq[(String, String)])].foreachPartition {
+      (rows: Iterator[(Long, Long, Seq[(String, String)])]) =>
+        // plain java.nio IO — see Warc.warcFilesIngest (Hadoop local FS
+        // forks a chmod process per file without the native library)
+        rows.foreach { case (fid, c, pages) =>
+          val pdf = buildPdf(pages.map(p => Seq(p._1, p._2)), flate = c == 1)
+          java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$fid.pdf"), pdf)
+        }
+    }
+    Streams.dropTasks(spark, dir, "^([0-9]+)\\.pdf$")
+      .mapPartitions { ps =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        ps.flatMap { case (fid, p) =>
+          require(fid < (1L << 39),
+            s"pdf file id $fid exceeds the 2^39 doc_id file-slot space")
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(conf)
+          val len = fs.getFileStatus(path).getLen
+          val bytes = new Array[Byte](len.toInt)
+          val in = fs.open(path)
+          try in.readFully(0, bytes) finally in.close()
+          extractPages(bytes).zipWithIndex.map { case (text, i) =>
+            require(i < (1 << 24),
+              s"pdf file $fid: page $i exceeds the 2^24 doc_id slot space")
+            val lines = text.split("\n", -1)
+            require(lines.length == 2 && lines(1).startsWith("H"),
+              s"pdf file $fid page $i: expected 2 lines with the H sentinel")
+            ((fid << 24) | i, lines(0).toLong, lines(1).substring(1))
+          }
+        }
+      }
+      .toDF("doc_id", "src_id", "page_hex")
+      .select(col("doc_id"), col("src_id"), md5(col("page_hex")).as("digest"),
+        length(col("page_hex")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val pdfFilesIngestSql =
+    s"""SELECT (((doc_id // ${2 * DocsPerFile}) * 2 + doc_id % 2) * 16777216)
+                 + (doc_id % ${2 * DocsPerFile}) // 2 AS doc_id,
+               doc_id AS src_id,
+               md5(hex(encode(substring(text, 1, 24)))) AS digest,
+               CAST(2 * octet_length(encode(substring(text, 1, 24))) AS BIGINT) AS n_chars
+        FROM documents
+        ORDER BY 1"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pdf_text_extract" -> (pdfTextExtract _),
+    "pdf_files_ingest" -> (pdfFilesIngest _),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "pdf_text_extract" -> pdfTextExtractSql,
+    "pdf_files_ingest" -> pdfFilesIngestSql,
+  )
+}

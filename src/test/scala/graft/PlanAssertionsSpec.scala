@@ -478,6 +478,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"codec dispatch legs missing from the plan:\n$p")
   }
 
+  test("pdf text extract: map-only until the output sort, both codec legs in one scan pass") {
+    // the fixture build + the task-side page walk are per-document map
+    // work; the only Exchange is the output sort's range partitioning —
+    // at 100 TB the PDF landing path is file-parallel, never a shuffle
+    val p = planOf("pdf_text_extract")
+    assert(!p.contains("Exchange hashpartitioning"), s"pdf_text_extract hash-shuffles:\n$p")
+    assert(p.contains("Union"), s"raw + flate legs must union, not re-scan twice joined:\n$p")
+  }
+
   test("sitemap coverage: declared-schema XML parse, equi-joins only (no cartesian)") {
     val p = planOf("sitemap_coverage")
     assert(p.contains("from_xml"), s"native XML parse missing from the plan:\n$p")

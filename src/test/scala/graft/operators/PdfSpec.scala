@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The PDF front door: writer↔extractor round-trips (raw + real
+  * Deflater zlib), the object grammar (escapes, hex strings, refs,
+  * indirect /Length, /Prev chains), page-tree order, and the loud-reject
+  * matrix (encryption, xref streams, unsupported filters, inline
+  * images, truncations). The PDFs here are built by hand or by
+  * [[Pdf.buildPdf]] — two independent layers, so a writer bug cannot
+  * hide an extractor bug of the same shape.
+  */
+class PdfSpec extends SparkSpec {
+
+  private def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  /** Hand-rolled single-page PDF around a raw content stream — offsets
+    * computed here, independently of the production writer.
+    */
+  private def handPdf(content: String, trailerExtra: String = "",
+      streamDict: String => String = len => s"<< /Length $len >>"): Array[Byte] = {
+    val sb = new StringBuilder
+    val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: String): Unit = { off += sb.length; sb.append(body) }
+    sb.append("%PDF-1.4\n")
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    obj(s"4 0 obj\n${streamDict(content.length.toString)}\nstream\n$content\nendstream\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 5\n0000000000 65535 f \n")
+    off.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size 5 /Root 1 0 R$trailerExtra >>\nstartxref\n$xrefAt\n%%EOF\n")
+    ascii(sb.toString)
+  }
+
+  test("writer round-trip: pages and lines survive, raw and real-Deflater zlib") {
+    val pages = Seq(Seq("000000000007", "CAFEBABE"), Seq("000000000008", "DEAD"))
+    for (flate <- Seq(false, true)) {
+      val pdf = Pdf.buildPdf(pages, flate)
+      assert(Pdf.extractPages(pdf) ==
+        Vector("000000000007\nCAFEBABE", "000000000008\nDEAD"), s"flate=$flate")
+    }
+  }
+
+  test("page order follows /Kids order, 50 pages") {
+    val pages = (0 until 50).map(i => Seq(s"page$i"))
+    assert(Pdf.extractPages(Pdf.buildPdf(pages, flate = true)) ==
+      (0 until 50).map(i => s"page$i").toVector)
+  }
+
+  test("literal-string escapes: \\( \\) \\\\ octal, line continuation, nested parens") {
+    val content = """BT (a\(b\)c\\d\101\12e) Tj (nest (ok) deep) Tj ET"""
+    val got = Pdf.extractText(handPdf(content))
+    assert(got == "a(b)c\\dA\ne" + "nest (ok) deep")
+  }
+
+  test("hex strings: whitespace tolerated, odd length pads a trailing zero") {
+    val content = "BT <4 86 99> Tj ET" // digits 48699 -> pad -> 48 69 90
+    assert(Pdf.extractText(handPdf(content)) == "Hi" + 0x90.toChar)
+  }
+
+  test("TJ kerning numbers are skipped; ' and \" start new lines") {
+    val content = "BT [(a) -120 (b) 33 (c)] TJ (d) ' (x) (y) (e) \" ET"
+    assert(Pdf.extractText(handPdf(content)) == "abc\nd\ne")
+  }
+
+  test("UTF-16BE BOM strings decode; plain bytes are latin-1") {
+    val utf16 = "\u00fe\u00ff\u0000H\u0000i" // FE FF 00 48 00 69
+    val content = s"BT (${utf16}) Tj ET"
+    assert(Pdf.extractText(handPdf(content)) == "Hi")
+  }
+
+  test("multiple /Contents streams concatenate in order") {
+    val c1 = "BT (one) Tj"
+    val c2 = "(two) Tj ET"
+    val sb = new StringBuilder
+    val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: String): Unit = { off += sb.length; sb.append(body) }
+    sb.append("%PDF-1.4\n")
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\nendobj\n")
+    obj(s"4 0 obj\n<< /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n")
+    obj(s"5 0 obj\n<< /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 6\n0000000000 65535 f \n")
+    off.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    assert(Pdf.extractText(ascii(sb.toString)) == "onetwo")
+  }
+
+  test("incremental update: /Prev chain, newest xref wins") {
+    // base document shows (old); an appended update replaces object 4
+    val base = new String(handPdf("BT (old) Tj ET"), "ISO-8859-1")
+    val baseXrefAt = base.indexOf("\nxref\n") + 1
+    val c2 = "BT (new) Tj ET"
+    val sb = new StringBuilder(base)
+    val objAt = sb.length
+    sb.append(s"4 0 obj\n<< /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n4 1\n")
+    sb.append(f"$objAt%010d 00000 n \n")
+    sb.append(s"trailer\n<< /Size 5 /Root 1 0 R /Prev $baseXrefAt >>\nstartxref\n$xrefAt\n%%EOF\n")
+    assert(Pdf.extractText(ascii(sb.toString)) == "new")
+  }
+
+  test("reject matrix: every unsupported or malformed shape throws with a named reason") {
+    def rejects(bytes: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](Pdf.extractText(bytes))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    // not a PDF at all
+    rejects(ascii("GIF89a not a pdf, padded to sixteen bytes"), "%PDF-")
+    // encrypted
+    rejects(handPdf("BT (x) Tj ET", trailerExtra = " /Encrypt 9 0 R"), "encrypted")
+    // xref stream: startxref points at an object, not an xref keyword
+    val xs = new String(handPdf("BT (x) Tj ET"), "ISO-8859-1")
+      .replaceAll("startxref\n[0-9]+", "startxref\n9")
+    rejects(ascii(xs), "cross-reference stream")
+    // unsupported filter
+    rejects(handPdf("BT (x) Tj ET",
+      streamDict = len => s"<< /Length $len /Filter /LZWDecode >>"), "unsupported")
+    // predictors
+    rejects(handPdf("BT (x) Tj ET",
+      streamDict = len => s"<< /Length $len /Filter /FlateDecode /DecodeParms << /Predictor 12 >> >>"),
+      "DecodeParms")
+    // inline image
+    rejects(handPdf("BT BI /W 1 /H 1 ID x EI ET"), "inline image")
+    // corrupt flate data under a FlateDecode filter
+    rejects(handPdf("not really deflate",
+      streamDict = len => s"<< /Length $len /Filter /FlateDecode >>"), "FlateDecode")
+    // stream length past EOF
+    rejects(handPdf("BT (x) Tj ET",
+      streamDict = _ => "<< /Length 99999 >>"), "past EOF")
+    // unterminated literal string
+    rejects(handPdf("BT (never closed Tj ET"), "unterminated")
+    // missing startxref
+    rejects(ascii("%PDF-1.4\njust a header and no tail at all"), "startxref")
+    // truncated: stream shorter than any container
+    rejects(ascii("%PDF-"), "shorter")
+  }
+
+  test("zlib and raw deflate both inflate (FlateDecode sniff)") {
+    val raw = "BT (sniffed) Tj ET".getBytes("US-ASCII")
+    def deflated(nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(raw); d.finish()
+      val bo = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+      d.end(); bo.toByteArray
+    }
+    for (nowrap <- Seq(false, true)) {
+      val data = new String(deflated(nowrap), "ISO-8859-1")
+      val pdf = handPdf(data,
+        streamDict = len => s"<< /Length $len /Filter /FlateDecode >>")
+      assert(Pdf.extractText(pdf) == "sniffed", s"nowrap=$nowrap")
+    }
+  }
+
+  test("indirect /Length resolves through the xref") {
+    val content = "BT (indirect) Tj ET"
+    val sb = new StringBuilder
+    val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: String): Unit = { off += sb.length; sb.append(body) }
+    sb.append("%PDF-1.4\n")
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    obj(s"4 0 obj\n<< /Length 5 0 R >>\nstream\n$content\nendstream\nendobj\n")
+    obj(s"5 0 obj\n${content.length}\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 6\n0000000000 65535 f \n")
+    off.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    assert(Pdf.extractText(ascii(sb.toString)) == "indirect")
+  }
+
+  test("the two registry queries run end to end at sf0.001") {
+    val te = Pdf.pdfTextExtract(spark, Sf0001).collect()
+    assert(te.nonEmpty)
+    te.foreach { r =>
+      val t = r.getString(2).split("\n", -1)
+      assert(t.length == 2 && t(0).length == 96 && t(1).length == 96)
+      // line 2 overlaps line 1: bytes [16,48) are hex chars 32..96 of
+      // line 1 and 0..64 of line 2
+      assert(t(0).substring(32) == t(1).substring(0, 64))
+    }
+    val fi = Pdf.pdfFilesIngest(spark, Sf0001).collect()
+    assert(fi.nonEmpty)
+    assert(fi.map(_.getLong(0)).distinct.length == fi.length)
+  }
+}
