@@ -132,12 +132,20 @@ object Exif extends QueryModule {
     * big-endian, include the 2 length bytes themselves; standalone
     * markers have none). Stops at SOS/EOI — metadata precedes image data.
     */
-  private def app1Tiff(b: Array[Byte]): Array[Byte] = {
+  private def app1Tiff(b: Array[Byte]): Array[Byte] =
+    app1TiffOpt(b).getOrElse(
+      throw new IllegalArgumentException("exif: no Exif APP1 segment found"))
+
+  /** The lenient twin: None when the JPEG simply carries no Exif APP1
+    * before image data (normal for web images); malformed marker framing
+    * still rejects loudly.
+    */
+  private def app1TiffOpt(b: Array[Byte]): Option[Array[Byte]] = {
     var pos = 2
     while (pos + 4 <= b.length) {
       require(u8(b, pos) == 0xff, s"exif: jpeg marker framing lost at $pos")
       val marker = u8(b, pos + 1)
-      require(marker != 0xd9 && marker != 0xda, "exif: no Exif APP1 before image data")
+      if (marker == 0xd9 || marker == 0xda) return None // image data: no Exif
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
         // TEM/RSTn are standalone — no length field
         pos += 2
@@ -147,11 +155,46 @@ object Exif extends QueryModule {
       if (marker == 0xe1 && len >= 8 &&
         b(pos + 4) == 'E' && b(pos + 5) == 'x' && b(pos + 6) == 'i' &&
         b(pos + 7) == 'f' && b(pos + 8) == 0 && b(pos + 9) == 0)
-        return java.util.Arrays.copyOfRange(b, pos + 10, pos + 2 + len)
+        return Some(java.util.Arrays.copyOfRange(b, pos + 10, pos + 2 + len))
       pos += 2 + len
       }
     }
-    throw new IllegalArgumentException("exif: no Exif APP1 segment found")
+    None
+  }
+
+  /** Display orientation of a payload, for orientation-normalized
+    * hashing ([[graft.pipeline.MediaCodec.orientedAhash64]]): the IFD0
+    * 0x0112 SHORT when the payload is a JPEG with an Exif APP1 or a bare
+    * TIFF stream; 1 (top-left) when the metadata is simply ABSENT — no
+    * APP1, no Orientation tag, or a non-TIFF/JPEG payload (PNG/GIF/BMP/
+    * PPM carry no EXIF). A PRESENT but malformed Exif segment still
+    * rejects loudly — absence is normal, corruption is not.
+    */
+  def orientationOf(bytes: Array[Byte]): Int = {
+    val tiff: Option[Array[Byte]] =
+      if (bytes.length >= 2 && u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8)
+        app1TiffOpt(bytes)
+      else if (bytes.length >= 8 &&
+        ((u8(bytes, 0) == 0x49 && u8(bytes, 1) == 0x49) ||
+          (u8(bytes, 0) == 0x4d && u8(bytes, 1) == 0x4d)))
+        Some(bytes)
+      else None
+    tiff match {
+      case None => 1
+      case Some(t) =>
+        require(t.length >= 8, "exif: shorter than a TIFF header")
+        val big = u8(t, 0) == 0x4d
+        val r = new Reader(t, big)
+        require(r.u16(2) == 42, "exif: TIFF magic 42 missing")
+        ifd(r, t, r.u32(4)).get(0x0112) match {
+          case None => 1
+          case Some((typ, count, vf)) =>
+            require(typ == 3 && count == 1, "exif: Orientation must be one SHORT")
+            val o = r.u16(vf)
+            require(o >= 1 && o <= 8, s"exif: Orientation $o outside 1..8")
+            o
+        }
+    }
   }
 
   // ---- mm_real_exif: SQL-built genuine payloads, both endians ----

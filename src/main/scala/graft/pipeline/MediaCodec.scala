@@ -1394,6 +1394,59 @@ object MediaCodec {
     * the payload-byte aHash in [[Multimodal.ahashDedup]]. Container-
     * independent: a BMP and a PPM of the same pixels hash identically.
     */
+  /** Apply an EXIF display orientation (1..8) to a decoded raster: the
+    * stored pixels transformed to how a viewer presents them (Exif 2.3
+    * tag 0x0112 semantics — 2 mirror-H, 3 rotate 180, 4 mirror-V, 5
+    * transpose, 6 rotate 90 CW, 7 transverse, 8 rotate 90 CCW; 5–8 swap
+    * the output dimensions). Orientation-normalizing BEFORE hashing
+    * makes a rotated re-encode of the same photo land in the same
+    * near-dup bucket — without it the dedup collapses such pairs only
+    * by luck.
+    */
+  def applyOrientation(img: RasterImage, orientation: Int): RasterImage = {
+    require(orientation >= 1 && orientation <= 8,
+      s"orientation $orientation outside the EXIF 1..8 range")
+    if (orientation == 1) return img
+    val w = img.width
+    val h = img.height
+    val swap = orientation >= 5
+    val (ow, oh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        // source pixel shown at display position (y, x)
+        val (sy, sx) = orientation match {
+          case 2 => (y, w - 1 - x) // mirror horizontal
+          case 3 => (h - 1 - y, w - 1 - x) // rotate 180
+          case 4 => (h - 1 - y, x) // mirror vertical
+          case 5 => (x, y) // transpose
+          case 6 => (h - 1 - x, y) // rotate 90 CW (row 0 shown at right)
+          case 7 => (h - 1 - x, w - 1 - y) // transverse
+          case _ => (x, w - 1 - y) // 8: rotate 90 CCW (row 0 shown at left)
+        }
+        val s = 3 * (sy * w + sx)
+        val d = 3 * (y * ow + x)
+        out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    RasterImage(ow, oh, out)
+  }
+
+  /** Orientation-normalized perceptual hash: read the payload's EXIF
+    * orientation ([[graft.pipeline.Exif.orientationOf]] — 1 when the
+    * metadata is absent), decode, apply the display transform, then
+    * [[ahash64]]. The image-dedup entry point for camera-sourced
+    * corpora.
+    */
+  def orientedAhash64(payload: Array[Byte]): Long = {
+    val o = graft.pipeline.Exif.orientationOf(payload)
+    ahash64(applyOrientation(decode(payload), o))
+  }
+
   def ahash64(img: RasterImage): Long = {
     val grid = new Array[Long](64)
     val counts = new Array[Long](64)

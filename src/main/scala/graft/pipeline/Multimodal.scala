@@ -1363,6 +1363,94 @@ object Multimodal extends QueryModule {
   private val JpegBlocks = 48
   private val JpegRst = 16 // restart interval → two RSTn markers per file
 
+  // ---- mm_ahash_oriented: EXIF-orientation-normalized image dedup ----
+
+  /** The four planted orientations and each one's stored-index
+    * permutation over the 8×8 block grid (stored block k = (ky, kx)
+    * carries the canonical cell the DISPLAY transform maps it back to,
+    * so orientation-normalized decode recovers the same canonical grid
+    * from every variant): 1 identity, 3 rotate-180, 6 rotate-90-CW,
+    * 8 rotate-90-CCW.
+    */
+  private val OrientedCases: Seq[(Int, String => String)] = Seq(
+    1 -> (k => k),
+    3 -> ((k: String) => s"63 - ($k)"),
+    6 -> ((k: String) => s"(($k) % 8) * 8 + 7 - ($k) div 8"),
+    8 -> ((k: String) => s"(7 - ($k) % 8) * 8 + ($k) div 8"))
+
+  /** A real Exif APP1 carrying just IFD0's Orientation SHORT (II TIFF,
+    * magic 42, one ascending-tag entry, zero next-IFD) — 36 bytes.
+    */
+  private def app1OrientationHex(o: Int): String =
+    "FFE1" + "0022" + // APP1, length 34 (2 + 6 + 26)
+      "457869660000" + // "Exif\0\0"
+      "49492A00" + "08000000" + // II, 42, IFD0 at 8
+      "0100" + // 1 entry
+      "1201" + "0300" + "01000000" + "%02X000000".format(o) + // 0x0112 SHORT = o
+      "00000000" // next IFD: none
+
+  /** `mm_ahash_oriented`: EXIF-orientation-normalized image dedup END TO
+    * END — the same photo planted at orientations 1/3/6/8 must produce
+    * ONE hash (the r15 verdict's dedup hole: a rotated re-encode
+    * collapsed only by luck). Spark BUILDS four genuine baseline JPEGs
+    * per document in pure SQL: a 64×64 DC-only grid (8×8 blocks, block
+    * value = document byte — the `mm_real_jpeg` emitter parameterized by
+    * an index permutation) whose PIXELS are physically rotated per
+    * variant, plus a real Exif APP1 (II TIFF, one 0x0112 SHORT) spliced
+    * after SOI carrying the matching orientation.
+    * [[MediaCodec.orientedAhash64]] reads the tag through the lenient
+    * EXIF walk, decodes through the full entropy pipeline, applies the
+    * display transform, and hashes. The oracle recomputes ONE canonical
+    * hash per document straight from source bytes (8×8 DC blocks pool
+    * exactly to the byte grid: bit c iff 64·b_c > Σb) and expects it on
+    * every orientation row — a wrong transform, tag misread, APP1
+    * framing slip, or decode bug lands as a value mismatch (the absolute
+    * transform DIRECTION is pinned separately by MediaCodecSpec's
+    * asymmetric goldens, so a self-consistent inverse pair cannot hide).
+    * Map-only until the output sort.
+    */
+  def ahashOriented(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val header = MediaCodec.jpegHeader(64, 64, JpegRst).map("%02X".format(_)).mkString
+    val legs = OrientedCases.map { case (o, idx) =>
+      val spliced = header.take(4) + app1OrientationHex(o) + header.drop(4)
+      jpegDcPayload(spark, sfDir, 64, JpegRst, spliced, idx)
+        .select(col("doc_id"), lit(o).as("orientation"), col("payload"))
+    }
+    legs.reduce(_ unionByName _)
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, o, p) =>
+        (id, o, MediaCodec.orientedAhash64(p))
+      })
+      .toDF("doc_id", "orientation", "ah")
+      .orderBy("doc_id", "orientation")
+  }
+
+  private val ahashOrientedSql =
+    s"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h
+          FROM documents WHERE octet_length(encode(text)) >= 64
+        ), s AS (
+          SELECT doc_id,
+                 list_transform(range(0, 64), i ->
+                   CAST('0x' || substring(h, i * 2 + 1, 2) AS BIGINT)) AS b
+          FROM d
+        ), t AS (
+          SELECT doc_id, b, list_sum(b) AS total FROM s
+        ), a AS (
+          -- bit c iff 64*b_c > total; bit 63 via the min-long literal
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 64), c ->
+                   CASE WHEN 64 * b[c + 1] > total THEN
+                     CASE WHEN c = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << c) END
+                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ah
+          FROM t
+        )
+        SELECT doc_id, CAST(o AS INT) AS orientation, ah
+        FROM a, (SELECT unnest([1, 3, 6, 8]) AS o)
+        ORDER BY doc_id, orientation"""
+
   /** `mm_real_jpeg`: baseline JPEG — THE photographic interchange format —
     * decoded END TO END through the full entropy pipeline (canonical
     * Huffman with the Annex K luminance tables, 0xFF00 unstuffing, RSTn
@@ -1386,27 +1474,32 @@ object Multimodal extends QueryModule {
     * value mismatch or a strict-reject missing row. Map-only until the
     * final sort.
     */
-  def realJpeg(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val header = MediaCodec.jpegHeader(8, 8 * JpegBlocks, JpegRst)
-      .map("%02X".format(_)).mkString
+  /** Shared DC-only baseline-JPEG scan emitter (the `mm_real_jpeg`
+    * machinery, parameterized): block k's pixel value is the document
+    * byte at `idx("k")` — identity for the banded-luma fixture, an
+    * orientation permutation for `mm_ahash_oriented`. Returns
+    * (doc_id, payload) rows; `headerHex` carries everything up to the
+    * first entropy byte (so a caller may splice an APP1 after SOI).
+    */
+  private def jpegDcPayload(spark: SparkSession, sfDir: String, nBlocks: Int,
+      rst: Int, headerHex: String, idx: String => String): DataFrame = {
     val dcCodes = MediaCodec.JpegDcLumCodes.map(c => s"'$c'").mkString(", ")
-    def b(k: String) = s"cast(conv(substring(h, ($k) * 2 + 1, 2), 16, 10) as int)"
+    def b(k: String) = s"cast(conv(substring(h, (${idx(k)}) * 2 + 1, 2), 16, 10) as int)"
     // one 8-bit byte per code group; '255' → the stuffed pair
     def pack(p: String) =
       s"""array_join(transform(sequence(0, cast(length($p) / 8 as int) - 1),
             i -> if(conv(substring($p, i * 8 + 1, 8), 2, 10) = '255', 'FF00',
                     lpad(hex(cast(conv(substring($p, i * 8 + 1, 8), 2, 10) as bigint)), 2, '0'))),
           '')"""
-    val segs = (0 until JpegBlocks / JpegRst).map { s =>
-      (s"bits$s", s"array_join(slice(blockbits, ${s * JpegRst + 1}, $JpegRst), '')")
+    val segs = (0 until nBlocks / rst).map { s =>
+      (s"bits$s", s"array_join(slice(blockbits, ${s * rst + 1}, $rst), '')")
     }
     var df = Tables.documents(spark, sfDir)
-      .filter(octet_length(col("text")) >= JpegBlocks)
+      .filter(octet_length(col("text")) >= nBlocks)
       .withColumn("h", expr("hex(cast(text as binary))"))
       // DC diff per block: chained, reset to the 0-predictor at restarts
       .withColumn("diffs", expr(
-        s"transform(sequence(0, ${JpegBlocks - 1}), k -> ${b("k")} - if(k % $JpegRst = 0, 128, ${b("k - 1")}))"))
+        s"transform(sequence(0, ${nBlocks - 1}), k -> ${b("k")} - if(k % $rst = 0, 128, ${b("k - 1")}))"))
       .withColumn("cats", expr(
         "transform(diffs, d -> if(d = 0, 0, length(bin(cast(abs(d) as bigint)))))"))
       // per block: DC category code + EXTEND value bits + the AC EOB '1010'
@@ -1425,9 +1518,16 @@ object Multimodal extends QueryModule {
       val rst = if (i < segs.length - 1) s", 'FFD${i % 8}'" else ""
       s"seg$name$rst"
     }.mkString(", ")
-    val clips = df
-      .select(col("doc_id"), lit("image").as("media_type"),
-        expr(s"unhex(concat('$header', $scan, 'FFD9'))").as("payload"))
+    df.select(col("doc_id"),
+      expr(s"unhex(concat('$headerHex', $scan, 'FFD9'))").as("payload"))
+  }
+
+  def realJpeg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val header = MediaCodec.jpegHeader(8, 8 * JpegBlocks, JpegRst)
+      .map("%02X".format(_)).mkString
+    val clips = jpegDcPayload(spark, sfDir, JpegBlocks, JpegRst, header, k => k)
+      .select(col("doc_id"), lit("image").as("media_type"), col("payload"))
     BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
       .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
       .select(col("doc_id"), col("band"),
@@ -1717,6 +1817,7 @@ object Multimodal extends QueryModule {
     "mm_real_decode16" -> (realDecode16 _),
     "mm_real_gray" -> (realGray _),
     "mm_real_ahash_dedup" -> (realAhashDedup _),
+    "mm_ahash_oriented" -> (ahashOriented _),
     "mm_real_audio" -> (realAudio _),
     "mm_real_audio16" -> (realAudio16 _),
     "mm_real_audio_deep" -> (realAudioDeep _),
@@ -1746,6 +1847,7 @@ object Multimodal extends QueryModule {
     "mm_real_decode16" -> realDecode16Sql,
     "mm_real_gray" -> realGraySql,
     "mm_real_ahash_dedup" -> realAhashDedupSql,
+    "mm_ahash_oriented" -> ahashOrientedSql,
     "mm_real_audio" -> realAudioSql,
     "mm_real_audio16" -> realAudio16Sql,
     "mm_real_audio_deep" -> realAudioDeepSql,

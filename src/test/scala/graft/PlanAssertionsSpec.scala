@@ -487,6 +487,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("Union"), s"raw + flate legs must union, not re-scan twice joined:\n$p")
   }
 
+  test("oriented ahash: four fixture legs union map-only, no hash exchange") {
+    val p = planOf("mm_ahash_oriented")
+    assert(!p.contains("Exchange hashpartitioning"), s"mm_ahash_oriented hash-shuffles:\n$p")
+    assert(p.contains("Union"), s"the four orientation legs must union:\n$p")
+  }
+
   test("sitemap coverage: declared-schema XML parse, equi-joins only (no cartesian)") {
     val p = planOf("sitemap_coverage")
     assert(p.contains("from_xml"), s"native XML parse missing from the plan:\n$p")

@@ -765,6 +765,79 @@ class MediaCodecSpec extends SparkSpec {
     assert(got(4L) == bandedAmplitude(PcmAudio(8000, pcm)).toSeq,
       "WAV payload must be REALLY decoded to PCM amplitude bands")
   }
+
+  // ---- EXIF orientation normalization (mm_ahash_oriented) ----
+
+  /** 2x3 asymmetric gray raster (every pixel distinct), as single-channel
+    * values replicated to RGB: rows (10 20 30 / 40 50 60).
+    */
+  private def gray(vals: Array[Int], w: Int, h: Int): RasterImage =
+    RasterImage(w, h, vals.flatMap(v => Array(v, v, v)).map(_.toByte))
+
+  private def grayVals(img: RasterImage): Seq[Int] =
+    (0 until img.pixelCount).map(i => img.rgb(3 * i) & 0xff)
+
+  test("applyOrientation: all eight EXIF transforms, spec-derived goldens") {
+    val src = gray(Array(10, 20, 30, 40, 50, 60), 3, 2)
+    // EXIF 2.3 tag 0x0112: where stored row 0 / column 0 appear visually
+    val expect = Map(
+      1 -> ((3, 2), Seq(10, 20, 30, 40, 50, 60)), // top/left: identity
+      2 -> ((3, 2), Seq(30, 20, 10, 60, 50, 40)), // top/right: mirror H
+      3 -> ((3, 2), Seq(60, 50, 40, 30, 20, 10)), // bottom/right: rot 180
+      4 -> ((3, 2), Seq(40, 50, 60, 10, 20, 30)), // bottom/left: mirror V
+      5 -> ((2, 3), Seq(10, 40, 20, 50, 30, 60)), // left/top: transpose
+      6 -> ((2, 3), Seq(40, 10, 50, 20, 60, 30)), // right/top: rot 90 CW
+      7 -> ((2, 3), Seq(60, 30, 50, 20, 40, 10)), // right/bottom: transverse
+      8 -> ((2, 3), Seq(30, 60, 20, 50, 10, 40))) // left/bottom: rot 90 CCW
+    for ((o, ((w, h), vals)) <- expect) {
+      val got = applyOrientation(src, o)
+      assert((got.width, got.height) == (w, h), s"orientation $o dims")
+      assert(grayVals(got) == vals, s"orientation $o pixels")
+    }
+    intercept[IllegalArgumentException](applyOrientation(src, 0))
+    intercept[IllegalArgumentException](applyOrientation(src, 9))
+  }
+
+  test("orientationOf: APP1 tag read, absence means 1, malformed rejects") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def app1(o: Int): String =
+      "FFE10022" + "457869660000" + "49492A0008000000" + "0100" +
+        "1201" + "0300" + "01000000" + "%02X000000".format(o) + "00000000"
+    for (o <- 1 to 8)
+      assert(Exif.orientationOf(hexBytes("FFD8" + app1(o) + "FFD9")) == o)
+    // JPEG with no APP1 at all: orientation 1, not a reject
+    assert(Exif.orientationOf(hexBytes("FFD8FFDA0000")) == 1)
+    // non-JPEG/TIFF payloads carry no EXIF: orientation 1
+    assert(Exif.orientationOf(ppm2x2()) == 1)
+    assert(Exif.orientationOf("hello".getBytes) == 1)
+    // bare little-endian TIFF with the tag
+    assert(Exif.orientationOf(hexBytes(
+      "49492A0008000000" + "0100" + "1201" + "0300" + "01000000" +
+        "06000000" + "00000000")) == 6)
+    // PRESENT but out-of-range orientation rejects loudly
+    intercept[IllegalArgumentException](
+      Exif.orientationOf(hexBytes("FFD8" + app1(9) + "FFD9")))
+  }
+
+  test("planted rotations collapse: one hash per document across orientations 1/3/6/8") {
+    val rows = Multimodal.ahashOriented(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (id, vs) =>
+      assert(vs.map(_._2).sorted.toSeq == Seq(1, 3, 6, 8), s"doc $id variants")
+      assert(vs.map(_._3).distinct.length == 1,
+        s"doc $id: orientations hash apart: ${vs.mkString(", ")}")
+    }
+    // and the hashes genuinely differ across documents (not a constant)
+    assert(byDoc.values.map(_.head._3).toSeq.distinct.length > 1)
+  }
+
+  test("orientedAhash64 equals plain ahash64 when metadata is absent") {
+    val ppm = ppm2x2()
+    assert(orientedAhash64(ppm) == ahash64(decode(ppm)))
+  }
 }
 
 /** Shared with MediaCodecProps: build a REAL PNG — per-row filter bytes,
