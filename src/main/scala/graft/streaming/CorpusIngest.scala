@@ -269,6 +269,88 @@ object CorpusIngest {
     graft.pipeline.TextAnalysis.qualityPercentileOf(
       spark.read.parquet(s"$stateDir/scores").drop("batch_id"))
 
+  // ---- streaming sitemap frontier ----
+
+  /** Streaming sitemap coverage — the X122 audit serving the front door
+    * the way robots rules do (the r15 wire-in's sibling): the
+    * site-declared URL inventory parses ONCE on the static side
+    * ([[graft.pipeline.Sitemaps.parseSitemaps]] — sitemap payloads are
+    * domain-grain, the parsed URL set is page-grain) and the page stream
+    * LEFT-joins it on the url equi-key per micro-batch, so every fetched
+    * page carries its `listed` flag with no streaming state. At 100 TB
+    * the static side partitions by url once; each batch shuffles only
+    * its own rows into the join — never a broadcast of a corpus-scale
+    * inventory.
+    */
+  def sitemapMarkedStream(docStream: DataFrame, inventory: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val listed = inventory.select(col("url")).distinct()
+      .withColumn("listed", lit(true))
+    docStream.withColumn("url", col("source"))
+      .join(listed, Seq("url"), "left")
+      .withColumn("listed", coalesce(col("listed"), lit(false)))
+      .drop("url")
+  }
+
+  /** Per-batch state writer for the FETCH FRONTIER — listed-not-yet-
+    * fetched, the crawl's next wave. The frontier is a property of the
+    * stream's LIFETIME fetch set, so it lives in the state-dir pattern
+    * ([[cardStateWriter]]): each batch lands its fetched-url partial
+    * idempotently (per-batch-directory overwrite), then refreshes
+    * `stateDir/frontier` (inventory ANTI fetched-so-far) and
+    * `stateDir/coverage` (per-domain listed / fetched-listed / frontier
+    * counts). After the last batch both equal the batch audit over the
+    * same pages (CorpusIngestSpec pins two-wave convergence and replay
+    * idempotence). State per batch is url-grain but 1 column wide — the
+    * persisted-state trade the incremental card's fingerprint leg makes.
+    */
+  def frontierStateWriter(spark: SparkSession, inventory: DataFrame,
+                          stateDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      batch.select(org.apache.spark.sql.functions.col("source").as("url")).distinct()
+        .write.mode("overwrite").parquet(s"$stateDir/fetched/batch_id=$batchId")
+      frontierFromState(spark, stateDir, inventory)
+        .write.mode("overwrite").parquet(s"$stateDir/frontier")
+      coverageFromState(spark, stateDir, inventory)
+        .write.mode("overwrite").parquet(s"$stateDir/coverage")
+    }
+
+  /** The current frontier: every listed URL no batch has fetched yet —
+    * a url-keyed anti-join, both sides honestly page-grain.
+    */
+  def frontierFromState(spark: SparkSession, stateDir: String,
+                        inventory: DataFrame): DataFrame =
+    inventory.select("regdom", "url").distinct()
+      .join(spark.read.parquet(s"$stateDir/fetched").drop("batch_id"),
+        Seq("url"), "left_anti")
+
+  /** The current per-domain coverage: listed / fetched-listed / frontier
+    * counts over everything fetched so far.
+    */
+  def coverageFromState(spark: SparkSession, stateDir: String,
+                        inventory: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val listed = inventory.select("regdom", "url").distinct()
+    val fetched = spark.read.parquet(s"$stateDir/fetched")
+      .drop("batch_id").distinct().withColumn("fetched", lit(true))
+    listed.join(fetched, Seq("url"), "left")
+      .groupBy("regdom")
+      .agg(count(lit(1)).as("n_listed"),
+        count(col("fetched")).as("n_fetched_listed"))
+      .withColumn("n_frontier", col("n_listed") - col("n_fetched_listed"))
+  }
+
+  def startSitemapFrontier(docStream: DataFrame, inventory: DataFrame,
+                           stateDir: String, checkpointDir: String,
+                           triggerInterval: String = "1 second"): StreamingQuery =
+    docStream.writeStream
+      .queryName("corpus_ingest_sitemap_frontier")
+      .outputMode("append")
+      .foreachBatch(frontierStateWriter(docStream.sparkSession, inventory, stateDir))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+
   def startPercentile(docStream: DataFrame, stateDir: String,
                       checkpointDir: String,
                       triggerInterval: String = "1 second"): StreamingQuery =

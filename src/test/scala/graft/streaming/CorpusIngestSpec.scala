@@ -187,6 +187,73 @@ class CorpusIngestSpec extends SparkSpec {
     assert(streamed == batch, "stream and batch admission diverge")
   }
 
+  test("sitemap frontier: streamed coverage converges to the batch audit, frontier drains wave by wave") {
+    // two domains' declared inventories, parsed from REAL sitemap XML
+    // through the same parseSitemaps the batch audit uses: s0.com a
+    // direct urlset (3 pages), s1.com a one-level index whose child
+    // lists 2 pages — so the recursion leg feeds the stream too
+    def urlset(urls: String*) =
+      """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+        urls.map(u => s"<url><loc>$u</loc></url>").mkString + "</urlset>"
+    val payloads = Seq(
+      ("s0.com", "https://s0.com/sitemap.xml", true,
+        urlset("https://s0.com/a", "https://s0.com/b", "https://s0.com/c")),
+      ("s1.com", "https://s1.com/sitemap.xml", true,
+        """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+          "<sitemap><loc>https://s1.com/maps/1.xml</loc></sitemap></sitemapindex>"),
+      ("s1.com", "https://s1.com/maps/1.xml", false,
+        urlset("https://s1.com/x", "https://s1.com/y"))
+    ).toDF("regdom", "loc", "is_root", "xml")
+    val inventory = graft.pipeline.Sitemaps.parseSitemaps(payloads)
+
+    def doc(id: Long, url: String) = Doc(id, s"doc $id body", "en", url, 10L)
+    val wave1 = Seq(doc(1, "https://s0.com/a"), doc(2, "https://s0.com/nope"),
+      doc(3, "https://s1.com/x"))
+    val wave2 = Seq(doc(4, "https://s0.com/b"), doc(5, "https://other.com/z"))
+    val stateDir = Files.createTempDirectory("graft_frontier_state").toString
+    val ckpt = Files.createTempDirectory("graft_frontier_ckpt").toString
+
+    // the marked stream: listed flags per fetched page, stream == batch
+    val src = MemoryStream[Doc]
+    val marked = CorpusIngest.sitemapMarkedStream(src.toDF, inventory)
+      .writeStream.queryName("sitemap_marked").outputMode("append")
+      .format("memory").start()
+    val src2 = MemoryStream[Doc]
+    val q = CorpusIngest.startSitemapFrontier(src2.toDF, inventory, stateDir, ckpt)
+    def frontierUrls() = spark.read.parquet(s"$stateDir/frontier")
+      .select("url").as[String].collect().toSet
+    try {
+      src.addData(wave1: _*); marked.processAllAvailable()
+      src2.addData(wave1: _*); q.processAllAvailable()
+      // after wave 1 the frontier holds exactly the listed-unfetched pages
+      assert(frontierUrls() == Set("https://s0.com/b", "https://s0.com/c",
+        "https://s1.com/y"))
+      src.addData(wave2: _*); marked.processAllAvailable()
+      src2.addData(wave2: _*); q.processAllAvailable()
+    } finally { marked.stop(); q.stop() }
+
+    val streamedMarks = spark.table("sitemap_marked")
+      .select("doc_id", "listed").as[(Long, Boolean)].collect().toSet
+    assert(streamedMarks == Set((1L, true), (2L, false), (3L, true),
+      (4L, true), (5L, false)))
+    // stream == batch: the same marking operator over the same rows
+    val batchMarks = CorpusIngest.sitemapMarkedStream(
+      (wave1 ++ wave2).toDF(), inventory)
+      .select("doc_id", "listed").as[(Long, Boolean)].collect().toSet
+    assert(streamedMarks == batchMarks)
+
+    // the drained frontier and per-domain coverage equal the batch audit
+    assert(frontierUrls() == Set("https://s0.com/c", "https://s1.com/y"))
+    val cov = spark.read.parquet(s"$stateDir/coverage")
+      .select("regdom", "n_listed", "n_fetched_listed", "n_frontier")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(cov == Set(("s0.com", 3L, 2L, 1L), ("s1.com", 2L, 1L, 1L)))
+
+    // crash replay: re-running a committed batch changes nothing
+    CorpusIngest.frontierStateWriter(spark, inventory, stateDir)(wave1.toDF(), 0L)
+    assert(frontierUrls() == Set("https://s0.com/c", "https://s1.com/y"))
+  }
+
   test("watermarked ingest dedup: duplicates dropped inside the horizon, state evicted past it") {
     def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $hhmm:00")
     val src = MemoryStream[(Long, String, java.sql.Timestamp)]
