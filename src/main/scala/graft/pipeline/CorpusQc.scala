@@ -1120,13 +1120,23 @@ object CorpusQc extends QueryModule {
   val CompressRatioMin = 0.25
   val CompressRatioMax = 0.95
 
-  /** Root of the materialized digest→coded-length artifacts (one subdir
-    * per SF tag; the oracle reads the glob and joins on digest).
+  /** Root of the materialized digest→coded-length artifacts. The writer
+    * and the oracle glob BOTH scope to the zstd-jni library version
+    * (`ZstdVersion.VERSION` — a static on the same classpath that
+    * produced the lengths), so an artifact left by an OLDER zstd never
+    * fans out the digest join with stale lengths: a version bump simply
+    * reads an empty dir until the query re-materializes (loud — the
+    * oracle's inner join drops every row). Same-version artifacts from
+    * another SF or another run are byte-identical per digest (zstd is
+    * deterministic) and collapse under the DISTINCT.
     */
   val LensRoot = "/tmp/graft_oracle_feed/zstd_lens"
 
+  private val LensVersionDir =
+    s"$LensRoot/zstd_${com.github.luben.zstd.util.ZstdVersion.VERSION.replaceAll("[^A-Za-z0-9.]+", "_")}"
+
   private def lensDir(sfDir: String): String =
-    s"$LensRoot/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")}"
+    s"$LensVersionDir/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")}"
 
   /** The Spark-computed codec leg the oracle consumes: one coded length
     * per distinct text digest (zstd is deterministic, so the digest grain
@@ -1163,7 +1173,7 @@ object CorpusQc extends QueryModule {
   private val compressRatioSql =
     s"""WITH lens AS (
           SELECT DISTINCT digest, n_zstd_bytes
-          FROM '$LensRoot/*/*.parquet'
+          FROM '$LensVersionDir/*/*.parquet'
         ), d AS (
           SELECT doc_id, md5(text) AS digest,
                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

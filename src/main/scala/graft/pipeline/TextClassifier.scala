@@ -29,8 +29,15 @@ import graft.{QueryModule, Scratch, Tables}
   * with no doubles anywhere. The comparison terms grow ~quartically
   * with corpus size (≈1.8e16 at sf0.1 — only ~500× BIGINT headroom),
   * so the verdict comparison itself runs in DECIMAL(38,0) (DuckDB:
-  * HUGEINT) — exact to ~1e38, safe past 100 TB; the shipped model,
-  * dots, and counts stay BIGINT.
+  * HUGEINT); the shipped model, dots, and counts stay BIGINT. The
+  * honest bound: exact while every cross-multiplied term stays under
+  * ~1e38, i.e. roughly 1e4–1e5× the sf0.1 corpus under the measured
+  * quartic growth — ample for this engine's tested scales, but NOT
+  * unconditional: past it Spark's non-ANSI DECIMAL overflow yields
+  * NULL (the CASE falls through to the next arm — a silent
+  * misprediction) while DuckDB's HUGEINT throws, so the failure modes
+  * DIVERGE rather than reject together. A corpus within sight of that
+  * bound should shard training per class before trusting the verdict.
   *
   * Features: token counts hashed into [[Buckets]] buckets (md5 → 60-bit
   * int, MASKED — `& 63`, never `% 64`, per the signed-modulo hazard).

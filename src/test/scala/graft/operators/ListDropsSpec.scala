@@ -97,4 +97,29 @@ class ListDropsSpec extends SparkSpec {
     intercept[java.io.FileNotFoundException](
       Streams.listDrops(spark, "/does/not/exist/graft", JsonlRe).collect())
   }
+
+  test("tiny streams (shorter than any container magic) reject in every front door") {
+    // Streams.sniffed passes sub-4-byte streams through undispatched; the
+    // contract (documented in its scaladoc) is that every downstream
+    // grammar rejects them with its own message — pinned here per format
+    def tiny(name: String): String = {
+      val dir = Files.createTempDirectory("graft_tiny")
+      mk(dir, name, Array[Byte](0x1f, 0x8b.toByte)) // a bare gzip magic
+      dir.toString
+    }
+    intercept[Exception](Jsonl.docsFromPaths(spark, tiny("1.jsonl.gz")).collect())
+    intercept[Exception](Tar.docsFromPaths(spark, tiny("1.tar.gz")).collect())
+    intercept[Exception](Warc.docsFromPaths(spark, tiny("1.warc.gz")).collect())
+    intercept[Exception](Zip.docsFromPaths(spark, tiny("1.zip")).collect())
+    // and the 1-byte case, under every magic's width
+    def one(name: String): String = {
+      val dir = Files.createTempDirectory("graft_tiny1")
+      mk(dir, name, Array[Byte]('P'))
+      dir.toString
+    }
+    intercept[Exception](Jsonl.docsFromPaths(spark, one("2.jsonl")).collect())
+    intercept[Exception](Tar.docsFromPaths(spark, one("2.tar")).collect())
+    intercept[Exception](Warc.docsFromPaths(spark, one("2.warc")).collect())
+    intercept[Exception](Zip.docsFromPaths(spark, one("2.zip")).collect())
+  }
 }
