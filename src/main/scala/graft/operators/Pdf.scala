@@ -626,6 +626,86 @@ object Pdf extends QueryModule {
   }
 
   // ---------------------------------------------------------------
+  // Front doors: PDF buckets → documents rows
+  // ---------------------------------------------------------------
+
+  /** `<id>.pdf` drops → `documents`-shaped rows, one row per PAGE:
+    * doc_id = fileId·2²⁴ + page index (the [[Warc.docsFromFiles]]
+    * scheme — a real PDF corpus runs to thousands of pages, 16M is
+    * generous headroom and overflow rejects loudly), text = the page's
+    * extracted text, source = `<file name>#page=<n>` (1-based, the URL
+    * fragment convention viewers use). Works on a batch OR streaming
+    * binaryFile frame; whole-file bytes are inherent to the format (the
+    * xref lives at the tail), the same per-task memory contract as
+    * [[Zip.entriesFromFile]].
+    */
+  def docsFromFiles(files: DataFrame): DataFrame = {
+    import files.sparkSession.implicits._
+    files
+      .select(
+        expr("try_cast(regexp_extract(path, '(?i)(?:^|/)([0-9]+)\\\\.pdf$', 1) as long)")
+          .as("file_id"),
+        expr("regexp_extract(path, '([^/]+)$', 1)").as("name"),
+        col("content"))
+      .filter(col("file_id").isNotNull)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fileId, name, bytes) =>
+        require(fileId < (1L << 39),
+          s"pdf file id $fileId exceeds the 2^39 doc_id file-slot space")
+        pageRows(fileId, name, bytes)
+      })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def pageRows(fileId: Long, name: String,
+      bytes: Array[Byte]): Iterator[(Long, String, String, String, Long)] = {
+    val pages = extractPages(bytes)
+    require(pages.length < (1 << 24),
+      s"pdf file $fileId: ${pages.length} pages exceed the 2^24 doc_id slot space")
+    pages.iterator.zipWithIndex.map { case (text, i) =>
+      ((fileId << 24) | i, text, "und", s"$name#page=${i + 1}",
+        text.codePointCount(0, text.length).toLong)
+    }
+  }
+
+  /** The streaming landing shape: PDF drops appearing in `dir` stream
+    * through binaryFile into page-grain document rows, micro-batch by
+    * micro-batch — feeds [[graft.streaming.CorpusIngest.start]] exactly
+    * like the WARC/TAR/ZIP/JSONL front doors.
+    */
+  def docStream(spark: SparkSession, dir: String): DataFrame =
+    docsFromFiles(spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
+
+  /** [[docsFromFiles]] by PATH — the huge-bucket front door: the bucket
+    * lists DISTRIBUTED via [[Streams.dropTasks]] (one root `listStatus`
+    * on the driver, sharded prefix subdirs walked inside tasks), each
+    * task reads its files fully (PDF random access needs the whole
+    * file) and walks the page tree. Same doc_id scheme and row shape as
+    * [[docsFromFiles]] (parity-pinned in PdfSpec).
+    */
+  def docsFromPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Streams.dropTasks(spark, dir, "(?i)^([0-9]+)\\.pdf$")
+      .mapPartitions { ps =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        ps.flatMap { case (fileId, p) =>
+          require(fileId < (1L << 39),
+            s"pdf file id $fileId exceeds the 2^39 doc_id file-slot space")
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(conf)
+          val len = fs.getFileStatus(path).getLen
+          val bytes = new Array[Byte](len.toInt)
+          val in = fs.open(path)
+          try in.readFully(0, bytes) finally in.close()
+          pageRows(fileId, path.getName, bytes)
+        }
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  // ---------------------------------------------------------------
   // pdf_text_extract: the SQL-emitted fixture, raw + FlateDecode legs
   // ---------------------------------------------------------------
 
@@ -802,29 +882,17 @@ object Pdf extends QueryModule {
           java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$fid.pdf"), pdf)
         }
     }
-    Streams.dropTasks(spark, dir, "^([0-9]+)\\.pdf$")
-      .mapPartitions { ps =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        ps.flatMap { case (fid, p) =>
-          require(fid < (1L << 39),
-            s"pdf file id $fid exceeds the 2^39 doc_id file-slot space")
-          val path = new org.apache.hadoop.fs.Path(p)
-          val fs = path.getFileSystem(conf)
-          val len = fs.getFileStatus(path).getLen
-          val bytes = new Array[Byte](len.toInt)
-          val in = fs.open(path)
-          try in.readFully(0, bytes) finally in.close()
-          extractPages(bytes).zipWithIndex.map { case (text, i) =>
-            require(i < (1 << 24),
-              s"pdf file $fid: page $i exceeds the 2^24 doc_id slot space")
-            val lines = text.split("\n", -1)
-            require(lines.length == 2 && lines(1).startsWith("H"),
-              s"pdf file $fid page $i: expected 2 lines with the H sentinel")
-            ((fid << 24) | i, lines(0).toLong, lines(1).substring(1))
-          }
-        }
-      }
-      .toDF("doc_id", "src_id", "page_hex")
+    // re-ingest through the PRODUCTION front door; the fixture's 2-line
+    // page shape (id, H-sentinel hex) unpacks declaratively, loud when
+    // the shape is wrong
+    docsFromPaths(spark, dir)
+      .select(col("doc_id"), expr("split(text, '\\n')").as("lines"))
+      .select(col("doc_id"),
+        expr("""CASE WHEN size(lines) = 2 AND lines[1] LIKE 'H%'
+                     THEN cast(lines[0] AS bigint)
+                     ELSE cast(raise_error(concat('pdf fixture page shape lost at doc ',
+                            doc_id)) AS bigint) END""").as("src_id"),
+        expr("substring(lines[1], 2)").as("page_hex"))
       .select(col("doc_id"), col("src_id"), md5(col("page_hex")).as("digest"),
         length(col("page_hex")).cast("long").as("n_chars"))
       .orderBy("doc_id")

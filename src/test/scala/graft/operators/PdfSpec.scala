@@ -177,6 +177,48 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extractText(ascii(sb.toString)) == "indirect")
   }
 
+  test("front doors: batch scan == path walk, page-grain doc_ids, source fragments") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_pdf_bucket")
+    Files.write(Paths.get(dir.toString, "7.pdf"),
+      Pdf.buildPdf(Seq(Seq("alpha page"), Seq("beta page")), flate = false))
+    Files.write(Paths.get(dir.toString, "8.pdf"),
+      Pdf.buildPdf(Seq(Seq("gamma page")), flate = true))
+    Files.write(Paths.get(dir.toString, "draft9.pdf"), "not a drop".getBytes)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val batch = rows(Pdf.docsFromFiles(
+      spark.read.format("binaryFile").load(dir.toString)))
+    assert(batch == Set(
+      Seq((7L << 24) | 0, "alpha page", "und", "7.pdf#page=1", 10L),
+      Seq((7L << 24) | 1, "beta page", "und", "7.pdf#page=2", 9L),
+      Seq(8L << 24, "gamma page", "und", "8.pdf#page=1", 10L)))
+    assert(rows(Pdf.docsFromPaths(spark, dir.toString)) == batch)
+  }
+
+  test("pdf drops stream through CorpusIngest like documents") {
+    import java.nio.file.{Files, Paths}
+    val blobDir = Files.createTempDirectory("graft_pdf_stream").toString
+    val outDir = Files.createTempDirectory("graft_pdf_out").toString
+    val ckpt = Files.createTempDirectory("graft_pdf_ckpt").toString
+    Files.write(Paths.get(blobDir, "3.pdf"),
+      Pdf.buildPdf(Seq(Seq("the quick brown fox document")), flate = true))
+    val q = graft.streaming.CorpusIngest.start(
+      Pdf.docStream(spark, blobDir), Sf0001, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      Files.write(Paths.get(blobDir, "4.pdf"),
+        Pdf.buildPdf(Seq(Seq("a second landed pdf drop")), flate = false))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchDocs = Pdf.docsFromFiles(
+      spark.read.format("binaryFile").load(blobDir))
+    assert(batchDocs.count() == 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(spark.read.parquet(s"$outDir/chunks").drop("batch_id")) ==
+      rows(graft.pipeline.TrainPrep.chunkDocsOf(batchDocs)))
+  }
+
   test("the two registry queries run end to end at sf0.001") {
     val te = Pdf.pdfTextExtract(spark, Sf0001).collect()
     assert(te.nonEmpty)

@@ -26,14 +26,20 @@ properties that matter for those guards:
 """
 import duckdb, os, sys, string
 
-SRC = "/root/testdata/sf0.1"
+# args: [DST] [SRC] — SRC defaults to the driver's sf0.1; passing the
+# sf1 probe as SRC builds the SECOND decade (sf10) with the same
+# transforms (key strides derived from the source row counts).
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_probe"
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 COPIES = 10
-N_DOC, N_CUST, N_ORD = 5000, 15000, 150000
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 con.execute(f"SET threads TO 16")
+N_DOC = con.sql(f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
+N_CUST = con.sql(f"SELECT max(c_custkey) + 1 FROM '{SRC}/customer.parquet'").fetchone()[0]
+N_ORD = con.sql(f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+print(f"src sizes: docs={N_DOC} custStride={N_CUST} ordStride={N_ORD}")
 
 def write(name, sql):
     con.execute(f"COPY ({sql}) TO '{DST}/{name}.parquet' (FORMAT PARQUET)")
