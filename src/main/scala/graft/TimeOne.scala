@@ -6,7 +6,10 @@ package graft
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local("32")
+    // SPARK_GRAFT_CPUS (the Bench convention) sizes local threads AND the
+    // shuffle fan-out — the sf10 probe needs partitions ∝ data where the
+    // default 32 holds whole-partition agg state an sf10 shard outgrows
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val sfDir = args(0)
     args.drop(1).foreach { q =>
       val t0 = System.nanoTime()
