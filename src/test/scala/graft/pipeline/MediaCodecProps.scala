@@ -252,4 +252,28 @@ object MediaCodecProps extends Properties("mediacodec") {
       clip.width == w && clip.height == h && clip.frames.length == nf &&
         clip.frames.zip(frames).forall { case (a, b) => a.toSeq == b.toSeq }
     }
+
+  // ---- EXIF orientation group laws (mm_ahash_oriented's transform) ----
+
+  private def same(a: MediaCodec.RasterImage, b: MediaCodec.RasterImage): Boolean =
+    a.width == b.width && a.height == b.height && a.rgb.toSeq == b.rgb.toSeq
+
+  property("orientation involutions: 2, 3, 4, 5, 7 applied twice are identity") =
+    forAll(imageGen, Gen.oneOf(2, 3, 4, 5, 7)) { (img, o) =>
+      same(applyOrientation(applyOrientation(img, o), o), img)
+    }
+
+  property("orientation rotations: 6 then 8 and 8 then 6 are identity; 6 twice is 3") =
+    forAll(imageGen) { img =>
+      same(applyOrientation(applyOrientation(img, 6), 8), img) &&
+        same(applyOrientation(applyOrientation(img, 8), 6), img) &&
+        same(applyOrientation(applyOrientation(img, 6), 6), applyOrientation(img, 3))
+    }
+
+  property("orientation preserves the pixel multiset (it only moves pixels)") =
+    forAll(imageGen, Gen.choose(1, 8)) { (img, o) =>
+      def pixels(r: MediaCodec.RasterImage): Seq[(Int, Int, Int)] =
+        r.rgb.grouped(3).map(p => (p(0) & 0xff, p(1) & 0xff, p(2) & 0xff)).toSeq.sorted
+      pixels(applyOrientation(img, o)) == pixels(img)
+    }
 }
