@@ -68,17 +68,36 @@ private[graft] object Streams {
         })
   }
 
-  /** [[listDrops]] round-robined into walk tasks at 4× cluster
-    * parallelism — proportional to the CLUSTER, not a constant cap: the
-    * shuffle carries only (id, path) tuples, empty partitions on a small
-    * bucket cost scheduling noise, and a crawl-scale bucket fans its
-    * per-file walks across every executor. All four path-walk front
-    * doors (JSONL/TAR/ZIP/WARC) and the `*_files_ingest` re-ingests
-    * route through here.
+  /** [[listDrops]] sharded into walk tasks at 4× cluster parallelism —
+    * proportional to the CLUSTER, not a constant cap: the shuffle
+    * carries only (id, path) tuples, empty partitions on a small bucket
+    * cost scheduling noise, and a crawl-scale bucket fans its per-file
+    * walks across every executor. The shard key is the file ID (ids are
+    * unique by contract, so hash-by-id spreads exactly like round-robin)
+    * which co-locates any DUPLICATE id — the same numeric name landed in
+    * two subdirs would otherwise ingest twice and collide in the
+    * `fileId << 24` doc_id space downstream — so the walk rejects it
+    * loudly instead. All four path-walk front doors (JSONL/TAR/ZIP/WARC)
+    * and the `*_files_ingest` re-ingests route through here.
     */
-  def dropTasks(spark: SparkSession, dir: String, fileRe: String): Dataset[(Long, String)] =
+  def dropTasks(spark: SparkSession, dir: String, fileRe: String): Dataset[(Long, String)] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
     listDrops(spark, dir, fileRe)
-      .repartition(4 * spark.sparkContext.defaultParallelism)
+      .repartition(4 * spark.sparkContext.defaultParallelism, col("_1"))
+      .mapPartitions { it =>
+        val seen = scala.collection.mutable.LongMap.empty[String]
+        it.map { case t @ (id, p) =>
+          seen.get(id) match {
+            case Some(prev) => throw new IllegalArgumentException(
+              s"drop id $id appears at two paths ('$prev' and '$p') — " +
+                "duplicate numeric names collide in the doc_id file-slot space")
+            case None => seen(id) = p
+          }
+          t
+        }
+      }
+  }
 
   /** Sniff the stream head and wrap with the matching INCREMENTAL
     * decompressor — `GZIPInputStream` (multi-member concat, per-member

@@ -93,6 +93,20 @@ class ListDropsSpec extends SparkSpec {
     assert(walk == batch)
   }
 
+  test("duplicate drop ids across subdirs reject loudly, not silently collide") {
+    // the same numeric name in two shards would ingest twice and collide
+    // in the fileId<<24 doc_id space — dropTasks hash-shards by id, so
+    // both copies land in one task and the walk names the clash
+    val root = Files.createTempDirectory("graft_listdrops_dup")
+    mk(root, "a/7.jsonl")
+    mk(root, "b/7.jsonl")
+    val e = intercept[Exception](
+      Streams.dropTasks(spark, root.toString, JsonlRe).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("\n")
+    assert(msgs.contains("drop id 7 appears at two paths"), msgs)
+  }
+
   test("a missing bucket rejects loudly") {
     intercept[java.io.FileNotFoundException](
       Streams.listDrops(spark, "/does/not/exist/graft", JsonlRe).collect())
