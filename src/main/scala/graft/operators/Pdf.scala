@@ -8,20 +8,25 @@ import graft.{QueryModule, Tables}
 /** PDF text extraction — the other dominant text-bearing LLM-corpus
   * landing format next to HTML/WARC/JSONL. A pure-JVM walk of the
   * public ISO 32000-1 grammar: header check, classic `xref` table
-  * (+`/Prev` incremental-update chain), trailer, page-tree walk in
+  * (+`/Prev` incremental-update chain), PDF 1.5 cross-reference
+  * STREAMS (§7.5.8: `/W`/`/Index` binary rows, `/DecodeParms` PNG
+  * predictors) and object streams (§7.5.7 ObjStm — the compressed
+  * layout virtually every post-2005 producer emits), hybrid-reference
+  * files (`/XRefStm` in a classic trailer), trailer, page-tree walk in
   * `/Kids` order, per-page `/Contents` streams (raw or `/FlateDecode`
   * via `java.util.zip.Inflater` — the in-tree raw/zlib sniff proven in
   * [[Zip]]), and the text-showing content operators
-  * (`Tj`/`'`/`"`/`TJ`, line advances `Td`/`TD`/`T*`). Reference twin:
-  * the S2 opaque-files-in/rows-out scan (`q3_json_processing.py:25-29`)
-  * — the landing format changes, the contract does not.
+  * (`Tj`/`'`/`"`/`TJ`, line advances `Td`/`TD`/`T*`/`Tm`). Reference
+  * twin: the S2 opaque-files-in/rows-out scan
+  * (`q3_json_processing.py:25-29`) — the landing format changes, the
+  * contract does not.
   *
   * Loud-reject discipline (the [[graft.pipeline.Exif]] style): anything
   * outside the supported profile throws with a named reason — encrypted
-  * documents, cross-reference STREAMS (PDF 1.5 compressed xref),
-  * filters other than FlateDecode, `/DecodeParms` predictors, inline
-  * images (`BI` — binary payload breaks the token grammar), malformed
-  * strings/offsets/checked keywords — never a silent empty result.
+  * documents, filters other than FlateDecode, TIFF (`Predictor 2`)
+  * prediction, inline images (`BI` — binary payload breaks the token
+  * grammar), malformed strings/offsets/checked keywords — never a
+  * silent empty result.
   */
 object Pdf extends QueryModule {
 
@@ -269,14 +274,200 @@ object Pdf extends QueryModule {
   // Document walk
   // ---------------------------------------------------------------
 
+  /** One cross-reference entry: a byte offset in the file (type 1) or a
+    * slot inside a `/Type /ObjStm` object stream (type 2, §7.5.8.3).
+    */
+  private sealed trait XEntry
+  private final case class XOff(off: Long) extends XEntry
+  private final case class XInStm(stm: Long, idx: Int) extends XEntry
+
   /** One loaded document: xref map, trailer, object cache. */
   final class Document(bytes: Array[Byte]) {
     require(bytes.length >= 16, "pdf: file shorter than any PDF")
     require(new String(bytes, 0, 5, "US-ASCII") == "%PDF-",
       "pdf: missing %PDF- header")
 
-    private val xref = scala.collection.mutable.LongMap.empty[Long]
+    private val xref = scala.collection.mutable.LongMap.empty[XEntry]
+    /** Object numbers already claimed by a NEWER section — in-use, free,
+      * or unknown-typed: all three shadow older /Prev entries
+      * (ISO 32000-1 §7.5.4), so a freed object cannot resurrect at a
+      * stale offset.
+      */
+    private val xrefSeen = scala.collection.mutable.Set.empty[Long]
     private var root: PRef = _
+
+    /** Parse the object headed at byte `off`: (number, value, raw stream
+      * bytes). `lenOf` supplies the `/Length` lookup — indirect-capable
+      * in the general case, direct-only for cross-reference streams
+      * parsed before the xref itself is complete (§7.5.8.2 requires
+      * their dictionary entries to be direct).
+      */
+    private def parseObjAt(off: Int, lenOf: PDict => Long): (Long, PVal, Option[Array[Byte]]) = {
+      val lx = new Lexer(bytes, off, ops = false)
+      val num = lx.parseValue().asInstanceOf[PNum].int
+      lx.parseValue().asInstanceOf[PNum] // generation
+      lx.expectKeyword("obj")
+      val v = lx.parseValue()
+      lx.skipWs()
+      if (lx.peekKeyword("stream")) {
+        val d = v match {
+          case d: PDict => d
+          case _ => fail("stream object without a dictionary")
+        }
+        lx.pos += "stream".length
+        // spec: `stream` is followed by CRLF or LF, never CR alone
+        if (lx.pos < bytes.length && bytes(lx.pos) == '\r') lx.pos += 1
+        require(lx.pos < bytes.length && bytes(lx.pos) == '\n',
+          "pdf: 'stream' keyword not followed by an end-of-line")
+        lx.pos += 1
+        val len = lenOf(d)
+        require(len >= 0 && lx.pos + len <= bytes.length,
+          s"pdf: stream of length $len runs past EOF")
+        val data = java.util.Arrays.copyOfRange(bytes, lx.pos, lx.pos + len.toInt)
+        lx.pos += len.toInt
+        lx.expectKeyword("endstream")
+        (num, v, Some(data))
+      } else {
+        lx.expectKeyword("endobj")
+        (num, v, None)
+      }
+    }
+
+    /** Load one cross-reference SECTION at `off` — a classic `xref`
+      * table (buffering its entries so a hybrid-reference `/XRefStm`
+      * stream, which takes precedence, applies first) or a PDF 1.5
+      * `/Type /XRef` stream. Returns the section's trailer dictionary
+      * (for xref streams, the stream dictionary IS the trailer).
+      */
+    private def loadSection(off: Int): PDict = {
+      val x = new Lexer(bytes, off, ops = false)
+      if (!x.peekKeyword("xref")) return loadXrefStream(off)
+      x.expectKeyword("xref")
+      x.skipWs()
+      val pending = Vector.newBuilder[(Long, Boolean, Long)]
+      while (!x.peekKeyword("trailer")) {
+        val start = x.parseValue().asInstanceOf[PNum].int
+        val count = x.parseValue().asInstanceOf[PNum].int
+        var i = 0L
+        while (i < count) {
+          x.skipWs()
+          require(x.pos + 18 <= bytes.length, "pdf: truncated xref entry")
+          val entry = new String(bytes, x.pos, 18, "US-ASCII")
+          require(entry.matches("[0-9]{10} [0-9]{5} [fn]"),
+            s"pdf: malformed xref entry '$entry'")
+          pending += ((start + i, entry.charAt(17) == 'n', entry.substring(0, 10).toLong))
+          x.pos += 18
+          i += 1
+        }
+        x.skipWs()
+      }
+      x.expectKeyword("trailer")
+      val tr = x.parseValue().asInstanceOf[PDict]
+      // hybrid-reference file (§7.5.8.4): the accompanying xref STREAM's
+      // entries take precedence over this classic section's
+      tr.m.get("XRefStm") match {
+        case None => ()
+        case Some(p: PNum) =>
+          require(p.int >= 0 && p.int < bytes.length,
+            s"pdf: /XRefStm offset ${p.int} beyond EOF")
+          loadXrefStream(p.int.toInt)
+        case Some(other) => fail(s"/XRefStm is not an integer (got $other)")
+      }
+      pending.result().foreach { case (num, inUse, o) =>
+        if (!xrefSeen.contains(num)) {
+          xrefSeen += num
+          if (inUse) xref(num) = XOff(o)
+        }
+      }
+      tr
+    }
+
+    /** Load a §7.5.8 cross-reference stream at `off`: `/W`-described
+      * big-endian rows over the `/Index` subsections, decoded through
+      * the shared filter + PNG-predictor path. Free (type 0) and
+      * unknown-typed entries mark their object numbers seen — shadowing
+      * — without an offset (§7.5.8.3 says unknown types read as null).
+      */
+    private def loadXrefStream(off: Int): PDict = {
+      // §7.5.8.2: every key in an xref stream dictionary must be direct
+      val direct: PVal => PVal = {
+        case _: PRef => fail("cross-reference stream dictionary keys must be direct")
+        case v => v
+      }
+      def directInt(d: PDict, k: String): Long =
+        direct(d.m.getOrElse(k, fail(s"cross-reference stream without /$k"))) match {
+          case n: PNum => n.int
+          case other => fail(s"cross-reference stream /$k is not an integer (got $other)")
+        }
+      val (_, v, data) = parseObjAt(off, directInt(_, "Length"))
+      val d = v match {
+        case d: PDict => d
+        case other => fail("startxref target is neither an 'xref' table nor a " +
+          s"cross-reference stream (got $other)")
+      }
+      d.m.get("Type") match {
+        case Some(PName("XRef")) => ()
+        case other => fail("startxref target is neither an 'xref' table nor a " +
+          s"/Type /XRef cross-reference stream (got $other)")
+      }
+      val rows = decodeStream(d,
+        data.getOrElse(fail("cross-reference stream without stream data")), direct)
+      val ws = direct(d.m.getOrElse("W", fail("cross-reference stream without /W"))) match {
+        case PArr(items) if items.length == 3 => items.map(direct(_) match {
+          case n: PNum => n.int.toInt
+          case other => fail(s"/W element is not an integer (got $other)")
+        })
+        case other => fail(s"/W is not a 3-element array (got $other)")
+      }
+      require(ws.forall(w => w >= 0 && w <= 8) && ws(1) > 0,
+        s"pdf: /W widths $ws out of range")
+      val size = directInt(d, "Size")
+      val index: Vector[(Long, Long)] = d.m.get("Index") match {
+        case None => Vector((0L, size))
+        case Some(PArr(items)) =>
+          require(items.length % 2 == 0, "pdf: /Index has an odd element count")
+          items.grouped(2).map { pair =>
+            (direct(pair(0)), direct(pair(1))) match {
+              case (a: PNum, b: PNum) => (a.int, b.int)
+              case other => fail(s"/Index holds non-integers $other")
+            }
+          }.toVector
+        case Some(other) => fail(s"/Index is not an array (got $other)")
+      }
+      val rowLen = ws.sum
+      val nEntries = index.map(_._2).sum
+      require(nEntries >= 0 && rows.length == nEntries * rowLen,
+        s"pdf: cross-reference stream data is ${rows.length} bytes, " +
+          s"expected $nEntries entries of $rowLen")
+      var p = 0
+      def field(w: Int): Long = {
+        var acc = 0L; var k = 0
+        while (k < w) { acc = (acc << 8) | (rows(p) & 0xff); p += 1; k += 1 }
+        acc
+      }
+      index.foreach { case (start, count) =>
+        var i = 0L
+        while (i < count) {
+          val t = if (ws(0) == 0) 1L else field(ws(0)) // w1=0: type defaults to 1
+          val f2 = field(ws(1))
+          val f3 = field(ws(2))
+          val num = start + i
+          if (!xrefSeen.contains(num)) {
+            xrefSeen += num
+            t match {
+              case 0 => () // free — seen, shadowing only
+              case 1 => xref(num) = XOff(f2)
+              case 2 =>
+                require(f3 <= Int.MaxValue, s"pdf: object-stream index $f3 out of range")
+                xref(num) = XInStm(f2, f3.toInt)
+              case _ => () // §7.5.8.3: unknown entry types read as the null object
+            }
+          }
+          i += 1
+        }
+      }
+      d
+    }
 
     locally {
       // locate the LAST `startxref` in the tail — incremental updates
@@ -293,31 +484,7 @@ object Pdf extends QueryModule {
       while (off >= 0) {
         require(hops < 16, "pdf: /Prev chain longer than 16 updates")
         require(off < bytes.length, s"pdf: xref offset $off beyond EOF")
-        val x = new Lexer(bytes, off.toInt, ops = false)
-        if (!x.peekKeyword("xref"))
-          fail("cross-reference stream (PDF 1.5 compressed xref) unsupported")
-        x.expectKeyword("xref")
-        x.skipWs()
-        while (!x.peekKeyword("trailer")) {
-          val start = x.parseValue().asInstanceOf[PNum].int
-          val count = x.parseValue().asInstanceOf[PNum].int
-          var i = 0L
-          while (i < count) {
-            x.skipWs()
-            require(x.pos + 18 <= bytes.length, "pdf: truncated xref entry")
-            val entry = new String(bytes, x.pos, 18, "US-ASCII")
-            require(entry.matches("[0-9]{10} [0-9]{5} [fn]"),
-              s"pdf: malformed xref entry '$entry'")
-            // newest table wins: earlier (newer) updates were loaded first
-            if (entry.charAt(17) == 'n' && !xref.contains(start + i))
-              xref(start + i) = entry.substring(0, 10).toLong
-            x.pos += 18
-            i += 1
-          }
-          x.skipWs()
-        }
-        x.expectKeyword("trailer")
-        val tr = x.parseValue().asInstanceOf[PDict]
+        val tr = loadSection(off.toInt)
         if (tr.m.contains("Encrypt")) fail("encrypted document unsupported")
         if (!rootSeen) tr.m.get("Root") match {
           case Some(r: PRef) => root = r; rootSeen = true
@@ -335,48 +502,78 @@ object Pdf extends QueryModule {
 
     private val cache = scala.collection.mutable.LongMap.empty[(PVal, Option[Array[Byte]])]
     private val resolving = scala.collection.mutable.Set.empty[Long]
+    /** Decoded object streams: payload bytes, (objnum, offset) header
+      * pairs, /First — cached so N objects don't re-inflate N times.
+      */
+    private val objStmCache =
+      scala.collection.mutable.LongMap.empty[(Array[Byte], Vector[(Long, Int)], Int)]
 
-    /** Parse object `num` at its xref offset: value + raw stream bytes.
-      * Manual cache check — resolving an indirect /Length re-enters this
-      * method mid-insert, which `getOrElseUpdate` does not tolerate.
+    /** Parse object `num` — at its xref offset, or out of its object
+      * stream for type-2 entries. Manual cache check — resolving an
+      * indirect /Length re-enters this method mid-insert, which
+      * `getOrElseUpdate` does not tolerate.
       */
     def obj(num: Long): (PVal, Option[Array[Byte]]) = cache.get(num).getOrElse {
       require(!resolving.contains(num), s"pdf: circular reference through object $num")
       resolving += num
       val computed = try {
-        val off = xref.getOrElse(num, fail(s"object $num not in xref"))
-        val lx = new Lexer(bytes, off.toInt, ops = false)
-        val n2 = lx.parseValue().asInstanceOf[PNum].int
-        require(n2 == num, s"pdf: xref points object $num at object $n2")
-        lx.parseValue().asInstanceOf[PNum] // generation
-        lx.expectKeyword("obj")
-        val v = lx.parseValue()
-        lx.skipWs()
-        if (lx.peekKeyword("stream")) {
-          val d = v match {
-            case d: PDict => d
-            case _ => fail("stream object without a dictionary")
-          }
-          lx.pos += "stream".length
-          // spec: `stream` is followed by CRLF or LF, never CR alone
-          if (lx.pos < bytes.length && bytes(lx.pos) == '\r') lx.pos += 1
-          require(lx.pos < bytes.length && bytes(lx.pos) == '\n',
-            "pdf: 'stream' keyword not followed by an end-of-line")
-          lx.pos += 1
-          val len = resolveInt(d.m.getOrElse("Length", fail("stream without /Length")))
-          require(lx.pos + len <= bytes.length,
-            s"pdf: stream of length $len runs past EOF")
-          val data = java.util.Arrays.copyOfRange(bytes, lx.pos, lx.pos + len.toInt)
-          lx.pos += len.toInt
-          lx.expectKeyword("endstream")
-          (v, Some(data))
-        } else {
-          lx.expectKeyword("endobj")
-          (v, None)
+        xref.getOrElse(num, fail(s"object $num not in xref")) match {
+          case XOff(off) =>
+            require(off >= 0 && off < bytes.length, s"pdf: xref offset $off beyond EOF")
+            val (n2, v, data) = parseObjAt(off.toInt, d =>
+              resolveInt(d.m.getOrElse("Length", fail("stream without /Length"))))
+            require(n2 == num, s"pdf: xref points object $num at object $n2")
+            (v, data)
+          case XInStm(stm, idx) =>
+            (objFromStm(stm, idx, num), None) // §7.5.7: no streams inside ObjStm
         }
       } finally resolving -= num
       cache(num) = computed
       computed
+    }
+
+    /** Object `want` = entry `idx` of object stream `stm` (§7.5.7):
+      * decode the stream once, read the N (objnum, offset) header pairs
+      * before /First, and parse the value at its offset. The header's
+      * object number must agree with the xref — a mismatch is a
+      * corrupt file, never a silent wrong object.
+      */
+    private def objFromStm(stm: Long, idx: Int, want: Long): PVal = {
+      val (payload, pairs, first) = objStmCache.get(stm).getOrElse {
+        val (v, raw) = obj(stm)
+        val d = v match {
+          case d: PDict => d
+          case other => fail(s"object stream $stm is not a stream (got $other)")
+        }
+        d.m.get("Type") match {
+          case Some(PName("ObjStm")) => ()
+          case other => fail(s"object $stm is not /Type /ObjStm (got $other)")
+        }
+        val payload = decodeStream(d,
+          raw.getOrElse(fail(s"object stream $stm has no stream data")), resolve)
+        val n = resolveInt(d.m.getOrElse("N", fail(s"object stream $stm without /N")))
+        val first = resolveInt(d.m.getOrElse("First", fail(s"object stream $stm without /First")))
+        require(n >= 0 && n <= payload.length && first >= 0 && first <= payload.length,
+          s"pdf: object stream $stm header geometry out of range")
+        val hx = new Lexer(payload, 0, ops = false)
+        val pairs = Vector.tabulate(n.toInt) { _ =>
+          val objNum = hx.parseValue().asInstanceOf[PNum].int
+          val rel = hx.parseValue().asInstanceOf[PNum].int
+          require(hx.pos <= first, s"pdf: object stream $stm header runs past /First")
+          require(rel >= 0 && first + rel <= payload.length,
+            s"pdf: object stream $stm offset $rel out of range")
+          (objNum, rel.toInt)
+        }
+        val computed = (payload, pairs, first.toInt)
+        objStmCache(stm) = computed
+        computed
+      }
+      require(idx >= 0 && idx < pairs.length,
+        s"pdf: object-stream index $idx out of range (N=${pairs.length}) in stream $stm")
+      val (objNum, rel) = pairs(idx)
+      require(objNum == want,
+        s"pdf: xref says object $want is entry $idx of stream $stm, which holds object $objNum")
+      new Lexer(payload, first + rel, ops = false).parseValue()
     }
 
     def resolve(v: PVal): PVal = v match {
@@ -435,14 +632,7 @@ object Pdf extends QueryModule {
           case other => fail(s"content object is not a stream (got $other)")
         }
         val raw = data.getOrElse(fail("content object has no stream data"))
-        if (d.m.contains("DecodeParms"))
-          fail("/DecodeParms (predictors) unsupported")
-        resolve(d.m.getOrElse("Filter", PNull)) match {
-          case PNull => raw
-          case PName("FlateDecode") => inflate(raw)
-          case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
-          case other => fail(s"filter $other unsupported (FlateDecode only)")
-        }
+        decodeStream(d, raw, resolve)
       }
       resolve(page.m.getOrElse("Contents", PNull)) match {
         case PNull => Array.emptyByteArray // a blank page is legal
@@ -460,6 +650,90 @@ object Pdf extends QueryModule {
         case other => fail(s"/Contents of unexpected type $other")
       }
     }
+  }
+
+  /** Decode one stream's payload: `/Filter` (none or a single
+    * FlateDecode) then `/DecodeParms` prediction — 1 = none, ≥10 = the
+    * PNG row filters (the cross-reference-stream shape every modern
+    * producer emits); TIFF `Predictor 2` rejects loudly. `res` resolves
+    * indirect values — `resolve` in the general case, a direct-only
+    * rejecter for cross-reference streams (§7.5.8.2).
+    */
+  private def decodeStream(d: PDict, raw: Array[Byte], res: PVal => PVal): Array[Byte] = {
+    val inflated = res(d.m.getOrElse("Filter", PNull)) match {
+      case PNull => raw
+      case PName("FlateDecode") => inflate(raw)
+      case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
+      case other => fail(s"filter $other unsupported (FlateDecode only)")
+    }
+    res(d.m.getOrElse("DecodeParms", PNull)) match {
+      case PNull => inflated
+      case parms0 =>
+        val parms = parms0 match {
+          case p: PDict => p
+          case PArr(Vector(p: PDict)) => p
+          case other => fail(s"/DecodeParms of unexpected shape $other")
+        }
+        def intOr(k: String, dflt: Int): Int = parms.m.get(k) match {
+          case None => dflt
+          case Some(v) => res(v) match {
+            case n: PNum => n.int.toInt
+            case other => fail(s"/DecodeParms /$k is not an integer (got $other)")
+          }
+        }
+        intOr("Predictor", 1) match {
+          case 1 => inflated
+          case p if p >= 10 =>
+            val columns = intOr("Columns", 1)
+            val colors = intOr("Colors", 1)
+            val bpc = intOr("BitsPerComponent", 8)
+            require(columns > 0 && colors > 0 && bpc > 0,
+              s"pdf: bad predictor geometry ($columns columns, $colors colors, $bpc bits)")
+            val bpp = math.max(1, colors * bpc / 8)
+            val rowBytes = (columns * colors * bpc + 7) / 8
+            pngUnpredict(inflated, rowBytes, bpp)
+          case p => fail(s"predictor $p unsupported (none or PNG only)")
+        }
+    }
+  }
+
+  /** Reverse the PNG row filters over `(1 + rowBytes)`-stride rows —
+    * the same None/Sub/Up/Average/Paeth recurrences (exact Paeth
+    * tie-break order) as [[graft.pipeline.MediaCodec.decodePng]]'s
+    * in-pass unfilter, here against the previous RECONSTRUCTED row.
+    */
+  private def pngUnpredict(data: Array[Byte], rowBytes: Int, bpp: Int): Array[Byte] = {
+    require(rowBytes > 0 && data.length % (rowBytes + 1) == 0,
+      s"pdf: predicted stream of ${data.length} bytes is not whole ${rowBytes + 1}-byte rows")
+    val nRows = data.length / (rowBytes + 1)
+    val out = new Array[Byte](nRows * rowBytes)
+    var r = 0
+    while (r < nRows) {
+      val base = r * (rowBytes + 1)
+      val filter = data(base) & 0xff
+      var i = 0
+      while (i < rowBytes) {
+        val x = data(base + 1 + i) & 0xff
+        val a = if (i >= bpp) out(r * rowBytes + i - bpp) & 0xff else 0 // left
+        val b = if (r > 0) out((r - 1) * rowBytes + i) & 0xff else 0 // up
+        val c = if (r > 0 && i >= bpp) out((r - 1) * rowBytes + i - bpp) & 0xff else 0
+        val recon = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth: nearest of a/b/c to p = a + b - c, ties a, then b
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case f => fail(s"bad PNG predictor filter type $f in row $r")
+        }
+        out(r * rowBytes + i) = (recon & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
   }
 
   /** FlateDecode: the spec says zlib (RFC 1950), but raw-deflate streams
@@ -535,7 +809,9 @@ object Pdf extends QueryModule {
                     fail(s"TJ array holds $other") }
                 case other => fail(s"TJ without an array operand (got $other)")
               }
-            case "Td" | "TD" | "T*" => newline()
+            // Tm is a line advance too: many real producers position
+            // every line with a fresh text matrix instead of Td
+            case "Td" | "TD" | "T*" | "Tm" => newline()
             case "BT" | "ET" => newline()
             case "BI" => fail("inline image (BI) unsupported")
             case _ => () // every other operator is graphics state — no text
@@ -562,34 +838,75 @@ object Pdf extends QueryModule {
   // Writer (fixtures + pdf_files_ingest landing)
   // ---------------------------------------------------------------
 
-  /** Build a real single-xref PDF with one page per entry; each page
-    * shows its lines as literal-string `Tj` runs separated by `Td` line
-    * advances. `flate` wraps every content stream in a REAL
-    * `java.util.zip.Deflater` zlib stream (dynamic Huffman — the leg the
-    * SQL-emitted stored-block fixture cannot reach). ASCII-only input
-    * (the callers feed hex/digits); offsets are computed while emitting,
-    * so the writer is exact by construction.
+  /** Real `java.util.zip.Deflater` zlib (dynamic Huffman — the leg the
+    * SQL-emitted stored-block fixture cannot reach).
     */
-  def buildPdf(pages: Seq[Seq[String]], flate: Boolean): Array[Byte] = {
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val bo = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+    d.end()
+    bo.toByteArray
+  }
+
+  /** Predictor-12 (PNG Up) ENCODE: each `rowLen`-byte row prefixed with
+    * filter byte 2 and delta'd against the previous row — the inverse
+    * of what [[pngUnpredict]] reverses.
+    */
+  private def pred12(rows: Array[Byte], rowLen: Int): Array[Byte] = {
+    val n = rows.length / rowLen
+    val out = new Array[Byte](n * (rowLen + 1))
+    var r = 0
+    while (r < n) {
+      out(r * (rowLen + 1)) = 2
+      var i = 0
+      while (i < rowLen) {
+        val up = if (r > 0) rows((r - 1) * rowLen + i) else 0
+        out(r * (rowLen + 1) + 1 + i) = (rows(r * rowLen + i) - up).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Build a real PDF with one page per entry; each page shows its
+    * lines as literal-string `Tj` runs separated by `Td` line advances.
+    * `flate` wraps every content stream in a REAL [[deflate]] zlib
+    * stream. `xrefStream` emits the PDF 1.5 compressed layout instead
+    * of a classic table: catalog/pages/font packed into a `/Type
+    * /ObjStm` object stream (type-2 entries) and a `/Type /XRef`
+    * cross-reference stream with `/W [1 4 2]` rows under `/Predictor
+    * 12` PNG-Up prediction — the majority shape of the modern PDF
+    * corpus. ASCII-only input (the callers feed hex/digits); offsets
+    * are computed while emitting, so the writer is exact by
+    * construction.
+    */
+  def buildPdf(pages: Seq[Seq[String]], flate: Boolean,
+      xrefStream: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     val offsets = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
-    w("%PDF-1.4\n")
+    w(if (xrefStream) "%PDF-1.5\n" else "%PDF-1.4\n")
     val nPages = pages.length
     // object numbering: 1 catalog, 2 pages, 3 font, then per page i:
-    // 4+2i page, 5+2i content
+    // 4+2i page, 5+2i content; the compressed layout appends
+    // nObjs+1 = the ObjStm, nObjs+2 = the xref stream
     def pageObj(i: Int) = 4 + 2 * i
     def contObj(i: Int) = 5 + 2 * i
+    val nObjs = 3 + 2 * nPages
     def obj(num: Int)(body: => Unit): Unit = {
       offsets(num) = out.size()
       w(s"$num 0 obj\n"); body; w("endobj\n")
     }
-    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
-    obj(2) {
-      val kids = (0 until nPages).map(i => s"${pageObj(i)} 0 R").mkString(" ")
-      w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n")
-    }
-    obj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    val kids = (0 until nPages).map(i => s"${pageObj(i)} 0 R").mkString(" ")
+    val fixed = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>",
+      3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if (!xrefStream) fixed.foreach { case (n, body) => obj(n)(w(body + "\n")) }
     pages.zipWithIndex.foreach { case (lines, i) =>
       obj(pageObj(i))(w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${contObj(i)} 0 R >>\n"))
@@ -600,15 +917,7 @@ object Pdf extends QueryModule {
       }
       body.append(" ET")
       val raw = body.toString.getBytes("US-ASCII")
-      val data = if (!flate) raw else {
-        val d = new java.util.zip.Deflater()
-        d.setInput(raw); d.finish()
-        val bo = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
-        d.end()
-        bo.toByteArray
-      }
+      val data = if (!flate) raw else deflate(raw)
       obj(contObj(i)) {
         val filter = if (flate) " /Filter /FlateDecode" else ""
         w(s"<< /Length ${data.length}$filter >>\nstream\n")
@@ -616,12 +925,52 @@ object Pdf extends QueryModule {
         w("\nendstream\n")
       }
     }
-    val xrefAt = out.size()
-    val nObjs = 3 + 2 * nPages
-    w(s"xref\n0 ${nObjs + 1}\n")
-    w("0000000000 65535 f \n")
-    (1 to nObjs).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
-    w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    if (!xrefStream) {
+      val xrefAt = out.size()
+      w(s"xref\n0 ${nObjs + 1}\n")
+      w("0000000000 65535 f \n")
+      (1 to nObjs).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+      w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      return out.toByteArray
+    }
+    // --- compressed layout tail: ObjStm + Predictor-12 xref stream ---
+    val stmNum = nObjs + 1
+    val xrefNum = nObjs + 2
+    val header = new StringBuilder
+    val payload = new StringBuilder
+    fixed.foreach { case (n, body) =>
+      header.append(s"$n ${payload.length} ")
+      payload.append(body).append("\n")
+    }
+    val first = header.length
+    val stmData = deflate((header.toString + payload.toString).getBytes("US-ASCII"))
+    obj(stmNum) {
+      w(s"<< /Type /ObjStm /N ${fixed.length} /First $first " +
+        s"/Length ${stmData.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(stmData)
+      w("\nendstream\n")
+    }
+    offsets(xrefNum) = out.size()
+    val size = xrefNum + 1
+    val rows = new Array[Byte](size * 7) // W [1 4 2]
+    def put(num: Int, t: Int, f2: Long, f3: Int): Unit = {
+      val p = num * 7
+      rows(p) = t.toByte
+      rows(p + 1) = (f2 >> 24).toByte; rows(p + 2) = (f2 >> 16).toByte
+      rows(p + 3) = (f2 >> 8).toByte; rows(p + 4) = f2.toByte
+      rows(p + 5) = (f3 >> 8).toByte; rows(p + 6) = f3.toByte
+    }
+    put(0, 0, 0, 0xffff)
+    fixed.map(_._1).zipWithIndex.foreach { case (n, i) => put(n, 2, stmNum, i) }
+    (4 to nObjs).foreach(n => put(n, 1, offsets(n), 0))
+    put(stmNum, 1, offsets(stmNum), 0)
+    put(xrefNum, 1, offsets(xrefNum), 0)
+    val xd = deflate(pred12(rows, 7))
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> " +
+      s"/Length ${xd.length} >>\nstream\n")
+    out.write(xd)
+    w(s"\nendstream\nendobj\nstartxref\n${offsets(xrefNum)}\n%%EOF\n")
     out.toByteArray
   }
 
@@ -696,6 +1045,13 @@ object Pdf extends QueryModule {
           val path = new org.apache.hadoop.fs.Path(p)
           val fs = path.getFileSystem(conf)
           val len = fs.getFileStatus(path).getLen
+          // whole-file bytes are inherent to the format (tail xref), so
+          // one file must land in one JVM array — the same in-memory
+          // bound Zip's central-directory read enforces; without it a
+          // >2 GiB file throws a cryptic NegativeArraySizeException and
+          // a >4 GiB one silently truncates to a stale earlier %%EOF
+          require(len <= Int.MaxValue,
+            s"pdf: file $p too large ($len bytes) for the in-memory walk")
           val bytes = new Array[Byte](len.toInt)
           val in = fs.open(path)
           try in.readFully(0, bytes) finally in.close()
@@ -839,6 +1195,130 @@ object Pdf extends QueryModule {
         ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
+  // pdf_xref_stream_extract: the PDF 1.5 compressed-layout fixture
+  // ---------------------------------------------------------------
+
+  private def hexBytes(bs: Array[Byte]): String =
+    bs.map("%02X".format(_)).mkString
+
+  /** Constant skeleton around the content stream for the xref-STREAM
+    * fixture legs: (hexA, hexB) with the content bytes spliced between
+    * — the [[skeleton]] discipline, but the cross-reference is a
+    * §7.5.8 STREAM instead of a classic table. `objStm = false`: an
+    * UNFILTERED xref stream, every object type 1. `objStm = true`:
+    * catalog/pages/font packed into a FlateDecode `/Type /ObjStm`
+    * (type-2 entries) and the xref stream FlateDecode under
+    * `/Predictor 12` PNG-Up prediction — the modern-producer shape.
+    * Binary sections (xref rows, deflate output) are constant because
+    * the content length is constant per leg, so they emit as
+    * driver-computed hex and the SQL only splices the content.
+    */
+  private def xrefSkeleton(dataLen: Int, objStm: Boolean): (String, String) = {
+    val a = new java.io.ByteArrayOutputStream()
+    val b = new java.io.ByteArrayOutputStream()
+    def wa(s: String): Unit = a.write(s.getBytes("US-ASCII"))
+    def wb(s: String): Unit = b.write(s.getBytes("US-ASCII"))
+    val off = scala.collection.mutable.Map.empty[Int, Int]
+    val cat = "<< /Type /Catalog /Pages 2 0 R >>"
+    val pgs = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val fnt = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val page = "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"
+    wa("%PDF-1.5\n")
+    def objA(n: Int, body: String): Unit = {
+      off(n) = a.size(); wa(s"$n 0 obj\n$body\nendobj\n")
+    }
+    if (!objStm) { objA(1, cat); objA(2, pgs); objA(4, fnt) }
+    objA(3, page)
+    off(5) = a.size()
+    wa(s"5 0 obj\n<< /Length $dataLen >>\nstream\n")
+    val bBase = a.size() + dataLen // part-B offsets are bBase + position
+    wb("\nendstream\nendobj\n")
+    if (objStm) {
+      val header = new StringBuilder
+      val payload = new StringBuilder
+      Seq(1 -> cat, 2 -> pgs, 4 -> fnt).foreach { case (n, body) =>
+        header.append(s"$n ${payload.length} ")
+        payload.append(body).append("\n")
+      }
+      val stmData = deflate((header.toString + payload.toString).getBytes("US-ASCII"))
+      off(7) = bBase + b.size()
+      wb(s"7 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length} " +
+        s"/Length ${stmData.length} /Filter /FlateDecode >>\nstream\n")
+      b.write(stmData)
+      wb("\nendstream\nendobj\n")
+    }
+    off(6) = bBase + b.size()
+    val size = if (objStm) 8 else 7
+    val rows = new Array[Byte](size * 7) // W [1 4 2]
+    def put(num: Int, t: Int, f2: Int, f3: Int): Unit = {
+      val p = num * 7
+      rows(p) = t.toByte
+      rows(p + 1) = (f2 >> 24).toByte; rows(p + 2) = (f2 >> 16).toByte
+      rows(p + 3) = (f2 >> 8).toByte; rows(p + 4) = f2.toByte
+      rows(p + 5) = (f3 >> 8).toByte; rows(p + 6) = f3.toByte
+    }
+    put(0, 0, 0, 0xffff)
+    if (objStm) { put(1, 2, 7, 0); put(2, 2, 7, 1); put(4, 2, 7, 2); put(7, 1, off(7), 0) }
+    else { put(1, 1, off(1), 0); put(2, 1, off(2), 0); put(4, 1, off(4), 0) }
+    put(3, 1, off(3), 0); put(5, 1, off(5), 0); put(6, 1, off(6), 0)
+    val (data, parms) =
+      if (!objStm) (rows, "")
+      else (deflate(pred12(rows, 7)),
+        " /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>")
+    wb(s"6 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R$parms " +
+      s"/Length ${data.length} >>\nstream\n")
+    b.write(data)
+    wb(s"\nendstream\nendobj\nstartxref\n${off(6)}\n%%EOF\n")
+    (hexBytes(a.toByteArray), hexBytes(b.toByteArray))
+  }
+
+  /** `pdf_xref_stream_extract`: the PDF 1.5 COMPRESSED layout parsed
+    * end to end — the [[pdfTextExtract]] discipline pointed at the
+    * cross-reference machinery instead of the content codecs (content
+    * stays raw with a direct `/Length`; those legs are already pinned).
+    * Even doc_ids carry an UNFILTERED `/Type /XRef` stream with every
+    * object type 1; odd doc_ids a `/Predictor 12` FlateDecode xref
+    * stream whose catalog/pages/font live in a FlateDecode ObjStm
+    * behind type-2 entries. The oracle recomputes the shown text
+    * straight from the bytes, so a `/W` row decode, predictor,
+    * `/Index`, ObjStm header, or type-2 lookup bug lands as a value
+    * mismatch or a loud reject.
+    */
+  def pdfXrefStreamExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (plainA, plainB) = xrefSkeleton(RawLen, objStm = false)
+    val (osA, osB) = xrefSkeleton(RawLen, objStm = true)
+    def leg(parity: Int, hexA: String, hexB: String) =
+      Tables.documents(spark, sfDir)
+        .filter(octet_length(col("text")) >= NeedBytes && col("doc_id") % 2 === parity)
+        .withColumn("h", expr("hex(cast(text as binary))"))
+        .withColumn("ch", expr(contentHexSql))
+        .select(col("doc_id"),
+          unhex(concat(lit(hexA), col("ch"), lit(hexB))).as("payload"))
+    val framed = leg(0, plainA, plainB).unionByName(leg(1, osA, osB))
+    framed.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val pages = extractPages(payload)
+        require(pages.length == 1, s"pdf fixture $id: expected 1 page, got ${pages.length}")
+        (id, pages.head)
+      })
+      .toDF("doc_id", "page_text")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("xrefstm")).otherwise(lit("objstm")).as("layout"),
+        col("page_text"))
+      .orderBy("doc_id")
+  }
+
+  private val pdfXrefStreamExtractSql =
+    s"""SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'xrefstm' ELSE 'objstm' END AS layout,
+               substring(h, 1, 96) || chr(10) || substring(h, 33, 96) AS page_text
+        FROM (SELECT doc_id, hex(encode(text)) AS h FROM documents
+              WHERE octet_length(encode(text)) >= $NeedBytes)
+        ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------
   // pdf_files_ingest: real landed PDFs through the path walk
   // ---------------------------------------------------------------
 
@@ -852,11 +1332,15 @@ object Pdf extends QueryModule {
     * doc id, line 2 hex of the document's first 24 chars); odd files
     * compress every content stream with a REAL `Deflater` zlib (dynamic
     * Huffman — the leg the SQL stored-block fixture cannot reach), even
-    * files stay raw. Landed via task-side file IO, listed back through
-    * the DISTRIBUTED [[Streams.dropTasks]] walk, and parsed by the
-    * production [[extractPages]] — so multi-page layout, the xref the
-    * writer computes, real inflate, and page order are all pinned by the
-    * oracle's pure-formula recompute.
+    * files stay raw; files with `fid % 4 >= 2` land in the PDF 1.5
+    * COMPRESSED layout (ObjStm + Predictor-12 xref stream — the
+    * modern-corpus majority shape), the rest with a classic table, so
+    * all four codec×layout combinations are load-bearing under the SAME
+    * oracle (the layout never changes the text). Landed via task-side
+    * file IO, listed back through the DISTRIBUTED [[Streams.dropTasks]]
+    * walk, and parsed by the production [[extractPages]] — so
+    * multi-page layout, the xref the writer computes, real inflate, and
+    * page order are all pinned by the oracle's pure-formula recompute.
     */
   def pdfFilesIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -878,7 +1362,8 @@ object Pdf extends QueryModule {
         // plain java.nio IO — see Warc.warcFilesIngest (Hadoop local FS
         // forks a chmod process per file without the native library)
         rows.foreach { case (fid, c, pages) =>
-          val pdf = buildPdf(pages.map(p => Seq(p._1, p._2)), flate = c == 1)
+          val pdf = buildPdf(pages.map(p => Seq(p._1, p._2)), flate = c == 1,
+            xrefStream = fid % 4 >= 2)
           java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$fid.pdf"), pdf)
         }
     }
@@ -909,11 +1394,13 @@ object Pdf extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pdf_text_extract" -> (pdfTextExtract _),
+    "pdf_xref_stream_extract" -> (pdfXrefStreamExtract _),
     "pdf_files_ingest" -> (pdfFilesIngest _),
   )
 
   override def oracle: Map[String, String] = Map(
     "pdf_text_extract" -> pdfTextExtractSql,
+    "pdf_xref_stream_extract" -> pdfXrefStreamExtractSql,
     "pdf_files_ingest" -> pdfFilesIngestSql,
   )
 }

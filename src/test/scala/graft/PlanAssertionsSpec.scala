@@ -487,6 +487,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("Union"), s"raw + flate legs must union, not re-scan twice joined:\n$p")
   }
 
+  test("pdf xref-stream extract: map-only until the output sort, both layout legs union") {
+    // same contract as pdf_text_extract — the compressed-layout walk
+    // (xref stream + ObjStm) is still per-document map work
+    val p = planOf("pdf_xref_stream_extract")
+    assert(!p.contains("Exchange hashpartitioning"), s"pdf_xref_stream_extract hash-shuffles:\n$p")
+    assert(p.contains("Union"), s"xrefstm + objstm legs must union, not re-scan twice joined:\n$p")
+  }
+
   test("oriented ahash: four fixture legs union map-only, no hash exchange") {
     val p = planOf("mm_ahash_oriented")
     assert(!p.contains("Exchange hashpartitioning"), s"mm_ahash_oriented hash-shuffles:\n$p")

@@ -34,13 +34,21 @@ class PdfSpec extends SparkSpec {
     ascii(sb.toString)
   }
 
-  test("writer round-trip: pages and lines survive, raw and real-Deflater zlib") {
+  test("writer round-trip: pages and lines survive, raw and real-Deflater zlib, " +
+    "classic and compressed (ObjStm + Predictor-12 xref stream) layouts") {
     val pages = Seq(Seq("000000000007", "CAFEBABE"), Seq("000000000008", "DEAD"))
-    for (flate <- Seq(false, true)) {
-      val pdf = Pdf.buildPdf(pages, flate)
+    for (flate <- Seq(false, true); xrefStream <- Seq(false, true)) {
+      val pdf = Pdf.buildPdf(pages, flate, xrefStream)
       assert(Pdf.extractPages(pdf) ==
-        Vector("000000000007\nCAFEBABE", "000000000008\nDEAD"), s"flate=$flate")
+        Vector("000000000007\nCAFEBABE", "000000000008\nDEAD"),
+        s"flate=$flate xrefStream=$xrefStream")
     }
+  }
+
+  test("compressed layout: 50-page order survives the ObjStm + xref-stream walk") {
+    val pages = (0 until 50).map(i => Seq(s"xpage$i"))
+    assert(Pdf.extractPages(Pdf.buildPdf(pages, flate = true, xrefStream = true)) ==
+      (0 until 50).map(i => s"xpage$i").toVector)
   }
 
   test("page order follows /Kids order, 50 pages") {
@@ -105,6 +113,111 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extractText(ascii(sb.toString)) == "new")
   }
 
+  /** One binary xref-stream row under W [1 4 2], as ISO-8859-1 chars. */
+  private def xrow(t: Int, f2: Int, f3: Int): String =
+    "" + t.toChar +
+      ((f2 >> 24) & 0xff).toChar + ((f2 >> 16) & 0xff).toChar +
+      ((f2 >> 8) & 0xff).toChar + (f2 & 0xff).toChar +
+      ((f3 >> 8) & 0xff).toChar + (f3 & 0xff).toChar
+
+  /** Hand-rolled PDF 1.5: catalog + pages in an UNFILTERED ObjStm,
+    * a raw (no-filter) xref stream with a split /Index — every offset
+    * computed here, independently of the production writer.
+    */
+  private def handXrefStreamPdf(content: String,
+      objStmHeader: String = "1 0 2 34 "): Array[Byte] = {
+    val sb = new StringBuilder
+    val off = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(n: Int, body: String): Unit = {
+      off(n) = sb.length; sb.append(s"$n 0 obj\n$body\nendobj\n")
+    }
+    sb.append("%PDF-1.5\n")
+    val p1 = "<< /Type /Catalog /Pages 2 0 R >>" // 33 chars: obj 2 at rel 34
+    val p2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val payload = objStmHeader + p1 + "\n" + p2 + "\n"
+    obj(7, s"<< /Type /ObjStm /N 2 /First ${objStmHeader.length} " +
+      s"/Length ${payload.length} >>\nstream\n$payload\nendstream")
+    obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    off(6) = sb.length
+    // /Index [0 5 6 2]: subsection 0..4, then 6..7 — object 5 unused
+    val data = xrow(0, 0, 0xffff) + xrow(2, 7, 0) + xrow(2, 7, 1) +
+      xrow(1, off(3), 0) + xrow(1, off(4), 0) +
+      xrow(1, off(6), 0) + xrow(1, off(7), 0)
+    sb.append(s"6 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Index [0 5 6 2] " +
+      s"/Length ${data.length} /Root 1 0 R >>\nstream\n$data\nendstream\nendobj\n")
+    sb.append(s"startxref\n${off(6)}\n%%EOF\n")
+    ascii(sb.toString)
+  }
+
+  test("hand-rolled xref stream: raw rows, split /Index, unfiltered ObjStm") {
+    assert(Pdf.extractText(handXrefStreamPdf("BT (compressed layout) Tj ET")) ==
+      "compressed layout")
+  }
+
+  test("ObjStm header disagreeing with the xref rejects by both numbers") {
+    val e = intercept[IllegalArgumentException](
+      Pdf.extractText(handXrefStreamPdf("BT (x) Tj ET", objStmHeader = "9 0 2 34 ")))
+    assert(e.getMessage.contains("object 1 is entry 0 of stream 7, which holds object 9"),
+      e.getMessage)
+  }
+
+  test("hybrid-reference file: /XRefStm entries take precedence over the classic table") {
+    val sb = new StringBuilder
+    val off = scala.collection.mutable.Map.empty[String, Int]
+    def obj(key: String, text: String): Unit = { off(key) = sb.length; sb.append(text) }
+    sb.append("%PDF-1.5\n")
+    obj("1", "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2", "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    obj("3", "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    val cOld = "BT (old hybrid) Tj ET"
+    val cNew = "BT (new hybrid) Tj ET"
+    obj("4old", s"4 0 obj\n<< /Length ${cOld.length} >>\nstream\n$cOld\nendstream\nendobj\n")
+    obj("4new", s"4 0 obj\n<< /Length ${cNew.length} >>\nstream\n$cNew\nendstream\nendobj\n")
+    off("5") = sb.length
+    val data = xrow(1, off("4new"), 0) // the stream maps 4 to the NEW copy
+    sb.append(s"5 0 obj\n<< /Type /XRef /Size 6 /W [1 4 2] /Index [4 1] " +
+      s"/Length ${data.length} /Root 1 0 R >>\nstream\n$data\nendstream\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 6\n0000000000 65535 f \n")
+    Seq("1", "2", "3", "4old", "5").foreach(k => sb.append(f"${off(k)}%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size 6 /Root 1 0 R /XRefStm ${off("5")} >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    assert(Pdf.extractText(ascii(sb.toString)) == "new hybrid")
+  }
+
+  test("incremental update: a freed object does not resurrect from /Prev") {
+    // the newest update frees the /Contents object; the base table still
+    // holds an 'n' entry for it — §7.5.4 shadowing says the free wins,
+    // so the walk must NOT extract "old" from the stale offset
+    val base = new String(handPdf("BT (old) Tj ET"), "ISO-8859-1")
+    val baseXrefAt = base.indexOf("\nxref\n") + 1
+    val sb = new StringBuilder(base)
+    val xrefAt = sb.length
+    sb.append("xref\n4 1\n0000000000 00001 f \n")
+    sb.append(s"trailer\n<< /Size 5 /Root 1 0 R /Prev $baseXrefAt >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val e = intercept[IllegalArgumentException](Pdf.extractText(ascii(sb.toString)))
+    assert(e.getMessage.contains("object 4 not in xref"), e.getMessage)
+  }
+
+  test("Tm-positioned lines break like Td lines") {
+    val content = "BT 1 0 0 1 72 720 Tm (first) Tj 1 0 0 1 72 706 Tm (second) Tj ET"
+    assert(Pdf.extractText(handPdf(content)) == "first\nsecond")
+  }
+
+  test("a >2 GiB pdf file rejects loudly by name in the path walk") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_pdf_big")
+    // sparse: setLength allocates no blocks, only the metadata size
+    val raf = new java.io.RandomAccessFile(
+      new java.io.File(dir.toFile, "1.pdf"), "rw")
+    try raf.setLength(Int.MaxValue.toLong + 8) finally raf.close()
+    val e = intercept[Exception](Pdf.docsFromPaths(spark, dir.toString).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("\n")
+    assert(msgs.contains("too large"), msgs)
+  }
+
   test("reject matrix: every unsupported or malformed shape throws with a named reason") {
     def rejects(bytes: Array[Byte], needle: String): Unit = {
       val e = intercept[IllegalArgumentException](Pdf.extractText(bytes))
@@ -114,17 +227,21 @@ class PdfSpec extends SparkSpec {
     rejects(ascii("GIF89a not a pdf, padded to sixteen bytes"), "%PDF-")
     // encrypted
     rejects(handPdf("BT (x) Tj ET", trailerExtra = " /Encrypt 9 0 R"), "encrypted")
-    // xref stream: startxref points at an object, not an xref keyword
+    // startxref points at a plain object — neither a table nor /Type /XRef
     val xs = new String(handPdf("BT (x) Tj ET"), "ISO-8859-1")
       .replaceAll("startxref\n[0-9]+", "startxref\n9")
     rejects(ascii(xs), "cross-reference stream")
     // unsupported filter
     rejects(handPdf("BT (x) Tj ET",
       streamDict = len => s"<< /Length $len /Filter /LZWDecode >>"), "unsupported")
-    // predictors
+    // TIFF predictor (PNG family is supported; 2 is not)
     rejects(handPdf("BT (x) Tj ET",
-      streamDict = len => s"<< /Length $len /Filter /FlateDecode /DecodeParms << /Predictor 12 >> >>"),
-      "DecodeParms")
+      streamDict = len => s"<< /Length $len /DecodeParms << /Predictor 2 >> >>"),
+      "predictor 2")
+    // PNG predictor whose data is not whole rows
+    rejects(handPdf("BT (x) Tj ET",
+      streamDict = len => s"<< /Length $len /DecodeParms << /Predictor 12 /Columns 64 >> >>"),
+      "rows")
     // inline image
     rejects(handPdf("BT BI /W 1 /H 1 ID x EI ET"), "inline image")
     // corrupt flate data under a FlateDecode filter
