@@ -650,6 +650,68 @@ object Pdf extends QueryModule {
         case other => fail(s"/Contents of unexpected type $other")
       }
     }
+
+    /** The page's `/Resources /Font` entries as text decoders — the
+      * encoding layer between shown bytes and text. Absent resources
+      * mean the resource-less fixture profile: bytes decode standard.
+      */
+    def pageFonts(page: PDict): Map[String, FontDec] =
+      resolve(page.m.getOrElse("Resources", PNull)) match {
+        case PNull => Map.empty
+        case rd: PDict => resolve(rd.m.getOrElse("Font", PNull)) match {
+          case PNull => Map.empty
+          case fd: PDict => fd.m.map { case (name, ref) =>
+            name -> fontDecoder(dictOf(ref, s"font /$name"), name)
+          }
+          case other => fail(s"/Resources /Font is not a dictionary (got $other)")
+        }
+        case other => fail(s"/Resources is not a dictionary (got $other)")
+      }
+
+    /** Decoder policy, in fidelity order: a `/ToUnicode` CMap when the
+      * font carries one (the only honest reading of embedded subset
+      * fonts); else composite (Type0) fonts REJECT — their show strings
+      * are glyph indices, and emitting them as-is would be silent byte
+      * salad; else the named simple-font encodings decode directly, and
+      * `/Differences` without a CMap rejects (glyph names need a table
+      * this walk does not carry).
+      */
+    private def fontDecoder(f: PDict, name: String): FontDec =
+      f.m.get("ToUnicode") match {
+        case Some(ref) =>
+          val num = ref match {
+            case PRef(n, _) => n
+            case other => fail(s"/ToUnicode of font /$name is not a stream reference (got $other)")
+          }
+          val (v, data) = obj(num)
+          val d = v match {
+            case d: PDict => d
+            case other => fail(s"/ToUnicode of font /$name is not a stream (got $other)")
+          }
+          parseToUnicode(decodeStream(d,
+            data.getOrElse(fail(s"/ToUnicode of font /$name has no stream data")), resolve), name)
+        case None =>
+          if (resolve(f.m.getOrElse("Subtype", PNull)) == PName("Type0"))
+            fail(s"composite (Type0) font /$name without /ToUnicode — " +
+              "glyph indices are not text")
+          resolve(f.m.getOrElse("Encoding", PNull)) match {
+            case PNull | PName("StandardEncoding") | PName("PDFDocEncoding") => StdDec
+            case PName("WinAnsiEncoding") => CharsetDec("windows-1252")
+            case PName("MacRomanEncoding") => CharsetDec("x-MacRoman")
+            case PName(other) => fail(s"font /$name encoding /$other unsupported")
+            case d: PDict =>
+              if (d.m.contains("Differences"))
+                fail(s"font /$name has /Differences without /ToUnicode — " +
+                  "glyph names need a CMap to become text")
+              resolve(d.m.getOrElse("BaseEncoding", PNull)) match {
+                case PNull | PName("StandardEncoding") => StdDec
+                case PName("WinAnsiEncoding") => CharsetDec("windows-1252")
+                case PName("MacRomanEncoding") => CharsetDec("x-MacRoman")
+                case other => fail(s"font /$name base encoding $other unsupported")
+              }
+            case other => fail(s"font /$name /Encoding of unexpected type $other")
+          }
+      }
   }
 
   /** Decode one stream's payload: `/Filter` (none or a single
@@ -772,21 +834,127 @@ object Pdf extends QueryModule {
       new String(b, 2, b.length - 2, "UTF-16BE")
     else new String(b, "ISO-8859-1") // PDFDocEncoding ≈ Latin-1 in the text range
 
-  /** Text shown by one decoded content stream: `Tj`/`'`/`"` and `TJ`
-    * emit onto the current line; `Td`/`TD`/`T*`/`'`/`"` start a new
-    * line; `BT`/`ET` flush. Positioning numbers inside `TJ` arrays are
-    * kerning, not text. Inline images (`BI`) reject loudly — their
-    * binary payload is not tokenizable.
+  /** How one font turns show-string bytes into text. Real PDFs with
+    * embedded subset fonts map GLYPH INDICES, not characters — without
+    * this layer their "text" extracts as byte salad with no reject.
     */
-  def textOf(content: Array[Byte]): String = {
+  sealed trait FontDec
+  /** Standard/PDFDoc encoding: the [[decodeString]] Latin-1 + BOM path. */
+  case object StdDec extends FontDec
+  /** A named simple-font encoding backed by a JVM charset. */
+  final case class CharsetDec(charset: String) extends FontDec
+  /** A parsed `/ToUnicode` CMap: fixed code width in bytes + code→text. */
+  final case class CMapDec(codeLen: Int, map: Map[Int, String]) extends FontDec
+
+  private def decodeWith(dec: FontDec, b: Array[Byte]): String = dec match {
+    case StdDec => decodeString(b)
+    case CharsetDec(cs) => new String(b, cs)
+    case CMapDec(len, m) =>
+      require(b.length % len == 0,
+        s"pdf: shown string of ${b.length} bytes is not whole $len-byte codes")
+      val sb = new StringBuilder
+      var i = 0
+      while (i < b.length) {
+        var code = 0
+        var k = 0
+        while (k < len) { code = (code << 8) | (b(i + k) & 0xff); k += 1 }
+        sb.append(m.getOrElse(code,
+          fail(f"code 0x$code%04X not in the font's /ToUnicode CMap")))
+        i += len
+      }
+      sb.toString
+  }
+
+  /** Parse a `/ToUnicode` CMap stream (the Adobe CMap grammar the PDF
+    * spec §9.10.3 references): `codespacerange` fixes the code width,
+    * `bfchar` maps single codes, `bfrange` maps runs — to a UTF-16BE
+    * destination string, or per-code destinations from an array.
+    * Mixed code widths reject loudly (one width covers real subset
+    * CMaps); the PostScript boilerplate around the sections is skipped
+    * as bare operator tokens.
+    */
+  private def parseToUnicode(bytes: Array[Byte], fontName: String): CMapDec = {
+    val lx = new Lexer(bytes, 0, ops = true)
+    var codeLen = -1
+    val m = scala.collection.mutable.Map.empty[Int, String]
+    def setLen(l: Int): Unit = {
+      require(l >= 1 && l <= 4, s"pdf: /ToUnicode code width $l unsupported")
+      if (codeLen < 0) codeLen = l
+      else require(codeLen == l,
+        s"pdf: /ToUnicode of font /$fontName mixes code widths ($codeLen and $l)")
+    }
+    def str(v: PVal, what: String): PStr = v match {
+      case s: PStr => s
+      case other => fail(s"/ToUnicode $what is not a string (got $other)")
+    }
+    def codeOf(v: PVal, what: String): Int = {
+      val s = str(v, what)
+      setLen(s.bytes.length)
+      s.bytes.foldLeft(0)((acc, b) => (acc << 8) | (b & 0xff))
+    }
+    def utf16Of(v: PVal, what: String): String =
+      new String(str(v, what).bytes, "UTF-16BE")
+    def section(end: String)(one: PVal => Unit): Unit = {
+      var v = lx.parseValue()
+      while (v != POp(end)) { one(v); v = lx.parseValue() }
+    }
+    while (!lx.atEnd) {
+      lx.parseValue() match {
+        case POp("begincodespacerange") => section("endcodespacerange") { lo =>
+          codeOf(lo, "codespace low"); codeOf(lx.parseValue(), "codespace high")
+        }
+        case POp("beginbfchar") => section("endbfchar") { src =>
+          m(codeOf(src, "bfchar source")) = utf16Of(lx.parseValue(), "bfchar destination")
+        }
+        case POp("beginbfrange") => section("endbfrange") { loV =>
+          val lo = codeOf(loV, "bfrange low")
+          val hi = codeOf(lx.parseValue(), "bfrange high")
+          require(hi >= lo && hi - lo < (1 << 16),
+            s"pdf: /ToUnicode bfrange $lo..$hi inverted or oversized")
+          lx.parseValue() match {
+            case PArr(items) =>
+              require(items.length == hi - lo + 1,
+                s"pdf: bfrange of ${hi - lo + 1} codes with ${items.length} destinations")
+              items.zipWithIndex.foreach { case (dst, k) =>
+                m(lo + k) = utf16Of(dst, "bfrange destination")
+              }
+            case dst =>
+              val base = utf16Of(dst, "bfrange destination")
+              require(base.nonEmpty, "pdf: empty bfrange destination")
+              (0 to hi - lo).foreach { k =>
+                // spec: the run increments the LAST code unit only
+                val chars = base.toCharArray
+                chars(chars.length - 1) = (chars(chars.length - 1) + k).toChar
+                m(lo + k) = new String(chars)
+              }
+          }
+        }
+        case _ => () // CIDInit boilerplate, dict values, endcmap, ...
+      }
+    }
+    require(codeLen > 0, s"pdf: /ToUnicode of font /$fontName declares no codespace")
+    CMapDec(codeLen, m.toMap)
+  }
+
+  /** Text shown by one decoded content stream: `Tj`/`'`/`"` and `TJ`
+    * emit onto the current line; `Td`/`TD`/`T*`/`Tm`/`'`/`"` start a
+    * new line; `BT`/`ET` flush. Positioning numbers inside `TJ` arrays
+    * are kerning, not text. Inline images (`BI`) reject loudly — their
+    * binary payload is not tokenizable. `fonts` supplies the page's
+    * `/Resources /Font` decoders, tracked through `Tf`: a `Tf` naming
+    * a font the resources don't carry rejects loudly; with no fonts
+    * (the resource-less fixture profile) bytes decode standard.
+    */
+  def textOf(content: Array[Byte], fonts: Map[String, FontDec] = Map.empty): String = {
     val lx = new Lexer(content, 0, ops = true)
     val operands = scala.collection.mutable.ArrayBuffer.empty[PVal]
     val lines = Vector.newBuilder[String]
     val line = new StringBuilder
+    var cur: FontDec = StdDec
     def newline(): Unit =
       if (line.nonEmpty) { lines += line.toString; line.clear() }
     def show(v: PVal): Unit = v match {
-      case PStr(b) => line.append(decodeString(b))
+      case PStr(b) => line.append(decodeWith(cur, b))
       case other => fail(s"text operator on non-string operand $other")
     }
     while (!lx.atEnd) {
@@ -812,6 +980,13 @@ object Pdf extends QueryModule {
             // Tm is a line advance too: many real producers position
             // every line with a fresh text matrix instead of Td
             case "Td" | "TD" | "T*" | "Tm" => newline()
+            case "Tf" if fonts.nonEmpty =>
+              operands.headOption match {
+                case Some(PName(fname)) =>
+                  cur = fonts.getOrElse(fname,
+                    fail(s"Tf selects font /$fname, absent from /Resources /Font"))
+                case other => fail(s"Tf without a font name operand (got $other)")
+              }
             case "BT" | "ET" => newline()
             case "BI" => fail("inline image (BI) unsupported")
             case _ => () // every other operator is graphics state — no text
@@ -828,7 +1003,7 @@ object Pdf extends QueryModule {
   /** Per-page extracted text, in document page order. */
   def extractPages(pdf: Array[Byte]): Vector[String] = {
     val doc = new Document(pdf)
-    doc.pages().map(p => textOf(doc.pageContent(p)))
+    doc.pages().map(p => textOf(doc.pageContent(p), doc.pageFonts(p)))
   }
 
   /** Whole-document text: pages joined with a newline. */

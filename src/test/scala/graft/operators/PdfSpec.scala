@@ -218,6 +218,94 @@ class PdfSpec extends SparkSpec {
     assert(msgs.contains("too large"), msgs)
   }
 
+  /** Hand-rolled single-page PDF WITH font resources: object 5 is the
+    * font, objects 6+ are extras (e.g. a /ToUnicode CMap stream).
+    */
+  private def fontPdf(fontBody: String, content: String,
+      extra: Seq[String] = Nil): Array[Byte] = {
+    val sb = new StringBuilder
+    val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: String): Unit = { off += sb.length; sb.append(body) }
+    sb.append("%PDF-1.4\n")
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    obj(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    obj(s"5 0 obj\n$fontBody\nendobj\n")
+    extra.zipWithIndex.foreach { case (body, i) => obj(s"${6 + i} 0 obj\n$body\nendobj\n") }
+    val n = 5 + extra.length
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${n + 1}\n0000000000 65535 f \n")
+    off.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${n + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    ascii(sb.toString)
+  }
+
+  test("/ToUnicode CMap: 2-byte glyph codes decode to real text (bfchar + both bfrange forms)") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <00690021>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0041>
+        |<0020> <0021> [<0058> <0059>]
+        |endbfrange
+        |endcmap
+        |CMap currentdict /CMap defineresource pop
+        |end end""".stripMargin
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Sub " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>"
+    val cmapObj = s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"
+    // codes: 0001 0002 (bfchar: H, i!) then 0010..0012 (A B C), 0020 0021 (X Y)
+    val content = "BT /F1 12 Tf <00010002001000110012> Tj <00200021> Tj ET"
+    assert(Pdf.extractText(fontPdf(font, content, Seq(cmapObj))) == "Hi!ABCXY")
+  }
+
+  test("a code absent from the /ToUnicode CMap rejects loudly, never byte salad") {
+    val cmap = "1 begincodespacerange <00> <FF> endcodespacerange " +
+      "1 beginbfchar <41> <0041> endbfchar endcmap"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /BBBBBB+Sub /ToUnicode 6 0 R >>"
+    val cmapObj = s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"
+    assert(Pdf.extractText(fontPdf(font, "BT /F1 12 Tf (A) Tj ET", Seq(cmapObj))) == "A")
+    val e = intercept[IllegalArgumentException](
+      Pdf.extractText(fontPdf(font, "BT /F1 12 Tf (AB) Tj ET", Seq(cmapObj))))
+    assert(e.getMessage.contains("not in the font's /ToUnicode CMap"), e.getMessage)
+  }
+
+  test("composite (Type0) font without /ToUnicode rejects — glyph indices are not text") {
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /CCCCCC+Sub /Encoding /Identity-H >>"
+    val e = intercept[IllegalArgumentException](
+      Pdf.extractText(fontPdf(font, "BT /F1 12 Tf <0001> Tj ET")))
+    assert(e.getMessage.contains("without /ToUnicode"), e.getMessage)
+  }
+
+  test("/Differences without /ToUnicode rejects; plain named encodings decode") {
+    val diff = "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
+      "/Encoding << /Differences [65 /alpha] >> >>"
+    val e = intercept[IllegalArgumentException](
+      Pdf.extractText(fontPdf(diff, "BT /F1 12 Tf (A) Tj ET")))
+    assert(e.getMessage.contains("/Differences without /ToUnicode"), e.getMessage)
+    // WinAnsi: 0x93/0x94 are the cp1252 curly quotes, not Latin-1 controls
+    val win = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+    val content = s"BT /F1 12 Tf (${0x93.toChar}q${0x94.toChar}) Tj ET"
+    assert(Pdf.extractText(fontPdf(win, content)) == "\u201Cq\u201D")
+  }
+
+  test("Tf naming a font absent from /Resources rejects loudly") {
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val e = intercept[IllegalArgumentException](
+      Pdf.extractText(fontPdf(font, "BT /F9 12 Tf (x) Tj ET")))
+    assert(e.getMessage.contains("/F9"), e.getMessage)
+  }
+
   test("reject matrix: every unsupported or malformed shape throws with a named reason") {
     def rejects(bytes: Array[Byte], needle: String): Unit = {
       val e = intercept[IllegalArgumentException](Pdf.extractText(bytes))
