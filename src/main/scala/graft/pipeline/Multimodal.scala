@@ -1923,6 +1923,12 @@ object MediaFiles {
 /** Fake-decoded feature row. */
 case class MediaFeature(doc_id: Long, feature: Array[Float])
 
+/** Streaming-ingest row: features + the orientation-normalized dedup
+  * signature ([[MediaCodec.orientedAhash64]] semantics) — None for
+  * payloads with no image raster (audio/video/stub formats).
+  */
+case class MediaIngestFeature(doc_id: Long, feature: Array[Float], ahash64: Option[Long])
+
 /** The batched decode surface — the Scala analogue of `mapInPandas`: the
   * ONLY `mapPartitions` in this engine (deliberately; SURVEY §7.3 preference
   * order puts it last), because a native codec call is genuine per-batch
@@ -1993,6 +1999,49 @@ object BatchedDecode {
       rows.grouped(batchSize).flatMap { batch =>
         val decoder = new SniffingDecoder // per-batch context, amortized init
         batch.iterator.map(r => MediaFeature(r.doc_id, decoder.decode(r.payload)))
+      }
+    }
+  }
+
+  /** [[SniffingDecoder]]'s dispatch with the image arm ALSO emitting the
+    * orientation-normalized dedup signature — decoding each payload
+    * exactly once (features and hash share the raster). Non-image
+    * payloads (audio/video/stub) carry no image hash: None.
+    */
+  final class SigningDecoder {
+    private val stub = new StubDecoder
+    def decode(payload: Array[Byte]): (Array[Float], Option[Long]) =
+      MediaCodec.sniff(payload) match {
+        case Some("wav") =>
+          (MediaCodec.bandedAmplitude(MediaCodec.decodeWav(payload)), None)
+        case Some("y4m") =>
+          val clip = MediaCodec.decodeY4m(payload)
+          (if (clip.frames.isEmpty) new Array[Float](Multimodal.FeatureDim)
+           else MediaCodec.bandedLumaY(clip, frame = 0), None)
+        case Some(_) =>
+          val img = MediaCodec.decode(payload)
+          val o = Exif.orientationOf(payload)
+          (MediaCodec.bandedLuma(img),
+            Some(MediaCodec.ahash64(MediaCodec.applyOrientation(img, o))))
+        case None => (stub.decode(payload), None)
+      }
+  }
+
+  /** The streaming-ingest decode: features PLUS the X127
+    * orientation-normalized aHash, so a crawl that streams images in
+    * can join the dedup band index without a batch pass re-reading the
+    * payloads (the CorpusIngest dedup-probe precedent).
+    */
+  def decodeWithSignature(mediaDs: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[MediaIngestFeature] = {
+    import mediaDs.sparkSession.implicits._
+    mediaDs.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val decoder = new SigningDecoder
+        batch.iterator.map { r =>
+          val (feature, sig) = decoder.decode(r.payload)
+          MediaIngestFeature(r.doc_id, feature, sig)
+        }
       }
     }
   }

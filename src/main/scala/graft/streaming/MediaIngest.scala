@@ -27,11 +27,15 @@ import graft.pipeline.{BatchedDecode, MediaRow}
   */
 object MediaIngest {
 
-  /** Per-batch decode + idempotent writer, exposed for replay tests. */
+  /** Per-batch decode + idempotent writer, exposed for replay tests.
+    * Lands the X127 orientation-normalized aHash NEXT TO the features
+    * (null for non-image payloads), so streamed images join the dedup
+    * band index directly — no batch pass re-reads the payloads.
+    */
   def batchWriter(spark: SparkSession, outDir: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       import spark.implicits._
-      BatchedDecode.decodeFeatures(batch.as[MediaRow])
+      BatchedDecode.decodeWithSignature(batch.as[MediaRow])
         .write.mode("overwrite").parquet(s"$outDir/features/batch_id=$batchId")
     }
 

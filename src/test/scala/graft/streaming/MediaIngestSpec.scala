@@ -58,6 +58,20 @@ class MediaIngestSpec extends SparkSpec {
     assert(got(4L) == (new BatchedDecode.StubDecoder)
       .decode("no magic bytes here, stub path".getBytes("UTF-8")).toSeq)
 
+    // the dedup signature lands NEXT TO the features: images carry the
+    // orientation-normalized aHash, non-images null — and the stream
+    // matches the batch twin on the signature column too
+    def sigs(df: DataFrame) = df.select("doc_id", "ahash64").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val gotSig = sigs(spark.read.parquet(s"$outDir/features"))
+    val twinSig = BatchedDecode.decodeWithSignature(rows.toDS()).collect()
+      .map(f => f.doc_id -> f.ahash64).toMap
+    assert(gotSig == twinSig, "stream must converge to the batch twin on the signature")
+    assert(gotSig(1L).contains(MediaCodec.orientedAhash64(ppm(1))),
+      "an image payload's streamed signature IS the X127 oriented aHash")
+    assert(gotSig(3L).isEmpty && gotSig(4L).isEmpty,
+      "audio/stub payloads carry no image hash")
+
     // crash replay: re-running a committed batch overwrites, never appends
     MediaIngest.batchWriter(spark, outDir)(a.toDF(), 0L)
     assert(landed(spark.read.parquet(s"$outDir/features")
