@@ -1343,12 +1343,33 @@ object Dedup extends QueryModule {
     * Scale: prefix volume ≈ 10% of token volume; because the order is
     * df-ascending, a token's posting in the prefix index is a SUBSET of
     * its corpus posting skewed toward rare tokens — the candidate join is
-    * Σ df_prefix², bounded in practice by the rare tail, not the head.
+    * Σ df_prefix². The r16 sf10 probe measured that sum SUPERLINEAR as
+    * the df head thickens (wall exponent 1.28 vs answer 1.12), so the
+    * operator carries an opt-in df-cap — [[PrefixMaxDf]] — for corpora
+    * past the exact path's comfort zone.
     */
   private[pipeline] def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Scratch.memoize(spark, s"$sfDir#dedup#prefix_jaccard#0.9") {
+    Scratch.memoize(spark, s"$sfDir#dedup#prefix_jaccard#0.9#df${prefixMaxDf(spark)}") {
       prefixJaccardPairsBuild(spark, sfDir)
     }
+
+  /** The documented escape hatch for the exact path's measured quadratic
+    * tail: with `graft.dedup.prefix.maxDf` (conf) or
+    * `SPARK_GRAFT_PREFIX_MAXDF` (env, the probe convention) set to a
+    * positive N, prefix tokens whose PREFIX posting exceeds N — exactly
+    * the df² head that drives the superlinear growth — leave the
+    * pairwise candidate join, and the banded-LSH candidate path covers
+    * their pairs instead, through the SAME exact-Jaccard verify. Recall
+    * for pairs whose shared prefix tokens are ALL over-cap becomes the
+    * measured `dedup_lsh_recall` number instead of 1-by-theorem; every
+    * emitted pair is still exactly verified (precision 1 always). Unset
+    * (the default everywhere, including the oracle gate), the cap is off
+    * and the full PPJoin recall theorem applies.
+    */
+  private def prefixMaxDf(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dedup.prefix.maxDf")
+      .orElse(sys.env.get("SPARK_GRAFT_PREFIX_MAXDF"))
+      .map(_.toLong).getOrElse(0L) // <= 0: cap off
 
   /** The un-memoized ground-truth build — exposed so PlanAssertionsSpec can
     * pin the candidate join's shape (equi-join on the prefix token with the
@@ -1362,7 +1383,7 @@ object Dedup extends QueryModule {
       // (doc_id, len = |g|, pos = 0-based rank of t in the global df-asc
       // order, t): the position and set size feed the two classic PPJoin
       // refinements below
-      val prefixes = Scratch.materialize(
+      val allPrefixes = Scratch.materialize(
         rows.join(dfs, "h")
           .groupBy("doc_id")
           .agg(expr("array_sort(collect_list(struct(df, h)))").as("o"))
@@ -1371,6 +1392,17 @@ object Dedup extends QueryModule {
               "transform(slice(o, 1, size(o) - (9 * size(o) + 9) div 10 + 1), x -> x.h)"))
               .as(Seq("pos", "t"))),
         "graft_prefix_tokens")
+      // [[prefixMaxDf]]: drop the over-cap head from the PAIRWISE join
+      // (its postings are the Σ df_prefix² quadratic term); the LSH
+      // candidate union below covers the pairs those postings carried
+      val maxDf = prefixMaxDf(spark)
+      val prefixes =
+        if (maxDf <= 0) allPrefixes
+        else {
+          val pdf = allPrefixes.groupBy("t").agg(count(lit(1)).as("pdf"))
+          allPrefixes.join(pdf.filter(col("pdf") <= maxDf), "t")
+            .select("doc_id", "len", "pos", "t")
+        }
       // Candidate thinning beyond the shared-prefix-token condition — both
       // filters are implied by J >= 0.9, so neither can drop a true pair:
       //  - LENGTH: J = O/(la+lb-O) with O <= min(la,lb), so J >= t forces
@@ -1391,9 +1423,15 @@ object Dedup extends QueryModule {
                        >= (9 * (x.len + y.len) + 18) div 19"""))
         .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
         .distinct()
+      // capped mode: the banded-LSH pairs (already ≥ τ by the same exact
+      // verify, and memo-shared with dedup_minhash_lsh) stand in as
+      // candidates for whatever the dropped head postings carried
+      val candAll =
+        if (maxDf <= 0) cand
+        else cand.unionByName(minhashPairs(spark, sfDir).select("ia", "ib")).distinct()
       val ga = docs.select(col("doc_id").as("ia"), col("g").as("ga"))
       val gb = docs.select(col("doc_id").as("ib"), col("g").as("gb"))
-      cand.join(ga, "ia").join(gb, "ib")
+      candAll.join(ga, "ia").join(gb, "ib")
         .withColumn("jaccard", expr("jaccard_sorted(ga, gb)"))
         .filter(col("jaccard") >= 0.9)
         .select("ia", "ib", "jaccard")

@@ -76,6 +76,26 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(!exact.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefix df-cap: over-cap postings route to the LSH candidate path, generous cap stays exact") {
+    val uncapped = Dedup.prefixJaccardDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // cap 1 kills every pairwise posting (a shared token has pdf >= 2),
+      // so ALL surviving candidates came through the LSH union
+      spark.conf.set("graft.dedup.prefix.maxDf", "1")
+      val capped = Dedup.prefixJaccardDedup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Dedup.minhashLsh(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped == lsh, "cap-1 candidates must be exactly the LSH pair set")
+      // a cap above every posting leaves the theorem-exact set untouched
+      spark.conf.set("graft.dedup.prefix.maxDf", "1000000")
+      val generous = Dedup.prefixJaccardDedup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(generous == uncapped, "a generous cap must not change the exact answer")
+    } finally spark.conf.unset("graft.dedup.prefix.maxDf")
+  }
+
   test("LSH recall audit: LSH pairs are a subset of exact, recall in (0, 1]") {
     val r = Dedup.lshRecallDedup(spark, dir).collect().head
     val (nExact, nLsh, nCommon, nExtra, recall) =
