@@ -28,12 +28,14 @@ object PdfProps extends Properties("pdf") {
   private val pagesGen: Gen[Seq[Seq[String]]] =
     Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, pageGen))
 
-  property("buildPdf -> extractPages round-trips any page/line structure, raw and zlib") =
-    forAll(pagesGen, Gen.oneOf(true, false)) { (pages, flate) =>
-      // the text walk suppresses empty lines by design: the expected page
-      // text is the non-empty lines joined (a fully-empty page reads "")
-      val want = pages.map(_.filter(_.nonEmpty).mkString("\n")).toVector
-      Pdf.extractPages(Pdf.buildPdf(pages, flate)) == want
+  property("buildPdf -> extractPages round-trips any page/line structure, " +
+    "all four codec x layout modes") =
+    forAll(pagesGen, Gen.oneOf(true, false), Gen.oneOf(true, false)) {
+      (pages, flate, xrefStream) =>
+        // the text walk suppresses empty lines by design: the expected page
+        // text is the non-empty lines joined (a fully-empty page reads "")
+        val want = pages.map(_.filter(_.nonEmpty).mkString("\n")).toVector
+        Pdf.extractPages(Pdf.buildPdf(pages, flate, xrefStream)) == want
     }
 
   /** Escape a byte for a PDF literal string — octal for everything the
