@@ -1126,14 +1126,20 @@ object CorpusQc extends QueryModule {
     * produced the lengths), so an artifact left by an OLDER zstd never
     * fans out the digest join with stale lengths: a version bump simply
     * reads an empty dir until the query re-materializes (loud — the
-    * oracle's inner join drops every row). Same-version artifacts from
-    * another SF or another run are byte-identical per digest (zstd is
-    * deterministic) and collapse under the DISTINCT.
+    * oracle's inner join drops every row). Below the version sits a
+    * PER-RUN nonce (r17): the oracle SQL is rendered by the same JVM
+    * that writes the artifact, so the paths agree within a run, and a
+    * concurrent user on the same box — the shared-/tmp cross-pollution
+    * risk — can never land files inside this run's glob. Per-run dirs
+    * are small (one row per distinct digest) and live under /tmp's
+    * normal cleanup; they are deliberately NOT deleted on JVM exit,
+    * because the DuckDB check runs after the writing JVM has exited.
     */
   val LensRoot = "/tmp/graft_oracle_feed/zstd_lens"
 
   private val LensVersionDir =
-    s"$LensRoot/zstd_${com.github.luben.zstd.util.ZstdVersion.VERSION.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    s"$LensRoot/zstd_${com.github.luben.zstd.util.ZstdVersion.VERSION.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+      s"/run_${java.util.UUID.randomUUID.toString.replace("-", "")}"
 
   private def lensDir(sfDir: String): String =
     s"$LensVersionDir/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")}"
