@@ -3,12 +3,14 @@ package graft.operators
 import graft.SparkSpec
 
 /** The PDF front door: writer↔extractor round-trips (raw + real
-  * Deflater zlib), the object grammar (escapes, hex strings, refs,
-  * indirect /Length, /Prev chains), page-tree order, and the loud-reject
-  * matrix (encryption, xref streams, unsupported filters, inline
-  * images, truncations). The PDFs here are built by hand or by
-  * [[Pdf.buildPdf]] — two independent layers, so a writer bug cannot
-  * hide an extractor bug of the same shape.
+  * Deflater zlib, classic + compressed xref-stream/ObjStm layouts), the
+  * object grammar (escapes, hex strings, refs, indirect /Length, /Prev
+  * chains, hybrid /XRefStm precedence), the font-encoding layer
+  * (/ToUnicode CMaps, named encodings, Type0/Differences rejects),
+  * page-tree order, and the loud-reject matrix (encryption, unsupported
+  * filters and predictors, inline images, truncations). The PDFs here
+  * are built by hand or by [[Pdf.buildPdf]] — two independent layers,
+  * so a writer bug cannot hide an extractor bug of the same shape.
   */
 class PdfSpec extends SparkSpec {
 
