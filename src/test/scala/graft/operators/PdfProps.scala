@@ -62,6 +62,72 @@ object PdfProps extends Properties("pdf") {
       isBom || Pdf.textOf(content) == new String(bytes.toArray, "ISO-8859-1")
     }
 
+  // --- /ToUnicode CMap sweep: random code->text maps decode exactly ---
+
+  private val cmapDstGen: Gen[String] = for {
+    n <- Gen.choose(1, 2)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      3 -> Gen.choose(0x20, 0x7e), 1 -> Gen.choose(0xa1, 0x2ff)))
+  } yield cs.map(_.toChar).mkString
+
+  private val cmapGen: Gen[(Int, Map[Int, String])] = for {
+    codeLen <- Gen.oneOf(1, 2)
+    n <- Gen.choose(1, 16)
+    codes <- Gen.listOfN(n, Gen.choose(0, if (codeLen == 1) 255 else 65535))
+    dsts <- Gen.listOfN(n, cmapDstGen)
+  } yield (codeLen, codes.zip(dsts).toMap)
+
+  private def hexCode(codeLen: Int, c: Int): String =
+    if (codeLen == 1) f"$c%02X" else f"$c%04X"
+
+  /** Independent CMap emitter + one-page PDF around it: font /F1 carries
+    * the /ToUnicode stream; the content shows every code once, sorted.
+    */
+  private def cmapPdf(codeLen: Int, m: Map[Int, String]): (Array[Byte], String) = {
+    val lo = "00" * codeLen
+    val hi = "FF" * codeLen
+    val bfchars = m.toSeq.sortBy(_._1).map { case (c, s) =>
+      val dst = s.getBytes("UTF-16BE").map("%02X".format(_)).mkString
+      s"<${hexCode(codeLen, c)}> <$dst>"
+    }.mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |begincmap
+         |1 begincodespacerange
+         |<$lo> <$hi>
+         |endcodespacerange
+         |${m.size} beginbfchar
+         |$bfchars
+         |endbfchar
+         |endcmap end""".stripMargin
+    val shown = m.keys.toSeq.sorted
+    val content = s"BT /F1 12 Tf <${shown.map(hexCode(codeLen, _)).mkString}> Tj ET"
+    val want = shown.map(m).mkString
+    val sb = new StringBuilder
+    val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: String): Unit = { off += sb.length; sb.append(body) }
+    sb.append("%PDF-1.4\n")
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    obj(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    obj("5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+P " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>\nendobj\n")
+    obj(s"6 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 7\n0000000000 65535 f \n")
+    off.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    (sb.toString.getBytes("ISO-8859-1"), want)
+  }
+
+  property("any /ToUnicode bfchar map (1- and 2-byte codes) decodes exactly") =
+    forAll(cmapGen) { case (codeLen, m) =>
+      val (pdf, want) = cmapPdf(codeLen, m)
+      Pdf.extractText(pdf) == want
+    }
+
   property("text extraction is invariant under whitespace and comment noise") =
     forAll(pageGen, Gen.choose(0, 3)) { (lines, pad) =>
       val clean = lines.zipWithIndex.map { case (l, i) =>
