@@ -78,6 +78,38 @@ class MediaIngestSpec extends SparkSpec {
       .select("doc_id", "feature")) == got)
   }
 
+  test("arriving images probe the stream's landed history: near-dups flag, replay idempotent") {
+    val outDir = Files.createTempDirectory("graft_media_dup_out").toString
+    val ckpt = Files.createTempDirectory("graft_media_dup_ckpt").toString
+    val src = MemoryStream[MediaRow]
+    val q = MediaIngest.start(src.toDF, outDir, ckpt)
+    try {
+      // batch 1: two distinct images + audio; batch 2: an exact re-landing
+      // of image 1 under a new id, plus a fresh image and fresh audio
+      src.addData(MediaRow(1L, "image", ppm(1)), MediaRow(2L, "image", ppm(2)),
+        MediaRow(3L, "audio", wav(3)))
+      q.processAllAvailable()
+      src.addData(MediaRow(10L, "image", ppm(1)), MediaRow(11L, "image", ppm(40)),
+        MediaRow(12L, "audio", wav(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def dups() = spark.read.parquet(s"$outDir/dups").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = dups()
+    // the re-landed image flags against its batch-1 original at hamming 0;
+    // the first batch has no history, audio carries no signature
+    assert(got.contains((10L, 1L, 0)), got.toString)
+    assert(!got.exists { case (a, b, _) => a <= 3L || b == 3L || b == 12L }, got.toString)
+    // fresh image 40 must not collide with 1/2 (distinct random rasters)
+    assert(!got.exists { case (a, _, _) => a == 11L }, got.toString)
+    // crash replay: re-running committed batch 1 (batch_id 1) recomputes
+    // the same dup rows — the probe reads strictly batch_id < 1
+    val replayRows = Seq(MediaRow(10L, "image", ppm(1)),
+      MediaRow(11L, "image", ppm(40)), MediaRow(12L, "audio", wav(3)))
+    MediaIngest.batchWriter(spark, outDir)(replayRows.toDF(), 1L)
+    assert(dups() == got, "replaying a committed batch must not change the dup set")
+  }
+
   test("blobs landing in a directory stream through binaryFile into the decode core") {
     import java.nio.file.{Files, Paths}
     val blobDir = Files.createTempDirectory("graft_blob_stream")
