@@ -295,6 +295,10 @@ object Pdf extends QueryModule {
       */
     private val xrefSeen = scala.collection.mutable.Set.empty[Long]
     private var root: PRef = _
+    /** `/Info` from the NEWEST trailer that carries one (§7.5.5 — the
+      * document-metadata dictionary; optional).
+      */
+    private var info: Option[PRef] = None
 
     /** Parse the object headed at byte `off`: (number, value, raw stream
       * bytes). `lenOf` supplies the `/Length` lookup — indirect-capable
@@ -490,6 +494,11 @@ object Pdf extends QueryModule {
           case Some(r: PRef) => root = r; rootSeen = true
           case Some(_) => fail("/Root is not an indirect reference")
           case None => () // an update trailer may omit it; /Prev must supply
+        }
+        if (info.isEmpty) tr.m.get("Info") match {
+          case Some(r: PRef) => info = Some(r)
+          case Some(_) => fail("/Info is not an indirect reference")
+          case None => ()
         }
         off = tr.m.get("Prev") match {
           case Some(p: PNum) => hops += 1; p.int
@@ -712,6 +721,37 @@ object Pdf extends QueryModule {
             case other => fail(s"font /$name /Encoding of unexpected type $other")
           }
       }
+
+    /** The §7.5.5 document-information dictionary, resolved — None when
+      * no trailer carries an `/Info`.
+      */
+    def infoDict(): Option[PDict] = info.map(r => dictOf(r, "/Info"))
+  }
+
+  /** One document's metadata: /Info Title and Author (decoded through
+    * [[decodeString]] — PDFDocEncoding or the UTF-16BE BOM), the
+    * /CreationDate year parsed from the §7.9.4 `D:` date string, and
+    * the page count from the page-tree walk. A missing /Info, missing
+    * key, non-string value, or malformed date prefix rejects by name —
+    * the front-door contract (corpus provenance filters must never read
+    * silently-empty metadata).
+    */
+  def docMeta(pdf: Array[Byte]): (String, String, Int, Int) = {
+    val doc = new Document(pdf)
+    val d = doc.infoDict().getOrElse(fail("document has no /Info dictionary"))
+    def str(k: String): String =
+      doc.resolve(d.m.getOrElse(k, fail(s"/Info has no /$k"))) match {
+        case PStr(b) => decodeString(b)
+        case other => fail(s"/Info /$k is not a string (got $other)")
+      }
+    val created = str("CreationDate")
+    require(created.startsWith("D:") && created.length >= 6,
+      s"pdf: malformed /CreationDate '$created' (must start D:YYYY)")
+    val year =
+      try created.substring(2, 6).toInt
+      catch { case _: NumberFormatException =>
+        fail(s"non-numeric year in /CreationDate '$created'") }
+    (str("Title"), str("Author"), year, doc.pages().length)
   }
 
   /** Decode one stream's payload: `/Filter` (none or a single
@@ -1494,6 +1534,88 @@ object Pdf extends QueryModule {
         ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
+  // pdf_info_extract: the /Info metadata fixture
+  // ---------------------------------------------------------------
+
+  private val InfoTitleW = 48 // hex of the document's first 24 bytes
+  private val InfoAuthorW = 12 // zero-padded doc_id
+  private val InfoYearW = 4 // 2000 + doc_id % 26
+
+  /** Constant skeleton for the metadata fixture: four hex segments
+    * around the three spliced CONSTANT-WIDTH `/Info` fields (48-char
+    * title, 12-char author, 4-digit year inside a `D:` date), built by
+    * laying the file out with sentinel runs of the real widths and
+    * splitting at them — so every xref offset is constant by
+    * construction, the [[skeleton]] discipline.
+    */
+  private def infoSkeleton(): Seq[String] = {
+    val t = "\u0001" * InfoTitleW
+    val a = "\u0002" * InfoAuthorW
+    val y = "\u0003" * InfoYearW
+    val content = "BT (m) Tj ET"
+    val sb = new StringBuilder
+    val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: String): Unit = { off += sb.length; sb.append(body) }
+    sb.append("%PDF-1.4\n")
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    obj(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    obj(s"5 0 obj\n<< /Title ($t) /Author ($a) " +
+      s"/CreationDate (D:${y}0101000000) >>\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 6\n0000000000 65535 f \n")
+    off.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size 6 /Root 1 0 R /Info 5 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val s = sb.toString
+    val i1 = s.indexOf(t); val i2 = s.indexOf(a); val i3 = s.indexOf(y)
+    Seq(s.substring(0, i1), s.substring(i1 + t.length, i2),
+      s.substring(i2 + a.length, i3), s.substring(i3 + y.length)).map(hexOf)
+  }
+
+  /** `pdf_info_extract`: the PDF METADATA front door — corpus
+    * provenance (who produced a document, when) is a first-class
+    * training-data filter, and the `/Info` dictionary is where the PDF
+    * format carries it. Spark BUILDS one PDF per document in pure SQL
+    * with /Title (hex of the first 24 bytes), /Author (zero-padded
+    * doc_id), and a `D:` /CreationDate whose year derives from the
+    * doc_id, then parses them back through the PRODUCTION walk
+    * ([[docMeta]]): trailer /Info resolution, string decode, date-year
+    * parse, and the page-tree count. The oracle recomputes every field
+    * straight from the documents row — an /Info lookup, string-escape,
+    * or date-parse bug lands as a value mismatch or a loud reject.
+    */
+  def pdfInfoExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val segs = infoSkeleton()
+    Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= 24)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"), unhex(concat(
+        lit(segs(0)), expr("hex(cast(substring(h, 1, 48) as binary))"),
+        lit(segs(1)), expr("hex(cast(lpad(cast(doc_id as string), 12, '0') as binary))"),
+        lit(segs(2)), expr("hex(cast(cast(2000 + doc_id % 26 as string) as binary))"),
+        lit(segs(3)))).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (title, author, year, nPages) = docMeta(payload)
+        (id, title, author, year, nPages)
+      })
+      .toDF("doc_id", "title", "author", "created_year", "n_pages")
+      .orderBy("doc_id")
+  }
+
+  private val pdfInfoExtractSql =
+    s"""SELECT doc_id,
+               substring(hex(encode(text)), 1, 48) AS title,
+               lpad(CAST(doc_id AS VARCHAR), 12, '0') AS author,
+               CAST(2000 + doc_id % 26 AS INT) AS created_year,
+               CAST(1 AS INT) AS n_pages
+        FROM documents
+        WHERE octet_length(encode(text)) >= 24
+        ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------
   // pdf_files_ingest: real landed PDFs through the path walk
   // ---------------------------------------------------------------
 
@@ -1570,12 +1692,14 @@ object Pdf extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pdf_text_extract" -> (pdfTextExtract _),
     "pdf_xref_stream_extract" -> (pdfXrefStreamExtract _),
+    "pdf_info_extract" -> (pdfInfoExtract _),
     "pdf_files_ingest" -> (pdfFilesIngest _),
   )
 
   override def oracle: Map[String, String] = Map(
     "pdf_text_extract" -> pdfTextExtractSql,
     "pdf_xref_stream_extract" -> pdfXrefStreamExtractSql,
+    "pdf_info_extract" -> pdfInfoExtractSql,
     "pdf_files_ingest" -> pdfFilesIngestSql,
   )
 }

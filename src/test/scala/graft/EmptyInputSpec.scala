@@ -65,8 +65,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_classifier_multi", "text_langid_learned", "mm_real_exif",
     // r16/r17 family (the pdf fixtures build FROM documents, so an empty
     // corpus lands zero files and the walks must return empty)
-    "pdf_text_extract", "pdf_xref_stream_extract", "pdf_files_ingest",
-    "mm_ahash_oriented")
+    "pdf_text_extract", "pdf_xref_stream_extract", "pdf_info_extract",
+    "pdf_files_ingest", "mm_ahash_oriented")
 
   /** Ungrouped global aggregates correctly emit ONE summary row on empty
     * input (SQL semantics, same as the DuckDB oracle) — everything else

@@ -495,6 +495,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("Union"), s"xrefstm + objstm legs must union, not re-scan twice joined:\n$p")
   }
 
+  test("pdf info extract: one map-only leg, no hash exchange before the output sort") {
+    val p = planOf("pdf_info_extract")
+    assert(!p.contains("Exchange hashpartitioning"), s"pdf_info_extract hash-shuffles:\n$p")
+  }
+
   test("oriented ahash: four fixture legs union map-only, no hash exchange") {
     val p = planOf("mm_ahash_oriented")
     assert(!p.contains("Exchange hashpartitioning"), s"mm_ahash_oriented hash-shuffles:\n$p")

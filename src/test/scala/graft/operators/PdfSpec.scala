@@ -308,6 +308,47 @@ class PdfSpec extends SparkSpec {
     assert(e.getMessage.contains("/F9"), e.getMessage)
   }
 
+  test("/Info metadata: escapes and UTF-16 titles decode; newest trailer wins; ObjStm-resident /Info resolves") {
+    // hand-rolled classic file: /Info with an escaped title and a
+    // UTF-16BE author, multi-page for the page count
+    val base = new String(Pdf.buildPdf(Seq(Seq("p1"), Seq("p2")), flate = false), "ISO-8859-1")
+    val sb = new StringBuilder(base)
+    // append an incremental update adding object 8 = /Info
+    val infoBody = "8 0 obj\n<< /Title (a\\(b\\)c) " +
+      "/Author (þÿ\\000H\\000i) /CreationDate (D:19990704120000) >>\nendobj\n"
+    val baseXrefAt = base.indexOf("\nxref\n") + 1
+    val objAt = sb.length
+    sb.append(infoBody)
+    val xrefAt = sb.length
+    sb.append(s"xref\n8 1\n")
+    sb.append(f"$objAt%010d 00000 n \n")
+    sb.append(s"trailer\n<< /Size 9 /Root 1 0 R /Info 8 0 R /Prev $baseXrefAt >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    val (title, author, year, nPages) = Pdf.docMeta(ascii(sb.toString))
+    assert((title, author, year, nPages) == ("a(b)c", "Hi", 1999, 2))
+
+    // /Info living INSIDE an ObjStm (the modern layout): reuse the
+    // hand-rolled xref-stream file whose ObjStm holds objects 1 and 2 —
+    // point /Info at object 2 (any dict works for the resolution path,
+    // but a type-2 /Info must resolve through the object stream)
+    val xs = new String(handXrefStreamPdf("BT (x) Tj ET"), "ISO-8859-1")
+    // the xref stream dict doubles as the trailer: give it an /Info
+    val withInfo = xs.replace("/Length 49 /Root 1 0 R", "/Length 49 /Root 1 0 R /Info 1 0 R")
+    // the catalog has no date: the REJECT proves the type-2 resolution ran
+    val e = intercept[IllegalArgumentException](Pdf.docMeta(ascii(withInfo)))
+    assert(e.getMessage.contains("/Info has no /CreationDate"), e.getMessage)
+
+    // no /Info at all rejects by name
+    val e2 = intercept[IllegalArgumentException](
+      Pdf.docMeta(Pdf.buildPdf(Seq(Seq("x")), flate = false)))
+    assert(e2.getMessage.contains("no /Info"), e2.getMessage)
+
+    // malformed date prefix rejects by name
+    val bad = sb.toString.replace("(D:19990704120000)", "(XX19990704120000)")
+    val e3 = intercept[IllegalArgumentException](Pdf.docMeta(ascii(bad)))
+    assert(e3.getMessage.contains("CreationDate"), e3.getMessage)
+  }
+
   test("reject matrix: every unsupported or malformed shape throws with a named reason") {
     def rejects(bytes: Array[Byte], needle: String): Unit = {
       val e = intercept[IllegalArgumentException](Pdf.extractText(bytes))
