@@ -100,6 +100,20 @@ object ZipProps extends Properties("zip") {
       Zip.entries(withComment).map { case (e, d) => (e, d.toSeq) } == files(entries)
     }
 
+  property("seekable file walk == in-memory walk on any entry mix") =
+    forAll(entriesGen) { entries =>
+      val enc = encode(entries)
+      val tmp = java.nio.file.Files.createTempFile("graft_zipprops", ".zip")
+      try {
+        java.nio.file.Files.write(tmp, enc)
+        val path = new org.apache.hadoop.fs.Path(tmp.toUri)
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val seeked = Zip.entriesFromFile(fs, path)
+          .map { case (n, d) => (n, d.toSeq) }.toSeq
+        seeked == files(entries)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+
   property("reject-matrix stability: a corrupted member CRC stays loud") =
     forAll(entriesGen.suchThat(_.exists(e => !e._4))) { entries =>
       val enc = encode(entries)
