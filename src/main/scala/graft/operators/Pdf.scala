@@ -23,7 +23,7 @@ import graft.{QueryModule, Tables}
   *
   * Loud-reject discipline (the [[graft.pipeline.Exif]] style): anything
   * outside the supported profile throws with a named reason — encrypted
-  * documents, filters other than FlateDecode, TIFF (`Predictor 2`)
+  * documents, filters beyond FlateDecode/LZWDecode, TIFF (`Predictor 2`)
   * prediction, inline images (`BI` — binary payload breaks the token
   * grammar), malformed strings/offsets/checked keywords — never a
   * silent empty result.
@@ -762,41 +762,90 @@ object Pdf extends QueryModule {
     * rejecter for cross-reference streams (§7.5.8.2).
     */
   private def decodeStream(d: PDict, raw: Array[Byte], res: PVal => PVal): Array[Byte] = {
-    val inflated = res(d.m.getOrElse("Filter", PNull)) match {
+    val parms: Option[PDict] = res(d.m.getOrElse("DecodeParms", PNull)) match {
+      case PNull => None
+      case p: PDict => Some(p)
+      case PArr(Vector(p: PDict)) => Some(p)
+      case other => fail(s"/DecodeParms of unexpected shape $other")
+    }
+    def intOr(k: String, dflt: Int): Int = parms.flatMap(_.m.get(k)) match {
+      case None => dflt
+      case Some(v) => res(v) match {
+        case n: PNum => n.int.toInt
+        case other => fail(s"/DecodeParms /$k is not an integer (got $other)")
+      }
+    }
+    val decoded = res(d.m.getOrElse("Filter", PNull)) match {
       case PNull => raw
       case PName("FlateDecode") => inflate(raw)
       case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
-      case other => fail(s"filter $other unsupported (FlateDecode only)")
+      case PName("LZWDecode") => lzwDecode(raw, intOr("EarlyChange", 1))
+      case PArr(Vector(PName("LZWDecode"))) => lzwDecode(raw, intOr("EarlyChange", 1))
+      case other => fail(s"filter $other unsupported (FlateDecode/LZWDecode only)")
     }
-    res(d.m.getOrElse("DecodeParms", PNull)) match {
-      case PNull => inflated
-      case parms0 =>
-        val parms = parms0 match {
-          case p: PDict => p
-          case PArr(Vector(p: PDict)) => p
-          case other => fail(s"/DecodeParms of unexpected shape $other")
-        }
-        def intOr(k: String, dflt: Int): Int = parms.m.get(k) match {
-          case None => dflt
-          case Some(v) => res(v) match {
-            case n: PNum => n.int.toInt
-            case other => fail(s"/DecodeParms /$k is not an integer (got $other)")
+    intOr("Predictor", 1) match {
+      case 1 => decoded
+      case p if p >= 10 =>
+        val columns = intOr("Columns", 1)
+        val colors = intOr("Colors", 1)
+        val bpc = intOr("BitsPerComponent", 8)
+        require(columns > 0 && colors > 0 && bpc > 0,
+          s"pdf: bad predictor geometry ($columns columns, $colors colors, $bpc bits)")
+        val bpp = math.max(1, colors * bpc / 8)
+        val rowBytes = (columns * colors * bpc + 7) / 8
+        pngUnpredict(decoded, rowBytes, bpp)
+      case p => fail(s"predictor $p unsupported (none or PNG only)")
+    }
+  }
+
+  /** LZWDecode (§7.4.4 — the TIFF variant: MSB-first bit packing,
+    * 9→12-bit variable code widths, 256 = clear, 257 = EOD, and the
+    * `/EarlyChange` convention where widths grow ONE CODE EARLY by
+    * default). The pre-PDF-1.2 compression — rare in modern corpora but
+    * present in long-tail scans. Width bump mirrors the encoder's
+    * early-change lockstep: the decoder's table lags the encoder by the
+    * in-flight code, so it widens at `size + 1 + earlyChange` reaching
+    * the width's capacity (510/1022/2046 under the default). Truncation
+    * (no EOD), out-of-range codes, and table overflow reject loudly.
+    */
+  private def lzwDecode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+    require(earlyChange == 0 || earlyChange == 1,
+      s"pdf: /EarlyChange $earlyChange unsupported (0 or 1)")
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    while (true) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff); pos += 1; bitCnt += 8
+      }
+      if (bitCnt < width) fail("truncated LZW stream (no EOD code)")
+      val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+      bitCnt -= width
+      code match {
+        case 256 => dictSize = 258; width = 9; prev = null // clear table
+        case 257 => return out.toByteArray // EOD
+        case c =>
+          val entry: Array[Byte] =
+            if (c < 256) Array(c.toByte)
+            else if (c < dictSize && c >= 258) dict(c)
+            else if (c == dictSize && prev != null) prev :+ prev(0) // KwKwK
+            else fail(s"LZW code $c out of range (table size $dictSize)")
+          out.write(entry)
+          if (prev != null) {
+            require(dictSize < 4096, "pdf: LZW table overflow without a clear code")
+            dict(dictSize) = prev :+ entry(0)
+            dictSize += 1
+            if (dictSize + 1 + earlyChange >= (1 << width) && width < 12) width += 1
           }
-        }
-        intOr("Predictor", 1) match {
-          case 1 => inflated
-          case p if p >= 10 =>
-            val columns = intOr("Columns", 1)
-            val colors = intOr("Colors", 1)
-            val bpc = intOr("BitsPerComponent", 8)
-            require(columns > 0 && colors > 0 && bpc > 0,
-              s"pdf: bad predictor geometry ($columns columns, $colors colors, $bpc bits)")
-            val bpp = math.max(1, colors * bpc / 8)
-            val rowBytes = (columns * colors * bpc + 7) / 8
-            pngUnpredict(inflated, rowBytes, bpp)
-          case p => fail(s"predictor $p unsupported (none or PNG only)")
-        }
+          prev = entry
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Reverse the PNG row filters over `(1 + rowBytes)`-stride rows —

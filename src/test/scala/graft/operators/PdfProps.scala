@@ -128,6 +128,39 @@ object PdfProps extends Properties("pdf") {
       Pdf.extractText(pdf) == want
     }
 
+  // LZW mirror: random payloads large enough to cross the 9->10->11 bit
+  // width boundaries (each distinct pair adds a table entry), through a
+  // real page whose content stream is LZW-coded
+  private val lzwPayloadGen: Gen[Array[Byte]] = for {
+    n <- Gen.oneOf(Gen.choose(0, 64), Gen.choose(800, 3000))
+    bs <- Gen.listOfN(n, Gen.choose(0, 255).map(_.toByte))
+  } yield bs.toArray
+
+  property("LZW encoder -> production decoder round-trips across width boundaries") =
+    forAll(lzwPayloadGen) { payload =>
+      // show the payload as an octal-escaped literal string so the decoded
+      // content stream is valid and carries every byte
+      val content = s"BT (${escaped(payload.toSeq)}) Tj ET".getBytes("ISO-8859-1")
+      val coded = LzwTestCodec.encode(content)
+      val sb = new StringBuilder
+      val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def obj(body: String): Unit = { off += sb.length; sb.append(body) }
+      sb.append("%PDF-1.4\n")
+      obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+      obj("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+      obj(s"4 0 obj\n<< /Length ${coded.length} /Filter /LZWDecode >>\nstream\n" +
+        new String(coded, "ISO-8859-1") + "\nendstream\nendobj\n")
+      val xrefAt = sb.length
+      sb.append("xref\n0 5\n0000000000 65535 f \n")
+      off.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+      sb.append(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      val isBom = payload.length >= 2 &&
+        (payload(0) & 0xff) == 0xfe && (payload(1) & 0xff) == 0xff
+      isBom || Pdf.extractText(sb.toString.getBytes("ISO-8859-1")) ==
+        new String(payload, "ISO-8859-1")
+    }
+
   property("text extraction is invariant under whitespace and comment noise") =
     forAll(pageGen, Gen.choose(0, 3)) { (lines, pad) =>
       val clean = lines.zipWithIndex.map { case (l, i) =>

@@ -349,6 +349,19 @@ class PdfSpec extends SparkSpec {
     assert(e3.getMessage.contains("CreationDate"), e3.getMessage)
   }
 
+  test("LZWDecode: hand-derived golden pins the test encoder; encoder pins the decoder") {
+    // codes for "AAABBB": [Clear, 65, 258 (KwKwK), 66, 260 (KwKwK), EOD],
+    // MSB-first 9-bit packing computed BY HAND from ISO 32000-1 §7.4.4
+    assert(LzwTestCodec.encode("AAABBB".getBytes("US-ASCII")).toSeq ==
+      Seq(0x80, 0x10, 0x60, 0x44, 0x28, 0x24, 0x04).map(_.toByte))
+    // end to end: a REAL content stream LZW-coded into a page
+    val content = "BT (lzw decoded text) Tj ET"
+    val data = new String(LzwTestCodec.encode(content.getBytes("US-ASCII")), "ISO-8859-1")
+    val pdf = handPdf(data,
+      streamDict = len => s"<< /Length $len /Filter /LZWDecode >>")
+    assert(Pdf.extractText(pdf) == "lzw decoded text")
+  }
+
   test("reject matrix: every unsupported or malformed shape throws with a named reason") {
     def rejects(bytes: Array[Byte], needle: String): Unit = {
       val e = intercept[IllegalArgumentException](Pdf.extractText(bytes))
@@ -362,9 +375,12 @@ class PdfSpec extends SparkSpec {
     val xs = new String(handPdf("BT (x) Tj ET"), "ISO-8859-1")
       .replaceAll("startxref\n[0-9]+", "startxref\n9")
     rejects(ascii(xs), "cross-reference stream")
-    // unsupported filter
+    // unsupported filter (LZWDecode moved to supported in r17)
     rejects(handPdf("BT (x) Tj ET",
-      streamDict = len => s"<< /Length $len /Filter /LZWDecode >>"), "unsupported")
+      streamDict = len => s"<< /Length $len /Filter /DCTDecode >>"), "unsupported")
+    // truncated LZW: plausible bits, no EOD code
+    rejects(handPdf("",
+      streamDict = len => s"<< /Length $len /Filter /LZWDecode >>"), "no EOD")
     // TIFF predictor (PNG family is supported; 2 is not)
     rejects(handPdf("BT (x) Tj ET",
       streamDict = len => s"<< /Length $len /DecodeParms << /Predictor 2 >> >>"),
