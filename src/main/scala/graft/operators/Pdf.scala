@@ -299,6 +299,10 @@ object Pdf extends QueryModule {
       * document-metadata dictionary; optional).
       */
     private var info: Option[PRef] = None
+    /** `/Encrypt` from the newest trailer that carries one — resolved
+      * and rejected BY VERSION once the object machinery below exists.
+      */
+    private var encryptRef: Option[PVal] = None
 
     /** Parse the object headed at byte `off`: (number, value, raw stream
       * bytes). `lenOf` supplies the `/Length` lookup — indirect-capable
@@ -485,11 +489,16 @@ object Pdf extends QueryModule {
       var off = lx.parseValue().asInstanceOf[PNum].int
       var hops = 0
       var rootSeen = false
+      // deferred until the whole chain loads: naming the /Encrypt
+      // /V (algorithm) and /R (standard-handler revision) versions in
+      // the reject needs the dictionary resolved, and its reference may
+      // point into a section an earlier /Prev hop hasn't loaded yet
+      // (resolution itself waits for the object cache below to exist)
       while (off >= 0) {
         require(hops < 16, "pdf: /Prev chain longer than 16 updates")
         require(off < bytes.length, s"pdf: xref offset $off beyond EOF")
         val tr = loadSection(off.toInt)
-        if (tr.m.contains("Encrypt")) fail("encrypted document unsupported")
+        if (encryptRef.isEmpty) encryptRef = tr.m.get("Encrypt")
         if (!rootSeen) tr.m.get("Root") match {
           case Some(r: PRef) => root = r; rootSeen = true
           case Some(_) => fail("/Root is not an indirect reference")
@@ -600,28 +609,70 @@ object Pdf extends QueryModule {
       case other => fail(s"$what is not a dictionary (got $other)")
     }
 
-    /** The page objects in document order — `/Kids` walked depth-first. */
+    locally {
+      // encrypted documents reject WITH the security-handler versions:
+      // corpus triage splits the RC4 era (/V 1–2) from AES files
+      // (/V 4–5) on the message alone, without reopening the bytes.
+      // The /Encrypt dictionary itself is never encrypted (§7.6.1), so
+      // resolving it through the normal object walk is safe.
+      encryptRef.foreach { e =>
+        // BEST-EFFORT description: the reject must stay "encrypted"
+        // even when the dictionary itself is broken or dangling
+        def tryResolve(v: PVal): PVal =
+          try resolve(v) catch { case _: Exception => PNull }
+        val versions = tryResolve(e) match {
+          case d: PDict =>
+            def num(k: String): String = d.m.get(k).map(tryResolve) match {
+              case Some(n: PNum) => n.int.toString
+              case _ => "?"
+            }
+            val handler = tryResolve(d.m.getOrElse("Filter", PNull)) match {
+              case PName(n) => n
+              case _ => "?"
+            }
+            s"/Filter /$handler /V ${num("V")} /R ${num("R")}"
+          case _ => "unresolvable dictionary"
+        }
+        fail(s"encrypted document unsupported (/Encrypt $versions)")
+      }
+    }
+
+    /** The page objects in document order — `/Kids` walked depth-first.
+      * `/Resources` is an INHERITABLE attribute (§7.7.3.4): a page
+      * without its own takes the nearest `/Pages` ancestor's, threaded
+      * through the walk and spliced into the returned page dict — so
+      * fonts declared once at the tree root still reach [[pageFonts]].
+      * Without this an inheriting page would read `Map.empty`, `Tf`
+      * would silently miss, and subset-font show strings would decode
+      * as byte salad — a silent wrong result the module's loud-reject
+      * contract forbids.
+      */
     def pages(): Vector[PDict] = {
       val catalog = dictOf(root, "/Root")
       val out = Vector.newBuilder[PDict]
       var seen = 0
-      def walk(node: PVal, depth: Int): Unit = {
+      def walk(node: PVal, inherited: Option[PVal], depth: Int): Unit = {
         require(depth < 64, "pdf: page tree deeper than 64 levels")
         val d = dictOf(node, "page-tree node")
+        val res = d.m.get("Resources").orElse(inherited)
         d.m.get("Type") match {
           case Some(PName("Pages")) =>
             resolve(d.m.getOrElse("Kids", fail("/Pages node without /Kids"))) match {
-              case PArr(kids) => kids.foreach(walk(_, depth + 1))
+              case PArr(kids) => kids.foreach(walk(_, res, depth + 1))
               case other => fail(s"/Kids is not an array (got $other)")
             }
           case Some(PName("Page")) =>
             seen += 1
             require(seen <= 1000000, "pdf: more than 1e6 pages")
-            out += d
+            out += (res match {
+              case Some(r) if !d.m.contains("Resources") =>
+                PDict(d.m + ("Resources" -> r))
+              case _ => d
+            })
           case other => fail(s"page-tree node of type $other")
         }
       }
-      walk(catalog.m.getOrElse("Pages", fail("catalog without /Pages")), 0)
+      walk(catalog.m.getOrElse("Pages", fail("catalog without /Pages")), None, 0)
       out.result()
     }
 
@@ -754,41 +805,87 @@ object Pdf extends QueryModule {
     (str("Title"), str("Author"), year, doc.pages().length)
   }
 
-  /** Decode one stream's payload: `/Filter` (none or a single
-    * FlateDecode) then `/DecodeParms` prediction — 1 = none, ≥10 = the
-    * PNG row filters (the cross-reference-stream shape every modern
-    * producer emits); TIFF `Predictor 2` rejects loudly. `res` resolves
-    * indirect values — `resolve` in the general case, a direct-only
-    * rejecter for cross-reference streams (§7.5.8.2).
+  /** Decode one stream's payload: the `/Filter` CHAIN folded in array
+    * order (§7.4.1 — each filter consumes the previous filter's
+    * output), each element applying its own `/DecodeParms` entry (a
+    * parallel array per the spec; a bare dict pairs with a one-element
+    * chain). Supported filters: FlateDecode, LZWDecode,
+    * ASCIIHexDecode, ASCII85Decode — each honoring its parms'
+    * `/Predictor` (1 = none, ≥10 = the PNG row filters every modern
+    * xref-stream producer emits); TIFF `Predictor 2` rejects loudly.
+    * `res` resolves indirect values — `resolve` in the general case, a
+    * direct-only rejecter for cross-reference streams (§7.5.8.2).
     */
   private def decodeStream(d: PDict, raw: Array[Byte], res: PVal => PVal): Array[Byte] = {
-    val parms: Option[PDict] = res(d.m.getOrElse("DecodeParms", PNull)) match {
-      case PNull => None
-      case p: PDict => Some(p)
-      case PArr(Vector(p: PDict)) => Some(p)
+    val filters: Vector[String] = res(d.m.getOrElse("Filter", PNull)) match {
+      case PNull => Vector.empty
+      case PName(n) => Vector(n)
+      case PArr(items) => items.map(res(_) match {
+        case PName(n) => n
+        case other => fail(s"/Filter array holds non-name $other")
+      })
+      case other => fail(s"/Filter of unexpected shape $other")
+    }
+    val parmsPer: Vector[Option[PDict]] = res(d.m.getOrElse("DecodeParms", PNull)) match {
+      case PNull => Vector.fill(math.max(1, filters.length))(None)
+      case p: PDict =>
+        require(filters.length <= 1,
+          s"pdf: bare /DecodeParms dict beside a ${filters.length}-filter chain")
+        Vector(Some(p))
+      case PArr(items) =>
+        require(items.length == filters.length,
+          s"pdf: /DecodeParms length ${items.length} != /Filter length ${filters.length}")
+        items.map(res(_) match {
+          case PNull => None
+          case p: PDict => Some(p)
+          case other => fail(s"/DecodeParms element of unexpected shape $other")
+        })
       case other => fail(s"/DecodeParms of unexpected shape $other")
     }
-    def intOr(k: String, dflt: Int): Int = parms.flatMap(_.m.get(k)) match {
-      case None => dflt
-      case Some(v) => res(v) match {
-        case n: PNum => n.int.toInt
-        case other => fail(s"/DecodeParms /$k is not an integer (got $other)")
+    if (filters.isEmpty)
+      // filterless streams may still carry prediction parms (the raw
+      // xref-stream shape): identity decode, predictor honored
+      applyPredictor(raw, parmsPer.head, res)
+    else
+      filters.zip(parmsPer).foldLeft(raw) { case (bytes, (name, parms)) =>
+        applyFilter(name, bytes, parms, res)
       }
+  }
+
+  /** One `/Filter` chain element: the named decode, then that element's
+    * own `/Predictor` parms.
+    */
+  private def parmInt(parms: Option[PDict], res: PVal => PVal,
+      k: String, dflt: Int): Int = parms.flatMap(_.m.get(k)) match {
+    case None => dflt
+    case Some(v) => res(v) match {
+      case n: PNum => n.int.toInt
+      case other => fail(s"/DecodeParms /$k is not an integer (got $other)")
     }
-    val decoded = res(d.m.getOrElse("Filter", PNull)) match {
-      case PNull => raw
-      case PName("FlateDecode") => inflate(raw)
-      case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
-      case PName("LZWDecode") => lzwDecode(raw, intOr("EarlyChange", 1))
-      case PArr(Vector(PName("LZWDecode"))) => lzwDecode(raw, intOr("EarlyChange", 1))
-      case other => fail(s"filter $other unsupported (FlateDecode/LZWDecode only)")
+  }
+
+  private def applyFilter(name: String, data: Array[Byte],
+      parms: Option[PDict], res: PVal => PVal): Array[Byte] = {
+    val decoded = name match {
+      case "FlateDecode" => inflate(data)
+      case "LZWDecode" => lzwDecode(data, parmInt(parms, res, "EarlyChange", 1))
+      case "ASCIIHexDecode" => asciiHexDecode(data)
+      case "ASCII85Decode" => ascii85Decode(data)
+      case "RunLengthDecode" => runLengthDecode(data)
+      case other => fail(s"filter /$other unsupported (FlateDecode/LZWDecode/" +
+        "ASCIIHexDecode/ASCII85Decode/RunLengthDecode only)")
     }
-    intOr("Predictor", 1) match {
+    applyPredictor(decoded, parms, res)
+  }
+
+  private def applyPredictor(decoded: Array[Byte], parms: Option[PDict],
+      res: PVal => PVal): Array[Byte] =
+    parmInt(parms, res, "Predictor", 1) match {
       case 1 => decoded
       case p if p >= 10 =>
-        val columns = intOr("Columns", 1)
-        val colors = intOr("Colors", 1)
-        val bpc = intOr("BitsPerComponent", 8)
+        val columns = parmInt(parms, res, "Columns", 1)
+        val colors = parmInt(parms, res, "Colors", 1)
+        val bpc = parmInt(parms, res, "BitsPerComponent", 8)
         require(columns > 0 && colors > 0 && bpc > 0,
           s"pdf: bad predictor geometry ($columns columns, $colors colors, $bpc bits)")
         val bpp = math.max(1, colors * bpc / 8)
@@ -796,6 +893,122 @@ object Pdf extends QueryModule {
         pngUnpredict(decoded, rowBytes, bpp)
       case p => fail(s"predictor $p unsupported (none or PNG only)")
     }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs with PDF whitespace ignored,
+    * `>` as the required EOD marker — an odd final digit behaves as if
+    * followed by 0. Non-hex bytes, a missing EOD, and non-whitespace
+    * after it reject loudly.
+    */
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var ended = false
+    while (i < data.length && !ended) {
+      val b = data(i)
+      if (b == '>') ended = true
+      else if (!isWs(b)) {
+        val v = Character.digit(b, 16)
+        if (v < 0) fail(f"ASCIIHexDecode: non-hex byte 0x$b%02x at offset $i")
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    require(ended, "pdf: ASCIIHexDecode data without the '>' EOD marker")
+    while (i < data.length) {
+      if (!isWs(data(i))) fail("ASCIIHexDecode: data after the '>' EOD marker")
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (§7.4.5 — the PackBits-style byte RLE old fax-era
+    * producers emit): length byte 0–127 copies the next length+1 bytes
+    * literally, 129–255 repeats the next byte 257−length times, 128 is
+    * EOD. A missing EOD, a truncated run, and data after EOD reject
+    * loudly.
+    */
+  private def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    var i = 0
+    while (i < data.length) {
+      val len = data(i) & 0xff
+      i += 1
+      if (len == 128) {
+        while (i < data.length) {
+          if (!isWs(data(i))) fail("RunLengthDecode: data after the EOD byte")
+          i += 1
+        }
+        return out.toByteArray
+      } else if (len < 128) {
+        require(i + len + 1 <= data.length,
+          s"pdf: RunLengthDecode literal run of ${len + 1} truncated")
+        out.write(data, i, len + 1)
+        i += len + 1
+      } else {
+        require(i < data.length, "pdf: RunLengthDecode repeat run truncated")
+        val b = data(i); i += 1
+        var k = 257 - len
+        while (k > 0) { out.write(b); k -= 1 }
+      }
+    }
+    fail("RunLengthDecode data without the EOD byte")
+  }
+
+  /** ASCII85Decode (§7.4.3): 5-char `!`..`u` groups → 4 big-endian
+    * bytes, `z` as the all-zero-group shortcut (illegal mid-group),
+    * PDF whitespace ignored, `~>` as the required EOD. A final partial
+    * group of n chars pads with `u` and keeps its top n−1 bytes (the
+    * btoa convention the encoder's zero-byte padding inverts); a
+    * 1-char final group, a group value above 2³²−1, out-of-alphabet
+    * bytes, and data after EOD reject loudly.
+    */
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var ended = false
+    def flush(chars: Int): Unit = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < chars) grp(k) else 84); k += 1 }
+      require(v <= 0xffffffffL, "pdf: ASCII85Decode group exceeds 2^32 - 1")
+      var shift = 24
+      var emitted = 0
+      while (emitted < chars - 1) {
+        out.write(((v >> shift) & 0xff).toInt)
+        shift -= 8; emitted += 1
+      }
+      n = 0
+    }
+    while (i < data.length && !ended) {
+      val b = data(i)
+      if (b == '~') {
+        require(i + 1 < data.length && data(i + 1) == '>',
+          "pdf: ASCII85Decode '~' not followed by '>'")
+        ended = true; i += 1
+      } else if (b == 'z') {
+        require(n == 0, "pdf: ASCII85Decode 'z' inside a group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!isWs(b)) {
+        if (b < '!' || b > 'u')
+          fail(f"ASCII85Decode: byte 0x$b%02x outside '!'..'u' at offset $i")
+        grp(n) = b - '!'; n += 1
+        if (n == 5) flush(5)
+      }
+      i += 1
+    }
+    require(ended, "pdf: ASCII85Decode data without the '~>' EOD marker")
+    while (i < data.length) {
+      if (!isWs(data(i))) fail("ASCII85Decode: data after the '~>' EOD marker")
+      i += 1
+    }
+    require(n != 1, "pdf: ASCII85Decode final group of a single character")
+    if (n >= 2) flush(n)
+    out.toByteArray
   }
 
   /** LZWDecode (§7.4.4 — the TIFF variant: MSB-first bit packing,
@@ -1027,12 +1240,17 @@ object Pdf extends QueryModule {
 
   /** Text shown by one decoded content stream: `Tj`/`'`/`"` and `TJ`
     * emit onto the current line; `Td`/`TD`/`T*`/`Tm`/`'`/`"` start a
-    * new line; `BT`/`ET` flush. Positioning numbers inside `TJ` arrays
-    * are kerning, not text. Inline images (`BI`) reject loudly — their
-    * binary payload is not tokenizable. `fonts` supplies the page's
-    * `/Resources /Font` decoders, tracked through `Tf`: a `Tf` naming
-    * a font the resources don't carry rejects loudly; with no fonts
-    * (the resource-less fixture profile) bytes decode standard.
+    * new line — EXCEPT moves that provably stay on the current
+    * baseline (`tx 0 Td`, and a `Tm` whose y translation equals the
+    * tracked baseline), the shape justified-text producers emit per
+    * word; leading-relative moves (`T*`, `'`, `"`) reset the tracked
+    * baseline to unknown and so always break. `BT`/`ET` flush.
+    * Positioning numbers inside `TJ` arrays are kerning, not text.
+    * Inline images (`BI`) reject loudly — their binary payload is not
+    * tokenizable. `fonts` supplies the page's `/Resources /Font`
+    * decoders, tracked through `Tf`: a `Tf` naming a font the
+    * resources don't carry rejects loudly; with no fonts (the
+    * resource-less fixture profile) bytes decode standard.
     */
   def textOf(content: Array[Byte], fonts: Map[String, FontDec] = Map.empty): String = {
     val lx = new Lexer(content, 0, ops = true)
@@ -1040,8 +1258,16 @@ object Pdf extends QueryModule {
     val lines = Vector.newBuilder[String]
     val line = new StringBuilder
     var cur: FontDec = StdDec
+    // the current baseline's y translation, when the walk can know it:
+    // Tm sets it absolutely, Td/TD shift it, BT / T* / ' / " (leading-
+    // relative moves this walk doesn't track) reset it to unknown
+    var curTy: Option[Double] = None
     def newline(): Unit =
       if (line.nonEmpty) { lines += line.toString; line.clear() }
+    def numOperand(v: PVal, op: String): Double = v match {
+      case PNum(n) => n
+      case other => fail(s"$op operand is not a number (got $other)")
+    }
     def show(v: PVal): Unit = v match {
       case PStr(b) => line.append(decodeWith(cur, b))
       case other => fail(s"text operator on non-string operand $other")
@@ -1055,10 +1281,10 @@ object Pdf extends QueryModule {
               show(operands.last)
             case "'" =>
               require(operands.nonEmpty, "pdf: ' without an operand")
-              newline(); show(operands.last)
+              newline(); curTy = None; show(operands.last)
             case "\"" =>
               require(operands.length >= 3, "pdf: \" without 3 operands")
-              newline(); show(operands.last)
+              newline(); curTy = None; show(operands.last)
             case "TJ" =>
               operands.lastOption match {
                 case Some(PArr(items)) =>
@@ -1066,9 +1292,21 @@ object Pdf extends QueryModule {
                     fail(s"TJ array holds $other") }
                 case other => fail(s"TJ without an array operand (got $other)")
               }
-            // Tm is a line advance too: many real producers position
-            // every line with a fresh text matrix instead of Td
-            case "Td" | "TD" | "T*" | "Tm" => newline()
+            // Td/TD and Tm are line advances too (many producers set
+            // every line with a fresh matrix) — EXCEPT when the move
+            // stays on the current baseline: justified text positions
+            // each word with `tx 0 Td` or a same-ty Tm, and breaking
+            // there would sprinkle spurious newlines through the line
+            case "Td" | "TD" =>
+              require(operands.length >= 2, s"pdf: $op without 2 operands")
+              val ty = numOperand(operands.last, op)
+              if (ty != 0) { newline(); curTy = curTy.map(_ + ty) }
+            case "T*" => newline(); curTy = None
+            case "Tm" =>
+              require(operands.length >= 6, "pdf: Tm without 6 operands")
+              val ty = numOperand(operands.last, "Tm")
+              if (!curTy.contains(ty)) newline()
+              curTy = Some(ty)
             case "Tf" if fonts.nonEmpty =>
               operands.headOption match {
                 case Some(PName(fname)) =>
@@ -1076,7 +1314,7 @@ object Pdf extends QueryModule {
                     fail(s"Tf selects font /$fname, absent from /Resources /Font"))
                 case other => fail(s"Tf without a font name operand (got $other)")
               }
-            case "BT" | "ET" => newline()
+            case "BT" | "ET" => newline(); curTy = None
             case "BI" => fail("inline image (BI) unsupported")
             case _ => () // every other operator is graphics state — no text
           }
@@ -1665,6 +1903,102 @@ object Pdf extends QueryModule {
         ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
+  // pdf_filter_chain_extract: ASCII filters + /Filter chains
+  // ---------------------------------------------------------------
+
+  /** ASCIIHexDecode leg geometry: the stream data is the content hex
+    * chars themselves plus the `>` EOD marker.
+    */
+  private val AhxLen = 2 * RawLen + 1
+
+  /** ASCII85 leg geometry over the [[ZlibLen]]-byte zlib stream:
+    * 5 digits per full 4-byte group, rem+1 for the zero-padded tail,
+    * plus the 2-byte `~>` EOD.
+    */
+  private val A85Full = ZlibLen / 4
+  private val A85Rem = ZlibLen % 4
+  private val A85Len = A85Full * 5 + (if (A85Rem > 0) A85Rem + 1 else 0) + 2
+
+  /** SQL emitting the ASCII85 coding of the zlib bytes (column `zh` =
+    * hex of the [[zlibHexSql]] output): full 4-byte groups through a
+    * NESTED transform — group values computed once, then 5 digits each
+    * (the CollapseProject let-binding discipline) — and the partial
+    * tail zero-padded to its top rem+1 digits, closed with `~>`. No
+    * `z` shortcut: the decoder treats it as optional compression, and
+    * the straight form keeps the emitted length constant per leg.
+    */
+  private val a85Sql = {
+    def byteAt(idx: String) =
+      s"cast(conv(substring(zh, ($idx) * 2 + 1, 2), 16, 10) as bigint)"
+    def p85(k: Int): Long = Seq(1L, 85L, 7225L, 614125L, 52200625L)(k)
+    def digit(k: Int) = s"chr(33 + (v div ${p85(k)}) % 85)"
+    val grp = s"aggregate(sequence(0, 3), 0L, (a, j) -> a * 256 + ${byteAt("i * 4 + j")})"
+    val full = s"array_join(transform(transform(sequence(0, ${A85Full - 1}), " +
+      s"i -> $grp), v -> concat(${(4 to 0 by -1).map(digit).mkString(", ")})), '')"
+    val tail =
+      if (A85Rem == 0) "''"
+      else {
+        val tailV = s"aggregate(sequence(0, ${A85Rem - 1}), 0L, " +
+          s"(a, j) -> a * 256 + ${byteAt(s"${A85Full} * 4 + j")}) * ${1L << (8 * (4 - A85Rem))}"
+        s"array_join(transform(array($tailV), " +
+          s"v -> concat(${(4 to (4 - A85Rem) by -1).map(digit).mkString(", ")})), '')"
+      }
+    s"concat($full, $tail, '~>')"
+  }
+
+  /** `pdf_filter_chain_extract`: the ASCII transfer filters and the
+    * `/Filter` CHAIN machinery parsed end to end — the
+    * [[pdfTextExtract]] discipline pointed at §7.4.1's filter-pipeline
+    * semantics. Even doc_ids carry the content stream ASCII-armored
+    * under a single `/ASCIIHexDecode` (hex chars + `>` EOD); odd
+    * doc_ids the REAL stored-block zlib stream base-85-coded under the
+    * two-element chain `[/ASCII85Decode /FlateDecode]` — the shape
+    * older ASCII-armored producers emit — with Spark emitting the
+    * base-85 digits arithmetically in pure SQL. The oracle recomputes
+    * the shown text straight from the bytes, so a base-85 grouping,
+    * tail-padding, EOD, or chain-fold-order bug lands as a value
+    * mismatch or a loud reject.
+    */
+  def pdfFilterChainExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (ahxA, ahxB) = skeleton(AhxLen, s"$AhxLen /Filter /ASCIIHexDecode")
+    val (a85A, a85B) = skeleton(A85Len,
+      s"$A85Len /Filter [/ASCII85Decode /FlateDecode]")
+    def base(parity: Int) =
+      Tables.documents(spark, sfDir)
+        .filter(octet_length(col("text")) >= NeedBytes && col("doc_id") % 2 === parity)
+        .withColumn("h", expr("hex(cast(text as binary))"))
+        .withColumn("ch", expr(contentHexSql))
+    val ahxLeg = base(0).select(col("doc_id"),
+      unhex(concat(lit(ahxA),
+        expr("hex(cast(concat(ch, '>') as binary))"), lit(ahxB))).as("payload"))
+    val a85Leg = base(1)
+      .withColumn("zh", expr(zlibHexSql))
+      .select(col("doc_id"),
+        unhex(concat(lit(a85A),
+          expr(s"hex(cast($a85Sql as binary))"), lit(a85B))).as("payload"))
+    ahxLeg.unionByName(a85Leg).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val pages = extractPages(payload)
+        require(pages.length == 1, s"pdf fixture $id: expected 1 page, got ${pages.length}")
+        (id, pages.head)
+      })
+      .toDF("doc_id", "page_text")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("ahx")).otherwise(lit("a85flate")).as("filters"),
+        col("page_text"))
+      .orderBy("doc_id")
+  }
+
+  private val pdfFilterChainExtractSql =
+    s"""SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'ahx' ELSE 'a85flate' END AS filters,
+               substring(h, 1, 96) || chr(10) || substring(h, 33, 96) AS page_text
+        FROM (SELECT doc_id, hex(encode(text)) AS h FROM documents
+              WHERE octet_length(encode(text)) >= $NeedBytes)
+        ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------
   // pdf_files_ingest: real landed PDFs through the path walk
   // ---------------------------------------------------------------
 
@@ -1742,6 +2076,7 @@ object Pdf extends QueryModule {
     "pdf_text_extract" -> (pdfTextExtract _),
     "pdf_xref_stream_extract" -> (pdfXrefStreamExtract _),
     "pdf_info_extract" -> (pdfInfoExtract _),
+    "pdf_filter_chain_extract" -> (pdfFilterChainExtract _),
     "pdf_files_ingest" -> (pdfFilesIngest _),
   )
 
@@ -1749,6 +2084,7 @@ object Pdf extends QueryModule {
     "pdf_text_extract" -> pdfTextExtractSql,
     "pdf_xref_stream_extract" -> pdfXrefStreamExtractSql,
     "pdf_info_extract" -> pdfInfoExtractSql,
+    "pdf_filter_chain_extract" -> pdfFilterChainExtractSql,
     "pdf_files_ingest" -> pdfFilesIngestSql,
   )
 }

@@ -500,6 +500,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"pdf_info_extract hash-shuffles:\n$p")
   }
 
+  test("pdf filter-chain extract: map-only until the output sort, ahx + a85 legs union") {
+    // the SQL base-85/hex armoring and the task-side chain fold are
+    // per-document map work — same contract as pdf_text_extract
+    val p = planOf("pdf_filter_chain_extract")
+    assert(!p.contains("Exchange hashpartitioning"), s"pdf_filter_chain_extract hash-shuffles:\n$p")
+    assert(p.contains("Union"), s"ahx + a85flate legs must union, not re-scan twice joined:\n$p")
+  }
+
   test("oriented ahash: four fixture legs union map-only, no hash exchange") {
     val p = planOf("mm_ahash_oriented")
     assert(!p.contains("Exchange hashpartitioning"), s"mm_ahash_oriented hash-shuffles:\n$p")

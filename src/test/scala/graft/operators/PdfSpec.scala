@@ -483,6 +483,188 @@ class PdfSpec extends SparkSpec {
       rows(graft.pipeline.TrainPrep.chunkDocsOf(batchDocs)))
   }
 
+  test("ASCIIHexDecode: whitespace ignored, odd final digit pads, EOD enforced") {
+    val content = "BT (ahx) Tj ET"
+    val hx = content.getBytes("US-ASCII").map("%02X".format(_)).mkString
+    // whitespace sprinkled through the pairs is legal
+    val spaced = hx.grouped(3).mkString(" \n\t") + " >"
+    assert(Pdf.extractText(handPdf(spaced,
+      streamDict = len => s"<< /Length $len /Filter /ASCIIHexDecode >>")) == "ahx")
+    // odd final digit behaves as if followed by 0: the trailing LF's
+    // "0A" loses its 'A', pads to 0x00 — NUL is PDF whitespace, so the
+    // decoded stream still parses and the text is unchanged
+    val odd = "BT (q) Tj ET\n".getBytes("US-ASCII")
+    val oddHx = odd.map("%02X".format(_)).mkString.dropRight(1) + ">"
+    assert(Pdf.extractText(handPdf(oddHx,
+      streamDict = len => s"<< /Length $len /Filter /ASCIIHexDecode >>")) == "q")
+    def rejects(data: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](Pdf.extractText(handPdf(data,
+        streamDict = len => s"<< /Length $len /Filter /ASCIIHexDecode >>")))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    rejects(hx, "EOD") // missing '>'
+    rejects("4G>", "non-hex")
+    rejects(hx + "> 41", "after the '>'")
+  }
+
+  test("ASCII85Decode: encoder mirror round-trips, z groups, partial tail, rejects") {
+    def a85Pdf(data: Array[Byte], filter: String = "/ASCII85Decode"): Array[Byte] =
+      handPdf(new String(data, "ISO-8859-1"),
+        streamDict = len => s"<< /Length $len /Filter $filter >>")
+    // an aligned all-zero group encodes as one 'z'
+    assert(new String(Ascii85TestCodec.encode(Array[Byte](0, 0, 0, 0)),
+      "US-ASCII") == "z~>")
+    // "BT (" is 4 bytes, so the 4 raw NULs inside the literal string
+    // land group-aligned and ride the z shortcut; the tail is partial
+    val nuls = "\u0000\u0000\u0000\u0000"
+    val content = s"BT ($nuls b85) Tj ET"
+    val coded = Ascii85TestCodec.encode(content.getBytes("ISO-8859-1"))
+    assert(new String(coded, "US-ASCII").contains("z"), "fixture must exercise z")
+    assert(Pdf.extractText(a85Pdf(coded)) == s"$nuls b85")
+    // whitespace inside groups is ignored (the 2-byte `~>` EOD marker
+    // itself stays contiguous)
+    val codedStr = new String(coded, "US-ASCII")
+    val spaced =
+      codedStr.dropRight(2).grouped(3).mkString("\n ") + codedStr.takeRight(2)
+    assert(Pdf.extractText(a85Pdf(spaced.getBytes("US-ASCII"))) == s"$nuls b85")
+    def rejects(data: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        Pdf.extractText(a85Pdf(data.getBytes("US-ASCII"))))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    rejects("!!!!!", "EOD") // missing ~>
+    rejects("!~>", "single character")
+    rejects("!!z!!~>", "'z' inside a group")
+    rejects("uuuuu~>", "exceeds 2^32") // 85^5-ish > 2^32
+    rejects("!!v!!~>", "outside '!'..'u'")
+    rejects("!!!!!~> x", "after the '~>'")
+  }
+
+  test("RunLengthDecode: literal and repeat runs decode; truncation and EOD reject") {
+    def rlePdf(data: String): Array[Byte] = handPdf(data,
+      streamDict = len => s"<< /Length $len /Filter /RunLengthDecode >>")
+    // literal "BT (", 6x repeat 'a', literal tail, EOD
+    val data = "" + 3.toChar + "BT (" + 251.toChar + "a" +
+      8.toChar + "bc) Tj ET" + 128.toChar
+    assert(Pdf.extractText(rlePdf(data)) == "aaaaaabc")
+    def rejects(d: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](Pdf.extractText(rlePdf(d)))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    rejects("" + 9.toChar + "abc", "truncated")
+    rejects("" + 0.toChar + "x", "without the EOD")
+    rejects("" + 0.toChar + "x" + 128.toChar + "y", "after the EOD")
+  }
+
+  test("/Filter chains fold left to right; per-element /DecodeParms apply") {
+    // [A85 Flate]: the wire shape older ASCII-armored producers emit
+    val raw = "BT (chained through two filters) Tj ET".getBytes("US-ASCII")
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val bo = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+    d.end()
+    val a85 = Ascii85TestCodec.encode(bo.toByteArray)
+    assert(Pdf.extractText(handPdf(new String(a85, "ISO-8859-1"),
+      streamDict = len => s"<< /Length $len /Filter [/ASCII85Decode /FlateDecode] >>")) ==
+      "chained through two filters")
+    // [AHx LZW] with a parallel /DecodeParms array (null for AHx)
+    val lzw = LzwTestCodec.encode("BT (hex then lzw) Tj ET".getBytes("US-ASCII"))
+    val lzwHex = lzw.map("%02X".format(_)).mkString + ">"
+    assert(Pdf.extractText(handPdf(lzwHex,
+      streamDict = len => s"<< /Length $len /Filter [/ASCIIHexDecode /LZWDecode] " +
+        "/DecodeParms [null << /EarlyChange 1 >>] >>")) == "hex then lzw")
+    // /DecodeParms array length must match the chain
+    val e = intercept[IllegalArgumentException](Pdf.extractText(handPdf(lzwHex,
+      streamDict = len => s"<< /Length $len /Filter [/ASCIIHexDecode /LZWDecode] " +
+        "/DecodeParms [null] >>")))
+    assert(e.getMessage.contains("/DecodeParms length"), e.getMessage)
+    // a bare parms dict beside a chain is ambiguous -> loud
+    val e2 = intercept[IllegalArgumentException](Pdf.extractText(handPdf(lzwHex,
+      streamDict = len => s"<< /Length $len /Filter [/ASCIIHexDecode /LZWDecode] " +
+        "/DecodeParms << /EarlyChange 1 >> >>")))
+    assert(e2.getMessage.contains("bare /DecodeParms"), e2.getMessage)
+  }
+
+  test("encrypted reject names the security handler and /V /R versions") {
+    // indirect /Encrypt dictionary — the common producer shape
+    val sb = new StringBuilder
+    val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: String): Unit = { off += sb.length; sb.append(body) }
+    sb.append("%PDF-1.4\n")
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    obj("4 0 obj\n<< /Length 12 >>\nstream\nBT (x) Tj ET\nendstream\nendobj\n")
+    obj("5 0 obj\n<< /Filter /Standard /V 2 /R 3 /P -44 >>\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 6\n0000000000 65535 f \n")
+    off.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append("trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    val e = intercept[IllegalArgumentException](Pdf.extractText(ascii(sb.toString)))
+    assert(e.getMessage.contains("encrypted document unsupported"), e.getMessage)
+    assert(e.getMessage.contains("/Filter /Standard /V 2 /R 3"), e.getMessage)
+    // direct dict in the trailer names AES-era versions the same way
+    val e2 = intercept[IllegalArgumentException](Pdf.extractText(handPdf(
+      "BT (x) Tj ET",
+      trailerExtra = " /Encrypt << /Filter /Standard /V 5 /R 6 >>")))
+    assert(e2.getMessage.contains("/V 5 /R 6"), e2.getMessage)
+  }
+
+  test("/Resources inherit from /Pages ancestors (§7.7.3.4): CMap fonts reach inheriting pages") {
+    val cmap = "1 begincodespacerange <00> <FF> endcodespacerange " +
+      "2 beginbfchar <41> <0068> <42> <0069> endbfchar endcmap"
+    def inheritPdf(fontBody: String): Array[Byte] = {
+      val sb = new StringBuilder
+      val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def obj(body: String): Unit = { off += sb.length; sb.append(body) }
+      sb.append("%PDF-1.4\n")
+      obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      // resources live on the ROOT /Pages node; the page has none of its own
+      obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+      obj("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+      val content = "BT /F1 12 Tf (AB) Tj ET"
+      obj(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+      obj(s"5 0 obj\n$fontBody\nendobj\n")
+      obj(s"6 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n")
+      val xrefAt = sb.length
+      sb.append("xref\n0 7\n0000000000 65535 f \n")
+      off.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+      sb.append(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      ascii(sb.toString)
+    }
+    // before the inheritance walk this read Map.empty, Tf missed, and the
+    // show string decoded standard as byte salad 'AB'
+    assert(Pdf.extractText(inheritPdf(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Sub " +
+        "/Encoding /Identity-H /ToUnicode 6 0 R >>")) == "hi")
+    // an INHERITED Type0 font without /ToUnicode still rejects loudly
+    val e = intercept[IllegalArgumentException](Pdf.extractText(inheritPdf(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Sub " +
+        "/Encoding /Identity-H >>")))
+    assert(e.getMessage.contains("Type0"), e.getMessage)
+  }
+
+  test("same-baseline moves stay on one line: tx 0 Td and same-ty Tm never break") {
+    // justified-text shape: each word set with a fresh same-ty matrix
+    assert(Pdf.extractText(handPdf(
+      "BT 1 0 0 1 72 720 Tm (Hello) Tj 1 0 0 1 120 720 Tm ( World) Tj " +
+        "1 0 0 1 72 706 Tm (next) Tj ET")) == "Hello World\nnext")
+    // horizontal Td repositions on the SAME baseline
+    assert(Pdf.extractText(handPdf(
+      "BT 72 720 Td (a) Tj 50 0 Td (b) Tj 0 -14 Td (c) Tj ET")) == "ab\nc")
+    // Td offsets thread into the tracked baseline a later Tm compares to
+    assert(Pdf.extractText(handPdf(
+      "BT 1 0 0 1 72 720 Tm (a) Tj 0 -14 Td (b) Tj 1 0 0 1 72 706 Tm (c) Tj ET")) ==
+      "a\nbc")
+    // leading-relative moves reset the baseline: T* always breaks
+    assert(Pdf.extractText(handPdf(
+      "BT 1 0 0 1 72 720 Tm (a) Tj T* (b) Tj ET")) == "a\nb")
+  }
+
   test("the two registry queries run end to end at sf0.001") {
     val te = Pdf.pdfTextExtract(spark, Sf0001).collect()
     assert(te.nonEmpty)

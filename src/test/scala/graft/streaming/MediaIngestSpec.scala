@@ -110,6 +110,31 @@ class MediaIngestSpec extends SparkSpec {
     assert(dups() == got, "replaying a committed batch must not change the dup set")
   }
 
+  test("the dup probe partition-prunes the persisted band index and never shuffles it") {
+    val outDir = Files.createTempDirectory("graft_media_plan").toString
+    // land two batches through the production writer so real band dirs exist
+    MediaIngest.batchWriter(spark, outDir)(rows.take(3).toDF(), 0L)
+    MediaIngest.batchWriter(spark, outDir)(rows.drop(3).toDF(), 1L)
+    val feats = spark.read.parquet(s"$outDir/features/batch_id=1")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // kill auto-broadcast: the HINT (not fixture size) must carry the shape
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = MediaIngest.probeHistory(spark, outDir, feats, 1L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"probe must broadcast the arriving side:\n$plan")
+      // the index scan prunes on BOTH partition keys: strictly-older
+      // batches, and only the bkt dirs the arriving hashes touch
+      assert(plan.contains("PartitionFilters") && plan.contains("batch_id") &&
+        plan.contains("bkt"), s"band index scan not partition-pruned:\n$plan")
+      // zero history-side shuffle: the only hash exchange is the
+      // answer-sized candidate-pair distinct AFTER the join
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"band index side re-shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("blobs landing in a directory stream through binaryFile into the decode core") {
     import java.nio.file.{Files, Paths}
     val blobDir = Files.createTempDirectory("graft_blob_stream")
