@@ -1919,17 +1919,21 @@ object Pdf extends QueryModule {
   private val A85Rem = ZlibLen % 4
   private val A85Len = A85Full * 5 + (if (A85Rem > 0) A85Rem + 1 else 0) + 2
 
-  /** SQL emitting the ASCII85 coding of the zlib bytes (column `zh` =
-    * hex of the [[zlibHexSql]] output): full 4-byte groups through a
-    * NESTED transform — group values computed once, then 5 digits each
-    * (the CollapseProject let-binding discipline) — and the partial
-    * tail zero-padded to its top rem+1 digits, closed with `~>`. No
-    * `z` shortcut: the decoder treats it as optional compression, and
-    * the straight form keeps the emitted length constant per leg.
+  /** SQL emitting the ASCII85 coding of the zlib bytes (column `zc` =
+    * the zlib hex SPLIT ONCE into a per-row char array — per-element
+    * `substring` over a ~600-char string is O(position) on UTF8String,
+    * so indexing through `element_at` keeps the group walk O(L) per
+    * row instead of O(L²)): full 4-byte groups through a NESTED
+    * transform — group values computed once, then 5 digits each (the
+    * CollapseProject let-binding discipline) — and the partial tail
+    * zero-padded to its top rem+1 digits, closed with `~>`. No `z`
+    * shortcut: the decoder treats it as optional compression, and the
+    * straight form keeps the emitted length constant per leg.
     */
   private val a85Sql = {
     def byteAt(idx: String) =
-      s"cast(conv(substring(zh, ($idx) * 2 + 1, 2), 16, 10) as bigint)"
+      s"cast(conv(concat(element_at(zc, ($idx) * 2 + 1), " +
+        s"element_at(zc, ($idx) * 2 + 2)), 16, 10) as bigint)"
     def p85(k: Int): Long = Seq(1L, 85L, 7225L, 614125L, 52200625L)(k)
     def digit(k: Int) = s"chr(33 + (v div ${p85(k)}) % 85)"
     val grp = s"aggregate(sequence(0, 3), 0L, (a, j) -> a * 256 + ${byteAt("i * 4 + j")})"
@@ -1974,6 +1978,7 @@ object Pdf extends QueryModule {
         expr("hex(cast(concat(ch, '>') as binary))"), lit(ahxB))).as("payload"))
     val a85Leg = base(1)
       .withColumn("zh", expr(zlibHexSql))
+      .withColumn("zc", expr("split(zh, '')"))
       .select(col("doc_id"),
         unhex(concat(lit(a85A),
           expr(s"hex(cast($a85Sql as binary))"), lit(a85B))).as("payload"))

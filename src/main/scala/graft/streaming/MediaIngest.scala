@@ -114,8 +114,14 @@ object MediaIngest {
     * only exchange after the scan carries answer-sized candidate
     * pairs into the dedup.
     *
-    * Replay-idempotent: batch N probes strictly `batch_id < N`, so
-    * re-running a committed batch recomputes the same rows
+    * An INTRA-BATCH leg closes the window the history probe cannot
+    * see: two near-identical images arriving in the same micro-batch
+    * flag newer-against-older through the same banding, batch-sized on
+    * both sides.
+    *
+    * Replay-idempotent: batch N probes strictly `batch_id < N` plus
+    * its own (deterministic) intra-batch pairs, so re-running a
+    * committed batch recomputes the same rows
     * ([[CorpusIngest.batchWriter]] discipline).
     */
   def probeHistory(spark: SparkSession, outDir: String,
@@ -126,8 +132,18 @@ object MediaIngest {
       .filter(col("batch_id") < batchId && col("bkt").isin(bkts: _*))
       .select(col("doc_id").as("dup_of"), col("ahash64").as("ah_prior"),
         col("chunk_id"), col("chunk"))
-    broadcast(arriving.select(col("doc_id"), col("ahash64"), col("chunk_id"), col("chunk")))
+    val arr = arriving.select(col("doc_id"), col("ahash64"), col("chunk_id"), col("chunk"))
+    // a batch's OWN duplicates are invisible to the strictly-older
+    // history probe — the intra-batch leg closes that window: same
+    // banding, arriving-vs-arriving, newer id flags against older
+    // (batch-sized on both sides, so it broadcasts like the probe)
+    val within = broadcast(arr)
+      .join(arr.select(col("doc_id").as("dup_of"), col("ahash64").as("ah_prior"),
+        col("chunk_id"), col("chunk")), Seq("chunk_id", "chunk"))
+      .filter(col("doc_id") > col("dup_of"))
+    broadcast(arr)
       .join(history, Seq("chunk_id", "chunk"))
+      .unionByName(within)
       .select(col("doc_id"), col("ahash64"), col("dup_of"), col("ah_prior"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(ahash64 ^ ah_prior) AS INT)"))

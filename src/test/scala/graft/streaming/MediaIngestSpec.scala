@@ -108,6 +108,11 @@ class MediaIngestSpec extends SparkSpec {
       MediaRow(11L, "image", ppm(40)), MediaRow(12L, "audio", wav(3)))
     MediaIngest.batchWriter(spark, outDir)(replayRows.toDF(), 1L)
     assert(dups() == got, "replaying a committed batch must not change the dup set")
+    // duplicates arriving in the SAME batch flag newer-against-older
+    // through the intra-batch leg (invisible to the history probe)
+    MediaIngest.batchWriter(spark, outDir)(
+      Seq(MediaRow(20L, "image", ppm(7)), MediaRow(21L, "image", ppm(7))).toDF(), 2L)
+    assert(dups().contains((21L, 20L, 0)), dups().toString)
   }
 
   test("the dup probe partition-prunes the persisted band index and never shuffles it") {
