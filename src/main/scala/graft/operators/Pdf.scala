@@ -732,9 +732,12 @@ object Pdf extends QueryModule {
       * font carries one (the only honest reading of embedded subset
       * fonts); else composite (Type0) fonts REJECT — their show strings
       * are glyph indices, and emitting them as-is would be silent byte
-      * salad; else the named simple-font encodings decode directly, and
-      * `/Differences` without a CMap rejects (glyph names need a table
-      * this walk does not carry).
+      * salad; else the named simple-font encodings decode directly,
+      * with `/Differences` overriding single codes through the
+      * standard glyph-name table ([[GlyphNames]], the public Adobe
+      * Glyph List's Latin repertoire) — a name OUTSIDE the table
+      * (symbol/dingbat/subset glyphs) rejects loudly, never byte
+      * salad.
       */
     private def fontDecoder(f: PDict, name: String): FontDec =
       f.m.get("ToUnicode") match {
@@ -760,14 +763,17 @@ object Pdf extends QueryModule {
             case PName("MacRomanEncoding") => CharsetDec("x-MacRoman")
             case PName(other) => fail(s"font /$name encoding /$other unsupported")
             case d: PDict =>
-              if (d.m.contains("Differences"))
-                fail(s"font /$name has /Differences without /ToUnicode — " +
-                  "glyph names need a CMap to become text")
-              resolve(d.m.getOrElse("BaseEncoding", PNull)) match {
+              val base = resolve(d.m.getOrElse("BaseEncoding", PNull)) match {
                 case PNull | PName("StandardEncoding") => StdDec
                 case PName("WinAnsiEncoding") => CharsetDec("windows-1252")
                 case PName("MacRomanEncoding") => CharsetDec("x-MacRoman")
                 case other => fail(s"font /$name base encoding $other unsupported")
+              }
+              resolve(d.m.getOrElse("Differences", PNull)) match {
+                case PNull => base
+                case PArr(items) => DiffDec(base, diffOverrides(items, name))
+                case other =>
+                  fail(s"font /$name /Differences is not an array (got $other)")
               }
             case other => fail(s"font /$name /Encoding of unexpected type $other")
           }
@@ -777,6 +783,48 @@ object Pdf extends QueryModule {
       * no trailer carries an `/Info`.
       */
     def infoDict(): Option[PDict] = info.map(r => dictOf(r, "/Info"))
+
+    /** The page's `/Annots` URI links in array order (§12.5.6.5 link
+      * annotations with a §12.6.4.7 URI action). Non-link annotation
+      * subtypes (notes, highlights) and links whose action is not
+      * `/S /URI` (GoTo destinations are document-internal) are other
+      * page furniture — skipped by SELECTION, which is the operator's
+      * contract, not a silent failure. Malformed shapes — a non-array
+      * `/Annots`, a non-dict annotation, a URI action without `/URI`,
+      * a non-string `/URI` — reject loudly.
+      */
+    def pageLinks(page: PDict): Vector[String] =
+      resolve(page.m.getOrElse("Annots", PNull)) match {
+        case PNull => Vector.empty
+        case PArr(items) => items.flatMap { a =>
+          val d = dictOf(a, "annotation")
+          if (resolve(d.m.getOrElse("Subtype", PNull)) != PName("Link")) None
+          else resolve(d.m.getOrElse("A", PNull)) match {
+            case PNull => None // a /Dest-only internal link
+            case ad: PDict =>
+              if (resolve(ad.m.getOrElse("S", PNull)) != PName("URI")) None
+              else resolve(ad.m.getOrElse("URI",
+                  fail("URI action without /URI"))) match {
+                case PStr(b) => Some(decodeString(b))
+                case other => fail(s"/URI is not a string (got $other)")
+              }
+            case other => fail(s"annotation /A of unexpected type $other")
+          }
+        }
+        case other => fail(s"/Annots is not an array (got $other)")
+      }
+  }
+
+  /** Every URI link in the document as (page 1-based, link_no 1-based
+    * within the page, uri) — the PDF side of the corpus link graph
+    * ([[graft.pipeline.HtmlExtract]]'s anchor extraction for the HTML
+    * side).
+    */
+  def docLinks(pdf: Array[Byte]): Vector[(Int, Int, String)] = {
+    val doc = new Document(pdf)
+    doc.pages().zipWithIndex.flatMap { case (p, pi) =>
+      doc.pageLinks(p).zipWithIndex.map { case (u, li) => (pi + 1, li + 1, u) }
+    }
   }
 
   /** One document's metadata: /Info Title and Author (decoded through
@@ -1147,10 +1195,99 @@ object Pdf extends QueryModule {
   final case class CharsetDec(charset: String) extends FontDec
   /** A parsed `/ToUnicode` CMap: fixed code width in bytes + code→text. */
   final case class CMapDec(codeLen: Int, map: Map[Int, String]) extends FontDec
+  /** A base encoding with `/Differences` code overrides resolved
+    * through the standard glyph-name table.
+    */
+  final case class DiffDec(base: FontDec, overrides: Map[Int, String]) extends FontDec
+
+  /** The standard glyph-name table — the PUBLIC Adobe Glyph List's
+    * Latin repertoire: ASCII and Latin-1 names generated in codepoint
+    * order plus the common typographic names, enough to decode the
+    * `/Differences` arrays simple-font producers emit (re-encoded
+    * subsets of Standard/WinAnsi). Names outside the table reject at
+    * parse: a symbol, dingbat, or subset-private glyph has no honest
+    * text form here.
+    */
+  private val GlyphNames: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    def run(from: Int, names: String): Unit =
+      names.split(" ").zipWithIndex.foreach { case (n, i) =>
+        b += n -> (from + i).toChar.toString
+      }
+    run(0x20, "space exclam quotedbl numbersign dollar percent ampersand " +
+      "quotesingle parenleft parenright asterisk plus comma hyphen period slash " +
+      "zero one two three four five six seven eight nine " +
+      "colon semicolon less equal greater question at")
+    (0x41 to 0x5a).foreach(c => b += c.toChar.toString -> c.toChar.toString)
+    run(0x5b, "bracketleft backslash bracketright asciicircum underscore grave")
+    (0x61 to 0x7a).foreach(c => b += c.toChar.toString -> c.toChar.toString)
+    run(0x7b, "braceleft bar braceright asciitilde")
+    run(0xa1, "exclamdown cent sterling currency yen brokenbar section dieresis " +
+      "copyright ordfeminine guillemotleft logicalnot")
+    run(0xae, "registered macron degree plusminus twosuperior threesuperior acute")
+    run(0xb6, "paragraph periodcentered cedilla onesuperior ordmasculine " +
+      "guillemotright onequarter onehalf threequarters questiondown " +
+      "Agrave Aacute Acircumflex Atilde Adieresis Aring AE Ccedilla " +
+      "Egrave Eacute Ecircumflex Edieresis Igrave Iacute Icircumflex Idieresis " +
+      "Eth Ntilde Ograve Oacute Ocircumflex Otilde Odieresis multiply Oslash " +
+      "Ugrave Uacute Ucircumflex Udieresis Yacute Thorn germandbls " +
+      "agrave aacute acircumflex atilde adieresis aring ae ccedilla " +
+      "egrave eacute ecircumflex edieresis igrave iacute icircumflex idieresis " +
+      "eth ntilde ograve oacute ocircumflex otilde odieresis divide oslash " +
+      "ugrave uacute ucircumflex udieresis yacute thorn ydieresis")
+    Seq("quoteleft" -> 0x2018, "quoteright" -> 0x2019, "quotedblleft" -> 0x201c,
+      "quotedblright" -> 0x201d, "quotesinglbase" -> 0x201a, "quotedblbase" -> 0x201e,
+      "endash" -> 0x2013, "emdash" -> 0x2014, "bullet" -> 0x2022,
+      "dagger" -> 0x2020, "daggerdbl" -> 0x2021, "ellipsis" -> 0x2026,
+      "perthousand" -> 0x2030, "guilsinglleft" -> 0x2039, "guilsinglright" -> 0x203a,
+      "trademark" -> 0x2122, "Euro" -> 0x20ac, "florin" -> 0x0192,
+      "fraction" -> 0x2044, "fi" -> 0xfb01, "fl" -> 0xfb02, "minus" -> 0x2212,
+      "dotlessi" -> 0x0131, "OE" -> 0x0152, "oe" -> 0x0153,
+      "Scaron" -> 0x0160, "scaron" -> 0x0161, "Zcaron" -> 0x017d,
+      "zcaron" -> 0x017e, "Ydieresis" -> 0x0178, "Lslash" -> 0x0141,
+      "lslash" -> 0x0142, "circumflex" -> 0x02c6, "tilde" -> 0x02dc,
+      "breve" -> 0x02d8, "dotaccent" -> 0x02d9, "ring" -> 0x02da,
+      "ogonek" -> 0x02db, "hungarumlaut" -> 0x02dd, "caron" -> 0x02c7)
+      .foreach { case (n, cp) => b += n -> cp.toChar.toString }
+    b.result()
+  }
+
+  /** Parse a §9.6.6.3 `/Differences` array — integers reset the
+    * current code, names assign consecutive codes — into byte-code
+    * overrides. Unknown glyph names, out-of-range codes, and a name
+    * before any code reject loudly.
+    */
+  private def diffOverrides(items: Vector[PVal], fontName: String): Map[Int, String] = {
+    val m = scala.collection.mutable.Map.empty[Int, String]
+    var code = -1
+    items.foreach {
+      case n: PNum =>
+        code = n.int.toInt
+        require(code >= 0 && code <= 255,
+          s"pdf: /Differences code $code outside the byte range")
+      case PName(g) =>
+        require(code >= 0, s"pdf: /Differences name /$g before any code")
+        require(code <= 255, "pdf: /Differences run past code 255")
+        m(code) = GlyphNames.getOrElse(g,
+          fail(s"glyph name /$g of font /$fontName not in the standard glyph table"))
+        code += 1
+      case other => fail(s"/Differences holds $other")
+    }
+    m.toMap
+  }
 
   private def decodeWith(dec: FontDec, b: Array[Byte]): String = dec match {
     case StdDec => decodeString(b)
     case CharsetDec(cs) => new String(b, cs)
+    case DiffDec(base, m) =>
+      val sb = new StringBuilder
+      b.foreach { byte =>
+        m.get(byte & 0xff) match {
+          case Some(s) => sb.append(s)
+          case None => sb.append(decodeWith(base, Array(byte)))
+        }
+      }
+      sb.toString
     case CMapDec(len, m) =>
       require(b.length % len == 0,
         s"pdf: shown string of ${b.length} bytes is not whole $len-byte codes")
@@ -1903,6 +2040,92 @@ object Pdf extends QueryModule {
         ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
+  // pdf_links_extract: the /Annots URI-link fixture
+  // ---------------------------------------------------------------
+
+  private val LinkHexW = 48 // hex of the document's first 24 bytes
+  private val LinkIdW = 12 // zero-padded doc_id
+
+  /** Constant skeleton for the link fixture: one page carrying three
+    * annotations — a `/Link` with a URI action whose tail is the
+    * 48-char hex sentinel, a `/Text` note (non-link furniture the
+    * walk must SKIP), and a second `/Link` whose URI tail is the
+    * 12-char id sentinel — laid out with sentinel runs of the real
+    * widths and split at them, so every xref offset is constant by
+    * construction (the [[infoSkeleton]] discipline). The second link's
+    * action is INDIRECT (object 7) so reference-valued `/A` is
+    * load-bearing too.
+    */
+  private def linkSkeleton(): Seq[String] = {
+    val t1 = "\u0001" * LinkHexW
+    val t2 = "\u0002" * LinkIdW
+    val sb = new StringBuilder
+    val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: String): Unit = { off += sb.length; sb.append(body) }
+    sb.append("%PDF-1.4\n")
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+      "/Annots [4 0 R 5 0 R 6 0 R] >>\nendobj\n")
+    obj("4 0 obj\n<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] " +
+      s"/A << /S /URI /URI (https://x.test/$t1) >> >>\nendobj\n")
+    obj("5 0 obj\n<< /Type /Annot /Subtype /Text /Rect [0 40 20 60] " +
+      "/Contents (reviewer note, not a link) >>\nendobj\n")
+    obj("6 0 obj\n<< /Type /Annot /Subtype /Link /Rect [0 20 100 40] " +
+      "/A 7 0 R >>\nendobj\n")
+    obj(s"7 0 obj\n<< /S /URI /URI (https://y.test/d/$t2) >>\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 8\n0000000000 65535 f \n")
+    off.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val s = sb.toString
+    val i1 = s.indexOf(t1); val i2 = s.indexOf(t2)
+    Seq(s.substring(0, i1), s.substring(i1 + t1.length, i2),
+      s.substring(i2 + t2.length)).map(hexOf)
+  }
+
+  /** `pdf_links_extract`: the PDF side of the corpus LINK GRAPH —
+    * outbound URI references are a first-class crawl/provenance signal
+    * (the HTML path's `html_anchor_texts` sibling), and `/Annots` link
+    * annotations with URI actions are where the format carries them.
+    * Spark BUILDS one PDF per document in pure SQL with two URI links
+    * (hex-of-prefix and zero-padded-id tails, one action direct and
+    * one indirect) AND an interleaved non-link `/Text` note, then
+    * parses them back through the production walk ([[docLinks]]):
+    * `/Annots` order, subtype selection, action dispatch, string
+    * decode. The oracle recomputes both URIs straight from the
+    * documents row — an ordering, selection, or action-shape bug lands
+    * as a value mismatch or a loud reject.
+    */
+  def pdfLinksExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val segs = linkSkeleton()
+    Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) >= 24)
+      .withColumn("h", expr("hex(cast(text as binary))"))
+      .select(col("doc_id"), unhex(concat(
+        lit(segs(0)), expr("hex(cast(substring(h, 1, 48) as binary))"),
+        lit(segs(1)), expr("hex(cast(lpad(cast(doc_id as string), 12, '0') as binary))"),
+        lit(segs(2)))).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        docLinks(payload).map { case (page, linkNo, uri) => (id, page, linkNo, uri) }
+      })
+      .toDF("doc_id", "page", "link_no", "uri")
+      .orderBy("doc_id", "link_no")
+  }
+
+  private val pdfLinksExtractSql =
+    s"""SELECT doc_id, CAST(1 AS INT) AS page, CAST(1 AS INT) AS link_no,
+               'https://x.test/' || substring(hex(encode(text)), 1, 48) AS uri
+        FROM documents WHERE octet_length(encode(text)) >= 24
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INT), CAST(2 AS INT),
+               'https://y.test/d/' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+        FROM documents WHERE octet_length(encode(text)) >= 24
+        ORDER BY doc_id, link_no"""
+
+  // ---------------------------------------------------------------
   // pdf_filter_chain_extract: ASCII filters + /Filter chains
   // ---------------------------------------------------------------
 
@@ -2082,6 +2305,7 @@ object Pdf extends QueryModule {
     "pdf_xref_stream_extract" -> (pdfXrefStreamExtract _),
     "pdf_info_extract" -> (pdfInfoExtract _),
     "pdf_filter_chain_extract" -> (pdfFilterChainExtract _),
+    "pdf_links_extract" -> (pdfLinksExtract _),
     "pdf_files_ingest" -> (pdfFilesIngest _),
   )
 
@@ -2090,6 +2314,7 @@ object Pdf extends QueryModule {
     "pdf_xref_stream_extract" -> pdfXrefStreamExtractSql,
     "pdf_info_extract" -> pdfInfoExtractSql,
     "pdf_filter_chain_extract" -> pdfFilterChainExtractSql,
+    "pdf_links_extract" -> pdfLinksExtractSql,
     "pdf_files_ingest" -> pdfFilesIngestSql,
   )
 }

@@ -500,6 +500,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"pdf_info_extract hash-shuffles:\n$p")
   }
 
+  test("pdf links extract: one map-only leg, no hash exchange before the output sort") {
+    val p = planOf("pdf_links_extract")
+    assert(!p.contains("Exchange hashpartitioning"), s"pdf_links_extract hash-shuffles:\n$p")
+  }
+
   test("pdf filter-chain extract: map-only until the output sort, ahx + a85 legs union") {
     // the SQL base-85/hex armoring and the task-side chain fold are
     // per-document map work — same contract as pdf_text_extract

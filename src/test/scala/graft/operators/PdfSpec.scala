@@ -6,7 +6,8 @@ import graft.SparkSpec
   * Deflater zlib, classic + compressed xref-stream/ObjStm layouts), the
   * object grammar (escapes, hex strings, refs, indirect /Length, /Prev
   * chains, hybrid /XRefStm precedence), the font-encoding layer
-  * (/ToUnicode CMaps, named encodings, Type0/Differences rejects),
+  * (/ToUnicode CMaps, named encodings, /Differences glyph-name decode,
+  * Type0 rejects), /Annots URI-link extraction,
   * page-tree order, and the loud-reject matrix (encryption, unsupported
   * filters and predictors, inline images, truncations). The PDFs here
   * are built by hand or by [[Pdf.buildPdf]] — two independent layers,
@@ -289,12 +290,31 @@ class PdfSpec extends SparkSpec {
     assert(e.getMessage.contains("without /ToUnicode"), e.getMessage)
   }
 
-  test("/Differences without /ToUnicode rejects; plain named encodings decode") {
+  test("/Differences decode through the standard glyph table; unknown names reject") {
+    // the re-encoded-subset shape simple-font producers emit: overridden
+    // codes decode by AGL name, untouched codes fall through to the base
     val diff = "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
-      "/Encoding << /Differences [65 /alpha] >> >>"
+      "/Encoding << /Differences [65 /bullet /emdash 97 /adieresis] >> >>"
+    assert(Pdf.extractText(fontPdf(diff, "BT /F1 12 Tf (AB a) Tj ET")) ==
+      "\u2022\u2014 \u00E4")
+    // consecutive assignment after an integer reset, ligatures included
+    val lig = "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
+      "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [40 /fi /fl] >> >>"
+    assert(Pdf.extractText(fontPdf(lig,
+      s"BT /F1 12 Tf (\\050\\051${0x93.toChar}) Tj ET")) == "\uFB01\uFB02\u201C")
+    // a name outside the table (symbol/dingbat/private glyph) rejects
+    val bad = "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
+      "/Encoding << /Differences [65 /a99] >> >>"
     val e = intercept[IllegalArgumentException](
-      Pdf.extractText(fontPdf(diff, "BT /F1 12 Tf (A) Tj ET")))
-    assert(e.getMessage.contains("/Differences without /ToUnicode"), e.getMessage)
+      Pdf.extractText(fontPdf(bad, "BT /F1 12 Tf (A) Tj ET")))
+    assert(e.getMessage.contains("not in the standard glyph table"), e.getMessage)
+    // a name before any code rejects
+    val noCode = "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
+      "/Encoding << /Differences [/bullet] >> >>"
+    val e2 = intercept[IllegalArgumentException](
+      Pdf.extractText(fontPdf(noCode, "BT /F1 12 Tf (A) Tj ET")))
+    assert(e2.getMessage.contains("before any code"), e2.getMessage)
     // WinAnsi: 0x93/0x94 are the cp1252 curly quotes, not Latin-1 controls
     val win = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
     val content = s"BT /F1 12 Tf (${0x93.toChar}q${0x94.toChar}) Tj ET"
@@ -481,6 +501,58 @@ class PdfSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
     assert(rows(spark.read.parquet(s"$outDir/chunks").drop("batch_id")) ==
       rows(graft.pipeline.TrainPrep.chunkDocsOf(batchDocs)))
+  }
+
+  test("/Annots URI links: selection, order, action dispatch, loud rejects") {
+    def linkPdf(annots: Seq[String], extra: Seq[String] = Nil,
+        annotsVal: String = null): Array[Byte] = {
+      val sb = new StringBuilder
+      val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def obj(body: String): Unit = { off += sb.length; sb.append(body) }
+      sb.append("%PDF-1.4\n")
+      obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+      val refs = annots.indices.map(i => s"${4 + i} 0 R").mkString(" ")
+      val av = if (annotsVal != null) annotsVal else s"[$refs]"
+      obj(s"3 0 obj\n<< /Type /Page /Parent 2 0 R /Annots $av >>\nendobj\n")
+      annots.zipWithIndex.foreach { case (a, i) => obj(s"${4 + i} 0 obj\n$a\nendobj\n") }
+      extra.zipWithIndex.foreach { case (e, i) =>
+        obj(s"${4 + annots.length + i} 0 obj\n$e\nendobj\n")
+      }
+      val n = 3 + annots.length + extra.length
+      val xrefAt = sb.length
+      sb.append(s"xref\n0 ${n + 1}\n0000000000 65535 f \n")
+      off.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+      sb.append(s"trailer\n<< /Size ${n + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      ascii(sb.toString)
+    }
+    def uris(pdf: Array[Byte]) = Pdf.docLinks(pdf).map(_._3)
+    // selection: URI links in order; notes, /Dest-only, and GoTo skipped
+    val mixed = linkPdf(Seq(
+      "<< /Type /Annot /Subtype /Link /A << /S /URI /URI (https://a.test/1) >> >>",
+      "<< /Type /Annot /Subtype /Text /Contents (a note) >>",
+      "<< /Type /Annot /Subtype /Link /Dest [3 0 R /Fit] >>",
+      "<< /Type /Annot /Subtype /Link /A << /S /GoTo /D [3 0 R /Fit] >> >>",
+      "<< /Type /Annot /Subtype /Link /A 9 0 R >>"),
+      extra = Seq("<< /S /URI /URI (https://a.test/2) >>"))
+    assert(uris(mixed) == Vector("https://a.test/1", "https://a.test/2"))
+    assert(Pdf.docLinks(mixed) == Vector((1, 1, "https://a.test/1"),
+      (1, 2, "https://a.test/2")))
+    // a page without /Annots has no links
+    assert(uris(handPdf("BT (x) Tj ET")).isEmpty)
+    // escaped and UTF-16 URI strings decode through the standard path
+    assert(uris(linkPdf(Seq(
+      """<< /Subtype /Link /A << /S /URI /URI (https://a.test/\051\050) >> >>"""))) ==
+      Vector("https://a.test/)("))
+    // rejects: URI action without /URI; non-string /URI; non-array /Annots
+    def rejects(pdf: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](Pdf.docLinks(pdf))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    rejects(linkPdf(Seq("<< /Subtype /Link /A << /S /URI >> >>")), "without /URI")
+    rejects(linkPdf(Seq("<< /Subtype /Link /A << /S /URI /URI 7 >> >>")),
+      "not a string")
+    rejects(linkPdf(Nil, annotsVal = "(not an array)"), "not an array")
   }
 
   test("ASCIIHexDecode: whitespace ignored, odd final digit pads, EOD enforced") {
