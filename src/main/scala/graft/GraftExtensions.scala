@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.MightContain.description)
     ext.injectFunction(functions.BloomAgg.description)
     ext.injectFunction(functions.LevWithin.description)
+    ext.injectFunction(functions.MinhashSig.description)
+    ext.injectFunction(functions.SimhashSig.description)
+    ext.injectFunction(functions.Adler32Fn.description)
+    ext.injectFunction(functions.Ascii85Armor.description)
+    ext.injectFunction(functions.JpegDcScanHex.description)
+    ext.injectFunction(functions.GifPixelBlocksHex.description)
+    ext.injectFunction(functions.Ahash64Sampled.description)
     ext.injectFunction(functions.Gunzip.description)
     ext.injectFunction(functions.ZstdInflate.description)
     ext.injectFunction(functions.ZstdDeflate.description)

@@ -1771,18 +1771,19 @@ object Pdf extends QueryModule {
       s"'${hexOf(ContentPost)}')"
   }
 
-  /** zlib wrapper in SQL: 78 01, one stored block, Adler-32 computed
-    * arithmetically over the content bytes (the [[graft.pipeline.Multimodal]]
-    * prefix-sum identity: s1 = 1+Σb, s2 = n+Σ(n−j)·b_j, both mod 65521).
+  /** zlib wrapper in SQL: 78 01, one stored block, Adler-32 via the
+    * codegen'd [[graft.functions.Adler32Fn]] kernel over the content
+    * bytes (r18 optimization — this was two interpreted per-byte
+    * `aggregate(sequence(...))` folds re-parsing every byte with
+    * `conv(substring(...))`, the measured dominant cost of the flate
+    * legs; the JDK Adler and the decoder's `Inflater` stay independent
+    * implementations, so a checksum bug still rejects loudly).
     */
   private val zlibHexSql = {
     val n = RawLen
     val lenHex = "%02X%02X".format(n & 0xff, n >> 8)
     val nlenHex = "%02X%02X".format(~n & 0xff, (~n >> 8) & 0xff)
-    val byteAt = "cast(conv(substring(ch, i * 2 + 1, 2), 16, 10) as bigint)"
-    val s1 = s"(1 + aggregate(sequence(0, ${n - 1}), 0L, (acc, i) -> acc + $byteAt)) % 65521"
-    val s2 = s"($n + aggregate(sequence(0, ${n - 1}), 0L, (acc, i) -> acc + ($n - i) * $byteAt)) % 65521"
-    s"concat('7801', '01$lenHex$nlenHex', ch, lpad(hex(($s2) * 65536 + ($s1)), 8, '0'))"
+    s"concat('7801', '01$lenHex$nlenHex', ch, lpad(hex(adler32(unhex(ch))), 8, '0'))"
   }
 
   /** `pdf_text_extract`: the PDF landing format parsed END TO END. Spark
@@ -2142,36 +2143,17 @@ object Pdf extends QueryModule {
   private val A85Rem = ZlibLen % 4
   private val A85Len = A85Full * 5 + (if (A85Rem > 0) A85Rem + 1 else 0) + 2
 
-  /** SQL emitting the ASCII85 coding of the zlib bytes (column `zc` =
-    * the zlib hex SPLIT ONCE into a per-row char array — per-element
-    * `substring` over a ~600-char string is O(position) on UTF8String,
-    * so indexing through `element_at` keeps the group walk O(L) per
-    * row instead of O(L²)): full 4-byte groups through a NESTED
-    * transform — group values computed once, then 5 digits each (the
-    * CollapseProject let-binding discipline) — and the partial tail
-    * zero-padded to its top rem+1 digits, closed with `~>`. No `z`
-    * shortcut: the decoder treats it as optional compression, and the
-    * straight form keeps the emitted length constant per leg.
+  /** SQL emitting the ASCII85 coding of the zlib bytes via the codegen'd
+    * [[graft.functions.Ascii85Armor]] kernel (r18 optimization — this was
+    * an arithmetic per-group walk of interpreted `aggregate`/`chr` lambdas
+    * over a split char array, ~85 groups × 6 interpreted evals per
+    * document; the kernel emits identical digits in one call, pinned
+    * against the independently written `Ascii85TestCodec` mirror in
+    * EmitterKernelSpec). No `z` shortcut: the decoder treats it as
+    * optional compression, and the straight form keeps the emitted length
+    * constant per leg. The `~>` EOD stays visible here.
     */
-  private val a85Sql = {
-    def byteAt(idx: String) =
-      s"cast(conv(concat(element_at(zc, ($idx) * 2 + 1), " +
-        s"element_at(zc, ($idx) * 2 + 2)), 16, 10) as bigint)"
-    def p85(k: Int): Long = Seq(1L, 85L, 7225L, 614125L, 52200625L)(k)
-    def digit(k: Int) = s"chr(33 + (v div ${p85(k)}) % 85)"
-    val grp = s"aggregate(sequence(0, 3), 0L, (a, j) -> a * 256 + ${byteAt("i * 4 + j")})"
-    val full = s"array_join(transform(transform(sequence(0, ${A85Full - 1}), " +
-      s"i -> $grp), v -> concat(${(4 to 0 by -1).map(digit).mkString(", ")})), '')"
-    val tail =
-      if (A85Rem == 0) "''"
-      else {
-        val tailV = s"aggregate(sequence(0, ${A85Rem - 1}), 0L, " +
-          s"(a, j) -> a * 256 + ${byteAt(s"${A85Full} * 4 + j")}) * ${1L << (8 * (4 - A85Rem))}"
-        s"array_join(transform(array($tailV), " +
-          s"v -> concat(${(4 to (4 - A85Rem) by -1).map(digit).mkString(", ")})), '')"
-      }
-    s"concat($full, $tail, '~>')"
-  }
+  private val a85Sql = "concat(ascii85_armor(unhex(zh)), '~>')"
 
   /** `pdf_filter_chain_extract`: the ASCII transfer filters and the
     * `/Filter` CHAIN machinery parsed end to end — the
@@ -2201,7 +2183,6 @@ object Pdf extends QueryModule {
         expr("hex(cast(concat(ch, '>') as binary))"), lit(ahxB))).as("payload"))
     val a85Leg = base(1)
       .withColumn("zh", expr(zlibHexSql))
-      .withColumn("zc", expr("split(zh, '')"))
       .select(col("doc_id"),
         unhex(concat(lit(a85A),
           expr(s"hex(cast($a85Sql as binary))"), lit(a85B))).as("payload"))

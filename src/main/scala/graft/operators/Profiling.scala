@@ -289,20 +289,51 @@ object Profiling extends QueryModule {
     * computes all 14 moments (map-side combine does almost all the work);
     * the matrix assembly is a `stack` over a single row. At 100 TB this is
     * a single scan + a 14-value reduce — there is no cheaper shape.
+    *
+    * r18 optimization (guide §2.3 "narrower types"): the per-row arithmetic
+    * and the aggregation buffers are plain BIGINT, not DECIMAL. A
+    * DECIMAL(18,0)×DECIMAL(18,0) product is precision-37 — past Spark's
+    * compact-long Decimal representation — so every row paid BigDecimal
+    * allocation in the hash-aggregate update (measured: ~2.4 s/pass at
+    * sf0.1; ~0.4 s as longs). Each cross-product (≤ 1.2·10¹⁴) is split
+    * into three 20-bit-grain limbs (lo = p mod 2²⁰, mid, hi = p div 2⁴⁰ ≤
+    * 1.2·10¹⁴/2⁴⁰ ≈ 110) whose LONG sums cannot overflow below ~9·10¹²
+    * rows (≫ 100 TB of lineitem); the exact DECIMAL(38,0) moments are
+    * reassembled from the three limb sums on the single post-aggregation
+    * row, so every value downstream of the agg — and therefore every
+    * emitted double — is bit-identical to the direct DECIMAL formulation
+    * the oracle still runs.
     */
   def corrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .filter(CorrVars.map { case (c, _) => col(c).isNotNull }.reduce(_ && _))
       .select(CorrVars.map { case (c, a) =>
-        expr(s"CAST(ROUND($c * 100) AS DECIMAL(18,0))").as(a)
+        expr(s"CAST(ROUND($c * 100) AS BIGINT)").as(a)
       }: _*)
+    val L1 = 1L << 20
+    val L2 = 1L << 40
+    val crossLimbs = CorrVars.zipWithIndex.flatMap { case ((_, a), i) =>
+      CorrVars.drop(i).flatMap { case (_, b) => Seq(
+        sum(expr(s"($a * $b) % $L1")).as(s"lo_${a}_$b"),
+        sum(expr(s"(($a * $b) div $L1) % $L1")).as(s"mid_${a}_$b"),
+        sum(expr(s"($a * $b) div $L2")).as(s"hi_${a}_$b"))
+      }
+    }
     val moments: Seq[org.apache.spark.sql.Column] =
       count(lit(1)).as("n") +:
-      CorrVars.map { case (_, a) => sum(col(a)).as(s"s_$a") } ++:
-      (CorrVars.zipWithIndex.flatMap { case ((_, a), i) =>
-        CorrVars.drop(i).map { case (_, b) => sum(col(a) * col(b)).as(s"s_${a}_$b") }
-      })
-    val wide = li.agg(moments.head, moments.tail: _*)
+      CorrVars.map { case (_, a) => sum(col(a)).as(s"s_$a") } ++: crossLimbs
+    val wideL = li.agg(moments.head, moments.tail: _*)
+    // exact DECIMAL(38,0) moments reassembled from the limb sums (one row)
+    val wide = wideL.select(
+      col("n") +:
+      CorrVars.map { case (_, a) =>
+        expr(s"CAST(s_$a AS DECIMAL(38,0))").as(s"s_$a") } ++:
+      CorrVars.zipWithIndex.flatMap { case ((_, a), i) =>
+        CorrVars.drop(i).map { case (_, b) =>
+          expr(s"CAST(hi_${a}_$b AS DECIMAL(38,0)) * $L2 " +
+            s"+ CAST(mid_${a}_$b AS DECIMAL(38,0)) * $L1 + lo_${a}_$b")
+            .as(s"s_${a}_$b") }
+      }: _*)
     val withCorrs = CorrPairs.foldLeft(wide) { case (df, ((_, a), (_, b))) =>
       df.withColumn(s"corr_${a}_$b", expr(corrExpr(a, b, hlSpark)))
     }

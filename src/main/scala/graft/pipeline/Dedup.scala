@@ -225,25 +225,26 @@ object Dedup extends QueryModule {
   private def tokenHashRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(col("g")).as("h"))
 
-  /** (doc_id, sig array<bigint>[96]) via 96 min-aggregate columns. */
-  private def minhashSigs(docs: DataFrame): DataFrame = {
-    val sigCols = (0 until NumPerms).map { k =>
-      min(expr(s"(${37L * k + 11} * (h % $M) + ${101L * k + 7}) % $M")).as(s"s$k")
-    }
-    tokenHashRows(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(k => col(s"s$k")): _*).as("sig"))
-  }
+  /** (doc_id, sig array<bigint>[96]) — MAP-ONLY via the codegen'd
+    * [[graft.functions.MinhashSig]] kernel (r18 optimization, guide §2.4:
+    * the r17 explode → 96-min-aggregate formulation paid a corpus-wide
+    * signature Exchange plus per-exploded-token evaluation of 96 aggregate
+    * columns; the kernel computes the identical integers in one tight JVM
+    * loop per document with zero shuffle — MinhashKernelSpec pins
+    * bit-equality against the agg form). The `size(g) > 0` filter
+    * reproduces the explode form's drop of token-less documents.
+    */
+  private def minhashSigs(docs: DataFrame): DataFrame =
+    docs.filter(col("g").isNotNull && size(col("g")) > 0)
+      .select(col("doc_id"), expr(s"minhash_sig(g, $NumPerms)").as("sig"))
 
-  /** (doc_id, sh): 64-bit SimHash via 64 sum-aggregate columns + majority. */
-  private def simhashSigs(docs: DataFrame): DataFrame = {
-    val aggCols = count(lit(1)).as("cnt") +:
-      (0 until 64).map(j => sum(expr(s"shiftright(h, $j) % 2")).as(s"b$j"))
-    tokenHashRows(docs).groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j =>
-          when(col(s"b$j") * 2 > col("cnt"), lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("sh"))
-  }
+  /** (doc_id, sh): 64-bit SimHash — MAP-ONLY via the codegen'd
+    * [[graft.functions.SimhashSig]] kernel (same r18 shuffle-elimination
+    * as [[minhashSigs]]; was explode → 64 sum aggregates + majority).
+    */
+  private def simhashSigs(docs: DataFrame): DataFrame =
+    docs.filter(col("g").isNotNull && size(col("g")) > 0)
+      .select(col("doc_id"), expr("simhash_sig(g)").as("sh"))
 
   // ---- queries ----
 

@@ -189,21 +189,15 @@ object Multimodal extends QueryModule {
     * packing, chunking, and popcount are pure integer ops.
     */
   def ahashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // signature via the codegen'd graft.functions.Ahash64Sampled kernel
+    // (r18 — was three interpreted HOF folds per row: 64 conv byte
+    // parses, the ascending mean fold, the bit-pack fold; the kernel
+    // reproduces the same fixed ascending IEEE mean fold and bit pack,
+    // pinned in EmitterKernelSpec)
     val sigs = graft.Scratch.materialize(
       media(spark, sfDir)
         .filter(length(col("payload")) >= AHashBits)
-        .select(col("doc_id"), hex(col("payload")).as("h"),
-          expr(s"length(payload) div $AHashBits").as("stride"))
-        .withColumn("bytes", expr(
-          s"""transform(sequence(0, ${AHashBits - 1}), j ->
-                CAST(conv(substring(h, j * stride * 2 + 1, 2), 16, 10) AS DOUBLE))"""))
-        .withColumn("mean", expr(
-          s"aggregate(bytes, CAST(0.0 AS DOUBLE), (a, x) -> a + x) / $AHashBits.0D"))
-        .withColumn("ah", expr(
-          s"""aggregate(sequence(0, ${AHashBits - 1}), CAST(0 AS BIGINT),
-                (acc, j) -> acc + CASE WHEN element_at(bytes, j + 1) > mean
-                  THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""))
-        .select("doc_id", "ah"),
+        .select(col("doc_id"), expr("ahash64_sampled(payload)").as("ah")),
       "graft_ahash")
     ahashPairs(sigs)
   }
@@ -862,13 +856,14 @@ object Multimodal extends QueryModule {
     val rawHex =
       s"""array_join(transform(sequence(0, ${rows - 1}), r ->
             concat('00', substring(h, r * ${rowBytes * 2} + 1, ${rowBytes * 2}))), '')"""
-    val byteAt = s"cast(conv(substring(h, i * 2 + 1, 2), 16, 10) as bigint)"
-    val s1 = s"(1 + aggregate(sequence(0, ${rows * rowBytes - 1}), 0L, (acc, i) -> acc + $byteAt)) % 65521"
-    // position of data byte i inside the raw stream: (i div rowBytes)
-    // rows of rowBytes+1 with the leading filter zero, then 1 + i mod
-    val w = s"($n - ((i div $rowBytes) * ${rowBytes + 1} + 1 + i % $rowBytes))"
-    val s2 = s"($n + aggregate(sequence(0, ${rows * rowBytes - 1}), 0L, (acc, i) -> acc + $w * $byteAt)) % 65521"
-    val adlerHex = s"lpad(hex(($s2) * 65536 + ($s1)), 8, '0')"
+    // Adler-32 over the raw stream (filter zeros included — they add
+    // nothing to s1 but shift every byte's s2 weight, exactly what the
+    // retired arithmetic fold encoded positionally) via the codegen'd
+    // graft.functions.Adler32Fn kernel — r18: the two interpreted
+    // per-byte aggregate folds re-parsing each byte with conv(substring)
+    // were the dominant emitter cost, and the emitted value is identical
+    // (EmitterKernelSpec); the decoder's Inflater verifies independently.
+    val adlerHex = s"lpad(hex(adler32(unhex($rawHex))), 8, '0')"
     val zlibHex = s"concat('7801', '01$lenHex$nlenHex', $rawHex, $adlerHex)"
     val idatLen = 2 + 5 + n + 4
     s"""concat('$prefixHex',
@@ -980,27 +975,17 @@ object Multimodal extends QueryModule {
       (0 until ph).map(r => (0 until pw).map(i => (y0 + r * dy) * 8 + (x0 + i * dx)))
     }
     val n = rows.map(_.size + 1).sum // 79: 64 pixels + 15 filter bytes
-    // (source pixel, Adler weight = n - stream position) per data byte
-    val entries = {
-      val b = Seq.newBuilder[(Int, Int)]
-      var p = 0
-      rows.foreach { row => p += 1; row.foreach { src => b += (src -> (n - p)); p += 1 } }
-      b.result()
-    }
     val lenHex = "%02X%02X".format(n & 0xff, n >> 8)
     val nlenHex = "%02X%02X".format(~n & 0xff, (~n >> 8) & 0xff)
     val rawHex = rows.map(row =>
       s"concat('00', ${row.map(src => s"substring(h, ${src * 2 + 1}, 2)").mkString(", ")})")
       .mkString("concat(", ", ", ")")
-    val srcArr = entries.map(_._1).mkString(", ")
-    val wArr = entries.map(_._2).mkString(", ")
-    val byteAt =
-      s"cast(conv(substring(h, element_at(array($srcArr), i + 1) * 2 + 1, 2), 16, 10) as bigint)"
-    val s1 = "(1 + aggregate(sequence(0, 63), 0L, (acc, i) -> " +
-      "acc + cast(conv(substring(h, i * 2 + 1, 2), 16, 10) as bigint))) % 65521"
-    val s2 = s"($n + aggregate(sequence(0, 63), 0L, (acc, i) -> " +
-      s"acc + element_at(array($wArr), i + 1) * $byteAt)) % 65521"
-    val adlerHex = s"lpad(hex(($s2) * 65536 + ($s1)), 8, '0')"
+    // Adler-32 over the PERMUTED raw stream via the codegen'd
+    // graft.functions.Adler32Fn kernel (r18 — was two interpreted
+    // per-byte aggregate folds with a driver-computed positional weight
+    // table; the stream itself already encodes every byte's position, so
+    // the kernel value is identical and the weight machinery is gone)
+    val adlerHex = s"lpad(hex(adler32(unhex($rawHex))), 8, '0')"
     val zlibHex = s"concat('7801', '01$lenHex$nlenHex', $rawHex, $adlerHex)"
     val idatLen = 2 + 5 + n + 4
     val fileHex =
@@ -1320,18 +1305,15 @@ object Multimodal extends QueryModule {
     */
   def realGif(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pix = "lpad(hex(cast(conv(substring(h, i * 2 + 1, 2), 16, 10) as bigint) % 128), 2, '0')"
-    def block(start: Int, count: Int, last: Boolean) = {
-      val body = s"array_join(transform(sequence($start, ${start + count - 1}), i -> $pix), '')"
-      if (!last) s"concat('7F80', $body)" // len 127: clear + 126 literals
-      else s"concat('${"%02X".format(count + 2)}80', $body, '81')" // clear + literals + end
-    }
-    val blocks = (0 until GifPixels / 126).map(b => block(b * 126, 126, last = false)) :+
-      block((GifPixels / 126) * 126, GifPixels % 126, last = true)
-    val gifHex = s"concat('$GifPrefixHex', ${blocks.mkString(", ")}, '003B')"
+    // the byte-aligned LZW literal blocks (pixel = byte mod 128, clear
+    // code per sub-block, end code after the remainder) through the
+    // codegen'd graft.functions.GifPixelBlocksHex kernel — r18: was one
+    // interpreted conv/hex/lpad lambda eval per pixel (192/doc);
+    // EmitterKernelSpec pins the kernel to the retired per-block concat
+    val gifHex = s"""concat('$GifPrefixHex',
+      gif_pixel_blocks_hex(substring(cast(text as binary), 1, $GifPixels)), '003B')"""
     val clips = Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= GifPixels)
-      .withColumn("h", expr("hex(cast(text as binary))"))
       .select(col("doc_id"), lit("image").as("media_type"),
         unhex(expr(gifHex)).as("payload"))
     BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
@@ -1365,18 +1347,15 @@ object Multimodal extends QueryModule {
 
   // ---- mm_ahash_oriented: EXIF-orientation-normalized image dedup ----
 
-  /** The four planted orientations and each one's stored-index
-    * permutation over the 8×8 block grid (stored block k = (ky, kx)
-    * carries the canonical cell the DISPLAY transform maps it back to,
-    * so orientation-normalized decode recovers the same canonical grid
-    * from every variant): 1 identity, 3 rotate-180, 6 rotate-90-CW,
-    * 8 rotate-90-CCW.
+  /** The four planted orientations; each one's stored-index permutation
+    * over the 8×8 block grid (stored block k = (ky, kx) carries the
+    * canonical cell the DISPLAY transform maps it back to, so
+    * orientation-normalized decode recovers the same canonical grid from
+    * every variant) lives in the [[graft.functions.FixtureEmitters]]
+    * kernel: 1 identity, 3 rotate-180, 6 rotate-90-CW, 8 rotate-90-CCW
+    * (EmitterKernelSpec pins the kernel permutation to these formulas).
     */
-  private val OrientedCases: Seq[(Int, String => String)] = Seq(
-    1 -> (k => k),
-    3 -> ((k: String) => s"63 - ($k)"),
-    6 -> ((k: String) => s"(($k) % 8) * 8 + 7 - ($k) div 8"),
-    8 -> ((k: String) => s"(7 - ($k) % 8) * 8 + ($k) div 8"))
+  private val OrientedCases: Seq[Int] = Seq(1, 3, 6, 8)
 
   /** A real Exif APP1 carrying just IFD0's Orientation SHORT (II TIFF,
     * magic 42, one ascending-tag entry, zero next-IFD) — 36 bytes.
@@ -1412,9 +1391,9 @@ object Multimodal extends QueryModule {
   def ahashOriented(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val header = MediaCodec.jpegHeader(64, 64, JpegRst).map("%02X".format(_)).mkString
-    val legs = OrientedCases.map { case (o, idx) =>
+    val legs = OrientedCases.map { o =>
       val spliced = header.take(4) + app1OrientationHex(o) + header.drop(4)
-      jpegDcPayload(spark, sfDir, 64, JpegRst, spliced, idx)
+      jpegDcPayload(spark, sfDir, 64, JpegRst, spliced, orient = o)
         .select(col("doc_id"), lit(o).as("orientation"), col("payload"))
     }
     legs.reduce(_ unionByName _)
@@ -1476,57 +1455,40 @@ object Multimodal extends QueryModule {
     */
   /** Shared DC-only baseline-JPEG scan emitter (the `mm_real_jpeg`
     * machinery, parameterized): block k's pixel value is the document
-    * byte at `idx("k")` — identity for the banded-luma fixture, an
-    * orientation permutation for `mm_ahash_oriented`. Returns
-    * (doc_id, payload) rows; `headerHex` carries everything up to the
-    * first entropy byte (so a caller may splice an APP1 after SOI).
+    * byte at the `orient` permutation of k — identity (1) for the
+    * banded-luma fixture, a rotation permutation (3/6/8) for
+    * `mm_ahash_oriented`. Returns (doc_id, payload) rows; `headerHex`
+    * carries everything up to the first entropy byte (so a caller may
+    * splice an APP1 after SOI).
+    *
+    * r18 optimization (guide §4): the scan — DC diffs, categories,
+    * variable-length Huffman code bits, per-segment 1-padding, FF00
+    * stuffing, RSTn markers — is emitted by the codegen'd
+    * [[graft.functions.JpegDcScanHex]] kernel in ONE call per document.
+    * The previous formulation assembled it from ~10 chained interpreted
+    * (CodegenFallback) higher-order-function columns building per-block
+    * '0'/'1' bit STRINGS and re-parsing them 8 chars at a time with
+    * `conv` — hundreds of interpreted expression evaluations and string
+    * allocations per document, measured as the dominant cost of every
+    * JPEG row. EmitterKernelSpec pins the kernel byte-identical to the
+    * retired SQL chain; the full-entropy DECODER and the oracle's
+    * luma-from-source-bytes recompute are unchanged, so a miscoded
+    * emitter still lands loud.
     */
   private def jpegDcPayload(spark: SparkSession, sfDir: String, nBlocks: Int,
-      rst: Int, headerHex: String, idx: String => String): DataFrame = {
-    val dcCodes = MediaCodec.JpegDcLumCodes.map(c => s"'$c'").mkString(", ")
-    def b(k: String) = s"cast(conv(substring(h, (${idx(k)}) * 2 + 1, 2), 16, 10) as int)"
-    // one 8-bit byte per code group; '255' → the stuffed pair
-    def pack(p: String) =
-      s"""array_join(transform(sequence(0, cast(length($p) / 8 as int) - 1),
-            i -> if(conv(substring($p, i * 8 + 1, 8), 2, 10) = '255', 'FF00',
-                    lpad(hex(cast(conv(substring($p, i * 8 + 1, 8), 2, 10) as bigint)), 2, '0'))),
-          '')"""
-    val segs = (0 until nBlocks / rst).map { s =>
-      (s"bits$s", s"array_join(slice(blockbits, ${s * rst + 1}, $rst), '')")
-    }
-    var df = Tables.documents(spark, sfDir)
+      rst: Int, headerHex: String, orient: Int): DataFrame =
+    Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= nBlocks)
-      .withColumn("h", expr("hex(cast(text as binary))"))
-      // DC diff per block: chained, reset to the 0-predictor at restarts
-      .withColumn("diffs", expr(
-        s"transform(sequence(0, ${nBlocks - 1}), k -> ${b("k")} - if(k % $rst = 0, 128, ${b("k - 1")}))"))
-      .withColumn("cats", expr(
-        "transform(diffs, d -> if(d = 0, 0, length(bin(cast(abs(d) as bigint)))))"))
-      // per block: DC category code + EXTEND value bits + the AC EOB '1010'
-      .withColumn("blockbits", expr(
-        s"""zip_with(diffs, cats, (d, c) -> concat(
-              element_at(array($dcCodes), c + 1),
-              if(c = 0, '', lpad(bin(cast(if(d > 0, d, d + shiftleft(1, c) - 1) as bigint)), c, '0')),
-              '1010'))"""))
-    for ((name, bitsExpr) <- segs) {
-      df = df.withColumn(name, expr(bitsExpr))
-        .withColumn(s"p$name", expr(
-          s"rpad($name, cast(ceil(length($name) / 8.0) * 8 as int), '1')"))
-        .withColumn(s"seg$name", expr(pack(s"p$name")))
-    }
-    val scan = segs.zipWithIndex.map { case ((name, _), i) =>
-      val rst = if (i < segs.length - 1) s", 'FFD${i % 8}'" else ""
-      s"seg$name$rst"
-    }.mkString(", ")
-    df.select(col("doc_id"),
-      expr(s"unhex(concat('$headerHex', $scan, 'FFD9'))").as("payload"))
-  }
+      .select(col("doc_id"),
+        expr(s"""unhex(concat('$headerHex',
+             jpeg_dc_scan_hex(substring(cast(text as binary), 1, $nBlocks), $rst, 0, $orient),
+             'FFD9'))""").as("payload"))
 
   def realJpeg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val header = MediaCodec.jpegHeader(8, 8 * JpegBlocks, JpegRst)
       .map("%02X".format(_)).mkString
-    val clips = jpegDcPayload(spark, sfDir, JpegBlocks, JpegRst, header, k => k)
+    val clips = jpegDcPayload(spark, sfDir, JpegBlocks, JpegRst, header, orient = 1)
       .select(col("doc_id"), lit("image").as("media_type"), col("payload"))
     BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
       .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
@@ -1572,53 +1534,20 @@ object Multimodal extends QueryModule {
     val (h1, sos2) = MediaCodec.jpegProgHeader(8, 8 * JpegBlocks, JpegRst)
     val header = h1.map("%02X".format(_)).mkString
     val sos2Hex = sos2.map("%02X".format(_)).mkString
-    val dcCodes = MediaCodec.JpegDcLumCodes.map(c => s"'$c'").mkString(", ")
-    def b(k: String) = s"cast(conv(substring(h, ($k) * 2 + 1, 2), 16, 10) as int)"
-    def pack(p: String) =
-      s"""array_join(transform(sequence(0, cast(length($p) / 8 as int) - 1),
-            i -> if(conv(substring($p, i * 8 + 1, 8), 2, 10) = '255', 'FF00',
-                    lpad(hex(cast(conv(substring($p, i * 8 + 1, 8), 2, 10) as bigint)), 2, '0'))),
-          '')"""
-    val segs = (0 until JpegBlocks / JpegRst).map { s =>
-      (s, s"array_join(slice(blockbits, ${s * JpegRst + 1}, $JpegRst), '')",
-        s"array_join(slice(refbits, ${s * JpegRst + 1}, $JpegRst), '')")
-    }
-    var df = Tables.documents(spark, sfDir)
+    // both scans through the codegen'd graft.functions.JpegDcScanHex
+    // kernel (r18 — see jpegDcPayload: was ~15 chained interpreted HOF
+    // columns per document): mode 1 = the Al=1 DC-first scan (point-
+    // transformed diffs, 0-reset predictor, no EOB), mode 2 = the raw
+    // low-bit refinement scan; each scan numbers its own RSTn from FFD0,
+    // which the kernel's per-scan segment counter reproduces
+    val clips = Tables.documents(spark, sfDir)
       .filter(octet_length(col("text")) >= JpegBlocks)
-      .withColumn("h", expr("hex(cast(text as binary))"))
-      // scan 1: diffs of the Al=1 point transform, reset at restarts
-      .withColumn("tvals", expr(
-        s"transform(sequence(0, ${JpegBlocks - 1}), k -> shiftright(${b("k")} - 128, 1))"))
-      .withColumn("diffs", expr(
-        s"transform(sequence(0, ${JpegBlocks - 1}), k -> element_at(tvals, k + 1) - if(k % $JpegRst = 0, 0, element_at(tvals, k)))"))
-      .withColumn("cats", expr(
-        "transform(diffs, d -> if(d = 0, 0, length(bin(cast(abs(d) as bigint)))))"))
-      // per block: DC category code + EXTEND value bits (no AC in a DC scan)
-      .withColumn("blockbits", expr(
-        s"""zip_with(diffs, cats, (d, c) -> concat(
-              element_at(array($dcCodes), c + 1),
-              if(c = 0, '', lpad(bin(cast(if(d > 0, d, d + shiftleft(1, c) - 1) as bigint)), c, '0'))))"""))
-      // scan 2: one raw refinement bit per block — bit 0 of the true DC
-      .withColumn("refbits", expr(
-        s"transform(sequence(0, ${JpegBlocks - 1}), k -> cast((${b("k")} - 128) % 2 != 0 as string))"))
-      .withColumn("refbits", expr("transform(refbits, v -> if(v = 'true', '1', '0'))"))
-    for ((i, bits1, bits2) <- segs) {
-      df = df
-        .withColumn(s"p1s$i", expr(
-          s"rpad($bits1, cast(ceil(length($bits1) / 8.0) * 8 as int), '1')"))
-        .withColumn(s"seg1s$i", expr(pack(s"p1s$i")))
-        .withColumn(s"p2s$i", expr(
-          s"rpad($bits2, cast(ceil(length($bits2) / 8.0) * 8 as int), '1')"))
-        .withColumn(s"seg2s$i", expr(pack(s"p2s$i")))
-    }
-    def scanOf(prefix: String) = segs.map { case (i, _, _) =>
-      val rst = if (i < segs.length - 1) s", 'FFD${i % 8}'" else ""
-      s"$prefix$i$rst"
-    }.mkString(", ")
-    val clips = df
       .select(col("doc_id"), lit("image").as("media_type"),
-        expr(s"unhex(concat('$header', ${scanOf("seg1s")}, '$sos2Hex', ${scanOf("seg2s")}, 'FFD9'))")
-          .as("payload"))
+        expr(s"""unhex(concat('$header',
+             jpeg_dc_scan_hex(substring(cast(text as binary), 1, $JpegBlocks), $JpegRst, 1, 1),
+             '$sos2Hex',
+             jpeg_dc_scan_hex(substring(cast(text as binary), 1, $JpegBlocks), $JpegRst, 2, 1),
+             'FFD9'))""").as("payload"))
     BatchedDecode.decodeFeatures(clips.as[MediaRow]).toDF()
       .select(col("doc_id"), posexplode(col("feature")).as(Seq("band", "f")))
       .select(col("doc_id"), col("band"),

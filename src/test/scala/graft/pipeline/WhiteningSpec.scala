@@ -40,4 +40,30 @@ class WhiteningSpec extends SparkSpec {
     assert(maxDiagErr < 1e-6, s"diagonal off identity by $maxDiagErr")
     assert(maxOff < 1e-6, s"off-diagonal correlation survives: $maxOff")
   }
+
+  test("whitened-check ppm cells: driver algebra == per-row outer-product sum") {
+    // r18 optimization guard: `emb_whitened_check` derives its cells as
+    // W·Σ̂·Wᵀ on the driver instead of re-scanning the corpus and summing
+    // wvec[i]·wvec[j] per row. The two summation orders must agree at the
+    // ppm grain on a REAL corpus — this pins the algebraic shortcut to the
+    // distributed formulation it replaced.
+    val dim = Similarity.Dim
+    val (n, mean, cov) = Whitening.codeMoments(spark, Sf0001, dim)
+    val perRow = Whitening
+      .whitenWith(Whitening.quantizedCodes(spark, Sf0001), mean,
+        Whitening.whiteningMatrix(cov), dim)
+      .select("wvec").collect().map(_.getSeq[Double](0).toArray)
+    assert(perRow.length == n)
+    val m = Array.ofDim[Double](dim, dim)
+    perRow.foreach { w =>
+      for (j <- 0 until dim; i <- 0 to j) m(i)(j) += w(i) * w(j)
+    }
+    val algebra = Whitening.secondMomentOfWhitened(cov)
+    for (j <- 0 until dim; i <- 0 to j) {
+      val rowPpm = math.round(m(i)(j) / n * 1e6)
+      val algPpm = math.round(algebra(i)(j) * 1e6)
+      assert(rowPpm == algPpm,
+        s"cell ($i,$j): per-row $rowPpm ppm vs algebra $algPpm ppm")
+    }
+  }
 }
