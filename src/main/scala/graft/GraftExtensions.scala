@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.JpegDcScanHex.description)
     ext.injectFunction(functions.GifPixelBlocksHex.description)
     ext.injectFunction(functions.Ahash64Sampled.description)
+    ext.injectFunction(functions.Hash60Array.description)
+    ext.injectFunction(functions.Md5BucketCounts.description)
+    ext.injectFunction(functions.TrigramBucketCounts.description)
     ext.injectFunction(functions.Gunzip.description)
     ext.injectFunction(functions.ZstdInflate.description)
     ext.injectFunction(functions.ZstdDeflate.description)

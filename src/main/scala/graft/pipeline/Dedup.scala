@@ -214,8 +214,12 @@ object Dedup extends QueryModule {
     */
   private def docTokens(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#dedup#doc_tokens") {
+      // hash60 per token via the codegen'd hash60_array kernel (r18 —
+      // the per-element lambda form ran interpreted with a fresh
+      // MessageDigest + hex round-trip per token; Hash60KernelSpec pins
+      // value equality)
       Tables.documents(spark, sfDir)
-        .select(col("doc_id"), expr(s"array_sort(transform($tokenSet, w -> ${hash60("w")}))").as("g"))
+        .select(col("doc_id"), expr(s"array_sort(hash60_array($tokenSet))").as("g"))
     }
 
   /** Exploded (doc_id, h) hash rows. Everything downstream of this is plain
@@ -420,7 +424,7 @@ object Dedup extends QueryModule {
         .select(col("doc_id"), expr(rawTokens).as("t"))
         .filter(size(col("t")) >= ShingleN)
         .select(col("doc_id"),
-          expr(s"array_sort(transform($shinglesOfT, w -> ${hash60("w")}))").as("g"))
+          expr(s"array_sort(hash60_array($shinglesOfT))").as("g"))
     }
     lshPairs(spark, s"$sfDir#dedup#shingle$ShingleN", docs, 0.9)
       .orderBy("ia", "ib")
@@ -784,7 +788,7 @@ object Dedup extends QueryModule {
     */
   def probeBatch(spark: SparkSession, sfDir: String, batch: DataFrame): DataFrame = {
     val g = batch.select(col("doc_id"),
-      expr(s"array_sort(transform($tokenSet, w -> ${hash60("w")}))").as("g"))
+      expr(s"array_sort(hash60_array($tokenSet))").as("g"))
     val bands = bandsOf(minhashSigs(g))
     val all = docTokens(spark, sfDir)
     val corpus = all.filter(col("doc_id") % 10 =!= 0)

@@ -68,16 +68,22 @@ object TextClassifier extends QueryModule {
     * parity-planted label — the testable core.
     */
   private[pipeline] def featuresOf(docs: DataFrame): DataFrame =
+    // per-doc bucket histogram via the codegen'd md5_bucket_counts kernel
+    // (r18, guide §2.4: the explode → per-token md5 → corpus-wide
+    // groupBy(doc, y, bucket) shape paid one interpreted-md5 evaluation
+    // AND one shuffled aggregation row per token; buckets are per-doc
+    // local, so the kernel emits the same (bucket, cnt) rows map-only —
+    // Hash60KernelSpec pins relation equality)
     docs
       .select(col("doc_id"), expr(
         s"""concat(${Dedup.rawTokens},
              IF(doc_id % 2 = 0, array_repeat('$Marker', $MarkerCopies),
                 CAST(array() AS ARRAY<STRING>)))""").as("t"),
         expr("IF(doc_id % 2 = 0, 1L, -1L)").as("y"))
-      .select(col("doc_id"), col("y"), explode(col("t")).as("token"))
-      .withColumn("bucket", expr(
-        s"cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint) & ${Buckets - 1}"))
-      .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("y"),
+        explode(expr(s"md5_bucket_counts(t, $Buckets)")).as("bc"))
+      .select(col("doc_id"), col("y"),
+        col("bc.bucket").as("bucket"), col("bc.cnt").as("cnt"))
 
   private def features(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#clsfeat#$Buckets#$MarkerCopies") {
@@ -189,26 +195,22 @@ object TextClassifier extends QueryModule {
     * inputs (Spark's descending `sequence(1, 0)` hazard).
     */
   private[graft] def ngramFeaturesOf(docs: DataFrame): DataFrame =
+    // per-doc trigram bucket histogram via the codegen'd
+    // trigram_bucket_counts kernel (r18, guide §2.4/§4: the previous
+    // shape split the string to a char array, built each gram through an
+    // interpreted lambda, md5'd per gram, and shuffled one aggregation
+    // row PER GRAM through a corpus-wide groupBy — ~L interpreted evals
+    // and ~L shuffled rows per document; buckets are per-doc local, so
+    // the kernel emits the same (bucket, cnt) rows map-only with a
+    // thread-cached digest — Hash60KernelSpec pins relation equality,
+    // including the code-point gram semantics and the size<3 guard)
     docs
-      // two performance constraints meet here: (a) `substring(s, i, 3)`
-      // on a UTF8String is O(i) — per-gram substring makes the pass
-      // O(L²) per document (measured 50 s at the sf1 probe) — so the
-      // string is split to a char array ONCE and each gram is three O(1)
-      // element reads; (b) the char array must be LET-BOUND as a lambda
-      // variable via the single-element transform array, or
-      // CollapseProject inlines the split into the gram lambda and
-      // re-evaluates it per gram (see GopherRepetition.dupGramCoverage)
       .select(col("doc_id"), col("lang"), explode(expr(
-        s"""element_at(transform(
-              array(split(concat(lower(text), repeat(concat(' xq', lang, 'z'), $LangMarkerCopies)), '')),
-              cs -> IF(size(cs) < 3, CAST(array() AS ARRAY<STRING>),
-                      transform(sequence(1, size(cs) - 2),
-                        i -> concat(element_at(cs, i), element_at(cs, i + 1),
-                                    element_at(cs, i + 2))))), 1)"""))
-        .as("g"))
-      .withColumn("bucket", expr(
-        s"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) & ${NgramBuckets - 1}"))
-      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt"))
+        s"""trigram_bucket_counts(
+              concat(lower(text), repeat(concat(' xq', lang, 'z'), $LangMarkerCopies)),
+              $NgramBuckets)""")).as("bc"))
+      .select(col("doc_id"), col("lang"),
+        col("bc.bucket").as("bucket"), col("bc.cnt").as("cnt"))
 
   private def ngramFeatures(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#clsngram#$NgramBuckets#$LangMarkerCopies") {
