@@ -56,6 +56,11 @@ case class LevWithin(first: Expression, second: Expression, third: Expression)
 
 object LevWithin {
 
+  private val rows = new ThreadLocal[Array[Array[Int]]] {
+    override def initialValue(): Array[Array[Int]] =
+      Array(new Array[Int](256), new Array[Int](256))
+  }
+
   /** Banded bound check, called from both interpreted and generated code
     * (the codegen emits a call to this static forwarder). ASCII pairs run
     * the byte-band fast path; anything multi-byte falls back to the same
@@ -74,8 +79,17 @@ object LevWithin {
     if (math.abs(n - m) > k) return false
     if (n == 0 || m == 0) return math.max(n, m) <= k
     val cap = k + 1 // every stored value saturates here; cap acts as +inf
-    var prev = new Array[Int](m + 1)
-    var cur = new Array[Int](m + 1)
+    // r18: thread-cached DP rows — two fresh arrays per call cost ~2M
+    // allocations on a 1M-pair verify stream; every cell the band reads
+    // is written first, so reuse needs no clearing
+    val scratch = rows.get()
+    var (prev, cur) =
+      if (scratch(0).length >= m + 1) (scratch(0), scratch(1))
+      else {
+        scratch(0) = new Array[Int](math.max(m + 1, 256))
+        scratch(1) = new Array[Int](math.max(m + 1, 256))
+        (scratch(0), scratch(1))
+      }
     var j = 0
     while (j <= m) { prev(j) = if (j <= cap) j else cap; j += 1 }
     var i = 1

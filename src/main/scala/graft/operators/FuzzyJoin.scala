@@ -62,14 +62,24 @@ object FuzzyJoin extends QueryModule {
   private def rawPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // explode + codegen'd substring/concat, NOT a transform() lambda
     // (interpreted on the key hot path); materialized once so all join
-    // sides share one derivation
+    // sides share one derivation. The join key is the variant's 64-bit
+    // xxhash64, not the ~17-char string (r18 — the d2 matcher's
+    // discipline brought to the d=1 path): 8-byte keys shuffle/compare
+    // ~2× cheaper, equal variants always collide (recall preserved), and
+    // a random hash collision only adds a false candidate the
+    // `lev_within` verify removes.
     val keyed = graft.Scratch.materialize(
       Tables.customer(spark, sfDir)
+        // fan out before the explode: the customer scan is one small
+        // file = one task (the d2 matcher's discipline; see also the
+        // qgram gram memo) — without this the keyed table materializes
+        // as ~one file and both join sides scan it near-serially
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("c_custkey"), col("c_name"),
           explode(expr("sequence(0, length(c_name))")).as("i"))
         .select(col("c_custkey"), col("c_name"), col("i"),
-          when(col("i") === 0, col("c_name")).otherwise(
-            expr("concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, length(c_name)))"))
+          xxhash64(when(col("i") === 0, col("c_name")).otherwise(
+            expr("concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, length(c_name)))")))
             .as("k")),
       "graft_fuzzy_keys")
     def side(p: String) = keyed.select(
@@ -398,7 +408,14 @@ object FuzzyJoin extends QueryModule {
     // memoizing makes Bench publish that steady probe cost as a separate
     // number (the build-owning cold run stays the headline)
     val grams = graft.Scratch.memoize(spark, s"fuzzy_qgram_grams:$sfDir") {
-      s.select(col("doc_id"), col("s"), length(col("s")).as("len"),
+      // fan out BEFORE the explode (r18): the documents scan is one small
+      // file = one task, so without this the gram table lands in scratch
+      // as ~one parquet file and every downstream stage that scans it —
+      // including the candidate join and its lev_within verify, the
+      // query's dominant cost — runs at single-task parallelism
+      // (measured: verify stage ~3.2 s serial vs ~0.6 s fanned out)
+      s.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("s"), length(col("s")).as("len"),
           explode(expr(s"sequence(1, length(s) - ${QgramQ - 1})")).as("pos"))
         .select(col("doc_id"), col("s"), col("len"), col("pos"),
           expr(s"substring(s, pos, $QgramQ)").as("g"))

@@ -62,8 +62,12 @@ object PqSearch extends QueryModule {
 
   import SimilaritySearch.{K, NumQueries}
 
-  /** (vec_id, m, sub): the corpus unit vectors split into M subvectors —
-    * map-only explode, reused by training, encoding, and query tables.
+  /** (vec_id, m, sub): query vectors split into M subvectors — map-only
+    * explode, feeding the (artifact-grain) query ADC tables. The corpus
+    * encode and the Lloyd training no longer go through this shape (r18:
+    * both were rebuilt around the local codebook — see [[pqCodebook]] /
+    * [[pqCodesOf]]; PqEncodeSpec retains the retired explode/argmin
+    * chain as the bit-equality reference).
     */
   private def subvectors(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
@@ -72,76 +76,175 @@ object PqSearch extends QueryModule {
         .as(Seq("p", "sub")))
       .select(col("vec_id"), (col("p") + 1).as("m"), col("sub"))
 
-  /** Seed codebook (m, cid, cent): subvectors of the 16 md5-draw-first
-    * sample vectors (cid = draw rank − 1). The global row_number runs over
-    * the ≤ 10·quota-row TRAINING SAMPLE — an artifact-grain relation, not
-    * the corpus — so the one-task window is bounded by construction.
+  /** Lloyd-trained per-subspace codebooks over the stratified sample.
+    *
+    * r18 optimization (guide §1.2, the Whitening altitude decision): the
+    * training sample is BOUNDED (≤ 10·quota ≈ 250 rows × 64 doubles) and
+    * the codebook is 1 KB of constants, so the [[LloydRounds]]
+    * assign→mean rounds run on the DRIVER over the collected sample —
+    * the previous DataFrame formulation spent ~2 s/pass scheduling ~15
+    * sample-grain micro-stages (explodes, broadcast joins, two nested
+    * aggregations per round) to move kilobytes. Every IEEE operation
+    * order is reproduced exactly — seed draw ordering (md5 hex string),
+    * vec_dot's strict left folds, the (score, cid) argmin tie-break,
+    * sorted-ascending member-mean folds, empty cells reverting to their
+    * SEED codeword — pinned bit-for-bit against the retired DataFrame
+    * chain in PqEncodeSpec; the memoized 256-row codebook relation is
+    * unchanged for every consumer.
     */
-  private def pqSeeds(spark: SparkSession, sfDir: String): DataFrame =
-    SimilaritySearch.trainingSample(spark, sfDir)
-      .withColumn("draw", md5(concat(lit("ivf:"), col("vec_id").cast("string"))))
-      .withColumn("rn", row_number().over(Window.orderBy("draw", "vec_id")))
-      .filter(col("rn") <= CodesK)
-      .select((col("rn") - 1).cast("int").as("cid"), col("v"))
-      .select(col("cid"),
-        posexplode(expr(
-          s"transform(sequence(1, $M), mm -> slice(v, $SubDim * (mm - 1) + 1, $SubDim))"))
-          .as(Seq("p", "cent")))
-      .select((col("p") + 1).as("m"), col("cid"), col("cent"))
-
-  /** Nearest codeword per (vector, subspace) by ‖c‖² − 2·sub·c, ties to
-    * the smaller cid — broadcast ×(M·CodesK) fan-out, (vec_id, m) argmin.
-    */
-  private def assignSub(subs: DataFrame, cents: DataFrame): DataFrame =
-    subs.join(broadcast(cents.withColumn("cn2", expr("vec_dot(cent, cent)"))), "m")
-      .withColumn("score", col("cn2") - lit(2) * expr("vec_dot(sub, cent)"))
-      .select(col("vec_id"), col("m"), struct(col("score"), col("cid")).as("sc"))
-      .groupBy("vec_id", "m").agg(min("sc").as("sc"))
-      .select(col("vec_id"), col("m"), col("sc.cid").as("cid"), col("sc.score").as("score"))
-
-  /** Lloyd-trained per-subspace codebooks over the stratified sample. */
   private def pqCodebook(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#pqcb#$M#$CodesK#$LloydRounds") {
-      val sample = SimilaritySearch.trainingSample(spark, sfDir)
-      val subs = subvectors(sample.select(col("vec_id"), col("v")))
-      var cents = pqSeeds(spark, sfDir)
-      for (_ <- 1 to LloydRounds) {
-        val means = assignSub(subs, cents)
-          .join(subs, Seq("vec_id", "m"))
-          .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("d", "x")))
-          .groupBy("m", "cid", "d")
-          .agg((expr("sorted_sum(CAST(x AS DOUBLE))") / count(lit(1))).as("mc"))
-          .groupBy("m", "cid")
-          .agg(expr("transform(array_sort(collect_list(struct(d, mc))), s -> s.mc)")
-            .as("mcent"))
-        cents = pqSeeds(spark, sfDir)
-          .join(means, Seq("m", "cid"), "left")
-          .select(col("m"), col("cid"), coalesce(col("mcent"), col("cent")).as("cent"))
-      }
-      cents
+      val cb = lloydLocal(spark, sfDir)
+      spark.createDataFrame(
+        for { m <- 1 to M; cid <- 0 until CodesK }
+          yield (m, cid, cb(m - 1)(cid).toSeq))
+        .toDF("m", "cid", "cent")
     }
+
+  /** The driver-side Lloyd iteration — see [[pqCodebook]]. */
+  private[pipeline] def lloydLocal(spark: SparkSession, sfDir: String)
+      : Array[Array[Array[Double]]] = {
+    val sample = SimilaritySearch.trainingSample(spark, sfDir)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // pqSeeds: ascending (md5("ivf:" || vec_id) hex, vec_id) — lowercase
+    // hex is ASCII, so String ordering == the UTF8String sort it mirrors
+    val seeds = sample.map { case (id, v) => (md5hex("ivf:" + id), id, v) }
+      .sortBy { case (draw, id, _) => (draw, id) }
+      .take(CodesK).map(_._3)
+    def seedCent(m: Int, cid: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(seeds(cid), SubDim * m, SubDim * (m + 1))
+    var cents = Array.tabulate(M, CodesK)(seedCent)
+    for (_ <- 1 to LloydRounds) {
+      val cn2 = cents.map(_.map { c =>
+        var s = 0.0; var d = 0
+        while (d < SubDim) { s += c(d) * c(d); d += 1 }
+        s
+      })
+      val members = Array.fill(M, CodesK)(
+        scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+      sample.foreach { case (_, v) =>
+        var m = 0
+        while (m < M) {
+          var bestScore = Double.NaN
+          var bestCid = -1
+          var cid = 0
+          while (cid < CodesK) {
+            var dot = 0.0
+            var d = 0
+            while (d < SubDim) { dot += v(SubDim * m + d) * cents(m)(cid)(d); d += 1 }
+            val score = cn2(m)(cid) - 2 * dot
+            if (bestCid < 0 || score < bestScore) { bestScore = score; bestCid = cid }
+            cid += 1
+          }
+          members(m)(bestCid) +=
+            java.util.Arrays.copyOfRange(v, SubDim * m, SubDim * (m + 1))
+          m += 1
+        }
+      }
+      cents = Array.tabulate(M, CodesK) { (m, cid) =>
+        val mem = members(m)(cid)
+        if (mem.isEmpty) seedCent(m, cid) // empty cell keeps its SEED codeword
+        else Array.tabulate(SubDim) { d =>
+          // sorted_sum: ascending sort then strict left fold, / count
+          val xs = mem.map(_(d)).toArray
+          java.util.Arrays.sort(xs)
+          var s = 0.0; var i = 0
+          while (i < xs.length) { s += xs(i); i += 1 }
+          s / mem.length
+        }
+      }
+    }
+    cents
+  }
 
   /** (vec_id, codes array<int>[M], pq_code hex string, recon_err): the
     * encoded corpus — the 8-byte-per-vector index artifact, memoized.
     * recon_err = Σ_m ‖sub_m − codeword‖² via sorted_sum (bit-stable).
+    *
+    * r18 optimization (guide §1.2/§2.4): encoding is MAP-ONLY. The
+    * trained codebook is an artifact-grain constant (M·CodesK·SubDim =
+    * 1024 doubles), so it is collected once and shipped in the encoder
+    * closure — the Whitening-module altitude decision — instead of the
+    * previous shape (subvector explode ×M → broadcast join ×CodesK →
+    * 1.28M-row (vec_id, m) argmin aggregate → collect_list re-assembly),
+    * which paid two corpus-grain exchanges to compare each vector
+    * against 1 KB of constants. Per-subspace scoring and the recon_err
+    * fold reproduce the retired plan's IEEE operation orders exactly
+    * (vec_dot's strict left fold; min on (score, cid); sorted ascending
+    * recon fold — PqEncodeSpec pins row equality on the real corpus).
     */
   private def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#pqcodes#$M#$CodesK#$LloydRounds") {
-      val corpus = SimilaritySearch.unitVectors(spark, sfDir).select("vec_id", "v")
-      val subs = subvectors(corpus)
-      val um2 = subs.select(col("vec_id"), col("m"),
-        expr("vec_dot(sub, sub)").as("um2"))
-      assignSub(subs, pqCodebook(spark, sfDir))
-        .join(um2, Seq("vec_id", "m"))
-        .groupBy("vec_id")
-        .agg(
-          expr("transform(array_sort(collect_list(struct(m, cid))), s -> s.cid)")
-            .as("codes"),
-          expr("""array_join(transform(array_sort(collect_list(struct(m, cid))),
-                    s -> substr('0123456789abcdef', s.cid + 1, 1)), '')""")
-            .as("pq_code"),
-          expr("sorted_sum(score + um2)").as("recon_err"))
+      pqCodesOf(SimilaritySearch.unitVectors(spark, sfDir).select("vec_id", "v"),
+        collectCodebook(spark, sfDir))
     }
+
+  /** The trained codebook as local arrays: cb(m-1)(cid)(d) — 1 KB. */
+  private[pipeline] def collectCodebook(spark: SparkSession, sfDir: String)
+      : Array[Array[Array[Double]]] = {
+    val rows = pqCodebook(spark, sfDir).collect()
+    val cb = Array.ofDim[Array[Double]](M, CodesK)
+    rows.foreach { r =>
+      cb(r.getAs[Int]("m") - 1)(r.getAs[Int]("cid")) =
+        r.getAs[Seq[Double]]("cent").toArray
+    }
+    cb.map(_.map(c => { require(c != null, "pq codebook cell missing"); c }))
+  }
+
+  /** Map-only PQ encode of `(vec_id, v)` rows against a local codebook —
+    * package-visible so PqEncodeSpec can pin it against the retired
+    * explode/join/argmin formulation.
+    */
+  private[pipeline] def pqCodesOf(corpus: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    // ‖c‖² per codeword, precomputed with vec_dot's strict left fold
+    val cn2 = cb.map(_.map { c =>
+      var s = 0.0; var d = 0
+      while (d < c.length) { s += c(d) * c(d); d += 1 }
+      s
+    })
+    val enc = udf { (v: Seq[Double]) =>
+      val codes = new Array[Int](M)
+      val errs = new Array[Double](M)
+      var m = 0
+      while (m < M) {
+        var bestScore = Double.NaN
+        var bestCid = -1
+        var um2 = 0.0
+        var d = 0
+        while (d < SubDim) {
+          val x = v(SubDim * m + d); um2 += x * x; d += 1
+        }
+        var cid = 0
+        while (cid < CodesK) {
+          var dot = 0.0
+          d = 0
+          while (d < SubDim) { dot += v(SubDim * m + d) * cb(m)(cid)(d); d += 1 }
+          val score = cn2(m)(cid) - 2 * dot
+          // min on struct(score, cid): strictly-smaller score wins, ties
+          // keep the smaller cid (cid ascends, so never replace on equal)
+          if (bestCid < 0 || score < bestScore) { bestScore = score; bestCid = cid }
+          cid += 1
+        }
+        codes(m) = bestCid
+        errs(m) = bestScore + um2
+        m += 1
+      }
+      // sorted_sum: ascending sort, then a strict left fold
+      java.util.Arrays.sort(errs)
+      var re = 0.0
+      var i = 0
+      while (i < M) { re += errs(i); i += 1 }
+      (codes, codes.map("0123456789abcdef".charAt(_)).mkString, re)
+    }
+    corpus.select(col("vec_id"), enc(col("v")).as("e"))
+      .select(col("vec_id"), col("e._1").as("codes"),
+        col("e._2").as("pq_code"), col("e._3").as("recon_err"))
+  }
 
   /** `emb_pq_codes`: the encoded corpus as oracle rows. */
   def pqCodesQuery(spark: SparkSession, sfDir: String): DataFrame =
