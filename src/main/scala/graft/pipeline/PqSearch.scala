@@ -94,9 +94,13 @@ object PqSearch extends QueryModule {
     */
   private def pqCodebook(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark, s"$sfDir#pqcb#$M#$CodesK#$LloydRounds") {
+      // an EMPTY (or < CodesK-row) sample yields an empty/partial seed
+      // set exactly as the retired rn <= CodesK window did — the
+      // codebook relation simply carries fewer cid rows (empty-input
+      // contract: plan-and-return-empty, EmptyInputSpec)
       val cb = lloydLocal(spark, sfDir)
       spark.createDataFrame(
-        for { m <- 1 to M; cid <- 0 until CodesK }
+        for { m <- 1 to M; cid <- cb(m - 1).indices }
           yield (m, cid, cb(m - 1)(cid).toSeq))
         .toDF("m", "cid", "cent")
     }
@@ -115,16 +119,17 @@ object PqSearch extends QueryModule {
     val seeds = sample.map { case (id, v) => (md5hex("ivf:" + id), id, v) }
       .sortBy { case (draw, id, _) => (draw, id) }
       .take(CodesK).map(_._3)
+    val kEff = seeds.length // < CodesK only on tiny/empty corpora
     def seedCent(m: Int, cid: Int): Array[Double] =
       java.util.Arrays.copyOfRange(seeds(cid), SubDim * m, SubDim * (m + 1))
-    var cents = Array.tabulate(M, CodesK)(seedCent)
+    var cents = Array.tabulate(M, kEff)(seedCent)
     for (_ <- 1 to LloydRounds) {
       val cn2 = cents.map(_.map { c =>
         var s = 0.0; var d = 0
         while (d < SubDim) { s += c(d) * c(d); d += 1 }
         s
       })
-      val members = Array.fill(M, CodesK)(
+      val members = Array.fill(M, kEff)(
         scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
       sample.foreach { case (_, v) =>
         var m = 0
@@ -132,7 +137,7 @@ object PqSearch extends QueryModule {
           var bestScore = Double.NaN
           var bestCid = -1
           var cid = 0
-          while (cid < CodesK) {
+          while (cid < kEff) {
             var dot = 0.0
             var d = 0
             while (d < SubDim) { dot += v(SubDim * m + d) * cents(m)(cid)(d); d += 1 }
@@ -145,7 +150,7 @@ object PqSearch extends QueryModule {
           m += 1
         }
       }
-      cents = Array.tabulate(M, CodesK) { (m, cid) =>
+      cents = Array.tabulate(M, kEff) { (m, cid) =>
         val mem = members(m)(cid)
         if (mem.isEmpty) seedCent(m, cid) // empty cell keeps its SEED codeword
         else Array.tabulate(SubDim) { d =>
@@ -183,16 +188,21 @@ object PqSearch extends QueryModule {
         collectCodebook(spark, sfDir))
     }
 
-  /** The trained codebook as local arrays: cb(m-1)(cid)(d) — 1 KB. */
+  /** The trained codebook as local arrays: cb(m-1)(cid)(d) — ≤1 KB.
+    * Per-subspace codeword count follows the relation (may be < CodesK
+    * only on tiny/empty corpora, mirroring the seed window).
+    */
   private[pipeline] def collectCodebook(spark: SparkSession, sfDir: String)
       : Array[Array[Array[Double]]] = {
     val rows = pqCodebook(spark, sfDir).collect()
-    val cb = Array.ofDim[Array[Double]](M, CodesK)
-    rows.foreach { r =>
-      cb(r.getAs[Int]("m") - 1)(r.getAs[Int]("cid")) =
-        r.getAs[Seq[Double]]("cent").toArray
+    val byM = rows.groupBy(_.getAs[Int]("m"))
+    Array.tabulate(M) { mi =>
+      byM.getOrElse(mi + 1, Array.empty).sortBy(_.getAs[Int]("cid"))
+        .zipWithIndex.map { case (r, i) =>
+          require(r.getAs[Int]("cid") == i, "pq codebook cid gap")
+          r.getAs[Seq[Double]]("cent").toArray
+        }
     }
-    cb.map(_.map(c => { require(c != null, "pq codebook cell missing"); c }))
   }
 
   /** Map-only PQ encode of `(vec_id, v)` rows against a local codebook —
@@ -219,8 +229,9 @@ object PqSearch extends QueryModule {
         while (d < SubDim) {
           val x = v(SubDim * m + d); um2 += x * x; d += 1
         }
+        val kCb = cb(m).length
         var cid = 0
-        while (cid < CodesK) {
+        while (cid < kCb) {
           var dot = 0.0
           d = 0
           while (d < SubDim) { dot += v(SubDim * m + d) * cb(m)(cid)(d); d += 1 }
@@ -230,6 +241,7 @@ object PqSearch extends QueryModule {
           if (bestCid < 0 || score < bestScore) { bestScore = score; bestCid = cid }
           cid += 1
         }
+        require(bestCid >= 0, "pq encode: empty codebook subspace")
         codes(m) = bestCid
         errs(m) = bestScore + um2
         m += 1
