@@ -179,6 +179,28 @@ object Scratch {
     spark.read.parquet(fut.join())
   }
 
+  /** Force several INDEPENDENT one-time builds concurrently (guide §2.6:
+    * overlap independent jobs — Spark happily runs several jobs at once;
+    * they are only sequential when the driver calls their actions
+    * sequentially). Each thunk typically forces a [[memoize]] stage; the
+    * per-key futures make concurrent forcing race-free, and a later
+    * sequential consumer finds every memo in place. Thread count is the
+    * thunk count — callers pass a handful of component builds, not a task
+    * fan-out. The first failure rethrows after all threads settle (so no
+    * build is left mid-flight when the caller unwinds).
+    */
+  def buildConcurrently(thunks: Seq[() => Any]): Unit =
+    if (thunks.sizeIs <= 1) thunks.foreach(_.apply())
+    else {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = thunks.map { t =>
+        val th = new Thread(() => try { t(); () } catch { case e: Throwable => errs.add(e) })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+    }
+
   private final case class BucketTable(name: String, path: String)
 
   // logical-stage key → future (catalog name, scratch path) of a persisted

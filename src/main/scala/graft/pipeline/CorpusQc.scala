@@ -698,6 +698,17 @@ object CorpusQc extends QueryModule {
     * other (both engines agree).
     */
   def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    // r18: the card's three memoized corpus-grain component builds (exact
+    // fingerprints, the contamination gate, the source shingle membership
+    // with its upstream shingle postings) are INDEPENDENT — force them
+    // concurrently so the cold card pays max(component) + compose instead
+    // of sum(components) (guide §2.6; measured 4.3 s → see
+    // OPTIMIZATION_r18.md). Memo hits make this a no-op when the
+    // standalone rows already built them.
+    graft.Scratch.buildConcurrently(Seq(
+      () => Dedup.exactDedupTable(spark, sfDir),
+      () => contaminationTable(spark, sfDir),
+      () => sourceShingles(spark, sfDir)))
     val docs = Tables.documents(spark, sfDir)
     val src = docs.select("doc_id", "source")
     val base = sourceReportOf(docs)
