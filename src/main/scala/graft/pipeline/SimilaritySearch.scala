@@ -362,27 +362,6 @@ object SimilaritySearch extends QueryModule {
         .select("vec_id", "v")
     }
 
-  /** (cid, cent) seed centroid relation from the deterministic literals. */
-  private def seedCentroids(spark: SparkSession): DataFrame =
-    spark.range(1).select(
-      posexplode(expr(Similarity.centroidArraySpark)).as(Seq("cid", "cent")))
-      .select(col("cid").cast("int").as("cid"), col("cent"))
-
-  /** One Lloyd assignment: nearest-centroid id per vector by the L2 score
-    * ‖c‖² − 2·v·c, ties to the smaller cid (the `min(struct)` order is
-    * (score, cid) in both engines). The centroid side is a broadcast of
-    * [[Similarity.NumCentroids]] rows; the argmin is a vec_id-keyed
-    * aggregate over the ×C fan-out.
-    */
-  private def assignTo(vs: DataFrame, cents: DataFrame): DataFrame = {
-    val c2 = cents.withColumn("n2", expr("vec_dot(cent, cent)"))
-    vs.crossJoin(broadcast(c2))
-      .withColumn("score", col("n2") - lit(2) * expr("vec_dot(v, cent)"))
-      .select(col("vec_id"), struct(col("score"), col("cid")).as("sc"))
-      .groupBy("vec_id").agg(min("sc").as("sc"))
-      .select(col("vec_id"), col("sc.cid").as("cid"))
-  }
-
   /** Lloyd-trained centroids: [[LloydRounds]] assign→mean rounds from the
     * seeded literals over the STRATIFIED TRAINING SAMPLE
     * ([[trainingSample]]), memoized per corpus. DETERMINISTIC in both
@@ -393,41 +372,144 @@ object SimilaritySearch extends QueryModule {
     * cosine agrees with the oracle exactly. An empty cell keeps its seed
     * centroid (deterministic, no divide-by-zero).
     *
-    * Scale: each round is one ×C broadcast fan-out + two bounded
-    * aggregates ((cell, dim) then cell — ≤ C·Dim rows) over the ≤
-    * 10·[[TrainQuota]]-row sample; only the one-time draw and the final
-    * corpus ASSIGNMENT ([[trainedIvfCorpus]], map-only) touch every
-    * vector — the classic train-on-a-sample/ship-the-artifact split, and
-    * the memoized centroid table IS that artifact.
+    * r18 optimization (guide §1.2, the PQ-Lloyd altitude precedent): the
+    * sample is BOUNDED (≤ 10·[[TrainQuota]] rows × 64 doubles) and the
+    * trained quantizer is C·Dim = 1024 doubles of artifact, so the
+    * assign→mean rounds run on the DRIVER over the collected sample —
+    * the previous DataFrame formulation spent ~1.5 s/pass scheduling
+    * sample-grain micro-stages (×C broadcast fan-outs, two nested
+    * aggregations and a seed re-join per round) to move kilobytes. Every
+    * IEEE operation order is reproduced exactly — the parsed seed
+    * literals ([[Similarity.centroidComponent]] round-trips through its
+    * shortest decimal rendering), vec_dot's strict left folds for ‖c‖²
+    * and v·c, the (score, cid) argmin tie-break, sorted-ascending
+    * member-mean folds, empty cells reverting to their SEED centroid —
+    * pinned bit-for-bit against the retired DataFrame chain in
+    * IvfTrainedParitySpec; the memoized (cid, cent) relation is unchanged
+    * for every consumer, and only the one-time sample draw and the
+    * map-only corpus assignment ([[trainedIvfCorpus]]) touch every
+    * vector — the classic train-on-a-sample/ship-the-artifact split.
     */
   private def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark,
         s"$sfDir#simivftrained#${Similarity.NumCentroids}#$LloydRounds#$TrainQuota") {
-      val vs = trainingSample(spark, sfDir)
-      var cents = seedCentroids(spark)
-      for (_ <- 1 to LloydRounds) {
-        val means = assignTo(vs, cents).join(vs, "vec_id")
-          .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy("cid", "d")
-          .agg((expr("sorted_sum(CAST(x AS DOUBLE))") / count(lit(1))).as("m"))
-          .groupBy("cid")
-          .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
-            .as("mcent"))
-        cents = seedCentroids(spark)
-          .join(means, Seq("cid"), "left")
-          .select(col("cid"), coalesce(col("mcent"), col("cent")).as("cent"))
-      }
-      cents
+      val cb = ivfLloydLocal(spark, sfDir)
+      spark.createDataFrame(cb.indices.map(cid => (cid, cb(cid).toSeq)))
+        .toDF("cid", "cent")
     }
 
-  /** (vec_id, v, nrm, bucket): corpus assigned to trained cells, memoized. */
+  /** The driver-side spherical-k-means iteration — see [[trainedCentroids]].
+    * Returns cents(cid)(d), cid 0 until [[Similarity.NumCentroids]].
+    */
+  private[pipeline] def ivfLloydLocal(spark: SparkSession, sfDir: String)
+      : Array[Array[Double]] = {
+    val dim = Similarity.Dim
+    val kC = Similarity.NumCentroids
+    val sample = trainingSample(spark, sfDir)
+      .select("vec_id", "v").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    def seedCent(cid: Int): Array[Double] =
+      Array.tabulate(dim)(d => Similarity.centroidComponent(cid, d))
+    var cents = Array.tabulate(kC)(seedCent)
+    for (_ <- 1 to LloydRounds) {
+      // ‖c‖² with vec_dot's strict left fold
+      val cn2 = cents.map { c =>
+        var s = 0.0; var d = 0
+        while (d < dim) { s += c(d) * c(d); d += 1 }
+        s
+      }
+      val members = Array.fill(kC)(
+        scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+      sample.foreach { v =>
+        var bestScore = Double.NaN
+        var bestCid = -1
+        var cid = 0
+        while (cid < kC) {
+          var dot = 0.0
+          var d = 0
+          while (d < dim) { dot += v(d) * cents(cid)(d); d += 1 }
+          val score = cn2(cid) - 2 * dot
+          // min on struct(score, cid): strictly-smaller score wins, ties
+          // keep the smaller cid (cid ascends, so never replace on equal)
+          if (bestCid < 0 || score < bestScore) { bestScore = score; bestCid = cid }
+          cid += 1
+        }
+        members(bestCid) += v
+      }
+      cents = Array.tabulate(kC) { cid =>
+        val mem = members(cid)
+        if (mem.isEmpty) seedCent(cid) // empty cell keeps its SEED centroid
+        else Array.tabulate(dim) { d =>
+          // sorted_sum: ascending sort then strict left fold, / count
+          val xs = mem.map(_(d)).toArray
+          java.util.Arrays.sort(xs)
+          var s = 0.0; var i = 0
+          while (i < xs.length) { s += xs(i); i += 1 }
+          s / mem.length
+        }
+      }
+    }
+    cents
+  }
+
+  /** The trained centroids as local arrays, cid-indexed — ≤ 8 KB. */
+  private[pipeline] def collectTrainedCents(spark: SparkSession, sfDir: String)
+      : Array[Array[Double]] = {
+    val rows = trainedCentroids(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("cid"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getAs[Int]("cid") == i, "trained centroid cid gap") }
+    rows.map(_.getAs[Seq[Double]]("cent").toArray)
+  }
+
+  /** Map-only nearest-trained-cell assignment of `(vec_id, ..., u)` rows
+    * (u = the unit vector) against a local centroid table — the same
+    * L2-score argmin as the retired crossJoin/groupBy formulation
+    * (‖c‖² − 2·u·c via vec_dot's strict left folds, min on (score, cid)),
+    * bit-pinned in IvfTrainedParitySpec. Package-visible for the spec.
+    */
+  private[pipeline] def assignLocal(cb: Array[Array[Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cn2 = cb.map { c =>
+      var s = 0.0; var d = 0
+      while (d < c.length) { s += c(d) * c(d); d += 1 }
+      s
+    }
+    udf { (u: Seq[Double]) =>
+      var bestScore = Double.NaN
+      var bestCid = -1
+      var cid = 0
+      while (cid < cb.length) {
+        val c = cb(cid)
+        var dot = 0.0
+        var d = 0
+        while (d < c.length) { dot += u(d) * c(d); d += 1 }
+        val score = cn2(cid) - 2 * dot
+        if (bestCid < 0 || score < bestScore) { bestScore = score; bestCid = cid }
+        cid += 1
+      }
+      bestCid
+    }
+  }
+
+  /** (vec_id, v, nrm, bucket): corpus assigned to trained cells, memoized.
+    *
+    * r18 optimization (guide §2.4): assignment is MAP-ONLY — the trained
+    * quantizer is collected once (1024 doubles) and shipped in the
+    * assignment closure, and the unit vector is re-derived inline with
+    * [[unitVectors]]' exact expression (CAST-to-double / nrm — IEEE
+    * division is deterministic, so the values match the memoized unit
+    * table bit-for-bit). The previous shape paid a corpus-grain ×C
+    * broadcast fan-out → (vec_id) argmin exchange → corpus re-join to
+    * compare each vector against 8 KB of constants.
+    */
   private def trainedIvfCorpus(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.memoize(spark,
         s"$sfDir#simivftcorpus#${Similarity.NumCentroids}#$LloydRounds#$TrainQuota") {
+      val assign = assignLocal(collectTrainedCents(spark, sfDir))
       vectors(spark, sfDir)
-        .join(assignTo(unitVectors(spark, sfDir), trainedCentroids(spark, sfDir))
-          .withColumnRenamed("cid", "bucket"),
-        "vec_id")
+        .withColumn("bucket",
+          assign(expr("transform(v, x -> CAST(x AS DOUBLE) / nrm)")))
     }
 
   /** (qid, bucket): each query's [[Similarity.NProbe]] nearest trained
