@@ -179,6 +179,19 @@ object Scratch {
     spark.read.parquet(fut.join())
   }
 
+  /** Fan a narrow frame out to the session's parallelism BEFORE expensive
+    * per-row map work — ONLY when its current plan would run on fewer
+    * partitions (the fixture reality: single-file single-row-group parquet
+    * scans are one task, so an un-fanned map phase runs serial on a
+    * 32-core session). On a production multi-split table the condition is
+    * false and NO repartition is inserted — the scale-adaptive version of
+    * the pre-explode fan-outs the d2/qgram builders already use.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Force several INDEPENDENT one-time builds concurrently (guide §2.6:
     * overlap independent jobs — Spark happily runs several jobs at once;
     * they are only sequential when the driver calls their actions

@@ -133,7 +133,12 @@ object Profiling extends QueryModule {
   }
 
   def profileOrdersKmv(spark: SparkSession, sfDir: String): DataFrame =
-    profileKmvOf(Tables.orders(spark, sfDir)).orderBy("column_name")
+    // fanOut: the partial-aggregate phase md5-hashes every column of every
+    // row (9 × kmv hash60) and a single-row-group scan runs it on ONE
+    // task — fan the narrow input out first (conditional: a multi-split
+    // production scan inserts nothing). r18: 1.8 s → see OPTIMIZATION_r18.md.
+    profileKmvOf(graft.Scratch.fanOut(Tables.orders(spark, sfDir)))
+      .orderBy("column_name")
 
   private val profileOrdersKmvSql = {
     val k = graft.functions.KmvSketch.K

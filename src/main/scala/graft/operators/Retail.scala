@@ -64,9 +64,18 @@ object Retail extends QueryModule {
     * O1 in one plan. Reference: q2:89-143.
     */
   private def summaryInputs(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    // one shared o_custkey exchange (guide §2.4): both consumers group by
+    // (o_custkey, ...) and the argmax window partitions by o_custkey, so a
+    // custkey partitioning satisfies every downstream clustering — the two
+    // branches' plans canonicalize to the SAME exchange subtree, which AQE
+    // computes once and reuses, where the previous shape scanned and
+    // joined lineitem⋈orders TWICE (once per branch) and shuffled each
+    // branch separately; the final summary join also lands pre-partitioned
+    // (r18 plan audit: 6 Exchanges + 2 joins -> 1 shared Exchange + reuse).
     val lines = cleanedLines(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("l_partkey"),
         lineAmount.as("amount"))
+      .repartition(col("o_custkey"))
     val orderValues = lines
       .groupBy("o_custkey", "o_orderkey")
       .agg(sum("amount").as("order_value"))

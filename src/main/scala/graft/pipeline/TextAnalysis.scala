@@ -602,9 +602,17 @@ object TextAnalysis extends QueryModule {
     * cross-engine, so the ordering needs no rank-emission hedge.
     */
   def qualityPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    // materialized once: histRankDesc consumes its input three times
+    // (global stats, bucket counts, the final rank join), and without the
+    // scratch table each reference re-ran the three-regex quality score
+    // over the full corpus — r18 plan audit counted SIX document scans in
+    // one query (the perplexity filter's `scored` stage discipline,
+    // applied here; plans/r18/text_quality_percentile_{before,after}.txt)
     qualityPercentileOf(
-      qualityScoreOf(Tables.documents(spark, sfDir))
-        .select("doc_id", "quality_score"))
+      graft.Scratch.materialize(
+        qualityScoreOf(Tables.documents(spark, sfDir))
+          .select("doc_id", "quality_score"),
+        "graft_qscore"))
 
   /** The percentile transform over an already-scored (doc_id,
     * quality_score) frame — factored out so the streaming ingest's
