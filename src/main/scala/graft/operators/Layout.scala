@@ -169,6 +169,13 @@ object Layout extends QueryModule {
     * the table, on every fact in the star.
     */
   def dppLineitemRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    // the two month-partitioned fact layouts are independent one-time
+    // builds — write them concurrently (guide §2.6) instead of paying
+    // sum(write walls) on the cold run; memo hits no-op when the other
+    // dpp/layout rows already built them
+    Scratch.buildConcurrently(Seq(
+      () => lineitemByShipMonth(spark, sfDir),
+      () => ordersByMonth(spark, sfDir)))
     val dimMonths = monthDim(spark, sfDir).filter(col("m_year") === DppYear)
     val li = lineitemByShipMonth(spark, sfDir)
       .join(broadcast(dimMonths.select(col("m_month").as("ship_m"))),
